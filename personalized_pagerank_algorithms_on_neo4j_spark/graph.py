@@ -1,0 +1,207 @@
+"""Property-graph data model: Spark DataFrames + an optional driver-local CSR view.
+
+The reference loads the whole graph once into in-memory ragged adjacency arrays
+(`HeavyGraph`, reference PPR.java:136-152) and runs every algorithm against that
+snapshot. The Spark-native equivalent is a pair of cached DataFrames
+(`nodes(id, name)`, `edges(src, dst)`) plus derived cached tables:
+
+- ``degrees(node, out_degree, in_degree)``  — groupBy counts, outer-joined to nodes
+- ``edges_deg(src, dst, src_out_degree)``   — edges enriched with the source's
+  out-degree (every push/walk weights by 1/out(src)); hash-partitioned by the
+  join key and persisted so each superstep's join only shuffles the (small)
+  state side, never the edge table.
+- ``adj(node, neighbors, out_degree)``      — array adjacency for O(1) random
+  neighbor selection (`element_at(neighbors, 1+floor(rand()*out_degree))`),
+  the columnar analogue of HeavyGraph's ragged arrays.
+
+``LocalGraph`` is the driver-side CSR snapshot used when the graph fits on the
+driver (config.LOCAL_EDGE_THRESHOLD edges, analogous to a broadcast-join
+cutoff): vectorized numpy kernels then replace the per-superstep Spark jobs,
+which is the right physical plan for sub-1e7-edge graphs exactly the way
+broadcast beats shuffle for sub-10MB tables. Both paths implement identical
+semantics and are cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import LOCAL_EDGE_THRESHOLD
+
+
+@dataclass
+class LocalGraph:
+    """Driver-local CSR snapshot (dense ids are positions in ``ids``)."""
+
+    ids: np.ndarray  # sorted original node ids (int64); dense id = index
+    indptr: np.ndarray  # CSR out-adjacency
+    indices: np.ndarray
+    rindptr: np.ndarray  # CSR in-adjacency
+    rindices: np.ndarray
+    out_deg: np.ndarray
+    in_deg: np.ndarray
+    edge_src: np.ndarray  # COO (dense) — used by the synchronous kernels
+    edge_dst: np.ndarray
+
+    @property
+    def n(self) -> int:
+        return len(self.ids)
+
+    @property
+    def m(self) -> int:
+        return len(self.edge_src)
+
+    def dense(self, orig_id: int) -> int:
+        pos = int(np.searchsorted(self.ids, orig_id))
+        if pos >= len(self.ids) or self.ids[pos] != orig_id:
+            raise KeyError(f"node id {orig_id} not in graph")
+        return pos
+
+
+class PropertyGraph:
+    """nodes(id: long, name: string) + edges(src: long, dst: long)."""
+
+    def __init__(self, spark: SparkSession, nodes: DataFrame, edges: DataFrame):
+        self.spark = spark
+        self.nodes = nodes.select(
+            F.col("id").cast("long").alias("id"), F.col("name").cast("string").alias("name")
+        ).cache()
+        self.edges = edges.select(
+            F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+        ).cache()
+
+    # ---- stats ----------------------------------------------------------
+    @cached_property
+    def n(self) -> int:
+        return self.nodes.count()
+
+    @cached_property
+    def m(self) -> int:
+        return self.edges.count()
+
+    def stats(self) -> dict[str, int]:
+        return {"nodes": self.n, "edges": self.m}
+
+    # ---- derived tables --------------------------------------------------
+    @cached_property
+    def out_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+
+    @cached_property
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("node")).agg(
+            F.count(F.lit(1)).alias("in_degree")
+        )
+
+    @cached_property
+    def degrees(self) -> DataFrame:
+        """(node, out_degree, in_degree) for every node; missing => 0."""
+        deg = (
+            self.nodes.select(F.col("id").alias("node"))
+            .join(self.out_degrees, "node", "left")
+            .join(self.in_degrees, "node", "left")
+            .select(
+                "node",
+                F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            )
+        ).cache()
+        return deg
+
+    @cached_property
+    def edges_deg(self) -> DataFrame:
+        """(src, dst, src_out_degree), partitioned by src and persisted.
+
+        Every forward push / walk step joins state.node == edges.src; keeping
+        the big side pre-partitioned on the join key means only the state side
+        shuffles per superstep.
+        """
+        shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        e = (
+            self.edges.join(
+                self.out_degrees.withColumnRenamed("node", "src"), "src"
+            )
+            .select("src", "dst", F.col("out_degree").alias("src_out_degree"))
+            .repartition(shuffle_n, "src")
+        ).cache()
+        return e
+
+    @cached_property
+    def edges_by_dst(self) -> DataFrame:
+        """Same enriched edges partitioned by dst — the backward-push join key."""
+        shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        return self.edges_deg.repartition(shuffle_n, "dst").cache()
+
+    @cached_property
+    def adj(self) -> DataFrame:
+        """(node, neighbors: array<long>, out_degree) — random-walk adjacency."""
+        return (
+            self.edges.groupBy(F.col("src").alias("node"))
+            .agg(F.collect_list("dst").alias("neighbors"))
+            .select("node", "neighbors", F.size("neighbors").alias("out_degree"))
+        ).cache()
+
+    # ---- name resolution (P1: broadcast join against nodes) ---------------
+    def id_of(self, name: str) -> int:
+        rows = self.nodes.where(F.col("name") == name).select("id").take(2)
+        if not rows:
+            raise KeyError(f"no node named {name!r}")
+        return rows[0][0]
+
+    def with_names(self, df: DataFrame, node_col: str = "node") -> DataFrame:
+        """Attach node names via a broadcast hash join (reference Algo_Util.java:21-30)."""
+        return df.join(
+            F.broadcast(self.nodes.select(F.col("id").alias(node_col), "name")),
+            node_col,
+            "left",
+        )
+
+    # ---- driver-local snapshot --------------------------------------------
+    def fits_local(self) -> bool:
+        return self.m <= LOCAL_EDGE_THRESHOLD
+
+    @cached_property
+    def local(self) -> LocalGraph:
+        node_ids = np.sort(
+            self.nodes.select("id").toPandas()["id"].to_numpy(dtype=np.int64)
+        )
+        epd = self.edges.toPandas()
+        src_orig = epd["src"].to_numpy(dtype=np.int64)
+        dst_orig = epd["dst"].to_numpy(dtype=np.int64)
+        src = np.searchsorted(node_ids, src_orig).astype(np.int64)
+        dst = np.searchsorted(node_ids, dst_orig).astype(np.int64)
+        n = len(node_ids)
+
+        out_deg = np.bincount(src, minlength=n).astype(np.int64)
+        in_deg = np.bincount(dst, minlength=n).astype(np.int64)
+
+        order = np.argsort(src, kind="stable")
+        indices = dst[order]
+        indptr = np.concatenate(([0], np.cumsum(out_deg)))
+
+        rorder = np.argsort(dst, kind="stable")
+        rindices = src[rorder]
+        rindptr = np.concatenate(([0], np.cumsum(in_deg)))
+
+        return LocalGraph(
+            ids=node_ids,
+            indptr=indptr,
+            indices=indices,
+            rindptr=rindptr,
+            rindices=rindices,
+            out_deg=out_deg,
+            in_deg=in_deg,
+            edge_src=src,
+            edge_dst=dst,
+        )
+
+    def state_df(self, pairs: list[tuple[int, float]]) -> DataFrame:
+        """Small helper: (node, ppr) DataFrame from driver-side pairs."""
+        return self.spark.createDataFrame(pairs, schema="node long, ppr double")

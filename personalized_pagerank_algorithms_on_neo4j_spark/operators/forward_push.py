@@ -1,0 +1,125 @@
+"""Forward Push (I1/I2).
+
+Reference: Forward_Push.java:63-142 (whole-graph) and 144-250 (resumable
+top-k variant). The reference processes a sequential queue; push is linear and
+order-independent over the residue vector, so the engine executes the
+*frontier-synchronous batch* schedule instead: per superstep, every node with
+r > 0 and (out == 0 or r/out >= rmax) pushes simultaneously. Same fixed point
+(every processed node met the threshold), one Spark stage per superstep
+instead of one per queue pop — the only schedule that makes sense on a
+cluster.
+
+Quirk reproduced: the reference's enqueue test `r(u)/out(u) >= rmax` evaluates
+to +inf for out-degree-0 nodes, so dangling nodes *always* qualify once they
+hold residue; their push routes (1-alpha)*r back to the source
+(Forward_Push.java:101-115). An out-degree-0 source short-circuits to
+pi(s,s) = 1 (Forward_Push.java:72-76).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_ALPHA
+from ..graph import PropertyGraph
+from . import _kernels
+from ._result import ppr_result_from_dense, ppr_result_from_state
+
+
+def forward_push(
+    graph: PropertyGraph,
+    source: int,
+    rmax: float,
+    alpha: float = DEFAULT_ALPHA,
+    mode: str = "auto",
+    max_supersteps: int = 10_000,
+) -> DataFrame:
+    """Whole-graph SSPPR via local push. Returns DataFrame(node, ppr)."""
+    if mode == "auto":
+        mode = "local" if graph.fits_local() else "distributed"
+    if mode == "local":
+        lg = graph.local
+        pi, _, _ = _kernels.forward_push_batch(
+            lg, lg.dense(source), alpha, rmax, max_supersteps=max_supersteps
+        )
+        return ppr_result_from_dense(graph, pi)
+    state = _forward_push_distributed_state(graph, source, rmax, alpha, max_supersteps)
+    return ppr_result_from_state(state)
+
+
+def _forward_push_distributed_state(
+    graph: PropertyGraph,
+    source: int,
+    rmax: float,
+    alpha: float,
+    max_supersteps: int,
+    init_state: DataFrame | None = None,
+) -> DataFrame:
+    """Batch push loop; returns the full (node, residue, reserve) state.
+
+    ``init_state`` resumes a previous push at a tighter rmax (the resumable
+    I2 variant, Forward_Push.java:144-250 — the batch schedule needs no
+    carried queue: the new threshold re-qualifies nodes directly).
+    """
+    spark = graph.spark
+    src_out = (
+        graph.degrees.where(F.col("node") == int(source)).select("out_degree").take(1)
+    )
+    if not src_out or src_out[0][0] == 0:
+        return spark.createDataFrame(
+            [(int(source), 0.0, 1.0)], schema="node long, residue double, reserve double"
+        )
+
+    edges = graph.edges_deg
+    out_deg = graph.out_degrees
+    state = init_state if init_state is not None else spark.createDataFrame(
+        [(int(source), 1.0, 0.0)], schema="node long, residue double, reserve double"
+    )
+    # the per-superstep localCheckpoint on `s` below already truncates lineage
+    for _ in range(max_supersteps):
+        s = state.join(out_deg, "node", "left").select(
+            "node", "residue", "reserve", F.coalesce("out_degree", F.lit(0)).alias("od")
+        )
+        qual = (F.col("residue") > 0) & (
+            (F.col("od") == 0) | (F.col("residue") >= F.lit(rmax) * F.col("od"))
+        )
+        s = s.withColumn("qual", qual)
+        s = s.localCheckpoint(eager=True)  # frontier reused by 4 branches below
+        frontier = s.where("qual")
+        if frontier.isEmpty():
+            return s.select("node", "residue", "reserve")
+        rest = s.where(~F.col("qual")).select("node", "residue", "reserve")
+        kept = frontier.select(
+            "node",
+            F.lit(0.0).alias("residue"),
+            (F.col("reserve") + F.lit(alpha) * F.col("residue")).alias("reserve"),
+        )
+        pushed = (
+            frontier.where(F.col("od") > 0)
+            .join(edges, frontier.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(1.0 - alpha) * F.col("residue") / F.col("src_out_degree")).alias(
+                    "residue"
+                ),
+                F.lit(0.0).alias("reserve"),
+            )
+        )
+        dangling = (
+            frontier.where(F.col("od") == 0)
+            .agg(F.sum(F.lit(1.0 - alpha) * F.col("residue")).alias("residue"))
+            .select(
+                F.lit(int(source)).cast("long").alias("node"),
+                F.coalesce("residue", F.lit(0.0)).alias("residue"),
+                F.lit(0.0).alias("reserve"),
+            )
+        )
+        state = (
+            rest.unionAll(kept)
+            .unionAll(pushed)
+            .unionAll(dangling)
+            .groupBy("node")
+            .agg(F.sum("residue").alias("residue"), F.sum("reserve").alias("reserve"))
+        )
+    return state

@@ -1,0 +1,121 @@
+"""Monte-Carlo PPR (R2/R3/A1) — vectorized alpha-stop random walks.
+
+Reference: Monte_Carlo.java:60-157. omega = 3*ln(2/pfail)/eps^2/delta walks
+from the source; pi(t) = (#walks stopping at t)/omega. Walk semantics:
+- a start node with out-degree 0 ends the walk immediately at the start;
+- each step first stops with probability alpha, else moves to a uniformly
+  random out-neighbor; a dangling current node *resets the walk to its start*
+  (consuming the step) — the dangling->source rule in walk form;
+- the `no_zero_hop` variant (used by FORA's whole-graph walk phase) takes one
+  unconditional first step.
+
+Distributed plan: a DataFrame of live walks iterated against the cached
+array-adjacency table (`element_at(neighbors, 1+floor(rand()*out_degree))`,
+O(1) per row). The number of supersteps is geometric (alpha-stop), ~45 rounds
+to drain 1e6 walks; each round is one broadcast-less join + filter. Walk
+rows carry (start, cur, weight) so FORA can fan out weighted walks through
+the same loop. Randomness: `F.rand(seed)` is deterministic per (partition,
+row) for a fixed partitioning; run-to-run layout can vary, so seeded
+reproducibility is only guaranteed on the local kernel path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_ALPHA, WholeGraphConf
+from ..graph import PropertyGraph
+from . import _kernels
+from ._result import ppr_result_from_dense
+
+import numpy as np
+
+
+def monte_carlo(
+    graph: PropertyGraph,
+    source: int,
+    epsilon: float,
+    alpha: float = DEFAULT_ALPHA,
+    mode: str = "auto",
+    seed: int | None = 42,
+) -> DataFrame:
+    """Whole-graph MC PPR. Returns DataFrame(node, ppr)."""
+    conf = WholeGraphConf(alpha=alpha, n=graph.n, m=graph.m)
+    omega = conf.mc_omega(epsilon)
+    if mode == "auto":
+        mode = "local" if graph.fits_local() else "distributed"
+    if mode == "local":
+        lg = graph.local
+        rng = np.random.default_rng(seed)
+        pi = _kernels.monte_carlo(lg, lg.dense(source), alpha, omega, rng)
+        return ppr_result_from_dense(graph, pi)
+    return _monte_carlo_distributed(graph, source, alpha, omega, seed)
+
+
+def _monte_carlo_distributed(
+    graph: PropertyGraph, source: int, alpha: float, omega: int, seed: int | None
+) -> DataFrame:
+    walks = graph.spark.range(omega).select(
+        F.lit(int(source)).cast("long").alias("start"),
+        F.lit(int(source)).cast("long").alias("cur"),
+        (F.lit(1.0) / F.lit(float(omega))).alias("weight"),
+    )
+    ends = run_walks(graph, walks, alpha, zero_hop=True, seed=seed)
+    return ends.groupBy(F.col("cur").alias("node")).agg(F.sum("weight").alias("ppr"))
+
+
+def run_walks(
+    graph: PropertyGraph,
+    walks: DataFrame,
+    alpha: float,
+    zero_hop: bool = True,
+    seed: int | None = None,
+    max_supersteps: int = 1_000,
+) -> DataFrame:
+    """Drive walks(start, cur, weight) to their stop nodes; returns same schema.
+
+    Implements the reference walk semantics above. Each superstep:
+    stop-mask via rand(), one equi join against the adjacency arrays for the
+    movers, dangling rows reset to their start.
+    """
+    adj = graph.adj  # (node, neighbors, out_degree)
+    base_seed = 0 if seed is None else int(seed)
+
+    # walks whose start is dangling stop at the start immediately
+    deg0 = walks.join(adj, walks.cur == adj.node, "left")
+    done = deg0.where(F.col("node").isNull()).select("start", "cur", "weight")
+    live = deg0.where(F.col("node").isNotNull()).select("start", "cur", "weight")
+
+    if not zero_hop:
+        live = _step_move(live, adj, base_seed * 7919 + 13)
+
+    finished = [done]
+    for i in range(max_supersteps):
+        live = live.localCheckpoint(eager=True)
+        if live.isEmpty():
+            break
+        stop_mask = F.rand(base_seed + 2 * i) < F.lit(alpha)
+        live = live.withColumn("stop", stop_mask)
+        finished.append(live.where("stop").select("start", "cur", "weight"))
+        movers = live.where(~F.col("stop")).select("start", "cur", "weight")
+        live = _step_move(movers, adj, base_seed + 2 * i + 1)
+
+    out = finished[0]
+    for f in finished[1:]:
+        out = out.unionAll(f)
+    return out
+
+
+def _step_move(walks: DataFrame, adj: DataFrame, seed: int) -> DataFrame:
+    """One move: uniform random out-neighbor; dangling resets to start."""
+    j = walks.join(adj, walks.cur == adj.node, "left")
+    nxt = F.when(
+        F.col("node").isNull(), F.col("start")  # dangling -> reset to start
+    ).otherwise(
+        F.element_at(
+            "neighbors",
+            (F.floor(F.rand(seed) * F.col("out_degree")) + 1).cast("int"),
+        )
+    )
+    return j.select("start", nxt.alias("cur"), "weight")

@@ -1,0 +1,94 @@
+"""Power Method (I3) — the correctness oracle.
+
+Reference: Power_Method.java:43-101. `iterations` synchronous supersteps; per
+superstep every node v with residue r(v): reserve(v) += alpha*r(v); spreads
+(1-alpha)*r(v)/out(v) to out-neighbors; out-degree-0 nodes return
+(1-alpha)*r(v) to the *source* (the dangling->source rule that distinguishes
+this PPR definition from classic PageRank teleport).
+
+Physical strategies:
+- distributed: one join + union + groupBy per superstep against the cached,
+  src-partitioned edge table; lineage truncated via localCheckpoint.
+- local: vectorized numpy kernel on the driver CSR snapshot (picked when the
+  graph is under the broadcast-like size cutoff).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_ALPHA, POWER_ITERATIONS
+from ..graph import PropertyGraph
+from ..plans.iterative import SuperstepLoop
+from . import _kernels
+from ._result import ppr_result_from_dense
+
+
+def power_method(
+    graph: PropertyGraph,
+    source: int,
+    alpha: float = DEFAULT_ALPHA,
+    iterations: int = POWER_ITERATIONS,
+    mode: str = "auto",
+) -> DataFrame:
+    """Returns DataFrame(node: long, ppr: double), only rows with ppr > 0."""
+    if mode == "auto":
+        mode = "local" if graph.fits_local() else "distributed"
+    if mode == "local":
+        lg = graph.local
+        pi = _kernels.power_method(lg, lg.dense(source), alpha, iterations)
+        return ppr_result_from_dense(graph, pi)
+    return _power_method_distributed(graph, source, alpha, iterations)
+
+
+def _power_method_distributed(
+    graph: PropertyGraph, source: int, alpha: float, iterations: int
+) -> DataFrame:
+    spark = graph.spark
+    edges = graph.edges_deg  # (src, dst, src_out_degree), partitioned by src
+    out_deg = graph.out_degrees  # (node, out_degree) — only nodes with out-edges
+
+    state = spark.createDataFrame(
+        [(int(source), 1.0, 0.0)], schema="node long, residue double, reserve double"
+    )
+    loop = SuperstepLoop(checkpoint_every=4)
+    for _ in range(iterations):
+        s = state.join(out_deg, "node", "left").select(
+            "node", "residue", "reserve", F.coalesce("out_degree", F.lit(0)).alias("od")
+        )
+        kept = s.select(
+            "node",
+            F.lit(0.0).alias("residue"),
+            (F.col("reserve") + F.lit(alpha) * F.col("residue")).alias("reserve"),
+        )
+        pushed = (
+            s.where(F.col("od") > 0)
+            .join(edges, s.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(1.0 - alpha) * F.col("residue") / F.col("src_out_degree")).alias(
+                    "residue"
+                ),
+                F.lit(0.0).alias("reserve"),
+            )
+        )
+        dangling = (
+            s.where(F.col("od") == 0)
+            .agg(F.sum(F.lit(1.0 - alpha) * F.col("residue")).alias("residue"))
+            .select(
+                F.lit(int(source)).cast("long").alias("node"),
+                F.coalesce("residue", F.lit(0.0)).alias("residue"),
+                F.lit(0.0).alias("reserve"),
+            )
+        )
+        state = (
+            kept.unionAll(pushed)
+            .unionAll(dangling)
+            .groupBy("node")
+            .agg(F.sum("residue").alias("residue"), F.sum("reserve").alias("reserve"))
+        )
+        state = loop.materialize(state)
+    return state.where(F.col("reserve") > 0).select(
+        "node", F.col("reserve").alias("ppr")
+    )

@@ -1,0 +1,45 @@
+"""Preprocessed-PPR store (S4/S5/S7/S8).
+
+The reference persists one `<srcNodeId>.txt` of tab-separated (nodeId, ppr)
+lines per source under `<ALGO>_ppr_results/<db>/<param>/`
+(Forward_Push.java:301-362 and 4 clones). The Spark-native materialized view
+is a Parquet table `ppr_prep(source, target, ppr [, rank])` written
+`partitionBy("source")`: per-source lookups become partition-pruned scans
+(Catalyst prunes on `source = s` for free), and "prep size" is the directory's
+byte size, matching `getPrepSize()` (Forward_Push.java:431-434).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_prep(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """df: (source, target, ppr [, rank]) -> Parquet partitioned by source."""
+    df.write.mode(mode).partitionBy("source").parquet(path)
+
+
+def read_prep(spark: SparkSession, path: str, source: int | None = None) -> DataFrame:
+    """Read back; a `source=` predicate is satisfied by partition pruning."""
+    df = spark.read.parquet(path)
+    if source is not None:
+        df = df.where(F.col("source") == int(source))
+    return df
+
+
+def prep_size_bytes(path: str) -> int:
+    """Directory byte size (S7), the reference's prep-space metric."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def delete_prep(path: str) -> None:
+    """Prep-dir lifecycle (S8)."""
+    shutil.rmtree(path, ignore_errors=True)
