@@ -1,0 +1,108 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Query set: the reference's three query shapes (whole-graph SSPPR via Power
+Method / Forward Push / FORA / Monte-Carlo, top-k, BASE all-pair prep +
+lookup) on the sf-derived graph, plus the heaviest relational/pipeline
+operators (join-agg revenue, dedup, brute-force cosine top-k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from personalized_pagerank_algorithms_on_neo4j_spark import (  # noqa: E402
+    PPREngine,
+    build_spark,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.operators import (  # noqa: E402
+    base_all_pair,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def main() -> None:
+    spark = build_spark(app_name="ppr_bench", master=f"local[{CPUS}]",
+                        shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    # graph load + derived tables (the reference reports load time too)
+    g = timed("graph_load", lambda: _load(spark))
+    eng = PPREngine(g)
+    src = E._source(g)
+
+    timed("q_power", lambda: eng.ppr(src, algo="power").count())
+    timed("q_fwdpush", lambda: eng.ppr(src, algo="fwdpush", rmax=1e-6).count())
+    timed("q_fora", lambda: eng.ppr(src, algo="fora", epsilon=0.5).count())
+    timed("q_montecarlo", lambda: eng.ppr(src, algo="montecarlo", epsilon=0.5).count())
+    timed("q_fora_topk", lambda: eng.topk(src, 10, algo="fora_topk").count())
+
+    # BASE preprocessing over a 512-target batch (one multi-target Spark job)
+    # + a partition-pruned lookup
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/prep"
+
+        def prep():
+            targets = g.nodes.select(F.col("id").alias("target")).orderBy("id").limit(512)
+            df = base_all_pair.base_preprocess(
+                g, threshold=1e-4, targets=targets, alpha=eng.alpha
+            )
+            from personalized_pagerank_algorithms_on_neo4j_spark.sources.prep_store import (
+                write_prep,
+            )
+
+            write_prep(df, path)
+
+        timed("q_base_prep512", prep)
+        timed(
+            "q_base_lookup",
+            lambda: base_all_pair.base_lookup(g, path, src).count(),
+        )
+
+    # relational / pipeline heavies
+    timed("q_revenue_by_customer",
+          lambda: E.q_revenue_by_customer(spark, SF_DIR).count())
+    timed("q_dedup_exact", lambda: E.q_dedup_exact(spark, SF_DIR).count())
+    timed("q_simsearch_cosine", lambda: E.q_simsearch_cosine(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "ppr_spark_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+    spark.stop()
+
+
+def _load(spark):
+    g = E._graph(spark, SF_DIR)
+    g.stats()  # force node/edge counts
+    g.degrees.count()  # materialize cached degree table
+    return g
+
+
+if __name__ == "__main__":
+    main()

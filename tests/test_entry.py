@@ -1,0 +1,91 @@
+"""Driver-contract harness: replicates the t2 correctness gate locally.
+
+Runs every ``queries()`` entry at sf0.01 and compares against its
+``oracle_sql()`` DuckDB result: column names, row count, and values
+(order-insensitive, doubles rounded to 1e-9) must match exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as E  # noqa: E402
+
+from .conftest import SF_ORACLE, SF_SMALL  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(pdf):
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = []
+    for tup in pdf.itertuples(index=False):
+        row = []
+        for v in tup:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    row.append("nan")
+                else:
+                    row.append(round(v, 9))
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return cols, rows
+
+
+ORACLE = E.oracle_sql()
+ALL_QUERIES = E.queries()
+CHECKED = sorted(set(ALL_QUERIES) & set(ORACLE))
+ROWS_ONLY = sorted(set(ALL_QUERIES) - set(ORACLE))
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_query_matches_oracle(spark, duck, name):
+    spark_pdf = ALL_QUERIES[name](spark, SF_ORACLE).toPandas()
+    duck_pdf = duck.execute(ORACLE[name]).fetchdf()
+    s_cols, s_rows = _normalize(spark_pdf)
+    d_cols, d_rows = _normalize(duck_pdf)
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mism = [i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: "
+        f"{s_rows[mism[0]]} vs {d_rows[mism[0]]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = ALL_QUERIES[name](spark, SF_SMALL)
+    assert df.count() > 0
+    assert len(df.schema.fields) >= 1
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert [f.name for f in df.schema.fields] == ["node", "name", "ppr"]
