@@ -561,3 +561,295 @@ def entry(spark: SparkSession) -> DataFrame:
     eng = PPREngine(g, alpha=ALPHA)
     df = eng.ppr(_source(g), algo="power")
     return g.with_names(df).select("node", "name", "ppr").orderBy(F.desc("ppr"))
+
+
+# ---------------------------------------------------------------------------
+# Pipeline operators (functions/): dedup, text analysis, similarity search
+# ---------------------------------------------------------------------------
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions import (  # noqa: E402
+    dedup as _dedup,
+    simsearch as _simsearch,
+    text as _text,
+    multimodal as _multimodal,
+)
+
+
+def q_text_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _text.text_profile(d)
+
+
+def q_quality_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prof = _text.text_profile(d)
+    return prof.where(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+    ).select("doc_id", "quality")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _dedup.minhash_signatures(d, num_hashes=8, n=3)
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4, n=3)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _dedup.ngram_jaccard_pairs(d, threshold=0.5, n=3)
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _dedup.simhash(d, bits=32)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return _dedup.embedding_near_dup_pairs(e, threshold=0.8, sketch_dims=8)
+
+
+def q_simsearch_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return _simsearch.lsh_topk(e, query_id=0, k=10, sketch_dims=16, bands=4)
+
+
+def q_simsearch_ivf(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return _simsearch.ivf_topk(e, query_id=0, k=10, n_cells=16, nprobe=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = _multimodal.media_from_documents(d)
+    return _multimodal.extract_features(media)
+
+
+# ---- DuckDB oracle fragments for the pipeline queries ----------------------
+
+_SQL_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+_SQL_TOKS = f"string_split_regex(trim({_SQL_NORM}), ' +')"
+_SQL_TOKS_RAW = "string_split_regex(trim(text), ' +')"
+
+
+def _sql_hash(expr: str, seed: str = "0") -> str:
+    return (
+        f"CAST(('0x' || substring(md5({expr} || '#' || CAST({seed} AS VARCHAR))"
+        f", 1, 12)) AS BIGINT)"
+    )
+
+
+_SQL_SHINGLES = f"""list_distinct(list_transform(
+  range(0, greatest(len({_SQL_TOKS}) - 3, 0) + 1),
+  i -> array_to_string(({_SQL_TOKS})[i+1:i+3], ' ')))"""
+
+_SQL_DOC_SHINGLES = f"""
+SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM documents
+"""
+
+_SQL_MINHASH_SIG = f"""
+WITH ds AS MATERIALIZED ({_SQL_DOC_SHINGLES}),
+idx AS (SELECT doc_id, sh, unnest(range(0, 8)) AS i FROM ds)
+SELECT doc_id, CAST(i AS INT) AS i, MIN({_sql_hash('sh', 'i')}) AS minhash
+FROM idx GROUP BY doc_id, i
+"""
+
+
+def _pipeline_oracle_sql() -> dict[str, str]:
+    sw = {k: v for k, v in sorted(_text.LANG_STOPWORDS.items())}
+    sw_lists = {
+        lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        for lang, words in sw.items()
+    }
+    score_exprs = {
+        lang: (
+            f"CAST(len(list_filter({_SQL_TOKS_RAW.replace('text', 'lower(text)')}, "
+            f"t -> list_contains({sw_lists[lang]}, t))) AS DOUBLE) / "
+            f"CAST(greatest(len({_SQL_TOKS_RAW.replace('text', 'lower(text)')}), 1) AS DOUBLE)"
+        )
+        for lang in sw
+    }
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in sw) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN s_{lang} > 0.0 AND s_{lang} = {mx} THEN '{lang}'" for lang in sw
+    ) + " ELSE 'unknown' END"
+
+    sql: dict[str, str] = {}
+    profile_core = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len({_SQL_TOKS_RAW}) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+    ROUND({score_exprs['en']}, 6) AS stopword_ratio_r,
+    {score_exprs['en']} AS sw_raw,
+    ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio_r,
+    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_raw,
+    ROUND(CAST(list_sum(list_transform({_SQL_TOKS_RAW}, t -> length(t))) AS DOUBLE)
+          / CAST(greatest(len({_SQL_TOKS_RAW}), 1) AS DOUBLE), 6) AS mean_token_len,
+    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+    {" , ".join(f"{e} AS s_{lang}" for lang, e in score_exprs.items())},
+    CAST(list_sum(list_transform(list_distinct(string_split_regex(trim(lower(text)), ' +')),
+         t -> {_sql_hash('t')})) AS BIGINT) % 9007199254740881 AS fingerprint
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       stopword_ratio_r AS stopword_ratio,
+       punct_ratio_r AS punct_ratio,
+       mean_token_len,
+       ROUND(len_score*0.4 + least(sw_raw*4.0, 1.0)*0.4
+             + (1.0 - least(punct_raw*2.0, 1.0))*0.2, 6) AS quality,
+       {lang_case} AS lang_pred,
+       fingerprint
+FROM base
+"""
+    sql["text_profile"] = profile_core
+    sql["quality_filter"] = f"""
+WITH prof AS ({profile_core})
+SELECT doc_id, quality FROM prof WHERE lang_pred = 'en' AND quality >= 0.5
+"""
+    sql["minhash_signatures"] = _SQL_MINHASH_SIG
+    sql["minhash_lsh_candidates"] = f"""
+WITH sig AS MATERIALIZED ({_SQL_MINHASH_SIG}),
+banded AS MATERIALIZED (
+  SELECT doc_id, i // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, i // 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+"""
+    sql["ngram_jaccard"] = f"""
+WITH ds AS MATERIALIZED ({_SQL_DOC_SHINGLES}),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE) >= 0.5
+"""
+    sql["simhash"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+th AS MATERIALIZED (SELECT doc_id, {_sql_hash('tok')} AS h FROM tok),
+votes AS (
+  SELECT doc_id, unnest(range(0, 32)) AS bit, h FROM th
+),
+v2 AS (
+  SELECT doc_id, bit,
+         CASE WHEN CAST(FLOOR(h / POW(2.0, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS vote
+  FROM votes
+),
+bs AS (SELECT doc_id, bit, SUM(vote) AS v FROM v2 GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN CAST(POW(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bs GROUP BY doc_id
+"""
+    _sketch8 = """(SELECT e2.vec_id, e2.embedding,
+      CAST(list_sum(list_transform(range(0, 8),
+           i -> CASE WHEN CAST(e2.embedding[i+1] AS DOUBLE) > 0
+                     THEN CAST(POW(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+    FROM embeddings e2)"""
+    _cos = lambda a, b: (
+        f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * SQRT(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+    )
+    sql["embedding_near_dup"] = f"""
+WITH sk AS MATERIALIZED {_sketch8}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({_cos('a.embedding', 'b.embedding')}, 6) >= 0.8
+"""
+    _sketch16 = """(SELECT e2.vec_id, e2.embedding,
+      CAST(list_sum(list_transform(range(0, 16),
+           i -> CASE WHEN CAST(e2.embedding[i+1] AS DOUBLE) > 0
+                     THEN CAST(POW(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sk16
+    FROM embeddings e2)"""
+    band = lambda col, b: f"CAST(FLOOR({col} / POW(2.0, {b * 4})) AS BIGINT) % 16"
+    sql["simsearch_lsh"] = f"""
+WITH sk AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {band('sk16', 0)} AS band0, {band('sk16', 1)} AS band1,
+         {band('sk16', 2)} AS band2, {band('sk16', 3)} AS band3
+  FROM {_sketch16} t
+),
+q AS (SELECT embedding AS qe, band0 AS q0, band1 AS q1, band2 AS q2, band3 AS q3
+      FROM sk WHERE vec_id = 0),
+scored AS (
+  SELECT s.vec_id, ROUND({_cos('s.embedding', 'q.qe')}, 6) AS cosine
+  FROM sk s CROSS JOIN q
+  WHERE s.band0 = q.q0 OR s.band1 = q.q1 OR s.band2 = q.q2 OR s.band3 = q.q3
+)
+SELECT vec_id, cosine FROM scored
+QUALIFY RANK() OVER (ORDER BY cosine DESC) <= 10
+"""
+    sql["simsearch_ivf"] = f"""
+WITH cent AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND({_cos('e.embedding', 'c.cvec')}, 9) DESC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) t WHERE rn = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM cent CROSS JOIN q
+  ORDER BY ROUND({_cos('cent.cvec', 'q.qe')}, 9) DESC, cell ASC LIMIT 4
+),
+scored AS (
+  SELECT a.vec_id, ROUND({_cos('a.embedding', 'q.qe')}, 6) AS cosine
+  FROM assigned a JOIN probe p ON a.cell = p.cell CROSS JOIN q
+)
+SELECT vec_id, cosine FROM scored
+QUALIFY RANK() OVER (ORDER BY cosine DESC) <= 10
+"""
+    return sql
+
+
+_BASE_QUERIES = queries
+_BASE_ORACLE = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES()
+    q.update(
+        {
+            "text_profile": q_text_profile,
+            "quality_filter": q_quality_filter,
+            "minhash_signatures": q_minhash_signatures,
+            "minhash_lsh_candidates": q_minhash_lsh_candidates,
+            "ngram_jaccard": q_ngram_jaccard,
+            "simhash": q_simhash,
+            "embedding_near_dup": q_embedding_near_dup,
+            "simsearch_lsh": q_simsearch_lsh,
+            "simsearch_ivf": q_simsearch_ivf,
+            # mapInPandas feature extraction — rows-only (Arrow plumbing,
+            # no SQL equivalent)
+            "multimodal_features": q_multimodal_features,
+        }
+    )
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE()
+    sql.update(_pipeline_oracle_sql())
+    return sql

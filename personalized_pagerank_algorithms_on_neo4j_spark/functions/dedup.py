@@ -1,0 +1,325 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All stages are shuffle-conscious compositions of built-in DataFrame ops:
+- exact:      one hash-groupBy (map-side partial agg) on a digest column.
+- minhash:    shingle explode -> per-(doc, hash_i) min -> band signature ->
+              bucket self-join. The self-join runs on band-signature keys, so
+              candidate generation never compares non-colliding docs — the
+              O(n^2) never materializes.
+- simhash:    token-hash bit votes -> 64-bit signature; near-dups = equal
+              signatures (or banded prefix buckets).
+- ngram jaccard: shingle explode + equi-self-join on shingle + count ratio.
+- embedding:  sign-sketch buckets (SRP-like, deterministic) + exact cosine
+              verify inside buckets.
+
+Hashes are md5-based (`text.portable_hash`) so every pipeline is
+reproducible and DuckDB-oracle-checkable — no JVM-specific murmur3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import portable_hash, tokens
+
+MERSENNE61 = 2305843009213693951
+
+
+def normalized(col: Column) -> Column:
+    return F.regexp_replace(F.lower(col), r"\s+", " ")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(digest, keep_id, n_dups) for every group of byte-identical (normalized)
+    docs with >1 member. keep_id = smallest id (the canonical survivor)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized(F.col(text_col))).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (smallest id) per normalized-text group."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(F.md5(normalized(F.col(text_col))))
+    return (
+        df.withColumn("_keep", F.min(id_col).over(win))
+        .where(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), joined by single spaces."""
+    toks = tokens(normalized(col))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >= threshold.
+    Pairs are generated through the shared-shingle equi join (a < b)."""
+    ds = _doc_shingles(df, text_col, id_col, n).cache()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ds.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = ds.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, i, minhash): num_hashes independent md5-seeded min-hashes."""
+    ds = _doc_shingles(df, text_col, id_col, n)
+    idx = ds.select(
+        "doc_id",
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+    )
+    return idx.select(
+        "doc_id", "i", portable_hash(F.col("sh"), F.col("i")).alias("h")
+    ).groupBy("doc_id", "i").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b) pairs sharing at least one LSH band bucket.
+
+    rows_per_band = num_hashes/bands; band signature = md5 of the ordered
+    minhashes in the band; the bucket join key is (band, signature)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    banded = (
+        sig.withColumn("band", (F.col("i") / rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket")
+        )
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard >= threshold."""
+    cand = minhash_lsh_candidates(df, num_hashes, bands, n, text_col, id_col)
+    ds = _doc_shingles(df, text_col, id_col, n).cache()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ds.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = ds.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over token hashes."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(normalized(F.col(text_col)))).alias("tok"),
+    )
+    th = tok.select("doc_id", portable_hash(F.col("tok")).alias("h"))
+    # bit b of h = floor(h / 2^b) % 2 (portable: no engine-specific bit ops)
+    votes = th.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(
+            F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("long")
+            % 2
+            == 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    bit_sums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_dup_groups(df: DataFrame, bits: int = 32, **kw) -> DataFrame:
+    """Docs sharing an identical simhash signature (strong near-dup signal)."""
+    sh = simhash(df, bits, **kw)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def embedding_sign_sketch(vec: Column, dims: int = 16) -> Column:
+    """Deterministic sign sketch: bit i = sign(vec[i]) over the first `dims`
+    dimensions — an SRP-style bucket key with no random planes needed."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(vec, (i + 1).cast("int")).cast("double") > 0,
+            F.pow(F.lit(2.0), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    sketch_dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_a, id_b, cosine) for pairs with cosine >= threshold; candidate pairs
+    come from equal sign-sketch buckets (prunes the quadratic blow-up), then
+    exact cosine verifies inside each bucket."""
+    sk = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        embedding_sign_sketch(F.col(vec_col), sketch_dims).alias("bucket"),
+    )
+    a = sk.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = sk.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

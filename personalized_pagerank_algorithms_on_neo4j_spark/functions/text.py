@@ -1,0 +1,135 @@
+"""Text-analysis operators for training-data pipelines.
+
+All expressions are built-in `pyspark.sql.functions` (JVM-side, codegen'd) —
+no Python UDFs. Every function is deterministic and has an exact ANSI-SQL
+equivalent so results can be oracle-checked against DuckDB.
+
+Portable hash: `md5(...)` hex is identical across engines; the first 15 hex
+chars cast from base-16 give a 60-bit non-negative integer usable as a
+deterministic hash in both Spark (`conv(...,16,10)`) and DuckDB
+(`CAST(('0x'||...) AS BIGINT)`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Deliberately small so the scoring stays SQL-expressible.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "with"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en"],
+}
+
+
+def portable_hash(col: Column, seed: Column | int = 0) -> Column:
+    """Deterministic 48-bit hash identical in Spark and DuckDB (md5-based).
+
+    48 bits so that small multiplier/accumulator arithmetic stays far below
+    2^63: Spark longs wrap silently but DuckDB BIGINTs raise on overflow, so
+    portable pipelines must never overflow."""
+    seed_col = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit("#"), seed_col)), 1, 12),
+        16,
+        10,
+    ).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (word tokens)."""
+    return F.split(F.trim(col), " +")
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-ish regex tokenization: letter runs, digit runs, single symbols."""
+    return F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(col))
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double")
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + stopword presence - punct
+    excess. Deterministic arithmetic over the ratios above."""
+    len_score = F.least(F.length(col).cast("double") / F.lit(500.0), F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.least(sw * 4.0, F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(col) * 2.0, F.lit(1.0))
+    return F.round(
+        (len_score * 0.4 + sw_score * 0.4 + (1.0 - punct_penalty) * 0.2), 6
+    )
+
+
+def langid(col: Column) -> Column:
+    """Stopword-profile language ID; deterministic lexicographic tiebreak."""
+    toks = tokens(F.lower(col))
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    scores = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        sw = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast(
+            "double"
+        ) / n
+        scores.append((lang, score))
+    # argmax; 'unknown' when every score is 0; ties go to the first lang in
+    # sorted order (the outermost WHEN is built last -> checked first)
+    mx = F.greatest(*[s for _, s in scores])
+    result = F.lit("unknown")
+    for lang, score in reversed(scores):
+        result = F.when((score > 0.0) & (score == mx), F.lit(lang)).otherwise(result)
+    return result
+
+
+PRIME53 = 9007199254740881  # < 2^53; sum of 48-bit hashes stays < 2^63 for
+# documents up to ~32k distinct tokens (documented limit) in both engines
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: sum of distinct-token hashes mod a 53-bit prime
+    (order-independent bag-of-words identity, identical in DuckDB SQL)."""
+    toks = F.array_distinct(tokens(F.lower(col)))
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + portable_hash(t)
+    )
+    return total % F.lit(PRIME53)
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop per-document profile used by the pipeline queries."""
+    c = F.col(text_col)
+    return df.select(
+        *[f for f in df.columns if f != text_col],
+        token_count(c).alias("n_tokens"),
+        F.size(bpe_ish_tokens(c)).cast("long").alias("n_bpe_tokens"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(mean_token_len(c), 6).alias("mean_token_len"),
+        quality_score(c).alias("quality"),
+        langid(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

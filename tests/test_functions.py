@@ -1,0 +1,185 @@
+"""Tests for the LLM-data-pipeline operators (dedup / text / simsearch /
+multimodal) against independent plain-Python references."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+    dedup,
+    multimodal,
+    simsearch,
+    text,
+)
+
+from .conftest import SF_SMALL
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "THE quick   brown fox jumps over the lazy dog"),  # dup after normalize
+    (3, "the quick brown fox leaps over the lazy dog"),  # near dup (1 token)
+    (4, "der hund und die katze sind mit der maus"),  # German-ish
+    (5, "completely different text about spark engines and data"),
+    (6, "le chat est dans la maison et le jardin"),  # French-ish
+    (7, "zzz qqq xxx"),  # no stopwords -> unknown
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, schema="doc_id long, text string")
+
+
+def _py_hash(s: str, seed: int = 0) -> int:
+    return int(hashlib.md5(f"{s}#{seed}".encode()).hexdigest()[:12], 16)
+
+
+def test_portable_hash_matches_python(spark, docs_df):
+    rows = docs_df.select("text", text.portable_hash(F.col("text")).alias("h")).collect()
+    for r in rows:
+        assert r["h"] == _py_hash(r["text"])
+
+
+def test_exact_dup_groups(docs_df):
+    groups = dedup.exact_dup_groups(docs_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 0 and groups[0]["n_dups"] == 3
+
+
+def test_exact_dedup_keeps_smallest(docs_df):
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs_df).collect())
+    assert kept == [0, 3, 4, 5, 6, 7]
+
+
+def test_ngram_jaccard_finds_near_dup(docs_df):
+    pairs = dedup.ngram_jaccard_pairs(docs_df, threshold=0.3, n=3)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 3) in got and 0.3 <= got[(0, 3)] < 1.0
+    assert (0, 5) not in got
+
+
+def test_jaccard_value_matches_python(docs_df):
+    def py_shingles(t, n=3):
+        toks = " ".join(t.lower().split()).split(" ")
+        if len(toks) <= n:
+            return {" ".join(toks[:n])}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    a, b = py_shingles(DOCS[0][1]), py_shingles(DOCS[3][1])
+    expect = round(len(a & b) / len(a | b), 6)
+    pairs = dedup.ngram_jaccard_pairs(docs_df, threshold=0.0, n=3)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 3)] == expect
+
+
+def test_minhash_lsh_recall(docs_df):
+    # 16 single-row bands: collision prob 1-(1-j)^16 (~0.9997 at j=0.4);
+    # deterministic given the md5 hash family
+    cand = dedup.minhash_lsh_candidates(docs_df, num_hashes=16, bands=16)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs  # exact dups always collide
+    assert (0, 3) in pairs  # j=0.4 near dup
+    assert (0, 5) not in pairs  # unrelated docs share no shingle
+    verified = dedup.minhash_dedup_pairs(docs_df, threshold=0.9, num_hashes=16, bands=16)
+    vp = {(r["doc_a"], r["doc_b"]) for r in verified.collect()}
+    assert (0, 1) in vp and (0, 3) not in vp
+
+
+def test_simhash_groups_exact_dups(docs_df):
+    groups = dedup.simhash_dup_groups(docs_df, bits=32)
+    rows = groups.collect()
+    assert any(r["keep_id"] == 0 and r["n_docs"] == 3 for r in rows)
+    # signatures of near-dups are close in hamming distance
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df, 32).collect()}
+    ham = bin(sh[0] ^ sh[3]).count("1")
+    ham_far = bin(sh[0] ^ sh[5]).count("1")
+    assert ham < ham_far
+
+
+def test_langid_and_quality(docs_df):
+    prof = {r["doc_id"]: r for r in text.text_profile(docs_df).collect()}
+    assert prof[0]["lang_pred"] == "en"
+    assert prof[4]["lang_pred"] == "de"
+    assert prof[6]["lang_pred"] == "fr"
+    assert prof[7]["lang_pred"] == "unknown"
+    assert prof[0]["n_tokens"] == 9
+    assert 0.0 <= prof[7]["quality"] <= prof[0]["quality"] <= 1.0
+    # fingerprints: identical bag of words => identical fingerprint
+    assert prof[0]["fingerprint"] == prof[1]["fingerprint"]
+    assert prof[0]["fingerprint"] != prof[5]["fingerprint"]
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(1, "hello42world! x2")], "id long, text string")
+    toks = df.select(text.bpe_ish_tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    assert toks == ["hello", "42", "world", "!", "x", "2"]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = simsearch.cosine_topk(emb, query_id=0, k=5).collect()
+    pdf = emb.toPandas()
+    vecs = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    q = vecs[pdf["vec_id"].tolist().index(0)]
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    expect = {
+        int(pdf["vec_id"][i]): round(float(cos[i]), 6)
+        for i in np.argsort(-cos)[:5]
+    }
+    got_map = {r["vec_id"]: r["cosine"] for r in got}
+    for vid, c in expect.items():
+        assert got_map.get(vid) == pytest.approx(c, abs=2e-6)
+
+
+def test_lsh_and_ivf_topk_contain_top1(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    brute = {r["vec_id"] for r in simsearch.cosine_topk(emb, 0, k=3).collect()}
+    lsh = {r["vec_id"] for r in simsearch.lsh_topk(emb, 0, k=10).collect()}
+    ivf = {r["vec_id"] for r in simsearch.ivf_topk(emb, 0, k=10, n_cells=8, nprobe=4).collect()}
+    assert 0 in lsh and 0 in ivf  # the query itself always survives
+    # approximate methods should recover a reasonable share of the brute top-3
+    assert len(brute & lsh) >= 2
+
+
+def test_embedding_near_dup_pairs_run(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.8, sketch_dims=8)
+    for r in pairs.take(5):
+        assert r["cosine"] >= 0.8
+
+
+def test_multimodal_features_deterministic(spark, docs_df):
+    media = multimodal.media_from_documents(docs_df)
+    feats = multimodal.extract_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == len(DOCS)
+    assert rows[0]["features"] == rows[1]["features"]  # same payload bytes
+    assert rows[0]["n_bytes"] == len(DOCS[0][1].encode())
+    expect = multimodal._fake_features(DOCS[0][1].encode())
+    assert rows[0]["features"] == pytest.approx(expect)
+    # decode stub is explicitly not implemented
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image_stub(b"xx")
+
+
+def test_resize_and_frame_plans(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", None, "image/png", 1024, 512, None),
+            (2, "image", None, "image/png", 100, 50, None),
+            (3, "video", None, "video/mp4", None, None, 3500),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rs = {r["media_id"]: r for r in multimodal.resize_plan(media, 512).collect()}
+    assert rs[1]["out_width"] == 512 and rs[1]["out_height"] == 256
+    assert rs[2]["scale"] == 1.0
+    frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
