@@ -50,7 +50,9 @@ def _graph(spark: SparkSession, sf_dir: str):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 def _source(graph) -> int:
@@ -852,4 +854,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     sql = _BASE_ORACLE()
     sql.update(_pipeline_oracle_sql())
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# Events-table operators (batch equivalents of the streaming module)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark, sf_dir):
+    """Watermark-free batch twin of streaming.windowed_event_counts."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents(F.coalesce(F.col("value"), F.lit(0.0)))) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    """session_window (gap 10 min) per user -> session count + event count."""
+    e = _t(spark, sf_dir, "events")
+    sess = e.groupBy(F.session_window("ts", "10 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+
+
+_BASE_QUERIES2 = queries
+_BASE_ORACLE2 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES2()
+    q["events_hourly"] = q_events_hourly
+    q["user_sessions"] = q_user_sessions
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE2()
+    sql["events_hourly"] = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(COALESCE(value, 0.0)*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM events GROUP BY 1, 2
+"""
+    sql["user_sessions"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id
+"""
     return sql

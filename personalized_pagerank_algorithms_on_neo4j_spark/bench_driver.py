@@ -1,0 +1,164 @@
+"""Batch benchmark driver (O3/O4): the reference's algo_perf_batch_test.
+
+Reference: Gen_Util.java:328-647. Three suites — (1) whole-graph SSPPR,
+(2) top-k, (3) preprocessing — each over algorithm x parameter sweeps and
+`query_num` random source nodes (sampled uniformly WITH replacement, seeded —
+Gen_Util.java:99-107), every estimate scored against the Power-Method oracle
+(MaxErr for whole-graph, Precision@k + NDCG@k for top-k), averages appended
+to the report sink.
+"""
+
+from __future__ import annotations
+
+import random
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_ALPHA, DEFAULT_EPSILON
+from .engine import PPREngine
+from .graph import PropertyGraph
+from .operators import base_all_pair, metrics
+from .operators import topk as topk_ops
+from .sources.prep_store import delete_prep, prep_size_bytes, write_prep
+from .sources.report import append_report, report_df
+
+# GOT parameter sweep (Gen_Util.java:451-478, active testset 5) — trimmed to
+# the endpoints by default; pass full=True for the whole sweep.
+SWEEPS = {
+    "fwdpush": [1e-4, 1e-5, 1e-6, 1e-7, 1e-8],
+    "montecarlo": [1.0, 0.5, 0.25, 0.1, 0.05],
+    "fora": [10.0, 2.0, 1.0, 0.25, 0.05],
+    "pagerank": [5, 20, 50, 100, 300],
+    "base": [1e-3, 1e-4, 1e-5, 1e-6, 5e-7],
+}
+
+
+def sample_query_nodes(graph: PropertyGraph, query_num: int, seed: int = 42) -> list[int]:
+    """R1: uniform with replacement over node ids (Gen_Util.java:99-107)."""
+    ids = [r["id"] for r in graph.nodes.select("id").orderBy("id").collect()]
+    rng = random.Random(seed)
+    return [ids[rng.randrange(len(ids))] for _ in range(query_num)]
+
+
+def _oracle(eng: PPREngine, source: int):
+    return eng.ppr(source, algo="power")
+
+
+def whole_graph_suite(
+    eng: PPREngine, algo: str, param, queries: list[int]
+) -> dict:
+    durations, errs = [], []
+    for s in queries:
+        t0 = time.perf_counter()
+        est = eng.ppr(s, algo=algo, **_param_kw(algo, param))
+        est = est.localCheckpoint(eager=True)  # force execution for timing
+        durations.append((time.perf_counter() - t0) * 1000)
+        errs.append(metrics.max_err(est, _oracle(eng, s)))
+    return {
+        "suite": "whole_graph",
+        "algo": algo,
+        "param": float(param),
+        "avg_ms": int(sum(durations) / len(durations)),
+        "avg_max_err": sum(errs) / len(errs),
+    }
+
+
+def topk_suite(eng: PPREngine, algo: str, param, queries: list[int], k: int) -> dict:
+    durations, precs, ndcgs = [], [], []
+    for s in queries:
+        t0 = time.perf_counter()
+        est_k = eng.topk(s, k, algo=algo, **_param_kw(algo, param))
+        est_k = est_k.localCheckpoint(eager=True)
+        durations.append((time.perf_counter() - t0) * 1000)
+        gnd_k = topk_ops.retrieve_topk(_oracle(eng, s), k)
+        precs.append(metrics.precision_at_k(est_k, gnd_k))
+        nd = metrics.ndcg_at_k(est_k, gnd_k)
+        if nd is not None:
+            ndcgs.append(nd)
+    return {
+        "suite": "topk",
+        "algo": algo,
+        "param": float(param),
+        "k": k,
+        "avg_ms": int(sum(durations) / len(durations)),
+        "avg_precision": sum(precs) / len(precs),
+        "avg_ndcg": sum(ndcgs) / len(ndcgs) if ndcgs else None,
+    }
+
+
+def preprocessing_suite(
+    eng: PPREngine, threshold: float, queries: list[int], prep_dir: str
+) -> dict:
+    """BASE: preprocess all-pairs once, then per-query partition-pruned reads
+    (Gen_Util.java:190-215; prep dir deleted by the caller, :249-251)."""
+    t0 = time.perf_counter()
+    df = base_all_pair.base_preprocess(eng.graph, threshold, alpha=eng.alpha)
+    write_prep(df, prep_dir)
+    prep_ms = int((time.perf_counter() - t0) * 1000)
+    durations, errs = [], []
+    for s in queries:
+        t0 = time.perf_counter()
+        est = base_all_pair.base_lookup(eng.graph, prep_dir, s)
+        est = est.localCheckpoint(eager=True)
+        durations.append((time.perf_counter() - t0) * 1000)
+        errs.append(metrics.max_err(est, _oracle(eng, s)))
+    return {
+        "suite": "preprocessing",
+        "algo": "base",
+        "param": float(threshold),
+        "prep_ms": prep_ms,
+        "prep_bytes": prep_size_bytes(prep_dir),
+        "avg_ms": int(sum(durations) / len(durations)),
+        "avg_max_err": sum(errs) / len(errs),
+    }
+
+
+def _param_kw(algo: str, param) -> dict:
+    if algo == "fwdpush":
+        return {"rmax": float(param)}
+    if algo in ("montecarlo", "fora", "fora_topk"):
+        return {"epsilon": float(param)}
+    if algo == "pagerank":
+        return {"iterations": int(param)}
+    return {}
+
+
+def algo_perf_batch_test(
+    graph: PropertyGraph,
+    query_num: int = 50,
+    k: int = 10,
+    alpha: float = DEFAULT_ALPHA,
+    report_path: str | None = None,
+    sweep_points: int = 2,
+    seed: int = 42,
+) -> list[dict]:
+    """Run all three suites; `sweep_points` picks that many endpoints from
+    each parameter sweep (the full 5-point sweep is the reference default)."""
+    eng = PPREngine(graph, alpha=alpha)
+    queries = sample_query_nodes(graph, query_num, seed)
+    rows: list[dict] = []
+
+    def pick(values):
+        if sweep_points >= len(values):
+            return values
+        return [values[0], values[-1]][: sweep_points]
+
+    for algo in ("fwdpush", "montecarlo", "fora", "pagerank"):
+        for p in pick(SWEEPS[algo]):
+            rows.append(whole_graph_suite(eng, algo, p, queries))
+
+    for algo in ("fwdpush", "montecarlo", "fora_topk", "pagerank"):
+        sweep = SWEEPS.get(algo, SWEEPS["fora"])
+        for p in pick(sweep):
+            rows.append(topk_suite(eng, algo, p, queries, k))
+
+    for p in pick(SWEEPS["base"]):
+        with tempfile.TemporaryDirectory() as d:
+            rows.append(preprocessing_suite(eng, p, queries, d + "/prep"))
+            delete_prep(d + "/prep")
+
+    if report_path:
+        append_report(report_df(graph.spark, rows), report_path)
+    return rows

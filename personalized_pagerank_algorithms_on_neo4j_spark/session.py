@@ -36,6 +36,9 @@ def build_spark(
         .config("spark.driver.memory", os.environ.get("PPR_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # testdata events.parquet carries TIMESTAMP(NANOS) which Spark 4
+        # rejects by default; read as long and convert via sources.tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,26 @@
+"""Star-schema table loaders.
+
+`load_events` converts the nanosecond-precision `ts` (read as long under
+`spark.sql.legacy.parquet.nanosAsLong`) to a microsecond timestamp with
+floor semantics — exactly how DuckDB ingests TIMESTAMP(NANOS), so oracle
+comparisons stay bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return df

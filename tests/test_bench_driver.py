@@ -1,0 +1,70 @@
+"""Benchmark driver (O3/O4) + report sink (S6) + BASE undirected soundness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import personalized_pagerank_algorithms_on_neo4j_spark as P
+from personalized_pagerank_algorithms_on_neo4j_spark import bench_driver
+from personalized_pagerank_algorithms_on_neo4j_spark.operators import _kernels
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.report import (
+    append_report,
+    read_report,
+    report_df,
+)
+
+
+def test_sample_query_nodes_seeded(got):
+    a = bench_driver.sample_query_nodes(got, 10, seed=42)
+    b = bench_driver.sample_query_nodes(got, 10, seed=42)
+    c = bench_driver.sample_query_nodes(got, 10, seed=7)
+    assert a == b and a != c and len(a) == 10
+
+
+def test_whole_graph_and_topk_suites(got):
+    eng = P.PPREngine(got)
+    queries = bench_driver.sample_query_nodes(got, 2, seed=1)
+    row = bench_driver.whole_graph_suite(eng, "fwdpush", 1e-5, queries)
+    assert row["suite"] == "whole_graph" and row["avg_max_err"] < 1e-3
+    trow = bench_driver.topk_suite(eng, "fora_topk", 0.5, queries, 10)
+    assert trow["avg_precision"] >= 0.65  # published floor (dissertation 5.4)
+    assert trow["avg_ndcg"] >= 0.955
+
+
+def test_report_sink_roundtrip(spark, got, tmp_path):
+    rows = [
+        {"suite": "whole_graph", "algo": "fwdpush", "param": 1e-5, "avg_ms": 12,
+         "avg_max_err": 1e-4},
+        {"suite": "topk", "algo": "fora_topk", "param": 0.5, "k": 10, "avg_ms": 30,
+         "avg_precision": 1.0, "avg_ndcg": 0.99},
+    ]
+    path = str(tmp_path / "report")
+    append_report(report_df(spark, rows), path)
+    append_report(report_df(spark, rows), path)  # append mode: sections add up
+    back = read_report(spark, path)
+    assert back.count() == 4
+    assert set(back.columns) >= {"run_ts", "suite", "algo", "param", "avg_ms"}
+
+
+def test_base_sound_on_undirected(spark, got):
+    """BASE <-> oracle cross-check on the symmetrized graph (FIXTURES F3):
+    backward search is only sound undirected (dissertation 4.1.3)."""
+    edges = got.edges
+    sym = (
+        edges.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    ug = P.PropertyGraph(spark, got.nodes, sym)
+    lg = ug.local
+    t = ug.id_of("Robert")
+    pi_b, _, _ = _kernels.backward_search_batch(lg, lg.dense(t), 0.15, 1e-6)
+    # pi_b[s] estimates pi(s -> t); compare against forward oracles from a few
+    # sources
+    for name in ("Eddard", "Tyrion", "Robert"):
+        s = lg.dense(ug.id_of(name))
+        oracle = _kernels.power_method(lg, s, 0.15, 300)
+        assert abs(pi_b[s] - oracle[lg.dense(t)]) < 1e-3, name

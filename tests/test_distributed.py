@@ -1,0 +1,131 @@
+"""Distributed DataFrame loops vs the golden local kernels.
+
+These exercise the scale path (joins/groupBy supersteps, multi-target batch
+reverse push, walk fan-out) on the GOT fixture with parameters chosen to keep
+superstep counts low — semantics, not throughput, is under test here (bench.py
+covers throughput)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators import (
+    _kernels,
+    backward_search,
+    fora,
+    forward_push,
+    monte_carlo,
+    pagerank,
+)
+
+ALPHA = 0.15
+
+
+def _as_dense(lg, rows):
+    pi = np.zeros(lg.n)
+    for r in rows:
+        pi[lg.dense(r["node"])] = r["ppr"]
+    return pi
+
+
+def test_forward_push_distributed_matches_kernel(got):
+    lg = got.local
+    s = got.id_of("Eddard")
+    rmax = 5e-3
+    df = forward_push.forward_push(got, s, rmax=rmax, alpha=ALPHA, mode="distributed")
+    pi_d = _as_dense(lg, df.collect())
+    pi_k, _, _ = _kernels.forward_push_batch(lg, lg.dense(s), ALPHA, rmax)
+    assert np.max(np.abs(pi_d - pi_k)) < 1e-12
+
+
+def test_forward_push_distributed_dangling_source(got):
+    lg = got.local
+    dang = int(lg.ids[int(np.where(lg.out_deg == 0)[0][0])])
+    df = forward_push.forward_push(got, dang, rmax=1e-3, mode="distributed")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["node"] == dang and rows[0]["ppr"] == 1.0
+
+
+def test_backward_search_distributed_matches_kernel(got):
+    lg = got.local
+    t = got.id_of("Robert")
+    rmax = 1e-3
+    df = backward_search.backward_search(got, t, rmax=rmax, mode="distributed")
+    pi_d = _as_dense(lg, df.collect())
+    pi_k, _, _ = _kernels.backward_search_batch(lg, lg.dense(t), ALPHA, rmax)
+    assert np.max(np.abs(pi_d - pi_k)) < 1e-12
+
+
+def test_backward_search_all_multi_target(got):
+    """One batch job over 3 targets == 3 single-target kernel runs."""
+    lg = got.local
+    names = ["Robert", "Tyrion", "Eddard"]  # Eddard: in-degree 0 short-circuit
+    ids = [got.id_of(n) for n in names]
+    targets = got.spark.createDataFrame([(i,) for i in ids], "target long")
+    rmax = 1e-3
+    out = backward_search.backward_search_all(got, targets, rmax, ALPHA).collect()
+    by_target: dict[int, list] = {}
+    for r in out:
+        by_target.setdefault(r["target"], []).append(r)
+    assert set(by_target) == set(ids)
+    for tid in ids:
+        pi_d = _as_dense(lg, by_target[tid])
+        pi_k, _, _ = _kernels.backward_search_batch(lg, lg.dense(tid), ALPHA, rmax)
+        assert np.max(np.abs(pi_d - pi_k)) < 1e-12, f"target {tid}"
+
+
+def test_monte_carlo_distributed_statistical(got):
+    lg = got.local
+    s = got.id_of("Eddard")
+    # small epsilon budget -> omega ~ moderate; checks distributional sanity
+    df = monte_carlo._monte_carlo_distributed(got, s, ALPHA, omega=20_000, seed=7)
+    rows = df.collect()
+    total = sum(r["ppr"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    oracle = _kernels.power_method(lg, lg.dense(s), ALPHA, 300)
+    est = _as_dense(lg, rows)
+    bound = 5 * np.sqrt(np.maximum(oracle * (1 - oracle), 1e-6) / 20_000)
+    assert (np.abs(est - oracle) <= bound + 5e-3).all()
+
+
+def test_fora_distributed_error_bound(got):
+    lg = got.local
+    s = got.id_of("Eddard")
+    df = fora.fora_whole_graph(got, s, epsilon=0.5, mode="distributed", seed=11)
+    est = _as_dense(lg, df.collect())
+    oracle = _kernels.power_method(lg, lg.dense(s), ALPHA, 300)
+    assert np.max(np.abs(est - oracle)) < 0.05
+    assert est.sum() == pytest.approx(1.0, abs=0.05)
+
+
+def test_fora_topk_distributed_ranking(got):
+    lg = got.local
+    s = got.id_of("Eddard")
+    df = fora.fora_topk(got, s, k=10, epsilon=0.5, mode="distributed", seed=13)
+    est = _as_dense(lg, df.collect())
+    oracle = _kernels.power_method(lg, lg.dense(s), ALPHA, 300)
+    est_top = set(np.argsort(-est)[:10])
+    gnd_top = set(np.argsort(-oracle)[:10])
+    assert len(est_top & gnd_top) >= 7
+
+
+def test_pagerank_distributed_matches_kernel(got):
+    lg = got.local
+    s = got.id_of("Eddard")
+    df = pagerank.personalized_pagerank(got, s, iterations=20, mode="distributed")
+    est = _as_dense(lg, df.collect())
+    gold = _kernels.personalized_pagerank(lg, lg.dense(s), ALPHA, 20)
+    assert np.max(np.abs(est - gold)) < 1e-12
+
+
+def test_distributed_plan_shape(got):
+    """The per-superstep join must keep the big (edge) side un-reshuffled:
+    edges_deg is pre-partitioned on src and cached."""
+    plan = got.edges_deg._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    df = forward_push.forward_push(
+        got, got.id_of("Eddard"), rmax=0.05, mode="distributed"
+    )
+    assert df.count() > 0

@@ -1,0 +1,133 @@
+"""Structured Streaming tests: memory-sink batches drive each query to
+completion synchronously (parquet file source + processAllAvailable)."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators import _kernels
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tables import load_table
+from personalized_pagerank_algorithms_on_neo4j_spark.streaming import ppr_refresh as S
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Split the events fixture into 2 files so maxFilesPerTrigger=1 yields
+    two microbatches."""
+    out = str(tmp_path / "events_stream")
+    (
+        load_table(spark, SF_SMALL, "events")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_event_counts(spark, events_dir):
+    stream = S.read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    agg = S.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    _drain(q)
+    got = spark.sql(
+        "SELECT event_type, SUM(n) AS n FROM win_counts GROUP BY event_type"
+    ).collect()
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {(r["event_type"], r["n"]) for r in got} == {
+        (r["event_type"], r["n"]) for r in batch
+    }
+
+
+def test_sessionize_runs(spark, events_dir):
+    stream = S.read_event_stream(spark, events_dir)
+    q = (
+        S.sessionize(stream, gap="10 minutes", watermark="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT COUNT(*) AS n FROM sessions").collect()
+    assert rows[0]["n"] > 0
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    stream = S.read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        S.running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running")
+        .start()
+    )
+    _drain(q)
+    # last update per user must equal the batch totals (state carried across
+    # the two microbatches)
+    batch = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in (
+            load_table(spark, SF_SMALL, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.coalesce("value", F.lit(0.0))), 6).alias("total"),
+            )
+            .collect()
+        )
+    }
+    got_rows = spark.sql("SELECT * FROM running").collect()
+    last: dict[int, tuple] = {}
+    for r in got_rows:  # memory sink appends updates in batch order
+        last[r["user_id"]] = (r["n"], round(r["total"], 6))
+    assert last == batch
+
+
+def test_incremental_prep_refresh(spark, got, tmp_path, events_dir):
+    """The foreachBatch refresh materializes pi(. -> t) for event-active
+    nodes and matches the backward-search kernel."""
+    lg = got.local
+    prep = str(tmp_path / "prep_refresh")
+
+    # map user ids into GOT node id space deterministically
+    def user_to_node(users):
+        return users.select((F.col("user_id") % got.n).cast("long").alias("target"))
+
+    stream = S.read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = S.start_incremental_prep_refresh(
+        got, stream, prep, rmax=1e-3, user_to_node=user_to_node
+    )
+    _drain(q)
+
+    stored = spark.read.parquet(prep)
+    targets = [r["target"] for r in stored.select("target").distinct().collect()]
+    assert len(targets) > 0
+    t = targets[0]
+    got_rows = S.lookup_to_target(spark, prep, t).collect()
+    pi_k, _, _ = _kernels.backward_search_batch(lg, lg.dense(t), 0.15, 1e-3)
+    est = np.zeros(lg.n)
+    for r in got_rows:
+        est[lg.dense(r["node"])] = r["ppr"]
+    assert np.max(np.abs(est - pi_k)) < 1e-12
