@@ -87,7 +87,7 @@ def _power_df(spark, sf_dir, iterations):
     g = _graph(spark, sf_dir)
     eng = PPREngine(g, alpha=ALPHA)
     df = eng.ppr(_source(g), algo="power", iterations=iterations)
-    return df.select("node", F.round("ppr", 7).alias("ppr")).where(F.col("ppr") > 0)
+    return df.select("node", F.round("ppr", 9).alias("ppr")).where(F.col("ppr") > 0)
 
 
 def q_ppr_power(spark, sf_dir):
@@ -113,7 +113,7 @@ def q_ppr_maxerr(spark, sf_dir):
         est.select("node", F.col("ppr").alias("e")), "node", "left"
     )
     return j.agg(
-        F.round(F.max(F.abs(F.coalesce("e", F.lit(0.0)) - F.col("g"))), 7).alias(
+        F.round(F.max(F.abs(F.coalesce("e", F.lit(0.0)) - F.col("g"))), 9).alias(
             "max_err"
         )
     )
@@ -380,7 +380,7 @@ def _power_sql(iterations: int) -> str:
     return f"""WITH {_GRAPH_CTES},
 {_power_chain("it", iterations)},
 result AS (
-  SELECT node, ROUND(reserve, 7) AS ppr FROM it{iterations} WHERE ROUND(reserve, 7) > 0
+  SELECT node, ROUND(reserve, 9) AS ppr FROM it{iterations} WHERE ROUND(reserve, 9) > 0
 )"""
 
 
@@ -413,17 +413,17 @@ SELECT t.node, t.ppr, n.name FROM topk t LEFT JOIN ({GRAPH_NODES_SQL}) n ON t.no
     sql["ppr_maxerr"] = f"""WITH {_GRAPH_CTES},
 {_power_chain("it", POWER_ITERS)},
 {_power_chain("jt", POWER_ITERS_LO)},
-gnd AS (SELECT node, ROUND(reserve,7) AS ppr FROM it{POWER_ITERS} WHERE ROUND(reserve,7) > 0),
-est AS (SELECT node, ROUND(reserve,7) AS ppr FROM jt{POWER_ITERS_LO} WHERE ROUND(reserve,7) > 0)
-SELECT ROUND(MAX(ABS(COALESCE(e.ppr, 0.0) - g.ppr)), 7) AS max_err
+gnd AS (SELECT node, ROUND(reserve,9) AS ppr FROM it{POWER_ITERS} WHERE ROUND(reserve,9) > 0),
+est AS (SELECT node, ROUND(reserve,9) AS ppr FROM jt{POWER_ITERS_LO} WHERE ROUND(reserve,9) > 0)
+SELECT ROUND(MAX(ABS(COALESCE(e.ppr, 0.0) - g.ppr)), 9) AS max_err
 FROM gnd g LEFT JOIN est e ON g.node = e.node"""
     sql["ppr_precision"] = f"""WITH {_GRAPH_CTES},
 {_power_chain("it", POWER_ITERS)},
 {_power_chain("jt", POWER_ITERS_LO)},
-gnd AS (SELECT node, ROUND(reserve,7) AS ppr FROM it{POWER_ITERS} WHERE ROUND(reserve,7) > 0
-        QUALIFY RANK() OVER (ORDER BY ROUND(reserve,7) DESC) <= 10),
-est AS (SELECT node, ROUND(reserve,7) AS ppr FROM jt{POWER_ITERS_LO} WHERE ROUND(reserve,7) > 0
-        QUALIFY RANK() OVER (ORDER BY ROUND(reserve,7) DESC) <= 10)
+gnd AS (SELECT node, ROUND(reserve,9) AS ppr FROM it{POWER_ITERS} WHERE ROUND(reserve,9) > 0
+        QUALIFY RANK() OVER (ORDER BY ROUND(reserve,9) DESC) <= 10),
+est AS (SELECT node, ROUND(reserve,9) AS ppr FROM jt{POWER_ITERS_LO} WHERE ROUND(reserve,9) > 0
+        QUALIFY RANK() OVER (ORDER BY ROUND(reserve,9) DESC) <= 10)
 SELECT CAST((SELECT COUNT(*) FROM est WHERE est.node IN (SELECT node FROM gnd)) AS DOUBLE)
      / CAST((SELECT COUNT(*) FROM gnd) AS DOUBLE) AS precision
 """
@@ -929,5 +929,297 @@ sessions AS (
 SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM sessions GROUP BY user_id
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 3: iterative-push oracles (I1/I4 hash-matched) + relational widening
+# ---------------------------------------------------------------------------
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators import (  # noqa: E402
+    asof as _asof,
+    backward_search as _bwd,
+    forward_push as _fwd,
+)
+
+FWD_RMAX = 1e-3
+FWD_STEPS = 30  # kernel needs 21 supersteps at sf0.01; extra steps are no-ops
+BWD_TARGET = 2_000_000  # first nation node (in-degree ~900 at sf0.01)
+BWD_RMAX = 1e-4
+BWD_STEPS = 8  # kernel needs 3
+# alpha = 1/7 for the cross-engine check: with alpha = 0.15 = 3/20 and
+# power-of-2/5 out-degrees, 3-superstep reverse-push values are TERMINATING
+# decimals that sit exactly on round-half boundaries (e.g. 0.0022578125),
+# where 1-ulp summation-order noise flips the rounded digit between engines.
+# A non-terminating alpha makes every value boundary-free w.p. 1.
+BWD_ALPHA = 1.0 / 7.0
+
+
+def q_ppr_fwdpush(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    df = _fwd.forward_push(g, _source(g), rmax=FWD_RMAX, alpha=ALPHA)
+    return df.select("node", F.round("ppr", 9).alias("ppr")).where(F.col("ppr") > 0)
+
+
+def q_ppr_backward(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    df = _bwd.backward_search(g, BWD_TARGET, rmax=BWD_RMAX, alpha=BWD_ALPHA)
+    return df.select("node", F.round("ppr", 9).alias("ppr")).where(F.col("ppr") > 0)
+
+
+def q_ndcg_positional(spark, sf_dir):
+    """E2/J6: NDCG of the 10-iteration ranking against the 30-iteration
+    oracle tie-set — positional lookup join, fully DataFrame-native."""
+    from pyspark.sql import Window
+
+    gnd_k = topk_ops.retrieve_topk(_power_df(spark, sf_dir, POWER_ITERS), 10)
+    est_k = topk_ops.retrieve_topk(_power_df(spark, sf_dir, POWER_ITERS_LO), 10)
+    w = Window.orderBy(F.desc("ppr"), F.asc("node"))
+    gnd_ranked = gnd_k.select(
+        "node", F.col("ppr").alias("gain"), F.row_number().over(w).alias("pos")
+    )
+    dcg_term = (F.pow(F.lit(2.0), F.col("gain")) - 1.0) / F.log(
+        2.0, F.col("pos") + F.lit(1.0)
+    )
+    zk = gnd_ranked.agg(F.sum(dcg_term).alias("v"))
+    est_ranked = (
+        est_k.select("node", F.row_number().over(w).alias("pos"))
+        .join(gnd_k.select("node", F.col("ppr").alias("gain")), "node", "left")
+        .select("pos", F.coalesce("gain", F.lit(0.0)).alias("gain"))
+    )
+    dcg = est_ranked.agg(F.sum(dcg_term).alias("v"))
+    return dcg.crossJoin(zk.withColumnRenamed("v", "zk")).select(
+        F.round(F.col("v") / F.col("zk"), 6).alias("ndcg")
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (_cents(F.col("l_extendedprice")) * _cents(F.lit(1.0) - F.col("l_discount")))
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(rev) / F.lit(10000.0)).alias("revenue"),
+    )
+
+
+def q_running_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(_cents(F.col("o_totalprice"))).over(w) / F.lit(100.0)).alias(
+            "running_revenue"
+        ),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .cast("long")
+        .alias("order_seq"),
+    )
+
+
+def q_asof_clicks(spark, sf_dir):
+    """As-of join: for each 'view' event, the latest 'click' of the same user
+    at or before it (backward semantics, deterministic via pre-dedup)."""
+    e = _t(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event"))
+    )
+    j = _asof.asof_join(
+        views, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_tiebreak="click_event", how="left",
+    )
+    return j.select(
+        F.col("event_id").alias("view_event"),
+        "user_id",
+        F.col("r_click_event").alias("click_event"),
+        F.col("r_ts").alias("click_ts"),
+    )
+
+
+def q_distinct_suppliers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+# ---- SQL chains for the batch push schedules --------------------------------
+
+
+def _fwd_push_chain(prefix: str, steps: int, rmax: float, alpha: float = ALPHA) -> str:
+    qual = (
+        "t.residue > 0 AND (COALESCE(d.od, 0) = 0 "
+        f"OR t.residue >= {rmax} * COALESCE(d.od, 0))"
+    )
+    ctes = [
+        f"""{prefix}0 AS MATERIALIZED (
+  SELECT s AS node, CAST(1.0 AS DOUBLE) AS residue, CAST(0.0 AS DOUBLE) AS reserve
+  FROM srcn)"""
+    ]
+    for i in range(steps):
+        p = f"{prefix}{i}"
+        ctes.append(
+            f"""{prefix}{i + 1} AS MATERIALIZED (
+  SELECT node, SUM(residue) AS residue, SUM(reserve) AS reserve FROM (
+    SELECT t.node, t.residue, t.reserve
+    FROM {p} t LEFT JOIN deg d ON t.node = d.src
+    WHERE NOT ({qual})
+    UNION ALL
+    SELECT t.node, CAST(0.0 AS DOUBLE), t.reserve + {alpha} * t.residue
+    FROM {p} t LEFT JOIN deg d ON t.node = d.src
+    WHERE {qual}
+    UNION ALL
+    SELECT ew.dst, (1.0 - {alpha}) * t.residue / ew.od, CAST(0.0 AS DOUBLE)
+    FROM {p} t JOIN ew ON t.node = ew.src
+    WHERE t.residue > 0 AND t.residue >= {rmax} * ew.od
+    UNION ALL
+    SELECT (SELECT s FROM srcn), (1.0 - {alpha}) * SUM(t.residue), CAST(0.0 AS DOUBLE)
+    FROM {p} t LEFT JOIN deg d ON t.node = d.src
+    WHERE t.residue > 0 AND COALESCE(d.od, 0) = 0
+    HAVING SUM(t.residue) IS NOT NULL
+  ) u GROUP BY node)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _bwd_push_chain(
+    prefix: str, steps: int, rmax: float, target: int, alpha: float = ALPHA
+) -> str:
+    ctes = [
+        f"""{prefix}0 AS MATERIALIZED (
+  SELECT CAST({target} AS BIGINT) AS node, CAST(1.0 AS DOUBLE) AS residue,
+         CAST(0.0 AS DOUBLE) AS reserve)"""
+    ]
+    for i in range(steps):
+        p = f"{prefix}{i}"
+        thr = "0.0" if i == 0 else str(rmax)
+        ctes.append(
+            f"""{prefix}{i + 1} AS MATERIALIZED (
+  SELECT node, SUM(residue) AS residue, SUM(reserve) AS reserve FROM (
+    SELECT node, residue, reserve FROM {p} WHERE NOT (residue > {thr})
+    UNION ALL
+    SELECT node, CAST(0.0 AS DOUBLE), reserve + {alpha} * residue
+    FROM {p} WHERE residue > {thr}
+    UNION ALL
+    SELECT ew.src AS node, (1.0 - {alpha}) * t.residue / ew.od, CAST(0.0 AS DOUBLE)
+    FROM {p} t JOIN ew ON t.node = ew.dst
+    WHERE t.residue > {thr}
+  ) u GROUP BY node)"""
+        )
+    return ",\n".join(ctes)
+
+
+_BASE_QUERIES3 = queries
+_BASE_ORACLE3 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES3()
+    q.update(
+        {
+            "ppr_fwdpush": q_ppr_fwdpush,
+            "ppr_backward": q_ppr_backward,
+            "ndcg_positional": q_ndcg_positional,
+            "pivot_status": q_pivot_status,
+            "rollup_revenue": q_rollup_revenue,
+            "running_revenue": q_running_revenue,
+            "asof_clicks": q_asof_clicks,
+            "distinct_suppliers": q_distinct_suppliers,
+        }
+    )
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE3()
+    sql["ppr_fwdpush"] = f"""WITH {_GRAPH_CTES},
+{_fwd_push_chain("fp", FWD_STEPS, FWD_RMAX)}
+SELECT node, ROUND(reserve, 9) AS ppr FROM fp{FWD_STEPS} WHERE ROUND(reserve, 9) > 0"""
+    sql["ppr_backward"] = f"""WITH {_GRAPH_CTES},
+{_bwd_push_chain("bp", BWD_STEPS, BWD_RMAX, BWD_TARGET, alpha=BWD_ALPHA)}
+SELECT node, ROUND(reserve, 9) AS ppr FROM bp{BWD_STEPS} WHERE ROUND(reserve, 9) > 0"""
+    sql["ndcg_positional"] = f"""WITH {_GRAPH_CTES},
+{_power_chain("it", POWER_ITERS)},
+{_power_chain("jt", POWER_ITERS_LO)},
+gnd AS (SELECT node, ROUND(reserve,9) AS ppr FROM it{POWER_ITERS} WHERE ROUND(reserve,9) > 0
+        QUALIFY RANK() OVER (ORDER BY ROUND(reserve,9) DESC) <= 10),
+est AS (SELECT node, ROUND(reserve,9) AS ppr FROM jt{POWER_ITERS_LO} WHERE ROUND(reserve,9) > 0
+        QUALIFY RANK() OVER (ORDER BY ROUND(reserve,9) DESC) <= 10),
+gnd_ranked AS (SELECT node, ppr AS gain,
+               ROW_NUMBER() OVER (ORDER BY ppr DESC, node ASC) AS pos FROM gnd),
+est_ranked AS (
+  SELECT e.pos, COALESCE(g.gain, 0.0) AS gain
+  FROM (SELECT node, ROW_NUMBER() OVER (ORDER BY ppr DESC, node ASC) AS pos FROM est) e
+  LEFT JOIN gnd_ranked g ON e.node = g.node
+)
+SELECT ROUND(
+  (SELECT SUM((POW(2.0, gain) - 1.0) / (LN(pos + 1.0) / LN(2.0))) FROM est_ranked)
+  / (SELECT SUM((POW(2.0, gain) - 1.0) / (LN(pos + 1.0) / LN(2.0))) FROM gnd_ranked),
+6) AS ndcg"""
+    sql["pivot_status"] = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+    sql["rollup_revenue"] = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM({_REV_CENTS}) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+    sql["running_revenue"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 AS running_revenue,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS BIGINT) AS order_seq
+FROM orders
+"""
+    sql["asof_clicks"] = """
+WITH views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_event
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT v.event_id AS view_event, v.user_id, c.click_event, c.ts AS click_ts
+FROM views v ASOF LEFT JOIN clicks c
+  ON v.user_id = c.user_id AND c.ts <= v.ts
+"""
+    sql["distinct_suppliers"] = """
+SELECT o.o_custkey, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_custkey
 """
     return sql

@@ -1,0 +1,87 @@
+"""As-of join — a common OLAP operator Spark lacks natively.
+
+Two physical strategies:
+- `asof_join`: composition of built-in ops — equi join on the key + range
+  filter + per-left-row rank. Right for selective keys (the join shuffles on
+  the key; the window sorts within (key, left-row) groups only).
+- `asof_join_pandas`: `applyInPandas` over co-grouped keys using
+  `pd.merge_asof` — the Arrow path for wide keys with long sorted runs,
+  where the sort-merge inside pandas beats the join blow-up.
+
+Both implement "backward" as-of semantics: for each left row, the latest
+right row with right_ts <= left_ts (strict < optional), deterministic
+tiebreak on `right_tiebreak`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_tiebreak: str,
+    right_cols: list[str] | None = None,
+    strict: bool = False,
+    how: str = "left",
+) -> DataFrame:
+    """For each left row: latest right row (by right_ts, tiebreak desc) with
+    right_ts <= left_ts (or < when strict)."""
+    rcols = right_cols or [c for c in right.columns if c != on]
+    r = right.select(F.col(on).alias("_k"), *[F.col(c).alias(f"r_{c}") for c in rcols])
+    cond = (F.col(on) == F.col("_k")) & (
+        (F.col(f"r_{right_ts}") < F.col(left_ts))
+        if strict
+        else (F.col(f"r_{right_ts}") <= F.col(left_ts))
+    )
+    j = left.join(r, cond, "inner")
+    w = Window.partitionBy(*left.columns).orderBy(
+        F.desc(f"r_{right_ts}"), F.desc(f"r_{right_tiebreak}")
+    )
+    matched = (
+        j.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn", "_k")
+    )
+    if how == "inner":
+        return matched
+    return left.join(matched, left.columns, "left")
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """merge_asof per co-grouped key (Arrow-batched; sorts inside pandas)."""
+    import pandas as pd
+
+    rcols = right_cols or [c for c in right.columns if c != on]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [
+            f"r_{f.name} {f.dataType.simpleString()}"
+            for f in right.schema.fields
+            if f.name in rcols
+        ]
+    )
+    lts, rts = left_ts, right_ts
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_sorted = l_pdf.sort_values(lts)
+        r_sorted = r_pdf.sort_values(rts)[[rts] + [c for c in rcols if c != rts]]
+        r_sorted = r_sorted.rename(columns={c: f"r_{c}" for c in r_sorted.columns})
+        out = pd.merge_asof(
+            l_sorted, r_sorted, left_on=lts, right_on=f"r_{rts}", direction="backward"
+        )
+        return out
+
+    return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(
+        lambda l, r: merge(l, r), schema=out_schema
+    )

@@ -20,7 +20,6 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # integer division — a double-division floor loses ulps at 1.7e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
