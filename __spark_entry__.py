@@ -1223,3 +1223,81 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_custkey
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 4: BASE all-pair preprocessing (I7) hash-matched
+# ---------------------------------------------------------------------------
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators import (  # noqa: E402
+    base_all_pair as _base,
+)
+
+BASE_THRESHOLD = 1e-3
+BASE_STEPS = 10
+
+
+def q_base_all_pairs(spark, sf_dir):
+    """I7: reverse push from EVERY node as one multi-target batch job,
+    inverted to (source, target, ppr), thresholded (Base_Whole_Graph.java:83)."""
+    g = _graph(spark, sf_dir)
+    df = _base.base_preprocess(g, BASE_THRESHOLD, alpha=BWD_ALPHA)
+    return df.select(
+        "source", "target", F.round("ppr", 9).alias("ppr")
+    ).where(F.col("ppr") >= BASE_THRESHOLD)
+
+
+def _base_all_chain(prefix: str, steps: int, rmax: float, alpha: float) -> str:
+    """Multi-target batch reverse push: state keyed (target, node)."""
+    ctes = [
+        f"""idg AS MATERIALIZED (SELECT dst, COUNT(*) AS idg FROM edges GROUP BY dst),
+{prefix}0 AS MATERIALIZED (
+  SELECT n.id AS target, n.id AS node, CAST(1.0 AS DOUBLE) AS residue,
+         CAST(0.0 AS DOUBLE) AS reserve
+  FROM ({GRAPH_NODES_SQL}) n JOIN idg ON n.id = idg.dst)"""
+    ]
+    for i in range(steps):
+        p = f"{prefix}{i}"
+        thr = "0.0" if i == 0 else str(rmax)
+        ctes.append(
+            f"""{prefix}{i + 1} AS MATERIALIZED (
+  SELECT target, node, SUM(residue) AS residue, SUM(reserve) AS reserve FROM (
+    SELECT target, node, residue, reserve FROM {p} WHERE NOT (residue > {thr})
+    UNION ALL
+    SELECT target, node, CAST(0.0 AS DOUBLE), reserve + {alpha} * residue
+    FROM {p} WHERE residue > {thr}
+    UNION ALL
+    SELECT t.target, ew.src AS node, (1.0 - {alpha}) * t.residue / ew.od,
+           CAST(0.0 AS DOUBLE)
+    FROM {p} t JOIN ew ON t.node = ew.dst
+    WHERE t.residue > {thr}
+  ) u GROUP BY target, node)"""
+        )
+    return ",\n".join(ctes)
+
+
+_BASE_QUERIES4 = queries
+_BASE_ORACLE4 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES4()
+    q["base_all_pairs"] = q_base_all_pairs
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE4()
+    sql["base_all_pairs"] = f"""WITH {_GRAPH_CTES},
+{_base_all_chain("ba", BASE_STEPS, BASE_THRESHOLD, BWD_ALPHA)},
+final AS (
+  SELECT node AS source, target, ROUND(reserve, 9) AS ppr
+  FROM ba{BASE_STEPS} WHERE ROUND(reserve, 9) >= {BASE_THRESHOLD}
+  UNION ALL
+  SELECT n.id AS source, n.id AS target, CAST(1.0 AS DOUBLE) AS ppr
+  FROM ({GRAPH_NODES_SQL}) n LEFT JOIN
+       (SELECT dst, COUNT(*) AS idg FROM edges GROUP BY dst) i ON n.id = i.dst
+  WHERE i.dst IS NULL
+)
+SELECT source, target, ppr FROM final"""
+    return sql

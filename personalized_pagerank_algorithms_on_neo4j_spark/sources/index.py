@@ -1,0 +1,38 @@
+"""Property index (S10) — the Spark equivalent of the reference's B-tree
+index on `:Person(name)` (create_index, reference PPR.java:70-119).
+
+In Spark, point lookups by property are broadcast joins against the nodes
+table — no index needed for correctness. For repeated name-keyed joins at
+scale, a *bucketed* copy of the table removes the shuffle on the bucketed
+side (hash-bucket co-location is Spark's durable analogue of an index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def create_name_index(
+    graph, table_name: str = "nodes_by_name", buckets: int = 16
+) -> None:
+    """Materialize nodes bucketed+sorted by name into the session catalog."""
+    (
+        graph.nodes.write.mode("overwrite")
+        .bucketBy(buckets, "name")
+        .sortBy("name")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def lookup_by_name(spark: SparkSession, name: str, table_name: str = "nodes_by_name") -> DataFrame:
+    return spark.table(table_name).where(F.col("name") == name)
+
+
+def join_on_name(
+    spark: SparkSession, df: DataFrame, table_name: str = "nodes_by_name"
+) -> DataFrame:
+    """Join an arbitrary (name, ...) DataFrame against the bucketed table;
+    only the probe side shuffles."""
+    return df.join(spark.table(table_name), "name")
