@@ -46,7 +46,7 @@ def power_method(
     for _ in range(iterations):
         pi = pi + alpha * r
         push = (1.0 - alpha) * r
-        nr = np.bincount(dst, weights=push[src] * inv_out[src], minlength=n)
+        nr = np.bincount(dst, weights=push[src] * inv_out[src], minlength=n).astype(np.float64)
         nr[s] += push[dangling].sum()
         r = nr
     return pi
@@ -138,7 +138,7 @@ def forward_push_batch(
         pi = pi + alpha * rq
         r = np.where(qual, 0.0, r)
         push = (1.0 - alpha) * rq
-        r = r + np.bincount(dst, weights=push[src] * inv_out[src], minlength=n)
+        r = r + np.bincount(dst, weights=push[src] * inv_out[src], minlength=n).astype(np.float64)
         r[s] += push[dangling].sum()
     return pi, r, steps
 
@@ -205,7 +205,7 @@ def backward_search_batch(
         r = np.where(qual, 0.0, r)
         base = (1.0 - alpha) * rq
         # reverse edge u->v contributes base[v]/out[u] to r[u]
-        r = r + np.bincount(src, weights=base[dst] * inv_out[src], minlength=n)
+        r = r + np.bincount(src, weights=base[dst] * inv_out[src], minlength=n).astype(np.float64)
     return pi, r, steps
 
 
@@ -311,7 +311,7 @@ def _fora_walk_phase(
     starts = np.repeat(nodes, omega_i)
     per_walk_incr = np.repeat(incr, omega_i)
     ends = random_walks(lg, starts, alpha, rng, zero_hop=zero_hop)
-    pi += np.bincount(ends, weights=per_walk_incr, minlength=lg.n)
+    pi += np.bincount(ends, weights=per_walk_incr, minlength=lg.n).astype(np.float64)
     return pi
 
 
@@ -416,7 +416,7 @@ def personalized_pagerank(
     out = lg.out_deg
     inv_out = np.where(out > 0, 1.0 / np.maximum(out, 1), 0.0)
     for _ in range(iterations):
-        contrib = np.bincount(dst, weights=rank[src] * inv_out[src] * d, minlength=n)
+        contrib = np.bincount(dst, weights=rank[src] * inv_out[src] * d, minlength=n).astype(np.float64)
         rank = contrib
         rank[s] += 1.0 - d
     total = rank.sum()

@@ -43,3 +43,39 @@ def prep_size_bytes(path: str) -> int:
 def delete_prep(path: str) -> None:
     """Prep-dir lifecycle (S8)."""
     shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Legacy text format (reference parity): one `<srcNodeId>.txt` per source,
+# lines `nodeId\tppr` (write: Forward_Push.java:317-339; read: 343-362).
+# ---------------------------------------------------------------------------
+
+
+def write_prep_text(df: DataFrame, path: str) -> None:
+    """(source, target, ppr) -> per-source text files of `target\\tppr` lines
+    (partitioned text sink; one directory per source like the reference's
+    one file per source)."""
+    (
+        df.select(
+            "source",
+            F.concat_ws("\t", F.col("target").cast("string"), F.col("ppr").cast("string")).alias(
+                "value"
+            ),
+        )
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .text(path)
+    )
+
+
+def read_prep_text(spark: SparkSession, path: str, source: int | None = None) -> DataFrame:
+    """Tab-split line parse (P6): `value` -> (source, target, ppr)."""
+    df = spark.read.text(path)  # partition column `source` is recovered
+    if source is not None:
+        df = df.where(F.col("source") == int(source))
+    parts = F.split(F.col("value"), "\t")
+    return df.select(
+        F.col("source").cast("long").alias("source"),
+        parts.getItem(0).cast("long").alias("target"),
+        parts.getItem(1).cast("double").alias("ppr"),
+    )

@@ -1,0 +1,44 @@
+"""Legacy text prep-store roundtrip (S4/S5/P6) + salted-join equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from personalized_pagerank_algorithms_on_neo4j_spark.plans.skew import salted_join
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.prep_store import (
+    read_prep_text,
+    write_prep_text,
+)
+
+
+def test_prep_text_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10, 0.5), (1, 11, 0.25), (2, 10, 0.125)],
+        "source long, target long, ppr double",
+    )
+    path = str(tmp_path / "prep_text")
+    write_prep_text(df, path)
+    back = read_prep_text(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    pruned = read_prep_text(spark, path, source=1)
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # source= prune survives the text format
+
+
+def test_salted_join_equivalence(spark):
+    big = spark.range(0, 2000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b")], "k long, tag string")
+    plain = big.join(small, "k").groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    salted = salted_join(big, small, "k").groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    assert sorted(tuple(r) for r in plain.collect()) == sorted(
+        tuple(r) for r in salted.collect()
+    )
