@@ -1301,3 +1301,62 @@ final AS (
 )
 SELECT source, target, ppr FROM final"""
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 5: grouping sets + set operations
+# ---------------------------------------------------------------------------
+
+
+def q_cube_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (_cents(F.col("l_extendedprice")) * _cents(F.lit(1.0) - F.col("l_discount")))
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(rev) / F.lit(10000.0)).alias("revenue"),
+    )
+
+
+def q_customer_set_ops(spark, sf_dir):
+    """INTERSECT/EXCEPT: high-balance customers vs customers with 10+ orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.where(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    busy = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 10)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    both = rich.intersect(busy).select("k", F.lit("both").alias("bucket"))
+    rich_only = rich.exceptAll(busy).select("k", F.lit("rich_only").alias("bucket"))
+    return both.unionAll(rich_only)
+
+
+_BASE_QUERIES5 = queries
+_BASE_ORACLE5 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES5()
+    q["cube_revenue"] = q_cube_revenue
+    q["customer_set_ops"] = q_customer_set_ops
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE5()
+    sql["cube_revenue"] = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM({_REV_CENTS}) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+    sql["customer_set_ops"] = """
+WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+busy AS (SELECT o_custkey AS k FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10)
+SELECT k, 'both' AS bucket FROM (SELECT k FROM rich INTERSECT SELECT k FROM busy) t
+UNION ALL
+SELECT k, 'rich_only' AS bucket FROM (SELECT k FROM rich EXCEPT ALL SELECT k FROM busy) t
+"""
+    return sql
