@@ -52,6 +52,9 @@ def _graph(spark: SparkSession, sf_dir: str):
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from personalized_pagerank_algorithms_on_neo4j_spark.sources.tables import load_table
 
+    # timestamp formatting/windowing must agree with DuckDB's UTC-naive
+    # timestamps regardless of how the host session was built
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, name)
 
 

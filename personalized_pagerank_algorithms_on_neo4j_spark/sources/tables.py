@@ -18,6 +18,11 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); Spark 4 refuses it unless
+        # read as long — set the conf here so sessions not built by
+        # session.build_spark (e.g. the verify driver's) work too
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — a double-division floor loses ulps at 1.7e18 ns
