@@ -35,20 +35,30 @@ def base_preprocess(
     alpha: float = DEFAULT_ALPHA,
     k: int | None = None,
     targets: DataFrame | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """Materialize the all-pair PPR view. Returns (source, target, ppr [, rank]).
 
     k=None: whole-graph mode — threshold filter (Base_Whole_Graph.java:83).
     k>=0:   top-k mode — per-source tie-aware top-k, rank column kept
             (Base_Whole_Graph.java:133-162).
+
+    mode='auto' picks the driver-local per-target vectorized kernel below the
+    broadcast-like cutoff (identical batch-superstep schedule), else the
+    single multi-target distributed job.
     """
     rmax = threshold if rmax is None else rmax
     if targets is None:
         targets = graph.nodes.select(F.col("id").alias("target"))
-    # pi(v -> t): invert to (source=v, target=t)
-    all_pairs = backward_search_all(graph, targets, rmax, alpha).select(
-        F.col("node").alias("source"), "target", "ppr"
-    )
+    if mode == "auto":
+        mode = "local" if graph.fits_local() else "distributed"
+    if mode == "local":
+        all_pairs = _base_all_local(graph, targets, rmax, alpha)
+    else:
+        # pi(v -> t): invert to (source=v, target=t)
+        all_pairs = backward_search_all(graph, targets, rmax, alpha).select(
+            F.col("node").alias("source"), "target", "ppr"
+        )
     if k is None:
         return all_pairs.where(F.col("ppr") >= F.lit(threshold))
     # per-source tie-aware top-k: rank() over a window PARTITIONED by source
@@ -60,6 +70,40 @@ def base_preprocess(
         all_pairs.withColumn("rank", F.rank().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def _base_all_local(
+    graph: PropertyGraph, targets: DataFrame, rmax: float, alpha: float
+) -> DataFrame:
+    """Per-target vectorized reverse-push kernels on the CSR snapshot."""
+    import numpy as np
+    import pandas as pd
+
+    from . import _kernels
+
+    lg = graph.local
+    tids = [r["target"] for r in targets.select("target").collect()]
+    srcs: list = []
+    tgts: list = []
+    pprs: list = []
+    for t in tids:
+        pi, _, _ = _kernels.backward_search_batch(lg, lg.dense(int(t)), alpha, rmax)
+        nz = np.where(pi > 0)[0]
+        srcs.append(lg.ids[nz])
+        tgts.append(np.full(len(nz), int(t), dtype=np.int64))
+        pprs.append(pi[nz])
+    if not srcs:
+        return graph.spark.createDataFrame(
+            [], "source long, target long, ppr double"
+        )
+    pdf = pd.DataFrame(
+        {
+            "source": np.concatenate(srcs),
+            "target": np.concatenate(tgts),
+            "ppr": np.concatenate(pprs),
+        }
+    )
+    return graph.spark.createDataFrame(pdf, "source long, target long, ppr double")
 
 
 def base_preprocess_to_store(
