@@ -36,6 +36,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
 def main() -> None:
+    # AQE on, shuffle = cores: micro queries pay ~0.3 s/stage re-planning
+    # overhead, but the heavy shuffles (minhash self-join) need all cores and
+    # AQE's coalescing — measured strictly better overall than a static
+    # 16-partition plan at sf0.1.
     spark = build_spark(app_name="ppr_bench", master=f"local[{CPUS}]",
                         shuffle_partitions=CPUS)
     spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count().collect()
