@@ -297,22 +297,14 @@ def q_token_counts(spark, sf_dir):
 def q_simsearch_cosine(spark, sf_dir):
     """Brute-force cosine top-20 against the vec_id=0 embedding (ANN baseline).
     Dot products via zip_with/aggregate (JVM-side, no UDF)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import cosine
+
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     j = e.crossJoin(F.broadcast(q))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    cos = dot(F.col("embedding"), F.col("qe")) / (
-        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot(F.col("qe"), F.col("qe")))
+    scored = j.select(
+        "vec_id", F.round(cosine(F.col("embedding"), F.col("qe")), 5).alias("cosine")
     )
-    scored = j.select("vec_id", F.round(cos, 5).alias("cosine"))
     return topk_ops.retrieve_topk(scored, 20, value_col="cosine")
 
 
@@ -648,9 +640,9 @@ def _sql_hash(expr: str, seed: str = "0") -> str:
     )
 
 
-_SQL_SHINGLES = f"""list_distinct(list_transform(
+_SQL_SHINGLES = f"""list_filter(list_distinct(list_transform(
   range(0, greatest(len({_SQL_TOKS}) - 3, 0) + 1),
-  i -> array_to_string(({_SQL_TOKS})[i+1:i+3], ' ')))"""
+  i -> array_to_string(({_SQL_TOKS})[i+1:i+3], ' '))), s -> length(s) > 0)"""
 
 _SQL_DOC_SHINGLES = f"""
 SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM documents
@@ -947,6 +939,9 @@ from personalized_pagerank_algorithms_on_neo4j_spark.operators import (  # noqa:
 )
 
 FWD_RMAX = 1e-3
+# NOTE: the unrolled-CTE oracle depths (FWD_STEPS/BWD_STEPS/BASE_STEPS) are
+# calibrated for sf0.01 — the scale the driver compares at. The Spark side
+# runs to convergence; comparing at a larger sf requires deeper chains.
 FWD_STEPS = 30  # kernel needs 21 supersteps at sf0.01; extra steps are no-ops
 BWD_TARGET = 2_000_000  # first nation node (in-degree ~900 at sf0.01)
 BWD_RMAX = 1e-4

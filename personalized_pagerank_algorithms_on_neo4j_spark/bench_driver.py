@@ -42,12 +42,29 @@ def sample_query_nodes(graph: PropertyGraph, query_num: int, seed: int = 42) -> 
     return [ids[rng.randrange(len(ids))] for _ in range(query_num)]
 
 
-def _oracle(eng: PPREngine, source: int):
-    return eng.ppr(source, algo="power")
+class _OracleCache:
+    """The Power-Method oracle is the most expensive computation in the
+    benchmark; the query set is fixed up front, so compute it once per
+    source instead of once per (algo, param, query)."""
+
+    def __init__(self, eng: PPREngine):
+        self.eng = eng
+        self._cache: dict[int, object] = {}
+
+    def __call__(self, source: int):
+        if source not in self._cache:
+            self._cache[source] = self.eng.ppr(source, algo="power").localCheckpoint(
+                eager=True
+            )
+        return self._cache[source]
+
+
+def _oracle(eng: PPREngine, source: int, cache: "_OracleCache | None" = None):
+    return cache(source) if cache is not None else eng.ppr(source, algo="power")
 
 
 def whole_graph_suite(
-    eng: PPREngine, algo: str, param, queries: list[int]
+    eng: PPREngine, algo: str, param, queries: list[int], cache=None
 ) -> dict:
     durations, errs = [], []
     for s in queries:
@@ -55,7 +72,7 @@ def whole_graph_suite(
         est = eng.ppr(s, algo=algo, **_param_kw(algo, param))
         est = est.localCheckpoint(eager=True)  # force execution for timing
         durations.append((time.perf_counter() - t0) * 1000)
-        errs.append(metrics.max_err(est, _oracle(eng, s)))
+        errs.append(metrics.max_err(est, _oracle(eng, s, cache)))
     return {
         "suite": "whole_graph",
         "algo": algo,
@@ -65,14 +82,16 @@ def whole_graph_suite(
     }
 
 
-def topk_suite(eng: PPREngine, algo: str, param, queries: list[int], k: int) -> dict:
+def topk_suite(
+    eng: PPREngine, algo: str, param, queries: list[int], k: int, cache=None
+) -> dict:
     durations, precs, ndcgs = [], [], []
     for s in queries:
         t0 = time.perf_counter()
         est_k = eng.topk(s, k, algo=algo, **_param_kw(algo, param))
         est_k = est_k.localCheckpoint(eager=True)
         durations.append((time.perf_counter() - t0) * 1000)
-        gnd_k = topk_ops.retrieve_topk(_oracle(eng, s), k)
+        gnd_k = topk_ops.retrieve_topk(_oracle(eng, s, cache), k)
         precs.append(metrics.precision_at_k(est_k, gnd_k))
         nd = metrics.ndcg_at_k(est_k, gnd_k)
         if nd is not None:
@@ -89,7 +108,7 @@ def topk_suite(eng: PPREngine, algo: str, param, queries: list[int], k: int) -> 
 
 
 def preprocessing_suite(
-    eng: PPREngine, threshold: float, queries: list[int], prep_dir: str
+    eng: PPREngine, threshold: float, queries: list[int], prep_dir: str, cache=None
 ) -> dict:
     """BASE: preprocess all-pairs once, then per-query partition-pruned reads
     (Gen_Util.java:190-215; prep dir deleted by the caller, :249-251)."""
@@ -103,7 +122,7 @@ def preprocessing_suite(
         est = base_all_pair.base_lookup(eng.graph, prep_dir, s)
         est = est.localCheckpoint(eager=True)
         durations.append((time.perf_counter() - t0) * 1000)
-        errs.append(metrics.max_err(est, _oracle(eng, s)))
+        errs.append(metrics.max_err(est, _oracle(eng, s, cache)))
     return {
         "suite": "preprocessing",
         "algo": "base",
@@ -138,6 +157,7 @@ def algo_perf_batch_test(
     each parameter sweep (the full 5-point sweep is the reference default)."""
     eng = PPREngine(graph, alpha=alpha)
     queries = sample_query_nodes(graph, query_num, seed)
+    cache = _OracleCache(eng)
     rows: list[dict] = []
 
     def pick(values):
@@ -147,16 +167,16 @@ def algo_perf_batch_test(
 
     for algo in ("fwdpush", "montecarlo", "fora", "pagerank"):
         for p in pick(SWEEPS[algo]):
-            rows.append(whole_graph_suite(eng, algo, p, queries))
+            rows.append(whole_graph_suite(eng, algo, p, queries, cache=cache))
 
     for algo in ("fwdpush", "montecarlo", "fora_topk", "pagerank"):
         sweep = SWEEPS.get(algo, SWEEPS["fora"])
         for p in pick(sweep):
-            rows.append(topk_suite(eng, algo, p, queries, k))
+            rows.append(topk_suite(eng, algo, p, queries, k, cache=cache))
 
     for p in pick(SWEEPS["base"]):
         with tempfile.TemporaryDirectory() as d:
-            rows.append(preprocessing_suite(eng, p, queries, d + "/prep"))
+            rows.append(preprocessing_suite(eng, p, queries, d + "/prep", cache=cache))
             delete_prep(d + "/prep")
 
     if report_path:

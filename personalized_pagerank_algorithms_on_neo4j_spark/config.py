@@ -77,9 +77,13 @@ class TopkConf:
     rsum: float = 1.0
 
     def __post_init__(self) -> None:
+        # the reference formula assumes k < n (log(n/k) = 0 at k == n would
+        # divide by zero; k > n would flip signs) — clamp k into [1, n-1]
+        self.k = max(1, min(self.k, self.n - 1)) if self.n > 1 else 1
         self.delta = 1.0 / self.k
         self.min_delta = 1.0 / self.n
-        self.pfail = 1.0 / self.n / self.n / math.log(self.n / self.k)
+        log_term = math.log(self.n / self.k) if self.n > self.k else 1.0
+        self.pfail = 1.0 / self.n / self.n / log_term
 
     def min_rmax(self, epsilon_halved: float) -> float:
         # Fora_Topk.java:113: eps' * sqrt(min_delta / (3 m ln(2/pfail)))

@@ -65,13 +65,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), joined by single spaces."""
+    """Word n-gram shingles (distinct), joined by single spaces.
+
+    Documents shorter than n tokens contribute their full token sequence as
+    one shingle (so two identical 1-token docs still dedup); empty/whitespace
+    documents contribute NO shingles (otherwise every empty doc would match
+    every other via the '' shingle)."""
     toks = tokens(normalized(col))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
+    return F.filter(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+        lambda s: F.length(s) > 0,
     )
 
 
@@ -84,6 +92,31 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
+
+
+def _jaccard_select(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, common) + per-doc shingle sizes -> thresholded Jaccard."""
+    return (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
 
 
 def ngram_jaccard_pairs(
@@ -105,20 +138,7 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_select(common, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -205,20 +225,7 @@ def minhash_dedup_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_select(common, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------

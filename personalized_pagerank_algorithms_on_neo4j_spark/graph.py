@@ -178,6 +178,15 @@ class PropertyGraph:
         src = np.searchsorted(node_ids, src_orig).astype(np.int64)
         dst = np.searchsorted(node_ids, dst_orig).astype(np.int64)
         n = len(node_ids)
+        # searchsorted returns insertion points — an edge endpoint missing
+        # from the nodes table would silently alias a neighboring id
+        src_bad = (src >= n) | (node_ids[np.minimum(src, n - 1)] != src_orig)
+        dst_bad = (dst >= n) | (node_ids[np.minimum(dst, n - 1)] != dst_orig)
+        if src_bad.any() or dst_bad.any():
+            missing = set(src_orig[src_bad][:5]) | set(dst_orig[dst_bad][:5])
+            raise ValueError(
+                f"edges reference node ids absent from nodes table: {sorted(missing)!r}..."
+            )
 
         out_deg = np.bincount(src, minlength=n).astype(np.int64)
         in_deg = np.bincount(dst, minlength=n).astype(np.int64)

@@ -367,9 +367,10 @@ def fora_topk(
     (1+eps')*delta (Fora_Topk.java:102-184)."""
     n = lg.n
     eps = epsilon * 0.5  # Fora_Topk.java:110
+    k = max(1, min(k, n - 1)) if n > 1 else 1  # log(n/k) must stay positive
     delta = 1.0 / k
     min_delta = 1.0 / n
-    pfail = 1.0 / n / n / np.log(n / k)
+    pfail = 1.0 / n / n / (np.log(n / k) if n > k else 1.0)
     push_pi = None  # push-only reserve carried across rounds; walk increments
     r = None  # are recomputed per round (Fora_Topk.java:118-146 copies the
     # push state each round, discarding the previous round's walk additions)

@@ -33,22 +33,28 @@ def asof_join(
     """For each left row: latest right row (by right_ts, tiebreak desc) with
     right_ts <= left_ts (or < when strict)."""
     rcols = right_cols or [c for c in right.columns if c != on]
+    # tag each left row with a unique id so duplicate left rows keep their
+    # multiplicity (a window over the left *columns* would merge them)
+    lid = left.withColumn("_lid", F.monotonically_increasing_id())
     r = right.select(F.col(on).alias("_k"), *[F.col(c).alias(f"r_{c}") for c in rcols])
     cond = (F.col(on) == F.col("_k")) & (
         (F.col(f"r_{right_ts}") < F.col(left_ts))
         if strict
         else (F.col(f"r_{right_ts}") <= F.col(left_ts))
     )
-    j = left.join(r, cond, "inner")
-    w = Window.partitionBy(*left.columns).orderBy(
+    j = lid.join(r, cond, "inner")
+    w = Window.partitionBy("_lid").orderBy(
         F.desc(f"r_{right_ts}"), F.desc(f"r_{right_tiebreak}")
     )
     matched = (
         j.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn", "_k")
     )
     if how == "inner":
-        return matched
-    return left.join(matched, left.columns, "left")
+        return matched.drop("_lid")
+    out = lid.join(
+        matched.select("_lid", *[f"r_{c}" for c in rcols]), "_lid", "left"
+    )
+    return out.drop("_lid")
 
 
 def asof_join_pandas(

@@ -80,7 +80,13 @@ def run_walks(
     movers, dangling rows reset to their start.
     """
     adj = graph.adj  # (node, neighbors, out_degree)
-    base_seed = 0 if seed is None else int(seed)
+    if seed is None:
+        # unseeded must mean independent across calls — not F.rand(0)
+        import random as _random
+
+        base_seed = _random.randrange(2**31)
+    else:
+        base_seed = int(seed)
 
     # walks whose start is dangling stop at the start immediately
     deg0 = walks.join(adj, walks.cur == adj.node, "left")
