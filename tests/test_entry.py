@@ -89,3 +89,34 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert [f.name for f in df.schema.fields] == ["node", "name", "ppr"]
+
+
+def test_sql_oracle_depths_cover_convergence(spark):
+    """The unrolled-CTE oracle depths must dominate the kernels' actual
+    superstep counts at the compare scale (sf0.01) — guards the constants
+    against testdata or parameter drift."""
+    import numpy as np
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import _kernels
+
+    g = E._graph(spark, SF_ORACLE)
+    lg = g.local
+    s = lg.dense(E._source(g))
+    _, _, steps = _kernels.forward_push_batch(lg, s, E.ALPHA, E.FWD_RMAX)
+    assert steps <= E.FWD_STEPS, f"fwdpush needs {steps} > {E.FWD_STEPS}"
+    _, _, bsteps = _kernels.backward_search_batch(
+        lg, lg.dense(E.BWD_TARGET), E.BWD_ALPHA, E.BWD_RMAX
+    )
+    assert bsteps <= E.BWD_STEPS, f"backward needs {bsteps} > {E.BWD_STEPS}"
+    # base: max supersteps over a deterministic sample of targets
+    rng = np.random.default_rng(0)
+    sample = rng.choice(lg.n, size=min(100, lg.n), replace=False)
+    worst = 0
+    for t in sample:
+        if lg.in_deg[t] == 0:
+            continue
+        _, _, st = _kernels.backward_search_batch(
+            lg, int(t), E.BWD_ALPHA, E.BASE_THRESHOLD
+        )
+        worst = max(worst, st)
+    assert worst <= E.BASE_STEPS, f"base needs {worst} > {E.BASE_STEPS}"
