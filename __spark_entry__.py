@@ -650,8 +650,12 @@ SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM documents
 
 _SQL_MINHASH_SIG = f"""
 WITH ds AS MATERIALIZED ({_SQL_DOC_SHINGLES}),
-idx AS (SELECT doc_id, sh, unnest(range(0, 8)) AS i FROM ds)
-SELECT doc_id, CAST(i AS INT) AS i, MIN({_sql_hash('sh', 'i')}) AS minhash
+based AS MATERIALIZED (
+  SELECT doc_id, {_sql_hash('sh', '0')} AS h1, {_sql_hash('sh', '1')} AS h2 FROM ds
+),
+idx AS (SELECT doc_id, h1, h2, unnest(range(0, 8)) AS i FROM based)
+SELECT doc_id, CAST(i AS INT) AS i,
+       MIN(((1000 * i + 12289) * h1 + i * h2) % 9007199254740881) AS minhash
 FROM idx GROUP BY doc_id, i
 """
 

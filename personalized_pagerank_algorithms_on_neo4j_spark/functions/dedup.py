@@ -153,16 +153,43 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, i, minhash): num_hashes independent md5-seeded min-hashes."""
+    """(doc_id, i, minhash): num_hashes min-hashes per doc via a wrapped
+    double-hash family — two md5 base hashes per shingle, then
+    h_i = ((1000*i + 12289)*h1 + i*h2) mod PRIME53. The multiplier forces
+    modular wraparound (a non-wrapping linear combo degenerates: argmin
+    converges to argmin(h2) as i grows) while the worst-case product
+    (1000*15+12289)*2^48 stays under 2^63 for both engines. md5 cost is 2
+    per shingle instead of num_hashes."""
+    from .text import PRIME53
+
+    assert num_hashes <= 16, "multiplier bound keeps products < 2^63 up to i=15"
     ds = _doc_shingles(df, text_col, id_col, n)
-    idx = ds.select(
+    based = ds.select(
         "doc_id",
-        "sh",
+        portable_hash(F.col("sh"), 0).alias("h1"),
+        portable_hash(F.col("sh"), 1).alias("h2"),
+    )
+    idx = based.select(
+        "doc_id",
+        "h1",
+        "h2",
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
     )
-    return idx.select(
-        "doc_id", "i", portable_hash(F.col("sh"), F.col("i")).alias("h")
-    ).groupBy("doc_id", "i").agg(F.min("h").alias("minhash"))
+    return (
+        idx.select(
+            "doc_id",
+            "i",
+            (
+                (
+                    (F.lit(1000) * F.col("i") + F.lit(12289)) * F.col("h1")
+                    + F.col("i") * F.col("h2")
+                )
+                % F.lit(PRIME53)
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("minhash"))
+    )
 
 
 def minhash_lsh_candidates(
