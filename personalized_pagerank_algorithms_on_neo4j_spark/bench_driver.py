@@ -16,7 +16,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from .config import DEFAULT_ALPHA, DEFAULT_EPSILON
+from .config import DEFAULT_ALPHA
 from .engine import PPREngine
 from .graph import PropertyGraph
 from .operators import base_all_pair, metrics

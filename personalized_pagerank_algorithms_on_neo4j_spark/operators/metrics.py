@@ -15,7 +15,6 @@ All three run as DataFrame plans (the inputs are top-k-sized or node-sized).
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
