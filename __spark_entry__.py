@@ -192,7 +192,7 @@ def q_customer_spend_share(spark, sf_dir):
                 "share"
             ),
         )
-        .where(F.col("share") >= 0.002)
+        .where(F.col("share") >= 0.0008)
     )
 
 
@@ -309,26 +309,78 @@ def q_simsearch_cosine(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Stochastic operators — no SQL-expressible oracle (rows-only checks)
+# Stochastic operators — deterministic bound-check verdict rows.
+#
+# The estimators are random-walk based, so their raw scores have no
+# SQL-expressible oracle. But the reference itself machine-checks them: every
+# run is scored against the Power-Method oracle (Gen_Util.java:146-165). We
+# replicate that gate as the query RESULT: the (seeded, deterministic)
+# estimate is scored against the oracle-exact `ppr_power`, and the row is
+# (algo, within_bound, nonempty) — hash-matchable against a constant SQL
+# oracle. The bound is the reference's own epsilon-guarantee: relative error
+# <= eps for pi >= delta, absolute eps*delta below (the max(pi, delta)
+# denominator) — Monte_Carlo.java:145 / Fora_Whole_Graph.java:86-87.
+# Measured at sf0.01 seed=42: MC rel_err 0.087, FORA rel_err 0.008 vs the
+# eps=0.5 bound — a genuine gate, not a tautology.
 # ---------------------------------------------------------------------------
+
+STOCH_EPS = 0.5
+
+
+def _bound_verdict(spark, sf_dir, algo: str, est: DataFrame) -> DataFrame:
+    from personalized_pagerank_algorithms_on_neo4j_spark.config import WholeGraphConf
+
+    g = _graph(spark, sf_dir)
+    conf = WholeGraphConf(alpha=ALPHA, n=g.n, m=g.m)
+    gnd = _power_df(spark, sf_dir, POWER_ITERS)
+    j = gnd.select("node", F.col("ppr").alias("g")).join(
+        est.select("node", F.col("ppr").alias("e")), "node", "left"
+    )
+    rel_err = j.agg(
+        F.max(
+            F.abs(F.coalesce("e", F.lit(0.0)) - F.col("g"))
+            / F.greatest(F.col("g"), F.lit(conf.delta))
+        ).alias("r")
+    ).collect()[0]["r"]
+    nonempty = est.limit(1).count() > 0
+    return spark.createDataFrame(
+        [(algo, bool(rel_err is not None and rel_err <= STOCH_EPS), nonempty)],
+        schema="algo string, within_bound boolean, nonempty boolean",
+    )
 
 
 def q_ppr_montecarlo(spark, sf_dir):
     g = _graph(spark, sf_dir)
     eng = PPREngine(g, alpha=ALPHA)
-    return eng.ppr(_source(g), algo="montecarlo", epsilon=0.5, seed=42)
+    est = eng.ppr(_source(g), algo="montecarlo", epsilon=STOCH_EPS, seed=42)
+    return _bound_verdict(spark, sf_dir, "montecarlo", est)
 
 
 def q_ppr_fora(spark, sf_dir):
     g = _graph(spark, sf_dir)
     eng = PPREngine(g, alpha=ALPHA)
-    return eng.ppr(_source(g), algo="fora", epsilon=0.5, seed=42)
+    est = eng.ppr(_source(g), algo="fora", epsilon=STOCH_EPS, seed=42)
+    return _bound_verdict(spark, sf_dir, "fora", est)
 
 
 def q_ppr_fora_topk(spark, sf_dir):
+    """Top-k verdict: Precision@k and NDCG@k against the oracle tie-set, with
+    the dissertation §5.4 floors (precision >= 0.65, NDCG >= 0.955 — the
+    worst published comparator clears both). Measured at sf0.01 seed=42:
+    precision 1.0, NDCG 1.0."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import metrics
+
     g = _graph(spark, sf_dir)
     eng = PPREngine(g, alpha=ALPHA)
-    return eng.topk(_source(g), 10, algo="fora_topk", epsilon=0.5, seed=42)
+    est_k = eng.topk(_source(g), 10, algo="fora_topk", epsilon=STOCH_EPS, seed=42)
+    gnd_k = topk_ops.retrieve_topk(_power_df(spark, sf_dir, POWER_ITERS), 10)
+    prec = metrics.precision_at_k(est_k, gnd_k)
+    nd = metrics.ndcg_at_k(est_k, gnd_k)
+    within = prec >= 0.65 and nd is not None and nd >= 0.955
+    return spark.createDataFrame(
+        [("fora_topk", bool(within), est_k.limit(1).count() > 0)],
+        schema="algo string, within_bound boolean, nonempty boolean",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -450,7 +502,7 @@ WITH spend AS (
 SELECT o_custkey,
        CAST(cents AS DOUBLE) / CAST((SELECT SUM(cents) FROM spend) AS DOUBLE) AS share
 FROM spend
-WHERE CAST(cents AS DOUBLE) / CAST((SELECT SUM(cents) FROM spend) AS DOUBLE) >= 0.002
+WHERE CAST(cents AS DOUBLE) / CAST((SELECT SUM(cents) FROM spend) AS DOUBLE) >= 0.0008
 """
     sql["part_math"] = """
 SELECT p_partkey,
@@ -519,6 +571,13 @@ scored AS (
 SELECT vec_id, cosine FROM scored
 QUALIFY RANK() OVER (ORDER BY cosine DESC) <= 20
 """
+    # stochastic verdict rows: the Spark side does the real work (seeded
+    # estimate scored against the Power oracle with the reference's bound);
+    # the oracle pins the expected verdict
+    for algo in ("montecarlo", "fora", "fora_topk"):
+        sql[f"ppr_{algo}"] = (
+            f"SELECT '{algo}' AS algo, TRUE AS within_bound, TRUE AS nonempty"
+        )
     return sql
 
 
@@ -597,7 +656,7 @@ def q_minhash_lsh_candidates(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return _dedup.ngram_jaccard_pairs(d, threshold=0.5, n=3)
+    return _dedup.ngram_jaccard_pairs(d, threshold=0.5, n=3, max_shingle_df=1000)
 
 
 def q_simhash(spark, sf_dir):
@@ -621,9 +680,18 @@ def q_simsearch_ivf(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """mapInPandas feature extraction, exploded to (media_id, dim, value) so
+    the array<double> column is canonicalizable (and DuckDB-checkable: the
+    md5-derived fake features are pure SQL)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     media = _multimodal.media_from_documents(d)
-    return _multimodal.extract_features(media)
+    feats = _multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.posexplode("features").alias("dim", "value"),
+        "n_bytes",
+    )
 
 
 # ---- DuckDB oracle fragments for the pipeline queries ----------------------
@@ -729,9 +797,13 @@ WHERE a.doc_id < b.doc_id
     sql["ngram_jaccard"] = f"""
 WITH ds AS MATERIALIZED ({_SQL_DOC_SHINGLES}),
 sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
+kept AS MATERIALIZED (
+  SELECT d.* FROM ds d
+  JOIN (SELECT sh FROM ds GROUP BY sh HAVING COUNT(*) <= 1000) ok USING (sh)
+),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -822,6 +894,21 @@ scored AS (
 SELECT vec_id, cosine FROM scored
 QUALIFY RANK() OVER (ORDER BY cosine DESC) <= 10
 """
+    # fake-feature extractor replayed in SQL: byte i%16 of md5(payload) XOR
+    # (i*37 % 251), scaled to [-0.5, 0.5] (functions/multimodal.py:61-68)
+    sql["multimodal_features"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, 'image' AS kind, md5(text) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+dims AS (SELECT unnest(range(0, 16)) AS dim)
+SELECT m.media_id, m.kind, CAST(d.dim AS INT) AS dim,
+       ROUND(xor(CAST(('0x' || substring(m.hx, CAST(2*(d.dim % 16)+1 AS INT), 2)) AS BIGINT),
+                 (d.dim * 37) % 251) / 255.0 - 0.5, 6) AS value,
+       m.n_bytes
+FROM m CROSS JOIN dims d
+"""
     return sql
 
 
@@ -842,8 +929,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
             "embedding_near_dup": q_embedding_near_dup,
             "simsearch_lsh": q_simsearch_lsh,
             "simsearch_ivf": q_simsearch_ivf,
-            # mapInPandas feature extraction — rows-only (Arrow plumbing,
-            # no SQL equivalent)
             "multimodal_features": q_multimodal_features,
         }
     )
@@ -1243,7 +1328,14 @@ def q_base_all_pairs(spark, sf_dir):
     """I7: reverse push from EVERY node as one multi-target batch job,
     inverted to (source, target, ppr), thresholded (Base_Whole_Graph.java:83)."""
     g = _graph(spark, sf_dir)
-    df = _base.base_preprocess(g, BASE_THRESHOLD, alpha=BWD_ALPHA)
+    # threshold slightly below BASE_THRESHOLD so the pre-filter on the
+    # UNROUNDED value can never drop a row the oracle keeps (the oracle
+    # filters only ROUND(ppr,9) >= threshold; a value in
+    # [threshold-5e-10, threshold) rounds up); rmax stays BASE_THRESHOLD so
+    # the push schedule is unchanged
+    df = _base.base_preprocess(
+        g, BASE_THRESHOLD - 1e-9, rmax=BASE_THRESHOLD, alpha=BWD_ALPHA
+    )
     return df.select(
         "source", "target", F.round("ppr", 9).alias("ppr")
     ).where(F.col("ppr") >= BASE_THRESHOLD)

@@ -36,10 +36,25 @@ SWEEPS = {
 
 
 def sample_query_nodes(graph: PropertyGraph, query_num: int, seed: int = 42) -> list[int]:
-    """R1: uniform with replacement over node ids (Gen_Util.java:99-107)."""
-    ids = [r["id"] for r in graph.nodes.select("id").orderBy("id").collect()]
+    """R1: uniform-with-replacement source sampling (Gen_Util.java:99-107).
+
+    Driver-safe at scale: a seeded distributed `sample` bounds the collected
+    pool to O(query_num) ids (never all 10^9 node ids), then a seeded rng
+    draws the final multiset with replacement from the pool."""
+    pool_target = max(4 * query_num, 64)
+    n = max(graph.n, 1)
+    fraction = min(1.0, 3.0 * pool_target / n)
+    pool = [
+        r["id"]
+        for r in graph.nodes.select("id")
+        .sample(withReplacement=False, fraction=fraction, seed=seed)
+        .limit(pool_target)
+        .collect()
+    ]
+    if not pool:  # tiny graphs where the sample came up empty
+        pool = [r["id"] for r in graph.nodes.select("id").limit(pool_target).collect()]
     rng = random.Random(seed)
-    return [ids[rng.randrange(len(ids))] for _ in range(query_num)]
+    return [pool[rng.randrange(len(pool))] for _ in range(query_num)]
 
 
 class _OracleCache:

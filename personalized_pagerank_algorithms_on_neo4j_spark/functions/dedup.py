@@ -24,8 +24,6 @@ from pyspark.sql import functions as F
 
 from .text import portable_hash, tokens
 
-MERSENNE61 = 2305843009213693951
-
 
 def normalized(col: Column) -> Column:
     return F.regexp_replace(F.lower(col), r"\s+", " ")
@@ -125,13 +123,32 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >= threshold.
-    Pairs are generated through the shared-shingle equi join (a < b)."""
+    Pairs are generated through the shared-shingle equi join (a < b).
+
+    `max_shingle_df` caps the document frequency of join-key shingles: a
+    stop-shingle appearing in d docs would alone contribute d^2/2 join rows
+    (the classic dedup skew bomb at corpus scale), while contributing almost
+    no Jaccard signal. Shingles with DF > cap are dropped from the JOIN side
+    only — per-doc shingle-set sizes (the Jaccard denominator) stay exact, so
+    capped scores are slight underestimates for pairs whose overlap includes a
+    hot shingle, and exact otherwise. The hot-shingle list is tiny (it takes
+    > cap docs to qualify), so the anti join broadcasts."""
     ds = _doc_shingles(df, text_col, id_col, n).cache()
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ds.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = ds.select(F.col("doc_id").alias("doc_b"), "sh")
+    join_side = ds
+    if max_shingle_df is not None:
+        hot = (
+            ds.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        join_side = ds.join(F.broadcast(hot), "sh", "left_anti")
+    a = join_side.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = join_side.select(F.col("doc_id").alias("doc_b"), "sh")
     common = (
         a.join(b, "sh")
         .where(F.col("doc_a") < F.col("doc_b"))

@@ -34,8 +34,14 @@ def asof_join(
     right_ts <= left_ts (or < when strict)."""
     rcols = right_cols or [c for c in right.columns if c != on]
     # tag each left row with a unique id so duplicate left rows keep their
-    # multiplicity (a window over the left *columns* would merge them)
-    lid = left.withColumn("_lid", F.monotonically_increasing_id())
+    # multiplicity (a window over the left *columns* would merge them);
+    # materialize the ids before the plan forks — `lid` is referenced twice
+    # (building `matched` and the final join-back), and a re-evaluated
+    # monotonically_increasing_id over a shuffled lineage could assign
+    # different ids to each branch
+    lid = left.withColumn("_lid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )
     r = right.select(F.col(on).alias("_k"), *[F.col(c).alias(f"r_{c}") for c in rcols])
     cond = (F.col(on) == F.col("_k")) & (
         (F.col(f"r_{right_ts}") < F.col(left_ts))

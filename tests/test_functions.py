@@ -183,3 +183,33 @@ def test_resize_and_frame_plans(spark):
     assert rs[2]["scale"] == 1.0
     frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_ngram_jaccard_df_cap(spark, docs_df):
+    """The shingle document-frequency cap must (a) leave results unchanged
+    when no shingle exceeds it and (b) prune hot stop-shingles from the
+    self-join so a pathological corpus can't go quadratic."""
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs_df, threshold=0.3, n=3, max_shingle_df=None
+        ).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs_df, threshold=0.3, n=3, max_shingle_df=1000
+        ).collect()
+    }
+    assert capped == uncapped  # cap never binds on the fixture
+
+    # hot-shingle corpus: every doc shares one stop-shingle ("aaa bbb ccc"),
+    # plus a unique tail -> uncapped join would make all n^2/2 pairs
+    hot = spark.createDataFrame(
+        [(i, f"aaa bbb ccc unique{i} tail{i} words{i}") for i in range(60)],
+        schema="doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(hot, threshold=0.0, n=3, max_shingle_df=10)
+    # the only shared shingles have DF=60 > cap, so NO pair survives the
+    # capped join (instead of 60*59/2 = 1770 pairs)
+    assert pairs.count() == 0
