@@ -149,6 +149,61 @@ def preprocessing_suite(
     }
 
 
+def preprocess_per_source(eng: PPREngine, algo: str, param, sources: list[int], prep_dir: str) -> None:
+    """I9: per-source preprocessing sweep for a non-BASE algorithm
+    (Forward_Push.java:289-340, Monte_Carlo.java:181-232,
+    Fora_Whole_Graph.java:149-201, Neo4j_Method.java:126-193): run the algo
+    once per distinct source and persist every result into ONE
+    source-partitioned store (a single write job, not one file write per
+    source as in the reference)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    kw = _param_kw(algo, param)
+    parts = [
+        eng.ppr(s, algo=algo, **kw).select(
+            F.lit(int(s)).cast("long").alias("source"),
+            F.col("node").alias("target"),
+            "ppr",
+        )
+        for s in dict.fromkeys(sources)  # dedupe: sampling is with-replacement
+    ]
+    write_prep(reduce(DataFrame.unionAll, parts), prep_dir)
+
+
+def per_algo_preprocessing_suite(
+    eng: PPREngine, algo: str, param, queries: list[int], prep_dir: str, cache=None
+) -> dict:
+    """Suite-3 row for a non-BASE algorithm: prep all query sources, then
+    per-query partition-pruned reads scored against the oracle
+    (Gen_Util.java:190-251). The caller deletes the prep dir afterwards,
+    matching the reference's non-BASE cleanup (Gen_Util.java:249-251)."""
+    from .sources.prep_store import read_prep
+
+    t0 = time.perf_counter()
+    preprocess_per_source(eng, algo, param, queries, prep_dir)
+    prep_ms = int((time.perf_counter() - t0) * 1000)
+    durations, errs = [], []
+    for s in queries:
+        t0 = time.perf_counter()
+        est = read_prep(eng.graph.spark, prep_dir, source=s).select(
+            F.col("target").alias("node"), "ppr"
+        )
+        est = est.localCheckpoint(eager=True)
+        durations.append((time.perf_counter() - t0) * 1000)
+        errs.append(metrics.max_err(est, _oracle(eng, s, cache)))
+    return {
+        "suite": "preprocessing",
+        "algo": algo,
+        "param": float(param),
+        "prep_ms": prep_ms,
+        "prep_bytes": prep_size_bytes(prep_dir),
+        "avg_ms": int(sum(durations) / len(durations)),
+        "avg_max_err": sum(errs) / len(errs),
+    }
+
+
 def _param_kw(algo: str, param) -> dict:
     if algo == "fwdpush":
         return {"rmax": float(param)}
@@ -193,6 +248,19 @@ def algo_perf_batch_test(
         with tempfile.TemporaryDirectory() as d:
             rows.append(preprocessing_suite(eng, p, queries, d + "/prep", cache=cache))
             delete_prep(d + "/prep")
+
+    # suite 3 also preps every non-BASE algorithm per source over its own
+    # param sweep, then deletes those dirs (Gen_Util.java:190-251; BASE's
+    # store is the one kept)
+    for algo in ("fwdpush", "montecarlo", "fora", "pagerank"):
+        for p in pick(SWEEPS[algo]):
+            with tempfile.TemporaryDirectory() as d:
+                rows.append(
+                    per_algo_preprocessing_suite(
+                        eng, algo, p, queries, d + "/prep", cache=cache
+                    )
+                )
+                delete_prep(d + "/prep")
 
     if report_path:
         append_report(report_df(graph.spark, rows), report_path)

@@ -33,7 +33,7 @@ from ..config import DEFAULT_ALPHA, DEFAULT_EPSILON, TopkConf, WholeGraphConf
 from ..graph import PropertyGraph
 from . import _kernels
 from ._result import ppr_result_from_dense
-from .forward_push import _forward_push_distributed_state
+from .forward_push import _forward_push_distributed_state, _forward_push_topk_state
 from .monte_carlo import run_walks
 
 
@@ -171,15 +171,23 @@ def _fora_topk_distributed(
     delta = conf.delta
     pfail = conf.pfail
     m = graph.m
+    # two-threshold resumable frontier (I2): min_rmax is the floor rmax of the
+    # final refinement round (Fora_Topk.java:112-113); nodes that ever reach
+    # r/out >= min_rmax are carried as next-round candidates so later rounds
+    # re-qualify only the carried frontier, never the whole state
+    min_rmax = conf.min_rmax(eps)
     state = None
+    cand = None
     round_i = 0
     while True:
         rmax = eps * math.sqrt(delta / 3.0 / m / math.log(2.0 / pfail))
         rmax *= math.sqrt(m * rmax) * 3.0
         omega = (eps + 2.0) * math.log(2.0 / pfail) / eps / eps / delta
-        state = _forward_push_distributed_state(
-            graph, source, rmax, alpha, 10_000, init_state=state
-        ).localCheckpoint(eager=True)
+        state, cand = _forward_push_topk_state(
+            graph, source, rmax, min_rmax, alpha, 10_000,
+            init_state=state, init_cand=cand,
+        )
+        state = state.localCheckpoint(eager=True)
 
         rsum = state.agg(F.sum("residue")).collect()[0][0] or 0.0
         rsum_rw = rsum * (1.0 - alpha)

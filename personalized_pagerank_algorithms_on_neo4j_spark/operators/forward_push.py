@@ -70,6 +70,18 @@ def _forward_push_distributed_state(
         return spark.createDataFrame(
             [(int(source), 0.0, 1.0)], schema="node long, residue double, reserve double"
         )
+    return _push_loop(graph, source, rmax, alpha, max_supersteps, init_state)
+
+
+def _push_loop(
+    graph: PropertyGraph,
+    source: int,
+    rmax: float,
+    alpha: float,
+    max_supersteps: int,
+    init_state: DataFrame | None,
+) -> DataFrame:
+    spark = graph.spark
 
     edges = graph.edges_deg
     out_deg = graph.out_degrees
@@ -123,3 +135,119 @@ def _forward_push_distributed_state(
             .agg(F.sum("residue").alias("residue"), F.sum("reserve").alias("reserve"))
         )
     return state
+
+
+def _forward_push_topk_state(
+    graph: PropertyGraph,
+    source: int,
+    rmax: float,
+    min_rmax: float,
+    alpha: float,
+    max_supersteps: int,
+    init_state: DataFrame | None = None,
+    init_cand: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Resumable two-threshold push (I2, Forward_Push.java:144-250).
+
+    Batch analogue of the reference's (Q, Q_next) queue pair: each superstep
+    re-qualifies ONLY the active set — the candidate frontier carried from the
+    previous round (`init_cand`, nodes that reached r/out >= min_rmax), then
+    the nodes updated by the previous superstep — never the whole state. A
+    node outside the active set cannot newly qualify (its residue is
+    unchanged), so the fixed point is identical to the full re-scan while the
+    per-superstep qualification input shrinks to O(|frontier| + |updates|).
+
+    Returns (state, next_cand). `next_cand` accumulates every active node
+    observed at r/out in [min_rmax, rmax) — like the reference's Q_next it may
+    retain nodes whose residue was later pushed out (Forward_Push.java never
+    removes from Q_next); stale entries are harmless because every carried
+    candidate is re-qualified against the live state at the next round's
+    first superstep.
+    """
+    spark = graph.spark
+    src_out = (
+        graph.degrees.where(F.col("node") == int(source)).select("out_degree").take(1)
+    )
+    empty_cand = spark.createDataFrame([], "node long")
+    if not src_out or src_out[0][0] == 0:
+        # out-degree-0 source short-circuit (Forward_Push.java:149-153)
+        state = spark.createDataFrame(
+            [(int(source), 0.0, 1.0)], schema="node long, residue double, reserve double"
+        )
+        return state, empty_cand
+
+    edges = graph.edges_deg
+    out_deg = graph.out_degrees
+    state = init_state if init_state is not None else spark.createDataFrame(
+        [(int(source), 1.0, 0.0)], schema="node long, residue double, reserve double"
+    )
+    active = init_cand if init_cand is not None else spark.createDataFrame(
+        [(int(source),)], "node long"
+    )
+    next_cand = empty_cand
+    for _ in range(max_supersteps):
+        act = (
+            active.select("node")
+            .join(state, "node")
+            .join(out_deg, "node", "left")
+            .select(
+                "node",
+                "residue",
+                "reserve",
+                F.coalesce("out_degree", F.lit(0)).alias("od"),
+            )
+        )
+        qual = (F.col("residue") > 0) & (
+            (F.col("od") == 0) | (F.col("residue") >= F.lit(rmax) * F.col("od"))
+        )
+        act = act.withColumn("qual", qual).localCheckpoint(eager=True)
+        # demoted to Q_next: alive but under this round's rmax
+        # (Forward_Push.java:243-249)
+        next_cand = next_cand.unionAll(
+            act.where(
+                ~F.col("qual")
+                & (F.col("residue") > 0)
+                & (F.col("residue") >= F.lit(min_rmax) * F.col("od"))
+            ).select("node")
+        )
+        frontier = act.where("qual")
+        if frontier.isEmpty():
+            break
+        kept = frontier.select(
+            "node",
+            F.lit(0.0).alias("residue"),
+            (F.col("reserve") + F.lit(alpha) * F.col("residue")).alias("reserve"),
+        )
+        pushed = (
+            frontier.where(F.col("od") > 0)
+            .join(edges, frontier.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(1.0 - alpha) * F.col("residue") / F.col("src_out_degree")).alias(
+                    "residue"
+                ),
+                F.lit(0.0).alias("reserve"),
+            )
+        )
+        dangling = (
+            frontier.where(F.col("od") == 0)
+            .agg(F.sum(F.lit(1.0 - alpha) * F.col("residue")).alias("residue"))
+            .select(
+                F.lit(int(source)).cast("long").alias("node"),
+                F.coalesce("residue", F.lit(0.0)).alias("residue"),
+                F.lit(0.0).alias("reserve"),
+            )
+        )
+        rest = state.join(frontier.select("node"), "node", "left_anti")
+        state = (
+            rest.unionAll(kept)
+            .unionAll(pushed)
+            .unionAll(dangling)
+            .groupBy("node")
+            .agg(F.sum("residue").alias("residue"), F.sum("reserve").alias("reserve"))
+        ).localCheckpoint(eager=True)
+        # only updated nodes can newly qualify next superstep
+        active = (
+            pushed.select("node").unionAll(dangling.select("node")).distinct()
+        )
+    return state, next_cand.distinct().localCheckpoint(eager=True)

@@ -68,3 +68,34 @@ def test_base_sound_on_undirected(spark, got):
         s = lg.dense(ug.id_of(name))
         oracle = _kernels.power_method(lg, s, 0.15, 300)
         assert abs(pi_b[s] - oracle[lg.dense(t)]) < 1e-3, name
+
+
+def test_per_algo_preprocessing_suite(got, tmp_path):
+    """I9: every non-BASE algorithm preps per source and reports the
+    reference's suite-3 column layout (Gen_Util.java:190-251)."""
+    import os
+
+    eng = P.PPREngine(got)
+    queries = bench_driver.sample_query_nodes(got, 2, seed=1)
+    rows = []
+    for algo, param in (
+        ("fwdpush", 1e-6), ("montecarlo", 0.5), ("fora", 1.0), ("pagerank", 100),
+    ):
+        d = str(tmp_path / f"prep_{algo}")
+        rows.append(
+            bench_driver.per_algo_preprocessing_suite(eng, algo, param, queries, d)
+        )
+        bench_driver.delete_prep(d)  # non-BASE dirs removed (Gen_Util.java:249-251)
+        assert not os.path.exists(d)
+    for row in rows:
+        assert row["suite"] == "preprocessing"
+        assert set(row) == {
+            "suite", "algo", "param", "prep_ms", "prep_bytes", "avg_ms",
+            "avg_max_err",
+        }
+        assert row["prep_bytes"] > 0
+    # deterministic algos read back what they computed: tight error;
+    # stochastic ones stay within their epsilon-scale band
+    by_algo = {r["algo"]: r for r in rows}
+    assert by_algo["fwdpush"]["avg_max_err"] < 1e-3
+    assert by_algo["pagerank"]["avg_max_err"] < 0.1  # damping-convention gap
