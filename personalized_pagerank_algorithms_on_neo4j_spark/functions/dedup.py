@@ -62,14 +62,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), joined by single spaces.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) from a *materialized* token-array
+    column, joined by single spaces.
+
+    `toks` MUST be a plain column reference (pre-project the tokenization
+    into its own column first): a lambda body re-evaluates every captured
+    non-attribute subexpression per element, so passing the raw
+    split(regexp_replace(...)) tree here would re-tokenize the whole document
+    once per shingle position — measured 3x slower at sf0.1.
 
     Documents shorter than n tokens contribute their full token sequence as
     one shingle (so two identical 1-token docs still dedup); empty/whitespace
     documents contribute NO shingles (otherwise every empty doc would match
     every other via the '' shingle)."""
-    toks = tokens(normalized(col))
     return F.filter(
         F.array_distinct(
             F.transform(
@@ -81,10 +87,23 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def shingles(col: Column, n: int = 3) -> Column:
+    """Shingles straight from a text column — convenience form; hot paths
+    should pre-project tokens and use `shingles_from_tokens` (see its note)."""
+    return shingles_from_tokens(tokens(normalized(col)), n)
+
+
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # shingles are array_distinct-ed per document, so the exploded
+    # (doc_id, sh) rows are unique by construction — no distinct shuffle;
+    # the token array is projected first so the shingle lambda reads an
+    # attribute, not a re-evaluated tokenization tree
     return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
-    ).distinct()
+        F.col(id_col).alias("doc_id"),
+        tokens(normalized(F.col(text_col))).alias("_toks"),
+    ).select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("sh")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -163,20 +182,27 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(
+def _minhash_sig_wide(
     df: DataFrame,
-    num_hashes: int = 16,
-    n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    num_hashes: int,
+    n: int,
+    text_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """(doc_id, i, minhash): num_hashes min-hashes per doc via a wrapped
-    double-hash family — two md5 base hashes per shingle, then
+    """(doc_id, _m0 .. _m{num_hashes-1}): one row per doc, one groupBy.
+
+    Hash family: wrapped double-hash — two md5 base hashes per shingle, then
     h_i = ((1000*i + 12289)*h1 + i*h2) mod PRIME53. The multiplier forces
     modular wraparound (a non-wrapping linear combo degenerates: argmin
     converges to argmin(h2) as i grows) while the worst-case product
     (1000*15+12289)*2^48 stays under 2^63 for both engines. md5 cost is 2
-    per shingle instead of num_hashes."""
+    per shingle instead of num_hashes.
+
+    Shuffle shape: the i-th minimum is a plain MIN aggregate over a per-row
+    computed hash — so all num_hashes minima come out of ONE map-side-combined
+    groupBy over the raw shingle rows. No explode-by-i (x16 rows) and no
+    second band groupBy; at corpus scale the whole signature stage is a
+    single shuffle of (doc_id, partial minima)."""
     from .text import PRIME53
 
     assert num_hashes <= 16, "multiplier bound keeps products < 2^63 up to i=15"
@@ -186,26 +212,32 @@ def minhash_signatures(
         portable_hash(F.col("sh"), 0).alias("h1"),
         portable_hash(F.col("sh"), 1).alias("h2"),
     )
-    idx = based.select(
-        "doc_id",
-        "h1",
-        "h2",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-    )
-    return (
-        idx.select(
-            "doc_id",
-            "i",
-            (
-                (
-                    (F.lit(1000) * F.col("i") + F.lit(12289)) * F.col("h1")
-                    + F.col("i") * F.col("h2")
-                )
-                % F.lit(PRIME53)
-            ).alias("h"),
+    def h_i(i: int):
+        return (
+            (F.lit(1000 * i + 12289) * F.col("h1") + F.lit(i) * F.col("h2"))
+            % F.lit(PRIME53)
         )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("minhash"))
+
+    return based.groupBy("doc_id").agg(
+        *[F.min(h_i(i)).alias(f"_m{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, i, minhash): num_hashes min-hashes per doc (narrow layout,
+    unfolded from the single-aggregation wide form)."""
+    wide = _minhash_sig_wide(df, num_hashes, n, text_col, id_col)
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+        ).alias("i", "minhash"),
     )
 
 
@@ -220,24 +252,35 @@ def minhash_lsh_candidates(
     """(doc_a, doc_b) pairs sharing at least one LSH band bucket.
 
     rows_per_band = num_hashes/bands; band signature = md5 of the ordered
-    minhashes in the band; the bucket join key is (band, signature)."""
+    minhashes in the band; the bucket join key is (band, signature).
+
+    The banded table comes straight off the wide signature row (band bucket =
+    md5 of the band's minima, then a x`bands` explode of tiny structs) — no
+    per-(doc, band) groupBy stage; the only shuffles in the whole candidate
+    pipeline are the signature groupBy, the bucket self-join, and the final
+    pair distinct."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
-    banded = (
-        sig.withColumn("band", (F.col("i") / rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("bucket")
-        )
+    wide = _minhash_sig_wide(df, num_hashes, n, text_col, id_col)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"_m{b * rows + j}").cast("string")
+                            for j in range(rows)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
     )
+    banded = wide.select(
+        "doc_id", F.explode(band_entries).alias("e")
+    ).select("doc_id", "e.band", "e.bucket")
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (

@@ -55,6 +55,41 @@ def cosine_topk(
     return retrieve_topk(scored, k, value_col="cosine")
 
 
+def build_lsh_index(
+    df: DataFrame,
+    sketch_dims: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH index table: one (id, band, value) row per vector per band.
+
+    Build once, persist (at scale: write bucketed by (band, value) so probes
+    are co-located scans); a query probe is then an equi join of the query's
+    `bands` (band, value) keys against this table — never a full-table sketch
+    recompute."""
+    rows = sketch_dims // bands
+    sk = df.select(
+        F.col(id_col).alias("id"),
+        embedding_sign_sketch(F.col(vec_col), sketch_dims).alias("_sk"),
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.floor(F.col("_sk") / F.lit(float(2 ** (b * rows)))).cast("long")
+                    % F.lit(2**rows)
+                ).alias("value"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sk.select("id", F.explode(entries).alias("e")).select(
+        "id", "e.band", "e.value"
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_id: int,
@@ -63,32 +98,28 @@ def lsh_topk(
     bands: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k: probe vectors sharing at least one sign-sketch band
-    with the query, exact-rescore only those."""
-    rows = sketch_dims // bands
-    band_cols = [
-        (
-            F.floor(
-                embedding_sign_sketch(F.col(vec_col), sketch_dims)
-                / F.lit(float(2 ** (b * rows)))
-            ).cast("long")
-            % F.lit(2**rows)
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    sk = df.select(F.col(id_col), F.col(vec_col), *band_cols)
-    q = sk.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_q"),
-        *[F.col(f"band{b}").alias(f"qband{b}") for b in range(bands)],
+    """Approximate top-k: probe the LSH index with the query's band values
+    (equi join on (band, value)), exact-rescore only the colliding ids.
+
+    Pass a persisted `index` from `build_lsh_index` to amortize index
+    construction across queries; otherwise one is derived inline."""
+    if index is None:
+        index = build_lsh_index(df, sketch_dims, bands, vec_col, id_col)
+    probe_keys = index.where(F.col("id") == query_id).select("band", "value")
+    cand_ids = (
+        index.join(F.broadcast(probe_keys), ["band", "value"])
+        .select("id")
+        .distinct()
     )
-    j = sk.crossJoin(F.broadcast(q))
-    collide = None
-    for b in range(bands):
-        c = F.col(f"band{b}") == F.col(f"qband{b}")
-        collide = c if collide is None else (collide | c)
-    scored = j.where(collide).select(
-        id_col, F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cosine")
+    q = _query_df(df, query_id, vec_col, id_col)
+    scored = (
+        df.join(cand_ids, df[id_col] == cand_ids.id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col, F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cosine")
+        )
     )
     return retrieve_topk(scored, k, value_col="cosine")
 

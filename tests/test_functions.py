@@ -213,3 +213,28 @@ def test_ngram_jaccard_df_cap(spark, docs_df):
     # the only shared shingles have DF=60 > cap, so NO pair survives the
     # capped join (instead of 60*59/2 = 1770 pairs)
     assert pairs.count() == 0
+
+
+def test_lsh_index_probe_matches_collision_set(spark):
+    """The indexed probe must return exactly the ids sharing >= 1 band value
+    with the query (no full-scan OR-filter), and a precomputed index must be
+    reusable across queries."""
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)],
+        schema="vec_id long, embedding array<double>",
+    )
+    idx = simsearch.build_lsh_index(emb, sketch_dims=16, bands=4).cache()
+    assert idx.count() == 40 * 4  # one row per (vector, band)
+
+    # brute-force collision set for query 0 from the index itself
+    qkeys = {(r["band"], r["value"]) for r in idx.where("id = 0").collect()}
+    expect = {
+        r["id"] for r in idx.collect() if (r["band"], r["value"]) in qkeys
+    }
+    got = simsearch.lsh_topk(emb, 0, k=1000, index=idx)
+    assert {r["vec_id"] for r in got.collect()} == expect
+
+    # same index serves another query (amortized build)
+    got7 = simsearch.lsh_topk(emb, 7, k=1000, index=idx)
+    assert 7 in {r["vec_id"] for r in got7.collect()}
