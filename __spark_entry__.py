@@ -1454,3 +1454,63 @@ UNION ALL
 SELECT k, 'rich_only' AS bucket FROM (SELECT k FROM rich EXCEPT ALL SELECT k FROM busy) t
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 6: report-sink layout gate (S6)
+# ---------------------------------------------------------------------------
+
+
+def q_report_layout(spark, sf_dir):
+    """S6: write a report section through the real sink and emit the
+    read-back column layout — pins the reference's report column order
+    (Gen_Util.java:139-247) in CORRECTNESS, not just pytest."""
+    import tempfile
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.report import (
+        append_report,
+        read_report,
+        report_df,
+    )
+
+    rows = [
+        {"suite": "whole_graph", "algo": "fwdpush", "param": 1e-5, "avg_ms": 12,
+         "avg_max_err": 1e-4},
+        {"suite": "topk", "algo": "fora_topk", "param": 0.5, "k": 10, "avg_ms": 30,
+         "avg_precision": 1.0, "avg_ndcg": 0.99},
+        {"suite": "preprocessing", "algo": "base", "param": 1e-3, "prep_ms": 100,
+         "prep_bytes": 4096, "avg_ms": 3, "avg_max_err": 0.0},
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/report"
+        append_report(report_df(spark, rows), path)
+        cols = read_report(spark, path).columns
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cols)], "pos int, col_name string"
+    )
+
+
+_BASE_QUERIES6 = queries
+_BASE_ORACLE6 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES6()
+    q["report_layout"] = q_report_layout
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.report import (
+        REPORT_COLUMNS,
+    )
+
+    sql = _BASE_ORACLE6()
+    values = ", ".join(
+        f"({i}, '{c}')" for i, c in enumerate(REPORT_COLUMNS)
+    )
+    sql["report_layout"] = (
+        f"SELECT CAST(pos AS INT) AS pos, col_name FROM (VALUES {values}) "
+        "t(pos, col_name)"
+    )
+    return sql

@@ -59,6 +59,12 @@ def main() -> None:
     src = E._source(g)
 
     timed("q_power", lambda: eng.ppr(src, algo="power").count())
+    # the 100x-scale path: DataFrame superstep loop, tracked round over round
+    # (10 iterations keeps the bench bounded; per-superstep cost is the metric)
+    timed(
+        "q_power_dist10",
+        lambda: eng.ppr(src, algo="power", iterations=10, mode="distributed").count(),
+    )
     timed("q_fwdpush", lambda: eng.ppr(src, algo="fwdpush", rmax=1e-6).count())
     timed("q_fora", lambda: eng.ppr(src, algo="fora", epsilon=0.5).count())
     timed("q_montecarlo", lambda: eng.ppr(src, algo="montecarlo", epsilon=0.5).count())
