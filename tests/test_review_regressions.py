@@ -63,3 +63,38 @@ def test_empty_docs_do_not_dedup_together(spark):
     )
     pairs = dedup.ngram_jaccard_pairs(df, threshold=0.1, n=3)
     assert pairs.count() == 0  # empty docs share no shingles anymore
+
+
+def test_asof_strategies_agree(spark):
+    """ranked vs pandas as-of strategies must return identical matches,
+    including right_ts ties (max-tiebreak wins) and strict mode."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 1, 105), (3, 1, 110), (4, 2, 100), (5, 3, 50)],
+        "lid long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 7), (1, 100, 9), (1, 105, 3), (2, 90, 1), (3, 60, 2)],
+        "k long, ts long, v long",
+    )
+    for strict in (False, True):
+        ranked = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_tiebreak="v", strict=strict, how="left", strategy="ranked",
+        )
+        pandas_ = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_tiebreak="v", strict=strict, how="left", strategy="pandas",
+        )
+        def key(rows):
+            return sorted(
+                (r["lid"], r["r_ts"], r["r_v"]) for r in rows
+            )
+        assert key(ranked.collect()) == key(pandas_.collect()), f"strict={strict}"
+
+    auto = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_tiebreak="v", how="left", strategy="auto",
+    )
+    assert auto.count() == 5
