@@ -1514,3 +1514,69 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         "t(pos, col_name)"
     )
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 7: dedup cluster assignment (connected components over LSH pairs)
+# ---------------------------------------------------------------------------
+
+CLUSTER_STEPS = 6  # unrolled label-propagation depth; guard-tested >= actual
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH candidate pairs by
+    min-label propagation — the survivorship step of a dedup pipeline
+    (cluster_id = smallest doc_id in the component)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4, n=3)
+    return _dedup.dedup_clusters(pairs, max_iters=CLUSTER_STEPS)
+
+
+def _cluster_chain(prefix: str, steps: int) -> str:
+    ctes = [
+        f"""und AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM cand),
+{prefix}0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und)"""
+    ]
+    for i in range(steps):
+        ctes.append(
+            f"""{prefix}{i + 1} AS MATERIALIZED (
+  SELECT node, MIN(label) AS label FROM (
+    SELECT node, label FROM {prefix}{i}
+    UNION ALL
+    SELECT u.b AS node, t.label FROM {prefix}{i} t JOIN und u ON t.node = u.a
+  ) x GROUP BY node)"""
+        )
+    return ",\n".join(ctes)
+
+
+_BASE_QUERIES7 = queries
+_BASE_ORACLE7 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES7()
+    q["dedup_clusters"] = q_dedup_clusters
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE7()
+    sql["dedup_clusters"] = f"""
+WITH sig AS MATERIALIZED ({_SQL_MINHASH_SIG}),
+banded AS MATERIALIZED (
+  SELECT doc_id, i // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, i // 2
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+{_cluster_chain("cl", CLUSTER_STEPS)}
+SELECT node AS doc_id, label AS cluster_id FROM cl{CLUSTER_STEPS}
+"""
+    return sql

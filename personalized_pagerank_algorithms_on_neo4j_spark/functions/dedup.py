@@ -417,3 +417,61 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster assignment (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup pairs by
+    min-label propagation; cluster_id = smallest doc_id in the component
+    (the canonical survivor, consistent with exact_dedup's min-id rule).
+
+    Per iteration every node takes min(own label, neighbor labels) — one
+    equi join + groupBy per step, state truncated via localCheckpoint; stops
+    at the fixed point (no label changed). Near-dup components are shallow
+    (duplicate groups, not social graphs), so plain 1-hop propagation
+    converges in a few rounds; a pointer-jumping/star-contraction variant is
+    only warranted for adversarial chain-shaped inputs."""
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    und = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor = (
+            labels.join(und, labels.node == und.a)
+            .select(F.col("b").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionAll(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

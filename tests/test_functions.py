@@ -238,3 +238,28 @@ def test_lsh_index_probe_matches_collision_set(spark):
     # same index serves another query (amortized build)
     got7 = simsearch.lsh_topk(emb, 7, k=1000, index=idx)
     assert 7 in {r["vec_id"] for r in got7.collect()}
+
+
+def test_dedup_clusters_components(spark):
+    """Min-label components: a chain {1-2, 2-3}, a pair {10-11}, ids not in
+    any pair absent (they're singletons by construction)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_oracle_depth(spark):
+    """The unrolled oracle depth must cover convergence at the compare scale
+    (mirror of the push-chain depth guard)."""
+    import __spark_entry__ as E
+    from .conftest import SF_ORACLE
+
+    d = E._t(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4, n=3).cache()
+    shallow = dedup.dedup_clusters(pairs, max_iters=E.CLUSTER_STEPS)
+    deep = dedup.dedup_clusters(pairs, max_iters=64)
+    s = {(r["doc_id"], r["cluster_id"]) for r in shallow.collect()}
+    f = {(r["doc_id"], r["cluster_id"]) for r in deep.collect()}
+    assert s == f

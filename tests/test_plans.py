@@ -77,3 +77,31 @@ def test_partial_aggregation_mapside(spark):
     plan = _plan(E.q_revenue_by_customer(spark, SF_ORACLE))
     assert "partial_sum" in plan
     assert plan.index("partial_sum") > plan.index("Exchange")  # partial below
+
+
+def test_minhash_single_aggregation_plan(spark):
+    """The signature stage must be ONE map-side-combined groupBy over raw
+    shingle rows — no explode-by-i blowup, no second band groupBy, no
+    row-level distinct before the aggregation."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import dedup
+
+    d = E._t(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    plan = _plan(dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4, n=3))
+    # partial aggregation below the exchange (map-side combine)
+    assert "partial_min" in plan
+    # exactly the expected wide ops: sig groupBy + self-join + pair distinct;
+    # a 4th aggregate would mean the banded groupBy crept back in
+    n_aggs = plan.count("HashAggregate")
+    assert n_aggs <= 6, f"unexpected aggregate stages:\n{plan[:2000]}"
+
+
+def test_lsh_probe_is_equi_join(spark):
+    """The ANN probe must be an equi join of the query's band keys against
+    the index — not a crossJoin of the full table against the query."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import simsearch
+
+    e = E._t(spark, SF_ORACLE, "embeddings")
+    plan = _plan(simsearch.lsh_topk(e, query_id=0, k=10))
+    # the only cartesian allowed is the broadcast of the 1-row query vector
+    # into the final rescore; the candidate generation must be a hash join
+    assert "BroadcastHashJoin" in plan
