@@ -162,9 +162,16 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """IVF-flat: score only vectors in the nprobe cells nearest the query."""
-    centroids, assigned = ivf_assign(df, n_cells, vec_col, id_col)
+    """IVF-flat: score only vectors in the nprobe cells nearest the query.
+
+    Pass `index` = the (centroids, assigned) pair from `ivf_assign`
+    (persisted, at scale written bucketed by cell) to amortize the assignment
+    pass across queries; otherwise it is derived inline."""
+    centroids, assigned = (
+        index if index is not None else ivf_assign(df, n_cells, vec_col, id_col)
+    )
     q = _query_df(df, query_id, vec_col, id_col)
     probe_cells = (
         centroids.crossJoin(F.broadcast(q))

@@ -131,3 +131,33 @@ def test_incremental_prep_refresh(spark, got, tmp_path, events_dir):
     for r in got_rows:
         est[lg.dense(r["node"])] = r["ppr"]
     assert np.max(np.abs(est - pi_k)) < 1e-12
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Exact-dedup stream: duplicates are dropped within a batch (min-id
+    survivor) AND across microbatches via the persistent digest store."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import dedup_stream as D
+
+    src = str(tmp_path / "docs_stream")
+    store = str(tmp_path / "digests")
+    out = str(tmp_path / "clean")
+
+    batch1 = [(1, "alpha beta gamma", "en", 16), (2, "alpha beta gamma", "en", 16),
+              (3, "unique one", "en", 10)]
+    batch2 = [(4, "ALPHA  beta gamma", "en", 17),  # dup of 1 after normalize
+              (5, "unique two", "en", 10)]
+    spark.createDataFrame(batch1, D.DOCS_SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    spark.createDataFrame(batch2, D.DOCS_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = D.read_document_stream(spark, src, max_files_per_trigger=1)
+    q = D.start_streaming_dedup(spark, stream, store, out)
+    q.processAllAvailable()
+    q.stop()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # 2 deduped in-batch against 1; 4 deduped across batches via the store
+    assert kept == [1, 3, 5]
+    digests = spark.read.parquet(store).count()
+    assert digests == 3
