@@ -225,19 +225,24 @@ def test_lsh_index_probe_matches_collision_set(spark):
         schema="vec_id long, embedding array<double>",
     )
     idx = simsearch.build_lsh_index(emb, sketch_dims=16, bands=4).cache()
-    assert idx.count() == 40 * 4  # one row per (vector, band)
+    try:
+        assert idx.count() == 40 * 4  # one row per (vector, band)
 
-    # brute-force collision set for query 0 from the index itself
-    qkeys = {(r["band"], r["value"]) for r in idx.where("id = 0").collect()}
-    expect = {
-        r["id"] for r in idx.collect() if (r["band"], r["value"]) in qkeys
-    }
-    got = simsearch.lsh_topk(emb, 0, k=1000, index=idx)
-    assert {r["vec_id"] for r in got.collect()} == expect
+        # brute-force collision set for query 0 from the index itself
+        qkeys = {(r["band"], r["value"]) for r in idx.where("id = 0").collect()}
+        expect = {
+            r["id"] for r in idx.collect() if (r["band"], r["value"]) in qkeys
+        }
+        got = simsearch.lsh_topk(emb, 0, k=1000, index=idx)
+        assert {r["vec_id"] for r in got.collect()} == expect
 
-    # same index serves another query (amortized build)
-    got7 = simsearch.lsh_topk(emb, 7, k=1000, index=idx)
-    assert 7 in {r["vec_id"] for r in got7.collect()}
+        # same index serves another query (amortized build)
+        got7 = simsearch.lsh_topk(emb, 7, k=1000, index=idx)
+        assert 7 in {r["vec_id"] for r in got7.collect()}
+    finally:
+        # leaving this cached would substitute an InMemoryRelation into any
+        # later test that builds the same plan (see test_plans)
+        idx.unpersist()
 
 
 def test_dedup_clusters_components(spark):
@@ -258,8 +263,13 @@ def test_dedup_clusters_oracle_depth(spark):
 
     d = E._t(spark, SF_ORACLE, "documents").select("doc_id", "text")
     pairs = dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4, n=3).cache()
-    shallow = dedup.dedup_clusters(pairs, max_iters=E.CLUSTER_STEPS)
-    deep = dedup.dedup_clusters(pairs, max_iters=64)
-    s = {(r["doc_id"], r["cluster_id"]) for r in shallow.collect()}
-    f = {(r["doc_id"], r["cluster_id"]) for r in deep.collect()}
-    assert s == f
+    try:
+        shallow = dedup.dedup_clusters(pairs, max_iters=E.CLUSTER_STEPS)
+        deep = dedup.dedup_clusters(pairs, max_iters=64)
+        s = {(r["doc_id"], r["cluster_id"]) for r in shallow.collect()}
+        f = {(r["doc_id"], r["cluster_id"]) for r in deep.collect()}
+        assert s == f
+    finally:
+        # this plan is identical to the one test_plans inspects — a leaked
+        # cache entry would swap an InMemoryRelation into that test's plan
+        pairs.unpersist()

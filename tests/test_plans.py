@@ -87,6 +87,12 @@ def test_minhash_single_aggregation_plan(spark):
 
     d = E._t(spark, SF_ORACLE, "documents").select("doc_id", "text")
     plan = _plan(dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4, n=3))
+    # a leaked .cache() of this same plan (from another test) would swap in an
+    # InMemoryRelation whose printed cachedPlan inflates the counts below
+    assert "InMemoryTableScan" not in plan, (
+        "cached substitution detected — some test leaked a cache entry for "
+        "this plan; unpersist it there"
+    )
     # partial aggregation below the exchange (map-side combine)
     assert "partial_min" in plan
     # exactly the expected wide ops: sig groupBy + self-join + pair distinct;
