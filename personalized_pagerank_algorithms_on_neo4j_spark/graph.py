@@ -134,6 +134,40 @@ class PropertyGraph:
         return e
 
     @cached_property
+    def dangling_nodes(self) -> DataFrame:
+        """(node) — nodes with no out-edges (sinks)."""
+        return (
+            self.nodes.select(F.col("id").alias("node"))
+            .join(self.out_degrees, "node", "left_anti")
+            .cache()
+        )
+
+    @cached_property
+    def edges_push(self) -> DataFrame:
+        """``edges_deg`` plus one virtual edge (v, -1, degree 1) per dangling
+        node, partitioned by src and persisted.
+
+        The PPR dangling rule (out-degree-0 nodes return (1-alpha)*r to the
+        *source*, Power_Method.java:79-87) becomes structural: a dangling
+        node's push traverses its virtual edge, and the superstep remaps
+        dst=-1 to the query's source. The superstep loop then needs neither a
+        per-node out-degree join nor a per-superstep global aggregation over
+        the (usually empty) dangling branch — two fewer exchanges per
+        superstep, which at 1000-executor scale is two fewer shuffle barriers
+        per iteration. Size cost: at most one extra row per sink node
+        (<= n on top of m), cached once per graph and shared by every query.
+        """
+        shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        virt = self.dangling_nodes.select(
+            F.col("node").alias("src"),
+            F.lit(-1).cast("long").alias("dst"),
+            F.lit(1).cast("long").alias("src_out_degree"),
+        )
+        return (
+            self.edges_deg.unionByName(virt).repartition(shuffle_n, "src").cache()
+        )
+
+    @cached_property
     def edges_by_dst(self) -> DataFrame:
         """Same enriched edges partitioned by dst — the backward-push join key."""
         shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))

@@ -45,53 +45,49 @@ def _power_method_distributed(
     graph: PropertyGraph, source: int, alpha: float, iterations: int
 ) -> DataFrame:
     spark = graph.spark
-    edges = graph.edges_deg  # (src, dst, src_out_degree), partitioned by src
-    out_deg = graph.out_degrees  # (node, out_degree) — only nodes with out-edges
+    # edges + one virtual (v, -1, 1) edge per dangling node: the dangling->
+    # source return is a plain push whose dst is remapped below, so the loop
+    # needs no out-degree join and no global aggregation per superstep
+    # (graph.edges_push) — per superstep only TWO exchanges remain: the state
+    # shuffle into the edge join and the groupBy merge.
+    edges = graph.edges_push
+    src_lit = F.lit(int(source)).cast("long")
 
     state = spark.createDataFrame(
         [(int(source), 1.0, 0.0)], schema="node long, residue double, reserve double"
     )
     for _ in range(iterations):
-        # `s` fans out into THREE branches (kept/pushed/dangling); it must be
+        # `s` fans out into TWO branches (kept/pushed); it must be
         # materialized every superstep or each superstep recomputes its
-        # predecessor 3x — compounding to 3^k between checkpoints (measured
-        # 19 s/superstep at sf0.1 with a 4-step cadence vs 1.2 s with this)
-        s = state.join(out_deg, "node", "left").select(
-            "node", "residue", "reserve", F.coalesce("out_degree", F.lit(0)).alias("od")
-        ).localCheckpoint(eager=True)
+        # predecessor 2x — compounding to 2^k between checkpoints (measured
+        # 19 s/superstep at sf0.1 with a 4-step cadence on the pre-rewrite
+        # 3-branch loop vs ~1 s with per-step materialization)
+        s = state.localCheckpoint(eager=True)
         kept = s.select(
             "node",
             F.lit(0.0).alias("residue"),
             (F.col("reserve") + F.lit(alpha) * F.col("residue")).alias("reserve"),
         )
         pushed = (
-            s.where(F.col("od") > 0)
+            # pushing zero residue contributes exactly 0.0 to every sum —
+            # pruning it shrinks the join input, never the result
+            s.where(F.col("residue") != 0.0)
             .join(edges, s.node == edges.src)
             .select(
-                F.col("dst").alias("node"),
+                F.when(F.col("dst") < 0, src_lit).otherwise(F.col("dst")).alias("node"),
                 (F.lit(1.0 - alpha) * F.col("residue") / F.col("src_out_degree")).alias(
                     "residue"
                 ),
                 F.lit(0.0).alias("reserve"),
             )
         )
-        dangling = (
-            s.where(F.col("od") == 0)
-            .agg(F.sum(F.lit(1.0 - alpha) * F.col("residue")).alias("residue"))
-            .select(
-                F.lit(int(source)).cast("long").alias("node"),
-                F.coalesce("residue", F.lit(0.0)).alias("residue"),
-                F.lit(0.0).alias("reserve"),
-            )
-        )
         state = (
             kept.unionAll(pushed)
-            .unionAll(dangling)
             .groupBy("node")
             .agg(F.sum("residue").alias("residue"), F.sum("reserve").alias("reserve"))
         )
-        # state itself is read once (by the next superstep's join) — its
-        # groupBy folds into that superstep's job, no extra materialization
+        # state itself is read once (by the next superstep's checkpoint) — its
+        # groupBy folds into that job, no extra materialization
     return state.where(F.col("reserve") > 0).select(
         "node", F.col("reserve").alias("ppr")
     )
