@@ -330,6 +330,10 @@ STOCH_EPS = 0.5
 def _bound_verdict(spark, sf_dir, algo: str, est: DataFrame) -> DataFrame:
     from personalized_pagerank_algorithms_on_neo4j_spark.config import WholeGraphConf
 
+    # materialize the estimate once: the verdict drives two actions (rel_err
+    # aggregate + nonempty probe) and a distributed estimator would otherwise
+    # re-run its whole walk/push job per action
+    est = est.localCheckpoint(eager=True)
     g = _graph(spark, sf_dir)
     conf = WholeGraphConf(alpha=ALPHA, n=g.n, m=g.m)
     gnd = _power_df(spark, sf_dir, POWER_ITERS)
@@ -372,7 +376,11 @@ def q_ppr_fora_topk(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     eng = PPREngine(g, alpha=ALPHA)
-    est_k = eng.topk(_source(g), 10, algo="fora_topk", epsilon=STOCH_EPS, seed=42)
+    # one materialization for the three downstream actions (precision join,
+    # NDCG collect, nonempty probe)
+    est_k = eng.topk(
+        _source(g), 10, algo="fora_topk", epsilon=STOCH_EPS, seed=42
+    ).localCheckpoint(eager=True)
     gnd_k = topk_ops.retrieve_topk(_power_df(spark, sf_dir, POWER_ITERS), 10)
     prec = metrics.precision_at_k(est_k, gnd_k)
     nd = metrics.ndcg_at_k(est_k, gnd_k)
@@ -1529,7 +1537,10 @@ def q_dedup_clusters(spark, sf_dir):
     (cluster_id = smallest doc_id in the component)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = _dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4, n=3)
-    return _dedup.dedup_clusters(pairs, max_iters=CLUSTER_STEPS)
+    # strict=False: the DuckDB oracle is the same recurrence unrolled to
+    # exactly CLUSTER_STEPS CTEs, so a bounded-depth result is the intended
+    # comparison (the guard test asserts CLUSTER_STEPS covers convergence)
+    return _dedup.dedup_clusters(pairs, max_iters=CLUSTER_STEPS, strict=False)
 
 
 def _cluster_chain(prefix: str, steps: int) -> str:

@@ -38,21 +38,21 @@ SWEEPS = {
 def sample_query_nodes(graph: PropertyGraph, query_num: int, seed: int = 42) -> list[int]:
     """R1: uniform-with-replacement source sampling (Gen_Util.java:99-107).
 
-    Driver-safe at scale: a seeded distributed `sample` bounds the collected
-    pool to O(query_num) ids (never all 10^9 node ids), then a seeded rng
-    draws the final multiset with replacement from the pool."""
+    Driver-safe at scale AND deterministic: the pool is the `pool_target`
+    smallest nodes under a seeded hash order — a TakeOrdered (per-partition
+    O(n log k) heap, no full shuffle, never collects all 10^9 ids) whose
+    result is a pure function of (id set, seed), independent of partition
+    count or file layout. The hash order is a keyed pseudo-random permutation,
+    so the pool is uniform over nodes; a seeded rng then draws the final
+    multiset with replacement from the pool."""
     pool_target = max(4 * query_num, 64)
-    n = max(graph.n, 1)
-    fraction = min(1.0, 3.0 * pool_target / n)
     pool = [
         r["id"]
         for r in graph.nodes.select("id")
-        .sample(withReplacement=False, fraction=fraction, seed=seed)
+        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
         .limit(pool_target)
         .collect()
     ]
-    if not pool:  # tiny graphs where the sample came up empty
-        pool = [r["id"] for r in graph.nodes.select("id").limit(pool_target).collect()]
     rng = random.Random(seed)
     return [pool[rng.randrange(len(pool))] for _ in range(query_num)]
 

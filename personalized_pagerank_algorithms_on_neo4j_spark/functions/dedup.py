@@ -155,7 +155,13 @@ def ngram_jaccard_pairs(
     capped scores are slight underestimates for pairs whose overlap includes a
     hot shingle, and exact otherwise. The hot-shingle list is tiny (it takes
     > cap docs to qualify), so the anti join broadcasts."""
-    ds = _doc_shingles(df, text_col, id_col, n).cache()
+    # The common-count arithmetic assumes one row per doc_id: a duplicated doc
+    # row would double its shingle rows, double n_sh, and quadruple the
+    # self-join's common count, inflating jaccard past the true value. Dedup
+    # by id first (one narrow shuffle of the docs table; MIN-aggregate
+    # consumers like the minhash signature are duplicate-insensitive and
+    # skip this).
+    ds = _doc_shingles(df.dropDuplicates([id_col]), text_col, id_col, n).cache()
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     join_side = ds
     if max_shingle_df is not None:
@@ -259,6 +265,11 @@ def minhash_lsh_candidates(
     per-(doc, band) groupBy stage; the only shuffles in the whole candidate
     pipeline are the signature groupBy, the bucket self-join, and the final
     pair distinct."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); a partial "
+            "trailing band would silently change candidate recall"
+        )
     rows = num_hashes // bands
     wide = _minhash_sig_wide(df, num_hashes, n, text_col, id_col)
     band_entries = F.array(
@@ -429,6 +440,7 @@ def dedup_clusters(
     max_iters: int = 20,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    strict: bool = True,
 ) -> DataFrame:
     """(doc_id, cluster_id): connected components over near-dup pairs by
     min-label propagation; cluster_id = smallest doc_id in the component
@@ -439,7 +451,13 @@ def dedup_clusters(
     at the fixed point (no label changed). Near-dup components are shallow
     (duplicate groups, not social graphs), so plain 1-hop propagation
     converges in a few rounds; a pointer-jumping/star-contraction variant is
-    only warranted for adversarial chain-shaped inputs."""
+    only warranted for adversarial chain-shaped inputs.
+
+    With ``strict`` (default), raises if the fixed point was not confirmed
+    within ``max_iters`` — truncated labels split one true component into
+    several clusters, which a survivorship step would silently trust. Pass
+    ``strict=False`` only when a bounded-depth result is intended (e.g.
+    comparing against an equally-truncated oracle)."""
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     und = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -450,6 +468,7 @@ def dedup_clusters(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         neighbor = (
             labels.join(und, labels.node == und.a)
@@ -471,7 +490,15 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if strict and not converged:
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not reach a confirmed "
+            f"fixed point within {max_iters} iterations (chain-shaped "
+            f"component deeper than max_iters?); raise max_iters or pass "
+            f"strict=False to accept bounded-depth labels"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -135,12 +135,19 @@ class PropertyGraph:
 
     @cached_property
     def dangling_nodes(self) -> DataFrame:
-        """(node) — nodes with no out-edges (sinks)."""
-        return (
+        """(node) — nodes with no out-edges (sinks).
+
+        Built from nodes UNION edge destinations, not the nodes table alone:
+        a dst id missing from `nodes` can still accumulate residue in a push
+        superstep, and without a virtual edge in `edges_push` its mass would
+        silently leak (zeroed by the kept branch, never pushed). The
+        union-distinct is one m-row shuffle, once per graph, cached."""
+        ids = (
             self.nodes.select(F.col("id").alias("node"))
-            .join(self.out_degrees, "node", "left_anti")
-            .cache()
+            .unionByName(self.edges.select(F.col("dst").alias("node")))
+            .distinct()
         )
+        return ids.join(self.out_degrees, "node", "left_anti").cache()
 
     @cached_property
     def edges_push(self) -> DataFrame:

@@ -106,6 +106,14 @@ def asof_join_pandas(
     ranked strategy's desc-tiebreak."""
     import pandas as pd
 
+    if right_tiebreak is not None and right_tiebreak not in right.columns:
+        # fail fast like the ranked strategy (F.desc on a missing column
+        # raises); silently dropping the tiebreak would make tie resolution
+        # depend on arbitrary pandas sort order, run to run
+        raise ValueError(
+            f"right_tiebreak column {right_tiebreak!r} not in right columns "
+            f"{right.columns}"
+        )
     rcols = right_cols or [c for c in right.columns if c != on]
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
@@ -119,7 +127,7 @@ def asof_join_pandas(
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         l_sorted = l_pdf.sort_values(lts)
-        sort_keys = [rts] + ([tie] if tie and tie in r_pdf.columns else [])
+        sort_keys = [rts] + ([tie] if tie else [])
         r_sorted = r_pdf.sort_values(sort_keys)[
             [rts] + [c for c in rcols if c != rts]
         ]

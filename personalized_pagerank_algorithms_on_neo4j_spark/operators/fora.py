@@ -174,8 +174,18 @@ def _fora_topk_distributed(
     # two-threshold resumable frontier (I2): min_rmax is the floor rmax of the
     # final refinement round (Fora_Topk.java:112-113); nodes that ever reach
     # r/out >= min_rmax are carried as next-round candidates so later rounds
-    # re-qualify only the carried frontier, never the whole state
+    # re-qualify only the carried frontier, never the whole state.
+    # Deliberate deviation from Fora_Topk.java:113: the reference captures
+    # candidates at the UNadjusted floor while adjusting each round's rmax by
+    # sqrt(m*rmax)*3 (Fora_Topk.java:133), so nodes with r/out in
+    # [adjusted_final_rmax, min_rmax) are silently never re-pushed there.
+    # We apply the same adjustment to the capture floor: rmax decreases
+    # monotonically across rounds, so the adjusted floor equals the final
+    # round's actual qualification threshold and the frontier provably covers
+    # every node any later round would qualify — exact equivalence with full
+    # re-qualification (and with the local kernel's forward_push_batch).
     min_rmax = conf.min_rmax(eps)
+    min_rmax *= math.sqrt(m * min_rmax) * 3.0
     state = None
     cand = None
     round_i = 0

@@ -73,6 +73,61 @@ def _forward_push_distributed_state(
     return _push_loop(graph, source, rmax, alpha, max_supersteps, init_state)
 
 
+def _qual_expr(rmax: float):
+    """Push qualification: r > 0 and (dangling or r/out >= rmax) — the
+    reference's enqueue test with its +inf-for-out-degree-0 quirk."""
+    return (F.col("residue") > 0) & (
+        (F.col("od") == 0) | (F.col("residue") >= F.lit(rmax) * F.col("od"))
+    )
+
+
+def _superstep_branches(
+    frontier: DataFrame, edges: DataFrame, source: int, alpha: float
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three outputs of one batch push over a qualified frontier
+    (node, residue, reserve, od): `kept` banks alpha*r into reserve and zeroes
+    residue; `pushed` fans (1-alpha)*r/out to out-neighbors; `dangling` routes
+    the out-degree-0 nodes' (1-alpha)*r back to the source as one row.
+    Shared verbatim by the whole-graph and resumable-top-k loops so push
+    semantics can only be changed in one place."""
+    kept = frontier.select(
+        "node",
+        F.lit(0.0).alias("residue"),
+        (F.col("reserve") + F.lit(alpha) * F.col("residue")).alias("reserve"),
+    )
+    pushed = (
+        frontier.where(F.col("od") > 0)
+        .join(edges, frontier.node == edges.src)
+        .select(
+            F.col("dst").alias("node"),
+            (F.lit(1.0 - alpha) * F.col("residue") / F.col("src_out_degree")).alias(
+                "residue"
+            ),
+            F.lit(0.0).alias("reserve"),
+        )
+    )
+    dangling = (
+        frontier.where(F.col("od") == 0)
+        .agg(F.sum(F.lit(1.0 - alpha) * F.col("residue")).alias("residue"))
+        .select(
+            F.lit(int(source)).cast("long").alias("node"),
+            F.coalesce("residue", F.lit(0.0)).alias("residue"),
+            F.lit(0.0).alias("reserve"),
+        )
+    )
+    return kept, pushed, dangling
+
+
+def _merge_state(rest: DataFrame, *branches: DataFrame) -> DataFrame:
+    """Sum-merge untouched rows with the superstep branch outputs."""
+    merged = rest
+    for b in branches:
+        merged = merged.unionAll(b)
+    return merged.groupBy("node").agg(
+        F.sum("residue").alias("residue"), F.sum("reserve").alias("reserve")
+    )
+
+
 def _push_loop(
     graph: PropertyGraph,
     source: int,
@@ -93,47 +148,14 @@ def _push_loop(
         s = state.join(out_deg, "node", "left").select(
             "node", "residue", "reserve", F.coalesce("out_degree", F.lit(0)).alias("od")
         )
-        qual = (F.col("residue") > 0) & (
-            (F.col("od") == 0) | (F.col("residue") >= F.lit(rmax) * F.col("od"))
-        )
-        s = s.withColumn("qual", qual)
+        s = s.withColumn("qual", _qual_expr(rmax))
         s = s.localCheckpoint(eager=True)  # frontier reused by 4 branches below
         frontier = s.where("qual")
         if frontier.isEmpty():
             return s.select("node", "residue", "reserve")
         rest = s.where(~F.col("qual")).select("node", "residue", "reserve")
-        kept = frontier.select(
-            "node",
-            F.lit(0.0).alias("residue"),
-            (F.col("reserve") + F.lit(alpha) * F.col("residue")).alias("reserve"),
-        )
-        pushed = (
-            frontier.where(F.col("od") > 0)
-            .join(edges, frontier.node == edges.src)
-            .select(
-                F.col("dst").alias("node"),
-                (F.lit(1.0 - alpha) * F.col("residue") / F.col("src_out_degree")).alias(
-                    "residue"
-                ),
-                F.lit(0.0).alias("reserve"),
-            )
-        )
-        dangling = (
-            frontier.where(F.col("od") == 0)
-            .agg(F.sum(F.lit(1.0 - alpha) * F.col("residue")).alias("residue"))
-            .select(
-                F.lit(int(source)).cast("long").alias("node"),
-                F.coalesce("residue", F.lit(0.0)).alias("residue"),
-                F.lit(0.0).alias("reserve"),
-            )
-        )
-        state = (
-            rest.unionAll(kept)
-            .unionAll(pushed)
-            .unionAll(dangling)
-            .groupBy("node")
-            .agg(F.sum("residue").alias("residue"), F.sum("reserve").alias("reserve"))
-        )
+        kept, pushed, dangling = _superstep_branches(frontier, edges, source, alpha)
+        state = _merge_state(rest, kept, pushed, dangling)
     return state
 
 
@@ -197,10 +219,7 @@ def _forward_push_topk_state(
                 F.coalesce("out_degree", F.lit(0)).alias("od"),
             )
         )
-        qual = (F.col("residue") > 0) & (
-            (F.col("od") == 0) | (F.col("residue") >= F.lit(rmax) * F.col("od"))
-        )
-        act = act.withColumn("qual", qual).localCheckpoint(eager=True)
+        act = act.withColumn("qual", _qual_expr(rmax)).localCheckpoint(eager=True)
         # demoted to Q_next: alive but under this round's rmax
         # (Forward_Push.java:243-249)
         next_cand = next_cand.unionAll(
@@ -213,39 +232,9 @@ def _forward_push_topk_state(
         frontier = act.where("qual")
         if frontier.isEmpty():
             break
-        kept = frontier.select(
-            "node",
-            F.lit(0.0).alias("residue"),
-            (F.col("reserve") + F.lit(alpha) * F.col("residue")).alias("reserve"),
-        )
-        pushed = (
-            frontier.where(F.col("od") > 0)
-            .join(edges, frontier.node == edges.src)
-            .select(
-                F.col("dst").alias("node"),
-                (F.lit(1.0 - alpha) * F.col("residue") / F.col("src_out_degree")).alias(
-                    "residue"
-                ),
-                F.lit(0.0).alias("reserve"),
-            )
-        )
-        dangling = (
-            frontier.where(F.col("od") == 0)
-            .agg(F.sum(F.lit(1.0 - alpha) * F.col("residue")).alias("residue"))
-            .select(
-                F.lit(int(source)).cast("long").alias("node"),
-                F.coalesce("residue", F.lit(0.0)).alias("residue"),
-                F.lit(0.0).alias("reserve"),
-            )
-        )
+        kept, pushed, dangling = _superstep_branches(frontier, edges, source, alpha)
         rest = state.join(frontier.select("node"), "node", "left_anti")
-        state = (
-            rest.unionAll(kept)
-            .unionAll(pushed)
-            .unionAll(dangling)
-            .groupBy("node")
-            .agg(F.sum("residue").alias("residue"), F.sum("reserve").alias("reserve"))
-        ).localCheckpoint(eager=True)
+        state = _merge_state(rest, kept, pushed, dangling).localCheckpoint(eager=True)
         # only updated nodes can newly qualify next superstep
         active = (
             pushed.select("node").unionAll(dangling.select("node")).distinct()

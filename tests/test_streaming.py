@@ -3,7 +3,10 @@ completion synchronously (parquet file source + processAllAvailable)."""
 
 from __future__ import annotations
 
+import glob
+import os
 import shutil
+import time
 
 import numpy as np
 import pytest
@@ -148,8 +151,15 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
               (5, "unique two", "en", 10)]
     spark.createDataFrame(batch1, D.DOCS_SCHEMA).coalesce(1).write.mode(
         "overwrite").parquet(src)
+    b1_files = set(glob.glob(src + "/*.parquet"))
     spark.createDataFrame(batch2, D.DOCS_SCHEMA).coalesce(1).write.mode(
         "append").parquet(src)
+    # FileStreamSource orders files by modification time; back-to-back writes
+    # can land in the same mtime tick, which would let batch2 process first
+    # (flipping which duplicate survives). Pin distinct mtimes.
+    now = time.time()
+    for f in glob.glob(src + "/*.parquet"):
+        os.utime(f, (now - 100, now - 100) if f in b1_files else (now, now))
 
     stream = D.read_document_stream(spark, src, max_files_per_trigger=1)
     q = D.start_streaming_dedup(spark, stream, store, out)
