@@ -1591,3 +1591,89 @@ cand AS MATERIALIZED (
 SELECT node AS doc_id, label AS cluster_id FROM cl{CLUSTER_STEPS}
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 8: training-data curation — deterministic sampling/splitting and
+# k-means topic clustering
+# ---------------------------------------------------------------------------
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions import (  # noqa: E402
+    clustering as _clustering,
+    sampling as _sampling,
+)
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 7
+STRAT_RATES = {"en": 0.25, "zh": 1.0}  # downsample dominant en, keep all zh
+STRAT_SEED = 11
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_doc_split(spark, sf_dir):
+    """Per-document train/val/test assignment by cumulative hash buckets —
+    reproducible across runs/engines/partitionings (no RNG, no shuffle)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return _sampling.split_assign(d, SPLIT_WEIGHTS, seed=SPLIT_SEED)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language Bernoulli rates as a pure hash filter (keep-all rare
+    stratum, downsample dominant one; unlisted languages drop)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return _sampling.stratified_sample(
+        d, STRAT_RATES, strata_col="lang", seed=STRAT_SEED
+    )
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Lloyd k-means over the embedding table: per-vector cluster id after
+    KMEANS_ITERS broadcast-assign / mean-update rounds."""
+    e = _t(spark, sf_dir, "embeddings")
+    return _clustering.kmeans_assign(
+        e, k=KMEANS_K, iterations=KMEANS_ITERS, dim=64
+    )
+
+
+_BASE_QUERIES8 = queries
+_BASE_ORACLE8 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES8()
+    q.update(
+        {
+            "doc_split": q_doc_split,
+            "stratified_sample": q_stratified_sample,
+            "kmeans_clusters": q_kmeans_clusters,
+        }
+    )
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE8()
+    split_bucket = _sampling.sampling_oracle_fragments(SPLIT_SEED)
+    t_train = int(round(SPLIT_WEIGHTS["train"] * _sampling.BUCKETS))
+    t_val = t_train + int(round(SPLIT_WEIGHTS["val"] * _sampling.BUCKETS))
+    sql["doc_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {split_bucket} < {t_train} THEN 'train'
+            WHEN {split_bucket} < {t_val} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+    strat_bucket = _sampling.sampling_oracle_fragments(STRAT_SEED)
+    strat_thr = " ".join(
+        f"WHEN lang = '{v}' THEN {int(round(r * _sampling.BUCKETS))}"
+        for v, r in sorted(STRAT_RATES.items())
+    )
+    sql["stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {strat_bucket} < (CASE {strat_thr} ELSE 0 END)
+"""
+    sql["kmeans_clusters"] = _clustering.kmeans_oracle_sql(
+        k=KMEANS_K, iterations=KMEANS_ITERS, dim=64
+    )
+    return sql

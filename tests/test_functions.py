@@ -273,3 +273,106 @@ def test_dedup_clusters_oracle_depth(spark):
         # this plan is identical to the one test_plans inspects — a leaked
         # cache entry would swap an InMemoryRelation into that test's plan
         pairs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Sampling / splitting (training-data curation)
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_consistent(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    s25 = {r["doc_id"] for r in sampling.hash_sample(df, 0.25, seed=3).collect()}
+    s25b = {r["doc_id"] for r in sampling.hash_sample(
+        df.repartition(7), 0.25, seed=3).collect()}
+    assert s25 == s25b  # partition-layout invariant
+    # rate monotonicity: a higher-rate sample CONTAINS the lower-rate one
+    s50 = {r["doc_id"] for r in sampling.hash_sample(df, 0.50, seed=3).collect()}
+    assert s25 <= s50
+    # roughly proportional (hash uniformity; generous bounds on n=2000)
+    assert 0.19 < len(s25) / 2000 < 0.31
+    # different seed -> a genuinely different draw
+    s25c = {r["doc_id"] for r in sampling.hash_sample(df, 0.25, seed=4).collect()}
+    assert s25 != s25c
+
+
+def test_split_assign_partitions_every_row_once(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = sampling.split_assign(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 1000  # exactly one split per row
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.split_assign(df, {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_sample_rates_per_stratum(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import sampling
+
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_sample(
+        df, {"en": 0.2, "zh": 1.0}, strata_col="lang", seed=5
+    )
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["zh"] == 500  # rate 1.0 keeps the whole stratum
+    assert 60 < counts["en"] < 140  # ~0.2 of 500
+    # stratum not listed -> default_rate (0) drops it
+    rows2 = [(i, "fr") for i in range(100)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, lang string")
+    assert sampling.stratified_sample(
+        df2, {"en": 0.5}, strata_col="lang").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """The DataFrame k-means must replay exactly the same recurrence as a
+    plain-numpy Lloyd run with the same deterministic seed/rounding rules."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import clustering
+
+    rng = np.random.default_rng(0)
+    dim, n, k, iters = 8, 120, 4, 3
+    X = np.round(rng.normal(size=(n, dim)), 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["cluster"] for r in
+           clustering.kmeans_assign(df, k=k, iterations=iters, dim=dim).collect()}
+
+    cents = X[:k].astype(float).copy()
+    for it in range(iters + 1):
+        d2 = np.round(((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 9)
+        assign = d2.argmin(axis=1)  # argmin takes lowest index on ties
+        if it == iters:
+            break
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cents[c] = np.round(X[mask].mean(axis=0), 6)
+    assert got == {i: int(assign[i]) for i in range(n)}
+
+
+def test_kmeans_zero_iterations_is_seed_assignment(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import clustering
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.1, 0.0]), (3, [9.9, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["cluster"] for r in
+           clustering.kmeans_assign(df, k=2, iterations=0, dim=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1}
