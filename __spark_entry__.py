@@ -1677,3 +1677,132 @@ WHERE {strat_bucket} < (CASE {strat_thr} ELSE 0 END)
         k=KMEANS_K, iterations=KMEANS_ITERS, dim=64
     )
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 9: corpus hygiene — PII scrub, repetition scoring, decontamination
+# ---------------------------------------------------------------------------
+
+BENCH_SOURCE = "src0"  # documents partition standing in for an eval benchmark
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction gate. The fixture corpus contains no PII, so the query
+    injects deterministic synthetic PII per document (an email + a URL, plus
+    a phone on every 3rd doc), then counts and redacts — the oracle
+    hash-checks the full redacted strings, exercising the regex machinery
+    end to end."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ds = F.col("doc_id").cast("string")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), ds, F.lit("@example.com via http://site.example/p/"),
+        ds,
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" tel 555 123-4567")).otherwise(
+            F.lit("")
+        ),
+    )
+    withs = d.select("doc_id", synth.alias("synth"))
+    return withs.select(
+        "doc_id",
+        _text.pii_count(F.col("synth"), "email").alias("n_emails"),
+        _text.pii_count(F.col("synth"), "url").alias("n_urls"),
+        _text.pii_count(F.col("synth"), "phone").alias("n_phones"),
+        _text.redact_pii(F.col("synth")).alias("clean"),
+    )
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Within-document bigram repetition ratio — the boilerplate/spam
+    quality signal."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        _text.repetition_ratio(F.col("text"), n=2).alias("rep2"),
+        _text.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+def q_decontamination(spark, sf_dir):
+    """Eval-set decontamination: per training doc, the fraction of its
+    3-gram shingles that appear anywhere in the benchmark partition
+    (source = BENCH_SOURCE). Benchmark shingle set broadcasts."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = d.where(F.col("source") != BENCH_SOURCE).select("doc_id", "text")
+    bench = d.where(F.col("source") == BENCH_SOURCE).select("doc_id", "text")
+    return _dedup.cross_corpus_contamination(corpus, bench, n=3)
+
+
+_BASE_QUERIES9 = queries
+_BASE_ORACLE9 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES9()
+    q.update(
+        {
+            "pii_scrub": q_pii_scrub,
+            "doc_repetition": q_doc_repetition,
+            "decontamination": q_decontamination,
+        }
+    )
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        PII_PATTERNS,
+    )
+
+    sql = _BASE_ORACLE9()
+    em, ur, ph = PII_PATTERNS["email"], PII_PATTERNS["url"], PII_PATTERNS["phone"]
+    synth = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com via http://site.example/p/' || CAST(doc_id AS VARCHAR) || "
+        "(CASE WHEN doc_id % 3 = 0 THEN ' tel 555 123-4567' ELSE '' END)"
+    )
+    sql["pii_scrub"] = f"""
+WITH s AS (SELECT doc_id, {synth} AS synth FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(synth, '{em}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(synth, '{ur}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(synth, '{ph}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(synth,
+           '{em}', '<EMAIL>', 'g'), '{ur}', '<URL>', 'g'), '{ph}', '<PHONE>', 'g')
+         AS clean
+FROM s
+"""
+    bigrams = f"""list_filter(list_transform(
+  range(0, greatest(len({_SQL_TOKS_RAW.replace("text", "lower(text)")}) - 2, 0) + 1),
+  i -> array_to_string(({_SQL_TOKS_RAW.replace("text", "lower(text)")})[i+1:i+2], ' ')),
+  s -> length(s) > 0)"""
+    sql["doc_repetition"] = f"""
+SELECT doc_id,
+       CASE WHEN len({bigrams}) = 0 THEN 0.0
+            ELSE ROUND(1.0 - CAST(len(list_distinct({bigrams})) AS DOUBLE)
+                           / CAST(greatest(len({bigrams}), 1) AS DOUBLE), 6)
+       END AS rep2,
+       CAST(len({_SQL_TOKS_RAW}) AS BIGINT) AS n_tokens
+FROM documents
+"""
+    sql["decontamination"] = f"""
+WITH cs AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS sh
+  FROM documents WHERE source <> '{BENCH_SOURCE}'
+),
+bs AS MATERIALIZED (
+  SELECT DISTINCT unnest({_SQL_SHINGLES}) AS sh
+  FROM documents WHERE source = '{BENCH_SOURCE}'
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM cs GROUP BY doc_id),
+common AS (
+  SELECT cs.doc_id, COUNT(*) AS n_common FROM cs JOIN bs USING (sh)
+  GROUP BY cs.doc_id
+)
+SELECT s.doc_id, s.n_sh,
+       COALESCE(c.n_common, 0) AS n_common,
+       ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6)
+         AS contamination
+FROM sizes s LEFT JOIN common c ON s.doc_id = c.doc_id
+"""
+    return sql

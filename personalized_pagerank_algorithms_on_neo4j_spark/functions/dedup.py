@@ -431,6 +431,52 @@ def embedding_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Cross-corpus decontamination (benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def cross_corpus_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_sh, n_common, contamination) per corpus document:
+    the fraction of its n-gram shingles that appear ANYWHERE in the
+    benchmark corpus — the standard eval-decontamination signal (docs above
+    a threshold are dropped before training).
+
+    Scale shape: the benchmark shingle set is tiny relative to a training
+    corpus (MBs vs TBs), so it is distinct-ed and BROADCAST; the corpus side
+    is one shingle pass + a map-side semi join + one groupBy — no corpus
+    self-join anywhere."""
+    cs = _doc_shingles(
+        corpus.dropDuplicates([id_col]), text_col, id_col, n
+    ).cache()
+    bs = _doc_shingles(bench, text_col, id_col, n).select("sh").distinct()
+    sizes = cs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cs.join(F.broadcast(bs), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        sizes.join(common, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / F.col("n_sh").cast("double"),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup cluster assignment (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 

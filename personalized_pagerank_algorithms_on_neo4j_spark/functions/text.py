@@ -119,6 +119,56 @@ def fingerprint(col: Column) -> Column:
     return total % F.lit(PRIME53)
 
 
+# ---------------------------------------------------------------------------
+# PII redaction — training corpora are scrubbed before tokenization. The
+# patterns stay inside the portable regex subset (no lookaround, no \b, no
+# engine-specific classes) so the DuckDB oracle runs the identical regexes.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^ ]+",
+    "phone": r"\+?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}",
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Number of `kind` PII matches in the text (codegen'd, JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]), F.lit(0))).cast(
+        "long"
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace each PII match with a typed placeholder token. Order matters:
+    emails first (an email never contains a URL, but a URL query-string can
+    contain an @), then URLs, then phones."""
+    out = col
+    for kind in ("email", "url", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Within-document n-gram repetition: 1 - distinct/total n-grams, the
+    standard boilerplate/spam quality signal (0 = no repeats). Rounded to 6
+    decimals for cross-engine comparison."""
+    toks = tokens(F.lower(col))
+    grams = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    total = F.greatest(F.size(grams), F.lit(1)).cast("double")
+    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total, 6
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop per-document profile used by the pipeline queries."""
     c = F.col(text_col)

@@ -376,3 +376,70 @@ def test_kmeans_zero_iterations_is_seed_assignment(spark):
     got = {r["vec_id"]: r["cluster"] for r in
            clustering.kmeans_assign(df, k=2, iterations=0, dim=2).collect()}
     assert got == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: PII scrub, repetition, decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_and_counts(spark):
+    rows = [
+        (0, "mail me at jane.doe+x@corp.example.org today"),
+        (1, "see https://a.example/path?q=1 and http://b.example/x"),
+        (2, "call 555 123-4567 or 555 9999-0000"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        text.pii_count(F.col("text"), "email").alias("e"),
+        text.pii_count(F.col("text"), "url").alias("u"),
+        text.pii_count(F.col("text"), "phone").alias("p"),
+        text.redact_pii(F.col("text")).alias("clean"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert (by_id[0]["e"], by_id[0]["u"], by_id[0]["p"]) == (1, 0, 0)
+    assert by_id[0]["clean"] == "mail me at <EMAIL> today"
+    assert (by_id[1]["e"], by_id[1]["u"]) == (0, 2)
+    assert by_id[1]["clean"] == "see <URL> and <URL>"
+    assert by_id[2]["p"] == 2
+    assert by_id[2]["clean"] == "call <PHONE> or <PHONE>"
+    assert by_id[3]["clean"] == "nothing sensitive here"
+
+
+def test_repetition_ratio(spark):
+    rows = [
+        (0, "a b a b a b"),          # bigrams: ab ba ab ba ab -> 2 distinct / 5
+        (1, "w x y z"),              # all distinct -> 0
+        (2, ""),                     # empty -> 0 by convention
+        (3, "solo"),                 # single token -> one degenerate gram -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["rep"] for r in df.select(
+        "doc_id", text.repetition_ratio(F.col("text"), 2).alias("rep")).collect()}
+    assert got[0] == round(1 - 2 / 5, 6)
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_cross_corpus_contamination(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),         # shares all shingles w/ bench
+            (11, "epsilon zeta eta theta"),         # shares none
+            (12, "alpha beta gamma iota kappa"),    # partial
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           dedup.cross_corpus_contamination(corpus, bench, n=3).collect()}
+    assert got[10]["contamination"] == 1.0
+    assert got[11]["contamination"] == 0.0
+    assert 0.0 < got[12]["contamination"] < 1.0
+    # corpus docs 10: shingles {abc, bcd(3-grams of 4 tokens -> 2)}; sanity on sizes
+    assert got[10]["n_sh"] == 2 and got[10]["n_common"] == 2
