@@ -64,10 +64,25 @@ class LocalGraph:
 
 
 class PropertyGraph:
-    """nodes(id: long, name: string) + edges(src: long, dst: long)."""
+    """nodes(id: long, name: string) + edges(src: long, dst: long).
 
-    def __init__(self, spark: SparkSession, nodes: DataFrame, edges: DataFrame):
+    ``nodes_cover_edges``: loaders that GUARANTEE by construction that every
+    edge endpoint appears in the nodes table (csv_graph maps endpoints
+    through inner joins on the id map; tpch_graph derives them from the node
+    tables' own keys) may pass True, letting `dangling_nodes` skip an O(m)
+    union-distinct over edge destinations. Default False stays safe for
+    arbitrary caller-supplied tables — an uncovered dst that accumulates
+    push residue would otherwise silently leak probability mass."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        nodes: DataFrame,
+        edges: DataFrame,
+        nodes_cover_edges: bool = False,
+    ):
         self.spark = spark
+        self.nodes_cover_edges = nodes_cover_edges
         self.nodes = nodes.select(
             F.col("id").cast("long").alias("id"), F.col("name").cast("string").alias("name")
         ).cache()
@@ -141,12 +156,14 @@ class PropertyGraph:
         a dst id missing from `nodes` can still accumulate residue in a push
         superstep, and without a virtual edge in `edges_push` its mass would
         silently leak (zeroed by the kept branch, never pushed). The
-        union-distinct is one m-row shuffle, once per graph, cached."""
-        ids = (
-            self.nodes.select(F.col("id").alias("node"))
-            .unionByName(self.edges.select(F.col("dst").alias("node")))
-            .distinct()
-        )
+        union-distinct is one m-row shuffle, once per graph, cached — and
+        skipped entirely when the loader guarantees endpoint coverage
+        (``nodes_cover_edges``)."""
+        ids = self.nodes.select(F.col("id").alias("node"))
+        if not self.nodes_cover_edges:
+            ids = ids.unionByName(
+                self.edges.select(F.col("dst").alias("node"))
+            ).distinct()
         return ids.join(self.out_degrees, "node", "left_anti").cache()
 
     @cached_property

@@ -52,4 +52,6 @@ def load_csv_graph(
         .join(F.broadcast(dst_map), "dst_orig")
         .select("src", "dst")
     )
-    return PropertyGraph(spark, nodes, edges)
+    # endpoints mapped through the node tables themselves -> coverage by
+    # construction; dangling_nodes may skip the O(m) dst union-distinct
+    return PropertyGraph(spark, nodes, edges, nodes_cover_edges=True)

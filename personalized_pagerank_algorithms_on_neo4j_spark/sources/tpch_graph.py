@@ -67,7 +67,9 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         (F.col("c_nationkey") + F.lit(NATION_BASE)).cast("long").alias("dst"),
     )
     edges = cust_supp.unionAll(supp_nation).unionAll(cust_nation)
-    return PropertyGraph(spark, nodes, edges)
+    # endpoints mapped through the node tables themselves -> coverage by
+    # construction; dangling_nodes may skip the O(m) dst union-distinct
+    return PropertyGraph(spark, nodes, edges, nodes_cover_edges=True)
 
 
 GRAPH_EDGES_SQL = f"""

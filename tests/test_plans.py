@@ -111,3 +111,45 @@ def test_lsh_probe_is_equi_join(spark):
     # the only cartesian allowed is the broadcast of the 1-row query vector
     # into the final rescore; the candidate generation must be a hash join
     assert "BroadcastHashJoin" in plan
+
+
+def test_hash_sampling_is_pure_filter(spark):
+    """Sampling/splitting must compile to scan + filter/project only: zero
+    exchanges, zero aggregates — the property that makes it free at 100 TB."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import sampling
+
+    d = E._t(spark, SF_ORACLE, "documents").select("doc_id")
+    plan = _plan(sampling.hash_sample(d, 0.25, seed=3))
+    assert "Exchange" not in plan and "HashAggregate" not in plan, plan[:1500]
+    plan2 = _plan(
+        sampling.split_assign(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    assert "Exchange" not in plan2 and "HashAggregate" not in plan2
+
+
+def test_decontamination_broadcasts_bench_side(spark):
+    """The benchmark shingle set must broadcast; the corpus side must never
+    self-join (exactly one join in the shingle-matching subtree)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import dedup
+    from pyspark.sql import functions as F
+
+    d = E._t(spark, SF_ORACLE, "documents").select("doc_id", "text", "source")
+    corpus = d.where(F.col("source") != "src0").select("doc_id", "text")
+    bench = d.where(F.col("source") == "src0").select("doc_id", "text")
+    out = dedup.cross_corpus_contamination(corpus, bench, n=3)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    out.unpersist = getattr(out, "unpersist", None)  # no cache leak to clean
+
+
+def test_kmeans_assign_is_map_side(spark):
+    """Centroids are broadcast literals: the assignment pass must be pure
+    scan + project (no join, no exchange)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import clustering
+
+    e = E._t(spark, SF_ORACLE, "embeddings")
+    seed_rows = e.select("vec_id", "embedding").orderBy("vec_id").limit(4).collect()
+    cents = [[float(x) for x in r[1]] for r in seed_rows]
+    plan = _plan(clustering._assign(e, cents, "embedding", "vec_id"))
+    assert "Exchange" not in plan and "Join" not in plan, plan[:1500]
