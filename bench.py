@@ -95,6 +95,8 @@ def main() -> None:
     timed("q_text_profile", lambda: E.q_text_profile(spark, SF_DIR).count())
     timed("q_asof_clicks", lambda: E.q_asof_clicks(spark, SF_DIR).count())
     timed("q_events_hourly", lambda: E.q_events_hourly(spark, SF_DIR).count())
+    timed("q_decontamination", lambda: E.q_decontamination(spark, SF_DIR).count())
+    timed("q_kmeans", lambda: E.q_kmeans_clusters(spark, SF_DIR).count())
 
     # the 100x-scale path: DataFrame superstep loop, tracked round over round
     # (10 iterations keeps the bench bounded; per-superstep cost is the

@@ -12,8 +12,8 @@ cluster-scale corpus; the driver never holds more than k*dim doubles.
 Cross-engine determinism (the DuckDB oracle replays the identical
 recurrence):
 - init: the k lowest-id vectors are the seed centroids (no RNG);
-- distances ROUND(_, 9) before comparison, argmin ties broken by lowest
-  cluster id (struct-ordering min == ROW_NUMBER ORDER BY dist, cluster);
+- distances round(_, 9) before comparison, argmin ties broken by lowest
+  cluster id (numpy first-minimum == ROW_NUMBER ORDER BY dist, cluster);
 - centroid means ROUND(_, 6) — parallel-sum association error (~1e-15) is
   far below the rounding step, so both engines see identical centroids;
 - empty clusters keep their previous centroid.
@@ -27,32 +27,83 @@ from pyspark.sql import functions as F
 __all__ = ["kmeans_assign", "kmeans_oracle_sql"]
 
 
-def _dist2_expr(vec, centroid: list[float]):
-    """Squared L2 distance, left-fold accumulation (same evaluation order as
-    DuckDB's list_sum over list_transform)."""
-    carr = F.array(*[F.lit(float(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec, carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _assign(df: DataFrame, centroids: list[list[float]], vec_col: str, id_col: str) -> DataFrame:
-    """(id, cluster): nearest centroid by ROUND(dist2, 9), ties -> lowest
-    cluster id. array_min over (dist, cluster) structs = lexicographic min."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.round(_dist2_expr(F.col(vec_col), c), 9).alias("d"),
-                F.lit(i).alias("cluster"),
+    """(id, cluster): nearest centroid by round(dist2, 9), ties -> lowest
+    cluster id (numpy argmin takes the first minimum).
+
+    Arrow-batched numpy, not a k x dim literal expression tree: the
+    expression form re-enters Catalyst analysis + codegen with fresh
+    literals EVERY Lloyd iteration (~2 s/iteration of pure planning at
+    k=8, dim=64, dwarfing the sub-second data pass), while the mapInPandas
+    plan is tiny and constant-shaped and the distance math runs as one
+    vectorized (batch x k x dim) matmul-grade kernel — the same
+    "dense linear algebra belongs in Arrow/numpy" call as multimodal
+    feature extraction. Batch shape: one (n_rows x k) distance matrix per
+    Arrow batch, no per-row Python."""
+    import pandas as pd
+
+    cents = [list(map(float, c)) for c in centroids]
+
+    def op(batches):
+        import numpy as np
+
+        C = np.asarray(cents, dtype=np.float64)  # k x dim
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            for i, c in enumerate(centroids)
-        ]
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).round(9)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cluster": d2.argmin(axis=1).astype("int32")}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        op, schema=f"{id_col} long, cluster int"
     )
-    return df.select(
-        F.col(id_col),
-        F.array_min(entries)["cluster"].alias("cluster"),
+
+
+def _partial_sums(df: DataFrame, centroids: list[list[float]], vec_col: str, id_col: str) -> DataFrame:
+    """One fused Lloyd half-step: assign each vector to its nearest centroid
+    AND emit per-partition partial (cluster, dim, sum, count) rows — the
+    map-side combine done in numpy, so the only Spark aggregation left is a
+    trivial 2-expression groupBy over k*dim*n_partitions tiny rows. No join
+    back to the vectors, no k*dim-literal expression tree (which would
+    re-enter Catalyst analysis/codegen with fresh literals every iteration
+    — measured ~2 s/iteration of pure planning at k=8, dim=64)."""
+    import pandas as pd
+
+    cents = [list(map(float, c)) for c in centroids]
+
+    def op(batches):
+        import numpy as np
+
+        C = np.asarray(cents, dtype=np.float64)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).round(9)
+            a = d2.argmin(axis=1)
+            cl, dm, s, n = [], [], [], []
+            for c in np.unique(a):
+                mask = a == c
+                sums = X[mask].sum(axis=0)
+                cnt = int(mask.sum())
+                for d in range(C.shape[1]):
+                    cl.append(int(c))
+                    dm.append(d)
+                    s.append(float(sums[d]))
+                    n.append(cnt)
+            yield pd.DataFrame({"cluster": cl, "dim": dm, "s": s, "n": n})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        op, schema="cluster int, dim int, s double, n long"
     )
 
 
@@ -77,21 +128,17 @@ def kmeans_assign(
     )
     centroids = [[float(x) for x in r[1]] for r in seed_rows]
     for _ in range(iterations):
-        assigned = _assign(df, centroids, vec_col, id_col)
         upd = (
-            assigned.join(df.select(id_col, vec_col), id_col)
-            .groupBy("cluster")
-            .agg(
-                *[
-                    F.round(F.avg(F.col(vec_col)[i].cast("double")), 6).alias(f"c{i}")
-                    for i in range(dim)
-                ]
-            )
+            _partial_sums(df, centroids, vec_col, id_col)
+            .groupBy("cluster", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
-        new_centroids = list(centroids)  # empty clusters keep previous
+        # mean with the same rounding AVG would apply; n is replicated per
+        # dim row, so s/n is the true per-dimension mean
+        new_centroids = [list(c) for c in centroids]  # empty clusters keep previous
         for r in upd:
-            new_centroids[r["cluster"]] = [float(r[f"c{i}"]) for i in range(dim)]
+            new_centroids[r["cluster"]][r["dim"]] = round(r["s"] / r["n"], 6)
         centroids = new_centroids
     return _assign(df, centroids, vec_col, id_col)
 

@@ -28,11 +28,18 @@ NATION_BASE = 2_000_000
 
 
 def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # Each spark.read.parquet() does a driver-side footer/schema read
+    # (~hundreds of ms of filesystem latency each); the five tables are
+    # independent, so infer their schemas concurrently. Spark's session is
+    # thread-safe for read-path planning.
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["customer", "supplier", "nation", "orders", "lineitem"]
+    with ThreadPoolExecutor(max_workers=len(names)) as pool:
+        dfs = list(
+            pool.map(lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet"), names)
+        )
+    customer, supplier, nation, orders, lineitem = dfs
 
     nodes = (
         customer.select(F.col("c_custkey").cast("long").alias("id"), F.col("c_name").alias("name"))
