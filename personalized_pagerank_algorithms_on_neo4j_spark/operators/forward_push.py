@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_ALPHA
 from ..graph import PropertyGraph
+from ..plans.iterative import static_superstep_plan
 from . import _kernels
 from ._result import ppr_result_from_dense, ppr_result_from_state
 
@@ -144,18 +145,20 @@ def _push_loop(
         [(int(source), 1.0, 0.0)], schema="node long, residue double, reserve double"
     )
     # the per-superstep localCheckpoint on `s` below already truncates lineage
-    for _ in range(max_supersteps):
-        s = state.join(out_deg, "node", "left").select(
-            "node", "residue", "reserve", F.coalesce("out_degree", F.lit(0)).alias("od")
-        )
-        s = s.withColumn("qual", _qual_expr(rmax))
-        s = s.localCheckpoint(eager=True)  # frontier reused by 4 branches below
-        frontier = s.where("qual")
-        if frontier.isEmpty():
-            return s.select("node", "residue", "reserve")
-        rest = s.where(~F.col("qual")).select("node", "residue", "reserve")
-        kept, pushed, dangling = _superstep_branches(frontier, edges, source, alpha)
-        state = _merge_state(rest, kept, pushed, dangling)
+    with static_superstep_plan(spark):
+        for _ in range(max_supersteps):
+            s = state.join(out_deg, "node", "left").select(
+                "node", "residue", "reserve",
+                F.coalesce("out_degree", F.lit(0)).alias("od"),
+            )
+            s = s.withColumn("qual", _qual_expr(rmax))
+            s = s.localCheckpoint(eager=True)  # frontier reused by 4 branches below
+            frontier = s.where("qual")
+            if frontier.isEmpty():
+                return s.select("node", "residue", "reserve")
+            rest = s.where(~F.col("qual")).select("node", "residue", "reserve")
+            kept, pushed, dangling = _superstep_branches(frontier, edges, source, alpha)
+            state = _merge_state(rest, kept, pushed, dangling)
     return state
 
 
@@ -207,36 +210,39 @@ def _forward_push_topk_state(
         [(int(source),)], "node long"
     )
     next_cand = empty_cand
-    for _ in range(max_supersteps):
-        act = (
-            active.select("node")
-            .join(state, "node")
-            .join(out_deg, "node", "left")
-            .select(
-                "node",
-                "residue",
-                "reserve",
-                F.coalesce("out_degree", F.lit(0)).alias("od"),
+    with static_superstep_plan(spark):
+        for _ in range(max_supersteps):
+            act = (
+                active.select("node")
+                .join(state, "node")
+                .join(out_deg, "node", "left")
+                .select(
+                    "node",
+                    "residue",
+                    "reserve",
+                    F.coalesce("out_degree", F.lit(0)).alias("od"),
+                )
             )
-        )
-        act = act.withColumn("qual", _qual_expr(rmax)).localCheckpoint(eager=True)
-        # demoted to Q_next: alive but under this round's rmax
-        # (Forward_Push.java:243-249)
-        next_cand = next_cand.unionAll(
-            act.where(
-                ~F.col("qual")
-                & (F.col("residue") > 0)
-                & (F.col("residue") >= F.lit(min_rmax) * F.col("od"))
-            ).select("node")
-        )
-        frontier = act.where("qual")
-        if frontier.isEmpty():
-            break
-        kept, pushed, dangling = _superstep_branches(frontier, edges, source, alpha)
-        rest = state.join(frontier.select("node"), "node", "left_anti")
-        state = _merge_state(rest, kept, pushed, dangling).localCheckpoint(eager=True)
-        # only updated nodes can newly qualify next superstep
-        active = (
-            pushed.select("node").unionAll(dangling.select("node")).distinct()
-        )
-    return state, next_cand.distinct().localCheckpoint(eager=True)
+            act = act.withColumn("qual", _qual_expr(rmax)).localCheckpoint(eager=True)
+            # demoted to Q_next: alive but under this round's rmax
+            # (Forward_Push.java:243-249)
+            next_cand = next_cand.unionAll(
+                act.where(
+                    ~F.col("qual")
+                    & (F.col("residue") > 0)
+                    & (F.col("residue") >= F.lit(min_rmax) * F.col("od"))
+                ).select("node")
+            )
+            frontier = act.where("qual")
+            if frontier.isEmpty():
+                break
+            kept, pushed, dangling = _superstep_branches(frontier, edges, source, alpha)
+            rest = state.join(frontier.select("node"), "node", "left_anti")
+            state = _merge_state(rest, kept, pushed, dangling).localCheckpoint(
+                eager=True
+            )
+            # only updated nodes can newly qualify next superstep
+            active = (
+                pushed.select("node").unionAll(dangling.select("node")).distinct()
+            )
+        return state, next_cand.distinct().localCheckpoint(eager=True)

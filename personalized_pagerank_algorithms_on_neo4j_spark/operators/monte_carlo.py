@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_ALPHA, WholeGraphConf
 from ..graph import PropertyGraph
+from ..plans.iterative import static_superstep_plan
 from . import _kernels
 from ._result import ppr_result_from_dense
 
@@ -97,15 +98,16 @@ def run_walks(
         live = _step_move(live, adj, base_seed * 7919 + 13)
 
     finished = [done]
-    for i in range(max_supersteps):
-        live = live.localCheckpoint(eager=True)
-        if live.isEmpty():
-            break
-        stop_mask = F.rand(base_seed + 2 * i) < F.lit(alpha)
-        live = live.withColumn("stop", stop_mask)
-        finished.append(live.where("stop").select("start", "cur", "weight"))
-        movers = live.where(~F.col("stop")).select("start", "cur", "weight")
-        live = _step_move(movers, adj, base_seed + 2 * i + 1)
+    with static_superstep_plan(graph.spark):
+        for i in range(max_supersteps):
+            live = live.localCheckpoint(eager=True)
+            if live.isEmpty():
+                break
+            stop_mask = F.rand(base_seed + 2 * i) < F.lit(alpha)
+            live = live.withColumn("stop", stop_mask)
+            finished.append(live.where("stop").select("start", "cur", "weight"))
+            movers = live.where(~F.col("stop")).select("start", "cur", "weight")
+            live = _step_move(movers, adj, base_seed + 2 * i + 1)
 
     out = finished[0]
     for f in finished[1:]:

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_ALPHA, POWER_ITERATIONS
 from ..graph import PropertyGraph
+from ..plans.iterative import static_superstep_plan
 from . import _kernels
 from ._result import ppr_result_from_dense
 
@@ -56,38 +57,39 @@ def _power_method_distributed(
     state = spark.createDataFrame(
         [(int(source), 1.0, 0.0)], schema="node long, residue double, reserve double"
     )
-    for _ in range(iterations):
-        # `s` fans out into TWO branches (kept/pushed); it must be
-        # materialized every superstep or each superstep recomputes its
-        # predecessor 2x — compounding to 2^k between checkpoints (measured
-        # 19 s/superstep at sf0.1 with a 4-step cadence on the pre-rewrite
-        # 3-branch loop vs ~1 s with per-step materialization)
-        s = state.localCheckpoint(eager=True)
-        kept = s.select(
-            "node",
-            F.lit(0.0).alias("residue"),
-            (F.col("reserve") + F.lit(alpha) * F.col("residue")).alias("reserve"),
-        )
-        pushed = (
-            # pushing zero residue contributes exactly 0.0 to every sum —
-            # pruning it shrinks the join input, never the result
-            s.where(F.col("residue") != 0.0)
-            .join(edges, s.node == edges.src)
-            .select(
-                F.when(F.col("dst") < 0, src_lit).otherwise(F.col("dst")).alias("node"),
-                (F.lit(1.0 - alpha) * F.col("residue") / F.col("src_out_degree")).alias(
-                    "residue"
-                ),
-                F.lit(0.0).alias("reserve"),
+    with static_superstep_plan(spark):
+        for _ in range(iterations):
+            # `s` fans out into TWO branches (kept/pushed); it must be
+            # materialized every superstep or each superstep recomputes its
+            # predecessor 2x — compounding to 2^k between checkpoints (measured
+            # 19 s/superstep at sf0.1 with a 4-step cadence on the pre-rewrite
+            # 3-branch loop vs ~1 s with per-step materialization)
+            s = state.localCheckpoint(eager=True)
+            kept = s.select(
+                "node",
+                F.lit(0.0).alias("residue"),
+                (F.col("reserve") + F.lit(alpha) * F.col("residue")).alias("reserve"),
             )
-        )
-        state = (
-            kept.unionAll(pushed)
-            .groupBy("node")
-            .agg(F.sum("residue").alias("residue"), F.sum("reserve").alias("reserve"))
-        )
-        # state itself is read once (by the next superstep's checkpoint) — its
-        # groupBy folds into that job, no extra materialization
+            pushed = (
+                # pushing zero residue contributes exactly 0.0 to every sum —
+                # pruning it shrinks the join input, never the result
+                s.where(F.col("residue") != 0.0)
+                .join(edges, s.node == edges.src)
+                .select(
+                    F.when(F.col("dst") < 0, src_lit).otherwise(F.col("dst")).alias("node"),
+                    (F.lit(1.0 - alpha) * F.col("residue") / F.col("src_out_degree")).alias(
+                        "residue"
+                    ),
+                    F.lit(0.0).alias("reserve"),
+                )
+            )
+            state = (
+                kept.unionAll(pushed)
+                .groupBy("node")
+                .agg(F.sum("residue").alias("residue"), F.sum("reserve").alias("reserve"))
+            )
+            # state itself is read once (by the next superstep's checkpoint) —
+            # its groupBy folds into that job, no extra materialization
     return state.where(F.col("reserve") > 0).select(
         "node", F.col("reserve").alias("ppr")
     )
