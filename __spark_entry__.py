@@ -1723,6 +1723,25 @@ def q_doc_repetition(spark, sf_dir):
     )
 
 
+QW_RATE = 0.8
+QW_SEED = 13
+
+
+def q_quality_weighted_sample(spark, sf_dir):
+    """Soft corpus mixing: keep each doc with probability quality * QW_RATE
+    (quality from the text profile) — high-quality docs survive more often,
+    low-quality are downweighted rather than hard-dropped."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return _sampling.weighted_sample(
+        scored, "quality", base_rate=QW_RATE, seed=QW_SEED
+    )
+
+
 def q_decontamination(spark, sf_dir):
     """Eval-set decontamination: per training doc, the fraction of its
     3-gram shingles that appear anywhere in the benchmark partition
@@ -1744,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
             "pii_scrub": q_pii_scrub,
             "doc_repetition": q_doc_repetition,
             "decontamination": q_decontamination,
+            "quality_weighted_sample": q_quality_weighted_sample,
         }
     )
     return q
@@ -1804,5 +1824,11 @@ SELECT s.doc_id, s.n_sh,
        ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6)
          AS contamination
 FROM sizes s LEFT JOIN common c ON s.doc_id = c.doc_id
+"""
+    qw_bucket = _sampling.sampling_oracle_fragments(QW_SEED)
+    sql["quality_weighted_sample"] = f"""
+WITH prof AS ({sql["text_profile"]})
+SELECT doc_id, quality FROM prof
+WHERE {qw_bucket} < CAST(ROUND(quality * {QW_RATE * _sampling.BUCKETS}, 0) AS BIGINT)
 """
     return sql

@@ -95,6 +95,26 @@ def stratified_sample(
     return df.where(bucket < thr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    base_rate: float = 1.0,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row with probability `weight * base_rate` where `weight` is
+    a per-row [0,1] column (e.g. a quality score) — the soft-filter used for
+    corpus mixing (high-quality docs oversampled, low-quality downweighted
+    instead of hard-dropped). Still a pure per-row filter: the float weight
+    converts to an integer bucket threshold with ROUND-half-up (identical
+    for positives in Spark and DuckDB; the product of two cross-engine-equal
+    doubles is bitwise equal, so the threshold is too)."""
+    thr = F.round(F.col(weight_col) * F.lit(float(base_rate) * BUCKETS), 0).cast(
+        "long"
+    )
+    return df.where(_bucket(F.col(id_col), seed) < thr)
+
+
 def sampling_oracle_fragments(seed: int = 0, id_expr: str = "doc_id") -> str:
     """DuckDB expression for the row bucket — mirrors `_bucket` exactly."""
     return (

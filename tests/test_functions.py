@@ -443,3 +443,19 @@ def test_cross_corpus_contamination(spark):
     assert 0.0 < got[12]["contamination"] < 1.0
     # corpus docs 10: shingles {abc, bcd(3-grams of 4 tokens -> 2)}; sanity on sizes
     assert got[10]["n_sh"] == 2 and got[10]["n_common"] == 2
+
+
+def test_weighted_sample_scales_with_weight(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import sampling
+
+    rows = [(i, 1.0 if i < 500 else 0.1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = sampling.weighted_sample(df, "w", base_rate=1.0, seed=2).groupBy(
+        (F.col("doc_id") < 500).alias("hi")
+    ).count().collect()
+    by = {r["hi"]: r["count"] for r in kept}
+    assert by[True] == 500          # weight 1.0 keeps everything
+    assert 25 < by.get(False, 0) < 75  # weight 0.1 keeps ~10% of 500
+    # weight 0 drops everything
+    z = spark.createDataFrame([(i, 0.0) for i in range(100)], "doc_id long, w double")
+    assert sampling.weighted_sample(z, "w").count() == 0
