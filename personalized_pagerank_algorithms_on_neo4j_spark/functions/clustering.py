@@ -107,21 +107,22 @@ def _partial_sums(df: DataFrame, centroids: list[list[float]], vec_col: str, id_
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     k: int = 8,
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
-) -> DataFrame:
-    """(id, cluster) after `iterations` Lloyd rounds from the deterministic
-    lowest-id seed. `iterations=0` returns the seed assignment (== IVF cell
-    assignment with lowest-id centroids)."""
+) -> list[list[float]]:
+    """Train and return the k centroids (`iterations` Lloyd rounds from the
+    deterministic lowest-id seed). The centroid list is small by definition
+    (k x dim doubles) — hand it to `ivf_assign(centroids=...)` to build a
+    trained ANN index, or to `_assign` for labels."""
     if dim is None:
         first = df.select(vec_col).first()
         if first is None:
-            return df.select(F.col(id_col), F.lit(0).alias("cluster")).limit(0)
+            return []
         dim = len(first[0])
     seed_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
@@ -140,6 +141,23 @@ def kmeans_assign(
         for r in upd:
             new_centroids[r["cluster"]][r["dim"]] = round(r["s"] / r["n"], 6)
         centroids = new_centroids
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, cluster) after `iterations` Lloyd rounds from the deterministic
+    lowest-id seed. `iterations=0` returns the seed assignment (== IVF cell
+    assignment with lowest-id centroids)."""
+    centroids = kmeans_fit(df, k, iterations, vec_col, id_col, dim)
+    if not centroids:
+        return df.select(F.col(id_col), F.lit(0).alias("cluster")).limit(0)
     return _assign(df, centroids, vec_col, id_col)
 
 

@@ -129,18 +129,28 @@ def ivf_assign(
     n_cells: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(centroids, assigned): centroids = first n_cells vectors by id;
-    every vector is assigned to its max-cosine cell (deterministic tiebreak
-    on cell id)."""
-    centroids = (
-        df.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cell"),
-            F.col(vec_col).alias("cvec"),
+    """(centroids, assigned): centroids = first n_cells vectors by id, or
+    caller-supplied trained vectors (e.g. `clustering.kmeans_fit` — trained
+    cells track the data distribution, giving better recall at the same
+    nprobe than the seed cells); every vector is assigned to its max-cosine
+    cell (deterministic tiebreak on cell id)."""
+    if centroids is not None:
+        spark = df.sparkSession
+        centroids = spark.createDataFrame(
+            [(i + 1, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            schema="cell int, cvec array<double>",
         )
-    )
+    else:
+        centroids = (
+            df.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.row_number().over(Window.orderBy(id_col)).alias("cell"),
+                F.col(vec_col).alias("cvec"),
+            )
+        )
     j = df.crossJoin(F.broadcast(centroids)).select(
         id_col,
         vec_col,

@@ -459,3 +459,23 @@ def test_weighted_sample_scales_with_weight(spark):
     # weight 0 drops everything
     z = spark.createDataFrame([(i, 0.0) for i in range(100)], "doc_id long, w double")
     assert sampling.weighted_sample(z, "w").count() == 0
+
+
+def test_ivf_with_kmeans_trained_centroids(spark):
+    """An IVF index built from kmeans_fit centroids must keep working end to
+    end (trained cells track the data distribution; recall at least matches
+    the seed-cell index for the self-query)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import clustering
+    from .conftest import SF_SMALL
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    cents = clustering.kmeans_fit(e, k=8, iterations=2, dim=64)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    index = simsearch.ivf_assign(e, centroids=cents)
+    got = simsearch.ivf_topk(e, query_id=0, k=5, nprobe=3, index=index).collect()
+    assert any(r["vec_id"] == 0 for r in got)  # self-query recalls itself
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in got)
+    # every vector landed in a trained cell
+    _, assigned = index
+    assert assigned.count() == e.count()
