@@ -1832,3 +1832,75 @@ SELECT doc_id, quality FROM prof
 WHERE {qw_bucket} < CAST(ROUND(quality * {QW_RATE * _sampling.BUCKETS}, 0) AS BIGINT)
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (functions/pq.py): codes table + ADC top-k.
+# The PQ query path touches only the m-int codes table and an m*ksub-row
+# broadcast LUT — never the raw 64-float embeddings (the 100 TB memory-bound
+# ANN layout). Seed codebooks (ksub lowest-id sub-vectors) keep the whole
+# chain RNG-free and DuckDB-replayable; `pq_fit` (per-sub-space k-means) is
+# the trained path, exercised in pytest.
+# ---------------------------------------------------------------------------
+
+
+def q_pq_codes(spark, sf_dir):
+    """PQ encoding: (vec_id, codes) with codes canonicalized to a string."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import pq as _pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    cbs = _pq.pq_seed_codebooks(e, m=4, ksub=16)
+    return _pq.pq_encode(e, cbs).select(
+        "vec_id", F.array_join("codes", ",").alias("codes_str")
+    )
+
+
+def q_simsearch_pq(spark, sf_dir):
+    """ADC top-20 nearest (smallest approx squared-L2) to vec_id=0."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import pq as _pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    cbs = _pq.pq_seed_codebooks(e, m=4, ksub=16)
+    codes = _pq.pq_encode(e, cbs)
+    return _pq.pq_adc_topk(e, query_id=0, k=20, codebooks=cbs, codes=codes)
+
+
+_BASE_QUERIES10 = queries
+_BASE_ORACLE10 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES10()
+    q["pq_codes"] = q_pq_codes
+    q["simsearch_pq"] = q_simsearch_pq
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.pq import (
+        pq_oracle_ctes,
+    )
+
+    sql = _BASE_ORACLE10()
+    ctes = pq_oracle_ctes(m=4, ksub=16, dim=64)
+    sql["pq_codes"] = f"""
+WITH {ctes}
+SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes_str
+FROM enc GROUP BY vec_id
+"""
+    sql["simsearch_pq"] = f"""
+WITH {ctes},
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+lut AS (
+  SELECT c.sub, c.code,
+         ROUND(list_sum(list_transform(range(1, 17),
+           i -> (CAST(q.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])
+              * (CAST(q.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i]))), 9) AS d
+  FROM cb c CROSS JOIN q),
+adist AS (
+  SELECT e.vec_id, ROUND(SUM(l.d), 6) AS adist
+  FROM enc e JOIN lut l USING (sub, code) GROUP BY 1)
+SELECT vec_id, adist FROM adist
+QUALIFY RANK() OVER (ORDER BY adist ASC) <= 20
+"""
+    return sql

@@ -92,6 +92,7 @@ def main() -> None:
     timed("q_dedup_exact", lambda: E.q_dedup_exact(spark, SF_DIR).count())
     timed("q_simsearch_cosine", lambda: E.q_simsearch_cosine(spark, SF_DIR).count())
     timed("q_minhash_lsh", lambda: E.q_minhash_lsh_candidates(spark, SF_DIR).count())
+    timed("q_simsearch_pq", lambda: E.q_simsearch_pq(spark, SF_DIR).count())
     timed("q_text_profile", lambda: E.q_text_profile(spark, SF_DIR).count())
     timed("q_asof_clicks", lambda: E.q_asof_clicks(spark, SF_DIR).count())
     timed("q_events_hourly", lambda: E.q_events_hourly(spark, SF_DIR).count())

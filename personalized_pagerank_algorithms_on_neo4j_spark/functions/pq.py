@@ -1,0 +1,238 @@
+"""Product-quantization (PQ) ANN over an embedding column (array<float>).
+
+The third scale path for similarity search, complementing the LSH sketch
+buckets and IVF cells in `simsearch.py`: compress every vector to ``m``
+sub-space codes (one byte-ish int per sub-space), then answer queries with
+asymmetric distance computation (ADC) — a per-query lookup table of
+(sub-space, code) -> partial distance, so scoring a vector is ``m`` table
+lookups + a sum instead of a ``dim``-wide float scan. At 100 TB this is the
+classic memory-bound ANN layout: the codes table is ~``m`` ints/vector
+(16-32x smaller than the raw floats), the LUT is ``m * ksub`` doubles
+(broadcast), and the scan is one narrow aggregation over the codes table —
+no full-width embedding I/O on the query path at all.
+
+Shapes:
+- fit: per-sub-space k-means over `F.slice`d sub-vectors (reuses
+  `clustering.kmeans_fit` — broadcast centroids, map-side partial sums), or
+  the deterministic lowest-id seed codebook for RNG-free reproducibility.
+- encode: ONE `mapInPandas` pass (Arrow-batched numpy argmin over a
+  (batch x ksub x dsub) distance tensor); output is `(id, codes array<int>)`.
+- query: LUT = codebook x query sub-vectors (m*ksub tiny rows, JVM
+  expressions), broadcast-joined to the posexploded codes, sum per id,
+  bottom-k with the engine's tie semantics.
+
+Cross-engine determinism (mirrors `clustering.py`): distances ROUND(_, 9)
+before argmin, ties -> lowest code; ADC sums ROUND(_, 6). Sub-vector
+boundaries are 1-based inclusive slices in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .clustering import kmeans_fit
+
+__all__ = [
+    "pq_seed_codebooks",
+    "pq_fit",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_oracle_ctes",
+]
+
+
+def _subspace_df(df: DataFrame, s: int, dsub: int, vec_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col)
+    )
+
+
+def pq_seed_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Deterministic codebooks: sub-vectors of the ``ksub`` lowest-id rows
+    (code order == id order). RNG-free — the cross-engine-checkable choice,
+    same convention as the IVF seed cells (simsearch.ivf_assign)."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
+    if not rows:
+        return []
+    dim = len(rows[0][1])
+    dsub = dim // m
+    return [
+        [[float(x) for x in r[1][s * dsub : (s + 1) * dsub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Trained codebooks: an independent Lloyd k-means per sub-space over the
+    sliced sub-vectors. Returns ``m`` codebooks of ``ksub`` centroids each.
+    ``iterations=0`` degenerates to `pq_seed_codebooks`."""
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            return []
+        dim = len(first[0])
+    dsub = dim // m
+    return [
+        kmeans_fit(
+            _subspace_df(df, s, dsub, vec_col, id_col),
+            k=ksub,
+            iterations=iterations,
+            vec_col=vec_col,
+            id_col=id_col,
+            dim=dsub,
+        )
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>): codes[s] = argmin_code round(||x_s - c||^2, 9),
+    ties -> lowest code. One Arrow-batched numpy pass, no shuffle — the same
+    "dense linear algebra stays in numpy" call as `clustering._assign`
+    (a codebook-literal expression tree would be m*ksub*dsub terms of
+    Catalyst planning for a one-shot map)."""
+    cbs = [[list(map(float, c)) for c in book] for book in codebooks]
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        books = [np.asarray(b, dtype=np.float64) for b in cbs]  # m x (ksub x dsub)
+        dsub = books[0].shape[1]
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(pdf), len(books)), dtype=np.int32)
+            for s, C in enumerate(books):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).round(9)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": [list(map(int, r)) for r in codes]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        op, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def _dist2(a, b):  # squared L2 between two array<double> columns
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k nearest (smallest ADC squared-L2) to the query.
+
+    Pass persisted (`codebooks`, `codes`) to amortize the index across
+    queries — the query path then touches ONLY the codes table and an
+    m*ksub-row broadcast LUT, never the raw embeddings. Tie semantics match
+    `operators.topk` (kth-value filter, result may exceed k)."""
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(df, m, ksub, vec_col, id_col)
+    if codes is None:
+        codes = pq_encode(df, codebooks, vec_col, id_col)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    spark = df.sparkSession
+
+    cb = spark.createDataFrame(
+        [
+            (s, c, codebooks[s][c])
+            for s in range(m)
+            for c in range(len(codebooks[s]))
+        ],
+        schema="sub int, code int, cvec array<double>",
+    )
+    qsub = df.where(F.col(id_col) == query_id).select(
+        F.posexplode(
+            F.array(*[F.slice(F.col(vec_col), s * dsub + 1, dsub) for s in range(m)])
+        ).alias("sub", "qvec")
+    )
+    lut = cb.join(F.broadcast(qsub), "sub").select(
+        "sub", "code", F.round(_dist2(F.col("cvec"), F.col("qvec")), 9).alias("d")
+    )
+    adist = (
+        codes.select(F.col(id_col), F.posexplode("codes").alias("sub", "code"))
+        .join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adist"))
+    )
+    # bottom-k with the engine's tie semantics (kth smallest, keep <=)
+    kth_rows = adist.select("adist").orderBy(F.asc("adist")).limit(k).collect()
+    if len(kth_rows) < k:
+        return adist
+    return adist.where(F.col("adist") <= F.lit(kth_rows[-1][0]))
+
+
+def pq_oracle_ctes(
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB CTE block (`cb`, `enc`) replaying seed-codebook PQ encoding —
+    the shared front half of the `pq_codes` / `simsearch_pq` oracles. Slices
+    are 1-based inclusive in DuckDB (`l[a:b]`), matching `F.slice(col, a,
+    len)`."""
+    dsub = dim // m
+
+    d2 = (
+        f"ROUND(list_sum(list_transform(range(1, {dsub + 1}), "
+        f"i -> (CAST(e.{vec_col}[c.sub * {dsub} + i] AS DOUBLE) - c.cvec[i]) "
+        f"* (CAST(e.{vec_col}[c.sub * {dsub} + i] AS DOUBLE) - c.cvec[i]))), 9)"
+    )
+    return f"""cb AS MATERIALIZED (
+  SELECT s.sub,
+         ROW_NUMBER() OVER (PARTITION BY s.sub ORDER BY e.{id_col}) - 1 AS code,
+         list_transform(e.{vec_col}[s.sub * {dsub} + 1 : (s.sub + 1) * {dsub}],
+                        x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT * FROM {table} ORDER BY {id_col} LIMIT {ksub}) e
+  CROSS JOIN (SELECT UNNEST(range(0, {m})) AS sub) s),
+enc AS MATERIALIZED (
+  SELECT {id_col}, sub, code FROM (
+    SELECT e.{id_col}, c.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY e.{id_col}, c.sub
+                              ORDER BY {d2} ASC, c.code ASC) AS rn
+    FROM {table} e CROSS JOIN cb c
+  ) t WHERE rn = 1)"""

@@ -1,0 +1,116 @@
+"""Product-quantization ANN (functions/pq.py): encode/fit/ADC semantics and
+scale-shape (plan) discipline."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions import pq
+
+
+def _synth_df(spark, n=96, dim=8, seed=0):
+    rng = np.random.default_rng(seed)
+    X = np.round(rng.normal(size=(n, dim)), 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    return X, df
+
+
+def _numpy_encode(X, books):
+    m = len(books)
+    dsub = books[0].shape[1]
+    codes = np.empty((len(X), m), dtype=int)
+    for s, C in enumerate(books):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        d2 = np.round(((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9)
+        codes[:, s] = d2.argmin(axis=1)  # first-min tiebreak == lowest code
+    return codes
+
+
+def test_pq_encode_matches_numpy(spark):
+    X, df = _synth_df(spark)
+    m, ksub = 4, 8
+    cbs = pq.pq_seed_codebooks(df, m=m, ksub=ksub)
+    # seed codebooks are the sliced lowest-id rows
+    books = [np.asarray(b) for b in cbs]
+    assert all(np.allclose(books[s], X[:ksub, s * 2 : (s + 1) * 2]) for s in range(m))
+
+    got = {r["vec_id"]: list(r["codes"]) for r in pq.pq_encode(df, cbs).collect()}
+    want = _numpy_encode(X, books)
+    assert got == {i: list(map(int, want[i])) for i in range(len(X))}
+
+
+def test_pq_fit_matches_per_subspace_lloyd(spark):
+    """Trained codebooks == an independent numpy Lloyd per sub-space with the
+    engine's deterministic seed/rounding rules (clustering.py discipline)."""
+    X, df = _synth_df(spark, n=60, dim=4)
+    m, ksub, iters = 2, 4, 2
+    got = pq.pq_fit(df, m=m, ksub=ksub, iterations=iters)
+
+    dsub = X.shape[1] // m
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        cents = Xs[:ksub].astype(float).copy()
+        for _ in range(iters):
+            d2 = np.round(((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 9)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = np.round(Xs[mask].mean(axis=0), 6)
+        assert np.allclose(np.asarray(got[s]), cents), f"subspace {s}"
+
+
+def test_pq_adc_topk_matches_numpy_adc(spark):
+    """ADC scores replayed in numpy with identical rounding: same top-k set."""
+    X, df = _synth_df(spark, n=80, dim=8, seed=3)
+    m, ksub, k = 4, 8, 10
+    cbs = pq.pq_fit(df, m=m, ksub=ksub, iterations=1)
+    books = [np.asarray(b) for b in cbs]
+    codes = _numpy_encode(X, books)
+
+    q = X[0]
+    dsub = X.shape[1] // m
+    lut = np.stack(
+        [
+            np.round(((books[s] - q[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1), 9)
+            for s in range(m)
+        ]
+    )  # m x ksub
+    adist = np.round(
+        np.sum([lut[s][codes[:, s]] for s in range(m)], axis=0), 6
+    )
+    kth = np.sort(adist)[k - 1]
+    want = {(int(i), float(adist[i])) for i in range(len(X)) if adist[i] <= kth}
+
+    out = pq.pq_adc_topk(df, query_id=0, k=k, codebooks=cbs)
+    got = {(r["vec_id"], r["adist"]) for r in out.collect()}
+    assert got == want
+
+
+def test_pq_encode_plan_is_shuffle_free(spark):
+    """Encoding is one narrow Arrow map — no Exchange, no Join."""
+    _, df = _synth_df(spark, n=32, dim=8)
+    cbs = pq.pq_seed_codebooks(df, m=4, ksub=4)
+    plan = pq.pq_encode(df, cbs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan[:1500]
+
+
+def test_pq_query_path_reads_codes_not_embeddings(spark):
+    """With a persisted index, the ADC scan's input is the codes table and a
+    broadcast LUT — the raw embedding column appears only in the one-row
+    query-vector lookup, never in a full-table scan branch."""
+    _, df = _synth_df(spark, n=64, dim=8, seed=1)
+    cbs = pq.pq_seed_codebooks(df, m=4, ksub=8)
+    codes = pq.pq_encode(df, cbs).cache()
+    codes.count()
+    try:
+        out = pq.pq_adc_topk(df, query_id=0, k=5, codebooks=cbs, codes=codes)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "InMemoryTableScan" in plan  # candidate side = cached codes
+    finally:
+        codes.unpersist()
