@@ -1904,3 +1904,49 @@ SELECT vec_id, adist FROM adist
 QUALIFY RANK() OVER (ORDER BY adist ASC) <= 20
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed top-k leaderboard — batch twin of
+# streaming/topk_stream.py (same bucket/cents/rank rules; the streaming path
+# itself is exercised in tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+
+def q_events_topk_hourly(spark, sf_dir):
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming.topk_stream import (
+        _bucketed_totals,
+        rank_topk,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    board = rank_topk(_bucketed_totals(e, "1 hour", "user_id", "value"), k=3)
+    return board.withColumn("rank", F.col("rank").cast("long"))
+
+
+_BASE_QUERIES11 = queries
+_BASE_ORACLE11 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES11()
+    q["events_topk_hourly"] = q_events_topk_hourly
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE11()
+    sql["events_topk_hourly"] = """
+WITH totals AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         user_id AS key, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(COALESCE(value, 0.0) * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, key, n,
+       CAST(cents AS DOUBLE) / 100.0 AS total,
+       RANK() OVER (PARTITION BY bucket ORDER BY cents DESC, key ASC) AS rank
+FROM totals
+QUALIFY rank <= 3
+"""
+    return sql

@@ -1,0 +1,142 @@
+"""Streaming windowed top-k leaderboard (foreachBatch + partition overwrite).
+
+Structured Streaming cannot rank inside a streaming aggregation (no window
+functions over streaming state), so the leaderboard is maintained the same
+way `ppr_refresh.start_incremental_prep_refresh` maintains the prep store:
+
+1. each microbatch is aggregated to per-(time-bucket, key) partial sums
+   (map-side combine — the only state that ever moves is k' <= distinct keys
+   touched this batch),
+2. the partials are merged into a persistent totals store partitioned by
+   time bucket — dynamic partition overwrite rewrites ONLY the dirty
+   buckets, never the whole history,
+3. the k-row leaderboard is re-ranked for the dirty buckets alone and
+   upserted into the board table the same way.
+
+At 100 TB this is the standard continuous-rollup shape: the totals store is
+the compact rollup (|buckets| x |keys| rows, partition-pruned on read), the
+board is k rows per bucket, and a late event only ever touches its own
+bucket's partition. Exactly-once caveat: foreachBatch may retry a batch;
+the merge is a full re-aggregation of (store + batch) per dirty bucket, so
+a retry converges to the same totals only if the store write is atomic per
+partition — Spark's dynamic overwrite gives per-partition atomicity, which
+is sufficient here.
+
+Batch twin for the correctness gate: `events_topk_hourly` in
+`__spark_entry__.py` (same bucket/cents/rank rules, DuckDB-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _bucketed_totals(df: DataFrame, bucket: str, key_col: str, value_col: str) -> DataFrame:
+    """Per-(bucket, key) event count + integer-cents sum (exact merge-able)."""
+    return df.groupBy(
+        F.date_format(F.window("ts", bucket).start, "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket"
+        ),
+        F.col(key_col).alias("key"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.coalesce(F.col(value_col), F.lit(0.0)) * 100).cast("long")
+        ).alias("cents"),
+    )
+
+
+def rank_topk(totals: DataFrame, k: int) -> DataFrame:
+    """Per-bucket top-k keys by cents (RANK: ties kept, may exceed k). The
+    window is partitioned by bucket — parallel across buckets, never a
+    single-partition global sort."""
+    w = Window.partitionBy("bucket").orderBy(F.desc("cents"), F.asc("key"))
+    return (
+        totals.withColumn("rank", F.rank().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "bucket",
+            "key",
+            "n",
+            (F.col("cents") / F.lit(100.0)).alias("total"),
+            "rank",
+        )
+    )
+
+
+def start_streaming_topk(
+    spark: SparkSession,
+    events: DataFrame,
+    store_path: str,
+    board_path: str,
+    k: int = 10,
+    bucket: str = "1 hour",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    query_name: str = "events_topk",
+):
+    """Start the leaderboard stream; returns the StreamingQuery.
+
+    `store_path` holds the per-(bucket, key) totals rollup, `board_path` the
+    k-row-per-bucket leaderboard — both partitioned by bucket and refreshed
+    with dynamic partition overwrite (dirty buckets only)."""
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_totals = _bucketed_totals(batch_df, bucket, key_col, value_col)
+        dirty = batch_totals.select("bucket").distinct().localCheckpoint(eager=True)
+        if dirty.isEmpty():
+            return
+        try:
+            # explicit schema: partition-column type inference would turn the
+            # bucket directory string back into a timestamp, silently
+            # breaking the string equi join with `dirty`
+            prior = (
+                spark.read.schema(batch_totals.schema)
+                .parquet(store_path)
+                .join(dirty, "bucket")
+            )
+        except Exception:  # first batch: store does not exist yet
+            prior = None
+        merged = batch_totals if prior is None else (
+            prior.unionByName(batch_totals)
+            .groupBy("bucket", "key")
+            .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        )
+        merged = merged.localCheckpoint(eager=True)  # read once, two sinks
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(store_path)
+        )
+        (
+            rank_topk(merged, k)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(board_path)
+        )
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", store_path.rstrip("/") + "_ckpt"
+        )
+        .start()
+    )
+
+
+def read_leaderboard(spark: SparkSession, board_path: str, bucket: str | None = None) -> DataFrame:
+    """Read the board; a bucket filter partition-prunes to one directory."""
+    from pyspark.sql.types import StringType
+
+    df = spark.read.parquet(board_path)
+    if not isinstance(df.schema["bucket"].dataType, StringType):
+        # partition-column type inference parses the bucket directory string
+        # as a timestamp; format it back (same session timezone round-trip)
+        df = df.withColumn("bucket", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss"))
+    if bucket is not None:
+        df = df.where(F.col("bucket") == bucket)
+    return df.orderBy("bucket", "rank", "key")

@@ -171,3 +171,36 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert kept == [1, 3, 5]
     digests = spark.read.parquet(store).count()
     assert digests == 3
+
+
+def test_streaming_topk_leaderboard(spark, events_dir, tmp_path):
+    """Two microbatches; the final board must equal the batch-twin top-k over
+    all events, and the totals store must be bucket-partitioned."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        topk_stream as T,
+    )
+
+    store = str(tmp_path / "topk_store")
+    board = str(tmp_path / "topk_board")
+    stream = S.read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = T.start_streaming_topk(
+        spark, stream, store, board, k=3, bucket="1 hour"
+    )
+    _drain(q)
+
+    got = {
+        (r["bucket"], r["key"], r["n"], round(r["total"], 9), r["rank"])
+        for r in T.read_leaderboard(spark, board).collect()
+    }
+    want = {
+        (r["bucket"], r["key"], r["n"], round(r["total"], 9), r["rank"])
+        for r in T.rank_topk(
+            T._bucketed_totals(
+                load_table(spark, SF_SMALL, "events"), "1 hour", "user_id", "value"
+            ),
+            k=3,
+        ).collect()
+    }
+    assert got == want and got
+    # store layout: partitioned by bucket (dirty-bucket overwrite unit)
+    assert glob.glob(os.path.join(store, "bucket=*")), os.listdir(store)
