@@ -117,15 +117,40 @@ class PropertyGraph:
 
     @cached_property
     def degrees(self) -> DataFrame:
-        """(node, out_degree, in_degree) for every node; missing => 0."""
+        """(node, out_degree, in_degree) for every node; missing => 0.
+
+        Both directions in ONE shuffle: each edge contributes an
+        (endpoint, out, in) increment pair, map-side partial aggregation
+        collapses them to <= 2n rows before the exchange — half the shuffle
+        barriers of separate out/in groupBys followed by a 3-way join."""
+        both = (
+            self.edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("src").alias("node"),
+                            F.lit(1).alias("o"),
+                            F.lit(0).alias("i"),
+                        ),
+                        F.struct(
+                            F.col("dst").alias("node"),
+                            F.lit(0).alias("o"),
+                            F.lit(1).alias("i"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.*")
+            .groupBy("node")
+            .agg(F.sum("o").alias("od"), F.sum("i").alias("id_"))
+        )
         deg = (
             self.nodes.select(F.col("id").alias("node"))
-            .join(self.out_degrees, "node", "left")
-            .join(self.in_degrees, "node", "left")
+            .join(both, "node", "left")
             .select(
                 "node",
-                F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-                F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+                F.coalesce("od", F.lit(0)).cast("long").alias("out_degree"),
+                F.coalesce("id_", F.lit(0)).cast("long").alias("in_degree"),
             )
         ).cache()
         return deg
