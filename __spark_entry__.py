@@ -1950,3 +1950,58 @@ FROM totals
 QUALIFY rank <= 3
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF corpus statistics (functions/text.py::tfidf_top_terms)
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        tfidf_top_terms,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(d, k=3)
+
+
+_BASE_QUERIES12 = queries
+_BASE_ORACLE12 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES12()
+    q["tfidf_top_terms"] = q_tfidf_top_terms
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE12()
+    sql["tfidf_top_terms"] = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), ' +'),
+                            t -> length(t) > 0)) AS term
+  FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS MATERIALIZED (
+  SELECT term, ROUND(LN((n.n_docs + 1.0) / (COUNT(*) + 1.0)) + 1.0, 6) AS idf
+  FROM tf CROSS JOIN n GROUP BY term, n.n_docs
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, ROUND(tf.tf * idf.idf, 6) AS score
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, term, score, pos FROM (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS pos
+  FROM scored
+) t WHERE pos <= 3
+"""
+    return sql

@@ -183,3 +183,44 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         langid(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, term, score, pos): the k highest-TF-IDF terms per document.
+
+    Fully relational — the canonical corpus-statistics shape at scale:
+    tokenize-explode (narrow), per-(doc, term) count with map-side combine,
+    a term-keyed document-frequency aggregate, one join back on term
+    (AQE broadcasts it while the vocabulary is small; a 100 TB vocabulary
+    shuffles on term, which is exactly right), and a per-document window for
+    the top-k (partitioned by doc — parallel, never a global sort).
+
+    Cross-engine determinism: idf = ROUND(ln((N+1)/(df+1)) + 1, 6) and
+    score = ROUND(tf * idf, 6); ROW_NUMBER ties broken on term ASC."""
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(
+        F.round(
+            F.log((F.lit(float(n_docs + 1))) / (F.count(F.lit(1)) + F.lit(1.0)))
+            + F.lit(1.0),
+            6,
+        ).alias("idf")
+    )
+    scored = tf.join(idf, "term").select(
+        id_col, "term", F.round(F.col("tf") * F.col("idf"), 6).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= k)
+    )

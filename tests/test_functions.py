@@ -479,3 +479,36 @@ def test_ivf_with_kmeans_trained_centroids(spark):
     # every vector landed in a trained cell
     _, assigned = index
     assert assigned.count() == e.count()
+
+
+def test_tfidf_top_terms(spark):
+    """Hand-checked tf-idf on a 3-doc corpus; ROW_NUMBER tiebreak on term."""
+    import math
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["score"], r["pos"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+
+    def idf(df_):
+        return round(math.log(4.0 / (df_ + 1.0)) + 1.0, 6)
+
+    # doc 0: apple tf=2 df=1, banana tf=1 df=2
+    assert out[(0, "apple")] == (round(2 * idf(1), 6), 1)
+    assert out[(0, "banana")] == (round(1 * idf(2), 6), 2)
+    # doc 2: cherry tf=2 df=2, date tf=1 df=1
+    assert out[(2, "cherry")][1] == 1 and out[(2, "date")][1] == 2
+    # k=2 cap holds per doc
+    assert len(out) == 6
