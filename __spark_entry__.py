@@ -2005,3 +2005,67 @@ SELECT doc_id, term, score, pos FROM (
 ) t WHERE pos <= 3
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Exact-k deterministic sampling + grouped exact quantiles
+# ---------------------------------------------------------------------------
+
+EXACT_K_SEED = 7
+
+
+def q_exact_k_by_lang(spark, sf_dir):
+    """Reservoir-equivalent exact-k (hash-order) per language stratum."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sampling import (
+        exact_k_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return exact_k_sample(d, k=5, seed=EXACT_K_SEED, strata_col="lang")
+
+
+def q_events_value_quantiles(spark, sf_dir):
+    """Exact per-type value quantiles (sort-based agg, linear interpolation)."""
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 6).alias("p25"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.75), 6).alias("p75"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+    )
+
+
+_BASE_QUERIES13 = queries
+_BASE_ORACLE13 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES13()
+    q["exact_k_by_lang"] = q_exact_k_by_lang
+    q["events_value_quantiles"] = q_events_value_quantiles
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE13()
+    h = (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || "
+        f"'{EXACT_K_SEED}'), 1, 12)) AS BIGINT)"
+    )
+    sql["exact_k_by_lang"] = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h} ASC, doc_id ASC) AS rn
+  FROM documents
+) t WHERE rn <= 5
+"""
+    sql["events_value_quantiles"] = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+    return sql

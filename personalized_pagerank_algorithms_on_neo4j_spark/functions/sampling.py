@@ -121,3 +121,40 @@ def sampling_oracle_fragments(seed: int = 0, id_expr: str = "doc_id") -> str:
         f"CAST(('0x' || substring(md5(CAST({id_expr} AS VARCHAR) || '#' || "
         f"'{seed}'), 1, 12)) AS BIGINT) % {BUCKETS}"
     )
+
+
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum (or globally), chosen as
+    the k smallest hashes — the distributed, rerun-stable equivalent of
+    reservoir sampling (Vitter's Algorithm R keeps a uniform k-subset via
+    RNG state; ordering by a per-id hash yields the same uniform-k semantics
+    with no sequential state and no partition-order dependence, and the
+    chosen set is stable under repartitioning and engine changes).
+
+    Scale shape: per-stratum selection is a window partitioned by the
+    stratum (parallel across strata); the global variant is
+    `orderBy(hash).limit(k)` — TakeOrderedAndProject, a per-partition top-k
+    plus a k-way driver merge, never a single-partition global sort."""
+    h = portable_hash(F.col(id_col), seed).alias("_h")
+    if strata_col is None:
+        return (
+            df.select("*", h)
+            .orderBy(F.asc("_h"), F.asc(id_col))
+            .limit(k)
+            .drop("_h")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.asc("_h"), F.asc(id_col))
+    return (
+        df.select("*", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_h", "_rn")
+    )

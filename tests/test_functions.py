@@ -512,3 +512,28 @@ def test_tfidf_top_terms(spark):
     assert out[(2, "cherry")][1] == 1 and out[(2, "date")][1] == 2
     # k=2 cap holds per doc
     assert len(out) == 6
+
+
+def test_exact_k_sample_exact_and_repartition_stable(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sampling import (
+        exact_k_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)], "doc_id long, lang string"
+    )
+    # per-stratum: exactly min(k, |stratum|) rows
+    got = exact_k_sample(df, k=7, seed=1, strata_col="lang").collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["a"]) == 7 and len(by_lang["b"]) == 7
+    # global: exact k, and the chosen set is partition-layout independent
+    g1 = {r["doc_id"] for r in exact_k_sample(df, k=9, seed=1).collect()}
+    g2 = {
+        r["doc_id"]
+        for r in exact_k_sample(df.repartition(13), k=9, seed=1).collect()
+    }
+    assert g1 == g2 and len(g1) == 9
+    # k > |df| keeps everything
+    assert exact_k_sample(df, k=100, seed=1).count() == 60
