@@ -2069,3 +2069,68 @@ FROM events WHERE value IS NOT NULL
 GROUP BY event_type
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Event-funnel conversion (functions/funnel.py) — one-shuffle conditional-
+# aggregate funnel, never the k-way self-join.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_event_funnel(spark, sf_dir):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        funnel_report,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_report(e, FUNNEL_STEPS)
+
+
+_BASE_QUERIES14 = queries
+_BASE_ORACLE14 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES14()
+    q["event_funnel"] = q_event_funnel
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE14()
+    sql["event_funnel"] = """
+WITH firsts AS (
+  SELECT user_id AS u,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY 1
+),
+reach AS (
+  SELECT CASE
+    WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+         AND t2 IS NOT NULL AND t2 >= t1 THEN 3
+    WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0 THEN 2
+    WHEN t0 IS NOT NULL THEN 1
+    ELSE 0 END AS reached
+  FROM firsts
+),
+counts AS (
+  SELECT CAST(SUM(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN reached >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN reached >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM reach
+)
+SELECT s.step_idx, s.step,
+       CASE s.step_idx WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS n_users,
+       CASE WHEN n0 > 0
+            THEN ROUND(CAST(CASE s.step_idx WHEN 1 THEN n0 WHEN 2 THEN n1
+                            ELSE n2 END AS DOUBLE) / n0, 6)
+            ELSE 0.0 END AS conversion
+FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase')) AS s(step_idx, step)
+CROSS JOIN counts
+"""
+    return sql

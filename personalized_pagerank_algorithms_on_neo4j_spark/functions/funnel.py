@@ -1,0 +1,92 @@
+"""Event-funnel conversion analysis over the `events` table shape.
+
+A funnel ("view -> click -> purchase") asks, per user, whether the FIRST
+occurrence of each step happened in order; the report is users-reaching-step
+counts plus conversion rate from the top of the funnel.
+
+Scale shape: ONE shuffle. The per-user first-occurrence timestamps for every
+step are conditional `min` aggregates in a single `groupBy(user)` (map-side
+combine collapses each partition to one row per user before the exchange).
+The ordered-reach flags and the per-step counts are then narrow expressions
+plus a k-row global aggregate — no self-joins, no window over the raw event
+log (the classic funnel-as-k-way-self-join is quadratic in skewed users; the
+conditional-aggregate form is linear and portable to any SQL engine, which
+is also what makes the DuckDB oracle a direct transliteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_reach(
+    events: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user, reached): deepest step index (1-based) reached *in order* by
+    each user; 0 if the user never did step 1. Ordered means
+    first(step_1) <= first(step_2) <= ... <= first(step_i)."""
+    firsts = (
+        events.where(F.col(type_col).isin(steps))
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            *[
+                F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"_t{i}")
+                for i, s in enumerate(steps)
+            ]
+        )
+    )
+    # reached = largest i such that every _t0.._ti is non-null and ordered
+    reach = F.lit(0)
+    cond = F.lit(True)
+    for i in range(len(steps)):
+        c = F.col(f"_t{i}").isNotNull()
+        if i > 0:
+            c = c & (F.col(f"_t{i}") >= F.col(f"_t{i-1}"))
+        cond = cond & c
+        reach = F.when(cond, F.lit(i + 1)).otherwise(reach)
+    return firsts.select("user", reach.alias("reached"))
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step_idx, step, n_users, conversion): users reaching each step in
+    order, and the share of step-1 users still present (ROUND 6)."""
+    reach = funnel_reach(events, steps, ts_col, user_col, type_col)
+    counts = reach.groupBy().agg(
+        *[
+            F.sum((F.col("reached") >= i + 1).cast("long")).alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    spark = events.sparkSession
+    idx = spark.range(len(steps)).select(
+        (F.col("id") + 1).cast("int").alias("step_idx"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in steps]), (F.col("id") + 1).cast("int")
+        ).alias("step"),
+    )
+    wide = idx.crossJoin(F.broadcast(counts))
+    n_users = F.coalesce(
+        F.element_at(
+            F.array(*[F.col(f"_n{i}") for i in range(len(steps))]), F.col("step_idx")
+        ),
+        F.lit(0),
+    ).cast("long")
+    return wide.select(
+        "step_idx",
+        "step",
+        n_users.alias("n_users"),
+        F.when(F.col("_n0") > 0, F.round(n_users / F.col("_n0"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("conversion"),
+    )

@@ -537,3 +537,38 @@ def test_exact_k_sample_exact_and_repartition_stable(spark):
     assert g1 == g2 and len(g1) == 9
     # k > |df| keeps everything
     assert exact_k_sample(df, k=100, seed=1).count() == 60
+
+
+def test_funnel_reach_and_report(spark):
+    """Hand-built log: ordered-first-occurrence semantics, not mere presence."""
+    from datetime import datetime
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        funnel_reach,
+        funnel_report,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: view -> click -> purchase in order => 3
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: purchase BEFORE first click => stops at 2 (view<=click ok)
+        (2, t(0), "view"), (2, t(1), "purchase"), (2, t(2), "click"),
+        # u3: click only (no view) => 0
+        (3, t(0), "click"),
+        # u4: view only => 1
+        (4, t(5), "view"),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, et) for u, ts, et in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    steps = ["view", "click", "purchase"]
+    got = {r["user"]: r["reached"] for r in funnel_reach(df, steps).collect()}
+    assert got == {1: 3, 2: 2, 3: 0, 4: 1}
+
+    rep = {r["step_idx"]: (r["step"], r["n_users"], r["conversion"])
+           for r in funnel_report(df, steps).collect()}
+    assert rep[1] == ("view", 3, 1.0)
+    assert rep[2] == ("click", 2, round(2 / 3, 6))
+    assert rep[3] == ("purchase", 1, round(1 / 3, 6))
