@@ -2134,3 +2134,41 @@ FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase')) AS s(step_idx, step)
 CROSS JOIN counts
 """
     return sql
+
+
+def q_retention_cohorts(spark, sf_dir):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+_BASE_QUERIES15 = queries
+_BASE_ORACLE15 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES15()
+    q["retention_cohorts"] = q_retention_cohorts
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE15()
+    sql["retention_cohorts"] = """
+WITH cohorts AS (
+  SELECT user_id AS u, MIN(date_trunc('week', ts)) AS cohort_wk
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS wk FROM events
+)
+SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', c.cohort_wk, a.wk) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT a.u) AS n_users
+FROM activity a JOIN cohorts c ON a.u = c.u
+WHERE a.wk >= c.cohort_wk
+GROUP BY 1, 2
+"""
+    return sql

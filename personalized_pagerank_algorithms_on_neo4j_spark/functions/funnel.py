@@ -90,3 +90,39 @@ def funnel_report(
         .otherwise(F.lit(0.0))
         .alias("conversion"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    cohort_event: str = "signup",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(cohort, week_offset, n_users): classic weekly retention triangle.
+
+    cohort = the Monday-truncated week of the user's first `cohort_event`;
+    a user counts in offset k if they did ANY event during cohort+k weeks.
+    Three aggregates and one user-keyed join — the cohort side is one row
+    per user (broadcastable while users fit; shuffle-on-user beyond), the
+    activity side is pre-shrunk to distinct (user, week) before the join.
+    Week truncation is Monday-start in both Spark and DuckDB, so offsets are
+    exact multiples of 7 days — integer arithmetic, no rounding."""
+    wk = lambda c: F.date_trunc("week", c)  # noqa: E731
+    cohorts = (
+        events.where(F.col(type_col) == cohort_event)
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(wk(F.col(ts_col))).alias("cohort_wk"))
+    )
+    activity = events.select(
+        F.col(user_col).alias("user"), wk(F.col(ts_col)).alias("wk")
+    ).distinct()
+    return (
+        activity.join(cohorts, "user")
+        .where(F.col("wk") >= F.col("cohort_wk"))
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort"),
+            (F.datediff("wk", "cohort_wk") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("user")).alias("n_users"))
+    )

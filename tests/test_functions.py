@@ -572,3 +572,26 @@ def test_funnel_reach_and_report(spark):
     assert rep[1] == ("view", 3, 1.0)
     assert rep[2] == ("click", 2, round(2 / 3, 6))
     assert rep[3] == ("purchase", 1, round(1 / 3, 6))
+
+
+def test_retention_cohorts(spark):
+    from datetime import datetime
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        retention_cohorts,
+    )
+
+    # 2024-01-01 is a Monday; u1 signs up wk0 and is active wk0+wk2,
+    # u2 signs up wk0, active wk0 only; u3 never signs up (excluded)
+    rows = [
+        (1, datetime(2024, 1, 2), "signup"),
+        (1, datetime(2024, 1, 16), "click"),
+        (2, datetime(2024, 1, 3), "signup"),
+        (3, datetime(2024, 1, 4), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (r["cohort"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 2): 1}
