@@ -2172,3 +2172,126 @@ WHERE a.wk >= c.cohort_wk
 GROUP BY 1, 2
 """
     return sql
+
+
+def q_revenue_moving_avg(spark, sf_dir):
+    """7-day moving average of daily order revenue (window over the DAILY
+    ROLLUP — |days| rows — never the raw fact table; integer-cents sums)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("cents"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        F.round(
+            F.sum("cents").over(w) / (F.lit(100.0) * F.count(F.lit(1)).over(w)), 6
+        ).alias("ma7"),
+    )
+
+
+_BASE_QUERIES16 = queries
+_BASE_ORACLE16 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES16()
+    q["revenue_moving_avg"] = q_revenue_moving_avg
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE16()
+    sql["revenue_moving_avg"] = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(SUM(cents) OVER w AS DOUBLE)
+             / (100.0 * COUNT(*) OVER w), 6) AS ma7
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (functions/bloom.py) — fixed-size sketch twin
+# of the exact `decontamination` query.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 48 * 4096
+BLOOM_K = 3
+
+
+def q_bloom_decontamination(spark, sf_dir):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.bloom import (
+        bloom_contamination,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("source") != BENCH_SOURCE).select("doc_id", "text")
+    bench = d.where(F.col("source") == BENCH_SOURCE).select("doc_id", "text")
+    return bloom_contamination(
+        corpus, bench, m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K
+    )
+
+
+_BASE_QUERIES17 = queries
+_BASE_ORACLE17 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES17()
+    q["bloom_decontamination"] = q_bloom_decontamination
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.bloom import (
+        bloom_oracle_build_sql,
+    )
+
+    sql = _BASE_ORACLE17()
+    M, K = BLOOM_M_BITS, BLOOM_K
+    bench_sh = (
+        f"SELECT DISTINCT unnest({_SQL_SHINGLES}) AS sh FROM documents "
+        f"WHERE source = '{BENCH_SOURCE}'"
+    )
+    h = (
+        lambda s: "CAST(('0x' || substring(md5(sh || '#' || '"
+        + str(s)
+        + "'), 1, 12)) AS BIGINT)"
+    )
+    bits = ", ".join(f"{h(s)} % {M} AS bit{s}" for s in range(K))
+    joins = "\n  ".join(
+        f"LEFT JOIN bloom b{s} ON c.bit{s} // 48 = b{s}.word_idx" for s in range(K)
+    )
+    hits = " AND ".join(
+        f"(FLOOR(COALESCE(b{s}.word, 0) / POW(2.0, c.bit{s} % 48)) % 2 = 1)"
+        for s in range(K)
+    )
+    sql["bloom_decontamination"] = f"""
+WITH {bloom_oracle_build_sql(bench_sh, "sh", M, K)},
+cs AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS sh
+  FROM documents WHERE source <> '{BENCH_SOURCE}'
+),
+probe AS (
+  SELECT c.doc_id, ({hits}) AS maybe
+  FROM (SELECT doc_id, sh, {bits} FROM cs) c
+  {joins}
+)
+SELECT doc_id, COUNT(*) AS n_sh,
+       CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       ROUND(CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS maybe_rate
+FROM probe GROUP BY 1
+"""
+    return sql

@@ -595,3 +595,34 @@ def test_retention_cohorts(spark):
         for r in retention_cohorts(df).collect()
     }
     assert got == {("2024-01-01", 0): 2, ("2024-01-01", 2): 1}
+
+
+def test_bloom_no_false_negatives_and_probe_plan(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import bloom as B
+
+    members = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(200)], "v string"
+    )
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(400)], "v string"
+    )
+    m_bits = B.WORD_BITS * 64  # 3072 bits for 200 keys: low FP
+    filt = B.bloom_build(members, "v", m_bits, k_hashes=3).cache()
+    filt.count()
+    try:
+        # Bloom guarantee: every member probes true
+        probed = B.bloom_probe(members, filt, "v", m_bits, 3)
+        assert probed.where(~F.col("maybe_member")).count() == 0
+        # non-members: mostly false (FP rate well under 50% at this sizing)
+        fp = B.bloom_probe(others, filt, "v", m_bits, 3)
+        n_fp = fp.where(F.col("maybe_member")).count()
+        assert n_fp < 100, n_fp
+        # probe plan: candidate side flows with zero exchanges (cut the plan
+        # at the cached filter node — its stored lineage legitimately
+        # contains the one filter-sized build shuffle)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        top = plan.split("InMemoryRelation")[0]
+        assert "BroadcastHashJoin" in top
+        assert "Exchange hashpartitioning" not in top, top[:1500]
+    finally:
+        filt.unpersist()
