@@ -2295,3 +2295,108 @@ SELECT doc_id, COUNT(*) AS n_sh,
 FROM probe GROUP BY 1
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 19: sequence analytics + substring dedup + co-occurrence similarity —
+# event-transition Markov matrix, repeated n-token spans (Lee et al.
+# substring-level dedup, n-gram granularity), supplier-pair Jaccard over the
+# same customer->supplier incidence the PPR graph projects (tpch_graph.py).
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8
+SPAN_MIN_DOCS = 2
+COOC_MIN_SHARED = 2
+
+
+def q_event_transitions(spark, sf_dir):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        event_transitions,
+    )
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def q_ngram_span_dups(spark, sf_dir):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.dedup import (
+        ngram_span_duplicates,
+    )
+
+    return ngram_span_duplicates(
+        _t(spark, sf_dir, "documents"), n=SPAN_N, min_docs=SPAN_MIN_DOCS
+    )
+
+
+def q_supplier_cooccurrence(spark, sf_dir):
+    """Suppliers ranked by shared-customer Jaccard — the set-overlap
+    counterpart of PPR relatedness on the same incidence."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.cooccurrence import (
+        item_jaccard,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    inc = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").cast("long").alias("basket"),
+        F.col("l_suppkey").cast("long").alias("item"),
+    )
+    return item_jaccard(inc, min_shared=COOC_MIN_SHARED)
+
+
+_BASE_QUERIES18 = queries
+_BASE_ORACLE18 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES18()
+    q["event_transitions"] = q_event_transitions
+    q["ngram_span_dups"] = q_ngram_span_dups
+    q["supplier_cooccurrence"] = q_supplier_cooccurrence
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE18()
+    sql["event_transitions"] = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM pairs WHERE src IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS prob
+FROM counts
+"""
+    sql["ngram_span_dups"] = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+spans AS (
+  SELECT doc_id, array_to_string(t[i:i+{SPAN_N - 1}], ' ') AS span
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {SPAN_N} + 2)) AS i) g
+  WHERE len(t) >= {SPAN_N}
+)
+SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+"""
+    sql["supplier_cooccurrence"] = f"""
+WITH e AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS basket,
+                  CAST(l.l_suppkey AS BIGINT) AS item
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+deg AS (SELECT item, COUNT(*) AS d FROM e GROUP BY 1),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COOC_MIN_SHARED}
+)
+SELECT item_a, item_b, shared,
+       ROUND(CAST(shared AS DOUBLE) / (da.d + db.d - shared), 6) AS jaccard
+FROM pairs
+JOIN deg da ON pairs.item_a = da.item
+JOIN deg db ON pairs.item_b = db.item
+"""
+    return sql

@@ -1,0 +1,101 @@
+"""Item-item co-occurrence similarity over (basket, item) incidence pairs.
+
+The recommender-style "customers who bought X also bought Y" shape, applied
+here to the same customer->supplier incidence the PPR graph is built from
+(tpch_graph.py): two suppliers are similar when many customers ordered from
+both. The reference expresses relatedness through random walks (PPR scores);
+co-occurrence Jaccard is the direct set-overlap counterpart — both belong in
+the same graph-analytics surface.
+
+Scale shape: the pair generation is the classic per-basket self-join, whose
+cost is sum_b deg(b)^2 — quadratic in the HOT basket, linear in everything
+else. `max_basket_size` drops baskets above the cap BEFORE the join (a
+power-user who bought everything contributes deg^2 join rows and near-zero
+similarity signal — the same argument as `ngram_jaccard_pairs.max_shingle_df`).
+Degrees for the Jaccard denominator are computed over the SAME capped
+incidence so the score stays a true Jaccard of the sets actually joined.
+The degree join broadcasts (|items| rows); the heavy exchange is the single
+hash partition on basket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_pairs(
+    incidence: DataFrame,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    max_basket_size: int | None = 4096,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(item_a, item_b, shared): distinct-basket co-occurrence counts for
+    unordered item pairs (item_a < item_b) sharing >= min_shared baskets."""
+    e = incidence.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_basket_size is not None:
+        big = (
+            e.groupBy("basket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") > max_basket_size)
+            .select("basket")
+        )
+        e = e.join(F.broadcast(big), "basket", "left_anti")
+    a = e.select("basket", F.col("item").alias("item_a"))
+    b = e.select("basket", F.col("item").alias("item_b"))
+    return (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
+def item_jaccard(
+    incidence: DataFrame,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    max_basket_size: int | None = 4096,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(item_a, item_b, shared, jaccard): co-occurrence Jaccard
+    |A ∩ B| / |A ∪ B| over each item's (capped) basket set, ROUND 6."""
+    e = incidence.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_basket_size is not None:
+        big = (
+            e.groupBy("basket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") > max_basket_size)
+            .select("basket")
+        )
+        e = e.join(F.broadcast(big), "basket", "left_anti")
+    pairs = cooccurrence_pairs(
+        e, "basket", "item", max_basket_size=None, min_shared=min_shared
+    )
+    deg = e.groupBy("item").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        pairs.join(
+            F.broadcast(deg.select(F.col("item").alias("item_a"), F.col("deg").alias("da"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("item").alias("item_b"), F.col("deg").alias("db"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "shared",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("da") + F.col("db") - F.col("shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

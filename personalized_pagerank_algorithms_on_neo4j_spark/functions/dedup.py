@@ -183,6 +183,50 @@ def ngram_jaccard_pairs(
     return _jaccard_select(common, sizes, threshold)
 
 
+def ngram_span_duplicates(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(span, n_docs, n_occurrences): every n-token span that appears in
+    >= min_docs distinct documents — substring-level duplication, the
+    complement of whole-document dedup (suffix-array spirit of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", at n-gram
+    granularity; cf. the reference's doc-level shingling only).
+
+    Scale shape: strictly linear. Positional spans (NOT distinct-ed — the
+    occurrence count is the point) explode to ~|tokens| rows, then ONE
+    groupBy(span) with map-side combine; the output is an aggregate, never a
+    doc-pair expansion, so a span shared by d documents costs d rows, not
+    d^2. COUNT(DISTINCT doc_id) adds the standard expand-plan pass over the
+    same shuffle. At corpus scale, group on a 64-bit span hash instead of
+    the text to narrow the shuffle; the text form here keeps the output
+    human-actionable (which spans to strip)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    # explode(NULL) emits no rows, so docs shorter than n tokens vanish here
+    span_arr = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - n),
+            lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+        ),
+    )
+    spans = toks.select("doc_id", F.explode(span_arr).alias("span"))
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

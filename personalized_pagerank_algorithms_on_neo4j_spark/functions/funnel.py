@@ -16,7 +16,7 @@ is also what makes the DuckDB oracle a direct transliteration).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,6 +89,38 @@ def funnel_report(
         F.when(F.col("_n0") > 0, F.round(n_users / F.col("_n0"), 6))
         .otherwise(F.lit(0.0))
         .alias("conversion"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(src, dst, n, prob): first-order Markov transition matrix over each
+    user's time-ordered event stream.
+
+    Scale shape: ONE wide shuffle — the lag window partitions by user (same
+    key a sessionizer would use, so an upstream repartition(user) is reused);
+    the (src, dst) aggregate is at most k x k rows for k event types, with
+    map-side combine collapsing each partition first. Row-normalization is a
+    window over those k^2 rows — driver-scale, never the fact table.
+    Ordering ties on `ts` break by `tiebreak_col` so the matrix is
+    deterministic under any partitioning."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = events.select(
+        F.lag(F.col(type_col)).over(w).alias("src"),
+        F.col(type_col).alias("dst"),
+    ).where(F.col("src").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
     )
 
 

@@ -626,3 +626,88 @@ def test_bloom_no_false_negatives_and_probe_plan(spark):
         assert "Exchange hashpartitioning" not in top, top[:1500]
     finally:
         filt.unpersist()
+
+
+def test_event_transitions_counts_and_rows(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        event_transitions,
+    )
+
+    rows = [
+        # user 1: a -> b -> b -> c   (ties broken by event_id: 2 before 3)
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:01:00", "b"),
+        (4, 1, "2024-01-01 00:02:00", "c"),
+        # user 2: a -> c
+        (5, 2, "2024-01-01 00:00:00", "a"),
+        (6, 2, "2024-01-01 00:05:00", "c"),
+        # user 3: single event -> no transition
+        (7, 3, "2024-01-01 00:00:00", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r.src, r.dst): (r.n, r.prob)
+        for r in event_transitions(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "c"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+        ("b", "c"): (1, 0.5),
+    }
+
+
+def test_ngram_span_duplicates_positional_counts(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.dedup import (
+        ngram_span_duplicates,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c a b c"),   # "a b c" occurs at 2 positions... n=3 spans: abc bca cab abc
+            (1, "a b c x y z"),
+            (2, "x y"),           # shorter than n -> contributes nothing
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.span: (r.n_docs, r.n_occurrences)
+        for r in ngram_span_duplicates(df, n=3, min_docs=2).collect()
+    }
+    # only "a b c" crosses documents (twice in doc 0, once in doc 1)
+    assert got == {"a b c": (2, 3)}
+
+
+def test_item_jaccard_cap_and_values(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.cooccurrence import (
+        item_jaccard,
+    )
+
+    rows = [
+        # baskets 1,2 share items x,y; basket 3 is a mega-basket
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"), (2, "z"),
+        (3, "x"), (3, "y"), (3, "z"), (3, "w"),
+        # duplicate incidence row must not double-count
+        (1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r.item_a, r.item_b): (r.shared, r.jaccard)
+        for r in item_jaccard(df, max_basket_size=3).collect()
+    }
+    # basket 3 (size 4 > cap) is dropped entirely: degrees x=2,y=2,z=1
+    assert got[("x", "y")] == (2, 1.0)
+    assert got[("x", "z")] == (1, 0.5)
+    assert got[("y", "z")] == (1, 0.5)
+    assert ("w", "x") not in got and ("w", "y") not in got
+    # uncapped: w appears, jaccard denominators grow
+    full = {
+        (r.item_a, r.item_b): (r.shared, r.jaccard)
+        for r in item_jaccard(df, max_basket_size=None).collect()
+    }
+    assert full[("x", "y")] == (3, 1.0)
+    assert full[("w", "x")] == (1, round(1 / 3, 6))
