@@ -122,8 +122,7 @@ def main() -> None:
 
 def _load(spark):
     g = E._graph(spark, SF_DIR)
-    g.stats()  # force node/edge counts
-    g.degrees.count()  # materialize cached degree table
+    g.warm()  # ONE action: materializes nodes/edges/degrees caches + n/m
     return g
 
 

@@ -102,6 +102,33 @@ class PropertyGraph:
     def stats(self) -> dict[str, int]:
         return {"nodes": self.n, "edges": self.m}
 
+    def warm(self) -> dict[str, int]:
+        """Materialize the nodes/edges/degrees caches and derive n and m in
+        ONE Spark action.
+
+        The degrees build already scans every edge and every node; when the
+        loader guarantees endpoint coverage (``nodes_cover_edges``) the same
+        aggregate yields both counts — ``n`` = degrees row count (degrees is
+        built FROM the nodes table, one row per node) and ``m`` =
+        sum(out_degree) (every edge's src is a node). Replaces the three
+        separate jobs (nodes.count, edges.count, degrees.count) the naive
+        load sequence pays; the reference similarly derives nodeCount/
+        relationshipCount from the one-shot HeavyGraph load (PPR.java:136-152)
+        rather than separate store scans.
+        """
+        if self.nodes_cover_edges:
+            row = self.degrees.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("out_degree").alias("m")
+            ).first()
+            self.__dict__["n"] = int(row["n"])
+            self.__dict__["m"] = int(row["m"] or 0)
+        else:
+            # uncovered dst ids may carry in-degree rows absent from nodes;
+            # fall back to exact per-table counts (still materializes caches)
+            self.degrees.count()
+            self.stats()
+        return self.stats()
+
     # ---- derived tables --------------------------------------------------
     @cached_property
     def out_degrees(self) -> DataFrame:
