@@ -73,12 +73,20 @@ def run_walks(
     zero_hop: bool = True,
     seed: int | None = None,
     max_supersteps: int = 1_000,
+    check_every: int = 4,
 ) -> DataFrame:
     """Drive walks(start, cur, weight) to their stop nodes; returns same schema.
 
-    Implements the reference walk semantics above. Each superstep:
-    stop-mask via rand(), one equi join against the adjacency arrays for the
-    movers, dangling rows reset to their start.
+    Implements the reference walk semantics above. Steps are unrolled in
+    blocks of ``check_every``: within a block each walk carries a ``done``
+    flag (stopped walks ride along unmodified), and the driver materializes
+    (localCheckpoint) + probes emptiness only once per block. The alpha-stop
+    tail is geometric — ~`ln(omega)/ln(1/(1-alpha))` supersteps to drain —
+    so per-step driver round-trips dominate the tail; blocking cuts driver
+    synchronization (and Spark job count) ~``check_every``-fold without
+    changing any walk's distribution (each step still draws its own
+    stop/move randomness). Lineage depth per materialization is bounded by
+    ``check_every`` joins, so no recompute amplification.
     """
     adj = graph.adj  # (node, neighbors, out_degree)
     if seed is None:
@@ -99,20 +107,46 @@ def run_walks(
 
     finished = [done]
     with static_superstep_plan(graph.spark):
-        for i in range(max_supersteps):
-            live = live.localCheckpoint(eager=True)
+        i = 0
+        while i < max_supersteps:
+            block = live.withColumn("done", F.lit(False))
+            for _ in range(min(check_every, max_supersteps - i)):
+                block = _step_flagged(block, adj, alpha, base_seed + 2 * i)
+                i += 1
+            block = block.localCheckpoint(eager=True)
+            finished.append(
+                block.where("done").select("start", "cur", "weight")
+            )
+            live = block.where(~F.col("done")).select("start", "cur", "weight")
             if live.isEmpty():
                 break
-            stop_mask = F.rand(base_seed + 2 * i) < F.lit(alpha)
-            live = live.withColumn("stop", stop_mask)
-            finished.append(live.where("stop").select("start", "cur", "weight"))
-            movers = live.where(~F.col("stop")).select("start", "cur", "weight")
-            live = _step_move(movers, adj, base_seed + 2 * i + 1)
 
     out = finished[0]
     for f in finished[1:]:
         out = out.unionAll(f)
     return out
+
+
+def _step_flagged(block: DataFrame, adj: DataFrame, alpha: float, seed: int) -> DataFrame:
+    """One alpha-stop step over (start, cur, weight, done) rows.
+
+    Already-done rows pass through untouched; live rows first draw the stop
+    mask, survivors move to a uniform random out-neighbor (dangling resets
+    to the walk's start — the dangling->source rule in walk form)."""
+    j = block.join(adj, block.cur == adj.node, "left")
+    newly_stopped = (~F.col("done")) & (F.rand(seed) < F.lit(alpha))
+    done2 = F.col("done") | newly_stopped
+    nxt = (
+        F.when(done2, F.col("cur"))
+        .when(F.col("node").isNull(), F.col("start"))  # dangling -> reset
+        .otherwise(
+            F.element_at(
+                "neighbors",
+                (F.floor(F.rand(seed + 1) * F.col("out_degree")) + 1).cast("int"),
+            )
+        )
+    )
+    return j.select("start", nxt.alias("cur"), "weight", done2.alias("done"))
 
 
 def _step_move(walks: DataFrame, adj: DataFrame, seed: int) -> DataFrame:
