@@ -321,6 +321,16 @@ class PropertyGraph:
             edge_dst=dst,
         )
 
+    @cached_property
+    def local_broadcast(self):
+        """Spark broadcast of the CSR snapshot — pickled ONCE per graph.
+
+        Executor-side vectorized kernels (`_base_all_local`'s per-target
+        reverse pushes) read it; caching avoids re-serializing ~tens of MB
+        per operator call. Only valid on the local-cutoff path (same size
+        regime as a broadcast join side)."""
+        return self.spark.sparkContext.broadcast(self.local)
+
     def state_df(self, pairs: list[tuple[int, float]]) -> DataFrame:
         """Small helper: (node, ppr) DataFrame from driver-side pairs."""
         return self.spark.createDataFrame(pairs, schema="node long, ppr double")

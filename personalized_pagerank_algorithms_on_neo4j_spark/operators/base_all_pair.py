@@ -75,35 +75,62 @@ def base_preprocess(
 def _base_all_local(
     graph: PropertyGraph, targets: DataFrame, rmax: float, alpha: float
 ) -> DataFrame:
-    """Per-target vectorized reverse-push kernels on the CSR snapshot."""
+    """Per-target vectorized reverse-push kernels, fanned out over executors.
+
+    The CSR snapshot is broadcast once per graph (it fits by definition on
+    this path — same cutoff as a broadcast join) and the targets stay a
+    DataFrame end to end: `mapInPandas` over the target rows runs the
+    deterministic numpy kernel per target on whichever executor holds the
+    row. Compared to a driver-side `targets.collect()` loop this (a)
+    removes the only collect on the prep path and (b) runs the target sweep
+    cores-wide instead of sequentially — the sweep is embarrassingly
+    parallel over targets (reference Base_Whole_Graph.java:64 loops
+    sequentially). In-degree-0 targets short-circuit declaratively to
+    pi(t,t)=1 (Backward_Search.java:44-49) so the Arrow stage only sees
+    targets with a real reverse frontier."""
     import numpy as np
     import pandas as pd
 
     from . import _kernels
 
-    lg = graph.local
-    tids = [r["target"] for r in targets.select("target").collect()]
-    srcs: list = []
-    tgts: list = []
-    pprs: list = []
-    for t in tids:
-        pi, _, _ = _kernels.backward_search_batch(lg, lg.dense(int(t)), alpha, rmax)
-        nz = np.where(pi > 0)[0]
-        srcs.append(lg.ids[nz])
-        tgts.append(np.full(len(nz), int(t), dtype=np.int64))
-        pprs.append(pi[nz])
-    if not srcs:
-        return graph.spark.createDataFrame(
-            [], "source long, target long, ppr double"
-        )
-    pdf = pd.DataFrame(
-        {
-            "source": np.concatenate(srcs),
-            "target": np.concatenate(tgts),
-            "ppr": np.concatenate(pprs),
-        }
+    shuffle_n = int(graph.spark.conf.get("spark.sql.shuffle.partitions"))
+    t = targets.select(F.col("target").cast("long").alias("target"))
+    ind = graph.in_degrees
+    t_deg = t.join(ind, t.target == ind.node, "left").select(
+        "target", F.coalesce("in_degree", F.lit(0)).alias("in_degree")
     )
-    return graph.spark.createDataFrame(pdf, "source long, target long, ppr double")
+    trivial = t_deg.where(F.col("in_degree") == 0).select(
+        F.col("target").alias("source"), "target", F.lit(1.0).alias("ppr")
+    )
+    nontrivial = t_deg.where(F.col("in_degree") > 0).select("target")
+
+    bc = graph.local_broadcast
+
+    def run(batches):
+        g = bc.value
+        for pdf in batches:
+            out = []
+            for tid in pdf["target"].astype("int64"):
+                pi, _, _ = _kernels.backward_search_batch(
+                    g, g.dense(int(tid)), alpha, rmax
+                )
+                nz = np.where(pi > 0)[0]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "source": g.ids[nz],
+                            "target": np.full(len(nz), int(tid), dtype=np.int64),
+                            "ppr": pi[nz],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    heavy = nontrivial.repartition(shuffle_n, "target").mapInPandas(
+        run, "source long, target long, ppr double"
+    )
+    return trivial.unionByName(heavy)
 
 
 def base_preprocess_to_store(
