@@ -2400,3 +2400,47 @@ JOIN deg da ON pairs.item_a = da.item
 JOIN deg db ON pairs.item_b = db.item
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 19: trained-quantizer gate — PQ codebooks from per-sub-space Lloyd
+# ---------------------------------------------------------------------------
+
+PQ_TRAIN_ITERS = 2
+
+
+def q_pq_trained_codes(spark, sf_dir):
+    """PQ encoding against TRAINED codebooks (per-sub-space Lloyd k-means,
+    PQ_TRAIN_ITERS rounds from the deterministic lowest-id seed) — gates
+    pq_fit cross-engine, complementing the seed-codebook `pq_codes` gate."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import pq as _pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    cbs = _pq.pq_fit(e, m=4, ksub=16, iterations=PQ_TRAIN_ITERS, dim=64)
+    return _pq.pq_encode(e, cbs).select(
+        "vec_id", F.array_join("codes", ",").alias("codes_str")
+    )
+
+
+_BASE_QUERIES19 = queries
+_BASE_ORACLE19 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES19()
+    q["pq_trained_codes"] = q_pq_trained_codes
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.pq import (
+        pq_trained_oracle_ctes,
+    )
+
+    sql = _BASE_ORACLE19()
+    sql["pq_trained_codes"] = f"""
+WITH {pq_trained_oracle_ctes(m=4, ksub=16, iterations=PQ_TRAIN_ITERS, dim=64)}
+SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes_str
+FROM enc GROUP BY vec_id
+"""
+    return sql

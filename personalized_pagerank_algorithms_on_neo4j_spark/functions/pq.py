@@ -39,6 +39,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "pq_oracle_ctes",
+    "pq_trained_oracle_ctes",
 ]
 
 
@@ -210,6 +211,98 @@ def pq_adc_topk(
     if len(kth_rows) < k:
         return adist
     return adist.where(F.col("adist") <= F.lit(kth_rows[-1][0]))
+
+
+def pq_trained_oracle_ctes(
+    m: int = 4,
+    ksub: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB CTE block replaying `pq_fit` + `pq_encode`: an independent
+    unrolled Lloyd recurrence per sub-space over the sliced sub-vectors
+    (seed = ksub lowest-id sub-vectors; per iteration assign/mean-update/
+    empty-keeps-previous, same rounding and tie-break as
+    `clustering.kmeans_oracle_sql`), then the final argmin encode against
+    the TRAINED codebooks. Exposes ``enc`` (id, sub, code) with the same
+    shape as `pq_oracle_ctes` — this gates the trained quantizer
+    cross-engine, not just the seed codebook."""
+    dsub = dim // m
+
+    def sub_slice(s: int) -> str:
+        return (
+            f"list_transform({vec_col}[{s * dsub + 1}:{(s + 1) * dsub}], "
+            f"x -> CAST(x AS DOUBLE))"
+        )
+
+    def dist2(vec_list: str, cent_list: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(range(1, {dsub + 1}), "
+            f"i -> ({vec_list}[i] - {cent_list}[i]) "
+            f"* ({vec_list}[i] - {cent_list}[i]))), 9)"
+        )
+
+    ctes: list[str] = []
+    for s in range(m):
+        sv = f"sv{s}"
+        ctes.append(
+            f"""{sv} AS MATERIALIZED (
+  SELECT {id_col}, {sub_slice(s)} AS v FROM {table})"""
+        )
+        ctes.append(
+            f"""c0_{s} AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS code, v AS cent
+  FROM (SELECT * FROM {sv} ORDER BY {id_col} LIMIT {ksub}))"""
+        )
+        for it in range(iterations):
+            ctes.append(
+                f"""a{it}_{s} AS MATERIALIZED (
+  SELECT {id_col}, code FROM (
+    SELECT e.{id_col}, c.code,
+           ROW_NUMBER() OVER (PARTITION BY e.{id_col}
+                              ORDER BY {dist2("e.v", "c.cent")} ASC,
+                                       c.code ASC) AS rn
+    FROM {sv} e CROSS JOIN c{it}_{s} c
+  ) t WHERE rn = 1)"""
+            )
+            ctes.append(
+                f"""m{it}_{s} AS MATERIALIZED (
+  SELECT code, list(ROUND(val, 6) ORDER BY dim) AS cent
+  FROM (
+    SELECT a.code AS code, d.dim AS dim, AVG(e.v[d.dim]) AS val
+    FROM a{it}_{s} a JOIN {sv} e USING ({id_col})
+    CROSS JOIN (SELECT unnest(range(1, {dsub + 1})) AS dim) d
+    GROUP BY a.code, d.dim
+  ) v GROUP BY code)"""
+            )
+            ctes.append(
+                f"""c{it + 1}_{s} AS MATERIALIZED (
+  SELECT p.code, COALESCE(m.cent, p.cent) AS cent
+  FROM c{it}_{s} p LEFT JOIN m{it}_{s} m ON p.code = m.code)"""
+            )
+    cb_union = " UNION ALL ".join(
+        f"SELECT {s} AS sub, code, cent AS cvec FROM c{iterations}_{s}"
+        for s in range(m)
+    )
+    ctes.append(f"cbt AS MATERIALIZED ({cb_union})")
+    sv_union = " UNION ALL ".join(
+        f"SELECT {id_col}, {s} AS sub, v FROM sv{s}" for s in range(m)
+    )
+    ctes.append(f"svall AS MATERIALIZED ({sv_union})")
+    ctes.append(
+        f"""enc AS MATERIALIZED (
+  SELECT {id_col}, sub, code FROM (
+    SELECT e.{id_col}, e.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY e.{id_col}, e.sub
+                              ORDER BY {dist2("e.v", "c.cvec")} ASC,
+                                       c.code ASC) AS rn
+    FROM svall e JOIN cbt c USING (sub)
+  ) t WHERE rn = 1)"""
+    )
+    return ",\n".join(ctes)
 
 
 def pq_oracle_ctes(
