@@ -99,13 +99,46 @@ def main() -> None:
     timed("q_decontamination", lambda: E.q_decontamination(spark, SF_DIR).count())
     timed("q_kmeans", lambda: E.q_kmeans_clusters(spark, SF_DIR).count())
 
-    # the 100x-scale path: DataFrame superstep loop, tracked round over round
-    # (10 iterations keeps the bench bounded; per-superstep cost is the
-    # metric). Kept LAST so its heavy shuffles don't perturb the legacy
-    # sequence above, which stays order-comparable with round-1 numbers.
+    # round-2 aggregation-family trend lines (correctness rows exist; these
+    # give them perf numbers round over round)
+    timed("q_event_funnel", lambda: E.q_event_funnel(spark, SF_DIR).count())
+    timed("q_bloom_decontamination",
+          lambda: E.q_bloom_decontamination(spark, SF_DIR).count())
+
+    # BASE sweep over 512 REAL reverse frontiers (suppliers/nations — the
+    # ascending-id 512 above are all in-degree-0 customers whose kernels
+    # short-circuit): measures the executor-parallel per-target kernel path.
+    timed(
+        "q_base_prep_heavy",
+        lambda: base_all_pair.base_preprocess(
+            g,
+            threshold=1e-4,
+            targets=g.nodes.select(F.col("id").alias("target"))
+            .orderBy(F.desc("id"))
+            .limit(512),
+            alpha=eng.alpha,
+        ).count(),
+    )
+
+    # the 100x-scale path: DataFrame superstep loops, tracked round over
+    # round (bounded iteration counts keep the bench bounded; per-superstep
+    # cost is the metric). Kept LAST so their heavy shuffles don't perturb
+    # the legacy sequence above, which stays order-comparable with round-1
+    # numbers.
     timed(
         "q_power_dist10",
         lambda: eng.ppr(src, algo="power", iterations=10, mode="distributed").count(),
+    )
+    # the other 100x-scale iterator: the batch-frontier push loop. Fixed 10
+    # supersteps (like q_power_dist10) — the metric is per-superstep cost,
+    # not convergence wall-time: full convergence at rmax=1e-6 is ~90
+    # geometric-tail supersteps of which the last ~60 are near-empty, all
+    # driver overhead at local scale.
+    timed(
+        "q_fwdpush_dist10",
+        lambda: eng.ppr(
+            src, algo="fwdpush", rmax=1e-6, mode="distributed", max_supersteps=10
+        ).count(),
     )
 
     total = round(sum(timings.values()), 4)

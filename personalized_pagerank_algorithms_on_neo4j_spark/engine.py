@@ -136,4 +136,7 @@ def forward_push_df(g, s, a, mode, params):
     if rmax is None:
         eps = params.get("epsilon", DEFAULT_EPSILON)
         rmax = WholeGraphConf(alpha=a, n=g.n, m=g.m).fora_rmax(eps)
-    return fp.forward_push(g, s, rmax=rmax, alpha=a, mode=mode)
+    return fp.forward_push(
+        g, s, rmax=rmax, alpha=a, mode=mode,
+        max_supersteps=params.get("max_supersteps", 10_000),
+    )

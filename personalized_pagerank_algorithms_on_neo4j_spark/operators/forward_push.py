@@ -140,7 +140,10 @@ def _push_loop(
     spark = graph.spark
 
     edges = graph.edges_deg
-    out_deg = graph.out_degrees
+    # the CACHED degrees table, not `out_degrees`: the latter is an uncached
+    # aggregation, so joining it per superstep re-runs the edge groupBy
+    # shuffle every iteration
+    out_deg = graph.degrees.select("node", "out_degree")
     state = init_state if init_state is not None else spark.createDataFrame(
         [(int(source), 1.0, 0.0)], schema="node long, residue double, reserve double"
     )
@@ -202,7 +205,7 @@ def _forward_push_topk_state(
         return state, empty_cand
 
     edges = graph.edges_deg
-    out_deg = graph.out_degrees
+    out_deg = graph.degrees.select("node", "out_degree")  # cached (see _push_loop)
     state = init_state if init_state is not None else spark.createDataFrame(
         [(int(source), 1.0, 0.0)], schema="node long, residue double, reserve double"
     )

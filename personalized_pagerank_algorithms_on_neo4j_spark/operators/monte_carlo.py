@@ -57,13 +57,128 @@ def monte_carlo(
 def _monte_carlo_distributed(
     graph: PropertyGraph, source: int, alpha: float, omega: int, seed: int | None
 ) -> DataFrame:
-    walks = graph.spark.range(omega).select(
-        F.lit(int(source)).cast("long").alias("start"),
-        F.lit(int(source)).cast("long").alias("cur"),
-        (F.lit(1.0) / F.lit(float(omega))).alias("weight"),
+    """Counted-walk simulation: the omega walks NEVER materialize as rows.
+
+    Walks from one source are exchangeable, so the superstep state is
+    (cur, cnt) — bounded by the number of ACTIVE NODES, not omega. Each
+    superstep splits each node's walk count binomially (stop vs move) and
+    multinomially over its out-neighbors; both splits are exact samples of
+    the same joint distribution as per-walk simulation (sums of iid
+    Bernoulli/categorical draws). At omega ~ 1e9 (the 100 TB operating
+    point: omega grows as 1/delta = n) the per-walk frame is billions of
+    rows per superstep; the counted frame is <= n rows and shrinks
+    geometrically. Randomness is seeded per (step, node) via a hash —
+    deterministic REGARDLESS of partition layout, unlike F.rand."""
+    walks = graph.spark.createDataFrame(
+        [(int(source), int(omega))], "cur long, cnt long"
     )
-    ends = run_walks(graph, walks, alpha, zero_hop=True, seed=seed)
-    return ends.groupBy(F.col("cur").alias("node")).agg(F.sum("weight").alias("ppr"))
+    ends = run_walks_counted(graph, walks, alpha, int(source), seed=seed)
+    return ends.select(
+        F.col("cur").alias("node"),
+        (F.col("cnt").cast("double") / F.lit(float(omega))).alias("ppr"),
+    )
+
+
+def run_walks_counted(
+    graph: PropertyGraph,
+    walks: DataFrame,
+    alpha: float,
+    source: int,
+    seed: int | None = None,
+    max_supersteps: int = 1_000,
+) -> DataFrame:
+    """Drive counted walks(cur, cnt) from ONE source to their stop nodes;
+    returns (cur, cnt) of stopped walk counts (summed over supersteps).
+
+    Same reference semantics as `run_walks` (alpha-stop, uniform
+    out-neighbor, dangling resets to the source, degree-0 source stops
+    immediately), expressed over walk COUNTS: per superstep each (cur,
+    cnt) row draws stops ~ Binomial(cnt, alpha) and splits the movers
+    Multinomial(cnt - stops, uniform over out-neighbors). One adjacency
+    join + one Arrow pass + one groupBy merge per superstep.
+    """
+    if seed is None:
+        import random as _random
+
+        base_seed = _random.randrange(2**31)
+    else:
+        base_seed = int(seed)
+
+    adj = graph.adj  # (node, neighbors, out_degree)
+    src_lit = int(source)
+
+    # one row per node: duplicate cur rows would share a per-(step, node)
+    # seed and draw correlated splits
+    walks = walks.groupBy("cur").agg(F.sum("cnt").alias("cnt"))
+
+    # a degree-0 source ends every walk at the source immediately
+    deg0 = walks.join(adj, walks.cur == adj.node, "left")
+    done0 = deg0.where(F.col("node").isNull()).select("cur", "cnt")
+    live = deg0.where(F.col("node").isNotNull()).select("cur", "cnt")
+
+    def step_factory(step_i: int):
+        def step(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                outc: list = []
+                outn: list = []
+                outs: list = []
+                for cur, cnt, nbrs in zip(
+                    pdf["cur"], pdf["cnt"], pdf["neighbors"]
+                ):
+                    cnt = int(cnt)
+                    # per-(step, node) seed: layout-independent determinism
+                    mix = (base_seed * 0x9E3779B1 + step_i * 0x85EBCA6B + int(cur)) % (2**63)
+                    rng = np.random.default_rng(mix)
+                    stops = int(rng.binomial(cnt, alpha))
+                    if stops:
+                        outc.append(int(cur))
+                        outn.append(stops)
+                        outs.append(True)
+                    movers = cnt - stops
+                    if movers == 0:
+                        continue
+                    if nbrs is None or len(nbrs) == 0:
+                        outc.append(src_lit)  # dangling -> reset to source
+                        outn.append(movers)
+                        outs.append(False)
+                        continue
+                    deg = len(nbrs)
+                    counts = rng.multinomial(movers, np.full(deg, 1.0 / deg))
+                    nz = np.nonzero(counts)[0]
+                    na = np.asarray(nbrs, dtype=np.int64)
+                    outc.extend(int(x) for x in na[nz])
+                    outn.extend(int(c) for c in counts[nz])
+                    outs.extend([False] * len(nz))
+                yield pd.DataFrame({"cur": outc, "cnt": outn, "stopped": outs})
+
+        return step
+
+    finished = [done0]
+    with static_superstep_plan(graph.spark):
+        live = live.localCheckpoint(eager=True)
+        for i in range(max_supersteps):
+            if live.isEmpty():
+                break
+            j = live.join(adj, live.cur == adj.node, "left").select(
+                "cur", "cnt", "neighbors"
+            )
+            # ONE materialization per superstep serves both the stopped
+            # slice (kept for the final union) and the next live frontier
+            nxt = (
+                j.mapInPandas(step_factory(i), "cur long, cnt long, stopped boolean")
+                .groupBy("cur", "stopped")
+                .agg(F.sum("cnt").alias("cnt"))
+            ).localCheckpoint(eager=True)
+            finished.append(nxt.where("stopped").select("cur", "cnt"))
+            live = nxt.where(~F.col("stopped")).select("cur", "cnt")
+
+    out = finished[0]
+    for f in finished[1:]:
+        out = out.unionAll(f)
+    return out.groupBy("cur").agg(F.sum("cnt").alias("cnt"))
 
 
 def run_walks(

@@ -90,6 +90,40 @@ def test_monte_carlo_distributed_statistical(got):
     assert (np.abs(est - oracle) <= bound + 5e-3).all()
 
 
+def test_monte_carlo_counted_statistical(got):
+    """Counted-walk distributed MC: exact mass conservation + the same
+    distributional bound as the per-walk path (binomial/multinomial splits
+    are sums of the identical iid draws)."""
+    lg = got.local
+    s = got.id_of("Eddard")
+    df = monte_carlo._monte_carlo_distributed(got, s, ALPHA, omega=20_000, seed=7)
+    rows = df.collect()
+    total = sum(r["ppr"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    oracle = _kernels.power_method(lg, lg.dense(s), ALPHA, 300)
+    est = _as_dense(lg, rows)
+    bound = 5 * np.sqrt(np.maximum(oracle * (1 - oracle), 1e-6) / 20_000)
+    assert (np.abs(est - oracle) <= bound + 5e-3).all()
+
+
+def test_monte_carlo_counted_deterministic_vs_layout(got):
+    """Per-(step, node) hash seeding: the counted path must produce identical
+    counts regardless of the walk frame's partition layout."""
+    s = got.id_of("Eddard")
+    w1 = got.spark.createDataFrame([(int(s), 5_000)], "cur long, cnt long")
+    w2 = w1.repartition(7)
+    e1 = {
+        (r["cur"]): r["cnt"]
+        for r in monte_carlo.run_walks_counted(got, w1, ALPHA, s, seed=3).collect()
+    }
+    e2 = {
+        (r["cur"]): r["cnt"]
+        for r in monte_carlo.run_walks_counted(got, w2, ALPHA, s, seed=3).collect()
+    }
+    assert e1 == e2
+    assert sum(e1.values()) == 5_000
+
+
 def test_fora_distributed_error_bound(got):
     lg = got.local
     s = got.id_of("Eddard")
