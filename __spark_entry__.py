@@ -2444,3 +2444,78 @@ SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes_str
 FROM enc GROUP BY vec_id
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 20: sequence packing / chunking / mixture rebalancing
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+PACK_BUDGET = 512
+PACK_BUCKETS = 8
+PACK_SEED = 5
+MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_SEED = 13
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping fixed-token chunking of every document (retrieval /
+    long-doc training shape): pure per-row explode, no shuffle."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import packing as _packing
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _packing.chunk_documents(
+        d, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+def q_seq_packing(spark, sf_dir):
+    """Hash-bucketed interval packing into fixed token budgets (the
+    concat-then-chunk pretraining loader): one shuffle by bucket."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import packing as _packing
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _packing.pack_sequences(
+        d, budget_tokens=PACK_BUDGET, n_buckets=PACK_BUCKETS, seed=PACK_SEED
+    )
+
+
+def q_mixture_rebalance(spark, sf_dir):
+    """Largest subset matching a target source mixture via portable ppm
+    hash thresholds derived from one k-row aggregate."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import packing as _packing
+
+    d = _t(spark, sf_dir, "documents")
+    return _packing.mixture_rebalance(d, MIX_TARGETS, seed=MIX_SEED).select(
+        "doc_id", "source", "lang"
+    )
+
+
+_BASE_QUERIES20 = queries
+_BASE_ORACLE20 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES20()
+    q["doc_chunks"] = q_doc_chunks
+    q["seq_packing"] = q_seq_packing
+    q["mixture_rebalance"] = q_mixture_rebalance
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import packing as _packing
+
+    sql = _BASE_ORACLE20()
+    sql["doc_chunks"] = _packing.chunk_oracle_sql(
+        chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+    sql["seq_packing"] = _packing.pack_oracle_sql(
+        budget_tokens=PACK_BUDGET, n_buckets=PACK_BUCKETS, seed=PACK_SEED
+    )
+    sql["mixture_rebalance"] = f"""
+WITH base AS ({_packing.mixture_oracle_sql(MIX_TARGETS, seed=MIX_SEED)})
+SELECT doc_id, source, lang FROM base
+"""
+    return sql

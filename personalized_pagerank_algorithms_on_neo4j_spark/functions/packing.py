@@ -1,0 +1,258 @@
+"""Sequence packing and document chunking for LLM training-data pipelines.
+
+Two ends of the "fit documents into fixed token windows" problem:
+
+- `chunk_documents` — split long documents into overlapping fixed-size token
+  windows (the retrieval / long-doc-training shape). Pure per-row explode:
+  no shuffle, no state, trivially scale-out.
+- `pack_sequences` — assign documents to fixed-token-budget packs (the
+  "concat then chunk" pretraining shape). Greedy sequential packing is
+  inherently serial, so the scale design hash-buckets documents first and
+  packs by CUMULATIVE-INTERVAL within each bucket: a document's pack is
+  `floor(cum_tokens_before / budget)`. One window function over each
+  bucket — no driver state, deterministic under repartitioning, and each
+  bucket packs independently on its executor. A document may straddle a
+  pack boundary (it belongs to the pack its interval starts in), exactly
+  like the standard concat-and-chunk pretraining loader; packs are
+  therefore full to within one document's tail.
+- `mixture_rebalance` — downsample sources to a target mixture. The
+  largest output satisfying target proportions keeps
+  `T = min_s(count_s / target_s)` total rows; each source keeps
+  `T * target_s` of its rows via the portable ppm hash filter — the same
+  per-row, shuffle-free selection discipline as `sampling.hash_sample`
+  (selection is stable under reruns and engine changes). The per-source
+  thresholds come from one tiny aggregate broadcast back over the corpus:
+  one shuffle of k rows, one scan.
+
+All three are cross-engine exact: integer token counts, integer ppm
+thresholds, and the md5-based `portable_hash` shared with the DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .sampling import BUCKETS, _bucket
+
+__all__ = ["chunk_documents", "pack_sequences", "mixture_rebalance"]
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_id, chunk_text, n_tokens): overlapping token windows.
+
+    Window i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last window is short iff the
+    document doesn't fill it. Documents shorter than one chunk yield
+    exactly one chunk. Whitespace tokens (same tokenizer as
+    `text.token_count`)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # ceil((n - chunk) / stride) + 1 extra windows beyond the first
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + F.lit(1)
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.array_join(
+            F.slice(
+                "_toks", F.col("chunk_id") * stride + 1, F.lit(chunk_tokens)
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens),
+            F.size("_toks") - F.col("chunk_id") * stride,
+        ).cast("long").alias("n_tokens"),
+    )
+    return out
+
+
+def chunk_oracle_sql(
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `chunk_documents` (list slicing is 1-based inclusive
+    on both engines)."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}
+),
+counted AS (
+  SELECT {id_col}, t,
+         CASE WHEN len(t) <= {chunk_tokens} THEN 1
+              ELSE CAST(CEIL((len(t) - {chunk_tokens}) / {stride}.0) AS INT) + 1
+         END AS n_chunks
+  FROM toks
+)
+SELECT {id_col},
+       CAST(g.i AS INT) AS chunk_id,
+       array_to_string(t[g.i * {stride} + 1 : g.i * {stride} + {chunk_tokens}], ' ') AS chunk_text,
+       CAST(LEAST({chunk_tokens}, len(t) - g.i * {stride}) AS BIGINT) AS n_tokens
+FROM counted, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) g
+"""
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 512,
+    n_buckets: int = 32,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bucket, pack, pack_offset, n_tokens): interval packing.
+
+    Documents are hash-bucketed (pack parallelism = n_buckets; at cluster
+    scale set this >= total cores), ordered by id within the bucket, and a
+    document starting at cumulative offset c lands in pack floor(c /
+    budget) at offset c % budget. The (bucket, pack) pair is the pack key.
+    One window aggregation per bucket — the whole operator is a single
+    shuffle by bucket."""
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            (_bucket(F.col(id_col), seed) % F.lit(n_buckets)).alias("bucket"),
+            toks.alias("n_tokens"),
+        )
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            id_col,
+            "bucket",
+            F.floor(F.col("cum_before") / F.lit(budget_tokens)).alias("pack"),
+            (F.col("cum_before") % F.lit(budget_tokens)).alias("pack_offset"),
+            "n_tokens",
+        )
+    )
+
+
+def pack_oracle_sql(
+    budget_tokens: int = 512,
+    n_buckets: int = 32,
+    seed: int = 0,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `pack_sequences`."""
+    from .sampling import sampling_oracle_fragments
+
+    bucket = f"({sampling_oracle_fragments(seed, id_col)}) % {n_buckets}"
+    return f"""
+WITH b AS (
+  SELECT {id_col}, {bucket} AS bucket,
+         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tokens
+  FROM {table}
+),
+c AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM b
+)
+SELECT {id_col}, bucket,
+       CAST(FLOOR(cum_before / {budget_tokens}) AS BIGINT) AS pack,
+       cum_before % {budget_tokens} AS pack_offset,
+       n_tokens
+FROM c
+"""
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Downsample to the largest subset matching the target source mixture.
+
+    The binding source s* = argmin(count_s / target_s) is kept whole; every
+    other source keeps `round(min_ratio * target_s / count_s * 1e6)` ppm of
+    its rows by portable hash. Sources absent from `targets` drop. The
+    thresholds derive from one k-row aggregate (k = #sources) joined back
+    broadcast — no driver round-trip, no RNG."""
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    tgt = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        f"{source_col} string, _target double",
+    )
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
+        .join(F.broadcast(tgt), source_col)
+        .withColumn("_ratio", F.col("_cnt") / F.col("_target"))
+    )
+    min_ratio = counts.agg(F.min("_ratio").alias("_min_ratio"))
+    thresholds = counts.crossJoin(F.broadcast(min_ratio)).select(
+        source_col,
+        F.round(
+            F.col("_min_ratio") * F.col("_target") / F.col("_cnt") * F.lit(BUCKETS)
+        ).cast("long").alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .where(_bucket(F.col(id_col), seed) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def mixture_oracle_sql(
+    targets: dict[str, float],
+    table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of `mixture_rebalance` (identical double arithmetic —
+    both engines compute min_ratio * target / count * 1e6 in IEEE doubles
+    then ROUND, so thresholds agree bit-for-bit)."""
+    from .sampling import sampling_oracle_fragments
+
+    vals = ", ".join(f"('{k}', {float(v)!r})" for k, v in sorted(targets.items()))
+    bucket = sampling_oracle_fragments(seed, id_col)
+    return f"""
+WITH tgt({source_col}, _target) AS (VALUES {vals}),
+counts AS (
+  SELECT d.{source_col}, CAST(COUNT(*) AS DOUBLE) AS _cnt, t._target
+  FROM {table} d JOIN tgt t USING ({source_col})
+  GROUP BY d.{source_col}, t._target
+),
+thr AS (
+  SELECT {source_col},
+         CAST(ROUND((SELECT MIN(_cnt / _target) FROM counts)
+                    * _target / _cnt * {BUCKETS}) AS BIGINT) AS _thr
+  FROM counts
+)
+SELECT d.* FROM {table} d
+JOIN thr USING ({source_col})
+WHERE ({bucket}) < _thr
+"""

@@ -711,3 +711,85 @@ def test_item_jaccard_cap_and_values(spark):
     }
     assert full[("x", "y")] == (3, 1.0)
     assert full[("w", "x")] == (1, round(1 / 3, 6))
+
+
+# ---------------------------------------------------------------------------
+# packing: chunking / sequence packing / mixture rebalancing
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.packing import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+        (2, "a b"),  # shorter than one chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = (r.chunk_text, r.n_tokens)
+    # doc 2: one short chunk, intact
+    assert by_doc[2] == {0: ("a b", 2)}
+    # doc 1: stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    assert by_doc[1][0] == ("t0 t1 t2 t3", 4)
+    assert by_doc[1][1] == ("t3 t4 t5 t6", 4)  # 1-token overlap
+    assert by_doc[1][2] == ("t6 t7 t8 t9", 4)
+    # every token covered: union of chunk tokens == original tokens
+    seen = set()
+    for text, _ in by_doc[1].values():
+        seen.update(text.split(" "))
+    assert seen == {f"t{i}" for i in range(10)}
+
+
+def test_pack_sequences_invariants(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (5 + i % 7))) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, budget_tokens=20, n_buckets=4, seed=1)
+    rows1 = {r.doc_id: (r.bucket, r.pack, r.pack_offset) for r in out.collect()}
+    assert len(rows1) == 100
+    for b, p, off in rows1.values():
+        assert 0 <= b < 4 and p >= 0 and 0 <= off < 20
+    # deterministic under repartitioning
+    rows2 = {
+        r.doc_id: (r.bucket, r.pack, r.pack_offset)
+        for r in pack_sequences(
+            df.repartition(13), budget_tokens=20, n_buckets=4, seed=1
+        ).collect()
+    }
+    assert rows1 == rows2
+    # within a bucket, consecutive docs' offsets advance by n_tokens mod budget
+    per_bucket = {}
+    for r in out.collect():
+        per_bucket.setdefault(r.bucket, []).append(r)
+    for rs in per_bucket.values():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.pack == cum // 20 and r.pack_offset == cum % 20
+            cum += r.n_tokens
+
+
+def test_mixture_rebalance_proportions(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.packing import mixture_rebalance
+
+    rows = [(i, "a" if i < 600 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # a:b counts 600:400; targets 1:1 -> binding source b kept whole-ish,
+    # a downsampled to ~400
+    out = mixture_rebalance(df, {"a": 0.5, "b": 0.5}, seed=2)
+    got = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    assert counts["b"] > 350  # ppm hash keeps ~all of the binding source
+    assert abs(counts["a"] - counts["b"]) < 80  # ~1:1 out of a 600:400 corpus
+    # rerun-stable: identical selection
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in mixture_rebalance(df, {"a": 0.5, "b": 0.5}, seed=2).collect()
+    )
+    assert ids1 == ids2

@@ -153,3 +153,25 @@ def test_kmeans_assign_is_map_side(spark):
     cents = [[float(x) for x in r[1]] for r in seed_rows]
     plan = _plan(clustering._assign(e, cents, "embedding", "vec_id"))
     assert "Exchange" not in plan and "Join" not in plan, plan[:1500]
+
+
+def test_chunking_no_exchange(spark):
+    """Chunking is a pure per-row explode: zero shuffles, zero Python."""
+    plan = _plan(E.q_doc_chunks(spark, SF_ORACLE))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_packing_single_exchange(spark):
+    """Sequence packing is ONE shuffle (the bucket window partitioning)."""
+    plan = _plan(E.q_seq_packing(spark, SF_ORACLE))
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mixture_thresholds_broadcast(spark):
+    """The per-source ppm thresholds join back as a broadcast, and the
+    corpus side is never shuffled by the join."""
+    plan = _plan(E.q_mixture_rebalance(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
