@@ -134,6 +134,15 @@ def main() -> None:
     # not convergence wall-time: full convergence at rmax=1e-6 is ~90
     # geometric-tail supersteps of which the last ~60 are near-empty, all
     # driver overhead at local scale.
+    # counted-walk distributed MC (state bounded by active nodes, not
+    # omega): fixed 10 supersteps for the same per-superstep-cost trend
+    timed(
+        "q_mc_dist10",
+        lambda: eng.ppr(
+            src, algo="montecarlo", epsilon=0.5, mode="distributed",
+            max_supersteps=10,
+        ).count(),
+    )
     timed(
         "q_fwdpush_dist10",
         lambda: eng.ppr(

@@ -63,6 +63,7 @@ class PPREngine:
             return monte_carlo.monte_carlo(
                 g, s, epsilon=params.get("epsilon", DEFAULT_EPSILON), alpha=a,
                 mode=mode, seed=params.get("seed", 42),
+                max_supersteps=params.get("max_supersteps", 1_000),
             )
         if algo == "fora":
             return fora.fora_whole_graph(

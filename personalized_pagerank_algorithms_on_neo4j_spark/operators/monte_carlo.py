@@ -40,6 +40,7 @@ def monte_carlo(
     alpha: float = DEFAULT_ALPHA,
     mode: str = "auto",
     seed: int | None = 42,
+    max_supersteps: int = 1_000,
 ) -> DataFrame:
     """Whole-graph MC PPR. Returns DataFrame(node, ppr)."""
     conf = WholeGraphConf(alpha=alpha, n=graph.n, m=graph.m)
@@ -51,11 +52,18 @@ def monte_carlo(
         rng = np.random.default_rng(seed)
         pi = _kernels.monte_carlo(lg, lg.dense(source), alpha, omega, rng)
         return ppr_result_from_dense(graph, pi)
-    return _monte_carlo_distributed(graph, source, alpha, omega, seed)
+    return _monte_carlo_distributed(
+        graph, source, alpha, omega, seed, max_supersteps
+    )
 
 
 def _monte_carlo_distributed(
-    graph: PropertyGraph, source: int, alpha: float, omega: int, seed: int | None
+    graph: PropertyGraph,
+    source: int,
+    alpha: float,
+    omega: int,
+    seed: int | None,
+    max_supersteps: int = 1_000,
 ) -> DataFrame:
     """Counted-walk simulation: the omega walks NEVER materialize as rows.
 
@@ -72,7 +80,9 @@ def _monte_carlo_distributed(
     walks = graph.spark.createDataFrame(
         [(int(source), int(omega))], "cur long, cnt long"
     )
-    ends = run_walks_counted(graph, walks, alpha, int(source), seed=seed)
+    ends = run_walks_counted(
+        graph, walks, alpha, int(source), seed=seed, max_supersteps=max_supersteps
+    )
     return ends.select(
         F.col("cur").alias("node"),
         (F.col("cnt").cast("double") / F.lit(float(omega))).alias("ppr"),
@@ -160,20 +170,39 @@ def run_walks_counted(
     with static_superstep_plan(graph.spark):
         live = live.localCheckpoint(eager=True)
         for i in range(max_supersteps):
-            if live.isEmpty():
+            # emptiness probe every 3rd step: the geometric tail takes tens
+            # of supersteps to drain, and each probe is a driver job; a few
+            # no-op supersteps past drain are cheaper than per-step probes
+            if i % 3 == 0 and live.isEmpty():
                 break
             j = live.join(adj, live.cur == adj.node, "left").select(
                 "cur", "cnt", "neighbors"
             )
             # ONE materialization per superstep serves both the stopped
-            # slice (kept for the final union) and the next live frontier
+            # slice (kept for the final union) and the next live frontier.
+            # Single groupBy(cur) with conditional sums: one output row per
+            # node (vs two under a (cur, stopped) key) and the narrower
+            # shuffle key.
             nxt = (
                 j.mapInPandas(step_factory(i), "cur long, cnt long, stopped boolean")
-                .groupBy("cur", "stopped")
-                .agg(F.sum("cnt").alias("cnt"))
+                .groupBy("cur")
+                .agg(
+                    F.sum(F.when(F.col("stopped"), F.col("cnt")).otherwise(0)).alias(
+                        "stop_cnt"
+                    ),
+                    F.sum(F.when(~F.col("stopped"), F.col("cnt")).otherwise(0)).alias(
+                        "live_cnt"
+                    ),
+                )
             ).localCheckpoint(eager=True)
-            finished.append(nxt.where("stopped").select("cur", "cnt"))
-            live = nxt.where(~F.col("stopped")).select("cur", "cnt")
+            finished.append(
+                nxt.where(F.col("stop_cnt") > 0).select(
+                    "cur", F.col("stop_cnt").alias("cnt")
+                )
+            )
+            live = nxt.where(F.col("live_cnt") > 0).select(
+                "cur", F.col("live_cnt").alias("cnt")
+            )
 
     out = finished[0]
     for f in finished[1:]:
