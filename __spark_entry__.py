@@ -2519,3 +2519,41 @@ WITH base AS ({_packing.mixture_oracle_sql(MIX_TARGETS, seed=MIX_SEED)})
 SELECT doc_id, source, lang FROM base
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 21: BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = "hash join spark"
+BM25_K = 15
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-k documents for a fixed query string: one corpus
+    scan, doc-length + query-term-tf aggregates, broadcast stats, per-doc
+    sum, deterministic ROW_NUMBER top-k."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import bm25_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(d, BM25_QUERY, k=BM25_K)
+
+
+_BASE_QUERIES21 = queries
+_BASE_ORACLE21 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES21()
+    q["bm25_topk"] = q_bm25_topk
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        bm25_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE21()
+    sql["bm25_topk"] = bm25_oracle_sql(BM25_QUERY, k=BM25_K)
+    return sql

@@ -224,3 +224,129 @@ def tfidf_top_terms(
         scored.withColumn("pos", F.row_number().over(w).cast("long"))
         .where(F.col("pos") <= k)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, score, pos): Okapi BM25 top-k documents for a query string.
+
+    The retrieval-scoring twin of `tfidf_top_terms`, same relational scale
+    shape: tokenize-explode (narrow), ONE doc-length aggregate over the
+    corpus, a per-(doc, query-term) tf aggregate over the pre-filtered
+    (tiny) postings, term df + corpus stats as broadcast scalars, sum per
+    doc, top-k by deterministic ROW_NUMBER (score DESC, id ASC). The
+    corpus is scanned once; everything joined back to it is small or
+    keyed on the doc id.
+
+    Cross-engine determinism: idf = ROUND(ln((N - df + 0.5)/(df + 0.5)
+    + 1), 6); per-doc length norm ROUND(_, 6); final score ROUND(_, 6).
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("query has no tokens")
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).where(F.length("term") > 0)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtf = (
+        toks.where(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = qtf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        qtf.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("idf"),
+            F.col("tf").cast("double").alias("tf"),
+            F.round(
+                F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")),
+                6,
+            ).alias("norm"),
+        )
+        .select(
+            id_col,
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (F.col("tf") + F.col("norm")),
+                6,
+            ).alias("tscore"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("tscore"), 6).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= k)
+    )
+
+
+def bm25_oracle_sql(
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `bm25_topk` (identical rounding and tie-break)."""
+    terms = sorted({t for t in query.lower().split() if t})
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(string_split_regex(lower(trim({text_col})), ' +')) AS term
+  FROM {table}
+),
+toks_nz AS (SELECT * FROM toks WHERE length(term) > 0),
+dl AS (SELECT {id_col}, COUNT(*) AS dl FROM toks_nz GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl),
+qtf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf FROM toks_nz
+  WHERE term IN ({term_list}) GROUP BY 1, 2),
+df_t AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM qtf GROUP BY 1),
+scored AS (
+  SELECT q.{id_col},
+         ROUND(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS idf,
+         CAST(q.tf AS DOUBLE) AS tf,
+         ROUND({k1} * ({1.0 - b} + {b} * l.dl / s.avgdl), 6) AS norm
+  FROM qtf q JOIN df_t d USING (term) JOIN dl l USING ({id_col})
+  CROSS JOIN stats s),
+per_doc AS (
+  SELECT {id_col},
+         ROUND(SUM(ROUND(idf * (tf * {k1 + 1.0}) / (tf + norm), 6)), 6) AS score
+  FROM scored GROUP BY 1)
+SELECT {id_col}, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, {id_col} ASC) AS BIGINT) AS pos
+FROM per_doc
+QUALIFY pos <= {k}
+"""

@@ -793,3 +793,31 @@ def test_mixture_rebalance_proportions(spark):
         for r in mixture_rebalance(df, {"a": 0.5, "b": 0.5}, seed=2).collect()
     )
     assert ids1 == ids2
+
+
+def test_bm25_topk_hand_computed(spark):
+    import math
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import bm25_topk
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.score for r in bm25_topk(df, "apple banana", k=3).collect()}
+    # N=3, avgdl=3; df(apple)=1, df(banana)=2
+    k1, b = 1.2, 0.75
+
+    def score(tf, dl, dfreq):
+        idf = round(math.log((3 - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 6)
+        norm = round(k1 * (1 - b + b * dl / 3.0), 6)
+        return round(idf * (tf * (k1 + 1)) / (tf + norm), 6)
+
+    exp1 = round(score(2, 3, 1) + score(1, 3, 2), 6)
+    exp2 = round(score(1, 2, 2), 6)
+    assert out[1] == exp1 and out[2] == exp2
+    assert 3 not in out  # no query term
+    # doc 1 ranks first (has the rare term twice)
+    assert out[1] > out[2]
