@@ -79,9 +79,14 @@ def main() -> None:
     # BASE preprocessing over a 512-target batch (one multi-target Spark job)
     # + a partition-pruned lookup
     with tempfile.TemporaryDirectory() as d:
+        runs = iter(range(100))
         path = d + "/prep"
 
         def prep():
+            # fresh subdir per repeat: an overwrite into an EXISTING
+            # 512-partition store first deletes 512 directories, which
+            # would bill run 2 for run 1's layout
+            p = f"{d}/prep{next(runs)}"
             targets = g.nodes.select(F.col("id").alias("target")).orderBy("id").limit(512)
             df = base_all_pair.base_preprocess(
                 g, threshold=1e-4, targets=targets, alpha=eng.alpha
@@ -90,9 +95,10 @@ def main() -> None:
                 write_prep,
             )
 
-            write_prep(df, path)
+            write_prep(df, p)
+            return p
 
-        timed("q_base_prep512", prep)
+        path = timed("q_base_prep512", prep)
         timed(
             "q_base_lookup",
             lambda: base_all_pair.base_lookup(g, path, src).count(),

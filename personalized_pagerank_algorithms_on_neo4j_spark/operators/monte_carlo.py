@@ -9,14 +9,20 @@ from the source; pi(t) = (#walks stopping at t)/omega. Walk semantics:
 - the `no_zero_hop` variant (used by FORA's whole-graph walk phase) takes one
   unconditional first step.
 
-Distributed plan: a DataFrame of live walks iterated against the cached
-array-adjacency table (`element_at(neighbors, 1+floor(rand()*out_degree))`,
-O(1) per row). The number of supersteps is geometric (alpha-stop), ~45 rounds
-to drain 1e6 walks; each round is one broadcast-less join + filter. Walk
-rows carry (start, cur, weight) so FORA can fan out weighted walks through
-the same loop. Randomness: `F.rand(seed)` is deterministic per (partition,
-row) for a fixed partitioning; run-to-run layout can vary, so seeded
-reproducibility is only guaranteed on the local kernel path.
+Distributed plans, two representations:
+- single-source MC: COUNTED walks (`run_walks_counted`) — state is
+  (node, walk_count), bounded by active nodes rather than omega; stops
+  split Binomial(cnt, alpha), movers split multinomially over the
+  adjacency arrays. Layout-independent per-(step, node) hash seeding.
+- weighted fan-out (FORA's walk phase): per-walk rows (start, cur,
+  weight) through `run_walks` — starts and weights vary per walk, so the
+  counted compression doesn't apply; supersteps are block-unrolled
+  (one materialization + emptiness probe per 4 steps). `F.rand(seed)` is
+  deterministic per (partition, row) for a fixed partitioning; run-to-run
+  layout can vary, so seeded reproducibility on THIS path is only
+  guaranteed on the local kernel.
+The superstep count is geometric either way (~ln(omega)/ln(1/(1-alpha))
+rounds to drain).
 """
 
 from __future__ import annotations
