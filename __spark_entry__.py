@@ -2557,3 +2557,113 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     sql = _BASE_ORACLE21()
     sql["bm25_topk"] = bm25_oracle_sql(BM25_QUERY, k=BM25_K)
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 22: pipeline monitoring — hourly anomaly z-scores, corpus report card
+# ---------------------------------------------------------------------------
+
+ANOM_WINDOW = 24  # trailing hours
+
+
+def q_events_anomaly(spark, sf_dir):
+    """Hourly event-count z-scores against a trailing 24-hour window.
+
+    One groupBy(hour) then ONE ordered window pass; mean/var computed from
+    explicit sum/sumsq so both engines run the identical arithmetic
+    (stddev built-ins differ in accumulation order). The global ordered
+    window is over HOURS (tiny after the aggregate), not events — the
+    per-event shuffle is the groupBy, which scales. Integer sums stay
+    exact cross-engine; s*s and sum(n*n) fit in long up to ~3e9 events per
+    hour (beyond that, switch the squares to double in BOTH engines)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hour").rowsBetween(-ANOM_WINDOW, -1)
+    with_stats = hourly.select(
+        "hour",
+        "n",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n_prev")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n_prev")) / F.col("n_prev")
+    return with_stats.where(F.col("n_prev") >= 12).select(
+        "hour",
+        "n",
+        F.col("n_prev").cast("long").alias("n_prev"),
+        F.round(mean, 6).alias("mean_prev"),
+        F.round(
+            F.when(var > 0, (F.col("n") - mean) / F.sqrt(var)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("z"),
+    )
+
+
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus report card: docs, token mass, mean quality
+    proxies, language mix — ONE pass, one groupBy(source)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), " +")).cast("long")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.round(F.avg(toks), 6).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        F.count_distinct(F.col("lang")).cast("long").alias("n_langs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+_BASE_QUERIES22 = queries
+_BASE_ORACLE22 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES22()
+    q["events_anomaly"] = q_events_anomaly
+    q["corpus_report"] = q_corpus_report
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE22()
+    sql["events_anomaly"] = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+st AS (
+  SELECT hour, n,
+         COUNT(*) OVER w AS n_prev,
+         SUM(n) OVER w AS s,
+         SUM(n * n) OVER w AS ss
+  FROM hourly
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, n, CAST(n_prev AS BIGINT) AS n_prev,
+       ROUND(s / CAST(n_prev AS DOUBLE), 6) AS mean_prev,
+       ROUND(CASE WHEN (ss - s * s / CAST(n_prev AS DOUBLE)) / n_prev > 0
+                  THEN (n - s / CAST(n_prev AS DOUBLE))
+                       / sqrt((ss - s * s / CAST(n_prev AS DOUBLE)) / n_prev)
+                  ELSE 0.0 END, 6) AS z
+FROM st WHERE n_prev >= 12
+"""
+    sql["corpus_report"] = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split_regex(trim(text), ' +'))) AS n_tokens,
+       ROUND(AVG(len(string_split_regex(trim(text), ' +'))), 6) AS avg_tokens,
+       ROUND(AVG(length(text)), 6) AS avg_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY source
+"""
+    return sql
