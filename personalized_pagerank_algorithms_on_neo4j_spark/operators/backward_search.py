@@ -65,7 +65,7 @@ def backward_search_all(
     batch (AQE handles stragglers).
     """
     edges = graph.edges_by_dst  # (src, dst, src_out_degree), partitioned by dst
-    in_deg = graph.in_degrees
+    in_deg = graph.degrees.select("node", "in_degree")  # cached table
 
     t = targets.select(F.col("target").cast("long").alias("target"))
     # in-degree-0 targets short-circuit to pi(t,t)=1 (Backward_Search.java:44-49)

@@ -95,7 +95,7 @@ def _base_all_local(
 
     shuffle_n = int(graph.spark.conf.get("spark.sql.shuffle.partitions"))
     t = targets.select(F.col("target").cast("long").alias("target"))
-    ind = graph.in_degrees
+    ind = graph.degrees.select("node", "in_degree")  # cached table
     t_deg = t.join(ind, t.target == ind.node, "left").select(
         "target", F.coalesce("in_degree", F.lit(0)).alias("in_degree")
     )

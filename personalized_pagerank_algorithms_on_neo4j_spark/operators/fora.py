@@ -162,7 +162,11 @@ def _fora_topk_distributed(
 ) -> DataFrame:
     conf = TopkConf(alpha=alpha, n=graph.n, m=graph.m, k=k)
     # out-degree-0 source short-circuits to pi(s,s)=1 (Fora_Topk.java:127-131)
-    src_deg = graph.out_degrees.where(F.col("node") == int(source)).take(1)
+    src_deg = (
+        graph.degrees.where(
+            (F.col("node") == int(source)) & (F.col("out_degree") > 0)
+        ).take(1)
+    )
     if not src_deg:
         return graph.spark.createDataFrame(
             [(int(source), 1.0)], schema="node long, ppr double"
