@@ -34,7 +34,7 @@ from ..graph import PropertyGraph
 from . import _kernels
 from ._result import ppr_result_from_dense
 from .forward_push import _forward_push_distributed_state, _forward_push_topk_state
-from .monte_carlo import run_walks
+from .monte_carlo import run_walks_counted
 
 
 def fora_whole_graph(
@@ -111,16 +111,23 @@ def _fora_whole_graph_distributed(
         ),
     ).where(F.col("omega_i") > 0)
     # incr = a_i / num_walks * rsum = r_i / omega_i  (algebraic simplification
-    # of Fora_Whole_Graph.java:132-134: a_i = (r_i/rsum*num)/omega_i)
+    # of Fora_Whole_Graph.java:132-134: a_i = (r_i/rsum*num)/omega_i).
+    # COUNTED fan-out: one row per residue node instead of omega_i
+    # replicated walk rows; per-start weights join back onto the counted
+    # endpoints (weight is constant per start by construction).
     walks = fan.select(
         F.col("node").alias("start"),
         F.col("node").alias("cur"),
-        (F.col("r") / F.col("omega_i")).alias("weight"),
-        F.explode(F.sequence(F.lit(1), F.col("omega_i"))).alias("_k"),
-    ).drop("_k")
-    ends = run_walks(graph, walks, alpha, zero_hop=False, seed=seed)
-    walk_ppr = ends.groupBy(F.col("cur").alias("node")).agg(
-        F.sum("weight").alias("ppr")
+        F.col("omega_i").alias("cnt"),
+    )
+    incr = fan.select(
+        F.col("node").alias("start"), (F.col("r") / F.col("omega_i")).alias("incr")
+    )
+    ends = run_walks_counted(graph, walks, alpha, zero_hop=False, seed=seed)
+    walk_ppr = (
+        ends.join(incr, "start")
+        .groupBy(F.col("cur").alias("node"))
+        .agg(F.sum(F.col("cnt") * F.col("incr")).alias("ppr"))
     )
     return (
         reserve.unionAll(walk_ppr)
@@ -223,14 +230,20 @@ def _fora_topk_distributed(
             walks = fan.select(
                 F.col("node").alias("start"),
                 F.col("node").alias("cur"),
-                (F.col("r") / F.col("omega_i")).alias("weight"),
-                F.explode(F.sequence(F.lit(1), F.col("omega_i"))).alias("_k"),
-            ).drop("_k")
-            ends = run_walks(
-                graph, walks, alpha, zero_hop=True, seed=None if seed is None else seed + round_i
+                F.col("omega_i").alias("cnt"),
             )
-            walk_ppr = ends.groupBy(F.col("cur").alias("node")).agg(
-                F.sum("weight").alias("ppr")
+            incr = fan.select(
+                F.col("node").alias("start"),
+                (F.col("r") / F.col("omega_i")).alias("incr"),
+            )
+            ends = run_walks_counted(
+                graph, walks, alpha, zero_hop=True,
+                seed=None if seed is None else seed + round_i,
+            )
+            walk_ppr = (
+                ends.join(incr, "start")
+                .groupBy(F.col("cur").alias("node"))
+                .agg(F.sum(F.col("cnt") * F.col("incr")).alias("ppr"))
             )
             pi = pi.unionAll(walk_ppr).groupBy("node").agg(F.sum("ppr").alias("ppr"))
         pi = pi.where(F.col("ppr") > 0).localCheckpoint(eager=True)

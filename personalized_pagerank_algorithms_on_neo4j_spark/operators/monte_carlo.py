@@ -9,20 +9,17 @@ from the source; pi(t) = (#walks stopping at t)/omega. Walk semantics:
 - the `no_zero_hop` variant (used by FORA's whole-graph walk phase) takes one
   unconditional first step.
 
-Distributed plans, two representations:
-- single-source MC: COUNTED walks (`run_walks_counted`) — state is
-  (node, walk_count), bounded by active nodes rather than omega; stops
-  split Binomial(cnt, alpha), movers split multinomially over the
-  adjacency arrays. Layout-independent per-(step, node) hash seeding.
-- weighted fan-out (FORA's walk phase): per-walk rows (start, cur,
-  weight) through `run_walks` — starts and weights vary per walk, so the
-  counted compression doesn't apply; supersteps are block-unrolled
-  (one materialization + emptiness probe per 4 steps). `F.rand(seed)` is
-  deterministic per (partition, row) for a fixed partitioning; run-to-run
-  layout can vary, so seeded reproducibility on THIS path is only
-  guaranteed on the local kernel.
-The superstep count is geometric either way (~ln(omega)/ln(1/(1-alpha))
-rounds to drain).
+Distributed plan: COUNTED walks (`run_walks_counted`) — the omega walks
+never materialize as rows. State is (start, cur, walk_count); per superstep
+stops split Binomial(cnt, alpha) and movers split multinomially over the
+adjacency arrays — sums of the identical iid per-walk draws, so endpoint
+distributions match per-walk simulation exactly. Single-source MC keeps
+<= active-node rows regardless of omega; FORA's weighted multi-start
+fan-out rides the same loop with per-start weights applied to the counted
+endpoints afterward. Per-(step, start, cur) hash seeding makes results
+independent of partition layout (unlike `F.rand`). The superstep count is
+geometric (~ln(omega)/ln(1/(1-alpha)) rounds to drain); the driver probes
+emptiness every 3rd round.
 """
 
 from __future__ import annotations
@@ -84,10 +81,10 @@ def _monte_carlo_distributed(
     geometrically. Randomness is seeded per (step, node) via a hash —
     deterministic REGARDLESS of partition layout, unlike F.rand."""
     walks = graph.spark.createDataFrame(
-        [(int(source), int(omega))], "cur long, cnt long"
+        [(int(source), int(source), int(omega))], "start long, cur long, cnt long"
     )
     ends = run_walks_counted(
-        graph, walks, alpha, int(source), seed=seed, max_supersteps=max_supersteps
+        graph, walks, alpha, zero_hop=True, seed=seed, max_supersteps=max_supersteps
     )
     return ends.select(
         F.col("cur").alias("node"),
@@ -99,19 +96,26 @@ def run_walks_counted(
     graph: PropertyGraph,
     walks: DataFrame,
     alpha: float,
-    source: int,
+    zero_hop: bool = True,
     seed: int | None = None,
     max_supersteps: int = 1_000,
 ) -> DataFrame:
-    """Drive counted walks(cur, cnt) from ONE source to their stop nodes;
-    returns (cur, cnt) of stopped walk counts (summed over supersteps).
+    """Drive counted walks(start, cur, cnt) to their stop nodes; returns
+    (start, cur, cnt) of stopped walk counts (summed over supersteps).
 
-    Same reference semantics as `run_walks` (alpha-stop, uniform
-    out-neighbor, dangling resets to the source, degree-0 source stops
-    immediately), expressed over walk COUNTS: per superstep each (cur,
-    cnt) row draws stops ~ Binomial(cnt, alpha) and splits the movers
-    Multinomial(cnt - stops, uniform over out-neighbors). One adjacency
-    join + one Arrow pass + one groupBy merge per superstep.
+    Reference walk semantics (alpha-stop, uniform out-neighbor, dangling
+    resets to the walk's START, degree-0 start stops immediately,
+    ``zero_hop=False`` takes one unconditional first move —
+    Monte_Carlo.java:60-133) expressed over walk COUNTS: per superstep each
+    (start, cur, cnt) row draws stops ~ Binomial(cnt, alpha) and splits the
+    movers Multinomial(uniform over out-neighbors) — sums of the identical
+    iid per-walk draws, so every end-point distribution matches per-walk
+    simulation exactly. State is bounded by live (start, cur) pairs — for
+    single-start MC that is <= active nodes regardless of omega; for FORA's
+    multi-start fan-out it is <= the sum of frontier neighborhoods, never
+    the walk count. One adjacency join + one Arrow pass + one groupBy merge
+    per superstep; randomness is seeded per (step, start, cur) hash, so
+    results are independent of partition layout.
     """
     if seed is None:
         import random as _random
@@ -121,193 +125,117 @@ def run_walks_counted(
         base_seed = int(seed)
 
     adj = graph.adj  # (node, neighbors, out_degree)
-    src_lit = int(source)
 
-    # one row per node: duplicate cur rows would share a per-(step, node)
-    # seed and draw correlated splits
-    walks = walks.groupBy("cur").agg(F.sum("cnt").alias("cnt"))
+    # one row per (start, cur): duplicate rows would share a per-(step,
+    # start, cur) seed and draw correlated splits
+    walks = walks.groupBy("start", "cur").agg(F.sum("cnt").alias("cnt"))
 
-    # a degree-0 source ends every walk at the source immediately
+    # walks whose start has no out-edges stop at the start immediately
     deg0 = walks.join(adj, walks.cur == adj.node, "left")
-    done0 = deg0.where(F.col("node").isNull()).select("cur", "cnt")
-    live = deg0.where(F.col("node").isNotNull()).select("cur", "cnt")
+    done0 = deg0.where(F.col("node").isNull()).select("start", "cur", "cnt")
+    live = deg0.where(F.col("node").isNotNull()).select("start", "cur", "cnt")
 
-    def step_factory(step_i: int):
+    def step_factory(step_i: int, stop_prob: float):
         def step(batches):
             import numpy as np
             import pandas as pd
 
             for pdf in batches:
+                outs_: list = []
                 outc: list = []
                 outn: list = []
-                outs: list = []
-                for cur, cnt, nbrs in zip(
-                    pdf["cur"], pdf["cnt"], pdf["neighbors"]
+                outflag: list = []
+                for start, cur, cnt, nbrs in zip(
+                    pdf["start"], pdf["cur"], pdf["cnt"], pdf["neighbors"]
                 ):
-                    cnt = int(cnt)
-                    # per-(step, node) seed: layout-independent determinism
-                    mix = (base_seed * 0x9E3779B1 + step_i * 0x85EBCA6B + int(cur)) % (2**63)
+                    start, cnt = int(start), int(cnt)
+                    # per-(step, start, cur) seed: layout-independent
+                    mix = (
+                        base_seed * 0x9E3779B1
+                        + step_i * 0x85EBCA6B
+                        + start * 0xC2B2AE35
+                        + int(cur)
+                    ) % (2**63)
                     rng = np.random.default_rng(mix)
-                    stops = int(rng.binomial(cnt, alpha))
+                    stops = int(rng.binomial(cnt, stop_prob)) if stop_prob > 0 else 0
                     if stops:
+                        outs_.append(start)
                         outc.append(int(cur))
                         outn.append(stops)
-                        outs.append(True)
+                        outflag.append(True)
                     movers = cnt - stops
                     if movers == 0:
                         continue
                     if nbrs is None or len(nbrs) == 0:
-                        outc.append(src_lit)  # dangling -> reset to source
+                        outs_.append(start)  # dangling -> reset to the start
+                        outc.append(start)
                         outn.append(movers)
-                        outs.append(False)
+                        outflag.append(False)
                         continue
                     deg = len(nbrs)
                     counts = rng.multinomial(movers, np.full(deg, 1.0 / deg))
                     nz = np.nonzero(counts)[0]
                     na = np.asarray(nbrs, dtype=np.int64)
+                    outs_.extend([start] * len(nz))
                     outc.extend(int(x) for x in na[nz])
                     outn.extend(int(c) for c in counts[nz])
-                    outs.extend([False] * len(nz))
-                yield pd.DataFrame({"cur": outc, "cnt": outn, "stopped": outs})
+                    outflag.extend([False] * len(nz))
+                yield pd.DataFrame(
+                    {"start": outs_, "cur": outc, "cnt": outn, "stopped": outflag}
+                )
 
         return step
+
+    schema = "start long, cur long, cnt long, stopped boolean"
+
+    def one_step(frame: DataFrame, step_i: int, stop_prob: float) -> DataFrame:
+        j = frame.join(adj, frame.cur == adj.node, "left").select(
+            "start", "cur", "cnt", "neighbors"
+        )
+        # ONE materialization per superstep serves both the stopped slice
+        # (kept for the final union) and the next live frontier. Single
+        # groupBy(start, cur) with conditional sums: one output row per
+        # pair and the narrower shuffle key.
+        return (
+            j.mapInPandas(step_factory(step_i, stop_prob), schema)
+            .groupBy("start", "cur")
+            .agg(
+                F.sum(F.when(F.col("stopped"), F.col("cnt")).otherwise(0)).alias(
+                    "stop_cnt"
+                ),
+                F.sum(F.when(~F.col("stopped"), F.col("cnt")).otherwise(0)).alias(
+                    "live_cnt"
+                ),
+            )
+        ).localCheckpoint(eager=True)
 
     finished = [done0]
     with static_superstep_plan(graph.spark):
         live = live.localCheckpoint(eager=True)
+        if not zero_hop:
+            # unconditional first move (no stop draw): all live have
+            # out-degree > 0 here, so no mass can stop or reset
+            nxt = one_step(live, -1, 0.0)
+            live = nxt.where(F.col("live_cnt") > 0).select(
+                "start", "cur", F.col("live_cnt").alias("cnt")
+            )
         for i in range(max_supersteps):
             # emptiness probe every 3rd step: the geometric tail takes tens
             # of supersteps to drain, and each probe is a driver job; a few
             # no-op supersteps past drain are cheaper than per-step probes
             if i % 3 == 0 and live.isEmpty():
                 break
-            j = live.join(adj, live.cur == adj.node, "left").select(
-                "cur", "cnt", "neighbors"
-            )
-            # ONE materialization per superstep serves both the stopped
-            # slice (kept for the final union) and the next live frontier.
-            # Single groupBy(cur) with conditional sums: one output row per
-            # node (vs two under a (cur, stopped) key) and the narrower
-            # shuffle key.
-            nxt = (
-                j.mapInPandas(step_factory(i), "cur long, cnt long, stopped boolean")
-                .groupBy("cur")
-                .agg(
-                    F.sum(F.when(F.col("stopped"), F.col("cnt")).otherwise(0)).alias(
-                        "stop_cnt"
-                    ),
-                    F.sum(F.when(~F.col("stopped"), F.col("cnt")).otherwise(0)).alias(
-                        "live_cnt"
-                    ),
-                )
-            ).localCheckpoint(eager=True)
+            nxt = one_step(live, i, alpha)
             finished.append(
                 nxt.where(F.col("stop_cnt") > 0).select(
-                    "cur", F.col("stop_cnt").alias("cnt")
+                    "start", "cur", F.col("stop_cnt").alias("cnt")
                 )
             )
             live = nxt.where(F.col("live_cnt") > 0).select(
-                "cur", F.col("live_cnt").alias("cnt")
+                "start", "cur", F.col("live_cnt").alias("cnt")
             )
 
     out = finished[0]
     for f in finished[1:]:
         out = out.unionAll(f)
-    return out.groupBy("cur").agg(F.sum("cnt").alias("cnt"))
-
-
-def run_walks(
-    graph: PropertyGraph,
-    walks: DataFrame,
-    alpha: float,
-    zero_hop: bool = True,
-    seed: int | None = None,
-    max_supersteps: int = 1_000,
-    check_every: int = 4,
-) -> DataFrame:
-    """Drive walks(start, cur, weight) to their stop nodes; returns same schema.
-
-    Implements the reference walk semantics above. Steps are unrolled in
-    blocks of ``check_every``: within a block each walk carries a ``done``
-    flag (stopped walks ride along unmodified), and the driver materializes
-    (localCheckpoint) + probes emptiness only once per block. The alpha-stop
-    tail is geometric — ~`ln(omega)/ln(1/(1-alpha))` supersteps to drain —
-    so per-step driver round-trips dominate the tail; blocking cuts driver
-    synchronization (and Spark job count) ~``check_every``-fold without
-    changing any walk's distribution (each step still draws its own
-    stop/move randomness). Lineage depth per materialization is bounded by
-    ``check_every`` joins, so no recompute amplification.
-    """
-    adj = graph.adj  # (node, neighbors, out_degree)
-    if seed is None:
-        # unseeded must mean independent across calls — not F.rand(0)
-        import random as _random
-
-        base_seed = _random.randrange(2**31)
-    else:
-        base_seed = int(seed)
-
-    # walks whose start is dangling stop at the start immediately
-    deg0 = walks.join(adj, walks.cur == adj.node, "left")
-    done = deg0.where(F.col("node").isNull()).select("start", "cur", "weight")
-    live = deg0.where(F.col("node").isNotNull()).select("start", "cur", "weight")
-
-    if not zero_hop:
-        live = _step_move(live, adj, base_seed * 7919 + 13)
-
-    finished = [done]
-    with static_superstep_plan(graph.spark):
-        i = 0
-        while i < max_supersteps:
-            block = live.withColumn("done", F.lit(False))
-            for _ in range(min(check_every, max_supersteps - i)):
-                block = _step_flagged(block, adj, alpha, base_seed + 2 * i)
-                i += 1
-            block = block.localCheckpoint(eager=True)
-            finished.append(
-                block.where("done").select("start", "cur", "weight")
-            )
-            live = block.where(~F.col("done")).select("start", "cur", "weight")
-            if live.isEmpty():
-                break
-
-    out = finished[0]
-    for f in finished[1:]:
-        out = out.unionAll(f)
-    return out
-
-
-def _step_flagged(block: DataFrame, adj: DataFrame, alpha: float, seed: int) -> DataFrame:
-    """One alpha-stop step over (start, cur, weight, done) rows.
-
-    Already-done rows pass through untouched; live rows first draw the stop
-    mask, survivors move to a uniform random out-neighbor (dangling resets
-    to the walk's start — the dangling->source rule in walk form)."""
-    j = block.join(adj, block.cur == adj.node, "left")
-    newly_stopped = (~F.col("done")) & (F.rand(seed) < F.lit(alpha))
-    done2 = F.col("done") | newly_stopped
-    nxt = (
-        F.when(done2, F.col("cur"))
-        .when(F.col("node").isNull(), F.col("start"))  # dangling -> reset
-        .otherwise(
-            F.element_at(
-                "neighbors",
-                (F.floor(F.rand(seed + 1) * F.col("out_degree")) + 1).cast("int"),
-            )
-        )
-    )
-    return j.select("start", nxt.alias("cur"), "weight", done2.alias("done"))
-
-
-def _step_move(walks: DataFrame, adj: DataFrame, seed: int) -> DataFrame:
-    """One move: uniform random out-neighbor; dangling resets to start."""
-    j = walks.join(adj, walks.cur == adj.node, "left")
-    nxt = F.when(
-        F.col("node").isNull(), F.col("start")  # dangling -> reset to start
-    ).otherwise(
-        F.element_at(
-            "neighbors",
-            (F.floor(F.rand(seed) * F.col("out_degree")) + 1).cast("int"),
-        )
-    )
-    return j.select("start", nxt.alias("cur"), "weight")
+    return out.groupBy("start", "cur").agg(F.sum("cnt").alias("cnt"))

@@ -107,21 +107,43 @@ def test_monte_carlo_counted_statistical(got):
 
 
 def test_monte_carlo_counted_deterministic_vs_layout(got):
-    """Per-(step, node) hash seeding: the counted path must produce identical
-    counts regardless of the walk frame's partition layout."""
+    """Per-(step, start, cur) hash seeding: the counted path must produce
+    identical counts regardless of the walk frame's partition layout."""
     s = got.id_of("Eddard")
-    w1 = got.spark.createDataFrame([(int(s), 5_000)], "cur long, cnt long")
+    w1 = got.spark.createDataFrame(
+        [(int(s), int(s), 5_000)], "start long, cur long, cnt long"
+    )
     w2 = w1.repartition(7)
     e1 = {
-        (r["cur"]): r["cnt"]
-        for r in monte_carlo.run_walks_counted(got, w1, ALPHA, s, seed=3).collect()
+        r["cur"]: r["cnt"]
+        for r in monte_carlo.run_walks_counted(got, w1, ALPHA, seed=3).collect()
     }
     e2 = {
-        (r["cur"]): r["cnt"]
-        for r in monte_carlo.run_walks_counted(got, w2, ALPHA, s, seed=3).collect()
+        r["cur"]: r["cnt"]
+        for r in monte_carlo.run_walks_counted(got, w2, ALPHA, seed=3).collect()
     }
     assert e1 == e2
     assert sum(e1.values()) == 5_000
+
+
+def test_counted_multi_start_mass_and_zero_hop(got):
+    """Multi-start counted fan-out (FORA's walk shape): per-start mass is
+    conserved, and zero_hop=False walks leave a non-dangling start (no
+    stop on the unconditional first move means the endpoint can only equal
+    the start by returning to it, so endpoint mass still sums per start)."""
+    s1 = got.id_of("Eddard")
+    s2 = got.id_of("Robert")
+    walks = got.spark.createDataFrame(
+        [(int(s1), int(s1), 700), (int(s2), int(s2), 300)],
+        "start long, cur long, cnt long",
+    )
+    ends = monte_carlo.run_walks_counted(
+        got, walks, ALPHA, zero_hop=False, seed=5
+    ).collect()
+    per_start = {}
+    for r in ends:
+        per_start[r["start"]] = per_start.get(r["start"], 0) + r["cnt"]
+    assert per_start == {int(s1): 700, int(s2): 300}
 
 
 def test_fora_distributed_error_bound(got):
