@@ -2576,33 +2576,16 @@ def q_events_anomaly(spark, sf_dir):
     per-event shuffle is the groupBy, which scales. Integer sums stay
     exact cross-engine; s*s and sum(n*n) fit in long up to ~3e9 events per
     hour (beyond that, switch the squares to double in BOTH engines)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.monitoring import (
+        hourly_anomaly_scores,
+    )
+
     e = _t(spark, sf_dir, "events")
     hourly = (
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("hour").rowsBetween(-ANOM_WINDOW, -1)
-    with_stats = hourly.select(
-        "hour",
-        "n",
-        F.count(F.lit(1)).over(w).alias("n_prev"),
-        F.sum("n").over(w).alias("s"),
-        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
-    )
-    mean = F.col("s") / F.col("n_prev")
-    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n_prev")) / F.col("n_prev")
-    return with_stats.where(F.col("n_prev") >= 12).select(
-        "hour",
-        "n",
-        F.col("n_prev").cast("long").alias("n_prev"),
-        F.round(mean, 6).alias("mean_prev"),
-        F.round(
-            F.when(var > 0, (F.col("n") - mean) / F.sqrt(var)).otherwise(F.lit(0.0)),
-            6,
-        ).alias("z"),
-    )
+    return hourly_anomaly_scores(hourly, trailing=ANOM_WINDOW, min_prev=12)
 
 
 def q_corpus_report(spark, sf_dir):

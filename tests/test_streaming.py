@@ -204,3 +204,40 @@ def test_streaming_topk_leaderboard(spark, events_dir, tmp_path):
     assert got == want and got
     # store layout: partitioned by bucket (dirty-bucket overwrite unit)
     assert glob.glob(os.path.join(store, "bucket=*")), os.listdir(store)
+
+
+def test_streaming_anomaly_matches_batch_twin(spark, events_dir, tmp_path):
+    """Two microbatches; the final z-board must equal hourly_anomaly_scores
+    over the complete event set (shared implementation, so this pins the
+    merge/store plumbing, not the math)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.monitoring import (
+        hourly_anomaly_scores,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        anomaly_stream as A,
+    )
+
+    store = str(tmp_path / "anom_store")
+    board = str(tmp_path / "anom_board")
+    stream = S.read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = A.start_streaming_anomaly(
+        spark, stream, store, board, trailing=24, min_prev=6
+    )
+    _drain(q)
+
+    got = {
+        (r["bucket"], r["n"], r["n_prev"], r["mean_prev"], r["z"])
+        for r in A.read_anomalies(spark, board).collect()
+    }
+    want = {
+        (r["bucket"], r["n"], r["n_prev"], r["mean_prev"], r["z"])
+        for r in hourly_anomaly_scores(
+            A._hourly_counts(load_table(spark, SF_SMALL, "events")),
+            trailing=24,
+            min_prev=6,
+            bucket_col="bucket",
+        ).collect()
+    }
+    assert got == want and got
+    # store layout: partitioned by hour bucket (dirty-bucket overwrite unit)
+    assert glob.glob(os.path.join(store, "bucket=*")), os.listdir(store)
