@@ -2650,3 +2650,39 @@ SELECT source,
 FROM documents GROUP BY source
 """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 23: unigram log-probability quality proxy
+# ---------------------------------------------------------------------------
+
+
+def q_doc_logprob(spark, sf_dir):
+    """Mean Laplace-smoothed unigram log-prob per document (perplexity
+    proxy for quality filtering), trained on the same corpus."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        unigram_logprob_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob_scores(d)
+
+
+_BASE_QUERIES23 = queries
+_BASE_ORACLE23 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES23()
+    q["doc_logprob"] = q_doc_logprob
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        unigram_logprob_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE23()
+    sql["doc_logprob"] = unigram_logprob_oracle_sql()
+    return sql

@@ -350,3 +350,73 @@ SELECT {id_col}, score,
 FROM per_doc
 QUALIFY pos <= {k}
 """
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, logprob): mean unigram log-probability per doc —
+    the lightweight perplexity proxy used for corpus quality filtering
+    (low mean logprob = tokens rare in this corpus = likely noise).
+
+    Model: Laplace-smoothed unigram trained on the SAME corpus,
+    p(t) = (count(t) + 1) / (T + V). Scale shape: one term-keyed vocab
+    aggregate (shuffles on term — correct at any vocabulary size), joined
+    back to the exploded postings, one per-doc mean. Cross-engine
+    determinism: per-term log-probs ROUND(_, 9) before averaging, doc
+    score ROUND(_, 6)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).where(F.length("term") > 0)
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").cast("double").alias("t_tokens"),
+        F.count(F.lit(1)).cast("double").alias("v_size"),
+    )
+    term_lp = vocab.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("cnt") + F.lit(1.0))
+                / (F.col("t_tokens") + F.col("v_size"))
+            ),
+            9,
+        ).alias("lp"),
+    )
+    return (
+        toks.join(term_lp, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("logprob"),
+        )
+    )
+
+
+def unigram_logprob_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `unigram_logprob_scores`."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         unnest(string_split_regex(lower(trim({text_col})), ' +')) AS term
+  FROM {table}
+),
+toks_nz AS (SELECT * FROM toks WHERE length(term) > 0),
+vocab AS (SELECT term, COUNT(*) AS cnt FROM toks_nz GROUP BY 1),
+totals AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS t_tokens,
+         CAST(COUNT(*) AS DOUBLE) AS v_size
+  FROM vocab),
+term_lp AS (
+  SELECT term, ROUND(ln((cnt + 1.0) / (t_tokens + v_size)), 9) AS lp
+  FROM vocab CROSS JOIN totals)
+SELECT {id_col}, COUNT(*) AS n_tokens, ROUND(AVG(lp), 6) AS logprob
+FROM toks_nz JOIN term_lp USING (term)
+GROUP BY {id_col}
+"""

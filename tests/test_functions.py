@@ -821,3 +821,21 @@ def test_bm25_topk_hand_computed(spark):
     assert 3 not in out  # no query term
     # doc 1 ranks first (has the rare term twice)
     assert out[1] > out[2]
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        unigram_logprob_scores,
+    )
+
+    rows = [(1, "a a b"), (2, "b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.logprob) for r in unigram_logprob_scores(df).collect()}
+    # counts: a=2, b=2, c=1; T=5, V=3 -> p(a)=3/8, p(b)=3/8, p(c)=2/8
+    lp = {t: round(math.log(p), 9) for t, p in {"a": 3 / 8, "b": 3 / 8, "c": 2 / 8}.items()}
+    assert out[1] == (3, round((2 * lp["a"] + lp["b"]) / 3, 6))
+    assert out[2] == (2, round((lp["b"] + lp["c"]) / 2, 6))
+    # the doc with the rare term scores lower
+    assert out[2][1] < out[1][1]
