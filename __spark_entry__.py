@@ -2686,3 +2686,45 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     sql = _BASE_ORACLE23()
     sql["doc_logprob"] = unigram_logprob_oracle_sql()
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 24: two-hop neighborhood features
+# ---------------------------------------------------------------------------
+
+TWO_HOP_CAP = 500
+
+
+def q_two_hop_counts(spark, sf_dir):
+    """Distinct exactly-two-hop reach per node on the derived graph, with
+    the hub cap bounding the self-join blowout (declared semantics — the
+    oracle applies the identical cap)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        two_hop_neighbors,
+    )
+
+    g = _graph(spark, sf_dir)
+    return two_hop_neighbors(g.edges, hub_cap=TWO_HOP_CAP)
+
+
+_BASE_QUERIES24 = queries
+_BASE_ORACLE24 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES24()
+    q["two_hop_counts"] = q_two_hop_counts
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        two_hop_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        GRAPH_EDGES_SQL,
+    )
+
+    sql = _BASE_ORACLE24()
+    sql["two_hop_counts"] = two_hop_oracle_sql(GRAPH_EDGES_SQL, hub_cap=TWO_HOP_CAP)
+    return sql

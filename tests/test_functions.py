@@ -839,3 +839,23 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[2] == (2, round((lp["b"] + lp["c"]) / 2, 6))
     # the doc with the rare term scores lower
     assert out[2][1] < out[1][1]
+
+
+def test_two_hop_neighbors_hand_computed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        two_hop_neighbors,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4), (1, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r.node: r.n_two_hop for r in two_hop_neighbors(edges, hub_cap=None).collect()}
+    # 1: via 2 -> {3,4}, 3 is direct, self excluded -> {4}; via 3 -> {1} self
+    # 2: via 3 -> {1}; via 4 -> none
+    # 3: via 1 -> {2,3}, self excluded -> {2}
+    assert got == {1: 1, 2: 1, 3: 1}
+    capped = {
+        r.node: r.n_two_hop for r in two_hop_neighbors(edges, hub_cap=1).collect()
+    }
+    # only mid=3 (out-degree 1) survives the cap: 2 -> 3 -> 1
+    assert capped == {2: 1}
