@@ -2728,3 +2728,41 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     sql = _BASE_ORACLE24()
     sql["two_hop_counts"] = two_hop_oracle_sql(GRAPH_EDGES_SQL, hub_cap=TWO_HOP_CAP)
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 25: recency-weighted engagement scores
+# ---------------------------------------------------------------------------
+
+DECAY_HALF_LIFE = 7.0
+
+
+def q_decayed_scores(spark, sf_dir):
+    """Exponentially recency-weighted per-user engagement, aged against the
+    corpus max timestamp (deterministic anchor)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        decayed_user_scores,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return decayed_user_scores(e, half_life_days=DECAY_HALF_LIFE)
+
+
+_BASE_QUERIES25 = queries
+_BASE_ORACLE25 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES25()
+    q["decayed_scores"] = q_decayed_scores
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        decayed_scores_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE25()
+    sql["decayed_scores"] = decayed_scores_oracle_sql(half_life_days=DECAY_HALF_LIFE)
+    return sql

@@ -158,3 +158,62 @@ def retention_cohorts(
         )
         .agg(F.count_distinct(F.col("user")).alias("n_users"))
     )
+
+
+def decayed_user_scores(
+    events: DataFrame,
+    half_life_days: float = 7.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(user_id, n_events, score): exponentially recency-weighted engagement.
+
+    Each event contributes value * 0.5^(age_days / half_life), aged against
+    the corpus's max timestamp (a deterministic anchor — no wall clock, so
+    reruns and engines agree). One scalar aggregate (the anchor, broadcast)
+    + one groupBy(user) — the decay is a per-row expression, map-side.
+    Cross-engine determinism: age in exact integer seconds, per-event
+    weight ROUND(_, 9), per-user score ROUND(_, 6)."""
+    anchor = events.agg(F.max(ts_col).alias("_anchor"))
+    # exact integer MICROSECONDS on both engines (a plain seconds cast
+    # truncates sub-second fractions that DuckDB's epoch() keeps); session
+    # TZ is UTC, matching DuckDB's naive-timestamp epoch
+    epoch_us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    age_days = (epoch_us(F.col("_anchor")) - epoch_us(F.col(ts_col))) / F.lit(
+        86400.0e6
+    )
+    weight = F.round(
+        F.coalesce(F.col(value_col), F.lit(0.0))
+        * F.pow(F.lit(0.5), age_days / F.lit(half_life_days)),
+        9,
+    )
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(weight), 6).alias("score"),
+        )
+    )
+
+
+def decayed_scores_oracle_sql(
+    half_life_days: float = 7.0,
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of `decayed_user_scores` (epoch-second age, same
+    rounding)."""
+    return f"""
+WITH anchor AS (SELECT MAX({ts_col}) AS a FROM {table})
+SELECT {user_col} AS user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(ROUND(COALESCE({value_col}, 0.0)
+             * POWER(0.5, (epoch_us(anchor.a) - epoch_us({ts_col})) / 86400.0e6
+                          / {half_life_days}), 9)), 6) AS score
+FROM {table} CROSS JOIN anchor
+GROUP BY {user_col}
+"""

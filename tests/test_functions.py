@@ -859,3 +859,22 @@ def test_two_hop_neighbors_hand_computed(spark):
     }
     # only mid=3 (out-degree 1) survives the cap: 2 -> 3 -> 1
     assert capped == {2: 1}
+
+
+def test_decayed_user_scores_half_life(spark):
+    import datetime as dt
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        decayed_user_scores,
+    )
+
+    t0 = dt.datetime(2026, 1, 8)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 - dt.timedelta(days=7), 1.0),  # exactly one half-life older
+        (2, t0 - dt.timedelta(days=14), 2.0),  # two half-lives
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r.user_id: (r.n_events, r.score) for r in decayed_user_scores(df, 7.0).collect()}
+    assert got[1] == (2, 1.5)
+    assert got[2] == (1, 0.5)
