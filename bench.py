@@ -152,6 +152,12 @@ def main() -> None:
     # not convergence wall-time: full convergence at rmax=1e-6 is ~90
     # geometric-tail supersteps of which the last ~60 are near-empty, all
     # driver overhead at local scale.
+    # round-3 operator families: retrieval scoring, quality proxy, and the
+    # hub-capped two-hop self-join
+    timed("q_bm25", lambda: E.q_bm25_topk(spark, SF_DIR).count())
+    timed("q_doc_logprob", lambda: E.q_doc_logprob(spark, SF_DIR).count())
+    timed("q_two_hop", lambda: E.q_two_hop_counts(spark, SF_DIR).count())
+
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend
     timed(
