@@ -2766,3 +2766,67 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     sql = _BASE_ORACLE25()
     sql["decayed_scores"] = decayed_scores_oracle_sql(half_life_days=DECAY_HALF_LIFE)
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Block 26: declarative data-quality expectations
+# ---------------------------------------------------------------------------
+
+
+def q_data_expectations(spark, sf_dir):
+    """Deequ-style validation report over orders: all row-local rules ride
+    ONE conditional aggregate (one scan for any rule count); the unique
+    rule adds one groupBy."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.quality_checks import (
+        expect,
+        validate_expectations,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return validate_expectations(
+        o,
+        [
+            expect("not_null", "o_custkey"),
+            expect("in_range", "o_totalprice", 0.0, 600000.0),
+            expect("matches", "o_orderstatus", "^[OFP]$"),
+            expect("unique", "o_orderkey"),
+        ],
+    )
+
+
+_BASE_QUERIES26 = queries
+_BASE_ORACLE26 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26()
+    q["data_expectations"] = q_data_expectations
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE26()
+    sql["data_expectations"] = """
+SELECT 'not_null:o_custkey' AS rule, 'o_custkey' AS col_name,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS violations,
+       COUNT(*) AS total
+FROM orders
+UNION ALL
+SELECT 'in_range:o_totalprice', 'o_totalprice',
+       SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0
+                     OR o_totalprice > 600000.0 THEN 1 ELSE 0 END),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'matches:o_orderstatus', 'o_orderstatus',
+       SUM(CASE WHEN o_orderstatus IS NULL
+                     OR NOT regexp_matches(o_orderstatus, '^[OFP]$')
+                THEN 1 ELSE 0 END),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey', 'o_orderkey',
+       SUM(n - 1), SUM(n)
+FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+"""
+    return sql

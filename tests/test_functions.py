@@ -878,3 +878,36 @@ def test_decayed_user_scores_half_life(spark):
     got = {r.user_id: (r.n_events, r.score) for r in decayed_user_scores(df, 7.0).collect()}
     assert got[1] == (2, 1.5)
     assert got[2] == (1, 0.5)
+
+
+def test_validate_expectations_counts(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.quality_checks import (
+        expect,
+        validate_expectations,
+    )
+
+    rows = [
+        (1, "a", 5.0),
+        (2, None, 50.0),   # null name
+        (2, "c", -1.0),    # dup id, out-of-range value
+        (3, "dd", 5.0),    # name fails ^.$ regex
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, v double")
+    got = {
+        r.rule: (r.violations, r.total)
+        for r in validate_expectations(
+            df,
+            [
+                expect("not_null", "name"),
+                expect("in_range", "v", 0.0, 10.0),
+                expect("matches", "name", "^.$"),
+                expect("in_set", "name", "a", "c"),
+                expect("unique", "id"),
+            ],
+        ).collect()
+    }
+    assert got["not_null:name"] == (1, 4)
+    assert got["in_range:v"] == (2, 4)       # 50.0 and -1.0
+    assert got["matches:name"] == (2, 4)     # null and "dd"
+    assert got["in_set:name"] == (2, 4)      # null and "dd"
+    assert got["unique:id"] == (1, 4)        # one duplicate of id=2
