@@ -241,9 +241,14 @@ def bm25_topk(
     shape: tokenize-explode (narrow), ONE doc-length aggregate over the
     corpus, a per-(doc, query-term) tf aggregate over the pre-filtered
     (tiny) postings, term df + corpus stats as broadcast scalars, sum per
-    doc, top-k by deterministic ROW_NUMBER (score DESC, id ASC). The
-    corpus is scanned once; everything joined back to it is small or
-    keyed on the doc id.
+    doc, then top-k via `orderBy(score DESC, id ASC).limit(k)` — planned
+    as TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    the driver), so the O(corpus) scored side never funnels through one
+    partition the way a global row_number window would. The tie-break is
+    total (score DESC, id ASC), so the k rows are identical to the
+    window formulation; `pos` is attached with a window over the k-row
+    result, which is k rows by construction. The corpus is scanned once;
+    everything joined back to it is small or keyed on the doc id.
 
     Cross-engine determinism: idf = ROUND(ln((N - df + 0.5)/(df + 0.5)
     + 1), 6); per-doc length norm ROUND(_, 6); final score ROUND(_, 6).
@@ -298,12 +303,17 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.round(F.sum("tscore"), 6).alias("score"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    # pos without a window (an empty-partition-spec window would drag the
+    # whole scored side to one partition pre-limit in the naive form, and
+    # even over the k-row result it logs the WindowExec warning): the k-row
+    # result fits one partition by construction, so sort within it and
+    # number rows with monotonically_increasing_id, which is 0..k-1 in row
+    # order on a single partition.
     return (
-        scored.withColumn("pos", F.row_number().over(w).cast("long"))
-        .where(F.col("pos") <= k)
+        topk.coalesce(1)
+        .sortWithinPartitions(F.desc("score"), F.asc(id_col))
+        .withColumn("pos", (F.monotonically_increasing_id() + 1).cast("long"))
     )
 
 
