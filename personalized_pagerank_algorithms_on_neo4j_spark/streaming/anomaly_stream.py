@@ -1,10 +1,18 @@
-"""Streaming hourly anomaly detection (foreachBatch + dirty-bucket store).
+"""Streaming hourly anomaly detection (foreachBatch + per-epoch store).
 
-Same continuous-rollup shape as `topk_stream`: each microbatch's events
-aggregate to per-hour partial counts (map-side combine — only touched
-hours move), merge into an hour-partitioned counts store via dynamic
-partition overwrite, and the z-score board re-derives from the rollup with
-the SAME `functions.monitoring.hourly_anomaly_scores` used by the
+Each microbatch's events aggregate to per-hour partial counts (map-side
+combine — only touched hours move) and land in the counts store as the
+`epoch=<epoch_id>` partition via dynamic partition overwrite. foreachBatch
+is at-least-once: after a restart the last epoch can replay, and Structured
+Streaming replays it with the SAME epoch_id over the SAME offsets — so
+overwriting that epoch's partition with recomputed identical counts is
+idempotent, where the previous read-merge-overwrite design double-counted
+the replayed batch. The hourly rollup is re-derived at read time
+(`groupBy(bucket).sum(n)` over the per-epoch partials — one tiny extra
+aggregate per batch; at very long stream lifetimes the old epochs can be
+compacted offline by rewriting them as one epoch partition, itself an
+idempotent partition overwrite), and the z-score board recomputes from it
+with the SAME `functions.monitoring.hourly_anomaly_scores` used by the
 oracle-gated `events_anomaly` batch query — streaming and batch cannot
 drift because they share the implementation.
 
@@ -30,6 +38,52 @@ def _hourly_counts(df: DataFrame) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def make_merge_batch(
+    spark: SparkSession,
+    store_path: str,
+    board_path: str,
+    trailing: int = 24,
+    min_prev: int = 12,
+):
+    """The foreachBatch handler, exposed so tests can drive an epoch (and
+    replay it) directly without a running stream."""
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_hourly = _hourly_counts(batch_df).withColumn(
+            "epoch", F.lit(int(epoch_id)).cast("long")
+        )
+        if batch_hourly.isEmpty():
+            return
+        # One partition per epoch: a replayed epoch rewrites ITS OWN
+        # partition with identical recomputed counts instead of re-adding
+        # them onto a merged total. No store read happens on the write
+        # path, so there is no missing-path except to swallow — a genuine
+        # store read failure below propagates and fails the batch.
+        (
+            batch_hourly.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(store_path)
+        )
+        # explicit schema: epoch is a directory-derived long; bucket stays
+        # a data column so no partition-value parsing can mangle it
+        full = (
+            spark.read.schema("bucket string, n bigint, epoch bigint")
+            .parquet(store_path)
+            .groupBy("bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+        (
+            hourly_anomaly_scores(
+                full, trailing=trailing, min_prev=min_prev, bucket_col="bucket"
+            )
+            .write.mode("overwrite")
+            .parquet(board_path)
+        )
+
+    return merge_batch
+
+
 def start_streaming_anomaly(
     spark: SparkSession,
     events: DataFrame,
@@ -40,42 +94,9 @@ def start_streaming_anomaly(
     query_name: str = "events_anomaly",
 ):
     """Start the anomaly stream; returns the StreamingQuery."""
-
-    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_hourly = _hourly_counts(batch_df)
-        dirty = batch_hourly.select("bucket").distinct().localCheckpoint(eager=True)
-        if dirty.isEmpty():
-            return
-        try:
-            # explicit schema: partition-column inference would parse the
-            # bucket directory string back into a timestamp
-            prior = (
-                spark.read.schema(batch_hourly.schema)
-                .parquet(store_path)
-                .join(dirty, "bucket")
-            )
-        except Exception:  # first batch: store does not exist yet
-            prior = None
-        merged = batch_hourly if prior is None else (
-            prior.unionByName(batch_hourly)
-            .groupBy("bucket")
-            .agg(F.sum("n").alias("n"))
-        )
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(store_path)
-        )
-        full = spark.read.schema(merged.schema).parquet(store_path)
-        (
-            hourly_anomaly_scores(
-                full, trailing=trailing, min_prev=min_prev, bucket_col="bucket"
-            )
-            .write.mode("overwrite")
-            .parquet(board_path)
-        )
-
+    merge_batch = make_merge_batch(
+        spark, store_path, board_path, trailing=trailing, min_prev=min_prev
+    )
     return (
         events.writeStream.foreachBatch(merge_batch)
         .queryName(query_name)

@@ -239,5 +239,34 @@ def test_streaming_anomaly_matches_batch_twin(spark, events_dir, tmp_path):
         ).collect()
     }
     assert got == want and got
-    # store layout: partitioned by hour bucket (dirty-bucket overwrite unit)
-    assert glob.glob(os.path.join(store, "bucket=*")), os.listdir(store)
+    # store layout: partitioned by epoch (the idempotent-replay overwrite unit)
+    assert glob.glob(os.path.join(store, "epoch=*")), os.listdir(store)
+
+
+def test_streaming_anomaly_replay_idempotent(spark, events_dir, tmp_path):
+    """foreachBatch is at-least-once: re-running an epoch with the same
+    epoch_id and data must leave the store totals and board unchanged
+    (the pre-round-4 read-merge design double-counted the replay)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        anomaly_stream as A,
+    )
+
+    store = str(tmp_path / "anom_store")
+    board = str(tmp_path / "anom_board")
+    events = load_table(spark, SF_SMALL, "events")
+    half = events.where(F.col("user_id") % 2 == 0)
+    rest = events.where(F.col("user_id") % 2 != 0)
+
+    run_epoch = A.make_merge_batch(spark, store, board, trailing=24, min_prev=6)
+    run_epoch(half, 0)
+    run_epoch(rest, 1)
+    before = sorted(
+        (r["bucket"], r["n"], r["z"])
+        for r in A.read_anomalies(spark, board).collect()
+    )
+    run_epoch(rest, 1)  # replay the last epoch, as a post-restart stream would
+    after = sorted(
+        (r["bucket"], r["n"], r["z"])
+        for r in A.read_anomalies(spark, board).collect()
+    )
+    assert before == after and before
