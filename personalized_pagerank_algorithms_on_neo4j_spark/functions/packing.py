@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from .sampling import BUCKETS, _bucket
+from .text import tokens
 
 __all__ = ["chunk_documents", "pack_sequences", "mixture_rebalance"]
 
@@ -52,12 +53,14 @@ def chunk_documents(
     Window i covers tokens [i*stride, i*stride + chunk_tokens) with
     stride = chunk_tokens - overlap; the last window is short iff the
     document doesn't fill it. Documents shorter than one chunk yield
-    exactly one chunk. Whitespace tokens (same tokenizer as
-    `text.token_count`)."""
+    exactly one chunk. Tokenized with `text.tokens` (trim + ' +' split),
+    so n_tokens sums agree with `text.token_count` / bm25 / corpus_report
+    for the same document; chunk_text joins tokens with a single space,
+    i.e. runs of whitespace are normalized."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.col(text_col), " ")
+    toks = tokens(F.col(text_col))
     n = F.size(toks)
     # ceil((n - chunk) / stride) + 1 extra windows beyond the first
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
@@ -96,7 +99,7 @@ def chunk_oracle_sql(
     stride = chunk_tokens - overlap
     return f"""
 WITH toks AS (
-  SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}
+  SELECT {id_col}, string_split_regex(trim({text_col}), ' +') AS t FROM {table}
 ),
 counted AS (
   SELECT {id_col}, t,
@@ -128,8 +131,9 @@ def pack_sequences(
     document starting at cumulative offset c lands in pack floor(c /
     budget) at offset c % budget. The (bucket, pack) pair is the pack key.
     One window aggregation per bucket — the whole operator is a single
-    shuffle by bucket."""
-    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    shuffle by bucket. Token counts use `text.tokens` (trim + ' +'), the
+    same tokenizer as `text.token_count`."""
+    toks = F.size(tokens(F.col(text_col))).cast("long")
     w = (
         Window.partitionBy("bucket")
         .orderBy(id_col)
@@ -167,7 +171,7 @@ def pack_oracle_sql(
     return f"""
 WITH b AS (
   SELECT {id_col}, {bucket} AS bucket,
-         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tokens
+         CAST(len(string_split_regex(trim({text_col}), ' +')) AS BIGINT) AS n_tokens
   FROM {table}
 ),
 c AS (
