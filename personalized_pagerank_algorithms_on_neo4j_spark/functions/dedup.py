@@ -492,28 +492,32 @@ def cross_corpus_contamination(
     a threshold are dropped before training).
 
     Scale shape: the benchmark shingle set is tiny relative to a training
-    corpus (MBs vs TBs), so it is distinct-ed and BROADCAST; the corpus side
-    is one shingle pass + a map-side semi join + one groupBy — no corpus
-    self-join anywhere."""
-    cs = _doc_shingles(
-        corpus.dropDuplicates([id_col]), text_col, id_col, n
-    ).cache()
-    bs = _doc_shingles(bench, text_col, id_col, n).select("sh").distinct()
-    sizes = cs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        cs.join(F.broadcast(bs), "sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    corpus (MBs vs TBs), so it is distinct-ed, tagged, and BROADCAST into a
+    single map-side LEFT join over the corpus shingles; counting rows and
+    tag hits in the SAME groupBy yields n_sh and n_common in one pass — the
+    corpus shingles are scanned once, nothing is cached (the earlier
+    two-branch form cached the shingle frame and leaked one cache entry per
+    call), and there is no corpus self-join anywhere."""
+    bs = (
+        _doc_shingles(bench, text_col, id_col, n)
+        .select("sh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     return (
-        sizes.join(common, "doc_id", "left")
+        _doc_shingles(corpus.dropDuplicates([id_col]), text_col, id_col, n)
+        .join(F.broadcast(bs), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("_hit").alias("n_common"),
+        )
         .select(
             "doc_id",
             "n_sh",
-            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            "n_common",
             F.round(
-                F.coalesce("n_common", F.lit(0)).cast("double")
-                / F.col("n_sh").cast("double"),
+                F.col("n_common").cast("double") / F.col("n_sh").cast("double"),
                 6,
             ).alias("contamination"),
         )
