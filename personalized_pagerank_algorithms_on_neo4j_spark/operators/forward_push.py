@@ -23,9 +23,17 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_ALPHA
 from ..graph import PropertyGraph
-from ..plans.iterative import static_superstep_plan
+from ..plans.iterative import loop_shuffle_partitions, static_superstep_plan
 from . import _kernels
 from ._result import ppr_result_from_dense, ppr_result_from_state
+
+# Node count under which the push frontier (<= n rows of ~32 bytes) is
+# broadcast into the edge-expansion join: the cached edge table then never
+# re-shuffles even though the loop runs at state-scaled shuffle
+# parallelism. Above it the loop keeps the session's shuffle-partition
+# count so the frontier exchange lands on the edge cache's partitioning —
+# the O(frontier)-shuffle plan that is right at 10^9 edges.
+_BROADCAST_FRONTIER_NODES = 1_000_000
 
 
 def forward_push(
@@ -147,8 +155,10 @@ def _push_loop(
     state = init_state if init_state is not None else spark.createDataFrame(
         [(int(source), 1.0, 0.0)], schema="node long, residue double, reserve double"
     )
+    small = graph.n <= _BROADCAST_FRONTIER_NODES
+    loop_parts = loop_shuffle_partitions(spark, graph.n) if small else None
     # the per-superstep localCheckpoint on `s` below already truncates lineage
-    with static_superstep_plan(spark):
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
         for _ in range(max_supersteps):
             s = state.join(out_deg, "node", "left").select(
                 "node", "residue", "reserve",
@@ -160,7 +170,9 @@ def _push_loop(
             if frontier.isEmpty():
                 return s.select("node", "residue", "reserve")
             rest = s.where(~F.col("qual")).select("node", "residue", "reserve")
-            kept, pushed, dangling = _superstep_branches(frontier, edges, source, alpha)
+            kept, pushed, dangling = _superstep_branches(
+                F.broadcast(frontier) if small else frontier, edges, source, alpha
+            )
             state = _merge_state(rest, kept, pushed, dangling)
     return state
 
@@ -213,7 +225,9 @@ def _forward_push_topk_state(
         [(int(source),)], "node long"
     )
     next_cand = empty_cand
-    with static_superstep_plan(spark):
+    small = graph.n <= _BROADCAST_FRONTIER_NODES
+    loop_parts = loop_shuffle_partitions(spark, graph.n) if small else None
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
         for _ in range(max_supersteps):
             act = (
                 active.select("node")
@@ -239,7 +253,9 @@ def _forward_push_topk_state(
             frontier = act.where("qual")
             if frontier.isEmpty():
                 break
-            kept, pushed, dangling = _superstep_branches(frontier, edges, source, alpha)
+            kept, pushed, dangling = _superstep_branches(
+                F.broadcast(frontier) if small else frontier, edges, source, alpha
+            )
             rest = state.join(frontier.select("node"), "node", "left_anti")
             state = _merge_state(rest, kept, pushed, dangling).localCheckpoint(
                 eager=True

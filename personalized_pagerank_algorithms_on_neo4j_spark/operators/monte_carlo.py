@@ -29,11 +29,184 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_ALPHA, WholeGraphConf
 from ..graph import PropertyGraph
-from ..plans.iterative import static_superstep_plan
+from ..plans.iterative import loop_shuffle_partitions, static_superstep_plan
 from . import _kernels
 from ._result import ppr_result_from_dense
 
 import numpy as np
+
+# Rows with cnt above this draw from a per-row Philox generator (one
+# C-level binomial/multinomial call amortized over many walks); rows at or
+# below it realize every walk's draw from counter-based hashed uniforms,
+# fully vectorized across the Arrow batch. Only the first few supersteps
+# carry large counts — mass spreads and alpha-drains geometrically — so
+# the per-row tier touches a handful of rows while the bulk of every
+# frame rides the vectorized tier.
+_SMALL_CNT = 64
+
+# Out-edge count under which the adjacency table is broadcast to the walk
+# join (~128 MB of packed int64 at the bound). Above it the join falls
+# back to the shuffle plan, which is the right call at 10^9-edge scale.
+_BROADCAST_ADJ_EDGES = 8_000_000
+
+
+def _empty_step_frame(pd, np):
+    return pd.DataFrame(
+        {
+            "start": np.empty(0, np.int64),
+            "cur": np.empty(0, np.int64),
+            "cnt": np.empty(0, np.int64),
+            "stopped": np.empty(0, bool),
+        }
+    )
+
+
+def _splitmix64(x, np):
+    """Vectorized splitmix64 (increment + avalanche): uint64 -> uint64.
+
+    The avalanche rounds are the point — the round-3 seed was a plain
+    linear combination of (step, start, cur), where distinct rows could
+    collide exactly and adjacent node ids produced correlated streams."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _counted_step_batch(pdf, base_seed, step_i, stop_prob, np, pd):
+    """One Arrow batch of one counted-walk superstep, vectorized.
+
+    Every draw is a pure function of (base_seed, step, start, cur, draw
+    index) through splitmix64 — identical output under any partition
+    layout or Arrow batch split. Sampling is exact in both tiers: the
+    small tier realizes stops as sums of per-walk Bernoulli(alpha) draws
+    and destinations as per-walk uniform neighbor picks (the walk
+    process's own definition); the large tier draws the equivalent
+    Binomial/Multinomial totals from a Philox generator keyed by the same
+    per-row hash."""
+    u64 = np.uint64
+    n_rows = len(pdf)
+    start = np.ascontiguousarray(pdf["start"].to_numpy(np.int64))
+    cur = np.ascontiguousarray(pdf["cur"].to_numpy(np.int64))
+    cnt = pdf["cnt"].to_numpy(np.int64)
+    nbrs_list = list(pdf["neighbors"])
+    deg = np.fromiter(
+        (0 if v is None else len(v) for v in nbrs_list),
+        count=n_rows,
+        dtype=np.int64,
+    )
+
+    with np.errstate(over="ignore"):
+        step_salt = u64(
+            (int(base_seed) + (int(step_i) + 2) * 0xA24BAED4963EE407) % (2**64)
+        )
+        mix = _splitmix64(step_salt ^ start.view(u64), np)
+        mix = _splitmix64(mix ^ cur.view(u64), np)
+
+        # ---- stop draws ---------------------------------------------------
+        stops = np.zeros(n_rows, np.int64)
+        if stop_prob > 0.0:
+            small = np.nonzero(cnt <= _SMALL_CNT)[0]
+            if len(small):
+                scnt = cnt[small]
+                row_rep = np.repeat(small, scnt)
+                ends = np.cumsum(scnt)
+                j = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(
+                    ends - scnt, scnt
+                )
+                salt = u64(0xD6E8FEB86659FD93) * (j.view(u64) + u64(1))
+                u = (_splitmix64(mix[row_rep] ^ salt, np) >> u64(11)).astype(
+                    np.float64
+                ) * 2.0**-53
+                stops += np.bincount(
+                    row_rep[u < stop_prob], minlength=n_rows
+                ).astype(np.int64)
+            for i in np.nonzero(cnt > _SMALL_CNT)[0]:
+                gen = np.random.Generator(np.random.Philox(key=int(mix[i])))
+                stops[i] = gen.binomial(int(cnt[i]), stop_prob)
+        movers = cnt - stops
+
+        parts_s, parts_c, parts_n, parts_f = [], [], [], []
+        stopped_rows = np.nonzero(stops > 0)[0]
+        if len(stopped_rows):
+            parts_s.append(start[stopped_rows])
+            parts_c.append(cur[stopped_rows])
+            parts_n.append(stops[stopped_rows])
+            parts_f.append(np.ones(len(stopped_rows), bool))
+
+        mv = movers > 0
+        # dangling current node: every mover resets to the walk's start
+        dang = np.nonzero(mv & (deg == 0))[0]
+        if len(dang):
+            parts_s.append(start[dang])
+            parts_c.append(start[dang])
+            parts_n.append(movers[dang])
+            parts_f.append(np.zeros(len(dang), bool))
+        # single out-neighbor: the uniform pick is deterministic
+        single = np.nonzero(mv & (deg == 1))[0]
+        if len(single):
+            parts_s.append(start[single])
+            parts_c.append(
+                np.fromiter(
+                    (int(nbrs_list[i][0]) for i in single),
+                    count=len(single),
+                    dtype=np.int64,
+                )
+            )
+            parts_n.append(movers[single])
+            parts_f.append(np.zeros(len(single), bool))
+
+        multi = np.nonzero(mv & (deg > 1))[0]
+        small_m = multi[movers[multi] <= _SMALL_CNT]
+        big_m = multi[movers[multi] > _SMALL_CNT]
+        if len(small_m):
+            pm = movers[small_m]
+            row_rep2 = np.repeat(small_m, pm)
+            pos_in = np.repeat(np.arange(len(small_m)), pm)
+            ends2 = np.cumsum(pm)
+            k = np.arange(int(ends2[-1]), dtype=np.int64) - np.repeat(
+                ends2 - pm, pm
+            )
+            salt2 = u64(0xA0761D6478BD642F) * (k.view(u64) + u64(1)) + u64(
+                0x9E6C63D0876A9A47
+            )
+            u2 = (_splitmix64(mix[row_rep2] ^ salt2, np) >> u64(11)).astype(
+                np.float64
+            ) * 2.0**-53
+            dsel = deg[row_rep2]
+            pick = np.minimum((u2 * dsel).astype(np.int64), dsel - 1)
+            flat_nbrs = np.concatenate(
+                [np.asarray(nbrs_list[i], np.int64) for i in small_m]
+            )
+            ends_d = np.cumsum(deg[small_m])
+            slot = (ends_d - deg[small_m])[pos_in] + pick
+            uniq, counts = np.unique(slot, return_counts=True)
+            upos = np.searchsorted(ends_d, uniq, side="right")
+            parts_s.append(start[small_m[upos]])
+            parts_c.append(flat_nbrs[uniq])
+            parts_n.append(counts.astype(np.int64))
+            parts_f.append(np.zeros(len(uniq), bool))
+        for i in big_m:
+            na = np.asarray(nbrs_list[i], np.int64)
+            key = int(_splitmix64(mix[i] ^ u64(0x8BB84B93962EACC9), np))
+            gen = np.random.Generator(np.random.Philox(key=key))
+            c = gen.multinomial(int(movers[i]), np.full(len(na), 1.0 / len(na)))
+            nz = np.nonzero(c)[0]
+            parts_s.append(np.full(len(nz), start[i], np.int64))
+            parts_c.append(na[nz])
+            parts_n.append(c[nz].astype(np.int64))
+            parts_f.append(np.zeros(len(nz), bool))
+
+    if not parts_s:
+        return _empty_step_frame(pd, np)
+    return pd.DataFrame(
+        {
+            "start": np.concatenate(parts_s),
+            "cur": np.concatenate(parts_c),
+            "cnt": np.concatenate(parts_n),
+            "stopped": np.concatenate(parts_f),
+        }
+    )
 
 
 def monte_carlo(
@@ -125,6 +298,10 @@ def run_walks_counted(
         base_seed = int(seed)
 
     adj = graph.adj  # (node, neighbors, out_degree)
+    if graph.m <= _BROADCAST_ADJ_EDGES:
+        # shuffle-free superstep join: the walk frame never moves for the
+        # expansion, only the (start, cur) re-merge shuffles
+        adj = F.broadcast(adj)
 
     # one row per (start, cur): duplicate rows would share a per-(step,
     # start, cur) seed and draw correlated splits
@@ -141,47 +318,11 @@ def run_walks_counted(
             import pandas as pd
 
             for pdf in batches:
-                outs_: list = []
-                outc: list = []
-                outn: list = []
-                outflag: list = []
-                for start, cur, cnt, nbrs in zip(
-                    pdf["start"], pdf["cur"], pdf["cnt"], pdf["neighbors"]
-                ):
-                    start, cnt = int(start), int(cnt)
-                    # per-(step, start, cur) seed: layout-independent
-                    mix = (
-                        base_seed * 0x9E3779B1
-                        + step_i * 0x85EBCA6B
-                        + start * 0xC2B2AE35
-                        + int(cur)
-                    ) % (2**63)
-                    rng = np.random.default_rng(mix)
-                    stops = int(rng.binomial(cnt, stop_prob)) if stop_prob > 0 else 0
-                    if stops:
-                        outs_.append(start)
-                        outc.append(int(cur))
-                        outn.append(stops)
-                        outflag.append(True)
-                    movers = cnt - stops
-                    if movers == 0:
-                        continue
-                    if nbrs is None or len(nbrs) == 0:
-                        outs_.append(start)  # dangling -> reset to the start
-                        outc.append(start)
-                        outn.append(movers)
-                        outflag.append(False)
-                        continue
-                    deg = len(nbrs)
-                    counts = rng.multinomial(movers, np.full(deg, 1.0 / deg))
-                    nz = np.nonzero(counts)[0]
-                    na = np.asarray(nbrs, dtype=np.int64)
-                    outs_.extend([start] * len(nz))
-                    outc.extend(int(x) for x in na[nz])
-                    outn.extend(int(c) for c in counts[nz])
-                    outflag.extend([False] * len(nz))
-                yield pd.DataFrame(
-                    {"start": outs_, "cur": outc, "cnt": outn, "stopped": outflag}
+                if len(pdf) == 0:
+                    yield _empty_step_frame(pd, np)
+                    continue
+                yield _counted_step_batch(
+                    pdf, base_seed, step_i, stop_prob, np, pd
                 )
 
         return step
@@ -210,7 +351,8 @@ def run_walks_counted(
         ).localCheckpoint(eager=True)
 
     finished = [done0]
-    with static_superstep_plan(graph.spark):
+    loop_parts = loop_shuffle_partitions(graph.spark, graph.n)
+    with static_superstep_plan(graph.spark, shuffle_partitions=loop_parts):
         live = live.localCheckpoint(eager=True)
         if not zero_hop:
             # unconditional first move (no stop draw): all live have
@@ -234,6 +376,21 @@ def run_walks_counted(
             live = nxt.where(F.col("live_cnt") > 0).select(
                 "start", "cur", F.col("live_cnt").alias("cnt")
             )
+        else:
+            # superstep budget exhausted with walks possibly still live:
+            # force-stop them at their current node (the bounded-step
+            # reading of the reference's walk loop) instead of silently
+            # dropping their mass — endpoint counts always sum to the
+            # walk count, so downstream ppr mass stays 1
+            if not live.isEmpty():
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "run_walks_counted: max_supersteps=%d reached with live "
+                    "walks; force-stopping them at their current node",
+                    max_supersteps,
+                )
+                finished.append(live)
 
     out = finished[0]
     for f in finished[1:]:

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 @contextmanager
-def static_superstep_plan(spark: SparkSession):
+def static_superstep_plan(spark: SparkSession, shuffle_partitions: int | None = None):
     """Disable AQE for the duration of an iterative superstep loop.
 
     AQE re-plans every job from its runtime shuffle statistics — the right
@@ -26,13 +26,44 @@ def static_superstep_plan(spark: SparkSession):
     per-job re-planning is pure overhead: measured 15-35% of the
     distributed power method's wall clock at sf0.1/local[32]. The previous
     setting is always restored (the bench's AQE-on default stays right for
-    everything else)."""
+    everything else).
+
+    ``shuffle_partitions``: optional per-loop override. A superstep state
+    frame is bounded by the graph's node count, which the caller knows
+    up front; with AQE off inside the loop nothing coalesces tiny
+    shuffles, so a loop over a small state pays ``default parallelism``
+    near-empty tasks per stage. Callers pass a node-count-scaled value
+    (see ``loop_shuffle_partitions``) — at small graphs this collapses to
+    a few real tasks, at 10^9 nodes it clamps back to the session default,
+    so the 100x plan is unchanged."""
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(shuffle_partitions)))
     try:
         yield
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+# state rows a single superstep shuffle task should handle comfortably:
+# supersteps are latency-bound at small state (task scheduling dominates)
+# and memory-bound at large state (rows are a few dozen bytes each, so
+# 200k rows/task is well under executor memory at any sane heap).
+_ROWS_PER_SUPERSTEP_TASK = 200_000
+
+
+def loop_shuffle_partitions(spark: SparkSession, state_rows: int) -> int:
+    """Shuffle-partition count for a superstep loop whose state is bounded
+    by ``state_rows`` (usually the graph's node count): enough tasks to
+    keep partitions under ``_ROWS_PER_SUPERSTEP_TASK`` rows, never more
+    than the session default (the cluster-sized setting wins at scale)."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    need = max(1, -(-int(state_rows) // _ROWS_PER_SUPERSTEP_TASK))
+    return min(default, need)
 
 
 class SuperstepLoop:

@@ -146,6 +146,26 @@ def test_counted_multi_start_mass_and_zero_hop(got):
     assert per_start == {int(s1): 700, int(s2): 300}
 
 
+def test_counted_truncation_force_stops(got):
+    """A superstep budget too small to drain the walks must force-stop the
+    survivors at their current node: endpoint mass always sums to the walk
+    count (no silently dropped mass), and a 0-superstep run returns every
+    walk at its start."""
+    s = got.id_of("Eddard")
+    walks = got.spark.createDataFrame(
+        [(int(s), int(s), 1_000)], "start long, cur long, cnt long"
+    )
+    for budget in (0, 1, 2):
+        ends = monte_carlo.run_walks_counted(
+            got, walks, ALPHA, seed=9, max_supersteps=budget
+        ).collect()
+        assert sum(r["cnt"] for r in ends) == 1_000, f"budget {budget}"
+    ends0 = monte_carlo.run_walks_counted(
+        got, walks, ALPHA, seed=9, max_supersteps=0
+    ).collect()
+    assert {(r["cur"]): r["cnt"] for r in ends0} == {int(s): 1_000}
+
+
 def test_fora_distributed_error_bound(got):
     lg = got.local
     s = got.id_of("Eddard")
