@@ -2833,6 +2833,65 @@ FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
 
 
 # ---------------------------------------------------------------------------
+# Block 26b: SemDeDup-style semantic near-dedup
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_CAP = 200  # clusters above this are excluded from pairing
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """Cluster the embedding space with the same deterministic k-means as
+    `kmeans_clusters`, then exact-cosine-verify pairs only WITHIN each
+    cluster (SemDeDup, Abbas et al. 2023). Quadratic work is bounded per
+    cluster; oversized clusters are excluded (k is the scale knob)."""
+    e = _t(spark, sf_dir, "embeddings")
+    # threshold 0.35, not a realistic 0.8+: the synthetic embeddings are
+    # near-orthogonal (max pairwise cosine ~0.51 at sf0.01), and a
+    # non-empty result is a far stronger value-hash gate than 0=0
+    return _dedup.semantic_dedup_pairs(
+        e,
+        k=KMEANS_K,
+        iterations=KMEANS_ITERS,
+        threshold=0.35,
+        max_cluster_size=SEMDEDUP_CAP,
+    )
+
+
+_BASE_QUERIES26B = queries
+_BASE_ORACLE26B = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26B()
+    q["semantic_dedup"] = q_semantic_dedup
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE26B()
+    _cos = lambda a, b: (  # noqa: E731
+        f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * SQRT(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+    )
+    kmeans = _clustering.kmeans_oracle_sql(
+        k=KMEANS_K, iterations=KMEANS_ITERS, dim=64
+    )
+    sql["semantic_dedup"] = f"""
+WITH assign AS MATERIALIZED (SELECT * FROM ({kmeans}) t),
+ok AS (SELECT cluster FROM assign GROUP BY cluster HAVING COUNT(*) <= {SEMDEDUP_CAP}),
+lab AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, e.embedding
+  FROM assign a JOIN ok USING (cluster) JOIN embeddings e USING (vec_id))
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM lab a JOIN lab b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE ROUND({_cos('a.embedding', 'b.embedding')}, 6) >= 0.35
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()

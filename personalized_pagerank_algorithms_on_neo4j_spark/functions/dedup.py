@@ -474,6 +474,71 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 16,
+    iterations: int = 2,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dedup (Abbas et al., arXiv:2303.09540):
+    K-means-cluster the embedding space, then verify exact cosine only
+    WITHIN each cluster — (id_a, id_b, cosine) for within-cluster pairs at
+    cosine >= threshold.
+
+    vs ``embedding_near_dup_pairs``: the sign-sketch buckets are fixed
+    axis-aligned half-space cuts, while trained centroids adapt to the
+    corpus's actual density, so semantically-close pairs that straddle a
+    coordinate hyperplane still land in one bucket.
+
+    Scale shape: clustering is the k-means recurrence (broadcast
+    centroids, one shuffle of k*dim partials per Lloyd round — see
+    clustering.py); the pairwise stage is quadratic only INSIDE a
+    cluster, and k is the control knob (k ~ n / target_cluster_size).
+    Clusters that still exceed ``max_cluster_size`` are excluded from
+    pairing rather than allowed to explode the join — the same
+    cap-the-hot-key discipline as the shingle-DF cap in
+    ``ngram_jaccard_pairs``; re-cluster with a larger k to cover them."""
+    from .clustering import _assign, kmeans_fit
+
+    centroids = kmeans_fit(df, k, iterations, vec_col, id_col)
+    if not centroids:
+        return df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+    labels = _assign(df, centroids, vec_col, id_col)
+    # k rows by definition: the size filter is a broadcast join, never a
+    # shuffle of the labeled corpus
+    small_enough = (
+        labels.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .where(F.col("_sz") <= max_cluster_size)
+        .select("cluster")
+    )
+    lab = labels.join(F.broadcast(small_enough), "cluster").join(
+        df.select(id_col, vec_col), id_col
+    )
+    a = lab.select(
+        "cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = lab.select(
+        "cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-corpus decontamination (benchmark n-gram overlap)
 # ---------------------------------------------------------------------------

@@ -155,6 +155,31 @@ def test_embedding_near_dup_pairs_run(spark):
         assert r["cosine"] >= 0.8
 
 
+def test_semantic_dedup_pairs_within_cluster_and_cap(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    pairs = dedup.semantic_dedup_pairs(emb, k=8, iterations=1, threshold=0.8)
+    for r in pairs.take(5):
+        assert r["cosine"] >= 0.8
+    # every reported pair must share a k-means cluster
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.clustering import (
+        kmeans_assign,
+    )
+
+    labels = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(emb, k=8, iterations=1).collect()
+    }
+    for r in pairs.collect():
+        assert labels[r["id_a"]] == labels[r["id_b"]]
+    # a cap below every cluster size excludes all pairs
+    assert (
+        dedup.semantic_dedup_pairs(
+            emb, k=8, iterations=1, threshold=0.8, max_cluster_size=0
+        ).count()
+        == 0
+    )
+
+
 def test_multimodal_features_deterministic(spark, docs_df):
     media = multimodal.media_from_documents(docs_df)
     feats = multimodal.extract_features(media)
