@@ -157,6 +157,10 @@ def main() -> None:
     timed("q_bm25", lambda: E.q_bm25_topk(spark, SF_DIR).count())
     timed("q_doc_logprob", lambda: E.q_doc_logprob(spark, SF_DIR).count())
     timed("q_two_hop", lambda: E.q_two_hop_counts(spark, SF_DIR).count())
+    # text-statistics trend lines (round 4): per-doc TF-IDF windows and the
+    # one-scan conditional-agg report card
+    timed("q_tfidf", lambda: E.q_tfidf_top_terms(spark, SF_DIR).count())
+    timed("q_corpus_report", lambda: E.q_corpus_report(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend
