@@ -2892,6 +2892,70 @@ WHERE ROUND({_cos('a.embedding', 'b.embedding')}, 6) >= 0.35
 
 
 # ---------------------------------------------------------------------------
+# Block 26c: graph analytics — triangle counts, node similarity
+# ---------------------------------------------------------------------------
+
+# 0.4 keeps the sf0.01 compare at ~1.6k meaningful pairs (0.2 would ship
+# 110k near-noise rows through the hash gate)
+NODE_SIM_THRESHOLD = 0.4
+
+
+def q_triangle_counts(spark, sf_dir):
+    """Per-node undirected triangle counts via degree-ordered orientation
+    (compact-forward): every triangle found once at its lowest-order
+    corner; oriented out-degrees are O(sqrt(m)) so the wedge join is
+    bounded without a hub cap."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        triangle_counts,
+    )
+
+    g = _graph(spark, sf_dir)
+    return triangle_counts(g.edges)
+
+
+def q_node_similarity(spark, sf_dir):
+    """Out-neighbor Jaccard similarity between node pairs sharing at least
+    one neighbor (the Neo4j GDS nodeSimilarity shape), hub-capped like
+    two_hop_counts."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        node_similarity,
+    )
+
+    g = _graph(spark, sf_dir)
+    return node_similarity(
+        g.edges, threshold=NODE_SIM_THRESHOLD, hub_cap=TWO_HOP_CAP
+    )
+
+
+_BASE_QUERIES26C = queries
+_BASE_ORACLE26C = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26C()
+    q["triangle_counts"] = q_triangle_counts
+    q["node_similarity"] = q_node_similarity
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        node_similarity_oracle_sql,
+        triangle_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        GRAPH_EDGES_SQL,
+    )
+
+    sql = _BASE_ORACLE26C()
+    sql["triangle_counts"] = triangle_oracle_sql(GRAPH_EDGES_SQL)
+    sql["node_similarity"] = node_similarity_oracle_sql(
+        GRAPH_EDGES_SQL, threshold=NODE_SIM_THRESHOLD, hub_cap=TWO_HOP_CAP
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()

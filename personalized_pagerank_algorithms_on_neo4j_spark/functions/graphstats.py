@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["two_hop_neighbors", "two_hop_oracle_sql"]
+__all__ = [
+    "two_hop_neighbors",
+    "two_hop_oracle_sql",
+    "triangle_counts",
+    "triangle_oracle_sql",
+    "node_similarity",
+    "node_similarity_oracle_sql",
+]
 
 
 def two_hop_neighbors(
@@ -47,6 +54,183 @@ def two_hop_neighbors(
     return pairs.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("n_two_hop")
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, n_triangles) over the UNDIRECTED simple graph induced by the
+    edge list (direction and multiplicity dropped, self-loops removed).
+
+    Scale shape — compact-forward / degree ordering, the standard
+    distributed triangle algorithm: each undirected edge is oriented from
+    its lower-(degree, id) endpoint to its higher one, so every node's
+    oriented out-degree is O(sqrt(m)) and the wedge self-join is bounded
+    by sum(out_deg^2) <= O(m^1.5) REGARDLESS of hubs — no cap needed,
+    unlike the two-hop operator, because orientation already kills the
+    hub blow-up. Each triangle is found exactly once (at its lowest-order
+    corner) and credited to all three corners."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = und.selectExpr("u AS node").unionAll(und.selectExpr("v AS node")).groupBy(
+        "node"
+    ).agg(F.count(F.lit(1)).alias("deg"))
+    # orient each edge low -> high by (deg, id); carry the head's order key
+    # so the wedge join can order its two heads without another deg join
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("bdeg"),
+    )
+    e1 = o.select("a", F.col("b").alias("b1"), F.col("bdeg").alias("d1"))
+    e2 = o.select("a", F.col("b").alias("b2"), F.col("bdeg").alias("d2"))
+    wedges = e1.join(e2, "a").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("b1") < F.col("b2")))
+    )
+    tri = wedges.join(
+        o.select(F.col("a").alias("b1"), F.col("b").alias("b2")), ["b1", "b2"]
+    ).select("a", "b1", "b2")
+    corners = (
+        tri.selectExpr("a AS node")
+        .unionAll(tri.selectExpr("b1 AS node"))
+        .unionAll(tri.selectExpr("b2 AS node"))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of `triangle_counts` over any (src, dst) edge SQL."""
+    return f"""
+WITH e AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN fwd THEN u ELSE v END AS a,
+         CASE WHEN fwd THEN v ELSE u END AS b,
+         CASE WHEN fwd THEN dv ELSE du END AS bdeg
+  FROM (
+    SELECT und.u, und.v, du.deg AS du, dv.deg AS dv,
+           (du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)) AS fwd
+    FROM und
+    JOIN deg du ON du.node = und.u
+    JOIN deg dv ON dv.node = und.v
+  )
+),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b1, e2.b AS b2
+  FROM o e1
+  JOIN o e2 ON e1.a = e2.a
+   AND (e1.bdeg < e2.bdeg OR (e1.bdeg = e2.bdeg AND e1.b < e2.b))
+  JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT node, COUNT(*) AS n_triangles FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b1 AS node FROM tri
+  UNION ALL SELECT b2 AS node FROM tri
+) GROUP BY node
+"""
+
+
+def node_similarity(
+    edges: DataFrame,
+    threshold: float = 0.2,
+    hub_cap: int | None = 1_000,
+) -> DataFrame:
+    """(node_a, node_b, n_common, jaccard) for node pairs sharing at least
+    one OUT-neighbor, scored by Jaccard over their out-neighbor sets —
+    the Neo4j GDS nodeSimilarity shape re-expressed as one reverse-edge
+    self-join + one groupBy.
+
+    Scale shape: pairs are generated per SHARED NEIGHBOR, so a popular
+    neighbor with in-degree d contributes d^2 pairs — the same hub
+    explosion as `two_hop_neighbors`, controlled by the same declared
+    hub cap (shared neighbors with in-degree > cap are excluded from
+    pair generation in both engines). Degrees join back from a
+    node-count-bounded aggregate."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    mid = e.groupBy(F.col("dst").alias("mid")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    if hub_cap is not None:
+        mid = mid.where(F.col("in_deg") <= hub_cap)
+    a = e.select(F.col("src").alias("node_a"), F.col("dst").alias("mid"))
+    b = e.select(F.col("src").alias("node_b"), F.col("dst").alias("mid"))
+    common = (
+        a.join(mid.select("mid"), "mid")
+        .join(b, "mid")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = out_deg.select(F.col("node").alias("node_a"), F.col("deg").alias("da"))
+    db = out_deg.select(F.col("node").alias("node_b"), F.col("deg").alias("db"))
+    return (
+        common.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def node_similarity_oracle_sql(
+    edges_sql: str, threshold: float = 0.2, hub_cap: int | None = 1_000
+) -> str:
+    """DuckDB twin of `node_similarity` over any (src, dst) edge SQL."""
+    cap_clause = f"WHERE in_deg <= {hub_cap}" if hub_cap is not None else ""
+    return f"""
+WITH raw AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+out_deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+mid AS (
+  SELECT mid FROM (
+    SELECT dst AS mid, COUNT(*) AS in_deg FROM e GROUP BY 1
+  ) {cap_clause}
+),
+common AS (
+  SELECT a.src AS node_a, b.src AS node_b, COUNT(*) AS n_common
+  FROM e a
+  JOIN mid m ON a.dst = m.mid
+  JOIN e b ON b.dst = a.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT c.node_a, c.node_b, c.n_common,
+       ROUND(CAST(c.n_common AS DOUBLE)
+             / CAST(da.deg + db.deg - c.n_common AS DOUBLE), 6) AS jaccard
+FROM common c
+JOIN out_deg da ON da.node = c.node_a
+JOIN out_deg db ON db.node = c.node_b
+WHERE ROUND(CAST(c.n_common AS DOUBLE)
+            / CAST(da.deg + db.deg - c.n_common AS DOUBLE), 6) >= {threshold}
+"""
 
 
 def two_hop_oracle_sql(edges_sql: str, hub_cap: int | None = 1_000) -> str:

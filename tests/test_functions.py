@@ -886,6 +886,47 @@ def test_two_hop_neighbors_hand_computed(spark):
     assert capped == {2: 1}
 
 
+def test_triangle_counts_hand_computed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        triangle_counts,
+    )
+
+    # triangles {1,2,3} and {3,4,5}; direction, duplicates, and the
+    # self-loop must all be ignored; 6 has no triangle -> no row
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 3), (3, 4), (5, 4), (3, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_node_similarity_hand_computed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        node_similarity,
+    )
+
+    # out-neighbors: 1 -> {7,8}, 2 -> {7,8}, 3 -> {8,9}
+    edges = spark.createDataFrame(
+        [(1, 7), (1, 8), (2, 7), (2, 8), (3, 8), (3, 9)], "src long, dst long"
+    )
+    rows = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard)
+        for r in node_similarity(edges, threshold=0.0, hub_cap=None).collect()
+    }
+    assert rows == {
+        (1, 2): (2, 1.0),
+        (1, 3): (1, round(1 / 3, 6)),
+        (2, 3): (1, round(1 / 3, 6)),
+    }
+    # threshold filters the weak pairs; capping out shared neighbor 8
+    # (in-degree 3) leaves only the pair sharing 7
+    thr = node_similarity(edges, threshold=0.5, hub_cap=None).collect()
+    assert {(r.node_a, r.node_b) for r in thr} == {(1, 2)}
+    capped = node_similarity(edges, threshold=0.0, hub_cap=2).collect()
+    assert {(r.node_a, r.node_b): r.n_common for r in capped} == {(1, 2): 1}
+
+
 def test_decayed_user_scores_half_life(spark):
     import datetime as dt
 
