@@ -3002,6 +3002,53 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26e: weakly-connected components over the derived graph
+# ---------------------------------------------------------------------------
+
+GRAPH_WCC_STEPS = 12  # unrolled oracle depth; Spark side converges or raises
+
+
+def q_graph_wcc(spark, sf_dir):
+    """Weakly-connected components of the derived graph: min-label
+    propagation (the dedup_clusters engine on graph edges instead of
+    near-dup pairs); component id = smallest node id in the component.
+    Nodes without edges have no component row (same rule both engines)."""
+    g = _graph(spark, sf_dir)
+    pairs = g.edges.select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    out = _dedup.dedup_clusters(pairs, max_iters=GRAPH_WCC_STEPS, strict=True)
+    return out.select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("component")
+    )
+
+
+_BASE_QUERIES26E = queries
+_BASE_ORACLE26E = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26E()
+    q["graph_wcc"] = q_graph_wcc
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        GRAPH_EDGES_SQL,
+    )
+
+    sql = _BASE_ORACLE26E()
+    sql["graph_wcc"] = f"""
+WITH e AS MATERIALIZED ({GRAPH_EDGES_SQL}),
+cand AS MATERIALIZED (SELECT DISTINCT src AS doc_a, dst AS doc_b FROM e),
+{_cluster_chain("cl", GRAPH_WCC_STEPS)}
+SELECT node, label AS component FROM cl{GRAPH_WCC_STEPS}
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
