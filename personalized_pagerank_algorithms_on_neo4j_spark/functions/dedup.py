@@ -519,8 +519,13 @@ def semantic_dedup_pairs(
         .where(F.col("_sz") <= max_cluster_size)
         .select("cluster")
     )
-    lab = labels.join(F.broadcast(small_enough), "cluster").join(
-        df.select(id_col, vec_col), id_col
+    # both sides of the within-cluster pair join read this frame; without
+    # materialization the assignment mapInPandas would re-scan the vector
+    # table twice
+    lab = (
+        labels.join(F.broadcast(small_enough), "cluster")
+        .join(df.select(id_col, vec_col), id_col)
+        .localCheckpoint(eager=True)
     )
     a = lab.select(
         "cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")

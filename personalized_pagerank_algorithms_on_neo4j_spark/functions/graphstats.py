@@ -91,6 +91,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("bdeg"),
     )
+    # the oriented table feeds THREE join sides; without materialization
+    # Spark re-derives distinct+degree+orientation for each reference
+    # (3x the edge scan at scale — the plan audit showed 280 exchanges)
+    o = o.localCheckpoint(eager=True)
     e1 = o.select("a", F.col("b").alias("b1"), F.col("bdeg").alias("d1"))
     e2 = o.select("a", F.col("b").alias("b2"), F.col("bdeg").alias("d2"))
     wedges = e1.join(e2, "a").where(
@@ -165,6 +169,9 @@ def node_similarity(
     pair generation in both engines). Degrees join back from a
     node-count-bounded aggregate."""
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    # referenced by both pair-generation sides plus the degree aggregate:
+    # materialize once instead of three distinct-scans of the edge table
+    e = e.localCheckpoint(eager=True)
     out_deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
