@@ -180,6 +180,86 @@ def test_semantic_dedup_pairs_within_cluster_and_cap(spark):
     )
 
 
+def _ppm_bytes(pixels, magic=b"P6", maxval=255):
+    """Serialize a small netpbm image: pixels is an (h, w[, 3]) uint array."""
+    import numpy as np
+
+    arr = np.asarray(pixels)
+    h, w = arr.shape[:2]
+    header = b"%s\n# test comment\n%d %d\n%d\n" % (magic, w, h, maxval)
+    dt = ">u2" if maxval > 255 else "u1"
+    return header + arr.astype(dt).tobytes()
+
+
+def _wav_bytes(samples, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_decode_image_netpbm_exact():
+    import numpy as np
+
+    px = np.arange(12).reshape(2, 2, 3) * 20
+    out = multimodal.decode_image(_ppm_bytes(px))
+    assert out.shape == (2, 2, 3) and (out == px).all()
+    gray = np.array([[0, 100], [200, 255]])
+    out5 = multimodal.decode_image(_ppm_bytes(gray, magic=b"P5"))
+    assert out5.shape == (2, 2) and (out5 == gray).all()
+    wide = np.array([[300, 65535]])
+    out16 = multimodal.decode_image(_ppm_bytes(wide, magic=b"P5", maxval=65535))
+    assert out16.dtype == np.dtype(">u2") and (out16 == wide).all()
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_audio_wav_roundtrip():
+    import numpy as np
+
+    sig = (np.sin(np.linspace(0, 20, 400)) * 20000).astype("<i2")
+    samples, rate = multimodal.decode_audio(_wav_bytes(sig, rate=16000))
+    assert rate == 16000 and samples.shape == (400, 1)
+    assert (samples[:, 0] == sig).all()
+
+
+def test_extract_decoded_features_mixed(spark):
+    import numpy as np
+
+    px = (np.arange(48).reshape(4, 4, 3) * 5).astype("u1")
+    rows = [
+        (1, "image", bytearray(_ppm_bytes(px)), "image/x-portable-pixmap"),
+        (2, "audio", bytearray(_wav_bytes([0, 1000, -1000, 500] * 50)), "audio/wav"),
+        (3, "image", bytearray(b"\xff\xd8\xff\xe0 jpeg-ish"), "image/jpeg"),
+        (4, "image", None, "image/x-portable-pixmap"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_decoded_features(media).collect()
+    }
+    assert out[1]["decode_ok"] and len(out[1]["features"]) == multimodal.FEATURE_DIM
+    # mean of channel 0 matches the real pixel data
+    assert out[1]["features"][0] == pytest.approx(
+        float((px[:, :, 0] / px.max()).mean()), abs=1e-5
+    )
+    assert out[2]["decode_ok"] and out[2]["features"][0] > 0  # real RMS
+    assert not out[3]["decode_ok"] and out[3]["features"] is None
+    assert not out[4]["decode_ok"]
+    with pytest.raises(Exception):
+        multimodal.extract_decoded_features(media, on_error="raise").collect()
+
+
 def test_multimodal_features_deterministic(spark, docs_df):
     media = multimodal.media_from_documents(docs_df)
     feats = multimodal.extract_features(media)
@@ -189,9 +269,9 @@ def test_multimodal_features_deterministic(spark, docs_df):
     assert rows[0]["n_bytes"] == len(DOCS[0][1].encode())
     expect = multimodal._fake_features(DOCS[0][1].encode())
     assert rows[0]["features"] == pytest.approx(expect)
-    # decode stub is explicitly not implemented
+    # codec-requiring formats are explicitly not implemented
     with pytest.raises(NotImplementedError):
-        multimodal._decode_image_stub(b"xx")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
 def test_resize_and_frame_plans(spark):
