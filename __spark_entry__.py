@@ -3049,6 +3049,47 @@ SELECT node, label AS component FROM cl{GRAPH_WCC_STEPS}
 
 
 # ---------------------------------------------------------------------------
+# Block 26f: HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 10
+
+
+def q_graph_hits(spark, sf_dir):
+    """Hub/authority scores after HITS_ITERS max-normalized power rounds
+    (operators/hits.py); the oracle replays the identical recurrence."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.hits import (
+        hits,
+    )
+
+    g = _graph(spark, sf_dir)
+    return hits(g, iterations=HITS_ITERS)
+
+
+_BASE_QUERIES26F = queries
+_BASE_ORACLE26F = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26F()
+    q["graph_hits"] = q_graph_hits
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.hits import (
+        hits_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        GRAPH_EDGES_SQL,
+    )
+
+    sql = _BASE_ORACLE26F()
+    sql["graph_hits"] = hits_oracle_sql(GRAPH_EDGES_SQL, iterations=HITS_ITERS)
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()

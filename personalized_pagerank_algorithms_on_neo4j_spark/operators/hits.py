@@ -1,0 +1,118 @@
+"""HITS hubs & authorities (Kleinberg) — bounded power iteration.
+
+The second eigenvector-style engine next to the PPR power method, sharing
+its execution discipline: a fixed number of synchronous supersteps, AQE
+off + state-scaled shuffle partitions inside the loop, localCheckpoint
+lineage truncation, and a DuckDB oracle that replays the identical
+recurrence as chained CTEs (cross-engine float drift stays orders of
+magnitude under the ROUND(_, 9) gate — same argument as the power-method
+oracle).
+
+Per superstep: authority(v) = sum of hub over in-edges, hub(u) = sum of
+authority over out-edges, each max-normalized (Kleinberg's normalization
+choice is free; max keeps the recurrence division-exact in both engines
+without a global L2 reduction). The normalizing max is one scalar —
+computed as a 1-row aggregate and broadcast-cross-joined, never a global
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import PropertyGraph
+from ..plans.iterative import loop_shuffle_partitions, static_superstep_plan
+from .forward_push import _BROADCAST_FRONTIER_NODES
+
+
+def hits(graph: PropertyGraph, iterations: int = 10) -> DataFrame:
+    """(node, hub, authority) over every node incident to an edge, after
+    ``iterations`` synchronous update rounds from the all-ones hub vector,
+    max-normalized per round, rounded to 9 decimals at the end."""
+    spark = graph.spark
+    edges = graph.edges.select("src", "dst")
+    small = graph.n <= _BROADCAST_FRONTIER_NODES
+    loop_parts = loop_shuffle_partitions(spark, graph.n) if small else None
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def _max_normalize(df: DataFrame, col: str) -> DataFrame:
+        m = df.agg(F.max(col).alias("_m"))
+        return df.crossJoin(F.broadcast(m)).select(
+            "node", (F.col(col) / F.col("_m")).alias(col)
+        )
+
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
+        nodes = nodes.localCheckpoint(eager=True)
+        h = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint(
+            eager=True
+        )
+        a = None
+        for _ in range(iterations):
+            a = _max_normalize(
+                edges.join(h, edges.src == h.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("authority")),
+                "authority",
+            ).localCheckpoint(eager=True)
+            h = _max_normalize(
+                edges.join(a, edges.dst == a.node)
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("authority").alias("hub")),
+                "hub",
+            ).localCheckpoint(eager=True)
+    out = nodes.join(h, "node", "left")
+    if a is not None:
+        out = out.join(a, "node", "left")
+    else:  # iterations == 0
+        out = out.withColumn("authority", F.lit(None).cast("double"))
+    return out.select(
+        "node",
+        F.round(F.coalesce("hub", F.lit(0.0)), 9).alias("hub"),
+        F.round(F.coalesce("authority", F.lit(0.0)), 9).alias("authority"),
+    )
+
+
+def hits_oracle_sql(edges_sql: str, iterations: int = 10) -> str:
+    """DuckDB twin replaying the identical bounded recurrence."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        """n AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))""",
+        "h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM n)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(h.hub) AS authority
+  FROM e JOIN h{i} h ON e.src = h.node GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT node, authority / (SELECT MAX(authority) FROM ar{i}) AS authority
+  FROM ar{i})"""
+        )
+        ctes.append(
+            f"""hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(a.authority) AS hub
+  FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""h{i + 1} AS MATERIALIZED (
+  SELECT node, hub / (SELECT MAX(hub) FROM hr{i}) AS hub FROM hr{i})"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT n.node,
+       ROUND(COALESCE(h.hub, 0.0), 9) AS hub,
+       ROUND(COALESCE(a.authority, 0.0), 9) AS authority
+FROM n
+LEFT JOIN h{iterations} h ON n.node = h.node
+LEFT JOIN a{iterations - 1} a ON n.node = a.node
+"""

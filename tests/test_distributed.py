@@ -189,6 +189,39 @@ def test_bfs_distances_hand_computed(got):
     assert all(two[n] == d for n, d in one.items())
 
 
+def test_hits_matches_numpy(got):
+    """HITS on the GOT graph vs a dense numpy replay of the identical
+    max-normalized recurrence."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.hits import hits
+
+    edges = [
+        (r["src"], r["dst"]) for r in got.edges.select("src", "dst").collect()
+    ]
+    nodes = sorted({u for e in edges for u in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    h = np.ones(len(nodes))
+    a = np.zeros(len(nodes))
+    for _ in range(10):
+        a = np.zeros(len(nodes))
+        for s, d in edges:
+            a[idx[d]] += h[idx[s]]
+        a /= a.max()
+        h = np.zeros(len(nodes))
+        for s, d in edges:
+            h[idx[s]] += a[idx[d]]
+        h /= h.max()
+    out = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(got, iterations=10).collect()
+    }
+    assert set(out) == set(nodes)
+    for n in nodes:
+        assert out[n][0] == pytest.approx(h[idx[n]], abs=1e-8)
+        assert out[n][1] == pytest.approx(a[idx[n]], abs=1e-8)
+    assert max(v[0] for v in out.values()) == pytest.approx(1.0)
+    assert max(v[1] for v in out.values()) == pytest.approx(1.0)
+
+
 def test_fora_distributed_error_bound(got):
     lg = got.local
     s = got.id_of("Eddard")
