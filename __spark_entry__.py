@@ -3090,6 +3090,50 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26g: k-core decomposition
+# ---------------------------------------------------------------------------
+
+KCORE_K = 30  # near the median undirected degree: real multi-round peeling
+KCORE_ORACLE_ROUNDS = 8  # >= measured peeling depth (4 at sf0.01); extra no-op
+
+
+def q_graph_kcore(spark, sf_dir):
+    """Nodes of the undirected 30-core and their within-core degree, via
+    iterative peeling to the fixed point (functions/graphstats.k_core)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        k_core,
+    )
+
+    g = _graph(spark, sf_dir)
+    return k_core(g.edges, k=KCORE_K)
+
+
+_BASE_QUERIES26G = queries
+_BASE_ORACLE26G = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26G()
+    q["graph_kcore"] = q_graph_kcore
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        k_core_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        GRAPH_EDGES_SQL,
+    )
+
+    sql = _BASE_ORACLE26G()
+    sql["graph_kcore"] = k_core_oracle_sql(
+        GRAPH_EDGES_SQL, k=KCORE_K, rounds=KCORE_ORACLE_ROUNDS
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()

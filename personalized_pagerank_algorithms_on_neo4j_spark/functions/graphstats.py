@@ -24,6 +24,8 @@ __all__ = [
     "triangle_oracle_sql",
     "node_similarity",
     "node_similarity_oracle_sql",
+    "k_core",
+    "k_core_oracle_sql",
 ]
 
 
@@ -237,6 +239,87 @@ JOIN out_deg da ON da.node = c.node_a
 JOIN out_deg db ON db.node = c.node_b
 WHERE ROUND(CAST(c.n_common AS DOUBLE)
             / CAST(da.deg + db.deg - c.n_common AS DOUBLE), 6) >= {threshold}
+"""
+
+
+def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 50) -> DataFrame:
+    """(node, core_degree): the k-core of the UNDIRECTED simple graph —
+    the maximal subgraph where every node keeps degree >= k — by iterative
+    peeling: drop nodes under degree k, recompute degrees on the induced
+    subgraph, repeat to the fixed point. core_degree is the node's degree
+    WITHIN the k-core.
+
+    Scale shape: each round is one degree aggregate + two semi-joins over
+    the shrinking edge set; rounds are data-dependent but small in
+    practice (peeling depth, not diameter). State is edge-bounded and
+    checkpointed per round. Raises if ``max_rounds`` did not reach the
+    fixed point — a truncated core would silently contain under-degree
+    nodes."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            und.selectExpr("u AS node")
+            .unionAll(und.selectExpr("v AS node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node").localCheckpoint(
+            eager=True
+        )
+        pruned = (
+            und.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if pruned.count() == und.count():
+            return (
+                pruned.selectExpr("u AS node")
+                .unionAll(pruned.selectExpr("v AS node"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("core_degree"))
+            )
+        und = pruned
+    raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
+
+
+def k_core_oracle_sql(edges_sql: str, k: int = 3, rounds: int = 10) -> str:
+    """DuckDB twin: ``rounds`` unrolled peeling steps (extra rounds past
+    the fixed point are no-ops, so any depth >= the actual peeling depth
+    matches the converged Spark result)."""
+    ctes = [
+        f"raw AS ({edges_sql})",
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst)""",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, COUNT(*) AS deg FROM (
+      SELECT u AS node FROM e{i} UNION ALL SELECT v AS node FROM e{i}
+    ) GROUP BY node
+  ) WHERE deg >= {k})"""
+        )
+        ctes.append(
+            f"""e{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i} e
+  WHERE e.u IN (SELECT node FROM k{i}) AND e.v IN (SELECT node FROM k{i}))"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT node, COUNT(*) AS core_degree FROM (
+  SELECT u AS node FROM e{rounds} UNION ALL SELECT v AS node FROM e{rounds}
+) GROUP BY node
 """
 
 

@@ -1007,6 +1007,25 @@ def test_node_similarity_hand_computed(spark):
     assert {(r.node_a, r.node_b): r.n_common for r in capped} == {(1, 2): 1}
 
 
+def test_k_core_hand_computed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        k_core,
+    )
+
+    # triangle {1,2,3} plus a tail 3-4-5: the 2-core is the triangle
+    # (peeling 5 first drops 4's degree under 2 — a genuinely iterative case)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    core2 = {r.node: r.core_degree for r in k_core(edges, k=2).collect()}
+    assert core2 == {1: 2, 2: 2, 3: 2}
+    # the whole graph is its own 1-core
+    core1 = {r.node: r.core_degree for r in k_core(edges, k=1).collect()}
+    assert core1 == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+    # empty core when k exceeds every degree
+    assert k_core(edges, k=4).count() == 0
+
+
 def test_decayed_user_scores_half_life(spark):
     import datetime as dt
 
