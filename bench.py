@@ -161,6 +161,11 @@ def main() -> None:
     # one-scan conditional-agg report card
     timed("q_tfidf", lambda: E.q_tfidf_top_terms(spark, SF_DIR).count())
     timed("q_corpus_report", lambda: E.q_corpus_report(spark, SF_DIR).count())
+    # graph-analytics trend lines (round 4): the degree-ordered wedge join
+    # (the family's heavy self-join), frontier BFS, and peeling k-core
+    timed("q_triangles", lambda: E.q_triangle_counts(spark, SF_DIR).count())
+    timed("q_graph_bfs", lambda: E.q_graph_bfs(spark, SF_DIR).count())
+    timed("q_kcore", lambda: E.q_graph_kcore(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend
