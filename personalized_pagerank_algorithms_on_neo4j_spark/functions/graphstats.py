@@ -17,6 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# oriented-edge count under which the triangle closure join broadcasts
+# the edge side (~16 bytes/row -> ~128 MB at the bound); above it the
+# closure falls back to the shuffle join, correct at 10^9 edges
+_BROADCAST_ORIENTED_EDGES = 8_000_000
+
 __all__ = [
     "two_hop_neighbors",
     "two_hop_oracle_sql",
@@ -95,17 +100,25 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     # the oriented table feeds THREE join sides; without materialization
     # Spark re-derives distinct+degree+orientation for each reference
-    # (3x the edge scan at scale — the plan audit showed 280 exchanges)
-    o = o.localCheckpoint(eager=True)
+    # (3x the edge scan at scale — the plan audit showed 280 exchanges).
+    # Pre-partitioning by the wedge key lets BOTH sides of the self-join
+    # reuse the checkpoint's layout instead of exchanging m rows twice.
+    shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    o = o.repartition(shuffle_n, "a").localCheckpoint(eager=True)
     e1 = o.select("a", F.col("b").alias("b1"), F.col("bdeg").alias("d1"))
     e2 = o.select("a", F.col("b").alias("b2"), F.col("bdeg").alias("d2"))
     wedges = e1.join(e2, "a").where(
         (F.col("d1") < F.col("d2"))
         | ((F.col("d1") == F.col("d2")) & (F.col("b1") < F.col("b2")))
     )
-    tri = wedges.join(
-        o.select(F.col("a").alias("b1"), F.col("b").alias("b2")), ["b1", "b2"]
-    ).select("a", "b1", "b2")
+    closing = o.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    # the closure probe is the WEDGE set (O(m^1.5) rows) against the
+    # oriented edges (m rows): broadcasting the edge side under the bound
+    # means the wedges — the biggest frame in the operator — never
+    # shuffle. o is checkpointed, so the count is one cheap job.
+    if o.count() <= _BROADCAST_ORIENTED_EDGES:
+        closing = F.broadcast(closing)
+    tri = wedges.join(closing, ["b1", "b2"]).select("a", "b1", "b2")
     corners = (
         tri.selectExpr("a AS node")
         .unionAll(tri.selectExpr("b1 AS node"))
