@@ -107,3 +107,196 @@ def test_kth_largest_property(vals, k):
         assert got is None
     else:
         assert got == sorted(vals, reverse=True)[k - 1]
+
+
+# ---------------------------------------------------------------------------
+# Counted-walk Arrow kernel (round 4): direct pandas-level invariants —
+# no Spark needed, the batch function is pure
+# ---------------------------------------------------------------------------
+
+import pandas as pd  # noqa: E402
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.monte_carlo import (  # noqa: E402
+    _counted_step_batch,
+)
+
+_walk_rows = st.lists(
+    st.tuples(
+        st.integers(0, 20),  # cur node
+        st.integers(1, 500),  # walk count (spans both sampling tiers)
+        st.one_of(
+            st.none(),
+            st.lists(st.integers(0, 20), min_size=0, max_size=6),
+        ),  # out-neighbors (None/[] = dangling)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _mk_batch(rows):
+    # one row per start: per-start mass conservation is then checkable
+    return pd.DataFrame(
+        {
+            "start": np.arange(100, 100 + len(rows), dtype=np.int64),
+            "cur": np.array([r[0] for r in rows], dtype=np.int64),
+            "cnt": np.array([r[1] for r in rows], dtype=np.int64),
+            "neighbors": [r[2] for r in rows],
+        }
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=_walk_rows, seed=st.integers(0, 2**31 - 1), step=st.integers(-1, 50))
+def test_counted_step_batch_conserves_and_routes(rows, seed, step):
+    pdf = _mk_batch(rows)
+    out = _counted_step_batch(pdf, seed, step, 0.2, np, pd)
+    assert (out["cnt"] > 0).all()
+    by_start_in = dict(zip(pdf["start"], pdf["cnt"]))
+    by_start_out = out.groupby("start")["cnt"].sum().to_dict()
+    assert by_start_out == by_start_in  # mass conservation, per start
+    for _, r in out.iterrows():
+        i = int(r["start"]) - 100
+        cur, _, nbrs = rows[i]
+        if r["stopped"]:
+            assert r["cur"] == cur  # stops happen in place
+        else:
+            legal = {int(r2) for r2 in (nbrs or [])} or {100 + i}
+            # movers go to an out-neighbor, or reset to the START when
+            # the current node is dangling
+            if nbrs:
+                assert int(r["cur"]) in legal
+            else:
+                assert int(r["cur"]) == 100 + i
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=_walk_rows, seed=st.integers(0, 2**31 - 1))
+def test_counted_step_batch_layout_independent(rows, seed):
+    pdf = _mk_batch(rows)
+    out1 = _counted_step_batch(pdf, seed, 3, 0.2, np, pd)
+    # reversed row order and a two-way batch split must give identical draws
+    out2 = _counted_step_batch(pdf.iloc[::-1].reset_index(drop=True), seed, 3, 0.2, np, pd)
+    cut = len(pdf) // 2
+    parts = [pdf.iloc[:cut], pdf.iloc[cut:]]
+    out3 = pd.concat(
+        [_counted_step_batch(p.reset_index(drop=True), seed, 3, 0.2, np, pd)
+         for p in parts if len(p)]
+    )
+    key = ["start", "cur", "stopped"]
+
+    def norm(df):
+        return df.sort_values(key).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(out1), norm(out2))
+    pd.testing.assert_frame_equal(norm(out1), norm(out3))
+
+
+@settings(max_examples=50, deadline=None)
+@given(rows=_walk_rows, seed=st.integers(0, 2**31 - 1))
+def test_counted_step_batch_zero_stop_moves_everything(rows, seed):
+    pdf = _mk_batch(rows)
+    out = _counted_step_batch(pdf, seed, -1, 0.0, np, pd)
+    assert not out["stopped"].any()
+    assert out["cnt"].sum() == pdf["cnt"].sum()
+
+
+# ---------------------------------------------------------------------------
+# Graph-analytics oracle SQL vs brute force (round 4): the DuckDB twins
+# encode the same algorithm the Spark operators run — property-checking
+# them against a naive implementation pins the shared semantics, and the
+# Spark-vs-oracle hash gate (tests/test_entry.py) transfers the result.
+# ---------------------------------------------------------------------------
+
+import itertools  # noqa: E402
+
+import duckdb  # noqa: E402
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (  # noqa: E402
+    k_core_oracle_sql,
+    node_similarity_oracle_sql,
+    triangle_oracle_sql,
+)
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=30
+)
+
+
+def _duck_edges(edges):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw_edges (src BIGINT, dst BIGINT)")
+    if edges:
+        con.executemany("INSERT INTO raw_edges VALUES (?, ?)", edges)
+    return con
+
+
+@settings(max_examples=60, deadline=None)
+@given(edges=_edge_lists)
+def test_triangle_oracle_matches_bruteforce(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {u for e in und for u in e}
+    counts: dict[int, int] = {}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for x in (a, b, c):
+                counts[x] = counts.get(x, 0) + 1
+    con = _duck_edges(edges)
+    got = dict(
+        con.execute(
+            triangle_oracle_sql("SELECT src, dst FROM raw_edges")
+        ).fetchall()
+    )
+    assert got == counts
+
+
+@settings(max_examples=60, deadline=None)
+@given(edges=_edge_lists, k=st.integers(1, 5))
+def test_k_core_oracle_matches_bruteforce(edges, k):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        pruned = {e for e in und if e[0] in keep and e[1] in keep}
+        if pruned == und:
+            break
+        und = pruned
+    expect: dict[int, int] = {}
+    for a, b in und:
+        expect[a] = expect.get(a, 0) + 1
+        expect[b] = expect.get(b, 0) + 1
+    con = _duck_edges(edges)
+    got = dict(
+        con.execute(
+            k_core_oracle_sql("SELECT src, dst FROM raw_edges", k=k, rounds=12)
+        ).fetchall()
+    )
+    assert got == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(edges=_edge_lists)
+def test_node_similarity_oracle_matches_bruteforce(edges):
+    out: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s != d:
+            out.setdefault(s, set()).add(d)
+    expect = {}
+    for a, b in itertools.combinations(sorted(out), 2):
+        common = len(out[a] & out[b])
+        if common:
+            j = round(common / len(out[a] | out[b]), 6)
+            expect[(a, b)] = (common, j)
+    con = _duck_edges(edges)
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            node_similarity_oracle_sql(
+                "SELECT src, dst FROM raw_edges", threshold=0.0, hub_cap=None
+            )
+        ).fetchall()
+    }
+    assert got == expect
