@@ -3134,6 +3134,59 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26h: click -> purchase attribution (batch twin of the
+# stream-stream interval join)
+# ---------------------------------------------------------------------------
+
+ATTRIB_HORIZON = "1 hour"
+
+
+def q_click_attribution(spark, sf_dir):
+    """Every purchase joined to the same user's clicks in the preceding
+    hour — the batch run of streaming/join_stream.attribute_purchases
+    (withWatermark is a no-op on static frames, so this IS the streaming
+    operator's plan on bounded input)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming.join_stream import (
+        attribute_purchases,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return attribute_purchases(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+        horizon=ATTRIB_HORIZON,
+    )
+
+
+_BASE_QUERIES26H = queries
+_BASE_ORACLE26H = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26H()
+    q["click_attribution"] = q_click_attribution
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE26H()
+    sql["click_attribution"] = """
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.value AS value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
