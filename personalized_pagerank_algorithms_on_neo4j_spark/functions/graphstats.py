@@ -17,10 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# oriented-edge count under which the triangle closure join broadcasts
-# the edge side (~16 bytes/row -> ~128 MB at the bound); above it the
-# closure falls back to the shuffle join, correct at 10^9 edges
-_BROADCAST_ORIENTED_EDGES = 8_000_000
+from ..plans.iterative import BROADCAST_EDGE_BOUND
 
 __all__ = [
     "two_hop_neighbors",
@@ -116,7 +113,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # oriented edges (m rows): broadcasting the edge side under the bound
     # means the wedges — the biggest frame in the operator — never
     # shuffle. o is checkpointed, so the count is one cheap job.
-    if o.count() <= _BROADCAST_ORIENTED_EDGES:
+    if o.count() <= BROADCAST_EDGE_BOUND:
         closing = F.broadcast(closing)
     tri = wedges.join(closing, ["b1", "b2"]).select("a", "b1", "b2")
     corners = (
@@ -190,16 +187,20 @@ def node_similarity(
     out_deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    mid = e.groupBy(F.col("dst").alias("mid")).agg(
-        F.count(F.lit(1)).alias("in_deg")
-    )
-    if hub_cap is not None:
-        mid = mid.where(F.col("in_deg") <= hub_cap)
     a = e.select(F.col("src").alias("node_a"), F.col("dst").alias("mid"))
     b = e.select(F.col("src").alias("node_b"), F.col("dst").alias("mid"))
+    if hub_cap is not None:
+        capped = (
+            e.groupBy(F.col("dst").alias("mid"))
+            .agg(F.count(F.lit(1)).alias("in_deg"))
+            .where(F.col("in_deg") <= hub_cap)
+            .select("mid")
+        )
+        a = a.join(capped, "mid")
+    # (no cap -> no in-degree aggregate, no extra join: the semi-filter
+    # would be a semantic no-op on the operator's hottest path)
     common = (
-        a.join(mid.select("mid"), "mid")
-        .join(b, "mid")
+        a.join(b, "mid")
         .where(F.col("node_a") < F.col("node_b"))
         .groupBy("node_a", "node_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -255,7 +256,7 @@ WHERE ROUND(CAST(c.n_common AS DOUBLE)
 """
 
 
-def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 50) -> DataFrame:
+def k_core(edges: DataFrame, k: int = 3, max_rounds: int | None = None) -> DataFrame:
     """(node, core_degree): the k-core of the UNDIRECTED simple graph —
     the maximal subgraph where every node keeps degree >= k — by iterative
     peeling: drop nodes under degree k, recompute degrees on the induced
@@ -263,11 +264,14 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 50) -> DataFrame:
     WITHIN the k-core.
 
     Scale shape: each round is one degree aggregate + two semi-joins over
-    the shrinking edge set; rounds are data-dependent but small in
-    practice (peeling depth, not diameter). State is edge-bounded and
-    checkpointed per round. Raises if ``max_rounds`` did not reach the
-    fixed point — a truncated core would silently contain under-degree
-    nodes."""
+    the shrinking edge set; the round count is data-dependent — usually
+    the peeling depth is shallow, but chain/tree-shaped graphs at low k
+    legitimately peel O(n) rounds (each round only exposes the next layer
+    of endpoints). The default therefore runs to the fixed point, which
+    is guaranteed to terminate: every non-final round strictly removes at
+    least one edge. Pass ``max_rounds`` to bound the job count instead;
+    the function raises rather than return a truncated core, which would
+    silently contain under-degree nodes."""
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
@@ -276,7 +280,9 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
         deg = (
             und.selectExpr("u AS node")
             .unionAll(und.selectExpr("v AS node"))

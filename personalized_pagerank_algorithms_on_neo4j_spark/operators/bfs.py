@@ -22,8 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import PropertyGraph
-from ..plans.iterative import loop_shuffle_partitions, static_superstep_plan
-from .forward_push import _BROADCAST_FRONTIER_NODES
+from ..plans.iterative import (
+    BROADCAST_NODE_BOUND,
+    loop_shuffle_partitions,
+    static_superstep_plan,
+)
 
 
 def bfs_distances(
@@ -33,7 +36,7 @@ def bfs_distances(
     ``max_hops`` directed hops; dist is the minimal hop count."""
     spark = graph.spark
     edges = graph.edges.select("src", "dst")
-    small = graph.n <= _BROADCAST_FRONTIER_NODES
+    small = graph.n <= BROADCAST_NODE_BOUND
     loop_parts = loop_shuffle_partitions(spark, graph.n) if small else None
     dist = spark.createDataFrame([(int(source), 0)], "node long, dist int")
     with static_superstep_plan(spark, shuffle_partitions=loop_parts):

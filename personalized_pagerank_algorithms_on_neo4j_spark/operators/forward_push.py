@@ -23,17 +23,20 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_ALPHA
 from ..graph import PropertyGraph
-from ..plans.iterative import loop_shuffle_partitions, static_superstep_plan
+from ..plans.iterative import (
+    BROADCAST_NODE_BOUND,
+    loop_shuffle_partitions,
+    static_superstep_plan,
+)
 from . import _kernels
 from ._result import ppr_result_from_dense, ppr_result_from_state
 
-# Node count under which the push frontier (<= n rows of ~32 bytes) is
-# broadcast into the edge-expansion join: the cached edge table then never
-# re-shuffles even though the loop runs at state-scaled shuffle
-# parallelism. Above it the loop keeps the session's shuffle-partition
-# count so the frontier exchange lands on the edge cache's partitioning —
-# the O(frontier)-shuffle plan that is right at 10^9 edges.
-_BROADCAST_FRONTIER_NODES = 1_000_000
+# Under the shared node bound the push frontier (<= n rows of ~32 bytes)
+# broadcasts into the edge-expansion join, so the cached edge table never
+# re-shuffles even though the loop runs at state-scaled parallelism;
+# above it the loop keeps the session's shuffle-partition count so the
+# frontier exchange lands on the edge cache's partitioning — the
+# O(frontier)-shuffle plan that is right at 10^9 edges.
 
 
 def forward_push(
@@ -155,7 +158,7 @@ def _push_loop(
     state = init_state if init_state is not None else spark.createDataFrame(
         [(int(source), 1.0, 0.0)], schema="node long, residue double, reserve double"
     )
-    small = graph.n <= _BROADCAST_FRONTIER_NODES
+    small = graph.n <= BROADCAST_NODE_BOUND
     loop_parts = loop_shuffle_partitions(spark, graph.n) if small else None
     # the per-superstep localCheckpoint on `s` below already truncates lineage
     with static_superstep_plan(spark, shuffle_partitions=loop_parts):
@@ -225,7 +228,7 @@ def _forward_push_topk_state(
         [(int(source),)], "node long"
     )
     next_cand = empty_cand
-    small = graph.n <= _BROADCAST_FRONTIER_NODES
+    small = graph.n <= BROADCAST_NODE_BOUND
     loop_parts = loop_shuffle_partitions(spark, graph.n) if small else None
     with static_superstep_plan(spark, shuffle_partitions=loop_parts):
         for _ in range(max_supersteps):

@@ -22,8 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import PropertyGraph
-from ..plans.iterative import loop_shuffle_partitions, static_superstep_plan
-from .forward_push import _BROADCAST_FRONTIER_NODES
+from ..plans.iterative import (
+    BROADCAST_NODE_BOUND,
+    loop_shuffle_partitions,
+    static_superstep_plan,
+)
 
 
 def hits(graph: PropertyGraph, iterations: int = 10) -> DataFrame:
@@ -32,7 +35,7 @@ def hits(graph: PropertyGraph, iterations: int = 10) -> DataFrame:
     max-normalized per round, rounded to 9 decimals at the end."""
     spark = graph.spark
     edges = graph.edges.select("src", "dst")
-    small = graph.n <= _BROADCAST_FRONTIER_NODES
+    small = graph.n <= BROADCAST_NODE_BOUND
     loop_parts = loop_shuffle_partitions(spark, graph.n) if small else None
     if small:
         # score vectors are node-bounded: broadcast them into the edge
@@ -95,7 +98,16 @@ def hits(graph: PropertyGraph, iterations: int = 10) -> DataFrame:
 
 
 def hits_oracle_sql(edges_sql: str, iterations: int = 10) -> str:
-    """DuckDB twin replaying the identical bounded recurrence."""
+    """DuckDB twin replaying the identical bounded recurrence (including
+    the iterations=0 boundary the Spark side supports: all-ones hubs,
+    zero authorities)."""
+    if iterations < 1:
+        return f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+n AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))
+SELECT node, 1.0 AS hub, 0.0 AS authority FROM n
+"""
     ctes = [
         f"e AS MATERIALIZED ({edges_sql})",
         """n AS MATERIALIZED (

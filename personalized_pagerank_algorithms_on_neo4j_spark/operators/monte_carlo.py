@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_ALPHA, WholeGraphConf
 from ..graph import PropertyGraph
-from ..plans.iterative import loop_shuffle_partitions, static_superstep_plan
+from ..plans.iterative import (
+    BROADCAST_EDGE_BOUND,
+    loop_shuffle_partitions,
+    static_superstep_plan,
+)
 from . import _kernels
 from ._result import ppr_result_from_dense
 
@@ -44,10 +48,8 @@ import numpy as np
 # frame rides the vectorized tier.
 _SMALL_CNT = 64
 
-# Out-edge count under which the adjacency table is broadcast to the walk
-# join (~128 MB of packed int64 at the bound). Above it the join falls
-# back to the shuffle plan, which is the right call at 10^9-edge scale.
-_BROADCAST_ADJ_EDGES = 8_000_000
+# The walk-adjacency broadcast uses the shared edge bound
+# (plans/iterative.BROADCAST_EDGE_BOUND, ~128 MB of packed int64).
 
 
 def _empty_step_frame(pd, np):
@@ -298,7 +300,8 @@ def run_walks_counted(
         base_seed = int(seed)
 
     adj = graph.adj  # (node, neighbors, out_degree)
-    if graph.m <= _BROADCAST_ADJ_EDGES:
+    small = graph.m <= BROADCAST_EDGE_BOUND
+    if small:
         # shuffle-free superstep join: the walk frame never moves for the
         # expansion, only the (start, cur) re-merge shuffles
         adj = F.broadcast(adj)
@@ -351,7 +354,11 @@ def run_walks_counted(
         ).localCheckpoint(eager=True)
 
     finished = [done0]
-    loop_parts = loop_shuffle_partitions(graph.spark, graph.n)
+    # gate the state-scaled partition override on the broadcast path,
+    # like forward_push: when adj is NOT broadcast the superstep join is
+    # a shuffle join, and collapsing the session partition count would
+    # drag the full adjacency into a handful of partitions every step
+    loop_parts = loop_shuffle_partitions(graph.spark, graph.n) if small else None
     with static_superstep_plan(graph.spark, shuffle_partitions=loop_parts):
         live = live.localCheckpoint(eager=True)
         if not zero_hop:

@@ -49,6 +49,17 @@ def static_superstep_plan(spark: SparkSession, shuffle_partitions: int | None = 
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+# Broadcast bounds shared by every iterative operator, kept in ONE place
+# so retuning for a cluster is a single edit:
+# - node-bounded frames (push frontiers, BFS visited fronts, HITS score
+#   vectors): <= ~32 bytes/row -> ~32 MB at the bound;
+# - edge-bounded tables (walk adjacency, oriented triangle edges):
+#   <= ~16 bytes/row -> ~128 MB at the bound.
+# Above the bounds every operator falls back to its shuffle plan, which is
+# the right call at 10^9-row scale.
+BROADCAST_NODE_BOUND = 1_000_000
+BROADCAST_EDGE_BOUND = 8_000_000
+
 # state rows a single superstep shuffle task should handle comfortably:
 # supersteps are latency-bound at small state (task scheduling dominates)
 # and memory-bound at large state (rows are a few dozen bytes each, so

@@ -9,9 +9,10 @@ overwriting that epoch's partition with recomputed identical counts is
 idempotent, where the previous read-merge-overwrite design double-counted
 the replayed batch. The hourly rollup is re-derived at read time
 (`groupBy(bucket).sum(n)` over the per-epoch partials — one tiny extra
-aggregate per batch; at very long stream lifetimes the old epochs can be
-compacted offline by rewriting them as one epoch partition, itself an
-idempotent partition overwrite), and the z-score board recomputes from it
+aggregate per batch; long-lived streams bound the partition count with
+`compact_store`, which folds every epoch but the newest — the only one
+that can replay — into a single merged partition via a whole-directory
+swap), and the z-score board recomputes from it
 with the SAME `functions.monitoring.hourly_anomaly_scores` used by the
 oracle-gated `events_anomaly` batch query — streaming and batch cannot
 drift because they share the implementation.
@@ -107,3 +108,46 @@ def start_streaming_anomaly(
 
 def read_anomalies(spark: SparkSession, board_path: str) -> DataFrame:
     return spark.read.parquet(board_path).orderBy("bucket")
+
+
+def compact_store(spark: SparkSession, store_path: str) -> int:
+    """Fold every epoch partition EXCEPT the newest into one merged
+    `epoch=-1` partition, bounding the store's file/partition count for
+    long-lived streams. Returns how many partitions were folded away.
+
+    Run while the stream is STOPPED (after a clean stop): the newest
+    epoch is kept verbatim because it is the only one Structured
+    Streaming can replay after a restart — its partition overwrite stays
+    idempotent, and a replayed epoch id can never collide with the -1
+    sentinel. Crash-safe by construction: the compacted store is built at
+    a sibling path and swapped in with directory renames, so a failure at
+    any point leaves either the old store or the new one, never a
+    double-counting mix. (On an object store, substitute the renames with
+    the store's atomic move.)"""
+    import os
+    import shutil
+
+    df = spark.read.schema("bucket string, n bigint, epoch bigint").parquet(
+        store_path
+    )
+    epochs = [r[0] for r in df.select("epoch").distinct().collect()]
+    if len(epochs) <= 2:  # nothing worth folding
+        return 0
+    newest = max(epochs)
+    merged = (
+        df.where(F.col("epoch") != newest)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("epoch", F.lit(-1).cast("long"))
+    )
+    tmp = store_path.rstrip("/") + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.unionByName(df.where(F.col("epoch") == newest)).write.partitionBy(
+        "epoch"
+    ).parquet(tmp)
+    bak = store_path.rstrip("/") + "_precompact"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(store_path, bak)
+    os.rename(tmp, store_path)
+    shutil.rmtree(bak)
+    return len(epochs) - 1

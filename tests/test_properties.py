@@ -300,3 +300,17 @@ def test_node_similarity_oracle_matches_bruteforce(edges):
         ).fetchall()
     }
     assert got == expect
+
+
+def test_hits_oracle_zero_iterations_boundary():
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.hits import (
+        hits_oracle_sql,
+    )
+
+    con = _duck_edges([(1, 2), (2, 3)])
+    got = sorted(
+        con.execute(
+            hits_oracle_sql("SELECT src, dst FROM raw_edges", iterations=0)
+        ).fetchall()
+    )
+    assert got == [(1, 1.0, 0.0), (2, 1.0, 0.0), (3, 1.0, 0.0)]

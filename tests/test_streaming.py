@@ -272,6 +272,39 @@ def test_streaming_anomaly_replay_idempotent(spark, events_dir, tmp_path):
     assert before == after and before
 
 
+def test_anomaly_store_compaction(spark, tmp_path):
+    """compact_store folds all epochs but the newest into one merged
+    partition: totals and board survive unchanged, the partition count
+    shrinks, and a replay of the kept newest epoch stays idempotent."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        anomaly_stream as A,
+    )
+
+    store = str(tmp_path / "anom_store")
+    board = str(tmp_path / "anom_board")
+    events = load_table(spark, SF_SMALL, "events")
+    run_epoch = A.make_merge_batch(spark, store, board, trailing=24, min_prev=6)
+    for i in range(4):
+        run_epoch(events.where(F.col("user_id") % 4 == i), i)
+    before = sorted(
+        (r["bucket"], r["n"], r["z"])
+        for r in A.read_anomalies(spark, board).collect()
+    )
+    folded = A.compact_store(spark, store)
+    assert folded == 3
+    parts = {os.path.basename(p) for p in glob.glob(os.path.join(store, "epoch=*"))}
+    assert parts == {"epoch=-1", "epoch=3"}
+    # replay of the kept newest epoch after compaction: still idempotent
+    run_epoch(events.where(F.col("user_id") % 4 == 3), 3)
+    after = sorted(
+        (r["bucket"], r["n"], r["z"])
+        for r in A.read_anomalies(spark, board).collect()
+    )
+    assert before == after and before
+    # compacting an already-compacted store is a no-op
+    assert A.compact_store(spark, store) == 0
+
+
 def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     """Click->purchase attribution as a watermarked stream-stream interval
     join: driving both sides microbatch-by-microbatch must converge to the
