@@ -273,6 +273,55 @@ class PropertyGraph:
             "left",
         )
 
+    # ---- graph analytics (the GDS-style verbs a Neo4j user expects) -------
+    # Thin delegations: the implementations (and their DuckDB oracles and
+    # tests) live in operators/ and functions/graphstats; these just make
+    # `g.bfs("Eddard")` work the way `eng.ppr("Eddard")` does.
+
+    def _resolve(self, node: int | str) -> int:
+        return self.id_of(node) if isinstance(node, str) else int(node)
+
+    def bfs(self, source: int | str, max_hops: int = 20) -> DataFrame:
+        from .operators.bfs import bfs_distances
+
+        return bfs_distances(self, self._resolve(source), max_hops=max_hops)
+
+    def hits(self, iterations: int = 10) -> DataFrame:
+        from .operators.hits import hits as _hits
+
+        return _hits(self, iterations=iterations)
+
+    def triangle_counts(self) -> DataFrame:
+        from .functions.graphstats import triangle_counts as _tri
+
+        return _tri(self.edges)
+
+    def node_similarity(
+        self, threshold: float = 0.2, hub_cap: int | None = 1_000
+    ) -> DataFrame:
+        from .functions.graphstats import node_similarity as _sim
+
+        return _sim(self.edges, threshold=threshold, hub_cap=hub_cap)
+
+    def k_core(self, k: int = 3, max_rounds: int | None = None) -> DataFrame:
+        from .functions.graphstats import k_core as _kcore
+
+        return _kcore(self.edges, k=k, max_rounds=max_rounds)
+
+    def connected_components(self, max_iters: int = 30) -> DataFrame:
+        """(node, component) over nodes with at least one edge; component
+        id = smallest node id in the component (min-label propagation —
+        functions/dedup.dedup_clusters on the edge list)."""
+        from .functions.dedup import dedup_clusters
+
+        pairs = self.edges.select(
+            F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+        )
+        out = dedup_clusters(pairs, max_iters=max_iters, strict=True)
+        return out.select(
+            F.col("doc_id").alias("node"), F.col("cluster_id").alias("component")
+        )
+
     # ---- driver-local snapshot --------------------------------------------
     def fits_local(self) -> bool:
         return self.m <= LOCAL_EDGE_THRESHOLD

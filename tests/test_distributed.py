@@ -316,3 +316,25 @@ def test_fora_topk_uses_carried_frontier(got):
     est_top = set(np.argsort(-est)[:10])
     gnd_top = set(np.argsort(-oracle)[:10])
     assert len(est_top & gnd_top) >= 7
+
+
+def test_graph_analytics_facade(got):
+    """PropertyGraph exposes the GDS-style verbs as thin delegations with
+    name resolution; each must agree with its direct-function twin."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        triangle_counts as tri_fn,
+    )
+
+    b = {r["node"]: r["dist"] for r in got.bfs("Eddard", max_hops=3).collect()}
+    assert b[got.id_of("Eddard")] == 0 and len(b) > 1
+    h = got.hits(iterations=2).collect()
+    assert max(r["hub"] for r in h) == pytest.approx(1.0)
+    t_facade = {r["node"]: r["n_triangles"] for r in got.triangle_counts().collect()}
+    t_direct = {r["node"]: r["n_triangles"] for r in tri_fn(got.edges).collect()}
+    assert t_facade == t_direct and t_facade
+    cc = got.connected_components().collect()
+    assert cc and all(r["component"] <= r["node"] for r in cc)
+    kc = got.k_core(k=2).collect()
+    assert kc and all(r["core_degree"] >= 2 for r in kc)
+    ns = got.node_similarity(threshold=0.5).collect()
+    assert all(r["jaccard"] >= 0.5 for r in ns)
