@@ -30,9 +30,13 @@ def cooccurrence_pairs(
     item_col: str = "item",
     max_basket_size: int | None = 4096,
     min_shared: int = 1,
+    materialize: bool = True,
 ) -> DataFrame:
     """(item_a, item_b, shared): distinct-basket co-occurrence counts for
-    unordered item pairs (item_a < item_b) sharing >= min_shared baskets."""
+    unordered item pairs (item_a < item_b) sharing >= min_shared baskets.
+
+    ``materialize=False`` skips the incidence checkpoint when the caller
+    passes an already-materialized frame (item_jaccard does)."""
     e = incidence.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()
@@ -44,6 +48,11 @@ def cooccurrence_pairs(
             .select("basket")
         )
         e = e.join(F.broadcast(big), "basket", "left_anti")
+    if materialize:
+        # the capped incidence feeds BOTH self-join sides (and, via the
+        # cap, its own basket-size aggregate): without materialization the
+        # upstream incidence derivation re-runs once per reference
+        e = e.localCheckpoint(eager=True)
     a = e.select("basket", F.col("item").alias("item_a"))
     b = e.select("basket", F.col("item").alias("item_b"))
     return (
@@ -75,8 +84,18 @@ def item_jaccard(
             .select("basket")
         )
         e = e.join(F.broadcast(big), "basket", "left_anti")
+    # one materialization shared by the pair self-join AND the degree
+    # aggregate below — previously the distinct+cap pipeline re-ran for
+    # every reference (the plan audit showed 62 exchanges / 32 scans on
+    # supplier_cooccurrence)
+    e = e.localCheckpoint(eager=True)
     pairs = cooccurrence_pairs(
-        e, "basket", "item", max_basket_size=None, min_shared=min_shared
+        e,
+        "basket",
+        "item",
+        max_basket_size=None,
+        min_shared=min_shared,
+        materialize=False,
     )
     deg = e.groupBy("item").agg(F.count(F.lit(1)).alias("deg"))
     return (

@@ -160,8 +160,12 @@ def ngram_jaccard_pairs(
     # self-join's common count, inflating jaccard past the true value. Dedup
     # by id first (one narrow shuffle of the docs table; MIN-aggregate
     # consumers like the minhash signature are duplicate-insensitive and
-    # skip this).
-    ds = _doc_shingles(df.dropDuplicates([id_col]), text_col, id_col, n).cache()
+    # skip this). localCheckpoint, not cache(): an operator-internal
+    # cache() is never unpersisted and leaks one storage entry per call —
+    # the root cause of the round-3 decontamination bench drift.
+    ds = _doc_shingles(df.dropDuplicates([id_col]), text_col, id_col, n).localCheckpoint(
+        eager=True
+    )
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     join_side = ds
     if max_shingle_df is not None:
@@ -357,7 +361,9 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard >= threshold."""
     cand = minhash_lsh_candidates(df, num_hashes, bands, n, text_col, id_col)
-    ds = _doc_shingles(df, text_col, id_col, n).cache()
+    # localCheckpoint, not cache(): see ngram_jaccard_pairs — an internal
+    # cache() leaks one storage entry per call
+    ds = _doc_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ds.select(F.col("doc_id").alias("doc_a"), "sh")
     b = ds.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -259,20 +259,38 @@ def bm25_topk(
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     ).where(F.length("term") > 0)
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    # ONE pass over the exploded tokens: doc length and every query
+    # term's tf ride the same conditional aggregate (query terms are few
+    # by definition), where the previous dl/postings branches each
+    # re-exploded the whole corpus. The result is one narrow row per doc
+    # — checkpointing THAT is n_docs-bounded, vs re-tokenizing TBs per
+    # downstream reference.
+    per_doc = (
+        toks.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    qtf = (
-        toks.where(F.col("term").isin(terms))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stack_expr = "stack({}, {}) AS (term, tf)".format(
+        len(terms),
+        ", ".join(
+            "'{}', _tf{}".format(t.replace("'", "''"), i)
+            for i, t in enumerate(terms)
+        ),
     )
+    qtf = per_doc.selectExpr(id_col, "dl", stack_expr).where(F.col("tf") > 0)
     df_t = qtf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
         qtf.join(F.broadcast(df_t), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .select(
             id_col,
