@@ -40,9 +40,14 @@ def read_document_stream(
 
 
 def _seen_digests(spark: SparkSession, store_path: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(store_path).select("digest")
-    except Exception:  # first batch: store does not exist yet
+    except AnalysisException:  # first batch: store does not exist yet
+        # ONLY the missing-path case is swallowed: a genuine read failure
+        # must propagate — treating it as "no prior" would re-admit every
+        # previously-seen duplicate into the clean corpus
         return spark.createDataFrame([], "digest string")
 
 

@@ -14,13 +14,17 @@ way `ppr_refresh.start_incremental_prep_refresh` maintains the prep store:
    upserted into the board table the same way.
 
 At 100 TB this is the standard continuous-rollup shape: the totals store is
-the compact rollup (|buckets| x |keys| rows, partition-pruned on read), the
-board is k rows per bucket, and a late event only ever touches its own
-bucket's partition. Exactly-once caveat: foreachBatch may retry a batch;
-the merge is a full re-aggregation of (store + batch) per dirty bucket, so
-a retry converges to the same totals only if the store write is atomic per
-partition — Spark's dynamic overwrite gives per-partition atomicity, which
-is sufficient here.
+the compact rollup (partition-pruned on read), the board is k rows per
+bucket, and a late event only ever touches its own bucket's partitions.
+Replay safety (foreachBatch is at-least-once): the store holds PER-EPOCH
+partials under `bucket=X/epoch=N` — a replayed epoch rewrites its own
+(bucket, epoch) partitions with identical recomputed partials instead of
+re-adding onto a merged total, the same idempotence design as
+`anomaly_stream`. The board re-aggregates the dirty buckets across their
+epochs at write time; per-bucket epoch counts are bounded by the batches
+that touched the bucket (old buckets stop accruing), and a long-lived
+store can fold cold buckets' epochs the same way
+`anomaly_stream.compact_store` does.
 
 Batch twin for the correctness gate: `events_topk_hourly` in
 `__spark_entry__.py` (same bucket/cents/rank rules, DuckDB-checked).
@@ -65,6 +69,60 @@ def rank_topk(totals: DataFrame, k: int) -> DataFrame:
     )
 
 
+def make_merge_batch(
+    spark: SparkSession,
+    store_path: str,
+    board_path: str,
+    k: int = 10,
+    bucket: str = "1 hour",
+    key_col: str = "user_id",
+    value_col: str = "value",
+):
+    """The foreachBatch handler, exposed so tests can drive an epoch (and
+    replay it) directly without a running stream."""
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_totals = _bucketed_totals(batch_df, bucket, key_col, value_col)
+        dirty = batch_totals.select("bucket").distinct().localCheckpoint(eager=True)
+        if dirty.isEmpty():
+            return
+        store_schema = batch_totals.withColumn(
+            "epoch", F.lit(int(epoch_id)).cast("long")
+        ).schema
+        # per-epoch partials: a replayed epoch (same id, same offsets)
+        # rewrites its own (bucket, epoch) partitions with identical
+        # recomputed rows — idempotent, where the previous
+        # read-merge-overwrite design re-added the replayed batch onto
+        # the already-merged totals
+        (
+            batch_totals.withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "epoch")
+            .parquet(store_path)
+        )
+        # board: re-rank the dirty buckets from ALL their epochs. The
+        # store exists by construction here (just written), so a read
+        # failure is a genuine error and propagates — there is no
+        # missing-path case left to swallow.
+        totals = (
+            spark.read.schema(store_schema)
+            .parquet(store_path)
+            .join(dirty, "bucket")
+            .groupBy("bucket", "key")
+            .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        )
+        (
+            rank_topk(totals, k)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(board_path)
+        )
+
+    return merge_batch
+
+
 def start_streaming_topk(
     spark: SparkSession,
     events: DataFrame,
@@ -78,46 +136,13 @@ def start_streaming_topk(
 ):
     """Start the leaderboard stream; returns the StreamingQuery.
 
-    `store_path` holds the per-(bucket, key) totals rollup, `board_path` the
-    k-row-per-bucket leaderboard — both partitioned by bucket and refreshed
-    with dynamic partition overwrite (dirty buckets only)."""
-
-    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_totals = _bucketed_totals(batch_df, bucket, key_col, value_col)
-        dirty = batch_totals.select("bucket").distinct().localCheckpoint(eager=True)
-        if dirty.isEmpty():
-            return
-        try:
-            # explicit schema: partition-column type inference would turn the
-            # bucket directory string back into a timestamp, silently
-            # breaking the string equi join with `dirty`
-            prior = (
-                spark.read.schema(batch_totals.schema)
-                .parquet(store_path)
-                .join(dirty, "bucket")
-            )
-        except Exception:  # first batch: store does not exist yet
-            prior = None
-        merged = batch_totals if prior is None else (
-            prior.unionByName(batch_totals)
-            .groupBy("bucket", "key")
-            .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
-        )
-        merged = merged.localCheckpoint(eager=True)  # read once, two sinks
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(store_path)
-        )
-        (
-            rank_topk(merged, k)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(board_path)
-        )
-
+    `store_path` holds the per-(bucket, key, epoch) partials, `board_path`
+    the k-row-per-bucket leaderboard — refreshed with dynamic partition
+    overwrite (dirty buckets only)."""
+    merge_batch = make_merge_batch(
+        spark, store_path, board_path, k=k, bucket=bucket,
+        key_col=key_col, value_col=value_col,
+    )
     return (
         events.writeStream.foreachBatch(merge_batch)
         .queryName(query_name)

@@ -206,6 +206,43 @@ def test_streaming_topk_leaderboard(spark, events_dir, tmp_path):
     assert glob.glob(os.path.join(store, "bucket=*")), os.listdir(store)
 
 
+def test_streaming_topk_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the last epoch with the
+    same id and data must leave the totals and the board unchanged (the
+    old read-merge-overwrite design re-added the replayed batch onto the
+    merged totals — the same flaw class fixed in anomaly_stream)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        topk_stream as T,
+    )
+
+    store = str(tmp_path / "topk_store")
+    board = str(tmp_path / "topk_board")
+    events = load_table(spark, SF_SMALL, "events")
+    half = events.where(F.col("user_id") % 2 == 0)
+    rest = events.where(F.col("user_id") % 2 != 0)
+    run_epoch = T.make_merge_batch(spark, store, board, k=3, bucket="1 hour")
+    run_epoch(half, 0)
+    run_epoch(rest, 1)
+    before = sorted(
+        (r["bucket"], r["key"], r["n"], round(r["total"], 9), r["rank"])
+        for r in T.read_leaderboard(spark, board).collect()
+    )
+    run_epoch(rest, 1)  # post-restart replay of the last epoch
+    after = sorted(
+        (r["bucket"], r["key"], r["n"], round(r["total"], 9), r["rank"])
+        for r in T.read_leaderboard(spark, board).collect()
+    )
+    assert before == after and before
+    # the replayed board must still equal the batch twin over ALL events
+    want = sorted(
+        (r["bucket"], r["key"], r["n"], round(r["total"], 9), r["rank"])
+        for r in T.rank_topk(
+            T._bucketed_totals(events, "1 hour", "user_id", "value"), k=3
+        ).collect()
+    )
+    assert after == want
+
+
 def test_streaming_anomaly_matches_batch_twin(spark, events_dir, tmp_path):
     """Two microbatches; the final z-board must equal hourly_anomaly_scores
     over the complete event set (shared implementation, so this pins the
