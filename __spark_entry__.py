@@ -3187,6 +3187,48 @@ JOIN events p
 
 
 # ---------------------------------------------------------------------------
+# Block 26i: relational HyperLogLog distinct counts
+# ---------------------------------------------------------------------------
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """HLL approximate distinct users per event type, built from portable
+    relational primitives so Spark and DuckDB compute bit-identical
+    registers (functions/sketches.py) — the distributed-sketch shape:
+    one groupBy to <= 4096 register rows per group."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        hll_distinct,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return hll_distinct(e, "user_id", group_cols=["event_type"])
+
+
+_BASE_QUERIES26I = queries
+_BASE_ORACLE26I = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26I()
+    q["approx_distinct_users"] = q_approx_distinct_users
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        hll_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26I()
+    sql["approx_distinct_users"] = hll_oracle_sql(
+        "SELECT event_type, user_id FROM events",
+        "user_id",
+        group_exprs=["event_type"],
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()

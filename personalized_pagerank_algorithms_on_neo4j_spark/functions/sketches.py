@@ -1,0 +1,136 @@
+"""Relational HyperLogLog: approximate distinct counts with EXACT
+cross-engine register parity.
+
+Spark's built-in `approx_count_distinct` and DuckDB's equivalent use
+different sketch internals, so they can never hash-match — this module
+instead builds the HLL registers out of portable relational primitives
+(the md5-based 48-bit hash shared with `sampling`, an integer CASE ladder
+for the leading-zero rank) so Spark and the DuckDB oracle compute
+bit-identical registers and the same estimate.
+
+Scale shape — the whole point of HLL on a cluster: one narrow
+projection per row (bucket, rho), ONE map-side-combined groupBy down to
+at most m=2^p register rows per group, then a per-group fold of m tiny
+rows. Cardinality of any group costs O(m) state regardless of input
+size, and sketches merge by MAX — the same shape sharded ingest would
+use.
+
+Estimator: the classic Flajolet et al. HLL with the small-range
+linear-counting correction. All register math is exact integers; the
+final estimate's float ops (2^-reg sums are dyadic rationals; one ln in
+the small-range branch) stay orders of magnitude inside the ROUND(_, 4)
+gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import portable_hash
+
+__all__ = ["hll_distinct", "hll_oracle_sql"]
+
+_HASH_BITS = 48
+
+
+def _alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _rho_column(w: Column, w_bits: int) -> Column:
+    """Leading-zero rank of the w_bits-wide value: 1 when the top bit is
+    set ... w_bits when w == 1, w_bits + 1 when w == 0. Pure integer
+    comparisons — identical in every engine."""
+    expr = F.lit(w_bits + 1)
+    for rho in range(w_bits, 0, -1):
+        expr = F.when(w >= F.lit(1 << (w_bits - rho)), F.lit(rho)).otherwise(expr)
+    return expr
+
+
+def _rho_sql(w_expr: str, w_bits: int) -> str:
+    whens = "\n".join(
+        f"    WHEN {w_expr} >= {1 << (w_bits - rho)} THEN {rho}"
+        for rho in range(1, w_bits + 1)
+    )
+    return f"(CASE\n{whens}\n    ELSE {w_bits + 1} END)"
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """(group_cols..., approx_distinct) — HLL estimate of distinct
+    ``value_col`` per group (or one global row), ROUND(_, 4)."""
+    group_cols = group_cols or []
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    h = portable_hash(F.col(value_col))
+    rows = df.select(
+        *group_cols,
+        (h % F.lit(m)).alias("_bucket"),
+        _rho_column(F.floor(h / F.lit(m)).cast("long"), w_bits).alias("_rho"),
+    )
+    regs = rows.groupBy(*group_cols, "_bucket").agg(F.max("_rho").alias("_reg"))
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_reg"))).alias("_s"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    e_raw = F.lit(_alpha(m) * m * m) / (
+        F.col("_s") + (F.lit(m) - F.col("_present"))
+    )
+    v_zero = F.lit(m) - F.col("_present")  # buckets never hit
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select(
+        *group_cols, F.round(est, 4).alias("approx_distinct")
+    )
+
+
+def hll_oracle_sql(
+    table_sql: str,
+    value_expr: str,
+    group_exprs: list[str] | None = None,
+    p: int = 12,
+) -> str:
+    """DuckDB twin computing bit-identical registers and the same
+    estimate. ``table_sql`` is any FROM-able SQL; ``value_expr`` and
+    ``group_exprs`` are column expressions over it."""
+    group_exprs = group_exprs or []
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    gsel = ", ".join(group_exprs)
+    gby = ("GROUP BY " + gsel) if group_exprs else ""
+    gpre = (gsel + ",") if group_exprs else ""
+    h = (
+        f"CAST(('0x' || substring(md5(CAST({value_expr} AS VARCHAR) || '#' || '0'),"
+        f" 1, 12)) AS BIGINT)"
+    )
+    rho = _rho_sql(f"(h // {m})", w_bits)
+    alpha = _alpha(m)
+    return f"""
+WITH src AS ({table_sql}),
+hashed AS (SELECT {gpre} {h} AS h FROM src),
+regs AS (
+  SELECT {gpre} h % {m} AS bucket, MAX({rho}) AS reg
+  FROM hashed {("GROUP BY " + gsel + ", bucket") if group_exprs else "GROUP BY bucket"}
+),
+folded AS (
+  SELECT {gpre} SUM(POW(2.0, -reg)) AS s, COUNT(*) AS present
+  FROM regs {gby}
+)
+SELECT {gpre}
+  ROUND(CASE
+    WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m}) / (s + ({m} - present))
+           <= CAST({2.5 * m!r} AS DOUBLE)
+         AND ({m} - present) > 0
+    THEN CAST({float(m)!r} AS DOUBLE)
+         * LN(CAST({float(m)!r} AS DOUBLE) / CAST({m} - present AS DOUBLE))
+    ELSE (CAST({alpha!r} AS DOUBLE) * {m} * {m}) / (s + ({m} - present))
+  END, 4) AS approx_distinct
+FROM folded
+"""

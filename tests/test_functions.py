@@ -1007,6 +1007,36 @@ def test_node_similarity_hand_computed(spark):
     assert {(r.node_a, r.node_b): r.n_common for r in capped} == {(1, 2): 1}
 
 
+def test_hll_distinct_accuracy(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        hll_distinct,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    exact = ev.select("user_id").distinct().count()
+    got = hll_distinct(ev, "user_id").collect()[0]["approx_distinct"]
+    # standard HLL error ~1.04/sqrt(4096) = 1.6%; allow 3 sigma
+    assert abs(got - exact) / exact < 0.05, (got, exact)
+    # grouped path: every group within tolerance of its exact count
+    per = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_distinct(ev, "user_id", group_cols=["event_type"]).collect()
+    }
+    exact_per = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(per) == set(exact_per)
+    for k, e in exact_per.items():
+        assert abs(per[k] - e) / e < 0.08, (k, per[k], e)
+    # tiny cardinality rides the linear-counting branch almost exactly
+    small = spark.createDataFrame([(i % 7,) for i in range(100)], "v long")
+    got_small = hll_distinct(small, "v").collect()[0]["approx_distinct"]
+    assert abs(got_small - 7) < 0.5, got_small
+
+
 def test_k_core_hand_computed(spark):
     from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
         k_core,
