@@ -3204,6 +3204,21 @@ def q_approx_distinct_users(spark, sf_dir):
     return hll_distinct(e, "user_id", group_cols=["event_type"])
 
 
+CMS_THRESHOLD = 75  # ~top-15% of users at sf0.01 (median 66 events/user)
+
+
+def q_heavy_hitter_users(spark, sf_dir):
+    """Count-Min heavy hitters: users whose CMS-estimated event count
+    reaches the threshold (superset of the true heavy hitters — the CMS
+    upper-bound guarantee; bit-identical sketch in both engines)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        cms_heavy_hitters,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return cms_heavy_hitters(e, "user_id", threshold=CMS_THRESHOLD)
+
+
 _BASE_QUERIES26I = queries
 _BASE_ORACLE26I = oracle_sql
 
@@ -3211,11 +3226,13 @@ _BASE_ORACLE26I = oracle_sql
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
     q = _BASE_QUERIES26I()
     q["approx_distinct_users"] = q_approx_distinct_users
+    q["heavy_hitter_users"] = q_heavy_hitter_users
     return q
 
 
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        cms_oracle_sql,
         hll_oracle_sql,
     )
 
@@ -3224,6 +3241,9 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         "SELECT event_type, user_id FROM events",
         "user_id",
         group_exprs=["event_type"],
+    )
+    sql["heavy_hitter_users"] = cms_oracle_sql(
+        "SELECT user_id FROM events", "user_id", threshold=CMS_THRESHOLD
     )
     return sql
 

@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 from .text import portable_hash
 
-__all__ = ["hll_distinct", "hll_oracle_sql"]
+__all__ = [
+    "hll_distinct",
+    "hll_oracle_sql",
+    "cms_heavy_hitters",
+    "cms_oracle_sql",
+]
 
 _HASH_BITS = 48
 
@@ -133,4 +138,99 @@ SELECT {gpre}
     ELSE (CAST({alpha!r} AS DOUBLE) * {m} * {m}) / (s + ({m} - present))
   END, 4) AS approx_distinct
 FROM folded
+"""
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    d: int = 4,
+    w: int = 2048,
+) -> DataFrame:
+    """(value_col, est_count) for items whose Count-Min estimate reaches
+    ``threshold`` — the frequency-sketch twin of `hll_distinct` (HLL
+    answers "how many distinct", CMS answers "which items are hot").
+
+    The sketch is d hash rows x w buckets built by ONE
+    map-side-combined groupBy over d narrow projections — O(d*w) state
+    regardless of input size, mergeable by +. Estimates are
+    min over rows of the bucket counts, an upper bound on the true
+    count, so the result is a superset of the true heavy hitters (the
+    CMS guarantee). The probe set here is the distinct items (exact and
+    cheap at dimension-table scale); at petabyte scale probe a candidate
+    set from a per-partition local-count pre-filter instead — the sketch
+    build is unchanged.
+
+    Deterministic in both engines: per-row hashes are the portable
+    md5 hash seeded by the row index, so Spark and the DuckDB oracle
+    build bit-identical sketches."""
+    rows = [
+        df.select(
+            F.lit(r).alias("_r"),
+            (portable_hash(F.col(value_col), seed=r) % F.lit(w)).alias("_bucket"),
+        )
+        for r in range(d)
+    ]
+    longf = rows[0]
+    for extra in rows[1:]:
+        longf = longf.unionAll(extra)
+    sketch = longf.groupBy("_r", "_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    items = df.select(value_col).distinct()
+    probes = [
+        items.select(
+            value_col,
+            F.lit(r).alias("_r"),
+            (portable_hash(F.col(value_col), seed=r) % F.lit(w)).alias("_bucket"),
+        )
+        for r in range(d)
+    ]
+    probe = probes[0]
+    for extra in probes[1:]:
+        probe = probe.unionAll(extra)
+    est = (
+        probe.join(sketch, ["_r", "_bucket"])
+        .groupBy(value_col)
+        .agg(F.min("_n").alias("est_count"))
+    )
+    return est.where(F.col("est_count") >= threshold)
+
+
+def cms_oracle_sql(
+    table_sql: str,
+    value_expr: str,
+    threshold: int,
+    d: int = 4,
+    w: int = 2048,
+) -> str:
+    """DuckDB twin of `cms_heavy_hitters` (bit-identical sketch)."""
+
+    def h(seed: int) -> str:
+        return (
+            f"CAST(('0x' || substring(md5(CAST({value_expr} AS VARCHAR) || '#' ||"
+            f" '{seed}'), 1, 12)) AS BIGINT) % {w}"
+        )
+
+    long_sql = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, {h(r)} AS bucket FROM src" for r in range(d)
+    )
+    probe_sql = "\nUNION ALL\n".join(
+        f"SELECT v, {r} AS r, "
+        + h(r).replace(value_expr, "v")
+        + " AS bucket FROM items"
+        for r in range(d)
+    )
+    return f"""
+WITH src AS ({table_sql}),
+longf AS ({long_sql}),
+sketch AS (SELECT r, bucket, COUNT(*) AS n FROM longf GROUP BY 1, 2),
+items AS (SELECT DISTINCT {value_expr} AS v FROM src),
+probe AS ({probe_sql}),
+est AS (
+  SELECT p.v, MIN(s.n) AS est_count
+  FROM probe p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+  GROUP BY p.v
+)
+SELECT v AS {value_expr.split('.')[-1]}, est_count FROM est
+WHERE est_count >= {threshold}
 """

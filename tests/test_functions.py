@@ -1037,6 +1037,30 @@ def test_hll_distinct_accuracy(spark):
     assert abs(got_small - 7) < 0.5, got_small
 
 
+def test_cms_heavy_hitters_guarantee(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        cms_heavy_hitters,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    true_counts = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    thr = sorted(true_counts.values())[-10]  # a threshold the top 10 reach
+    got = {
+        r["user_id"]: r["est_count"]
+        for r in cms_heavy_hitters(ev, "user_id", threshold=thr).collect()
+    }
+    # CMS estimates upper-bound true counts -> every true heavy hitter
+    # is reported, and no estimate undercounts
+    for u, n in true_counts.items():
+        if n >= thr:
+            assert u in got, (u, n, thr)
+    for u, est in got.items():
+        assert est >= true_counts[u]
+
+
 def test_k_core_hand_computed(spark):
     from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
         k_core,
