@@ -3298,6 +3298,8 @@ _WINDOW_PRIORITY = [
     "triangle_counts",
     "node_similarity",
     "graph_bfs",
+    "approx_distinct_users",
+    "heavy_hitter_users",
     # --- (b) section-2 operator-family representatives --------------------
     "graph_stats",          # S3/A5
     "graph_degrees",        # A7/J3
@@ -3312,12 +3314,11 @@ _WINDOW_PRIORITY = [
     "ppr_fora",             # I5/R3/R4
     "ppr_fora_topk",        # I6/I2
     "base_all_pairs",       # I7/S5/P2/T5/T6
-    "customer_spend_share", # P2/P4
-    # P5/P7/P9 reps (customer_order_counts, part_math, orders_by_month)
-    # rotated behind the window for round 4: scalar/timestamp expression
-    # pins, twice-observed green (r02+r03) on untouched code, and still
-    # pinned by the local replica
-    "global_aggs",          # A3/A6
+    # P2/P4/P5/P7/P9 and A3/A6 reps (customer_spend_share,
+    # customer_order_counts, part_math, orders_by_month, global_aggs)
+    # rotated behind the window for round 4: scalar/aggregate expression
+    # pins, twice-observed green (r02+r03) on untouched code, still
+    # pinned by the local replica; P2 also rides base_all_pairs in-window
     "delta_merge",          # A2
     # top_orders_ties (T1/T3/T4) rotated behind the window for round 4:
     # twice-observed, and ppr_power_topk still pins the rank-with-ties
