@@ -3249,6 +3249,53 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26j: landmark harmonic centrality (multi-source BFS)
+# ---------------------------------------------------------------------------
+
+HARMONIC_LANDMARKS = 8
+HARMONIC_HOPS = 6
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality approximated from the 8 highest-out-degree
+    landmarks: ONE multi-source BFS loop carries all landmarks together
+    (operators/bfs.bfs_distances_multi), then sum(1/dist) per node."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
+        harmonic_centrality,
+    )
+
+    g = _graph(spark, sf_dir)
+    return harmonic_centrality(
+        g, n_landmarks=HARMONIC_LANDMARKS, max_hops=HARMONIC_HOPS
+    )
+
+
+_BASE_QUERIES26J = queries
+_BASE_ORACLE26J = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26J()
+    q["harmonic_centrality"] = q_harmonic_centrality
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
+        harmonic_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        GRAPH_EDGES_SQL,
+    )
+
+    sql = _BASE_ORACLE26J()
+    sql["harmonic_centrality"] = harmonic_oracle_sql(
+        GRAPH_EDGES_SQL, n_landmarks=HARMONIC_LANDMARKS, max_hops=HARMONIC_HOPS
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()

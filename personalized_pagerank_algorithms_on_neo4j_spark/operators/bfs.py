@@ -59,6 +59,70 @@ def bfs_distances(
     return dist
 
 
+def bfs_distances_multi(
+    graph: PropertyGraph, sources: DataFrame, max_hops: int = 20
+) -> DataFrame:
+    """(source, node, dist) for every (landmark, reachable node) pair —
+    ALL sources advance through the SAME superstep loop, the batch-BFS
+    pattern that makes landmark sweeps one job instead of |sources| jobs
+    (the multi-target analogue of backward_search_all). ``sources`` is a
+    one-column DataFrame named ``source``. State is keyed (source, node);
+    everything else matches `bfs_distances`."""
+    spark = graph.spark
+    edges = graph.edges.select("src", "dst")
+    small = graph.n <= BROADCAST_NODE_BOUND
+    loop_parts = loop_shuffle_partitions(spark, graph.n) if small else None
+    dist = sources.select(
+        F.col("source").cast("long").alias("source"),
+        F.col("source").cast("long").alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    )
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
+        dist = dist.localCheckpoint(eager=True)
+        frontier = dist.select("source", "node")
+        for h in range(1, max_hops + 1):
+            f = F.broadcast(frontier) if small else frontier
+            nxt = (
+                f.join(edges, f["node"] == edges.src)
+                .select("source", F.col("dst").alias("node"))
+                .distinct()
+                .join(dist.select("source", "node"), ["source", "node"], "left_anti")
+                .select("source", "node", F.lit(h).cast("int").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt.select("source", "node")
+    return dist
+
+
+def harmonic_centrality(
+    graph: PropertyGraph, n_landmarks: int = 8, max_hops: int = 6
+) -> DataFrame:
+    """(node, n_reached, harmonic) — landmark-approximated harmonic
+    centrality: one multi-source BFS from the ``n_landmarks``
+    highest-out-degree nodes (deterministic tie-break by id), then
+    harmonic = sum over landmarks of 1/dist (dist > 0), ROUND 6. The
+    landmark approximation is the standard scale substitute for exact
+    all-pairs closeness (which is O(n) BFS runs)."""
+    landmarks = (
+        graph.degrees.where(F.col("out_degree") > 0)
+        .orderBy(F.desc("out_degree"), F.asc("node"))
+        .limit(n_landmarks)
+        .select(F.col("node").alias("source"))
+    )
+    d = bfs_distances_multi(graph, landmarks, max_hops=max_hops)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic"),
+        )
+    )
+
+
 def bfs_oracle_sql(edges_sql: str, source_sql: str, max_hops: int = 20) -> str:
     """DuckDB twin: recursive CTE with UNION dedup over (node, dist)
     pairs, min-dist per node at the end. ``source_sql`` must yield one
@@ -74,4 +138,30 @@ walk(node, dist) AS (
   WHERE w.dist < {max_hops}
 )
 SELECT node, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY node
+"""
+
+
+def harmonic_oracle_sql(
+    edges_sql: str, n_landmarks: int = 8, max_hops: int = 6
+) -> str:
+    """DuckDB twin of `harmonic_centrality`: recursive CTE over
+    (source, node, dist) seeded with the same deterministic landmarks."""
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED ({edges_sql}),
+lm AS MATERIALIZED (
+  SELECT src AS source FROM (
+    SELECT src, COUNT(*) AS od FROM e GROUP BY src
+  ) ORDER BY od DESC, src ASC LIMIT {n_landmarks}
+),
+walk(source, node, dist) AS (
+  SELECT source, source AS node, 0 AS dist FROM lm
+  UNION
+  SELECT w.source, e.dst, w.dist + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < {max_hops}
+),
+md AS (SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY source, node)
+SELECT node, COUNT(*) AS n_reached,
+       ROUND(SUM(1.0 / dist), 6) AS harmonic
+FROM md WHERE dist > 0 GROUP BY node
 """

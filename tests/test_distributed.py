@@ -189,6 +189,32 @@ def test_bfs_distances_hand_computed(got):
     assert all(two[n] == d for n, d in one.items())
 
 
+def test_multi_source_bfs_matches_single(got):
+    """One batched loop over several sources must produce, per source,
+    exactly the single-source BFS result; harmonic centrality aggregates
+    the same distances."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
+        bfs_distances,
+        bfs_distances_multi,
+        harmonic_centrality,
+    )
+
+    srcs = [got.id_of("Eddard"), got.id_of("Robert")]
+    sdf = got.spark.createDataFrame([(s,) for s in srcs], "source long")
+    multi = bfs_distances_multi(got, sdf, max_hops=10).collect()
+    by_src: dict[int, dict[int, int]] = {}
+    for r in multi:
+        by_src.setdefault(r["source"], {})[r["node"]] = r["dist"]
+    for s in srcs:
+        single = {
+            r["node"]: r["dist"]
+            for r in bfs_distances(got, s, max_hops=10).collect()
+        }
+        assert by_src[s] == single
+    hc = {r["node"]: r["harmonic"] for r in harmonic_centrality(got, 4, 5).collect()}
+    assert hc and all(v > 0 for v in hc.values())
+
+
 def test_hits_matches_numpy(got):
     """HITS on the GOT graph vs a dense numpy replay of the identical
     max-normalized recurrence."""
