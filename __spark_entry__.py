@@ -3347,6 +3347,7 @@ _WINDOW_PRIORITY = [
     "graph_bfs",
     "approx_distinct_users",
     "heavy_hitter_users",
+    "harmonic_centrality",
     # --- (b) section-2 operator-family representatives --------------------
     "graph_stats",          # S3/A5
     "graph_degrees",        # A7/J3
@@ -3366,7 +3367,8 @@ _WINDOW_PRIORITY = [
     # rotated behind the window for round 4: scalar/aggregate expression
     # pins, twice-observed green (r02+r03) on untouched code, still
     # pinned by the local replica; P2 also rides base_all_pairs in-window
-    "delta_merge",          # A2
+    # delta_merge (A2) rotated behind the window for round 4: sum-by-key
+    # is also pinned by every in-window push/BASE superstep, twice observed
     # top_orders_ties (T1/T3/T4) rotated behind the window for round 4:
     # twice-observed, and ppr_power_topk still pins the rank-with-ties
     # plan inside the window

@@ -73,7 +73,9 @@ def hll_distinct(
     m = 1 << p
     w_bits = _HASH_BITS - p
     h = portable_hash(F.col(value_col))
-    rows = df.select(
+    # count-distinct semantics ignore NULLs; an unfiltered NULL would
+    # hash to a NULL bucket and inflate the register fold
+    rows = df.where(F.col(value_col).isNotNull()).select(
         *group_cols,
         (h % F.lit(m)).alias("_bucket"),
         _rho_column(F.floor(h / F.lit(m)).cast("long"), w_bits).alias("_rho"),
@@ -119,7 +121,7 @@ def hll_oracle_sql(
     alpha = _alpha(m)
     return f"""
 WITH src AS ({table_sql}),
-hashed AS (SELECT {gpre} {h} AS h FROM src),
+hashed AS (SELECT {gpre} {h} AS h FROM src WHERE {value_expr} IS NOT NULL),
 regs AS (
   SELECT {gpre} h % {m} AS bucket, MAX({rho}) AS reg
   FROM hashed {("GROUP BY " + gsel + ", bucket") if group_exprs else "GROUP BY bucket"}
@@ -165,29 +167,30 @@ def cms_heavy_hitters(
     Deterministic in both engines: per-row hashes are the portable
     md5 hash seeded by the row index, so Spark and the DuckDB oracle
     build bit-identical sketches."""
-    rows = [
-        df.select(
-            F.lit(r).alias("_r"),
-            (portable_hash(F.col(value_col), seed=r) % F.lit(w)).alias("_bucket"),
+    def _rows_per_record(frame: DataFrame, *keep: str) -> DataFrame:
+        # ONE scan emitting all d (row, bucket) pairs per record — a
+        # unionAll of d projections would re-read the input d times
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("_r"),
+                    (portable_hash(F.col(value_col), seed=r) % F.lit(w)).alias(
+                        "_bucket"
+                    ),
+                )
+                for r in range(d)
+            ]
         )
-        for r in range(d)
-    ]
-    longf = rows[0]
-    for extra in rows[1:]:
-        longf = longf.unionAll(extra)
-    sketch = longf.groupBy("_r", "_bucket").agg(F.count(F.lit(1)).alias("_n"))
-    items = df.select(value_col).distinct()
-    probes = [
-        items.select(
-            value_col,
-            F.lit(r).alias("_r"),
-            (portable_hash(F.col(value_col), seed=r) % F.lit(w)).alias("_bucket"),
+        return frame.select(*keep, F.explode(pairs).alias("_p")).select(
+            *keep, F.col("_p._r").alias("_r"), F.col("_p._bucket").alias("_bucket")
         )
-        for r in range(d)
-    ]
-    probe = probes[0]
-    for extra in probes[1:]:
-        probe = probe.unionAll(extra)
+
+    src = df.where(F.col(value_col).isNotNull())
+    sketch = _rows_per_record(src).groupBy("_r", "_bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    items = src.select(value_col).distinct()
+    probe = _rows_per_record(items, value_col)
     est = (
         probe.join(sketch, ["_r", "_bucket"])
         .groupBy(value_col)
@@ -205,23 +208,21 @@ def cms_oracle_sql(
 ) -> str:
     """DuckDB twin of `cms_heavy_hitters` (bit-identical sketch)."""
 
-    def h(seed: int) -> str:
+    def h(seed: int, expr: str) -> str:
+        # parameterized on the hashed expression — never string-replaced
         return (
-            f"CAST(('0x' || substring(md5(CAST({value_expr} AS VARCHAR) || '#' ||"
+            f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR) || '#' ||"
             f" '{seed}'), 1, 12)) AS BIGINT) % {w}"
         )
 
     long_sql = "\nUNION ALL\n".join(
-        f"SELECT {r} AS r, {h(r)} AS bucket FROM src" for r in range(d)
+        f"SELECT {r} AS r, {h(r, value_expr)} AS bucket FROM src" for r in range(d)
     )
     probe_sql = "\nUNION ALL\n".join(
-        f"SELECT v, {r} AS r, "
-        + h(r).replace(value_expr, "v")
-        + " AS bucket FROM items"
-        for r in range(d)
+        f"SELECT v, {r} AS r, {h(r, 'v')} AS bucket FROM items" for r in range(d)
     )
     return f"""
-WITH src AS ({table_sql}),
+WITH src AS (SELECT * FROM ({table_sql}) WHERE {value_expr} IS NOT NULL),
 longf AS ({long_sql}),
 sketch AS (SELECT r, bucket, COUNT(*) AS n FROM longf GROUP BY 1, 2),
 items AS (SELECT DISTINCT {value_expr} AS v FROM src),

@@ -283,14 +283,22 @@ def bm25_topk(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    stack_expr = "stack({}, {}) AS (term, tf)".format(
-        len(terms),
-        ", ".join(
-            "'{}', _tf{}".format(t.replace("'", "''"), i)
-            for i, t in enumerate(terms)
-        ),
+    # reshape via term INDEX, never term text: embedding user-provided
+    # terms as SQL string literals would make escaping (backslashes,
+    # quotes) the caller's problem; the index join is literal-free and
+    # handles any token byte-for-byte
+    stack_expr = "stack({}, {}) AS (term_idx, tf)".format(
+        len(terms), ", ".join(f"{i}, _tf{i}" for i in range(len(terms)))
     )
-    qtf = per_doc.selectExpr(id_col, "dl", stack_expr).where(F.col("tf") > 0)
+    term_names = docs.sparkSession.createDataFrame(
+        list(enumerate(terms)), "term_idx int, term string"
+    )
+    qtf = (
+        per_doc.selectExpr(id_col, "dl", stack_expr)
+        .where(F.col("tf") > 0)
+        .join(F.broadcast(term_names), "term_idx")
+        .drop("term_idx")
+    )
     df_t = qtf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
         qtf.join(F.broadcast(df_t), "term")

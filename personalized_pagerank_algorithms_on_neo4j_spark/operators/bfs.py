@@ -70,8 +70,13 @@ def bfs_distances_multi(
     everything else matches `bfs_distances`."""
     spark = graph.spark
     edges = graph.edges.select("src", "dst")
-    small = graph.n <= BROADCAST_NODE_BOUND
-    loop_parts = loop_shuffle_partitions(spark, graph.n) if small else None
+    # state and frontier are up to |sources| x n rows — the broadcast and
+    # partition bounds must scale by the landmark count, not graph.n
+    # alone (counting the tiny sources frame is one cheap action)
+    n_src = max(1, sources.count())
+    state_bound = graph.n * n_src
+    small = state_bound <= BROADCAST_NODE_BOUND
+    loop_parts = loop_shuffle_partitions(spark, state_bound) if small else None
     dist = sources.select(
         F.col("source").cast("long").alias("source"),
         F.col("source").cast("long").alias("node"),

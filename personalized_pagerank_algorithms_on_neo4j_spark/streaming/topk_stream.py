@@ -24,7 +24,9 @@ re-adding onto a merged total, the same idempotence design as
 epochs at write time; per-bucket epoch counts are bounded by the batches
 that touched the bucket (old buckets stop accruing), and a long-lived
 store can fold cold buckets' epochs the same way
-`anomaly_stream.compact_store` does.
+`anomaly_stream.compact_store` does. A store written by the pre-epoch
+layout must be upgraded ONCE with `migrate_legacy_store` before
+restarting the stream (mixed partition depths are invalid to Spark).
 
 Batch twin for the correctness gate: `events_topk_hourly` in
 `__spark_entry__.py` (same bucket/cents/rank rules, DuckDB-checked).
@@ -151,6 +153,42 @@ def start_streaming_topk(
         )
         .start()
     )
+
+
+def migrate_legacy_store(spark: SparkSession, store_path: str) -> bool:
+    """One-time migration of a pre-epoch totals store (bucket= partitions
+    holding merged totals) into the per-epoch layout: the legacy totals
+    become the epoch=-1 baseline partition under each bucket. Run while
+    the stream is stopped. Returns False if the store is already in the
+    epoch layout (no-op). Mixing layouts is never valid — Spark refuses
+    conflicting partition-directory depths — hence the whole-directory
+    swap, crash-safe like `anomaly_stream.compact_store`."""
+    import glob as _glob
+    import os
+    import shutil
+
+    buckets = _glob.glob(os.path.join(store_path, "bucket=*"))
+    if not buckets or _glob.glob(os.path.join(store_path, "bucket=*", "epoch=*")):
+        return False
+    legacy = spark.read.parquet(store_path)
+    from pyspark.sql.types import StringType
+
+    if not isinstance(legacy.schema["bucket"].dataType, StringType):
+        # partition-column type inference parses the bucket directory as a
+        # timestamp; format it back so the rewritten directories match
+        legacy = legacy.withColumn(
+            "bucket", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+        )
+    legacy = legacy.withColumn("epoch", F.lit(-1).cast("long"))
+    tmp = store_path.rstrip("/") + "_migrating"
+    shutil.rmtree(tmp, ignore_errors=True)
+    legacy.write.partitionBy("bucket", "epoch").parquet(tmp)
+    bak = store_path.rstrip("/") + "_premigrate"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(store_path, bak)
+    os.rename(tmp, store_path)
+    shutil.rmtree(bak)
+    return True
 
 
 def read_leaderboard(spark: SparkSession, board_path: str, bucket: str | None = None) -> DataFrame:

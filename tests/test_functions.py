@@ -928,6 +928,18 @@ def test_bm25_topk_hand_computed(spark):
     assert out[1] > out[2]
 
 
+def test_bm25_topk_hostile_query_terms(spark):
+    """Query terms are joined by index, never embedded as SQL literals:
+    quotes and backslashes must score byte-for-byte."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import bm25_topk
+
+    rows = [(1, "o'brien x"), (2, r"dir\new y"), (3, "plain z"), (4, "foo\\ w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for term, hit in [("o'brien", 1), (r"dir\new", 2), ("foo\\", 4)]:
+        out = [r.doc_id for r in bm25_topk(df, term, k=4).collect()]
+        assert out == [hit], (term, out)
+
+
 def test_unigram_logprob_hand_computed(spark):
     import math
 

@@ -243,6 +243,45 @@ def test_streaming_topk_replay_idempotent(spark, tmp_path):
     assert after == want
 
 
+def test_topk_legacy_store_migration(spark, tmp_path):
+    """A pre-epoch store (bucket=-only partitions with merged totals)
+    upgrades in place to the epoch layout; the board after migration +
+    a new epoch equals the batch twin over all events."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        topk_stream as T,
+    )
+
+    store = str(tmp_path / "topk_store")
+    board = str(tmp_path / "topk_board")
+    events = load_table(spark, SF_SMALL, "events")
+    half = events.where(F.col("user_id") % 2 == 0)
+    rest = events.where(F.col("user_id") % 2 != 0)
+    # legacy layout: merged totals partitioned by bucket only
+    (
+        T._bucketed_totals(half, "1 hour", "user_id", "value")
+        .write.partitionBy("bucket")
+        .parquet(store)
+    )
+    assert T.migrate_legacy_store(spark, store) is True
+    assert T.migrate_legacy_store(spark, store) is False  # idempotent no-op
+    run_epoch = T.make_merge_batch(spark, store, board, k=3, bucket="1 hour")
+    run_epoch(rest, 0)
+    got = sorted(
+        (r["bucket"], r["key"], r["n"], round(r["total"], 9), r["rank"])
+        for r in T.read_leaderboard(spark, board).collect()
+    )
+    want = sorted(
+        (r["bucket"], r["key"], r["n"], round(r["total"], 9), r["rank"])
+        for r in T.rank_topk(
+            T._bucketed_totals(events, "1 hour", "user_id", "value"), k=3
+        ).collect()
+    )
+    # the board only re-ranks buckets dirtied by epoch 0; restrict the
+    # batch twin to those buckets
+    dirty = {b for b, *_ in got}
+    assert got == [w for w in want if w[0] in dirty] and got
+
+
 def test_streaming_anomaly_matches_batch_twin(spark, events_dir, tmp_path):
     """Two microbatches; the final z-board must equal hourly_anomaly_scores
     over the complete event set (shared implementation, so this pins the
