@@ -3296,6 +3296,79 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26k: dedup survivorship (clusters -> keep/drop decisions)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """The dedup pipeline's OUTPUT step: near-dup clusters (same LSH +
+    label-propagation as `dedup_clusters`) electing one survivor per
+    cluster — longest text, ties to the lowest id; `keep` marks it."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4, n=3)
+    clusters = _dedup.dedup_clusters(pairs, max_iters=CLUSTER_STEPS, strict=False)
+    sized = clusters.join(
+        d.select("doc_id", F.length("text").alias("_len")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_len"), F.asc("doc_id"))
+    ranked = sized.withColumn("_rn", F.row_number().over(w))
+    survivors = ranked.where(F.col("_rn") == 1).select(
+        "cluster_id", F.col("doc_id").alias("survivor_id")
+    )
+    return ranked.join(survivors, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "survivor_id",
+        (F.col("doc_id") == F.col("survivor_id")).alias("keep"),
+    )
+
+
+_BASE_QUERIES26K = queries
+_BASE_ORACLE26K = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26K()
+    q["dedup_survivors"] = q_dedup_survivors
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE26K()
+    sql["dedup_survivors"] = f"""
+WITH sig AS MATERIALIZED ({_SQL_MINHASH_SIG}),
+banded AS MATERIALIZED (
+  SELECT doc_id, i // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, i // 2
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+{_cluster_chain("cl", CLUSTER_STEPS)},
+sized AS (
+  SELECT c.node AS doc_id, c.label AS cluster_id, LENGTH(d.text) AS len
+  FROM cl{CLUSTER_STEPS} c JOIN documents d ON d.doc_id = c.node
+),
+ranked AS (
+  SELECT doc_id, cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY len DESC, doc_id ASC) AS rn
+  FROM sized
+),
+surv AS (SELECT cluster_id, doc_id AS survivor_id FROM ranked WHERE rn = 1)
+SELECT r.doc_id, r.cluster_id, s.survivor_id,
+       r.doc_id = s.survivor_id AS keep
+FROM ranked r JOIN surv s ON r.cluster_id = s.cluster_id
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()

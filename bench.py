@@ -166,6 +166,7 @@ def main() -> None:
     timed("q_triangles", lambda: E.q_triangle_counts(spark, SF_DIR).count())
     timed("q_graph_bfs", lambda: E.q_graph_bfs(spark, SF_DIR).count())
     timed("q_kcore", lambda: E.q_graph_kcore(spark, SF_DIR).count())
+    timed("q_harmonic", lambda: E.q_harmonic_centrality(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

@@ -550,6 +550,54 @@ def semantic_dedup_pairs(
     )
 
 
+def dedup_survivorship(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id, survivor_id, keep) for every document in a
+    near-dup cluster — the pipeline step AFTER detection: MinHash-LSH
+    candidates -> connected components -> ONE survivor per cluster,
+    chosen as the longest text (ties -> lowest id; both rules
+    deterministic so the DuckDB twin picks identically). `keep` marks the
+    survivor; a training pipeline drops the rest. Documents in no cluster
+    are implicitly kept and not listed.
+
+    Scale shape inherits the parts: banded LSH (never all-pairs),
+    checkpointed min-label propagation, and survivor election as ONE
+    window partitioned by cluster — parallel across clusters, no global
+    sort."""
+    from pyspark.sql import Window
+
+    pairs = minhash_lsh_candidates(df, num_hashes, bands, n, text_col, id_col)
+    clusters = dedup_clusters(pairs, max_iters=max_iters)
+    sized = clusters.join(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.length(text_col).alias("_len")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_len"), F.asc("doc_id")
+    )
+    ranked = sized.withColumn("_rn", F.row_number().over(w))
+    survivors = ranked.where(F.col("_rn") == 1).select(
+        "cluster_id", F.col("doc_id").alias("survivor_id")
+    )
+    # no broadcast hint: survivors is one row per CLUSTER, which at
+    # corpus scale is corpus-sized; the equi join co-partitions instead
+    return ranked.join(survivors, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "survivor_id",
+        (F.col("doc_id") == F.col("survivor_id")).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-corpus decontamination (benchmark n-gram overlap)
 # ---------------------------------------------------------------------------

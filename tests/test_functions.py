@@ -1049,6 +1049,30 @@ def test_hll_distinct_accuracy(spark):
     assert abs(got_small - 7) < 0.5, got_small
 
 
+def test_dedup_survivorship_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again today"),
+            (3, "completely different text about something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.dedup_survivorship(docs, n=3).collect()}
+    # docs 1 and 2 are near-dups; the LONGER doc 2 survives
+    assert set(out) >= {1, 2}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]
+    assert out[1]["survivor_id"] == 2 and out[2]["survivor_id"] == 2
+    assert out[2]["keep"] and not out[1]["keep"]
+    # exactly one survivor per cluster
+    by_cluster: dict[int, int] = {}
+    for r in out.values():
+        by_cluster[r["cluster_id"]] = by_cluster.get(r["cluster_id"], 0) + int(
+            r["keep"]
+        )
+    assert all(v == 1 for v in by_cluster.values())
+
+
 def test_cms_heavy_hitters_guarantee(spark):
     from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
         cms_heavy_hitters,
