@@ -3369,6 +3369,65 @@ FROM ranked r JOIN surv s ON r.cluster_id = s.cluster_id
 
 
 # ---------------------------------------------------------------------------
+# Block 26l: bucketized range join (order totals into price bands)
+# ---------------------------------------------------------------------------
+
+PRICE_BANDS = [
+    ("micro", 0.0, 50_000.0),
+    ("small", 50_000.0, 120_000.0),
+    ("mid", 120_000.0, 220_000.0),
+    ("large", 220_000.0, 400_000.0),
+    ("jumbo", 400_000.0, 1_000_000.0),
+]
+
+
+def q_order_price_bands(spark, sf_dir):
+    """Orders range-joined into literal price bands via the bucketized
+    plan (operators/range_join.py — equi-join on bucket + residual
+    predicate, never a nested loop), then one aggregate per band."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.range_join import (
+        range_join,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band string, lo double, hi double"
+    )
+    joined = range_join(o, bands, "o_totalprice", bucket_width=50_000.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+    )
+
+
+_BASE_QUERIES26L = queries
+_BASE_ORACLE26L = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26L()
+    q["order_price_bands"] = q_order_price_bands
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE26L()
+    bands_values = ", ".join(
+        f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in PRICE_BANDS
+    )
+    sql["order_price_bands"] = f"""
+WITH bands(band, lo, hi) AS (VALUES {bands_values})
+SELECT b.band,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents
+FROM orders o
+JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()

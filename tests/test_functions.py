@@ -1049,6 +1049,45 @@ def test_hll_distinct_accuracy(spark):
     assert abs(got_small - 7) < 0.5, got_small
 
 
+def test_range_join_semantics_and_plan(spark):
+    import contextlib
+    import io
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.range_join import (
+        range_join,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, -5.0), (2, 0.0), (3, 9.99), (4, 10.0), (5, 25.0), (6, 100.0)],
+        "id long, v double",
+    )
+    bands = spark.createDataFrame(
+        [("neg", -10.0, 0.0), ("low", 0.0, 10.0), ("mid", 5.0, 30.0)],
+        "band string, lo double, hi double",
+    )
+    out = {(r["id"], r["band"]) for r in range_join(facts, bands, "v").collect()}
+    # hi is exclusive; overlapping bands both match; gaps drop rows
+    assert out == {
+        (1, "neg"),
+        (2, "low"),
+        (3, "low"),
+        (3, "mid"),
+        (4, "mid"),
+        (5, "mid"),
+    }
+    # explicit width must give identical semantics
+    out2 = {
+        (r["id"], r["band"])
+        for r in range_join(facts, bands, "v", bucket_width=3.0).collect()
+    }
+    assert out2 == out
+    # the point of the operator: an equi-join plan, never a nested loop
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join(facts, bands, "v").explain()
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+
 def test_dedup_survivorship_rules(spark):
     docs = spark.createDataFrame(
         [
