@@ -3428,6 +3428,46 @@ GROUP BY b.band
 
 
 # ---------------------------------------------------------------------------
+# Block 26m: batched multi-query BM25 retrieval
+# ---------------------------------------------------------------------------
+
+BM25_BATCH = [(1, "spark join"), (2, "window agg batch"), (3, "hash table row")]
+BM25_BATCH_K = 5
+
+
+def q_bm25_multi(spark, sf_dir):
+    """Top-k BM25 per query for a BATCH of queries, all answered from ONE
+    corpus tokenize pass; per-query ranking is a query-partitioned
+    window (functions/text.bm25_topk_batch)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        bm25_topk_batch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk_batch(d, BM25_BATCH, k=BM25_BATCH_K)
+
+
+_BASE_QUERIES26M = queries
+_BASE_ORACLE26M = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26M()
+    q["bm25_multi"] = q_bm25_multi
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        bm25_batch_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26M()
+    sql["bm25_multi"] = bm25_batch_oracle_sql(BM25_BATCH, k=BM25_BATCH_K)
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()

@@ -459,3 +459,165 @@ SELECT {id_col}, COUNT(*) AS n_tokens, ROUND(AVG(lp), 6) AS logprob
 FROM toks_nz JOIN term_lp USING (term)
 GROUP BY {id_col}
 """
+
+
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, doc_id, score, pos): Okapi BM25 top-k per query for a
+    BATCH of queries — the retrieval shape that matters at corpus scale:
+    the corpus is tokenized and aggregated ONCE for the union of all
+    query terms, and every query's scoring and ranking rides that single
+    pass. Per-query ranking is a window PARTITIONED BY query — parallel
+    across queries, never a global sort.
+
+    ``queries`` is a list of (query_id, query_string); the batch is
+    driver-sized by definition (a request batch), so its term table
+    broadcasts. Scoring math, rounding, and tie-breaks are identical to
+    `bm25_topk` per query."""
+    from pyspark.sql import Window
+
+    pairs: list[tuple[int, str]] = []
+    for qid, q in queries:
+        terms = sorted({t for t in q.lower().split() if t})
+        if not terms:
+            raise ValueError(f"query {qid} has no tokens")
+        pairs.extend((int(qid), t) for t in terms)
+    all_terms = sorted({t for _, t in pairs})
+    idx = {t: i for i, t in enumerate(all_terms)}
+    spark = docs.sparkSession
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).where(F.length("term") > 0)
+    per_doc = (
+        toks.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tf{i}")
+                for i, t in enumerate(all_terms)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    stack_expr = "stack({}, {}) AS (term_idx, tf)".format(
+        len(all_terms), ", ".join(f"{i}, _tf{i}" for i in range(len(all_terms)))
+    )
+    qtf = per_doc.selectExpr(id_col, "dl", stack_expr).where(F.col("tf") > 0)
+    df_t = qtf.groupBy("term_idx").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, idx[t]) for qid, t in pairs], "query_id long, term_idx int"
+    )
+    scored = (
+        qtf.join(F.broadcast(qterms), "term_idx")
+        .join(F.broadcast(df_t), "term_idx")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("idf"),
+            F.col("tf").cast("double").alias("tf"),
+            F.round(
+                F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")),
+                6,
+            ).alias("norm"),
+        )
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (F.col("tf") + F.col("norm")),
+                6,
+            ).alias("tscore"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("tscore"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select("query_id", id_col, "score", F.col("pos").cast("long").alias("pos"))
+    )
+
+
+def bm25_batch_oracle_sql(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `bm25_topk_batch` (identical math per query)."""
+    pairs = sorted(
+        {
+            (int(qid), t)
+            for qid, q in queries
+            for t in q.lower().split()
+            if t
+        }
+    )
+    all_terms = sorted({t for _, t in pairs})
+    term_list = ", ".join(f"'{t}'" for t in all_terms)
+    qterm_values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(string_split_regex(lower(trim({text_col})), ' +')) AS term
+  FROM {table}
+),
+toks_nz AS (SELECT * FROM toks WHERE length(term) > 0),
+dl AS (SELECT {id_col}, COUNT(*) AS dl FROM toks_nz GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl),
+qtf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf FROM toks_nz
+  WHERE term IN ({term_list}) GROUP BY 1, 2),
+df_t AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM qtf GROUP BY 1),
+qterms(query_id, term) AS (VALUES {qterm_values}),
+scored AS (
+  SELECT qt.query_id, q.{id_col},
+         ROUND(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS idf,
+         CAST(q.tf AS DOUBLE) AS tf,
+         ROUND({k1} * ({1.0 - b} + {b} * l.dl / s.avgdl), 6) AS norm
+  FROM qtf q
+  JOIN qterms qt USING (term)
+  JOIN df_t d USING (term)
+  JOIN dl l USING ({id_col})
+  CROSS JOIN stats s),
+per AS (
+  SELECT query_id, {id_col},
+         ROUND(SUM(ROUND(idf * (tf * {k1 + 1.0}) / (tf + norm), 6)), 6) AS score
+  FROM scored GROUP BY 1, 2)
+SELECT query_id, {id_col}, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, {id_col} ASC) AS BIGINT) AS pos
+FROM per
+QUALIFY pos <= {k}
+"""

@@ -940,6 +940,32 @@ def test_bm25_topk_hostile_query_terms(spark):
         assert out == [hit], (term, out)
 
 
+def test_bm25_batch_matches_single(spark):
+    """A batch of queries must score each query exactly as the
+    single-query operator does (same math, one shared corpus pass)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        bm25_topk,
+        bm25_topk_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    queries = [(1, "spark join"), (2, "window agg")]
+    batch = bm25_topk_batch(docs, queries, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(batch, key=lambda r: (r["query_id"], r["pos"])):
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"], r["pos"])
+        )
+    for qid, qtext in queries:
+        single = [
+            (r["doc_id"], r["score"], r["pos"])
+            for r in sorted(
+                bm25_topk(docs, qtext, k=5).collect(), key=lambda r: r["pos"]
+            )
+        ]
+        assert by_q[qid] == single, qid
+
+
 def test_unigram_logprob_hand_computed(spark):
     import math
 
