@@ -3303,25 +3303,12 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 def q_dedup_survivors(spark, sf_dir):
     """The dedup pipeline's OUTPUT step: near-dup clusters (same LSH +
     label-propagation as `dedup_clusters`) electing one survivor per
-    cluster — longest text, ties to the lowest id; `keep` marks it."""
-    from pyspark.sql import Window
-
+    cluster — longest text, ties to the lowest id; `keep` marks it.
+    Delegates to the library operator (strict=False: the oracle replays
+    the same bounded label chain)."""
     d = _t(spark, sf_dir, "documents")
-    pairs = _dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4, n=3)
-    clusters = _dedup.dedup_clusters(pairs, max_iters=CLUSTER_STEPS, strict=False)
-    sized = clusters.join(
-        d.select("doc_id", F.length("text").alias("_len")), "doc_id"
-    )
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("_len"), F.asc("doc_id"))
-    ranked = sized.withColumn("_rn", F.row_number().over(w))
-    survivors = ranked.where(F.col("_rn") == 1).select(
-        "cluster_id", F.col("doc_id").alias("survivor_id")
-    )
-    return ranked.join(survivors, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        "survivor_id",
-        (F.col("doc_id") == F.col("survivor_id")).alias("keep"),
+    return _dedup.dedup_survivorship(
+        d, num_hashes=8, bands=4, n=3, max_iters=CLUSTER_STEPS, strict=False
     )
 
 
@@ -3353,17 +3340,14 @@ cand AS MATERIALIZED (
 sized AS (
   SELECT c.node AS doc_id, c.label AS cluster_id, LENGTH(d.text) AS len
   FROM cl{CLUSTER_STEPS} c JOIN documents d ON d.doc_id = c.node
-),
-ranked AS (
+)
+SELECT doc_id, cluster_id, survivor_id, doc_id = survivor_id AS keep
+FROM (
   SELECT doc_id, cluster_id,
-         ROW_NUMBER() OVER (PARTITION BY cluster_id
-                            ORDER BY len DESC, doc_id ASC) AS rn
+         FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+                                   ORDER BY len DESC, doc_id ASC) AS survivor_id
   FROM sized
-),
-surv AS (SELECT cluster_id, doc_id AS survivor_id FROM ranked WHERE rn = 1)
-SELECT r.doc_id, r.cluster_id, s.survivor_id,
-       r.doc_id = s.survivor_id AS keep
-FROM ranked r JOIN surv s ON r.cluster_id = s.cluster_id
+)
 """
     return sql
 

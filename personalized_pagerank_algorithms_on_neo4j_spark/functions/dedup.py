@@ -558,6 +558,7 @@ def dedup_survivorship(
     bands: int = 4,
     n: int = 3,
     max_iters: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """(doc_id, cluster_id, survivor_id, keep) for every document in a
     near-dup cluster — the pipeline step AFTER detection: MinHash-LSH
@@ -570,11 +571,12 @@ def dedup_survivorship(
     Scale shape inherits the parts: banded LSH (never all-pairs),
     checkpointed min-label propagation, and survivor election as ONE
     window partitioned by cluster — parallel across clusters, no global
-    sort."""
+    sort, no rank-then-self-join (first over the ordered window tags
+    every row with its cluster's head in the same pass)."""
     from pyspark.sql import Window
 
     pairs = minhash_lsh_candidates(df, num_hashes, bands, n, text_col, id_col)
-    clusters = dedup_clusters(pairs, max_iters=max_iters)
+    clusters = dedup_clusters(pairs, max_iters=max_iters, strict=strict)
     sized = clusters.join(
         df.select(
             F.col(id_col).alias("doc_id"), F.length(text_col).alias("_len")
@@ -584,13 +586,11 @@ def dedup_survivorship(
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("_len"), F.asc("doc_id")
     )
-    ranked = sized.withColumn("_rn", F.row_number().over(w))
-    survivors = ranked.where(F.col("_rn") == 1).select(
-        "cluster_id", F.col("doc_id").alias("survivor_id")
-    )
-    # no broadcast hint: survivors is one row per CLUSTER, which at
-    # corpus scale is corpus-sized; the equi join co-partitions instead
-    return ranked.join(survivors, "cluster_id").select(
+    return sized.select(
+        "doc_id",
+        "cluster_id",
+        F.first("doc_id").over(w).alias("survivor_id"),
+    ).select(
         "doc_id",
         "cluster_id",
         "survivor_id",

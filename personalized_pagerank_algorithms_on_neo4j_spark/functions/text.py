@@ -357,7 +357,7 @@ def bm25_oracle_sql(
 ) -> str:
     """DuckDB twin of `bm25_topk` (identical rounding and tie-break)."""
     terms = sorted({t for t in query.lower().split() if t})
-    term_list = ", ".join(f"'{t}'" for t in terms)
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return f"""
 WITH toks AS (
   SELECT {id_col}, unnest(string_split_regex(lower(trim({text_col})), ' +')) AS term
@@ -461,6 +461,11 @@ GROUP BY {id_col}
 """
 
 
+# union-of-terms bound for the fused one-pass conditional aggregate in
+# bm25_topk_batch; bigger batches use the two-pass postings plan
+_BM25_FUSED_TERMS_MAX = 24
+
+
 def bm25_topk_batch(
     docs: DataFrame,
     queries: list[tuple[int, str]],
@@ -483,12 +488,16 @@ def bm25_topk_batch(
     `bm25_topk` per query."""
     from pyspark.sql import Window
 
-    pairs: list[tuple[int, str]] = []
+    if not queries:
+        raise ValueError("queries is empty")
+    pairs: set[tuple[int, str]] = set()
     for qid, q in queries:
-        terms = sorted({t for t in q.lower().split() if t})
+        terms = {t for t in q.lower().split() if t}
         if not terms:
             raise ValueError(f"query {qid} has no tokens")
-        pairs.extend((int(qid), t) for t in terms)
+        # a GLOBAL (query_id, term) set: duplicate query_id entries or a
+        # repeated term must contribute its score exactly once
+        pairs.update((int(qid), t) for t in terms)
     all_terms = sorted({t for _, t in pairs})
     idx = {t: i for i, t in enumerate(all_terms)}
     spark = docs.sparkSession
@@ -496,30 +505,56 @@ def bm25_topk_batch(
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     ).where(F.length("term") > 0)
-    per_doc = (
-        toks.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("dl"),
-            *[
-                F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tf{i}")
-                for i, t in enumerate(all_terms)
-            ],
+    if len(all_terms) <= _BM25_FUSED_TERMS_MAX:
+        # small union of terms: ONE corpus pass with a conditional column
+        # per term (same plan as the single-query operator)
+        per_doc = (
+            toks.groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("dl"),
+                *[
+                    F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(
+                        f"_tf{i}"
+                    )
+                    for i, t in enumerate(all_terms)
+                ],
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    stats = per_doc.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    stack_expr = "stack({}, {}) AS (term_idx, tf)".format(
-        len(all_terms), ", ".join(f"{i}, _tf{i}" for i in range(len(all_terms)))
-    )
-    qtf = per_doc.selectExpr(id_col, "dl", stack_expr).where(F.col("tf") > 0)
+        stats = per_doc.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        stack_expr = "stack({}, {}) AS (term_idx, tf)".format(
+            len(all_terms), ", ".join(f"{i}, _tf{i}" for i in range(len(all_terms)))
+        )
+        qtf = per_doc.selectExpr(id_col, "dl", stack_expr).where(F.col("tf") > 0)
+    else:
+        # large batch: a thousand-wide conditional aggregate would blow
+        # past codegen/aggregate-width limits and cost O(tokens x terms)
+        # CPU — fall back to the classic two-pass postings plan, O(tokens)
+        # regardless of batch size (the extra tokenize pass amortizes
+        # across every query in the batch)
+        term_ids = spark.createDataFrame(
+            [(t, i) for t, i in idx.items()], "term string, term_idx int"
+        )
+        dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+        dl = dl.localCheckpoint(eager=True)
+        stats = dl.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        qtf = (
+            toks.join(F.broadcast(term_ids), "term")
+            .groupBy(id_col, "term_idx")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .join(dl, id_col)
+        )
     df_t = qtf.groupBy("term_idx").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
     qterms = spark.createDataFrame(
-        [(qid, idx[t]) for qid, t in pairs], "query_id long, term_idx int"
+        sorted((qid, idx[t]) for qid, t in pairs), "query_id long, term_idx int"
     )
     scored = (
         qtf.join(F.broadcast(qterms), "term_idx")
@@ -574,6 +609,8 @@ def bm25_batch_oracle_sql(
     id_col: str = "doc_id",
 ) -> str:
     """DuckDB twin of `bm25_topk_batch` (identical math per query)."""
+    if not queries:
+        raise ValueError("queries is empty")
     pairs = sorted(
         {
             (int(qid), t)
@@ -583,8 +620,12 @@ def bm25_batch_oracle_sql(
         }
     )
     all_terms = sorted({t for _, t in pairs})
-    term_list = ", ".join(f"'{t}'" for t in all_terms)
-    qterm_values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+
+    def _q(t: str) -> str:  # SQL string literal with '' doubling
+        return "'" + t.replace("'", "''") + "'"
+
+    term_list = ", ".join(_q(t) for t in all_terms)
+    qterm_values = ", ".join(f"({qid}, {_q(t)})" for qid, t in pairs)
     return f"""
 WITH toks AS (
   SELECT {id_col}, unnest(string_split_regex(lower(trim({text_col})), ' +')) AS term

@@ -37,10 +37,21 @@ def range_join(
     residual predicate removes boundary false positives, so any positive
     width is CORRECT and width only tunes the candidate blow-up."""
     if bucket_width is None:
+        # min over POSITIVE widths only: a degenerate lo == hi band (an
+        # empty interval, which matches nothing) must not collapse the
+        # width to zero and explode wide bands into millions of buckets
         row = bands.agg(
-            F.min(F.col(hi_col) - F.col(lo_col)).alias("w")
+            F.min(
+                F.when(
+                    F.col(hi_col) > F.col(lo_col), F.col(hi_col) - F.col(lo_col)
+                )
+            ).alias("w")
         ).first()
-        bucket_width = float(row["w"]) if row and row["w"] else 1.0
+        if row is None or row["w"] is None:
+            raise ValueError(
+                "cannot infer bucket_width: no band has hi > lo; pass one"
+            )
+        bucket_width = float(row["w"])
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     w = F.lit(float(bucket_width))

@@ -964,6 +964,30 @@ def test_bm25_batch_matches_single(spark):
             )
         ]
         assert by_q[qid] == single, qid
+    # a batch whose term union exceeds the fused bound rides the two-pass
+    # postings plan — results must be identical per query, and duplicate
+    # query_id entries must NOT double-count shared terms
+    import personalized_pagerank_algorithms_on_neo4j_spark.functions.text as T
+
+    filler = [
+        (100 + i, f"zz{i}a zz{i}b zz{i}c")
+        for i in range(T._BM25_FUSED_TERMS_MAX // 3 + 2)
+    ]
+    big = filler + [(1, "spark"), (1, "spark join")]  # dup qid, shared term
+    out = {
+        (r["query_id"], r["doc_id"], r["score"], r["pos"])
+        for r in bm25_topk_batch(docs, big, k=5).collect()
+        if r["query_id"] == 1
+    }
+    want = {
+        (1, r["doc_id"], r["score"], r["pos"])
+        for r in bm25_topk(docs, "spark join", k=5).collect()
+    }
+    assert out == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_topk_batch(docs, [])
 
 
 def test_unigram_logprob_hand_computed(spark):
