@@ -2641,7 +2641,7 @@ FROM st WHERE n_prev >= 12
     sql["corpus_report"] = """
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(string_split_regex(trim(text), ' +'))) AS n_tokens,
+       CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_tokens,
        ROUND(AVG(len(string_split_regex(trim(text), ' +'))), 6) AS avg_tokens,
        ROUND(AVG(length(text)), 6) AS avg_chars,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -2808,25 +2808,26 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     sql = _BASE_ORACLE26()
     sql["data_expectations"] = """
 SELECT 'not_null:o_custkey' AS rule, 'o_custkey' AS col_name,
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS violations,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations,
        COUNT(*) AS total
 FROM orders
 UNION ALL
 SELECT 'in_range:o_totalprice', 'o_totalprice',
-       SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0
-                     OR o_totalprice > 600000.0 THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0
+                     OR o_totalprice > 600000.0 THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(*)
 FROM orders
 UNION ALL
 SELECT 'matches:o_orderstatus', 'o_orderstatus',
-       SUM(CASE WHEN o_orderstatus IS NULL
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL
                      OR NOT regexp_matches(o_orderstatus, '^[OFP]$')
-                THEN 1 ELSE 0 END),
+                THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(*)
 FROM orders
 UNION ALL
 SELECT 'unique:o_orderkey', 'o_orderkey',
-       SUM(n - 1), SUM(n)
+       CAST(SUM(n - 1) AS BIGINT), CAST(SUM(n) AS BIGINT)
 FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
 """
     return sql
@@ -3403,7 +3404,8 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 WITH bands(band, lo, hi) AS (VALUES {bands_values})
 SELECT b.band,
        COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM orders o
 JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
 GROUP BY b.band

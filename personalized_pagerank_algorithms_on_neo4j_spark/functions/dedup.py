@@ -295,6 +295,9 @@ def minhash_signatures(
     )
 
 
+MINHASH_BUCKET_CAP = 1_000  # (band, bucket) keys larger than this are dropped
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 16,
@@ -302,6 +305,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int = MINHASH_BUCKET_CAP,
 ) -> DataFrame:
     """(doc_a, doc_b) pairs sharing at least one LSH band bucket.
 
@@ -312,7 +316,17 @@ def minhash_lsh_candidates(
     md5 of the band's minima, then a x`bands` explode of tiny structs) — no
     per-(doc, band) groupBy stage; the only shuffles in the whole candidate
     pipeline are the signature groupBy, the bucket self-join, and the final
-    pair distinct."""
+    pair distinct.
+
+    Hot-bucket cap: a (band, bucket) key with more than ``max_bucket_size``
+    members (mass-duplicated boilerplate at corpus scale) would emit O(k^2)
+    candidate pairs from the self-join — AQE splits the join but not the
+    output cardinality — so oversized buckets are EXCLUDED from pairing and
+    the drop is logged (the no-silent-caps rule; same discipline as
+    ``SEMDEDUP_CAP``). Docs in a dropped bucket can still pair through their
+    other ``bands - 1`` buckets; byte-identical boilerplate is the
+    ``exact_dup_groups`` operator's job, not LSH's. ``max_bucket_size=None``
+    disables the cap."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes}); a partial "
@@ -340,6 +354,33 @@ def minhash_lsh_candidates(
     banded = wide.select(
         "doc_id", F.explode(band_entries).alias("e")
     ).select("doc_id", "e.band", "e.bucket")
+    if max_bucket_size is not None:
+        # materialize once: the signature pipeline now has three consumers
+        # (size aggregate + both self-join sides) and localCheckpoint stops
+        # Spark re-deriving the minhash aggregation per reference
+        banded = banded.localCheckpoint(eager=True)
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .where(F.col("_sz") > max_bucket_size)
+            .select("band", "bucket", "_sz")
+            .localCheckpoint(eager=True)
+        )
+        dropped = hot.agg(
+            F.count(F.lit(1)), F.sum("_sz")
+        ).first()
+        if dropped[0]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_candidates: dropped %d hot (band,bucket) keys "
+                "covering %d doc-band rows (bucket size > %d); identical-doc "
+                "boilerplate belongs to exact_dup_groups",
+                dropped[0], dropped[1], max_bucket_size,
+            )
+        banded = banded.join(
+            hot.select("band", "bucket"), ["band", "bucket"], "left_anti"
+        )
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (

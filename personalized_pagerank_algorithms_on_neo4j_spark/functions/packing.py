@@ -183,7 +183,7 @@ c AS (
 )
 SELECT {id_col}, bucket,
        CAST(FLOOR(cum_before / {budget_tokens}) AS BIGINT) AS pack,
-       cum_before % {budget_tokens} AS pack_offset,
+       CAST(cum_before % {budget_tokens} AS BIGINT) AS pack_offset,
        n_tokens
 FROM c
 """

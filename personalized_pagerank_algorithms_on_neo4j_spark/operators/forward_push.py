@@ -94,22 +94,34 @@ def _qual_expr(rmax: float):
 
 
 def _superstep_branches(
-    frontier: DataFrame, edges: DataFrame, source: int, alpha: float
+    frontier: DataFrame,
+    edges: DataFrame,
+    source: int,
+    alpha: float,
+    hint_broadcast: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The three outputs of one batch push over a qualified frontier
     (node, residue, reserve, od): `kept` banks alpha*r into reserve and zeroes
     residue; `pushed` fans (1-alpha)*r/out to out-neighbors; `dangling` routes
     the out-degree-0 nodes' (1-alpha)*r back to the source as one row.
     Shared verbatim by the whole-graph and resumable-top-k loops so push
-    semantics can only be changed in one place."""
+    semantics can only be changed in one place.
+
+    `hint_broadcast` applies `F.broadcast` ONLY to the join input of the
+    `pushed` branch — hinting the whole frontier (as before r5) orphaned the
+    hint on the select/aggregate branches, logging two HintErrorLogger
+    warnings per superstep."""
     kept = frontier.select(
         "node",
         F.lit(0.0).alias("residue"),
         (F.col("reserve") + F.lit(alpha) * F.col("residue")).alias("reserve"),
     )
+    push_in = frontier.where(F.col("od") > 0)
+    if hint_broadcast:
+        push_in = F.broadcast(push_in)
     pushed = (
-        frontier.where(F.col("od") > 0)
-        .join(edges, frontier.node == edges.src)
+        push_in
+        .join(edges, push_in.node == edges.src)
         .select(
             F.col("dst").alias("node"),
             (F.lit(1.0 - alpha) * F.col("residue") / F.col("src_out_degree")).alias(
@@ -174,7 +186,7 @@ def _push_loop(
                 return s.select("node", "residue", "reserve")
             rest = s.where(~F.col("qual")).select("node", "residue", "reserve")
             kept, pushed, dangling = _superstep_branches(
-                F.broadcast(frontier) if small else frontier, edges, source, alpha
+                frontier, edges, source, alpha, hint_broadcast=small
             )
             state = _merge_state(rest, kept, pushed, dangling)
     return state
@@ -257,7 +269,7 @@ def _forward_push_topk_state(
             if frontier.isEmpty():
                 break
             kept, pushed, dangling = _superstep_branches(
-                F.broadcast(frontier) if small else frontier, edges, source, alpha
+                frontier, edges, source, alpha, hint_broadcast=small
             )
             rest = state.join(frontier.select("node"), "node", "left_anti")
             state = _merge_state(rest, kept, pushed, dangling).localCheckpoint(

@@ -37,22 +37,57 @@ def duck():
 
 
 def _normalize(pdf):
+    """Type-SENSITIVE value normalization mirroring the driver's hash.
+
+    The driver distinguishes int64 from float64 (15000 != 15000.0), so each
+    value is tagged with its numeric kind. DuckDB returns integer SUM() as
+    HUGEINT which fetchdf() converts to float64 — a bare integer SUM in an
+    oracle therefore FAILS here, exactly as it fails on the driver (root
+    cause of the r4 seq_packing/corpus_report/data_expectations reds).
+    """
+    import numpy as np
+
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
     rows = []
     for tup in pdf.itertuples(index=False):
         row = []
         for v in tup:
-            if isinstance(v, float):
+            if v is None:
+                row.append(None)
+            elif isinstance(v, (bool, np.bool_)):
+                row.append(("b", bool(v)))
+            elif isinstance(v, (float, np.floating)):
                 if math.isnan(v):
-                    row.append("nan")
+                    row.append(("f", "nan"))
                 else:
-                    row.append(round(v, 9))
+                    row.append(("f", round(float(v), 9)))
+            elif isinstance(v, (int, np.integer)):
+                row.append(("i", int(v)))
             else:
                 row.append(v)
         rows.append(tuple(row))
     rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return cols, rows
+
+
+_KIND_CLASS = {"i": "int", "u": "int", "f": "float"}
+
+
+def _assert_dtype_parity(name, spark_pdf, duck_pdf):
+    """Column-level int-vs-float parity between Spark and DuckDB results.
+
+    Only numeric-kind disagreement fails (the driver's hash is blind to
+    object-dtype representation details but not to int64 vs float64).
+    """
+    for col in spark_pdf.columns:
+        sk = _KIND_CLASS.get(spark_pdf.dtypes[col].kind)
+        dk = _KIND_CLASS.get(duck_pdf.dtypes[col].kind)
+        if sk and dk and sk != dk:
+            raise AssertionError(
+                f"{name}.{col}: Spark dtype kind {sk} vs DuckDB {dk} — "
+                f"driver hash is type-sensitive; CAST the oracle column"
+            )
 
 
 ORACLE = E.oracle_sql()
@@ -68,6 +103,7 @@ def test_query_matches_oracle(spark, duck, name):
     s_cols, s_rows = _normalize(spark_pdf)
     d_cols, d_rows = _normalize(duck_pdf)
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    _assert_dtype_parity(name, spark_pdf, duck_pdf)
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     )

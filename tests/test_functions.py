@@ -320,6 +320,41 @@ def test_ngram_jaccard_df_cap(spark, docs_df):
     assert pairs.count() == 0
 
 
+def test_minhash_hot_bucket_cap(spark, docs_df):
+    """The (band, bucket) size cap must (a) leave candidates unchanged when no
+    bucket exceeds it and (b) bound the self-join output on a mass-duplicate
+    corpus — an uncapped hot bucket emits O(k^2) pairs."""
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(
+            docs_df, num_hashes=16, bands=16
+        ).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(
+            docs_df, num_hashes=16, bands=16, max_bucket_size=None
+        ).collect()
+    }
+    assert capped == uncapped  # default cap never binds on the fixture
+
+    # 60 byte-identical docs -> identical signatures -> every band is one
+    # bucket of size 60; 3 distinct near-dup docs stay under the cap
+    boiler = [(i, "aaa bbb ccc ddd eee fff ggg") for i in range(60)]
+    tail = [(100 + i, "hhh iii jjj kkk lll") for i in range(3)]
+    hot = spark.createDataFrame(
+        boiler + tail, schema="doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_candidates(
+        hot, num_hashes=16, bands=4, max_bucket_size=10
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # boilerplate bucket (size 60 > 10) dropped: none of its 1770 pairs
+    assert not any(a < 100 for a, _ in got)
+    # the small identical-trio bucket (size 3) is untouched
+    assert got == {(100, 101), (100, 102), (101, 102)}
+
+
 def test_lsh_index_probe_matches_collision_set(spark):
     """The indexed probe must return exactly the ids sharing >= 1 band value
     with the query (no full-scan OR-filter), and a precomputed index must be
