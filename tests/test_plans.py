@@ -86,6 +86,18 @@ def test_minhash_single_aggregation_plan(spark):
     from personalized_pagerank_algorithms_on_neo4j_spark.functions import dedup
 
     d = E._t(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    # signature stage, inspected on its own frame: since r5 the candidate
+    # pipeline materializes the banded table (localCheckpoint, shared by the
+    # bucket-size cap and both self-join sides), hiding this stage from the
+    # downstream plan
+    sig_plan = _plan(dedup._minhash_sig_wide(d, 8, 3, "text", "doc_id"))
+    # partial aggregation below the exchange (map-side combine)
+    assert "partial_min" in sig_plan
+    # ONE groupBy: no explode-by-i blowup, no second band groupBy, no
+    # row-level distinct before the aggregation (2 HashAggregates = the
+    # partial/final halves of the signature groupBy)
+    assert sig_plan.count("HashAggregate") == 2, sig_plan[:2000]
+
     plan = _plan(dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4, n=3))
     # a leaked .cache() of this same plan (from another test) would swap in an
     # InMemoryRelation whose printed cachedPlan inflates the counts below
@@ -93,12 +105,14 @@ def test_minhash_single_aggregation_plan(spark):
         "cached substitution detected — some test leaked a cache entry for "
         "this plan; unpersist it there"
     )
-    # partial aggregation below the exchange (map-side combine)
-    assert "partial_min" in plan
-    # exactly the expected wide ops: sig groupBy + self-join + pair distinct;
-    # a 4th aggregate would mean the banded groupBy crept back in
+    # the signature pipeline is materialized ONCE — both self-join sides and
+    # the hot-bucket filter read the checkpoint, not a re-derived aggregation
+    assert "partial_min" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    # remaining wide ops: anti-join bucket filter + self-join + pair distinct;
+    # more aggregates would mean the banded groupBy crept back in
     n_aggs = plan.count("HashAggregate")
-    assert n_aggs <= 6, f"unexpected aggregate stages:\n{plan[:2000]}"
+    assert n_aggs <= 4, f"unexpected aggregate stages:\n{plan[:2000]}"
 
 
 def test_lsh_probe_is_equi_join(spark):
