@@ -3454,6 +3454,67 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26n: built-in-PPR comparator (I8) driver row
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 10  # fixed-iteration comparator; CTE oracle unrolls these
+
+
+def q_ppr_pagerank(spark, sf_dir):
+    """I8: classic PPR with Neo4j's convention — damping d = 1-alpha, restart
+    mass to the source each round, dangling mass DROPPED (not returned to the
+    source), then sum-normalized (operators/pagerank.py:28 ↔
+    Neo4j_Method.java:66-98). Deterministic at fixed iterations, so the
+    oracle replays the identical unrolled recurrence."""
+    g = _graph(spark, sf_dir)
+    eng = PPREngine(g, alpha=ALPHA)
+    df = eng.ppr(_source(g), algo="pagerank", iterations=PAGERANK_ITERS)
+    return df.select("node", F.round("ppr", 9).alias("ppr")).where(F.col("ppr") > 0)
+
+
+def _pagerank_chain(prefix: str, iterations: int, alpha: float = ALPHA) -> str:
+    """Chained CTEs replaying the comparator recurrence: no dangling branch
+    (mass is dropped), restart (1-d) = alpha added to the source each round."""
+    d = 1.0 - alpha
+    ctes = [
+        f"""{prefix}0 AS MATERIALIZED (
+  SELECT s AS node, CAST(1.0 AS DOUBLE) AS rank FROM srcn)"""
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""{prefix}{i + 1} AS MATERIALIZED (
+  SELECT node, SUM(rank) AS rank FROM (
+    SELECT ew.dst AS node, {d} * t.rank / ew.od AS rank
+    FROM {prefix}{i} t JOIN ew ON t.node = ew.src
+    UNION ALL
+    SELECT s AS node, CAST({alpha} AS DOUBLE) AS rank FROM srcn
+  ) u GROUP BY node)"""
+        )
+    return ",\n".join(ctes)
+
+
+_BASE_QUERIES26N = queries
+_BASE_ORACLE26N = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26N()
+    q["ppr_pagerank"] = q_ppr_pagerank
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE26N()
+    sql["ppr_pagerank"] = f"""WITH {_GRAPH_CTES},
+{_pagerank_chain("pr", PAGERANK_ITERS)}
+SELECT node, ROUND(rank / (SELECT SUM(rank) FROM pr{PAGERANK_ITERS}), 9) AS ppr
+FROM pr{PAGERANK_ITERS}
+WHERE ROUND(rank / (SELECT SUM(rank) FROM pr{PAGERANK_ITERS}), 9) > 0
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -3468,45 +3529,22 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 # See README "Correctness-snapshot protocol" for the rotation plan.
 
 _WINDOW_PRIORITY = [
-    # --- (a) never-observed before round 4 --------------------------------
-    "pq_trained_codes",
-    "kmeans_clusters",
-    "bm25_topk",
-    "tfidf_top_terms",
-    "doc_logprob",
-    "pq_codes",
-    "simsearch_pq",
-    "event_funnel",
-    "retention_cohorts",
-    "event_transitions",
-    "decayed_scores",
-    "bloom_decontamination",
-    "decontamination",
-    "doc_chunks",
+    # --- (a) never driver-observed: round-4 tail (registry positions 87-93
+    #     in r4, behind the window) + round-5 additions ---------------------
+    "ppr_pagerank",         # I8 — first-ever oracle row for the comparator
+    "graph_wcc",
+    "graph_hits",
+    "graph_kcore",
+    "click_attribution",
+    "dedup_survivors",
+    "order_price_bands",
+    "bm25_multi",
+    # --- (a2) driver-RED in r4, oracle dtype fixed this round -------------
     "seq_packing",
-    "mixture_rebalance",
-    "events_anomaly",
     "corpus_report",
     "data_expectations",
-    "two_hop_counts",
-    "ngram_span_dups",
-    "supplier_cooccurrence",
-    "pii_scrub",
-    "doc_repetition",
-    "quality_weighted_sample",
-    "events_value_quantiles",
-    "revenue_moving_avg",
-    "exact_k_by_lang",
-    "events_topk_hourly",
-    # --- (a2) round-4 additions, never observed ---------------------------
-    "semantic_dedup",
-    "triangle_counts",
-    "node_similarity",
-    "graph_bfs",
-    "approx_distinct_users",
-    "heavy_hitter_users",
-    "harmonic_centrality",
-    # --- (b) section-2 operator-family representatives --------------------
+    # --- (b) section-2 operator-family representatives (one per family,
+    #     kept in-window every round) --------------------------------------
     "graph_stats",          # S3/A5
     "graph_degrees",        # A7/J3
     "ppr_power_names",      # I3 + P1 + T1
@@ -3520,18 +3558,39 @@ _WINDOW_PRIORITY = [
     "ppr_fora",             # I5/R3/R4
     "ppr_fora_topk",        # I6/I2
     "base_all_pairs",       # I7/S5/P2/T5/T6
-    # P2/P4/P5/P7/P9 and A3/A6 reps (customer_spend_share,
-    # customer_order_counts, part_math, orders_by_month, global_aggs)
-    # rotated behind the window for round 4: scalar/aggregate expression
-    # pins, twice-observed green (r02+r03) on untouched code, still
-    # pinned by the local replica; P2 also rides base_all_pairs in-window
-    # delta_merge (A2) rotated behind the window for round 4: sum-by-key
-    # is also pinned by every in-window push/BASE superstep, twice observed
-    # top_orders_ties (T1/T3/T4) rotated behind the window for round 4:
-    # twice-observed, and ppr_power_topk still pins the rank-with-ties
-    # plan inside the window
     "report_layout",        # S6
-    # --- (c) twice-observed remainder follows in registration order -------
+    # --- (c) rotation debt: r1/r2/r3-observed queries, out of the window
+    #     since round 3 or earlier, oldest evidence first (see COVERAGE.md
+    #     "Correctness-window rotation schedule") ---------------------------
+    "ppr_power",
+    "revenue_by_customer",
+    "revenue_by_nation",
+    "customer_order_counts",
+    "customer_spend_share",
+    "part_math",
+    "orders_by_month",
+    "global_aggs",
+    "top_orders_ties",
+    "customers_without_orders",
+    "delta_merge",
+    "dedup_exact",
+    "token_counts",
+    "simsearch_cosine",
+    "text_profile",
+    "quality_filter",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "ngram_jaccard",
+    "simhash",
+    "embedding_near_dup",
+    "simsearch_lsh",
+    "simsearch_ivf",
+    "multimodal_features",
+    "events_hourly",
+    # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow
+    #     in registration order; they rotate back in per the COVERAGE.md
+    #     schedule (every registered query gets a driver row at least once
+    #     per 3 rounds) ----------------------------------------------------
 ]
 
 _BASE_QUERIES27 = queries
