@@ -167,6 +167,13 @@ def main() -> None:
     timed("q_graph_bfs", lambda: E.q_graph_bfs(spark, SF_DIR).count())
     timed("q_kcore", lambda: E.q_graph_kcore(spark, SF_DIR).count())
     timed("q_harmonic", lambda: E.q_harmonic_centrality(spark, SF_DIR).count())
+    # round-5 trend lines: the round-4 tail families (iterative hub/authority
+    # power rounds, label-propagation components, bucketized range join,
+    # batched multi-query BM25)
+    timed("q_hits", lambda: E.q_graph_hits(spark, SF_DIR).count())
+    timed("q_wcc", lambda: E.q_graph_wcc(spark, SF_DIR).count())
+    timed("q_range_join", lambda: E.q_order_price_bands(spark, SF_DIR).count())
+    timed("q_bm25_multi", lambda: E.q_bm25_multi(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend
