@@ -3095,7 +3095,13 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 # ---------------------------------------------------------------------------
 
 KCORE_K = 30  # near the median undirected degree: real multi-round peeling
-KCORE_ORACLE_ROUNDS = 8  # >= measured peeling depth (4 at sf0.01); extra no-op
+# Must dominate the Spark side's true peeling depth AT THE COMPARE SCALE —
+# the Spark query runs to the fixed point while the oracle unrolls exactly
+# this many rounds, so a deeper graph (larger sf) would silently diverge.
+# Guarded by tests/test_entry.test_sql_oracle_depths_cover_convergence,
+# which peels the sf0.01 graph under max_rounds=KCORE_ORACLE_ROUNDS and
+# fails loudly if convergence needs more (measured depth 4 at sf0.01).
+KCORE_ORACLE_ROUNDS = 8
 
 
 def q_graph_kcore(spark, sf_dir):

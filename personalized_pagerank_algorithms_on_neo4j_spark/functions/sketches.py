@@ -205,8 +205,24 @@ def cms_oracle_sql(
     threshold: int,
     d: int = 4,
     w: int = 2048,
+    out_alias: str | None = None,
 ) -> str:
-    """DuckDB twin of `cms_heavy_hitters` (bit-identical sketch)."""
+    """DuckDB twin of `cms_heavy_hitters` (bit-identical sketch).
+
+    ``out_alias`` names the output value column; it defaults from
+    ``value_expr`` only when that is a bare (possibly dotted) identifier —
+    a computed expression (e.g. ``lower(user_id)``) would otherwise
+    produce invalid SQL or an alias diverging from the Spark side."""
+    import re as _re
+
+    if out_alias is None:
+        tail = value_expr.split(".")[-1]
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tail):
+            raise ValueError(
+                f"value_expr {value_expr!r} is not a bare identifier; pass "
+                "out_alias explicitly so the oracle column matches Spark's"
+            )
+        out_alias = tail
 
     def h(seed: int, expr: str) -> str:
         # parameterized on the hashed expression — never string-replaced
@@ -232,6 +248,6 @@ est AS (
   FROM probe p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
   GROUP BY p.v
 )
-SELECT v AS {value_expr.split('.')[-1]}, est_count FROM est
+SELECT v AS {out_alias}, est_count FROM est
 WHERE est_count >= {threshold}
 """

@@ -256,6 +256,15 @@ def bm25_topk(
     terms = sorted({t for t in query.lower().split() if t})
     if not terms:
         raise ValueError("query has no tokens")
+    if len(terms) > _BM25_FUSED_TERMS_MAX:
+        # a pasted-paragraph query would build a conditional aggregate one
+        # column per term — O(tokens x terms) CPU and codegen-width risk;
+        # route through the batch operator's two-pass postings plan (same
+        # scoring math, rounding, and tie-break per its contract)
+        return bm25_topk_batch(
+            docs, [(0, query)], k=k, k1=k1, b=b,
+            text_col=text_col, id_col=id_col,
+        ).drop("query_id")
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     ).where(F.length("term") > 0)

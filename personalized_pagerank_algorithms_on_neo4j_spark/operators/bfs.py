@@ -73,6 +73,10 @@ def bfs_distances_multi(
     # state and frontier are up to |sources| x n rows — the broadcast and
     # partition bounds must scale by the landmark count, not graph.n
     # alone (counting the tiny sources frame is one cheap action)
+    # duplicate source rows would duplicate every (source, node, 0) seed row
+    # (later hops dedup through distinct + anti-join, hop 0 would not),
+    # double-counting dist=0 in any downstream aggregate
+    sources = sources.distinct()
     n_src = max(1, sources.count())
     state_bound = graph.n * n_src
     small = state_bound <= BROADCAST_NODE_BOUND

@@ -50,6 +50,12 @@ def make_merge_batch(
     replay it) directly without a running stream."""
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ._store import recover_store
+
+        # a crash inside compact_store's swap window can leave the store
+        # missing with a _precompact backup beside it; restore it BEFORE
+        # writing, or this batch would re-seed the store from one epoch
+        recover_store(store_path)
         batch_hourly = _hourly_counts(batch_df).withColumn(
             "epoch", F.lit(int(epoch_id)).cast("long")
         )
@@ -119,14 +125,20 @@ def compact_store(spark: SparkSession, store_path: str) -> int:
     epoch is kept verbatim because it is the only one Structured
     Streaming can replay after a restart — its partition overwrite stays
     idempotent, and a replayed epoch id can never collide with the -1
-    sentinel. Crash-safe by construction: the compacted store is built at
-    a sibling path and swapped in with directory renames, so a failure at
-    any point leaves either the old store or the new one, never a
-    double-counting mix. (On an object store, substitute the renames with
-    the store's atomic move.)"""
+    sentinel. Crash-safe via build-aside + swap + recovery: the compacted
+    store is built at a sibling path and swapped in with two directory
+    renames. A crash between the renames leaves NO directory at the store
+    path (only the `_precompact` backup) — every store entry point (this
+    function and `merge_batch`) calls `_store.recover_store` first, which
+    renames the backup back into place, so no state is ever lost and a
+    double-counting mix can never form. (On an object store,
+    substitute the renames with the store's atomic move.)"""
     import os
     import shutil
 
+    from ._store import recover_store
+
+    recover_store(store_path)
     df = spark.read.schema("bucket string, n bigint, epoch bigint").parquet(
         store_path
     )

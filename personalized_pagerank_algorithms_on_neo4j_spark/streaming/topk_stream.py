@@ -84,6 +84,13 @@ def make_merge_batch(
     replay it) directly without a running stream."""
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ._store import recover_store
+
+        # a crash inside migrate_legacy_store's swap window can leave the
+        # store missing with a _premigrate backup beside it; restore it
+        # BEFORE writing, or this batch would re-seed the store from one
+        # epoch and the board re-rank below would drop all history
+        recover_store(store_path)
         batch_totals = _bucketed_totals(batch_df, bucket, key_col, value_col)
         dirty = batch_totals.select("bucket").distinct().localCheckpoint(eager=True)
         if dirty.isEmpty():
@@ -162,11 +169,17 @@ def migrate_legacy_store(spark: SparkSession, store_path: str) -> bool:
     the stream is stopped. Returns False if the store is already in the
     epoch layout (no-op). Mixing layouts is never valid — Spark refuses
     conflicting partition-directory depths — hence the whole-directory
-    swap, crash-safe like `anomaly_stream.compact_store`."""
+    swap. A crash between the swap's two renames leaves no directory at
+    the store path (only the `_premigrate` backup); this function and
+    `merge_batch` both call `_store.recover_store` first, which restores
+    the backup, so the migration can simply be rerun."""
     import glob as _glob
     import os
     import shutil
 
+    from ._store import recover_store
+
+    recover_store(store_path)
     buckets = _glob.glob(os.path.join(store_path, "bucket=*"))
     if not buckets or _glob.glob(os.path.join(store_path, "bucket=*", "epoch=*")):
         return False

@@ -156,3 +156,16 @@ def test_sql_oracle_depths_cover_convergence(spark):
         )
         worst = max(worst, st)
     assert worst <= E.BASE_STEPS, f"base needs {worst} > {E.BASE_STEPS}"
+    # k-core: the Spark side peels to the fixed point while the oracle
+    # unrolls exactly KCORE_ORACLE_ROUNDS CTE steps — peel under that bound
+    # and let k_core's own RuntimeError fail the test if depth outgrows it
+    # (e.g. running the gate at a larger scale factor)
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        k_core,
+    )
+
+    k_core(
+        E._graph(spark, SF_ORACLE).edges,
+        k=E.KCORE_K,
+        max_rounds=E.KCORE_ORACLE_ROUNDS,
+    ).count()

@@ -1024,6 +1024,24 @@ def test_bm25_batch_matches_single(spark):
     with _pytest.raises(ValueError):
         bm25_topk_batch(docs, [])
 
+    # a SINGLE query longer than the fused bound (pasted paragraph) must
+    # also ride the postings plan and produce the identical result set
+    long_q = "spark join " + " ".join(f"zz{i}x" for i in range(T._BM25_FUSED_TERMS_MAX))
+    long_out = sorted(
+        (r["doc_id"], r["score"], r["pos"])
+        for r in bm25_topk(docs, long_q, k=5).collect()
+    )
+    assert [c for c in bm25_topk(docs, long_q, k=5).columns] == [
+        "doc_id", "score", "pos"
+    ]
+    # the zz* filler terms match no document, so scores equal the
+    # fused-plan "spark join" scores exactly
+    short_out = sorted(
+        (r["doc_id"], r["score"], r["pos"])
+        for r in bm25_topk(docs, "spark join", k=5).collect()
+    )
+    assert long_out == short_out and long_out
+
 
 def test_unigram_logprob_hand_computed(spark):
     import math

@@ -381,6 +381,69 @@ def test_anomaly_store_compaction(spark, tmp_path):
     assert A.compact_store(spark, store) == 0
 
 
+def test_store_swap_crash_recovery(spark, tmp_path):
+    """A crash between compact_store's two directory renames leaves NO
+    directory at the store path (only the _precompact backup). Both the
+    next merge_batch and a compact_store retry must restore the backup
+    instead of silently re-seeding the store from a single epoch."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        anomaly_stream as A,
+        topk_stream as T,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming._store import (
+        recover_store,
+    )
+
+    store = str(tmp_path / "crash_store")
+    board = str(tmp_path / "crash_board")
+    events = load_table(spark, SF_SMALL, "events")
+    run_epoch = A.make_merge_batch(spark, store, board, trailing=24, min_prev=6)
+    for i in range(3):
+        run_epoch(events.where(F.col("user_id") % 3 == i), i)
+    totals_before = sorted(
+        (r["bucket"], r["n"])
+        for r in spark.read.schema("bucket string, n bigint, epoch bigint")
+        .parquet(store).groupBy("bucket").agg(F.sum("n").alias("n")).collect()
+    )
+
+    # emulate the crash window: backup exists, store gone, half-built tmp left
+    os.rename(store, store + "_precompact")
+    os.makedirs(store + "_compacting")
+    # path 1: the next microbatch restores the store before writing
+    run_epoch(events.where(F.col("user_id") % 3 == 0), 0)  # replay of epoch 0
+    assert os.path.exists(store)
+    assert not os.path.exists(store + "_precompact")
+    assert not os.path.exists(store + "_compacting")
+    totals_after = sorted(
+        (r["bucket"], r["n"])
+        for r in spark.read.schema("bucket string, n bigint, epoch bigint")
+        .parquet(store).groupBy("bucket").agg(F.sum("n").alias("n")).collect()
+    )
+    assert totals_after == totals_before  # history intact, replay idempotent
+
+    # path 2: a compact_store retry also recovers, then compacts normally
+    os.rename(store, store + "_precompact")
+    assert A.compact_store(spark, store) == 2
+    assert totals_before == sorted(
+        (r["bucket"], r["n"])
+        for r in spark.read.schema("bucket string, n bigint, epoch bigint")
+        .parquet(store).groupBy("bucket").agg(F.sum("n").alias("n")).collect()
+    )
+
+    # topk migrate swap window: same recovery contract (_premigrate)
+    tstore = str(tmp_path / "crash_topk")
+    tboard = str(tmp_path / "crash_topk_board")
+    run_t = T.make_merge_batch(spark, tstore, tboard, k=3)
+    run_t(events.limit(200), 0)
+    os.rename(tstore, tstore + "_premigrate")
+    assert recover_store(tstore) == "_premigrate"
+    assert T.migrate_legacy_store(spark, tstore) is False  # already epoch layout
+
+    # nothing to recover on a fresh path: no-op, no directory conjured
+    assert recover_store(str(tmp_path / "never_existed")) is None
+    assert not os.path.exists(str(tmp_path / "never_existed"))
+
+
 def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     """Click->purchase attribution as a watermarked stream-stream interval
     join: driving both sides microbatch-by-microbatch must converge to the
