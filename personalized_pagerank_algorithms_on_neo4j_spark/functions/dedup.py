@@ -727,7 +727,20 @@ def dedup_clusters(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    def _label_sum(df: DataFrame):
+        # decimal(38,0): exact at any n x max_id, no silent bigint wrap
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
     converged = False
+    # Convergence check: labels only ever DECREASE (new = min(own,
+    # neighbors)), and the node set is fixed, so the exact label sum
+    # strictly decreases until — and only until — the fixed point. An
+    # aggregate over the just-checkpointed frame is map-side partials
+    # plus a 1-row exchange, where the previous equality join re-shuffled
+    # both O(n) label frames every round.
+    prev_sum = _label_sum(labels)
     for _ in range(max_iters):
         neighbor = (
             labels.join(und, labels.node == und.a)
@@ -739,18 +752,12 @@ def dedup_clusters(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "node"
-            )
-            .where(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if strict and not converged:
         raise RuntimeError(
             f"dedup_clusters: label propagation did not reach a confirmed "
