@@ -422,3 +422,26 @@ def personalized_pagerank(
         rank[s] += 1.0 - d
     total = rank.sum()
     return rank / total if total > 0 else rank
+
+def pagerank_global(lg: LocalGraph, alpha: float, iterations: int) -> np.ndarray:
+    """Whole-graph PageRank in the same Neo4j-damping convention as the
+    personalized comparator (damping d = 1-alpha, dangling mass dropped),
+    but with the UNIFORM 1/n start and restart vector — the first verb a
+    Neo4j GDS user runs (gds.pageRank ~ Neo4j_Method.java:66-98 without
+    the sourceNodes personalization). Fixed iterations, raw scores (GDS
+    does not normalize by default)."""
+    n = lg.n
+    d = 1.0 - alpha
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    src, dst = lg.edge_src, lg.edge_dst
+    out = lg.out_deg
+    inv_out = np.where(out > 0, 1.0 / np.maximum(out, 1), 0.0)
+    restart = (1.0 - d) / n
+    for _ in range(iterations):
+        rank = (
+            np.bincount(
+                dst, weights=rank[src] * inv_out[src] * d, minlength=n
+            ).astype(np.float64)
+            + restart
+        )
+    return rank

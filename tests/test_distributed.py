@@ -278,6 +278,22 @@ def test_pagerank_distributed_matches_kernel(got):
     assert np.max(np.abs(est - gold)) < 1e-12
 
 
+def test_pagerank_global_distributed_matches_kernel(got):
+    lg = got.local
+    df = pagerank.pagerank_global(got, iterations=12, mode="distributed")
+    rows = df.collect()
+    assert len(rows) == lg.n  # every node holds at least the restart mass
+    est = np.zeros(lg.n)
+    for r in rows:
+        est[lg.dense(r["node"])] = r["score"]
+    gold = _kernels.pagerank_global(lg, ALPHA, 12)
+    assert np.max(np.abs(est - gold)) < 1e-12
+    # uniform restart: total mass = 1 minus the dropped dangling mass —
+    # strictly < 1 (GOT has many dangling nodes, so the drop is large)
+    assert 0.0 < est.sum() < 1.0
+    assert est.min() >= (1.0 - (1.0 - ALPHA)) / lg.n - 1e-15  # restart floor
+
+
 def test_distributed_plan_shape(got):
     """The per-superstep join must keep the big (edge) side un-reshuffled:
     edges_deg is pre-partitioned on src and cached."""
