@@ -277,6 +277,34 @@ def _minhash_sig_wide(
     )
 
 
+def hot_shingles(
+    df: DataFrame,
+    n: int = 3,
+    min_df: int = 3,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(sh, df): the ``k`` most document-frequent word n-gram shingles with
+    df >= ``min_df`` — corpus-wide boilerplate / memorization-risk mining
+    (the aggregate view of the same shingle space the pairwise dedup
+    operators join on: a shingle hot here is exactly one the LSH/jaccard
+    caps would prune).
+
+    Scale shape: shingle explode (rows unique per (doc, shingle) by
+    construction — no distinct shuffle) -> ONE map-side-combinable count
+    per shingle -> TakeOrderedAndProject top-k under the total order
+    (df DESC, sh ASC); no join, no global window, deterministic at any
+    parallelism."""
+    counts = (
+        _doc_shingles(df, text_col, id_col, n)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    return counts.orderBy(F.desc("df"), F.asc("sh")).limit(k)
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,

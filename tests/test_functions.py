@@ -1308,3 +1308,56 @@ def test_validate_expectations_counts(spark):
     assert got["matches:name"] == (2, 4)     # null and "dd"
     assert got["in_set:name"] == (2, 4)      # null and "dd"
     assert got["unique:id"] == (1, 4)        # one duplicate of id=2
+
+
+def test_shard_manifest_partitions_whole_corpus(spark):
+    """Shard assignment must be deterministic and total: every doc in
+    exactly one shard, manifest totals equal corpus totals, shard ids
+    within range — and stable under a different input partitioning."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import sharding
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id", "text")
+    man = sharding.shard_manifest(d, n_shards=8, seed=3).collect()
+    assert {r["shard"] for r in man} <= set(range(8))
+    assert sum(r["n_docs"] for r in man) == d.count()
+    total_tokens = d.select(
+        F.sum(F.size(F.split(F.trim("text"), " +"))).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["n_tokens"] for r in man) == total_tokens
+    # repartitioning must not move any doc to a different shard
+    a = {
+        r["doc_id"]: r["shard"]
+        for r in sharding.shard_assign(d, 8, seed=3).collect()
+    }
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in sharding.shard_assign(d.repartition(13), 8, seed=3).collect()
+    }
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sharding.shard_assign(d, 0)
+
+
+def test_curriculum_order_buckets_track_quality(spark):
+    """bucket 0 = highest quality; bucket strictly tracks the quantized
+    quality score; order_key is the seeded portable hash of the id."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import sharding
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id", "text")
+    rows = sharding.curriculum_order(d, n_buckets=5, seed=9).collect()
+    assert len(rows) == d.count()
+    for r in rows:
+        expect_bucket = min(int((1.0 - r["quality"]) * 5), 4)
+        assert r["bucket"] == expect_bucket, (r["doc_id"], r["quality"])
+        assert 0 <= r["bucket"] <= 4
+        assert r["order_key"] == _py_hash(str(r["doc_id"]), 9)
+    # the schedule is a total preorder by quality: max quality in bucket b
+    # >= max quality in bucket b+1
+    by_bucket: dict[int, list[float]] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["quality"])
+    buckets = sorted(by_bucket)
+    for lo, hi in zip(buckets, buckets[1:]):
+        assert min(by_bucket[lo]) >= max(by_bucket[hi])
