@@ -3715,6 +3715,46 @@ FROM q
 
 
 # ---------------------------------------------------------------------------
+# Block 26r: local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient over the derived graph
+    (functions/graphstats.clustering_coefficient — degree-ordered triangle
+    side plus one node-bounded degree join)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        clustering_coefficient,
+    )
+
+    g = _graph(spark, sf_dir)
+    return clustering_coefficient(g.edges)
+
+
+_BASE_QUERIES26R = queries
+_BASE_ORACLE26R = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26R()
+    q["clustering_coeff"] = q_clustering_coeff
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        clustering_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        GRAPH_EDGES_SQL,
+    )
+
+    sql = _BASE_ORACLE26R()
+    sql["clustering_coeff"] = clustering_oracle_sql(GRAPH_EDGES_SQL)
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -3736,6 +3776,7 @@ _WINDOW_PRIORITY = [
     "hot_shingles",         # r5: corpus-wide boilerplate mining
     "shard_manifest",       # r5: training-data sharding
     "curriculum_order",     # r5: curriculum schedule columns
+    "clustering_coeff",     # r5: local clustering coefficient
     "graph_wcc",
     "graph_hits",
     "graph_kcore",
@@ -3786,7 +3827,6 @@ _WINDOW_PRIORITY = [
     "minhash_lsh_candidates",
     "ngram_jaccard",
     "simhash",
-    "embedding_near_dup",
     # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow
     #     in registration order; they rotate back in per the COVERAGE.md
     #     schedule (every registered query gets a driver row at least once

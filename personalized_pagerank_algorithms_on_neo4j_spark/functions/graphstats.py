@@ -164,6 +164,71 @@ SELECT node, COUNT(*) AS n_triangles FROM (
 """
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(node, deg, n_triangles, cc) over the same undirected simple graph
+    as `triangle_counts`: local clustering coefficient
+    cc = 2*T(v) / (deg(v) * (deg(v)-1)), defined 0 when deg < 2.
+
+    Scale shape: the triangle side is the degree-ordered O(m^1.5) wedge
+    join; this adds only one node-bounded degree aggregate and a left
+    join from it, so every node incident to an edge gets a row (cc = 0
+    for triangle-free nodes)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.selectExpr("u AS node")
+        .unionAll(und.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(edges)
+    t = F.coalesce("n_triangles", F.lit(0)).cast("long")
+    return deg.join(tri, "node", "left").select(
+        "node",
+        F.col("deg").cast("long").alias("deg"),
+        t.alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                F.lit(2.0) * t.cast("double")
+                / (F.col("deg").cast("double") * (F.col("deg") - F.lit(1))),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("cc"),
+    )
+
+
+def clustering_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of `clustering_coefficient` (wraps the triangle oracle)."""
+    return f"""
+WITH tri AS MATERIALIZED (
+  SELECT * FROM ({triangle_oracle_sql(edges_sql)}) t
+),
+e AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+)
+SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,
+       CAST(COALESCE(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN deg.deg >= 2
+                  THEN 2.0 * COALESCE(tri.n_triangles, 0)
+                       / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1))
+                  ELSE 0.0 END, 9) AS cc
+FROM deg LEFT JOIN tri ON deg.node = tri.node
+"""
+
+
 def node_similarity(
     edges: DataFrame,
     threshold: float = 0.2,

@@ -1096,6 +1096,31 @@ def test_triangle_counts_hand_computed(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
 
 
+def test_clustering_coefficient_hand_computed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        clustering_coefficient,
+    )
+
+    # same fixture as the triangle test; undirected degrees:
+    # 1:2, 2:2, 3:4, 4:2, 5:3, 6:1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 3), (3, 4), (5, 4), (3, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: (r.deg, r.n_triangles, r.cc)
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (4, 2, round(2 * 2 / (4 * 3), 9)),
+        4: (2, 1, 1.0),
+        5: (3, 1, round(2 * 1 / (3 * 2), 9)),
+        6: (1, 0, 0.0),  # deg < 2 -> cc defined 0, row still present
+    }
+
+
 def test_node_similarity_hand_computed(spark):
     from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
         node_similarity,
