@@ -3755,6 +3755,35 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26s: bigram-LM document scoring
+# ---------------------------------------------------------------------------
+
+
+def q_doc_bigram_logprob(spark, sf_dir):
+    """Mean Laplace-smoothed bigram log-probability per doc, trained on the
+    same corpus (functions/text.bigram_logprob_scores) — the sequence-aware
+    companion to doc_logprob's unigram proxy."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _text.bigram_logprob_scores(d)
+
+
+_BASE_QUERIES26S = queries
+_BASE_ORACLE26S = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26S()
+    q["doc_bigram_logprob"] = q_doc_bigram_logprob
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE26S()
+    sql["doc_bigram_logprob"] = _text.bigram_logprob_oracle_sql()
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -3777,6 +3806,7 @@ _WINDOW_PRIORITY = [
     "shard_manifest",       # r5: training-data sharding
     "curriculum_order",     # r5: curriculum schedule columns
     "clustering_coeff",     # r5: local clustering coefficient
+    "doc_bigram_logprob",   # r5: sequence-aware quality proxy
     "graph_wcc",
     "graph_hits",
     "graph_kcore",
@@ -3826,7 +3856,6 @@ _WINDOW_PRIORITY = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "ngram_jaccard",
-    "simhash",
     # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow
     #     in registration order; they rotate back in per the COVERAGE.md
     #     schedule (every registered query gets a driver row at least once

@@ -470,6 +470,109 @@ GROUP BY {id_col}
 """
 
 
+def bigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_bigrams, logprob): mean bigram log-probability per doc —
+    the sequence-aware step up from `unigram_logprob_scores` (word-salad
+    documents score low here even when every individual token is common).
+
+    Model: Laplace-smoothed conditional p(w2|w1) = (c(w1,w2) + 1) /
+    (c(w1,*) + V), trained on the SAME corpus, V = distinct unigram vocab.
+    Docs with fewer than 2 tokens have no bigram and get NO row (same rule
+    in the oracle).
+
+    Scale shape: bigrams come off the token ARRAY (two aligned slices +
+    arrays_zip + one explode — never a positional self-join of the token
+    stream); counts shuffle on the bigram key, the w1 marginal derives
+    from the counts frame (no second corpus pass), V broadcasts as one
+    row. Determinism: per-bigram log-probs ROUND(_, 9), doc ROUND(_, 6)."""
+    t = docs.select(
+        F.col(id_col),
+        F.filter(
+            tokens(F.lower(F.col(text_col))), lambda x: F.length(x) > 0
+        ).alias("_toks"),
+    )
+    vocab_n = (
+        t.select(F.explode("_toks").alias("term"))
+        .agg(F.count_distinct("term").cast("double").alias("v"))
+    )
+    t2 = t.where(F.size("_toks") >= 2).select(
+        id_col,
+        F.slice("_toks", F.lit(1), F.size("_toks") - 1).alias("w1s"),
+        F.slice("_toks", F.lit(2), F.size("_toks") - 1).alias("w2s"),
+    )
+    big = t2.select(
+        id_col, F.explode(F.arrays_zip("w1s", "w2s")).alias("bg")
+    ).select(
+        id_col,
+        F.col("bg.w1s").alias("w1"),
+        F.col("bg.w2s").alias("w2"),
+    )
+    counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    w1tot = counts.groupBy("w1").agg(F.sum("c").alias("tot"))
+    lp = (
+        counts.join(w1tot, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c") + F.lit(1.0))
+                    / (F.col("tot").cast("double") + F.col("v"))
+                ),
+                9,
+            ).alias("lp"),
+        )
+    )
+    return (
+        big.join(lp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("logprob"),
+        )
+    )
+
+
+def bigram_logprob_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `bigram_logprob_scores`."""
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower(trim({text_col})), ' +'),
+                     x -> length(x) > 0) AS toks
+  FROM {table}
+),
+t2 AS (
+  SELECT {id_col}, toks[1:len(toks)-1] AS w1s, toks[2:len(toks)] AS w2s
+  FROM t WHERE len(toks) >= 2
+),
+big AS (SELECT {id_col}, unnest(w1s) AS w1, unnest(w2s) AS w2 FROM t2),
+counts AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2),
+w1tot AS (SELECT w1, SUM(c) AS tot FROM counts GROUP BY 1),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+  FROM (SELECT unnest(toks) AS term FROM t)
+),
+lp AS (
+  SELECT w1, w2,
+         ROUND(ln((c + 1.0) / (CAST(tot AS DOUBLE) + v)), 9) AS lp
+  FROM counts JOIN w1tot USING (w1) CROSS JOIN vocab
+)
+SELECT {id_col}, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 6) AS logprob
+FROM big JOIN lp USING (w1, w2)
+GROUP BY {id_col}
+"""
+
+
 # union-of-terms bound for the fused one-pass conditional aggregate in
 # bm25_topk_batch; bigger batches use the two-pass postings plan
 _BM25_FUSED_TERMS_MAX = 24

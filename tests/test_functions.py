@@ -1061,6 +1061,30 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[2][1] < out[1][1]
 
 
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        bigram_logprob_scores,
+    )
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_bigrams, r.logprob)
+        for r in bigram_logprob_scores(df).collect()
+    }
+    # bigrams: doc1 (a,a),(a,b); doc2 (b,c). V = 4 distinct tokens.
+    # c(a,*)=2, c(b,*)=1; p(a|a)=(1+1)/(2+4), p(b|a)=(1+1)/(2+4),
+    # p(c|b)=(1+1)/(1+4)
+    lp_aa = round(math.log(2 / 6), 9)
+    lp_ab = round(math.log(2 / 6), 9)
+    lp_bc = round(math.log(2 / 5), 9)
+    assert out[1] == (2, round((lp_aa + lp_ab) / 2, 6))
+    assert out[2] == (1, round(lp_bc, 6))
+    assert 3 not in out  # single-token doc: no bigram, no row
+
+
 def test_two_hop_neighbors_hand_computed(spark):
     from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
         two_hop_neighbors,
