@@ -16,7 +16,16 @@ from pyspark.sql import functions as F
 def create_name_index(
     graph, table_name: str = "nodes_by_name", buckets: int = 16
 ) -> None:
-    """Materialize nodes bucketed+sorted by name into the session catalog."""
+    """Materialize nodes bucketed+sorted by name into the session catalog.
+
+    Progress reporting (the reference prints % complete while populating
+    the index, PPR.java:70-119): a batch engine builds the whole bucket
+    table in ONE job, so the honest analogue is start/done log lines with
+    the row count — per-row percentages would mean driver-side iteration."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    log.info("create_name_index: populating %r (%d buckets)...", table_name, buckets)
     (
         graph.nodes.write.mode("overwrite")
         .bucketBy(buckets, "name")
@@ -24,6 +33,8 @@ def create_name_index(
         .format("parquet")
         .saveAsTable(table_name)
     )
+    n = graph.spark.table(table_name).count()
+    log.info("create_name_index: %r complete — %d rows indexed (100%%)", table_name, n)
 
 
 def lookup_by_name(spark: SparkSession, name: str, table_name: str = "nodes_by_name") -> DataFrame:
