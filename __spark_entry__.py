@@ -716,6 +716,35 @@ def _sql_hash(expr: str, seed: str = "0") -> str:
     )
 
 
+# ---- shared quality-score SQL fragments (ONE definition; used by the
+# text_profile/quality_filter oracles AND curriculum_order — keep in
+# lockstep with functions/text.quality_score) --------------------------------
+
+_SQL_LEN_SCORE = "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+_SQL_PUNCT_RAW = (
+    "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) "
+    "AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"
+)
+
+
+def _sql_sw_raw(lang: str) -> str:
+    """Stopword-hit ratio for `lang` over lowercased whitespace tokens."""
+    lst = "[" + ", ".join(f"'{w}'" for w in _text.LANG_STOPWORDS[lang]) + "]"
+    tl = _SQL_TOKS_RAW.replace("text", "lower(text)")
+    return (
+        f"CAST(len(list_filter({tl}, t -> list_contains({lst}, t))) AS DOUBLE)"
+        f" / CAST(greatest(len({tl}), 1) AS DOUBLE)"
+    )
+
+
+def _sql_quality_combine(len_expr: str, sw_expr: str, punct_expr: str) -> str:
+    """quality = 0.4*len + 0.4*min(4*sw, 1) + 0.2*(1 - min(2*punct, 1))."""
+    return (
+        f"ROUND({len_expr}*0.4 + least(({sw_expr})*4.0, 1.0)*0.4"
+        f" + (1.0 - least(({punct_expr})*2.0, 1.0))*0.2, 6)"
+    )
+
+
 _SQL_SHINGLES = f"""list_filter(list_distinct(list_transform(
   range(0, greatest(len({_SQL_TOKS}) - 3, 0) + 1),
   i -> array_to_string(({_SQL_TOKS})[i+1:i+3], ' '))), s -> length(s) > 0)"""
@@ -738,18 +767,7 @@ FROM idx GROUP BY doc_id, i
 
 def _pipeline_oracle_sql() -> dict[str, str]:
     sw = {k: v for k, v in sorted(_text.LANG_STOPWORDS.items())}
-    sw_lists = {
-        lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
-        for lang, words in sw.items()
-    }
-    score_exprs = {
-        lang: (
-            f"CAST(len(list_filter({_SQL_TOKS_RAW.replace('text', 'lower(text)')}, "
-            f"t -> list_contains({sw_lists[lang]}, t))) AS DOUBLE) / "
-            f"CAST(greatest(len({_SQL_TOKS_RAW.replace('text', 'lower(text)')}), 1) AS DOUBLE)"
-        )
-        for lang in sw
-    }
+    score_exprs = {lang: _sql_sw_raw(lang) for lang in sw}
     mx = "greatest(" + ", ".join(f"s_{lang}" for lang in sw) + ")"
     lang_case = "CASE " + " ".join(
         f"WHEN s_{lang} > 0.0 AND s_{lang} = {mx} THEN '{lang}'" for lang in sw
@@ -763,13 +781,11 @@ WITH base AS (
     CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
     ROUND({score_exprs['en']}, 6) AS stopword_ratio_r,
     {score_exprs['en']} AS sw_raw,
-    ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio_r,
-    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-          / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_raw,
+    ROUND({_SQL_PUNCT_RAW}, 6) AS punct_ratio_r,
+    {_SQL_PUNCT_RAW} AS punct_raw,
     ROUND(CAST(list_sum(list_transform({_SQL_TOKS_RAW}, t -> length(t))) AS DOUBLE)
           / CAST(greatest(len({_SQL_TOKS_RAW}), 1) AS DOUBLE), 6) AS mean_token_len,
-    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+    {_SQL_LEN_SCORE} AS len_score,
     {" , ".join(f"{e} AS s_{lang}" for lang, e in score_exprs.items())},
     CAST(list_sum(list_transform(list_distinct(string_split_regex(trim(lower(text)), ' +')),
          t -> {_sql_hash('t')})) AS BIGINT) % 9007199254740881 AS fingerprint
@@ -779,8 +795,7 @@ SELECT doc_id, n_tokens, n_bpe_tokens,
        stopword_ratio_r AS stopword_ratio,
        punct_ratio_r AS punct_ratio,
        mean_token_len,
-       ROUND(len_score*0.4 + least(sw_raw*4.0, 1.0)*0.4
-             + (1.0 - least(punct_raw*2.0, 1.0))*0.2, 6) AS quality,
+       {_sql_quality_combine('len_score', 'sw_raw', 'punct_raw')} AS quality,
        {lang_case} AS lang_pred,
        fingerprint
 FROM base
@@ -3683,26 +3698,17 @@ SELECT shard, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
 FROM s GROUP BY shard
 """
-    toks_lower = _SQL_TOKS_RAW.replace("text", "lower(text)")
-    en_list = "[" + ", ".join(
-        f"'{w}'" for w in _text.LANG_STOPWORDS["en"]
-    ) + "]"
     sql["curriculum_order"] = f"""
 WITH b AS (
   SELECT doc_id,
-    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
-    CAST(len(list_filter({toks_lower}, t -> list_contains({en_list}, t)))
-         AS DOUBLE)
-      / CAST(greatest(len({toks_lower}), 1) AS DOUBLE) AS sw_raw,
-    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-         AS DOUBLE)
-      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_raw
+    {_SQL_LEN_SCORE} AS len_score,
+    {_sql_sw_raw('en')} AS sw_raw,
+    {_SQL_PUNCT_RAW} AS punct_raw
   FROM documents
 ),
 q AS (
   SELECT doc_id,
-         ROUND(len_score*0.4 + least(sw_raw*4.0, 1.0)*0.4
-               + (1.0 - least(punct_raw*2.0, 1.0))*0.2, 6) AS quality
+         {_sql_quality_combine('len_score', 'sw_raw', 'punct_raw')} AS quality
   FROM b
 )
 SELECT doc_id, quality,

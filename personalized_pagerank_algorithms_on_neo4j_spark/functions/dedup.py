@@ -354,7 +354,20 @@ def minhash_lsh_candidates(
     ``SEMDEDUP_CAP``). Docs in a dropped bucket can still pair through their
     other ``bands - 1`` buckets; byte-identical boilerplate is the
     ``exact_dup_groups`` operator's job, not LSH's. ``max_bucket_size=None``
-    disables the cap."""
+    disables the cap.
+
+    NOTE: with the cap enabled this function is EAGER — the banded
+    signature table is materialized at call time (it feeds three
+    consumers: the size aggregate and both self-join sides) and the
+    drop count is logged via one cheap aggregate over that checkpoint.
+    Callers that only want to inspect the plan should pass
+    ``max_bucket_size=None``.
+
+    The cap is intentionally NOT modeled in the DuckDB oracles (they
+    stay cap-free); tests/test_entry.test_minhash_bucket_cap_never_binds_
+    at_gate_scale guards that no bucket can reach the cap at the compare
+    scale, so capped Spark and uncapped oracle agree there by
+    construction."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes}); a partial "

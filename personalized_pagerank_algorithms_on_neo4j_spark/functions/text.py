@@ -494,7 +494,12 @@ def bigram_logprob_scores(
         F.filter(
             tokens(F.lower(F.col(text_col))), lambda x: F.length(x) > 0
         ).alias("_toks"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the token arrays feed THREE consumers (vocab count, the bigram
+    # counts aggregation, and the final scoring join); without the eager
+    # materialization each one re-reads and re-tokenizes the whole corpus
+    # (the bm25_topk trade, same file: one corpus-bounded write replaces
+    # two extra corpus passes)
     vocab_n = (
         t.select(F.explode("_toks").alias("term"))
         .agg(F.count_distinct("term").cast("double").alias("v"))

@@ -33,8 +33,12 @@ def create_name_index(
         .format("parquet")
         .saveAsTable(table_name)
     )
-    n = graph.spark.table(table_name).count()
-    log.info("create_name_index: %r complete — %d rows indexed (100%%)", table_name, n)
+    # graph.n is already cached on the PropertyGraph — no re-scan of the
+    # just-written table for a log line
+    log.info(
+        "create_name_index: %r complete — %d rows indexed (100%%)",
+        table_name, graph.n,
+    )
 
 
 def lookup_by_name(spark: SparkSession, name: str, table_name: str = "nodes_by_name") -> DataFrame:

@@ -90,7 +90,14 @@ def make_merge_batch(
         # store missing with a _premigrate backup beside it; restore it
         # BEFORE writing, or this batch would re-seed the store from one
         # epoch and the board re-rank below would drop all history
-        recover_store(store_path)
+        if recover_store(store_path) == "_premigrate":
+            # the restored backup is in the LEGACY bucket-only layout —
+            # writing epoch partitions into it would create a mixed-depth
+            # directory tree Spark refuses to read (and that a later
+            # migrate_legacy_store would mistake for already-migrated).
+            # Re-run the interrupted migration first; no-op if the backup
+            # was already epoch-layout.
+            migrate_legacy_store(spark, store_path)
         batch_totals = _bucketed_totals(batch_df, bucket, key_col, value_col)
         dirty = batch_totals.select("bucket").distinct().localCheckpoint(eager=True)
         if dirty.isEmpty():

@@ -169,3 +169,44 @@ def test_sql_oracle_depths_cover_convergence(spark):
         k=E.KCORE_K,
         max_rounds=E.KCORE_ORACLE_ROUNDS,
     ).count()
+
+
+def test_minhash_bucket_cap_never_binds_at_gate_scale(spark):
+    """The LSH hot-bucket cap (functions/dedup.MINHASH_BUCKET_CAP) is not
+    modeled by the DuckDB oracles of minhash_lsh_candidates /
+    dedup_clusters / dedup_survivors / semantic-family queries: Spark
+    drops oversized (band, bucket) keys, the oracle keeps them. That is
+    the intended behavior at corpus scale, so this guard asserts the cap
+    CANNOT bind at the compare scale — if testdata drift ever produces a
+    bucket above the cap at sf0.01, fail here with a clear message instead
+    of a silent driver hash mismatch (same discipline as the
+    KCORE_ORACLE_ROUNDS guard above)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import dedup
+
+    d = E._t(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    # same parameters as every oracle-checked minhash query (num_hashes=8,
+    # bands=4, n=3)
+    wide = dedup._minhash_sig_wide(d, 8, 3, "text", "doc_id")
+    from pyspark.sql import functions as F
+
+    rows = 8 // 4
+    sizes = []
+    for b in range(4):
+        sig = F.md5(
+            F.concat_ws(
+                ",",
+                *[F.col(f"_m{b * rows + j}").cast("string") for j in range(rows)],
+            )
+        )
+        sizes.append(
+            wide.groupBy(sig.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+    assert max(sizes) < dedup.MINHASH_BUCKET_CAP, (
+        f"a (band, bucket) key holds {max(sizes)} docs at the compare scale "
+        f">= MINHASH_BUCKET_CAP={dedup.MINHASH_BUCKET_CAP}: the capped Spark "
+        "side would diverge from the uncapped oracles — raise the cap or "
+        "model it in the oracle SQL"
+    )

@@ -439,6 +439,33 @@ def test_store_swap_crash_recovery(spark, tmp_path):
     assert recover_store(tstore) == "_premigrate"
     assert T.migrate_legacy_store(spark, tstore) is False  # already epoch layout
 
+    # the dangerous variant: the _premigrate backup is in the LEGACY
+    # bucket-only layout (migrate crashed mid-swap) and the stream is
+    # restarted WITHOUT re-running migrate. merge_batch must re-run the
+    # migration itself, or its epoch write would produce a mixed-depth
+    # store Spark refuses to read.
+    lstore = str(tmp_path / "crash_legacy")
+    lboard = str(tmp_path / "crash_legacy_board")
+    T._bucketed_totals(
+        events.limit(300), "1 hour", "user_id", "value"
+    ).write.partitionBy("bucket").parquet(lstore)
+    legacy_total = (
+        spark.read.parquet(lstore).agg(F.sum("n").alias("s")).collect()[0]["s"]
+    )
+    os.rename(lstore, lstore + "_premigrate")  # crash between the renames
+    run_l = T.make_merge_batch(spark, lstore, lboard, k=3)
+    run_l(events.limit(100), 5)  # restart: recover + re-migrate + write
+    assert glob.glob(os.path.join(lstore, "bucket=*", "epoch=*"))
+    merged = (
+        spark.read.schema("bucket string, key bigint, n bigint, cents bigint, epoch bigint")
+        .parquet(lstore)
+    )
+    # legacy history survived as the epoch=-1 baseline; the new epoch added
+    assert merged.where(F.col("epoch") == -1).agg(
+        F.sum("n")
+    ).collect()[0][0] == legacy_total
+    assert merged.where(F.col("epoch") == 5).count() > 0
+
     # nothing to recover on a fresh path: no-op, no directory conjured
     assert recover_store(str(tmp_path / "never_existed")) is None
     assert not os.path.exists(str(tmp_path / "never_existed"))
