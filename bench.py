@@ -174,6 +174,12 @@ def main() -> None:
     timed("q_wcc", lambda: E.q_graph_wcc(spark, SF_DIR).count())
     timed("q_range_join", lambda: E.q_order_price_bands(spark, SF_DIR).count())
     timed("q_bm25_multi", lambda: E.q_bm25_multi(spark, SF_DIR).count())
+    # round-5 additions: whole-graph pagerank (iterative), hot-shingle
+    # mining and the bigram LM (the two heaviest text aggregations)
+    timed("q_graph_pagerank", lambda: E.q_graph_pagerank(spark, SF_DIR).count())
+    timed("q_hot_shingles", lambda: E.q_hot_shingles(spark, SF_DIR).count())
+    timed("q_bigram_logprob",
+          lambda: E.q_doc_bigram_logprob(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend
