@@ -24,8 +24,12 @@ __all__ = [
     "two_hop_oracle_sql",
     "triangle_counts",
     "triangle_oracle_sql",
+    "clustering_coefficient",
+    "clustering_oracle_sql",
     "node_similarity",
     "node_similarity_oracle_sql",
+    "adamic_adar",
+    "adamic_adar_oracle_sql",
     "k_core",
     "k_core_oracle_sql",
 ]
@@ -318,6 +322,91 @@ JOIN out_deg da ON da.node = c.node_a
 JOIN out_deg db ON db.node = c.node_b
 WHERE ROUND(CAST(c.n_common AS DOUBLE)
             / CAST(da.deg + db.deg - c.n_common AS DOUBLE), 6) >= {threshold}
+"""
+
+
+def adamic_adar(
+    edges: DataFrame,
+    threshold: float = 0.0,
+    hub_cap: int | None = 1_000,
+) -> DataFrame:
+    """(node_a, node_b, n_common, score) link-prediction scores: for every
+    pair sharing at least one OUT-neighbor, score = sum over shared
+    neighbors w of 1 / ln(in_deg(w)) — rare shared neighbors count more
+    (Adamic-Adar, the gds.alpha.linkprediction.adamicAdar shape in this
+    engine's directed convention: shared OUT-neighbors, weighted by the
+    neighbor's in-degree).
+
+    Scale shape: identical to `node_similarity` — pairs generate per
+    shared neighbor (hub-capped), the weight joins from the in-degree
+    aggregate the cap already computes, one groupBy sums the pair. A
+    shared neighbor has in_deg >= 2 by construction, so ln() is never 0.
+    Determinism: weights are summed as NANO-SCALED INTEGERS
+    (round(1e9/ln(d)) as long) — a float sum is summation-order-dependent
+    and 1-ulp drift at a ROUND(_, 6) boundary flips the last digit
+    between engines (observed on ~1% of pairs); integer sums are exact in
+    any order, and the hub cap bounds them at ~7e11 << 2^63."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)  # pair sides + degree agg share it
+    ind = e.groupBy(F.col("dst").alias("mid")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    mids = ind.where(F.col("in_deg") >= 2)
+    if hub_cap is not None:
+        mids = mids.where(F.col("in_deg") <= hub_cap)
+    weights = mids.select(
+        "mid",
+        F.round(F.lit(1e9) / F.log(F.col("in_deg").cast("double")))
+        .cast("long")
+        .alias("w_nano"),
+    )
+    a = e.select(F.col("src").alias("node_a"), F.col("dst").alias("mid"))
+    b = e.select(F.col("src").alias("node_b"), F.col("dst").alias("mid"))
+    return (
+        a.join(weights, "mid")
+        .join(b, "mid")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            # HALF_UP to 6 decimals in pure integer arithmetic: double
+            # ROUND at an exact .5 decimal differs between engines
+            # (Spark rounds the decimal string, DuckDB the binary double)
+            (
+                F.floor((F.sum("w_nano") + F.lit(500)) / F.lit(1000)).cast("long")
+                / F.lit(1e6)
+            ).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
+def adamic_adar_oracle_sql(
+    edges_sql: str, threshold: float = 0.0, hub_cap: int | None = 1_000
+) -> str:
+    """DuckDB twin of `adamic_adar` over any (src, dst) edge SQL."""
+    cap = f"AND in_deg <= {hub_cap}" if hub_cap is not None else ""
+    return f"""
+WITH raw AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+w AS (
+  SELECT mid,
+         CAST(ROUND(1000000000.0 / ln(CAST(in_deg AS DOUBLE))) AS BIGINT)
+           AS w_nano
+  FROM (
+    SELECT dst AS mid, COUNT(*) AS in_deg FROM e GROUP BY 1
+  ) WHERE in_deg >= 2 {cap}
+),
+pairs AS (
+  SELECT a.src AS node_a, b.src AS node_b,
+         COUNT(*) AS n_common,
+         ((CAST(SUM(w.w_nano) AS BIGINT) + 500) // 1000) / 1000000.0 AS score
+  FROM e a
+  JOIN w ON a.dst = w.mid
+  JOIN e b ON b.dst = a.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b, n_common, score FROM pairs WHERE score >= {threshold}
 """
 
 

@@ -1120,6 +1120,40 @@ def test_triangle_counts_hand_computed(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
 
 
+def test_adamic_adar_hand_computed(spark):
+    import math
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        adamic_adar,
+    )
+
+    # shared out-neighbors: 7 (from 1,2,3 -> in_deg 3), 8 (from 1,2 -> 2)
+    edges = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7), (1, 8), (2, 8), (4, 9)], "src long, dst long"
+    )
+    rows = {
+        (r.node_a, r.node_b): (r.n_common, r.score)
+        for r in adamic_adar(edges, threshold=0.0, hub_cap=None).collect()
+    }
+    w3 = round(1e9 / math.log(3))
+    w2 = round(1e9 / math.log(2))
+    def half_up(nano):
+        return ((nano + 500) // 1000) / 1e6
+    assert rows == {
+        (1, 2): (2, half_up(w3 + w2)),   # share 7 and 8
+        (1, 3): (1, half_up(w3)),        # share 7 only
+        (2, 3): (1, half_up(w3)),
+    }
+    # node 9 has in_deg 1: never a shared neighbor, no pair from it
+    assert not any(4 in p for p in rows)
+    # a hub cap below 3 drops neighbor 7 from pair generation
+    capped = {
+        (r.node_a, r.node_b)
+        for r in adamic_adar(edges, threshold=0.0, hub_cap=2).collect()
+    }
+    assert capped == {(1, 2)}
+
+
 def test_clustering_coefficient_hand_computed(spark):
     from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
         clustering_coefficient,
