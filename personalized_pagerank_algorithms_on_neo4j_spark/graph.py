@@ -308,6 +308,33 @@ class PropertyGraph:
 
         return _kcore(self.edges, k=k, max_rounds=max_rounds)
 
+    def clustering_coefficient(self) -> DataFrame:
+        from .functions.graphstats import clustering_coefficient as _cc
+
+        return _cc(self.edges)
+
+    def adamic_adar(
+        self, threshold: float = 0.0, hub_cap: int | None = 1_000
+    ) -> DataFrame:
+        from .functions.graphstats import adamic_adar as _aa
+
+        return _aa(self.edges, threshold=threshold, hub_cap=hub_cap)
+
+    def pagerank(
+        self, iterations: int = 10, alpha: float | None = None, mode: str = "auto"
+    ) -> DataFrame:
+        """Whole-graph (non-personalized) PageRank — the gds.pageRank verb;
+        see operators/pagerank.pagerank_global."""
+        from .config import DEFAULT_ALPHA
+        from .operators.pagerank import pagerank_global
+
+        return pagerank_global(
+            self,
+            iterations=iterations,
+            alpha=DEFAULT_ALPHA if alpha is None else alpha,
+            mode=mode,
+        )
+
     def connected_components(self, max_iters: int = 30) -> DataFrame:
         """(node, component) over nodes with at least one edge; component
         id = smallest node id in the component (min-label propagation —

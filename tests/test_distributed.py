@@ -378,5 +378,11 @@ def test_graph_analytics_facade(got):
     assert cc and all(r["component"] <= r["node"] for r in cc)
     kc = got.k_core(k=2).collect()
     assert kc and all(r["core_degree"] >= 2 for r in kc)
+    co = got.clustering_coefficient().collect()
+    assert co and all(0.0 <= r["cc"] <= 1.0 for r in co)
+    aa = got.adamic_adar(threshold=0.0).collect()
+    assert aa and all(r["score"] > 0 for r in aa)
+    pr = got.pagerank(iterations=3).collect()
+    assert len(pr) == got.n and all(r["score"] > 0 for r in pr)
     ns = got.node_similarity(threshold=0.5).collect()
     assert all(r["jaccard"] >= 0.5 for r in ns)

@@ -189,3 +189,44 @@ def test_mixture_thresholds_broadcast(spark):
     plan = _plan(E.q_mixture_rebalance(spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hot_shingles_takeordered(spark):
+    """Top-k shingle mining must plan as per-partition top-k + driver merge
+    (TakeOrderedAndProject), never a single-partition global sort or
+    window."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import dedup
+
+    d = E._t(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    plan = _plan(dedup.hot_shingles(d, n=3, min_df=2, k=20))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # one count aggregate (partial + final), nothing else wide
+    assert plan.count("HashAggregate") == 2, plan[:1500]
+
+
+def test_bigram_logprob_single_tokenize(spark):
+    """The bigram scorer materializes the token arrays once: the plan must
+    read the checkpoint (ExistingRDD), with NO re-tokenization subtree (the
+    regexp split appears zero times downstream of the checkpoint)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import text as T
+
+    d = E._t(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    plan = _plan(T.bigram_logprob_scores(d))
+    assert plan.count("Scan ExistingRDD") >= 2  # counts side + scoring side
+    assert "split(" not in plan  # tokenization happened before the checkpoint
+
+
+def test_curriculum_and_shard_no_exchange(spark):
+    """Shard assignment and curriculum columns are pure projections —
+    zero exchanges; the manifest adds exactly one aggregate exchange."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import sharding
+
+    d = E._t(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    p1 = _plan(sharding.shard_assign(d, 16))
+    assert "Exchange" not in p1 and "HashAggregate" not in p1
+    p2 = _plan(sharding.curriculum_order(d))
+    assert "Exchange" not in p2 and "HashAggregate" not in p2
+    p3 = _plan(sharding.shard_manifest(d, 16))
+    assert p3.count("Exchange") == 1  # the shard groupBy, map-side combined
+    assert "partial_count" in p3 or "partial" in p3
