@@ -3867,6 +3867,84 @@ FROM oh FULL OUTER JOIN ih ON oh.degree = ih.degree
 
 
 # ---------------------------------------------------------------------------
+# Block 26u: IVF-PQ hybrid ANN
+# ---------------------------------------------------------------------------
+
+IVFPQ_K = 20
+
+
+def q_simsearch_ivfpq(spark, sf_dir):
+    """IVF-PQ: coarse cells restrict candidates, PQ ADC scores only the
+    probed cells from the codes table (functions/pq.ivfpq_topk — the
+    production ANN layout: no raw candidate embedding on the query path)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import pq as _pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    return _pq.ivfpq_topk(
+        e, query_id=0, k=IVFPQ_K, n_cells=16, nprobe=4, m=4, ksub=16
+    )
+
+
+_BASE_QUERIES26U = queries
+_BASE_ORACLE26U = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26U()
+    q["simsearch_ivfpq"] = q_simsearch_ivfpq
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.pq import (
+        pq_oracle_ctes,
+    )
+
+    sql = _BASE_ORACLE26U()
+    cos = lambda a, b: (  # noqa: E731 — same cosine fragment as simsearch_ivf
+        f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * SQRT(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+    )
+    sql["simsearch_ivfpq"] = f"""
+WITH {pq_oracle_ctes(m=4, ksub=16, dim=64)},
+cent AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND({cos('e.embedding', 'c.cvec')}, 9) DESC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) t WHERE rn = 1
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM cent CROSS JOIN q
+  ORDER BY ROUND({cos('cent.cvec', 'q.embedding')}, 9) DESC, cell ASC LIMIT 4
+),
+lut AS (
+  SELECT c.sub, c.code,
+         ROUND(list_sum(list_transform(range(1, 17),
+           i -> (CAST(q.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])
+              * (CAST(q.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i]))), 9) AS d
+  FROM cb c CROSS JOIN q),
+adist AS (
+  SELECT e.vec_id, ROUND(SUM(l.d), 6) AS adist
+  FROM enc e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN probe p ON a.cell = p.cell
+  JOIN lut l USING (sub, code)
+  GROUP BY 1)
+SELECT vec_id, adist FROM adist
+QUALIFY RANK() OVER (ORDER BY adist ASC) <= {IVFPQ_K}
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -3892,6 +3970,7 @@ _WINDOW_PRIORITY = [
     "doc_bigram_logprob",   # r5: sequence-aware quality proxy
     "adamic_adar",          # r5: link prediction
     "degree_histogram",     # r5: degree profiling
+    "simsearch_ivfpq",      # r5: IVF-PQ hybrid ANN
     "graph_wcc",
     "graph_hits",
     "graph_kcore",
@@ -3938,7 +4017,6 @@ _WINDOW_PRIORITY = [
     "simsearch_cosine",
     "quality_filter",
     "minhash_signatures",
-    "minhash_lsh_candidates",
     # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow
     #     in registration order; they rotate back in per the COVERAGE.md
     #     schedule (every registered query gets a driver row at least once

@@ -38,6 +38,7 @@ __all__ = [
     "pq_fit",
     "pq_encode",
     "pq_adc_topk",
+    "ivfpq_topk",
     "pq_oracle_ctes",
     "pq_trained_oracle_ctes",
 ]
@@ -207,6 +208,83 @@ def pq_adc_topk(
     # codes table is a persisted index anyway)
     adist = _adc_scores(codes, lut, id_col).localCheckpoint(eager=True)
     # bottom-k with the engine's tie semantics (kth smallest, keep <=)
+    kth_rows = adist.select("adist").orderBy(F.asc("adist")).limit(k).collect()
+    if len(kth_rows) < k:
+        return adist
+    return adist.where(F.col("adist") <= F.lit(kth_rows[-1][0]))
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ivf_index: tuple[DataFrame, DataFrame] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ hybrid ANN: the coarse quantizer (IVF cells,
+    `simsearch.ivf_assign`) restricts candidates to the ``nprobe`` cells
+    nearest the query, and PQ ADC scores ONLY those candidates from the
+    codes table — the production ANN layout at corpus scale: the query
+    path reads the (cell-bucketed) codes of the probed cells plus an
+    m*ksub broadcast LUT, never a raw candidate embedding.
+
+    Pass persisted ``ivf_index`` / ``codebooks`` / ``codes`` to amortize
+    both index structures across queries. Tie semantics match
+    `pq_adc_topk` (kth-value filter on adist, result may exceed k)."""
+    from .simsearch import cosine, ivf_assign
+
+    centroids, assigned = (
+        ivf_index
+        if ivf_index is not None
+        else ivf_assign(df, n_cells, vec_col, id_col)
+    )
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(df, m, ksub, vec_col, id_col)
+    if codes is None:
+        codes = pq_encode(df, codebooks, vec_col, id_col)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    spark = df.sparkSession
+
+    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("_q"))
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "cell", F.round(cosine(F.col("cvec"), F.col("_q")), 9).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand_codes = (
+        codes.join(assigned.select(id_col, "cell"), id_col)
+        .join(F.broadcast(probe_cells), "cell")
+        .select(id_col, "codes")
+    )
+    cb = spark.createDataFrame(
+        [
+            (s, c, codebooks[s][c])
+            for s in range(m)
+            for c in range(len(codebooks[s]))
+        ],
+        schema="sub int, code int, cvec array<double>",
+    )
+    qsub = df.where(F.col(id_col) == query_id).select(
+        F.posexplode(
+            F.array(*[F.slice(F.col(vec_col), s * dsub + 1, dsub) for s in range(m)])
+        ).alias("sub", "qvec")
+    )
+    lut = cb.join(F.broadcast(qsub), "sub").select(
+        "sub", "code", F.round(_dist2(F.col("cvec"), F.col("qvec")), 9).alias("d")
+    )
+    adist = _adc_scores(cand_codes, lut, id_col).localCheckpoint(eager=True)
     kth_rows = adist.select("adist").orderBy(F.asc("adist")).limit(k).collect()
     if len(kth_rows) < k:
         return adist

@@ -127,3 +127,52 @@ def test_pq_query_path_reads_codes_not_embeddings(spark):
         assert out.count() >= 5
     finally:
         codes.unpersist()
+
+
+def test_ivfpq_restricts_to_probed_cells(spark):
+    """The hybrid must return exactly the bottom-k ADC scores of the
+    vectors assigned to the nprobe nearest cells — a subset of the
+    full-corpus ADC scores, computed without scanning the other cells."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import simsearch
+
+    X, df = _synth_df(spark, n=96, dim=8)
+    m, ksub = 4, 8
+    cbs = pq.pq_seed_codebooks(df, m=m, ksub=ksub)
+    codes = pq.pq_encode(df, cbs)
+    centroids, assigned = simsearch.ivf_assign(df, n_cells=6)
+    out = {
+        r["vec_id"]: r["adist"]
+        for r in pq.ivfpq_topk(
+            df, query_id=0, k=5, n_cells=6, nprobe=2,
+            ivf_index=(centroids, assigned), codebooks=cbs, codes=codes,
+        ).collect()
+    }
+    assert len(out) >= 5
+    # every result is in one of the 2 probed cells (recompute the probe)
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_q")
+    )
+    probed = {
+        r["cell"]
+        for r in centroids.crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            F.round(simsearch.cosine(F.col("cvec"), F.col("_q")), 9).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("cell"))
+        .limit(2)
+        .collect()
+    }
+    cell_of = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert all(cell_of[v] in probed for v in out)
+    # scores equal the full-ADC scores for the same ids (ADC is unchanged,
+    # only the candidate set shrinks)
+    full = {
+        r["vec_id"]: r["adist"]
+        for r in pq.pq_adc_topk(
+            df, query_id=0, k=96, codebooks=cbs, codes=codes
+        ).collect()
+    }
+    assert all(full[v] == out[v] for v in out)
+    # the query's own cell is always probed, so vec 0 (adist ~ 0) is in
+    assert 0 in out
