@@ -3945,6 +3945,57 @@ QUALIFY RANK() OVER (ORDER BY adist ASC) <= {IVFPQ_K}
 
 
 # ---------------------------------------------------------------------------
+# Block 26v: incremental cross-corpus LSH (batch twin of minhash_stream)
+# ---------------------------------------------------------------------------
+
+
+def q_lsh_incremental(spark, sf_dir):
+    """Incoming docs (source = BENCH_SOURCE stands in for a microbatch)
+    that share an LSH band bucket with the historical corpus — the batch
+    twin of streaming/minhash_stream (same banding via
+    functions/dedup.minhash_banded, so stream and batch cannot drift)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    new = d.where(F.col("source") == BENCH_SOURCE).select("doc_id", "text")
+    old = d.where(F.col("source") != BENCH_SOURCE).select("doc_id", "text")
+    return _dedup.cross_corpus_lsh_candidates(
+        new, old, num_hashes=8, bands=4, n=3
+    )
+
+
+_BASE_QUERIES26V = queries
+_BASE_ORACLE26V = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26V()
+    q["lsh_incremental"] = q_lsh_incremental
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE26V()
+    sql["lsh_incremental"] = f"""
+WITH sig AS MATERIALIZED ({_SQL_MINHASH_SIG}),
+banded AS MATERIALIZED (
+  SELECT doc_id, i // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, i // 2
+),
+newb AS (
+  SELECT b.doc_id, b.band, b.bucket FROM banded b
+  JOIN documents d USING (doc_id) WHERE d.source = '{BENCH_SOURCE}'
+),
+oldb AS (
+  SELECT b.doc_id, b.band, b.bucket FROM banded b
+  JOIN documents d USING (doc_id) WHERE d.source <> '{BENCH_SOURCE}'
+)
+SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+FROM newb n JOIN oldb o USING (band, bucket)
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -3971,6 +4022,7 @@ _WINDOW_PRIORITY = [
     "adamic_adar",          # r5: link prediction
     "degree_histogram",     # r5: degree profiling
     "simsearch_ivfpq",      # r5: IVF-PQ hybrid ANN
+    "lsh_incremental",      # r5: cross-corpus LSH (stream twin)
     "graph_wcc",
     "graph_hits",
     "graph_kcore",
@@ -4014,7 +4066,6 @@ _WINDOW_PRIORITY = [
     "delta_merge",
     "dedup_exact",
     "token_counts",
-    "simsearch_cosine",
     "quality_filter",
     "minhash_signatures",
     # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow

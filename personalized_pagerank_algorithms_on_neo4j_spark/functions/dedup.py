@@ -326,6 +326,104 @@ def minhash_signatures(
 MINHASH_BUCKET_CAP = 1_000  # (band, bucket) keys larger than this are dropped
 
 
+def minhash_banded(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, band, bucket): the LSH band table — bucket = md5 of the
+    band's ordered minhashes, built straight off the wide signature row
+    (one x`bands` explode of tiny structs, no per-(doc, band) groupBy).
+    Shared by the self-join candidate generator and the cross-corpus /
+    streaming incremental variants so the banding scheme exists once."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); a partial "
+            "trailing band would silently change candidate recall"
+        )
+    rows = num_hashes // bands
+    wide = _minhash_sig_wide(df, num_hashes, n, text_col, id_col)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"_m{b * rows + j}").cast("string")
+                            for j in range(rows)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return wide.select(
+        "doc_id", F.explode(band_entries).alias("e")
+    ).select("doc_id", "e.band", "e.bucket")
+
+
+def cross_corpus_lsh_candidates(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = MINHASH_BUCKET_CAP,
+) -> DataFrame:
+    """(new_id, old_id): incoming docs that share at least one LSH band
+    bucket with a historical corpus — the incremental-ingest twin of
+    `minhash_lsh_candidates` (new docs are near-dup-checked against what
+    the pipeline already holds, without re-pairing the history with
+    itself).
+
+    Scale shape: both sides band independently; the join is an equi join
+    on (band, bucket) where the NEW side is a microbatch (small) and the
+    OLD side is the persisted signature store — at scale the store is
+    bucketed by (band, bucket) so only the batch side shuffles. The
+    hot-bucket cap applies to the HISTORICAL side (the unbounded one),
+    same discipline and logging as the self-join variant."""
+    nb = minhash_banded(new_df, num_hashes, bands, n, text_col, id_col)
+    ob = minhash_banded(old_df, num_hashes, bands, n, text_col, id_col)
+    if max_bucket_size is not None:
+        ob = ob.localCheckpoint(eager=True)
+        hot = (
+            ob.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .where(F.col("_sz") > max_bucket_size)
+            .select("band", "bucket", "_sz")
+            .localCheckpoint(eager=True)
+        )
+        dropped = hot.agg(F.count(F.lit(1)), F.sum("_sz")).first()
+        if dropped[0]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cross_corpus_lsh_candidates: dropped %d hot historical "
+                "(band,bucket) keys covering %d rows (size > %d)",
+                dropped[0], dropped[1], max_bucket_size,
+            )
+        ob = ob.join(
+            hot.select("band", "bucket"), ["band", "bucket"], "left_anti"
+        )
+    return (
+        nb.select(F.col("doc_id").alias("new_id"), "band", "bucket")
+        .join(
+            ob.select(F.col("doc_id").alias("old_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 16,
@@ -368,33 +466,7 @@ def minhash_lsh_candidates(
     at_gate_scale guards that no bucket can reach the cap at the compare
     scale, so capped Spark and uncapped oracle agree there by
     construction."""
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"bands ({bands}) must divide num_hashes ({num_hashes}); a partial "
-            "trailing band would silently change candidate recall"
-        )
-    rows = num_hashes // bands
-    wide = _minhash_sig_wide(df, num_hashes, n, text_col, id_col)
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"_m{b * rows + j}").cast("string")
-                            for j in range(rows)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = wide.select(
-        "doc_id", F.explode(band_entries).alias("e")
-    ).select("doc_id", "e.band", "e.bucket")
+    banded = minhash_banded(df, num_hashes, bands, n, text_col, id_col)
     if max_bucket_size is not None:
         # materialize once: the signature pipeline now has three consumers
         # (size aggregate + both self-join sides) and localCheckpoint stops

@@ -508,3 +508,61 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     }
     assert got == batch
     assert batch  # non-trivial: the fixture must produce matched pairs
+
+
+def test_streaming_minhash_dedup_matches_batch_and_replays(spark, tmp_path):
+    """Incremental LSH flags across epochs must equal the batch twin
+    (cross_corpus_lsh_candidates of batch-vs-prior-corpus plus in-batch
+    pairs), and a replayed epoch must leave store and flags unchanged."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import dedup
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        minhash_stream as M,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    store = str(tmp_path / "mh_store")
+    flags = str(tmp_path / "mh_flags")
+    run = M.make_merge_batch(spark, store, flags, num_hashes=8, bands=4, n=3)
+    run(b0, 0)
+    run(b1, 1)
+    got = {
+        (r["new_id"], r["old_id"], r["epoch"])
+        for r in M.read_flags(spark, flags).collect()
+    }
+    # epoch 1 flags vs history = batch twin of b1-vs-b0
+    want_hist = {
+        (r["new_id"], r["old_id"], 1)
+        for r in dedup.cross_corpus_lsh_candidates(
+            b1, b0, num_hashes=8, bands=4, n=3
+        ).collect()
+    }
+    assert want_hist <= got
+    # in-batch pairs carry the (old < new) orientation
+    want_in0 = {
+        (max(r["doc_a"], r["doc_b"]), min(r["doc_a"], r["doc_b"]), 0)
+        for r in dedup.minhash_lsh_candidates(
+            b0, num_hashes=8, bands=4, n=3
+        ).collect()
+    }
+    assert want_in0 <= got
+    # nothing else: flags = in-batch(e0) + in-batch(e1) + hist(e1)
+    want_in1 = {
+        (max(r["doc_a"], r["doc_b"]), min(r["doc_a"], r["doc_b"]), 1)
+        for r in dedup.minhash_lsh_candidates(
+            b1, num_hashes=8, bands=4, n=3
+        ).collect()
+    }
+    assert got == want_in0 | want_in1 | want_hist
+
+    # replay epoch 1: store partitions and flags identical afterwards
+    before_store = sorted(
+        map(tuple, spark.read.parquet(store).collect())
+    )
+    run(b1, 1)
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == before_store
+    assert {
+        (r["new_id"], r["old_id"], r["epoch"])
+        for r in M.read_flags(spark, flags).collect()
+    } == got
