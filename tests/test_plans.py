@@ -230,3 +230,34 @@ def test_curriculum_and_shard_no_exchange(spark):
     p3 = _plan(sharding.shard_manifest(d, 16))
     assert p3.count("Exchange") == 1  # the shard groupBy, map-side combined
     assert "partial_count" in p3 or "partial" in p3
+
+
+def test_adamic_adar_plan_shape(spark):
+    """The pair generator must checkpoint the distinct edge set once (both
+    join sides + the degree aggregate read it) and never go cartesian."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import graphstats
+
+    g = E._graph(spark, SF_ORACLE)
+    plan = _plan(graphstats.adamic_adar(g.edges, threshold=0.5, hub_cap=500))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+
+
+def test_ivfpq_query_path_narrow(spark):
+    """The hybrid's query path must broadcast the probe cells and the LUT —
+    the only big-side scan is the codes/assignment join, never a cartesian
+    against the corpus embeddings."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+        pq as _pq,
+        simsearch,
+    )
+
+    e = E._t(spark, SF_ORACLE, "embeddings")
+    cbs = _pq.pq_seed_codebooks(e, m=4, ksub=16)
+    codes = _pq.pq_encode(e, cbs)
+    idx = simsearch.ivf_assign(e, n_cells=16)
+    out = _pq.ivfpq_topk(
+        e, query_id=0, k=10, nprobe=4, ivf_index=idx, codebooks=cbs, codes=codes
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
