@@ -3996,6 +3996,54 @@ FROM newb n JOIN oldb o USING (band, bucket)
 
 
 # ---------------------------------------------------------------------------
+# Block 26w: histogram quantiles (the percentile scale path)
+# ---------------------------------------------------------------------------
+
+HQ_PROBS = [0.25, 0.5, 0.75, 0.9]
+
+
+def q_histogram_quantiles(spark, sf_dir):
+    """Per-event-type value quantiles from a fixed-resolution integer
+    histogram (functions/sketches.histogram_quantiles) — the scale path
+    next to events_value_quantiles' exact sort-based F.percentile: state
+    is the number of DISTINCT cent buckets, not rows."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        histogram_quantiles,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return histogram_quantiles(
+        e, "value", HQ_PROBS, group_col="event_type", resolution=100
+    )
+
+
+_BASE_QUERIES26W = queries
+_BASE_ORACLE26W = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26W()
+    q["histogram_quantiles"] = q_histogram_quantiles
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        histogram_quantiles_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26W()
+    sql["histogram_quantiles"] = histogram_quantiles_oracle_sql(
+        "SELECT * FROM events",
+        "value",
+        HQ_PROBS,
+        group_expr="event_type",
+        resolution=100,
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4023,6 +4071,7 @@ _WINDOW_PRIORITY = [
     "degree_histogram",     # r5: degree profiling
     "simsearch_ivfpq",      # r5: IVF-PQ hybrid ANN
     "lsh_incremental",      # r5: cross-corpus LSH (stream twin)
+    "histogram_quantiles",  # r5: percentile scale path
     "graph_wcc",
     "graph_hits",
     "graph_kcore",
@@ -4065,7 +4114,6 @@ _WINDOW_PRIORITY = [
     "customers_without_orders",
     "delta_merge",
     "dedup_exact",
-    "token_counts",
     "quality_filter",
     "minhash_signatures",
     # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow

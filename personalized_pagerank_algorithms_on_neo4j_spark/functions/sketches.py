@@ -34,6 +34,8 @@ __all__ = [
     "hll_oracle_sql",
     "cms_heavy_hitters",
     "cms_oracle_sql",
+    "histogram_quantiles",
+    "histogram_quantiles_oracle_sql",
 ]
 
 _HASH_BITS = 48
@@ -250,4 +252,101 @@ est AS (
 )
 SELECT v AS {out_alias}, est_count FROM est
 WHERE est_count >= {threshold}
+"""
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    group_col: str | None = None,
+    resolution: int = 100,
+) -> DataFrame:
+    """(group?, prob, value): quantiles from a fixed-resolution integer
+    histogram — the SCALE path for percentiles. `F.percentile` is exact
+    but sorts every row per group; this instead buckets values to
+    1/``resolution`` units (one map-side-combinable groupBy — state is
+    the number of DISTINCT buckets, not rows), cumulates over the bounded
+    bucket table (window per group over buckets), and answers each prob
+    with the inverted-CDF rule: the smallest bucket whose cumulative
+    count >= ceil(prob * n). Exact to the bucket resolution,
+    deterministic at any parallelism, identical in the DuckDB twin.
+    """
+    from pyspark.sql import Window
+
+    if not probs:
+        raise ValueError("probs is empty")
+    gcols = [group_col] if group_col else []
+    bucketed = df.where(F.col(value_col).isNotNull()).select(
+        *gcols,
+        F.round(F.col(value_col) * resolution).cast("long").alias("_b"),
+    )
+    hist = bucketed.groupBy(*gcols, "_b").agg(F.count(F.lit(1)).alias("_n"))
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*gcols)
+    cum = hist.select(
+        *gcols,
+        "_b",
+        F.sum("_n").over(w).alias("_cum"),
+        F.sum("_n").over(wn).alias("_tot"),
+    )
+    pf = df.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "prob double"
+    )
+    return (
+        cum.crossJoin(F.broadcast(pf))
+        .where(F.col("_cum") >= F.ceil(F.col("prob") * F.col("_tot")))
+        .groupBy(*gcols, "prob")
+        .agg(
+            (F.min("_b").cast("double") / F.lit(float(resolution))).alias("value")
+        )
+    )
+
+
+def histogram_quantiles_oracle_sql(
+    table_sql: str,
+    value_expr: str,
+    probs: list[float],
+    group_expr: str | None = None,
+    resolution: int = 100,
+) -> str:
+    """DuckDB twin of `histogram_quantiles`. ``group_expr`` must be a bare
+    column name (it is also the output column name, matching Spark)."""
+    import re as _re
+
+    if group_expr is not None and not _re.fullmatch(
+        r"[A-Za-z_][A-Za-z0-9_]*", group_expr
+    ):
+        raise ValueError(
+            f"group_expr {group_expr!r} must be a bare column name so the "
+            "oracle column matches the Spark side's"
+        )
+    g_sel = f"{group_expr}," if group_expr else ""
+    g_col = f"{group_expr}," if group_expr else ""
+    g_out = f"{group_expr}," if group_expr else ""
+    part = f"PARTITION BY {group_expr}" if group_expr else ""
+    probs_values = ", ".join(f"({float(p)!r})" for p in probs)
+    return f"""
+WITH src AS (
+  SELECT {g_sel}
+         CAST(ROUND(({value_expr}) * {resolution}) AS BIGINT) AS b
+  FROM ({table_sql}) WHERE {value_expr} IS NOT NULL
+),
+hist AS (SELECT {g_col} b, COUNT(*) AS n FROM src GROUP BY ALL),
+cum AS (
+  SELECT {g_col} b,
+         SUM(n) OVER ({part} ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(n) OVER ({part}) AS tot
+  FROM hist
+),
+probs(prob) AS (VALUES {probs_values})
+SELECT {g_out} prob,
+       CAST(MIN(b) AS DOUBLE) / {float(resolution)!r} AS value
+FROM cum CROSS JOIN probs
+WHERE c >= CEIL(prob * tot)
+GROUP BY ALL
 """

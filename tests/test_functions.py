@@ -1444,3 +1444,40 @@ def test_curriculum_order_buckets_track_quality(spark):
     buckets = sorted(by_bucket)
     for lo, hi in zip(buckets, buckets[1:]):
         assert min(by_bucket[lo]) >= max(by_bucket[hi])
+
+
+def test_histogram_quantiles_inverted_cdf(spark):
+    """Histogram quantiles must equal the type-1 (inverted-CDF) quantile of
+    the bucket-rounded values, per group."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        histogram_quantiles,
+    )
+
+    rows = [("a", v) for v in [1.011, 2.02, 2.02, 3.0, 10.5]] + [
+        ("b", v) for v in [0.5, 0.75]
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {
+        (r["g"], r["prob"]): r["value"]
+        for r in histogram_quantiles(
+            df, "value", [0.5, 0.9], group_col="g", resolution=100
+        ).collect()
+    }
+
+    import math
+
+    def type1(vals, p):
+        vs = sorted(round(v * 100) / 100 for v in vals)
+        return vs[math.ceil(p * len(vs)) - 1]
+
+    assert got[("a", 0.5)] == type1([1.011, 2.02, 2.02, 3.0, 10.5], 0.5)
+    assert got[("a", 0.9)] == type1([1.011, 2.02, 2.02, 3.0, 10.5], 0.9)
+    assert got[("b", 0.5)] == 0.5 and got[("b", 0.9)] == 0.75
+    # resolution quantization: 1.011 rounds to the 1.01 bucket
+    low = {
+        r["prob"]: r["value"]
+        for r in histogram_quantiles(
+            df.where(F.col("g") == "a"), "value", [0.1], resolution=100
+        ).collect()
+    }
+    assert low[0.1] == 1.01
