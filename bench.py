@@ -180,6 +180,10 @@ def main() -> None:
     timed("q_hot_shingles", lambda: E.q_hot_shingles(spark, SF_DIR).count())
     timed("q_bigram_logprob",
           lambda: E.q_doc_bigram_logprob(spark, SF_DIR).count())
+    timed("q_adamic_adar", lambda: E.q_adamic_adar(spark, SF_DIR).count())
+    timed("q_ivfpq", lambda: E.q_simsearch_ivfpq(spark, SF_DIR).count())
+    timed("q_lsh_incremental",
+          lambda: E.q_lsh_incremental(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend
