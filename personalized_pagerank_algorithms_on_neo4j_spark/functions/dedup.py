@@ -368,6 +368,40 @@ def minhash_banded(
     ).select("doc_id", "e.band", "e.bucket")
 
 
+def _drop_hot_buckets(
+    banded: DataFrame, max_bucket_size: int, label: str
+) -> DataFrame:
+    """Materialize a (doc_id, band, bucket) frame and exclude (band, bucket)
+    keys larger than ``max_bucket_size``, logging the drop (no-silent-caps).
+
+    The ONE implementation of the hot-bucket discipline, shared by the
+    self-join, cross-corpus, and streaming candidate generators so cap
+    semantics and logging cannot drift. EAGER by design: the banded frame
+    is checkpointed (it always has >= 2 downstream consumers) and the drop
+    count is one cheap aggregate over that checkpoint."""
+    banded = banded.localCheckpoint(eager=True)
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .where(F.col("_sz") > max_bucket_size)
+        .select("band", "bucket", "_sz")
+        .localCheckpoint(eager=True)
+    )
+    dropped = hot.agg(F.count(F.lit(1)), F.sum("_sz")).first()
+    if dropped[0]:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: dropped %d hot (band,bucket) keys covering %d doc-band "
+            "rows (bucket size > %d); identical-doc boilerplate belongs "
+            "to exact_dup_groups",
+            label, dropped[0], dropped[1], max_bucket_size,
+        )
+    return banded.join(
+        hot.select("band", "bucket"), ["band", "bucket"], "left_anti"
+    )
+
+
 def cross_corpus_lsh_candidates(
     new_df: DataFrame,
     old_df: DataFrame,
@@ -393,25 +427,8 @@ def cross_corpus_lsh_candidates(
     nb = minhash_banded(new_df, num_hashes, bands, n, text_col, id_col)
     ob = minhash_banded(old_df, num_hashes, bands, n, text_col, id_col)
     if max_bucket_size is not None:
-        ob = ob.localCheckpoint(eager=True)
-        hot = (
-            ob.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_sz"))
-            .where(F.col("_sz") > max_bucket_size)
-            .select("band", "bucket", "_sz")
-            .localCheckpoint(eager=True)
-        )
-        dropped = hot.agg(F.count(F.lit(1)), F.sum("_sz")).first()
-        if dropped[0]:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "cross_corpus_lsh_candidates: dropped %d hot historical "
-                "(band,bucket) keys covering %d rows (size > %d)",
-                dropped[0], dropped[1], max_bucket_size,
-            )
-        ob = ob.join(
-            hot.select("band", "bucket"), ["band", "bucket"], "left_anti"
+        ob = _drop_hot_buckets(
+            ob, max_bucket_size, "cross_corpus_lsh_candidates"
         )
     return (
         nb.select(F.col("doc_id").alias("new_id"), "band", "bucket")
@@ -468,31 +485,8 @@ def minhash_lsh_candidates(
     construction."""
     banded = minhash_banded(df, num_hashes, bands, n, text_col, id_col)
     if max_bucket_size is not None:
-        # materialize once: the signature pipeline now has three consumers
-        # (size aggregate + both self-join sides) and localCheckpoint stops
-        # Spark re-deriving the minhash aggregation per reference
-        banded = banded.localCheckpoint(eager=True)
-        hot = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_sz"))
-            .where(F.col("_sz") > max_bucket_size)
-            .select("band", "bucket", "_sz")
-            .localCheckpoint(eager=True)
-        )
-        dropped = hot.agg(
-            F.count(F.lit(1)), F.sum("_sz")
-        ).first()
-        if dropped[0]:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "minhash_lsh_candidates: dropped %d hot (band,bucket) keys "
-                "covering %d doc-band rows (bucket size > %d); identical-doc "
-                "boilerplate belongs to exact_dup_groups",
-                dropped[0], dropped[1], max_bucket_size,
-            )
-        banded = banded.join(
-            hot.select("band", "bucket"), ["band", "bucket"], "left_anti"
+        banded = _drop_hot_buckets(
+            banded, max_bucket_size, "minhash_lsh_candidates"
         )
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")

@@ -162,27 +162,20 @@ def _adc_scores(codes: DataFrame, lut: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def pq_adc_topk(
+def _adc_query(
     df: DataFrame,
     query_id: int,
-    k: int = 10,
-    codebooks: list[list[list[float]]] | None = None,
-    codes: DataFrame | None = None,
-    m: int = 4,
-    ksub: int = 16,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]],
+    codes: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """Approximate top-k nearest (smallest ADC squared-L2) to the query.
-
-    Pass persisted (`codebooks`, `codes`) to amortize the index across
-    queries — the query path then touches ONLY the codes table and an
-    m*ksub-row broadcast LUT, never the raw embeddings. Tie semantics match
-    `operators.topk` (kth-value filter, result may exceed k)."""
-    if codebooks is None:
-        codebooks = pq_seed_codebooks(df, m, ksub, vec_col, id_col)
-    if codes is None:
-        codes = pq_encode(df, codebooks, vec_col, id_col)
+    """The shared ADC query tail: build the m*ksub LUT from the query's
+    sub-vectors, score the given codes frame, and bottom-k with the
+    engine's tie semantics (kth-value filter; result may exceed k). The
+    ONE implementation behind `pq_adc_topk` (all codes) and `ivfpq_topk`
+    (codes restricted to the probed IVF cells)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     spark = df.sparkSession
@@ -212,6 +205,30 @@ def pq_adc_topk(
     if len(kth_rows) < k:
         return adist
     return adist.where(F.col("adist") <= F.lit(kth_rows[-1][0]))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k nearest (smallest ADC squared-L2) to the query.
+
+    Pass persisted (`codebooks`, `codes`) to amortize the index across
+    queries — the query path then touches ONLY the codes table and an
+    m*ksub-row broadcast LUT, never the raw embeddings. Tie semantics match
+    `operators.topk` (kth-value filter, result may exceed k)."""
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(df, m, ksub, vec_col, id_col)
+    if codes is None:
+        codes = pq_encode(df, codebooks, vec_col, id_col)
+    return _adc_query(df, query_id, codebooks, codes, k, vec_col, id_col)
 
 
 def ivfpq_topk(
@@ -249,9 +266,6 @@ def ivfpq_topk(
         codebooks = pq_seed_codebooks(df, m, ksub, vec_col, id_col)
     if codes is None:
         codes = pq_encode(df, codebooks, vec_col, id_col)
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    spark = df.sparkSession
 
     q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("_q"))
     probe_cells = (
@@ -268,27 +282,7 @@ def ivfpq_topk(
         .join(F.broadcast(probe_cells), "cell")
         .select(id_col, "codes")
     )
-    cb = spark.createDataFrame(
-        [
-            (s, c, codebooks[s][c])
-            for s in range(m)
-            for c in range(len(codebooks[s]))
-        ],
-        schema="sub int, code int, cvec array<double>",
-    )
-    qsub = df.where(F.col(id_col) == query_id).select(
-        F.posexplode(
-            F.array(*[F.slice(F.col(vec_col), s * dsub + 1, dsub) for s in range(m)])
-        ).alias("sub", "qvec")
-    )
-    lut = cb.join(F.broadcast(qsub), "sub").select(
-        "sub", "code", F.round(_dist2(F.col("cvec"), F.col("qvec")), 9).alias("d")
-    )
-    adist = _adc_scores(cand_codes, lut, id_col).localCheckpoint(eager=True)
-    kth_rows = adist.select("adist").orderBy(F.asc("adist")).limit(k).collect()
-    if len(kth_rows) < k:
-        return adist
-    return adist.where(F.col("adist") <= F.lit(kth_rows[-1][0]))
+    return _adc_query(df, query_id, codebooks, cand_codes, k, vec_col, id_col)
 
 
 def pq_trained_oracle_ctes(

@@ -9,17 +9,18 @@ appended so later batches see them.
 Replay safety (the store discipline shared with `anomaly_stream` /
 `topk_stream`): band rows land in a per-epoch partition via dynamic
 partition overwrite — a replayed epoch rewrites its own partition with
-identical recomputed rows. Matching reads the store EXCLUDING the current
-epoch (so a replay matches exactly the same history as the original run)
-and adds in-batch pairs separately; the flagged-pairs board is itself
-per-epoch partitioned, so the replay rewrites its own flags instead of
-appending duplicates.
+identical recomputed rows. Matching reads ONLY strictly earlier epochs
+(so a replay of any epoch — not just the latest — matches exactly the
+same history as its original run) and adds in-batch pairs separately;
+the flagged-pairs board is itself per-epoch partitioned, so the replay
+rewrites its own flags instead of appending duplicates.
 
 Scale shape: the store grows one row per (doc, band); at corpus scale it
 is written bucketed by (band, bucket) so the microbatch side is the only
-shuffle in the candidate join. The hot-bucket discipline of the batch
-operator applies unchanged (`max_bucket_size` forwards to the join's
-historical side).
+shuffle in the candidate join. The hot-bucket discipline
+(`dedup._drop_hot_buckets` — checkpoint + logged drop) applies to BOTH
+sides: the history is unbounded, and a boilerplate flood can make a
+single microbatch's own bucket quadratic.
 """
 
 from __future__ import annotations
@@ -62,29 +63,42 @@ def make_merge_batch(
             .partitionBy("epoch")
             .parquet(store_path)
         )
-        # history = every epoch EXCEPT the one being (re)written: a replay
-        # therefore matches the identical history as the original run
+        # history = strictly EARLIER epochs only: a replay of ANY epoch
+        # (not just the latest) therefore matches the identical history as
+        # its original run — `!=` would let a replayed middle epoch see
+        # future epochs' rows and rewrite its flags partition differently
         hist = (
             spark.read.schema(store_schema)
             .parquet(store_path)
-            .where(F.col("epoch") != int(epoch_id))
-            .select(F.col("doc_id").alias("old_id"), "band", "bucket")
+            .where(F.col("epoch") < int(epoch_id))
+            .select("doc_id", "band", "bucket")
         )
+        from ..functions.dedup import _drop_hot_buckets
+
         if max_bucket_size is not None:
-            hot = (
-                hist.groupBy("band", "bucket")
-                .agg(F.count(F.lit(1)).alias("_sz"))
-                .where(F.col("_sz") > max_bucket_size)
-                .select("band", "bucket")
+            # the shared cap discipline (checkpoint + logged drop) on BOTH
+            # sides: the history is unbounded, and a boilerplate flood can
+            # make a single microbatch's own bucket quadratic too
+            hist = _drop_hot_buckets(
+                hist, max_bucket_size, "minhash_stream:history"
             )
-            hist = hist.join(hot, ["band", "bucket"], "left_anti")
-        nb = banded.select(F.col("doc_id").alias("new_id"), "band", "bucket")
+            matchable = _drop_hot_buckets(
+                banded, max_bucket_size, "minhash_stream:batch"
+            )
+        else:
+            matchable = banded
+        nb = matchable.select(F.col("doc_id").alias("new_id"), "band", "bucket")
         against_hist = (
-            nb.join(hist, ["band", "bucket"]).select("new_id", "old_id")
+            nb.join(
+                hist.select(F.col("doc_id").alias("old_id"), "band", "bucket"),
+                ["band", "bucket"],
+            ).select("new_id", "old_id")
         )
         in_batch = (
             nb.join(
-                banded.select(F.col("doc_id").alias("old_id"), "band", "bucket"),
+                matchable.select(
+                    F.col("doc_id").alias("old_id"), "band", "bucket"
+                ),
                 ["band", "bucket"],
             )
             .where(F.col("old_id") < F.col("new_id"))

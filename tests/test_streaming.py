@@ -566,3 +566,18 @@ def test_streaming_minhash_dedup_matches_batch_and_replays(spark, tmp_path):
         (r["new_id"], r["old_id"], r["epoch"])
         for r in M.read_flags(spark, flags).collect()
     } == got
+
+    # a replay of a MIDDLE epoch after later epochs exist must also be
+    # idempotent: history is strictly-earlier epochs, so epoch 1's flags
+    # cannot pick up epoch-2 rows on replay
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    run(b2, 2)
+    after_e2 = {
+        (r["new_id"], r["old_id"], r["epoch"])
+        for r in M.read_flags(spark, flags).collect()
+    }
+    run(b1, 1)  # replay the middle epoch
+    assert {
+        (r["new_id"], r["old_id"], r["epoch"])
+        for r in M.read_flags(spark, flags).collect()
+    } == after_e2
