@@ -41,6 +41,49 @@ def create_name_index(
     )
 
 
+def create_signature_index(
+    banded: DataFrame, table_name: str = "lsh_signatures", buckets: int = 64
+) -> None:
+    """Materialize an LSH band table (doc_id, band, bucket) bucketed by its
+    join key into the session catalog — the persisted form of the
+    signature store the dedup/streaming operators describe 'at scale':
+    every future candidate join against it shuffles ONLY the probe side
+    (hash-bucket co-location, the same durable-index analogue as the name
+    index above)."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    log.info("create_signature_index: populating %r (%d buckets)...",
+             table_name, buckets)
+    (
+        banded.write.mode("overwrite")
+        .bucketBy(buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    log.info("create_signature_index: %r complete (100%%)", table_name)
+
+
+def probe_signature_index(
+    spark: SparkSession, probe: DataFrame, table_name: str = "lsh_signatures"
+) -> DataFrame:
+    """(new_id, old_id): candidate pairs for a probe band table (doc_id,
+    band, bucket) against the persisted signature index. Only the probe
+    side shuffles — the index scan carries its bucketing."""
+    from pyspark.sql import functions as F
+
+    idx = spark.table(table_name).select(
+        F.col("doc_id").alias("old_id"), "band", "bucket"
+    )
+    return (
+        probe.select(F.col("doc_id").alias("new_id"), "band", "bucket")
+        .join(idx, ["band", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+
 def lookup_by_name(spark: SparkSession, name: str, table_name: str = "nodes_by_name") -> DataFrame:
     return spark.table(table_name).where(F.col("name") == name)
 

@@ -261,3 +261,36 @@ def test_ivfpq_query_path_narrow(spark):
     )
     plan = _plan(out)
     assert "CartesianProduct" not in plan
+
+
+def test_signature_index_bucketed_join(spark):
+    """A candidate join against the persisted signature index must NOT
+    exchange the index side (bucket co-location), and must agree with the
+    inline cross-corpus operator."""
+    from pyspark.sql import functions as F
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import dedup
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources import index as idx
+
+    d = E._t(spark, SF_ORACLE, "documents").select("doc_id", "text", "source")
+    old = d.where(F.col("source") != "src0").select("doc_id", "text")
+    new = d.where(F.col("source") == "src0").select("doc_id", "text")
+    banded_old = dedup.minhash_banded(old, num_hashes=8, bands=4, n=3)
+    idx.create_signature_index(banded_old, "t_sig_idx", buckets=8)
+    try:
+        probe = dedup.minhash_banded(new, num_hashes=8, bands=4, n=3)
+        out = idx.probe_signature_index(spark, probe, "t_sig_idx")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly the join segments that read the bucketed table must carry
+        # SelectedBucketsCount; the index side must not re-exchange
+        assert "SelectedBucketsCount" in plan, plan[:1500]
+        got = {(r["new_id"], r["old_id"]) for r in out.collect()}
+        want = {
+            (r["new_id"], r["old_id"])
+            for r in dedup.cross_corpus_lsh_candidates(
+                new, old, num_hashes=8, bands=4, n=3, max_bucket_size=None
+            ).collect()
+        }
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sig_idx")
