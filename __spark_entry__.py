@@ -4021,9 +4021,27 @@ _BASE_QUERIES26W = queries
 _BASE_ORACLE26W = oracle_sql
 
 
+def q_doc_token_quantiles(spark, sf_dir):
+    """Per-source document-length (token) quantiles via the histogram
+    scale path — the corpus-report companion of histogram_quantiles
+    (resolution 1: token counts are already integers, so these are EXACT
+    type-1 quantiles computed without sorting any rows)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        histogram_quantiles,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", _text.token_count(F.col("text")).cast("double").alias("nt")
+    )
+    return histogram_quantiles(
+        d, "nt", HQ_PROBS, group_col="source", resolution=1
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
     q = _BASE_QUERIES26W()
     q["histogram_quantiles"] = q_histogram_quantiles
+    q["doc_token_quantiles"] = q_doc_token_quantiles
     return q
 
 
@@ -4039,6 +4057,14 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         HQ_PROBS,
         group_expr="event_type",
         resolution=100,
+    )
+    sql["doc_token_quantiles"] = histogram_quantiles_oracle_sql(
+        f"SELECT source, CAST(len({_SQL_TOKS_RAW}) AS DOUBLE) AS nt "
+        "FROM documents",
+        "nt",
+        HQ_PROBS,
+        group_expr="source",
+        resolution=1,
     )
     return sql
 
@@ -4072,6 +4098,7 @@ _WINDOW_PRIORITY = [
     "simsearch_ivfpq",      # r5: IVF-PQ hybrid ANN
     "lsh_incremental",      # r5: cross-corpus LSH (stream twin)
     "histogram_quantiles",  # r5: percentile scale path
+    "doc_token_quantiles",  # r5: corpus length report via histogram path
     "graph_wcc",
     "graph_hits",
     "graph_kcore",
@@ -4113,7 +4140,6 @@ _WINDOW_PRIORITY = [
     "top_orders_ties",
     "customers_without_orders",
     "delta_merge",
-    "dedup_exact",
     "quality_filter",
     "minhash_signatures",
     # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow
