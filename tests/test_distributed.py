@@ -294,6 +294,34 @@ def test_pagerank_global_distributed_matches_kernel(got):
     assert est.min() >= (1.0 - (1.0 - ALPHA)) / lg.n - 1e-15  # restart floor
 
 
+def test_pagerank_weighted_uniform_equals_unweighted(got, spark):
+    """With uniform weights the weighted recurrence degenerates to the
+    unweighted one, EXCEPT that isolated nodes (no edges) don't exist in
+    an edge-list-derived node set — compare on edge-incident nodes."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    ew = got.edges.select("src", "dst", F.lit(2.5).alias("weight"))
+    w = {
+        r["node"]: r["score"]
+        for r in pagerank.pagerank_weighted(ew, iterations=8).collect()
+    }
+    u = {
+        r["node"]: r["score"]
+        for r in pagerank.pagerank_global(
+            got, iterations=8, mode="distributed"
+        ).collect()
+    }
+    # n differs if the graph has isolated nodes; GOT's nodes all touch
+    # edges, so the two node sets (and restart masses) coincide
+    assert set(w) == set(u)
+    assert max(abs(w[k] - u[k]) for k in w) < 1e-12
+    with _pytest.raises(ValueError):
+        pagerank.pagerank_weighted(
+            got.edges.select("src", "dst", F.lit(0.0).alias("weight"))
+        )
+
+
 def test_distributed_plan_shape(got):
     """The per-superstep join must keep the big (edge) side un-reshuffled:
     edges_deg is pre-partitioned on src and cached."""
