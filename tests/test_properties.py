@@ -314,3 +314,24 @@ def test_hits_oracle_zero_iterations_boundary():
         ).fetchall()
     )
     assert got == [(1, 1.0, 0.0), (2, 1.0, 0.0), (3, 1.0, 0.0)]
+
+
+@settings(max_examples=60, deadline=None)
+@given(lg=graphs, iters=st.integers(1, 30))
+def test_pagerank_global_kernel_invariants(lg, iters):
+    import numpy as np
+
+    r = _kernels.pagerank_global(lg, ALPHA, iters)
+    n = lg.n
+    # every node holds at least the restart mass
+    assert (r >= ALPHA / n - 1e-15).all()
+    # total mass is 1 minus whatever leaked through dangling nodes
+    assert r.sum() <= 1.0 + 1e-9
+    if (lg.out_deg > 0).all():
+        # no dangling nodes -> the recurrence is mass-preserving
+        assert abs(r.sum() - 1.0) < 1e-9
+    # one more iteration changes nothing once converged... not asserted;
+    # instead: iterating is a contraction toward the uniform-restart
+    # fixed point, so later iterates never fall below the restart floor
+    r2 = _kernels.pagerank_global(lg, ALPHA, iters + 1)
+    assert (r2 >= ALPHA / n - 1e-15).all()
