@@ -4166,6 +4166,94 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# Block 26y: multi-source PPR (gds sourceNodes-list shape)
+# ---------------------------------------------------------------------------
+
+MULTI_SOURCES_K = 3
+
+
+def q_ppr_multi_source(spark, sf_dir):
+    """PPR personalized on a SET of sources (the k smallest customer
+    nodes): restart mass uniform over the set, dangling mass returned
+    uniformly to the set (operators/power_method.power_method_multi)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.power_method import (
+        power_method_multi,
+    )
+
+    g = _graph(spark, sf_dir)
+    srcs = [
+        r[0]
+        for r in g.nodes.where(F.col("id") < 1_000_000)
+        .orderBy("id")
+        .limit(MULTI_SOURCES_K)
+        .collect()
+    ]
+    df = power_method_multi(g, srcs, alpha=ALPHA, iterations=POWER_ITERS)
+    return df.select("node", F.round("ppr", 9).alias("ppr")).where(
+        F.col("ppr") > 0
+    )
+
+
+def _power_multi_chain(prefix: str, iterations: int, alpha: float = ALPHA) -> str:
+    """Unrolled multi-source recurrence over the shared edges/deg/ew CTEs
+    plus `srcm` (the source set) and its 1-row count `kk`."""
+    ctes = [
+        f"""{prefix}0 AS MATERIALIZED (
+  SELECT s AS node, 1.0 / (SELECT k FROM kk) AS residue,
+         CAST(0.0 AS DOUBLE) AS reserve
+  FROM srcm)"""
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""{prefix}{i + 1} AS MATERIALIZED (
+  SELECT node, SUM(residue) AS residue, SUM(reserve) AS reserve FROM (
+    SELECT node, CAST(0.0 AS DOUBLE) AS residue,
+           reserve + {alpha} * residue AS reserve
+    FROM {prefix}{i}
+    UNION ALL
+    SELECT ew.dst AS node, (1.0 - {alpha}) * t.residue / ew.od AS residue,
+           CAST(0.0 AS DOUBLE) AS reserve
+    FROM {prefix}{i} t JOIN ew ON t.node = ew.src
+    UNION ALL
+    SELECT srcm.s AS node,
+           (1.0 - {alpha}) * d.dsum / (SELECT k FROM kk) AS residue,
+           CAST(0.0 AS DOUBLE) AS reserve
+    FROM srcm CROSS JOIN (
+      SELECT SUM(t.residue) AS dsum
+      FROM {prefix}{i} t LEFT JOIN deg ON t.node = deg.src
+      WHERE deg.src IS NULL
+    ) d
+    WHERE d.dsum IS NOT NULL
+  ) u GROUP BY node)"""
+        )
+    return ",\n".join(ctes)
+
+
+_BASE_QUERIES26Y = queries
+_BASE_ORACLE26Y = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26Y()
+    q["ppr_multi_source"] = q_ppr_multi_source
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE26Y()
+    sql["ppr_multi_source"] = f"""WITH {_GRAPH_CTES},
+srcm AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS s FROM customer
+  ORDER BY c_custkey LIMIT {MULTI_SOURCES_K}),
+kk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM srcm),
+{_power_multi_chain("pm", POWER_ITERS)}
+SELECT node, ROUND(reserve, 9) AS ppr FROM pm{POWER_ITERS}
+WHERE ROUND(reserve, 9) > 0
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4183,6 +4271,7 @@ _WINDOW_PRIORITY = [
     # --- (a) never driver-observed: round-4 tail (registry positions 87-93
     #     in r4, behind the window) + round-5 additions ---------------------
     "ppr_pagerank",         # I8 — first-ever oracle row for the comparator
+    "ppr_multi_source",     # r5: sourceNodes-set personalization
     "graph_pagerank",       # r5: whole-graph gds.pageRank shape
     "graph_pagerank_weighted",  # r5: relationshipWeightProperty shape
     "hot_shingles",         # r5: corpus-wide boilerplate mining
@@ -4235,7 +4324,6 @@ _WINDOW_PRIORITY = [
     "orders_by_month",
     "global_aggs",
     "top_orders_ties",
-    "customers_without_orders",
     "quality_filter",
     "minhash_signatures",
     # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow

@@ -445,3 +445,32 @@ def pagerank_global(lg: LocalGraph, alpha: float, iterations: int) -> np.ndarray
             + restart
         )
     return rank
+
+def power_method_multi(
+    lg: LocalGraph, sources: list[int], alpha: float, iterations: int
+) -> np.ndarray:
+    """Multi-source PPR (the gds.pageRank sourceNodes-list shape in this
+    engine's dangling convention): restart/start mass uniform over the
+    source SET, and dangling mass returns uniformly to the set — the
+    single-source recurrence is the k=1 special case."""
+    n = lg.n
+    k = len(sources)
+    srcs = np.asarray(sorted(set(sources)), dtype=np.int64)
+    assert len(srcs) == k, "duplicate source ids"
+    r = np.zeros(n)
+    r[srcs] = 1.0 / k
+    pi = np.zeros(n)
+    src, dst = lg.edge_src, lg.edge_dst
+    out = lg.out_deg
+    inv_out = np.where(out > 0, 1.0 / np.maximum(out, 1), 0.0)
+    dangling = out == 0
+    for _ in range(iterations):
+        pi = pi + alpha * r
+        push = (1.0 - alpha) * r
+        nr = np.bincount(
+            dst, weights=push[src] * inv_out[src], minlength=n
+        ).astype(np.float64)
+        nr[srcs] += push[dangling].sum() / k
+        r = nr
+    return pi
+

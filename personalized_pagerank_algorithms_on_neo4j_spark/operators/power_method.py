@@ -93,3 +93,90 @@ def _power_method_distributed(
     return state.where(F.col("reserve") > 0).select(
         "node", F.col("reserve").alias("ppr")
     )
+
+def power_method_multi(
+    graph: PropertyGraph,
+    sources: list[int],
+    alpha: float = DEFAULT_ALPHA,
+    iterations: int = POWER_ITERATIONS,
+    mode: str = "auto",
+) -> DataFrame:
+    """Multi-source PPR: restart mass uniform over a source SET — the
+    gds.pageRank sourceNodes-list shape in this engine's dangling
+    convention (dangling mass returns uniformly to the set; the reference
+    personalizes on one node, Neo4j_Method.java:66-98, and this is its
+    natural k-source generalization). Returns DataFrame(node, ppr),
+    ppr > 0 rows only; identical to `power_method` when len(sources)==1."""
+    sources = sorted(set(int(x) for x in sources))
+    if not sources:
+        raise ValueError("sources is empty")
+    if mode == "auto":
+        mode = "local" if graph.fits_local() else "distributed"
+    if mode == "local":
+        lg = graph.local
+        pi = _kernels.power_method_multi(
+            lg, [lg.dense(s) for s in sources], alpha, iterations
+        )
+        return ppr_result_from_dense(graph, pi)
+    return _power_method_multi_distributed(graph, sources, alpha, iterations)
+
+
+def _power_method_multi_distributed(
+    graph: PropertyGraph, sources: list[int], alpha: float, iterations: int
+) -> DataFrame:
+    spark = graph.spark
+    edges = graph.edges_push  # virtual (v, -1) edge per dangling node
+    k = len(sources)
+    srcs = spark.createDataFrame(
+        [(int(x),) for x in sources], "s long"
+    ).localCheckpoint(eager=True)
+
+    state = spark.createDataFrame(
+        [(int(x), 1.0 / k, 0.0) for x in sources],
+        schema="node long, residue double, reserve double",
+    )
+    with static_superstep_plan(spark):
+        for _ in range(iterations):
+            s = state.localCheckpoint(eager=True)
+            kept = s.select(
+                "node",
+                F.lit(0.0).alias("residue"),
+                (F.col("reserve") + F.lit(alpha) * F.col("residue")).alias("reserve"),
+            )
+            pushed = (
+                s.where(F.col("residue") != 0.0)
+                .join(edges, s.node == edges.src)
+                .select(
+                    "dst",
+                    (
+                        F.lit(1.0 - alpha) * F.col("residue") / F.col("src_out_degree")
+                    ).alias("residue"),
+                )
+            )
+            normal = pushed.where(F.col("dst") >= 0).select(
+                F.col("dst").alias("node"), "residue", F.lit(0.0).alias("reserve")
+            )
+            # the dangling rows fan uniformly over the source set: a tiny
+            # broadcast cross join (k rows) replacing the single-source remap
+            dangling = (
+                pushed.where(F.col("dst") < 0)
+                .crossJoin(F.broadcast(srcs))
+                .select(
+                    F.col("s").alias("node"),
+                    (F.col("residue") / F.lit(float(k))).alias("residue"),
+                    F.lit(0.0).alias("reserve"),
+                )
+            )
+            state = (
+                kept.unionAll(normal)
+                .unionAll(dangling)
+                .groupBy("node")
+                .agg(
+                    F.sum("residue").alias("residue"),
+                    F.sum("reserve").alias("reserve"),
+                )
+            )
+    return state.where(F.col("reserve") > 0).select(
+        "node", F.col("reserve").alias("ppr")
+    )
+

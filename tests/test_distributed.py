@@ -294,6 +294,32 @@ def test_pagerank_global_distributed_matches_kernel(got):
     assert est.min() >= (1.0 - (1.0 - ALPHA)) / lg.n - 1e-15  # restart floor
 
 
+def test_power_multi_source_matches_kernel_and_k1(got):
+    """Distributed multi-source == local kernel; k=1 == single-source."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.power_method import (
+        power_method,
+        power_method_multi,
+    )
+
+    lg = got.local
+    srcs = [got.id_of("Eddard"), got.id_of("Robert")]
+    df = power_method_multi(got, srcs, iterations=15, mode="distributed")
+    est = _as_dense(lg, df.collect())
+    gold = _kernels.power_method_multi(
+        lg, [lg.dense(s) for s in srcs], ALPHA, 15
+    )
+    gold[gold <= 0] = 0.0
+    assert np.max(np.abs(est - gold)) < 1e-12
+    # the k=1 case degenerates to the single-source operator exactly
+    one = _as_dense(
+        lg, power_method_multi(got, [srcs[0]], iterations=12, mode="local").collect()
+    )
+    single = _as_dense(
+        lg, power_method(got, srcs[0], iterations=12, mode="local").collect()
+    )
+    assert np.max(np.abs(one - single)) == 0.0
+
+
 def test_pagerank_weighted_uniform_equals_unweighted(got, spark):
     """With uniform weights the weighted recurrence degenerates to the
     unweighted one, EXCEPT that isolated nodes (no edges) don't exist in
