@@ -181,6 +181,9 @@ def main() -> None:
     timed("q_bigram_logprob",
           lambda: E.q_doc_bigram_logprob(spark, SF_DIR).count())
     timed("q_adamic_adar", lambda: E.q_adamic_adar(spark, SF_DIR).count())
+    timed("q_ppr_multi", lambda: eng.ppr_multi([src], iterations=30).count())
+    timed("q_pagerank_weighted",
+          lambda: E.q_graph_pagerank_weighted(spark, SF_DIR).count())
     timed("q_ivfpq", lambda: E.q_simsearch_ivfpq(spark, SF_DIR).count())
     timed("q_lsh_incremental",
           lambda: E.q_lsh_incremental(spark, SF_DIR).count())

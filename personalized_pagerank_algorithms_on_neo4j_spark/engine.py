@@ -42,6 +42,26 @@ class PPREngine:
         self.graph = graph
         self.alpha = alpha
 
+    def ppr_multi(
+        self,
+        sources: list[int | str],
+        iterations: int | None = None,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """PPR personalized on a SET of sources (uniform restart over the
+        set; dangling mass returns to the set) — the gds.pageRank
+        sourceNodes-list shape. Names resolve like `ppr`'s source."""
+        from .operators.power_method import power_method_multi
+
+        g = self.graph
+        resolved = [
+            g.id_of(s) if isinstance(s, str) else int(s) for s in sources
+        ]
+        kwargs = {} if iterations is None else {"iterations": iterations}
+        return power_method_multi(
+            g, resolved, alpha=self.alpha, mode=mode, **kwargs
+        )
+
     # -- whole-graph SSPPR ---------------------------------------------------
     def ppr(
         self,

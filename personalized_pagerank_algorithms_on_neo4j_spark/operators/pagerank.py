@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_ALPHA
 from ..graph import PropertyGraph
-from ..plans.iterative import SuperstepLoop
+from ..plans.iterative import (
+    BROADCAST_NODE_BOUND,
+    SuperstepLoop,
+    loop_shuffle_partitions,
+    static_superstep_plan,
+)
 from . import _kernels
 from ._result import ppr_result_from_dense
 
@@ -78,17 +83,25 @@ def pagerank_global(
     )
     rank = restart.select("node", F.lit(1.0 / n).alias("rank"))
     loop = SuperstepLoop(checkpoint_every=4)
-    for _ in range(iterations):
-        contrib = rank.join(edges, rank.node == edges.src).select(
-            F.col("dst").alias("node"),
-            (F.lit(d) * F.col("rank") / F.col("src_out_degree")).alias("rank"),
-        )
-        rank = (
-            contrib.unionAll(restart)
-            .groupBy("node")
-            .agg(F.sum("rank").alias("rank"))
-        )
-        rank = loop.materialize(rank)
+    # full loop discipline (same as the power/push loops): AQE off +
+    # state-scaled shuffle partitions, BOTH gated on the broadcast path —
+    # a node-bounded rank vector broadcasts into the edge join so the
+    # cached edge table never re-exchanges
+    small = n <= BROADCAST_NODE_BOUND
+    loop_parts = loop_shuffle_partitions(graph.spark, n) if small else None
+    with static_superstep_plan(graph.spark, shuffle_partitions=loop_parts):
+        for _ in range(iterations):
+            rj = F.broadcast(rank) if small else rank
+            contrib = rj.join(edges, rj.node == edges.src).select(
+                F.col("dst").alias("node"),
+                (F.lit(d) * F.col("rank") / F.col("src_out_degree")).alias("rank"),
+            )
+            rank = (
+                contrib.unionAll(restart)
+                .groupBy("node")
+                .agg(F.sum("rank").alias("rank"))
+            )
+            rank = loop.materialize(rank)
     return rank.select("node", F.col("rank").alias("score"))
 
 
@@ -131,17 +144,22 @@ def pagerank_weighted(
     restart = nodes.select("node", F.lit((1.0 - d) / n).alias("rank"))
     rank = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     loop = SuperstepLoop(checkpoint_every=4)
-    for _ in range(iterations):
-        contrib = rank.join(ew, rank.node == ew.src).select(
-            F.col("dst").alias("node"),
-            (F.lit(d) * F.col("rank") * F.col("p")).alias("rank"),
-        )
-        rank = (
-            contrib.unionAll(restart)
-            .groupBy("node")
-            .agg(F.sum("rank").alias("rank"))
-        )
-        rank = loop.materialize(rank)
+    spark = edges_w.sparkSession
+    small = n <= BROADCAST_NODE_BOUND
+    loop_parts = loop_shuffle_partitions(spark, n) if small else None
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
+        for _ in range(iterations):
+            rj = F.broadcast(rank) if small else rank
+            contrib = rj.join(ew, rj.node == ew.src).select(
+                F.col("dst").alias("node"),
+                (F.lit(d) * F.col("rank") * F.col("p")).alias("rank"),
+            )
+            rank = (
+                contrib.unionAll(restart)
+                .groupBy("node")
+                .agg(F.sum("rank").alias("rank"))
+            )
+            rank = loop.materialize(rank)
     return rank.select("node", F.col("rank").alias("score"))
 
 
