@@ -181,7 +181,6 @@ def main() -> None:
     timed("q_bigram_logprob",
           lambda: E.q_doc_bigram_logprob(spark, SF_DIR).count())
     timed("q_adamic_adar", lambda: E.q_adamic_adar(spark, SF_DIR).count())
-    timed("q_ppr_multi", lambda: eng.ppr_multi([src], iterations=30).count())
     timed("q_pagerank_weighted",
           lambda: E.q_graph_pagerank_weighted(spark, SF_DIR).count())
     timed("q_ivfpq", lambda: E.q_simsearch_ivfpq(spark, SF_DIR).count())
@@ -195,6 +194,19 @@ def main() -> None:
         lambda: eng.ppr(
             src, algo="montecarlo", epsilon=0.5, mode="distributed",
             max_supersteps=10,
+        ).count(),
+    )
+    # multi-source personalization through the DISTRIBUTED superstep loop
+    # (k=1 local would be bit-identical to q_power and measure nothing new)
+    timed(
+        "q_ppr_multi_dist10",
+        lambda: eng.ppr_multi(
+            sorted(
+                r[0] for r in g.nodes.where(F.col("id") < 1_000_000)
+                .orderBy("id").limit(3).collect()
+            ),
+            iterations=10,
+            mode="distributed",
         ).count(),
     )
     timed(

@@ -54,9 +54,7 @@ class PPREngine:
         from .operators.power_method import power_method_multi
 
         g = self.graph
-        resolved = [
-            g.id_of(s) if isinstance(s, str) else int(s) for s in sources
-        ]
+        resolved = [self._resolve(s) for s in sources]
         kwargs = {} if iterations is None else {"iterations": iterations}
         return power_method_multi(
             g, resolved, alpha=self.alpha, mode=mode, **kwargs

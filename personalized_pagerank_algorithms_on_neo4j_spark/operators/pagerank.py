@@ -72,7 +72,6 @@ def pagerank_global(
         pdf = pd.DataFrame({"node": lg.ids, "score": r})
         return graph.spark.createDataFrame(pdf, schema="node long, score double")
     d = 1.0 - alpha
-    edges = graph.edges_deg
     n = graph.n
     restart = (
         graph.nodes.select(
@@ -81,23 +80,46 @@ def pagerank_global(
         )
         .localCheckpoint(eager=True)  # read every superstep; derive once
     )
+    return _uniform_restart_loop(
+        graph.spark,
+        edges=graph.edges_deg,
+        contrib=F.lit(d) * F.col("rank") / F.col("src_out_degree"),
+        restart=restart,
+        n=n,
+        iterations=iterations,
+    )
+
+
+def _uniform_restart_loop(
+    spark,
+    edges: DataFrame,
+    contrib,
+    restart: DataFrame,
+    n: int,
+    iterations: int,
+) -> DataFrame:
+    """The shared uniform-restart superstep loop behind `pagerank_global`
+    and `pagerank_weighted` (one definition of the loop discipline):
+    AQE off for the whole loop (the established iterative-plan rule —
+    fixed-shape join+agg plans re-planned per superstep cost more than
+    they save; plans/iterative.py), shuffle partitions state-scaled ONLY
+    on the broadcast path (loop_shuffle_partitions clamps to the session
+    default at scale, so the non-broadcast path keeps full parallelism),
+    and the node-bounded rank vector broadcast into the edge join so the
+    cached edge table never re-exchanges. ``contrib`` is the per-edge
+    contribution expression over the joined (rank, edge) row."""
     rank = restart.select("node", F.lit(1.0 / n).alias("rank"))
     loop = SuperstepLoop(checkpoint_every=4)
-    # full loop discipline (same as the power/push loops): AQE off +
-    # state-scaled shuffle partitions, BOTH gated on the broadcast path —
-    # a node-bounded rank vector broadcasts into the edge join so the
-    # cached edge table never re-exchanges
     small = n <= BROADCAST_NODE_BOUND
-    loop_parts = loop_shuffle_partitions(graph.spark, n) if small else None
-    with static_superstep_plan(graph.spark, shuffle_partitions=loop_parts):
+    loop_parts = loop_shuffle_partitions(spark, n) if small else None
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
         for _ in range(iterations):
             rj = F.broadcast(rank) if small else rank
-            contrib = rj.join(edges, rj.node == edges.src).select(
-                F.col("dst").alias("node"),
-                (F.lit(d) * F.col("rank") / F.col("src_out_degree")).alias("rank"),
+            step = rj.join(edges, rj.node == edges.src).select(
+                F.col("dst").alias("node"), contrib.alias("rank")
             )
             rank = (
-                contrib.unionAll(restart)
+                step.unionAll(restart)
                 .groupBy("node")
                 .agg(F.sum("rank").alias("rank"))
             )
@@ -124,9 +146,15 @@ def pagerank_weighted(
     O(n) rank vector against it. Weight ratios are exact per-edge
     divisions, not accumulated floats, so the oracle CTE replays them
     identically."""
-    bad = edges_w.where(F.col("weight") <= 0).limit(1).count()
+    # materialize the (possibly expensive, lazily derived) edge input ONCE:
+    # validation, the out-weight marginal, the probability join, and both
+    # node-union branches would otherwise each re-derive it from source
+    edges_w = edges_w.localCheckpoint(eager=True)
+    # NOT (weight > 0) also catches NULL weights, which `weight <= 0`
+    # would silently pass (NULL comparison -> filtered out)
+    bad = edges_w.where(~(F.col("weight") > 0)).limit(1).count()
     if bad:
-        raise ValueError("pagerank_weighted: weights must be positive")
+        raise ValueError("pagerank_weighted: weights must be positive (and non-null)")
     w_tot = edges_w.groupBy("src").agg(F.sum("weight").alias("w_out"))
     ew = (
         edges_w.join(w_tot, "src")
@@ -142,25 +170,14 @@ def pagerank_weighted(
     n = nodes.count()
     d = 1.0 - alpha
     restart = nodes.select("node", F.lit((1.0 - d) / n).alias("rank"))
-    rank = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    loop = SuperstepLoop(checkpoint_every=4)
-    spark = edges_w.sparkSession
-    small = n <= BROADCAST_NODE_BOUND
-    loop_parts = loop_shuffle_partitions(spark, n) if small else None
-    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
-        for _ in range(iterations):
-            rj = F.broadcast(rank) if small else rank
-            contrib = rj.join(ew, rj.node == ew.src).select(
-                F.col("dst").alias("node"),
-                (F.lit(d) * F.col("rank") * F.col("p")).alias("rank"),
-            )
-            rank = (
-                contrib.unionAll(restart)
-                .groupBy("node")
-                .agg(F.sum("rank").alias("rank"))
-            )
-            rank = loop.materialize(rank)
-    return rank.select("node", F.col("rank").alias("score"))
+    return _uniform_restart_loop(
+        edges_w.sparkSession,
+        edges=ew,
+        contrib=F.lit(d) * F.col("rank") * F.col("p"),
+        restart=restart,
+        n=n,
+        iterations=iterations,
+    )
 
 
 def pagerank_weighted_oracle_sql(

@@ -125,11 +125,30 @@ def _power_method_multi_distributed(
     graph: PropertyGraph, sources: list[int], alpha: float, iterations: int
 ) -> DataFrame:
     spark = graph.spark
-    edges = graph.edges_push  # virtual (v, -1) edge per dangling node
     k = len(sources)
-    srcs = spark.createDataFrame(
-        [(int(x),) for x in sources], "s long"
-    ).localCheckpoint(eager=True)
+    srcs = spark.createDataFrame([(int(x),) for x in sources], "s long")
+    # Pre-fan the virtual dangling edges over the source set ONCE, outside
+    # the loop: each (v, -1) row becomes k rows (v, s_i, factor 1/k), real
+    # edges keep factor 1. The superstep then stays the single-source
+    # loop's ONE join + ONE branch shape — a dst>=0/dst<0 branch split
+    # inside the loop would execute the dominant state-edges join twice
+    # per superstep (two consumers of a non-exchange subtree).
+    ep = graph.edges_push
+    edges = (
+        ep.where(F.col("dst") >= 0)
+        .select("src", "dst", "src_out_degree", F.lit(1.0).alias("factor"))
+        .unionAll(
+            ep.where(F.col("dst") < 0)
+            .crossJoin(F.broadcast(srcs))
+            .select(
+                "src",
+                F.col("s").alias("dst"),
+                "src_out_degree",
+                F.lit(1.0 / k).alias("factor"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
 
     state = spark.createDataFrame(
         [(int(x), 1.0 / k, 0.0) for x in sources],
@@ -147,29 +166,18 @@ def _power_method_multi_distributed(
                 s.where(F.col("residue") != 0.0)
                 .join(edges, s.node == edges.src)
                 .select(
-                    "dst",
+                    F.col("dst").alias("node"),
                     (
-                        F.lit(1.0 - alpha) * F.col("residue") / F.col("src_out_degree")
+                        F.lit(1.0 - alpha)
+                        * F.col("residue")
+                        * F.col("factor")
+                        / F.col("src_out_degree")
                     ).alias("residue"),
-                )
-            )
-            normal = pushed.where(F.col("dst") >= 0).select(
-                F.col("dst").alias("node"), "residue", F.lit(0.0).alias("reserve")
-            )
-            # the dangling rows fan uniformly over the source set: a tiny
-            # broadcast cross join (k rows) replacing the single-source remap
-            dangling = (
-                pushed.where(F.col("dst") < 0)
-                .crossJoin(F.broadcast(srcs))
-                .select(
-                    F.col("s").alias("node"),
-                    (F.col("residue") / F.lit(float(k))).alias("residue"),
                     F.lit(0.0).alias("reserve"),
                 )
             )
             state = (
-                kept.unionAll(normal)
-                .unionAll(dangling)
+                kept.unionAll(pushed)
                 .groupBy("node")
                 .agg(
                     F.sum("residue").alias("residue"),

@@ -52,6 +52,8 @@ def create_signature_index(
     index above)."""
     import logging
 
+    from pyspark.sql import functions as F
+
     log = logging.getLogger(__name__)
     log.info("create_signature_index: populating %r (%d buckets)...",
              table_name, buckets)
@@ -62,20 +64,60 @@ def create_signature_index(
         .format("parquet")
         .saveAsTable(table_name)
     )
+    # build-time hot-bucket report: probes exclude oversized keys (see
+    # probe_signature_index), so the no-silent-caps log happens ONCE here
+    # instead of per probe
+    from ..functions.dedup import MINHASH_BUCKET_CAP
+
+    spark = banded.sparkSession
+    hot = (
+        spark.table(table_name)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > MINHASH_BUCKET_CAP)
+        .count()
+    )
+    if hot:
+        log.warning(
+            "create_signature_index: %r holds %d (band,bucket) keys over "
+            "MINHASH_BUCKET_CAP=%d; probes will exclude them — dedup the "
+            "boilerplate (exact_dup_groups) before indexing",
+            table_name, hot, MINHASH_BUCKET_CAP,
+        )
     log.info("create_signature_index: %r complete (100%%)", table_name)
 
 
 def probe_signature_index(
-    spark: SparkSession, probe: DataFrame, table_name: str = "lsh_signatures"
+    spark: SparkSession,
+    probe: DataFrame,
+    table_name: str = "lsh_signatures",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(new_id, old_id): candidate pairs for a probe band table (doc_id,
     band, bucket) against the persisted signature index. Only the probe
-    side shuffles — the index scan carries its bucketing."""
+    side shuffles — the index scan carries its bucketing.
+
+    ``max_bucket_size`` defaults to `dedup.MINHASH_BUCKET_CAP` (pass an
+    int to override, None resolves to the default): index keys above it
+    are excluded lazily (a second bucket-local scan of the persisted
+    table, no checkpoint), matching `cross_corpus_lsh_candidates`'
+    declared cap semantics; the drop is reported once at index build."""
     from pyspark.sql import functions as F
 
+    from ..functions.dedup import MINHASH_BUCKET_CAP
+
+    cap = MINHASH_BUCKET_CAP if max_bucket_size is None else max_bucket_size
     idx = spark.table(table_name).select(
         F.col("doc_id").alias("old_id"), "band", "bucket"
     )
+    hot = (
+        spark.table(table_name)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .where(F.col("_sz") > cap)
+        .select("band", "bucket")
+    )
+    idx = idx.join(hot, ["band", "bucket"], "left_anti")
     return (
         probe.select(F.col("doc_id").alias("new_id"), "band", "bucket")
         .join(idx, ["band", "bucket"])

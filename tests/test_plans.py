@@ -284,13 +284,20 @@ def test_signature_index_bucketed_join(spark):
         # exactly the join segments that read the bucketed table must carry
         # SelectedBucketsCount; the index side must not re-exchange
         assert "SelectedBucketsCount" in plan, plan[:1500]
+        # DEFAULT caps on both sides: the probe applies the same
+        # MINHASH_BUCKET_CAP exclusion as the inline operator
         got = {(r["new_id"], r["old_id"]) for r in out.collect()}
         want = {
             (r["new_id"], r["old_id"])
             for r in dedup.cross_corpus_lsh_candidates(
-                new, old, num_hashes=8, bands=4, n=3, max_bucket_size=None
+                new, old, num_hashes=8, bands=4, n=3
             ).collect()
         }
         assert got == want and got
+        # a tiny cap binds on the probe too (same declared semantics)
+        capped = idx.probe_signature_index(
+            spark, probe, "t_sig_idx", max_bucket_size=0
+        )
+        assert capped.count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sig_idx")
