@@ -4254,6 +4254,98 @@ WHERE ROUND(reserve, 9) > 0
 
 
 # ---------------------------------------------------------------------------
+# Block 26z: similar-doc retrieval + inter-arrival gap quantiles
+# ---------------------------------------------------------------------------
+
+SIMILAR_PROBE_ID = 0
+SIMILAR_K = 10
+
+
+def q_similar_docs(spark, sf_dir):
+    """The k docs most shingle-similar to one probe doc
+    (functions/dedup.similar_docs — the single-probe retrieval form of
+    the pairwise jaccard dedup)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _dedup.similar_docs(d, probe_id=SIMILAR_PROBE_ID, k=SIMILAR_K)
+
+
+def q_event_gap_quantiles(spark, sf_dir):
+    """Per-event-type inter-arrival gap quantiles: gap = seconds since the
+    same USER's previous event (lag window partitioned by user — parallel
+    across users), quantiled via the sort-free histogram path at 1-second
+    resolution."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        histogram_quantiles,
+    )
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    # total order (ts, event_type): a ts tie between different event types
+    # would otherwise assign the two gap values nondeterministically; cast
+    # to double (fractional seconds kept — unix_timestamp would truncate)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    # TIMESTAMP_NTZ has no direct double cast; hop through TIMESTAMP
+    # (session TZ = UTC) — gaps are TZ-invariant differences anyway
+    ts_d = F.col("ts").cast("timestamp").cast("double")
+    gaps = e.select(
+        "event_type",
+        (ts_d - F.lag(ts_d).over(w)).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return histogram_quantiles(
+        gaps, "gap_s", HQ_PROBS, group_col="event_type", resolution=1
+    )
+
+
+_BASE_QUERIES26Z = queries
+_BASE_ORACLE26Z = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26Z()
+    q["similar_docs"] = q_similar_docs
+    q["event_gap_quantiles"] = q_event_gap_quantiles
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        histogram_quantiles_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26Z()
+    sql["similar_docs"] = f"""
+WITH ds AS MATERIALIZED ({_SQL_DOC_SHINGLES}),
+probe AS (SELECT sh FROM ds WHERE doc_id = {SIMILAR_PROBE_ID}),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM probe),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+common AS (
+  SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ds JOIN probe USING (sh)
+  WHERE ds.doc_id <> {SIMILAR_PROBE_ID}
+  GROUP BY 1
+)
+SELECT c.doc_id, c.n_common,
+       ROUND(CAST(c.n_common AS DOUBLE)
+             / CAST(s.n_sh + (SELECT n FROM np) - c.n_common AS DOUBLE), 6)
+         AS jaccard
+FROM common c JOIN sizes s USING (doc_id)
+ORDER BY jaccard DESC, c.doc_id
+LIMIT {SIMILAR_K}
+"""
+    sql["event_gap_quantiles"] = histogram_quantiles_oracle_sql(
+        """SELECT event_type,
+       epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_type)) AS gap_s
+FROM events""",
+        "gap_s",
+        HQ_PROBS,
+        group_expr="event_type",
+        resolution=1,
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4285,6 +4377,8 @@ _WINDOW_PRIORITY = [
     "lsh_incremental",      # r5: cross-corpus LSH (stream twin)
     "histogram_quantiles",  # r5: percentile scale path
     "doc_token_quantiles",  # r5: corpus length report via histogram path
+    "similar_docs",         # r5: single-probe near-dup retrieval
+    "event_gap_quantiles",  # r5: inter-arrival gaps via histogram path
     "graph_wcc",
     "graph_hits",
     "graph_kcore",
@@ -4322,8 +4416,6 @@ _WINDOW_PRIORITY = [
     "customer_spend_share",
     "part_math",
     "orders_by_month",
-    "global_aggs",
-    "top_orders_ties",
     "quality_filter",
     "minhash_signatures",
     # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow

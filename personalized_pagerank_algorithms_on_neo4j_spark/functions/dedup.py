@@ -305,6 +305,50 @@ def hot_shingles(
     return counts.orderBy(F.desc("df"), F.asc("sh")).limit(k)
 
 
+def similar_docs(
+    df: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_common, jaccard): the k documents most shingle-similar to
+    ``probe_id`` — the single-probe retrieval form of `ngram_jaccard_pairs`
+    ("find me near-duplicates of THIS doc").
+
+    Scale shape: the probe's shingle set is one document (broadcast); the
+    corpus explodes once, semi-matches against the broadcast set (no
+    self-join, no candidate blowup), one count per doc, sizes join for the
+    denominator, TakeOrderedAndProject top-k under the total order
+    (jaccard DESC, doc_id ASC). The probe itself is excluded."""
+    ds = _doc_shingles(df.dropDuplicates([id_col]), text_col, id_col, n)
+    ds = ds.localCheckpoint(eager=True)  # probe set + corpus + sizes read it
+    probe = ds.where(F.col("doc_id") == probe_id).select("sh")
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    n_probe = probe.count()
+    if n_probe == 0:
+        return df.sparkSession.createDataFrame(
+            [], "doc_id long, n_common long, jaccard double"
+        )
+    common = (
+        ds.where(F.col("doc_id") != probe_id)
+        .join(F.broadcast(probe), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    scored = common.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_sh") + F.lit(n_probe) - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+    return scored.orderBy(F.desc("jaccard"), F.asc("doc_id")).limit(k)
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,

@@ -1481,3 +1481,22 @@ def test_histogram_quantiles_inverted_cdf(spark):
         ).collect()
     }
     assert low[0.1] == 1.01
+
+
+def test_similar_docs_retrieval(spark, docs_df):
+    """Single-probe retrieval: exact dups score 1.0, the near-dup ranks
+    above unrelated docs, the probe itself is excluded, and a probe with
+    no shingles returns an empty frame."""
+    rows = dedup.similar_docs(docs_df, probe_id=0, k=5).collect()
+    got = {r["doc_id"]: r["jaccard"] for r in rows}
+    assert 0 not in got
+    assert got[1] == 1.0 and got[2] == 1.0  # exact/normalized dups
+    assert got[3] < 1.0 and got[3] > 0.0    # near dup
+    assert 5 not in got or got[5] < got[3]
+    # ranked by (jaccard desc, id asc)
+    ordered = [r["doc_id"] for r in rows]
+    assert ordered[:2] == [1, 2]
+    # unknown probe id -> no shingles -> empty result, correct schema
+    empty = dedup.similar_docs(docs_df, probe_id=999, k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "n_common", "jaccard"]
