@@ -4441,6 +4441,93 @@ WHERE ROUND(rank, 9) > 0
 
 
 # ---------------------------------------------------------------------------
+# Block 26ab: label propagation + weighted single-source shortest paths
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 5
+SSSP_ROUNDS = 20
+
+
+def q_graph_lpa(spark, sf_dir):
+    """Synchronous plurality label propagation after LPA_ROUNDS rounds
+    (operators/lpa.label_propagation — the gds.labelPropagation verb on
+    the derived TPC-H graph; all-integer recurrence, exact oracle)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.lpa import (
+        label_propagation,
+    )
+
+    return label_propagation(_graph(spark, sf_dir), rounds=LPA_ROUNDS)
+
+
+def q_sssp_weighted(spark, sf_dir):
+    """Exact min-cost distances from the smallest customer node over the
+    UNDIRECTED order-volume graph with integer costs
+    (operators/sssp.sssp_weighted — frontier Bellman-Ford, the
+    gds.shortestPath verb; costs are the lineitem counts, nation edges 1)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
+        sssp_weighted,
+        undirected_min_cost,
+    )
+
+    g = _graph(spark, sf_dir)
+    e = undirected_min_cost(
+        _weighted_edges(spark, sf_dir).select(
+            "src", "dst", F.col("weight").alias("w")
+        )
+    )
+    return sssp_weighted(
+        spark, e, _source(g), max_rounds=SSSP_ROUNDS, n_hint=g.n
+    )
+
+
+def _und_weighted_int_sql() -> str:
+    """DuckDB twin of `undirected_min_cost(_weighted_edges(...))` with
+    BIGINT costs (the weights are integral by construction: COUNT(*) or
+    1.0 — see `_weighted_edges_sql`)."""
+    w = _weighted_edges_sql()
+    return f"""
+SELECT src, dst, MIN(w) AS w FROM (
+  SELECT src, dst, CAST(weight AS BIGINT) AS w
+  FROM ({w}) wi WHERE src <> dst
+  UNION ALL
+  SELECT dst AS src, src AS dst, CAST(weight AS BIGINT) AS w
+  FROM ({w}) wj WHERE src <> dst
+) u GROUP BY 1, 2
+"""
+
+
+_BASE_QUERIES26AB = queries
+_BASE_ORACLE26AB = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AB()
+    q["graph_lpa"] = q_graph_lpa
+    q["sssp_weighted"] = q_sssp_weighted
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.lpa import (
+        lpa_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
+        sssp_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26AB()
+    sql["graph_lpa"] = lpa_oracle_sql(
+        GRAPH_EDGES_SQL, GRAPH_NODES_SQL, rounds=LPA_ROUNDS
+    )
+    sql["sssp_weighted"] = sssp_oracle_sql(
+        _und_weighted_int_sql(),
+        "SELECT CAST(MIN(c_custkey) AS BIGINT) AS s FROM customer",
+        rounds=SSSP_ROUNDS,
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4457,6 +4544,8 @@ WHERE ROUND(rank, 9) > 0
 _WINDOW_PRIORITY = [
     # --- (a) never driver-observed: round-4 tail (registry positions 87-93
     #     in r4, behind the window) + round-5 additions ---------------------
+    "graph_lpa",            # r5: gds.labelPropagation plurality rounds
+    "sssp_weighted",        # r5: gds.shortestPath frontier Bellman-Ford
     "ppr_pagerank",         # I8 — first-ever oracle row for the comparator
     "ppr_multi_source",     # r5: sourceNodes-set personalization
     "graph_pagerank",       # r5: whole-graph gds.pageRank shape
@@ -4511,6 +4600,10 @@ _WINDOW_PRIORITY = [
     "revenue_by_nation",
     "customer_order_counts",
     "customer_spend_share",
+    # (quality_filter and minhash_signatures — observed r2/r3 — were
+    #  displaced to the round-6 debt by the two Block-26ab registrations;
+    #  never-observed queries always outrank rotation debt, COVERAGE.md
+    #  "Correctness-window rotation schedule")
     "quality_filter",
     "minhash_signatures",
     # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow

@@ -186,6 +186,15 @@ def main() -> None:
     timed("q_ivfpq", lambda: E.q_simsearch_ivfpq(spark, SF_DIR).count())
     timed("q_lsh_incremental",
           lambda: E.q_lsh_incremental(spark, SF_DIR).count())
+    # weighted + personalized pagerank together, and the bigram-LM
+    # next-token ranking (one corpus scan -> conditional distribution)
+    timed("q_ppr_pagerank_weighted",
+          lambda: E.q_ppr_pagerank_weighted(spark, SF_DIR).count())
+    timed("q_next_tokens", lambda: E.q_next_tokens(spark, SF_DIR).count())
+    # community labels (plurality supersteps) and weighted shortest paths
+    # (frontier Bellman-Ford) — the last two gds.* graph verbs
+    timed("q_lpa", lambda: E.q_graph_lpa(spark, SF_DIR).count())
+    timed("q_sssp", lambda: E.q_sssp_weighted(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

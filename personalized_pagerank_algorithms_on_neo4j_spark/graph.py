@@ -335,6 +335,14 @@ class PropertyGraph:
             mode=mode,
         )
 
+    def label_propagation(self, rounds: int = 5) -> DataFrame:
+        """(node, label) synchronous plurality label propagation
+        (operators/lpa.label_propagation — the gds.labelPropagation
+        community verb)."""
+        from .operators.lpa import label_propagation
+
+        return label_propagation(self, rounds=rounds)
+
     def connected_components(self, max_iters: int = 30) -> DataFrame:
         """(node, component) over nodes with at least one edge; component
         id = smallest node id in the component (min-label propagation —

@@ -1,0 +1,135 @@
+"""Synchronous label propagation — the `gds.labelPropagation` community verb.
+
+The reference's graph lives in Neo4j, whose GDS library ships label
+propagation next to the PageRank family it benchmarks (Neo4j_Method.java:35
+calls into the same `gds.*` procedure surface); this module supplies that
+verb over the engine's derived property graph with the repo's iterative
+execution discipline (AQE off + state-scaled shuffle partitions inside the
+loop, localCheckpoint lineage truncation, broadcast-gated state joins —
+plans/iterative.py).
+
+Semantics (deterministic synchronous variant): every node starts with its
+own id as its label; each round every node adopts the label carried by the
+PLURALITY of its (undirected, deduplicated) neighbors, ties broken toward
+the SMALLEST label, isolated nodes keeping their current label. A fixed
+round count keeps the recurrence replayable as chained CTEs — the DuckDB
+oracle (`lpa_oracle_sql`) unrolls the identical rounds, and every quantity
+is integral, so cross-engine equality is exact (no float rounding gate
+needed).
+
+Scale shape: per round ONE (node,label)-keyed count aggregate and ONE
+node-keyed plurality pick — the pick is a `max(struct(c, -label, label))`
+aggregate, not a window, so it partial-aggregates map-side and never sorts
+a partition. The label vector is node-bounded: under
+``BROADCAST_NODE_BOUND`` it broadcasts into the edge join so the
+undirected edge table never re-exchanges; above the bound the edge join
+shuffles on the session's cluster-sized partitioning (the 100x plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import PropertyGraph
+from ..plans.iterative import (
+    BROADCAST_NODE_BOUND,
+    SuperstepLoop,
+    loop_shuffle_partitions,
+    static_superstep_plan,
+)
+
+
+def label_propagation(graph: PropertyGraph, rounds: int = 5) -> DataFrame:
+    """(node, label) after ``rounds`` synchronous plurality-update rounds
+    over the undirected deduplicated edge set, seeded with label = node id.
+    """
+    spark = graph.spark
+    e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    small = graph.n <= BROADCAST_NODE_BOUND
+    loop_parts = loop_shuffle_partitions(spark, graph.n) if small else None
+    labels = graph.nodes.select(
+        F.col("id").alias("node"), F.col("id").alias("label")
+    )
+    loop = SuperstepLoop(checkpoint_every=2)
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
+        und = und.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True)
+        for _ in range(rounds):
+            lj = F.broadcast(labels) if small else labels
+            cnt = (
+                und.join(lj, und.src == lj["node"])
+                .groupBy(und.dst.alias("nbr_of"), F.col("label"))
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            # plurality pick with smallest-label tiebreak as ONE aggregate:
+            # max over (count, -label) == max count then min label; the
+            # third struct field carries the winner out without a re-join
+            pick = (
+                cnt.groupBy("nbr_of")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("c").alias("c"),
+                            (-F.col("label")).alias("neg"),
+                            F.col("label").alias("label"),
+                        )
+                    ).alias("m")
+                )
+                .select(F.col("nbr_of"), F.col("m.label").alias("new_label"))
+            )
+            pj = F.broadcast(pick) if small else pick
+            labels = labels.join(
+                pj, labels.node == pj["nbr_of"], "left"
+            ).select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            labels = loop.materialize(labels)
+    return labels.select("node", "label")
+
+
+def lpa_oracle_sql(edges_sql: str, nodes_sql: str, rounds: int = 5) -> str:
+    """DuckDB twin replaying the identical synchronous plurality rounds
+    (window row_number pick — same max-count/min-label order the Spark
+    struct-max encodes; all quantities integral, so equality is exact)."""
+    ctes = [
+        f"e_raw AS MATERIALIZED ({edges_sql})",
+        """und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e_raw WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM e_raw WHERE src <> dst))""",
+        f"""l0 AS MATERIALIZED (
+  SELECT id AS node, id AS label FROM ({nodes_sql}))""",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""cnt{i} AS (
+  SELECT u.dst AS nbr_of, l.label, COUNT(*) AS c
+  FROM und u JOIN l{i} l ON u.src = l.node
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""pick{i} AS (
+  SELECT nbr_of, label AS new_label FROM (
+    SELECT nbr_of, label,
+           ROW_NUMBER() OVER (PARTITION BY nbr_of
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM cnt{i})
+  WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""l{i + 1} AS MATERIALIZED (
+  SELECT p.node, COALESCE(k.new_label, p.label) AS label
+  FROM l{i} p LEFT JOIN pick{i} k ON p.node = k.nbr_of)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT node, label FROM l{rounds}
+"""

@@ -440,3 +440,95 @@ def test_graph_analytics_facade(got):
     assert len(pr) == got.n and all(r["score"] > 0 for r in pr)
     ns = got.node_similarity(threshold=0.5).collect()
     assert all(r["jaccard"] >= 0.5 for r in ns)
+
+
+def test_label_propagation_matches_python_replay(got):
+    """Sync plurality LPA on the GOT graph vs a dict replay of the
+    identical recurrence (undirected dedup neighbors, max-count label,
+    min-label tiebreak, isolated nodes keep their label)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.lpa import (
+        label_propagation,
+    )
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in got.edges.select("src", "dst").collect()
+        if r["src"] != r["dst"]
+    }
+    und: dict[int, list[int]] = {}
+    for u, v in edges | {(v, u) for u, v in edges}:
+        und.setdefault(v, []).append(u)
+    nodes = [r["id"] for r in got.nodes.select("id").collect()]
+    labels = {n: n for n in nodes}
+    rounds = 3
+    for _ in range(rounds):
+        new = {}
+        for v in nodes:
+            nbrs = und.get(v)
+            if not nbrs:
+                new[v] = labels[v]
+                continue
+            counts: dict[int, int] = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            new[v] = min(
+                counts, key=lambda lb: (-counts[lb], lb)
+            )
+        labels = new
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(got, rounds=rounds).collect()
+    }
+    assert out == labels
+
+
+def test_sssp_weight_one_equals_bfs(got):
+    """Directed SSSP with unit costs must reproduce BFS hop distances."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
+        bfs_distances,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
+        sssp_weighted,
+    )
+
+    s = got.id_of("Eddard")
+    e1 = got.edges.select("src", "dst", F.lit(1).cast("long").alias("w"))
+    d = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(
+            got.spark, e1, s, max_rounds=30, n_hint=got.n
+        ).collect()
+    }
+    bfs = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(got, s, max_hops=30).collect()
+    }
+    assert d == bfs
+
+
+def test_sssp_cheap_long_path_beats_heavy_edge(spark):
+    """Relaxation must keep improving past the hop-shortest path: the
+    3-hop cost-3 route wins over the direct cost-10 edge, and
+    undirected_min_cost keeps the per-pair MIN of asymmetric costs."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
+        sssp_weighted,
+        undirected_min_cost,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 4, 1), (4, 2, 1)],
+        "src long, dst long, w long",
+    )
+    d = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(spark, e, 1, max_rounds=10, n_hint=4).collect()
+    }
+    assert d == {1: 0, 2: 3, 3: 1, 4: 2}
+    ua = spark.createDataFrame(
+        [(1, 2, 5), (2, 1, 3)], "src long, dst long, w long"
+    )
+    und = {
+        (r["src"], r["dst"]): r["w"]
+        for r in undirected_min_cost(ua).collect()
+    }
+    assert und == {(1, 2): 3, (2, 1): 3}
