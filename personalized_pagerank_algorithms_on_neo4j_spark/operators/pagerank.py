@@ -14,7 +14,7 @@ followed by rank / sum(rank).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_ALPHA
@@ -237,32 +237,29 @@ def _pagerank_distributed(
     graph: PropertyGraph, source: int, iterations: int, alpha: float
 ) -> DataFrame:
     d = 1.0 - alpha
-    edges = graph.edges_deg
-    restart = graph.spark.createDataFrame(
+    spark = graph.spark
+    restart = spark.createDataFrame(
         [(int(source), 1.0 - d)], schema="node long, rank double"
-    )
-    rank = graph.spark.createDataFrame(
+    ).localCheckpoint(eager=True)  # read every superstep; derive once
+    rank0 = spark.createDataFrame(
         [(int(source), 1.0)], schema="node long, rank double"
     )
-    loop = SuperstepLoop(checkpoint_every=4)
-    for _ in range(iterations):
-        contrib = (
-            rank.join(edges, rank.node == edges.src)
-            .select(
-                F.col("dst").alias("node"),
-                (F.lit(d) * F.col("rank") / F.col("src_out_degree")).alias("rank"),
-            )
-        )
-        rank = (
-            contrib.unionAll(restart)
-            .groupBy("node")
-            .agg(F.sum("rank").alias("rank"))
-        )
-        rank = loop.materialize(rank)
-    # P4 sum-normalization (Neo4j_Method.java:80-98) via a window over ()
-    w = Window.partitionBy()
-    return (
-        rank.where(F.col("rank") > 0)
-        .withColumn("ppr", F.col("rank") / F.sum("rank").over(w))
-        .select("node", "ppr")
+    scores = _uniform_restart_loop(
+        spark,
+        edges=graph.edges_deg,
+        contrib=F.lit(d) * F.col("rank") / F.col("src_out_degree"),
+        restart=restart,
+        n=graph.n,
+        iterations=iterations,
+        rank0=rank0,
+    )
+    # P4 sum-normalization (Neo4j_Method.java:80-98): ONE scalar aggregate
+    # broadcast back over the vector — never a window over (), which
+    # WindowExec executes in a single partition (the whole O(n) rank
+    # vector through one task at scale). Checkpoint first: the frame is
+    # read twice (scalar aggregate + the join branch).
+    pos = scores.where(F.col("score") > 0).localCheckpoint(eager=True)
+    total = pos.agg(F.sum("score").alias("_t"))
+    return pos.crossJoin(F.broadcast(total)).select(
+        "node", (F.col("score") / F.col("_t")).alias("ppr")
     )
