@@ -4483,15 +4483,19 @@ def q_sssp_weighted(spark, sf_dir):
 def _und_weighted_int_sql() -> str:
     """DuckDB twin of `undirected_min_cost(_weighted_edges(...))` with
     BIGINT costs (the weights are integral by construction: COUNT(*) or
-    1.0 — see `_weighted_edges_sql`)."""
+    1.0 — see `_weighted_edges_sql`). The weighted-edge derivation (an
+    orders x lineitem join+aggregate) is MATERIALIZED once and referenced
+    by both direction branches — DuckDB does not CSE identical inlined
+    subqueries."""
     w = _weighted_edges_sql()
     return f"""
-SELECT src, dst, MIN(w) AS w FROM (
+WITH wi AS MATERIALIZED (
   SELECT src, dst, CAST(weight AS BIGINT) AS w
-  FROM ({w}) wi WHERE src <> dst
+  FROM ({w}) w0 WHERE src <> dst)
+SELECT src, dst, MIN(w) AS w FROM (
+  SELECT src, dst, w FROM wi
   UNION ALL
-  SELECT dst AS src, src AS dst, CAST(weight AS BIGINT) AS w
-  FROM ({w}) wj WHERE src <> dst
+  SELECT dst AS src, src AS dst, w FROM wi
 ) u GROUP BY 1, 2
 """
 

@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 
 from ..plans.iterative import (
     BROADCAST_NODE_BOUND,
-    SuperstepLoop,
     loop_shuffle_partitions,
     static_superstep_plan,
 )
@@ -70,9 +69,10 @@ def sssp_weighted(
     weighted edge list (src, dst, w — positive long costs), for every
     reachable node. ``edges`` is used as given (pass
     ``undirected_min_cost(...)`` for the undirected metric).
-    ``n_hint`` bounds the state for partition scaling (defaults to the
-    edge-endpoint estimate only when cheap: callers that know graph.n
-    should pass it)."""
+    ``n_hint`` bounds the state for broadcast gating and partition
+    scaling; when omitted, NO scaling happens (the loop keeps the
+    session's shuffle partitioning and the frontier is never broadcast),
+    so callers that know graph.n should always pass it."""
     small = n_hint is not None and n_hint <= BROADCAST_NODE_BOUND
     loop_parts = (
         loop_shuffle_partitions(spark, n_hint) if small else None
@@ -80,7 +80,6 @@ def sssp_weighted(
     dist = spark.createDataFrame(
         [(int(source), 0)], "node long, dist long"
     )
-    loop = SuperstepLoop(checkpoint_every=1)
     with static_superstep_plan(spark, shuffle_partitions=loop_parts):
         edges = edges.localCheckpoint(eager=True)
         dist = dist.localCheckpoint(eager=True)
@@ -105,7 +104,11 @@ def sssp_weighted(
                     | (F.col("cand") < F.col("dist"))
                 ).alias("improved"),
             )
-            merged = loop.materialize(merged, force=True)
+            # checkpoint EVERY round: merged is read three ways (frontier
+            # filter, next dist, the emptiness probe) and is the early-exit
+            # boundary, so per-round materialization is load-bearing here —
+            # no cadence object needed
+            merged = merged.localCheckpoint(eager=True)
             frontier = merged.where("improved").select(
                 "node", F.col("new_dist").alias("dist")
             )

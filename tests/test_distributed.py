@@ -440,6 +440,8 @@ def test_graph_analytics_facade(got):
     assert len(pr) == got.n and all(r["score"] > 0 for r in pr)
     ns = got.node_similarity(threshold=0.5).collect()
     assert all(r["jaccard"] >= 0.5 for r in ns)
+    lp = got.label_propagation(rounds=2).collect()
+    assert len(lp) == got.n and all(r["label"] is not None for r in lp)
 
 
 def test_label_propagation_matches_python_replay(got):
