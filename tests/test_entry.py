@@ -169,6 +169,38 @@ def test_sql_oracle_depths_cover_convergence(spark):
         k=E.KCORE_K,
         max_rounds=E.KCORE_ORACLE_ROUNDS,
     ).count()
+    # sssp: oracle parity holds at ANY round count past Spark's stopping
+    # round (fixed-point algebra, operators/sssp.py), but the EXACT-
+    # distances claim needs true convergence within SSSP_ROUNDS at the
+    # compare scale — replay Bellman-Ford in plain Python and count rounds
+    from pyspark.sql import functions as F
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
+        undirected_min_cost,
+    )
+
+    ue = [
+        (r["src"], r["dst"], r["w"])
+        for r in undirected_min_cost(
+            E._weighted_edges(spark, SF_ORACLE).select(
+                "src", "dst", F.col("weight").alias("w")
+            )
+        ).collect()
+    ]
+    # SYNCHRONOUS (Jacobi) rounds — in-place sweeps would undercount vs
+    # the per-round semantics both engines implement
+    dist = {E._source(g): 0}
+    rounds = 0
+    while True:
+        new = dict(dist)
+        for u, v, w in ue:
+            du = dist.get(u)
+            if du is not None and du + w < new.get(v, float("inf")):
+                new[v] = du + w
+        if new == dist:
+            break
+        dist = new
+        rounds += 1
+    assert rounds <= E.SSSP_ROUNDS, f"sssp needs {rounds} > {E.SSSP_ROUNDS}"
 
 
 def test_minhash_bucket_cap_never_binds_at_gate_scale(spark):
