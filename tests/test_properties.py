@@ -335,3 +335,93 @@ def test_pagerank_global_kernel_invariants(lg, iters):
     # fixed point, so later iterates never fall below the restart floor
     r2 = _kernels.pagerank_global(lg, ALPHA, iters + 1)
     assert (r2 >= ALPHA / n - 1e-15).all()
+
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.lpa import (  # noqa: E402
+    lpa_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (  # noqa: E402
+    sssp_oracle_sql,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(edges=_edge_lists, rounds=st.integers(0, 4))
+def test_lpa_oracle_matches_bruteforce(edges, rounds):
+    """The unrolled plurality-rounds oracle vs a dict replay over a fixed
+    10-node universe (isolated nodes must keep their own label)."""
+    nodes = list(range(10))
+    und: dict[int, set[int]] = {n: set() for n in nodes}
+    for u, v in edges:
+        if u != v:
+            und[u].add(v)
+            und[v].add(u)
+    labels = {n: n for n in nodes}
+    for _ in range(rounds):
+        new = {}
+        for v in nodes:
+            if not und[v]:
+                new[v] = labels[v]
+                continue
+            counts: dict[int, int] = {}
+            for u in und[v]:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            new[v] = min(counts, key=lambda lb: (-counts[lb], lb))
+        labels = new
+    con = _duck_edges(edges)
+    got = dict(
+        con.execute(
+            lpa_oracle_sql(
+                "SELECT src, dst FROM raw_edges",
+                "SELECT range AS id FROM range(0, 10)",
+                rounds=rounds,
+            )
+        ).fetchall()
+    )
+    assert got == labels
+
+
+_weighted_edge_lists = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9), st.integers(1, 5)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(edges=_weighted_edge_lists)
+def test_sssp_oracle_matches_dijkstra(edges):
+    """The unrolled-relaxation oracle (rounds=15 > any min-path hop count
+    on 10 nodes) vs a plain-Python Dijkstra over the same directed
+    weighted edges (parallel edges allowed — both sides take the min)."""
+    import heapq
+
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for u, v, w in edges:
+        if u != v:
+            adj.setdefault(u, []).append((v, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw_edges (src BIGINT, dst BIGINT, w BIGINT)")
+    if edges:
+        con.executemany("INSERT INTO raw_edges VALUES (?, ?, ?)", edges)
+    got = dict(
+        con.execute(
+            sssp_oracle_sql(
+                "SELECT src, dst, w FROM raw_edges WHERE src <> dst",
+                "SELECT 0 AS s",
+                rounds=15,
+            )
+        ).fetchall()
+    )
+    assert got == dist
