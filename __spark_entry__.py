@@ -4500,6 +4500,45 @@ SELECT src, dst, MIN(w) AS w FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Block 26ac: typed JSON-field extraction over the events props payload
+# ---------------------------------------------------------------------------
+
+
+def q_events_json_stats(spark, sf_dir):
+    """Per-event-type integer stats over the JSON `props.k` field
+    (functions/jsoncol — ONE typed from_json parse in codegen, never a
+    per-field re-parse or Python UDF; all-BIGINT outputs)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.jsoncol import (
+        json_field_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return json_field_stats(ev, "props", "k", "event_type")
+
+
+_BASE_QUERIES26AC = queries
+_BASE_ORACLE26AC = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AC()
+    q["events_json_stats"] = q_events_json_stats
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.jsoncol import (
+        json_field_stats_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26AC()
+    sql["events_json_stats"] = json_field_stats_oracle_sql(
+        "SELECT * FROM events", "props", "k", "event_type"
+    )
+    return sql
+
+
 _BASE_QUERIES26AB = queries
 _BASE_ORACLE26AB = oracle_sql
 
@@ -4550,6 +4589,7 @@ _WINDOW_PRIORITY = [
     #     in r4, behind the window) + round-5 additions ---------------------
     "graph_lpa",            # r5: gds.labelPropagation plurality rounds
     "sssp_weighted",        # r5: gds.shortestPath frontier Bellman-Ford
+    "events_json_stats",    # r5: typed JSON-field extraction (props.k)
     "ppr_pagerank",         # I8 — first-ever oracle row for the comparator
     "ppr_multi_source",     # r5: sourceNodes-set personalization
     "graph_pagerank",       # r5: whole-graph gds.pageRank shape
@@ -4604,10 +4644,11 @@ _WINDOW_PRIORITY = [
     "revenue_by_nation",
     "customer_order_counts",
     "customer_spend_share",
-    # (quality_filter and minhash_signatures — observed r2/r3 — were
-    #  displaced to the round-6 debt by the two Block-26ab registrations;
-    #  never-observed queries always outrank rotation debt, COVERAGE.md
-    #  "Correctness-window rotation schedule")
+    # (customer_spend_share, quality_filter and minhash_signatures —
+    #  observed r2/r3 — were displaced to the round-6 debt by the three
+    #  Block-26ab/26ac registrations; never-observed queries always
+    #  outrank rotation debt, COVERAGE.md "Correctness-window rotation
+    #  schedule")
     "quality_filter",
     "minhash_signatures",
     # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow

@@ -195,6 +195,9 @@ def main() -> None:
     # (frontier Bellman-Ford) — the last two gds.* graph verbs
     timed("q_lpa", lambda: E.q_graph_lpa(spark, SF_DIR).count())
     timed("q_sssp", lambda: E.q_sssp_weighted(spark, SF_DIR).count())
+    # typed JSON-field extraction over the events props payload
+    timed("q_events_json",
+          lambda: E.q_events_json_stats(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

@@ -1521,3 +1521,32 @@ def test_bigram_next_tokens_hand_computed(spark):
         ("c", 1, round(2 / 7, 9)),
     ]
     assert math.isclose(sum(p for _, _, p in got), 5 / 7)
+
+
+def test_parse_json_fields_semantics(spark):
+    """Typed from_json extraction: valid rows land typed, malformed JSON
+    and missing fields yield NULL (PERMISSIVE), other columns survive,
+    and aggregates skip the nulls — the DuckDB twin's null algebra."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.jsoncol import (
+        json_field_stats,
+        parse_json_fields,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", '{"k": 10}'),
+            (2, "a", '{"k": 32, "extra": "x"}'),
+            (3, "b", "not json"),
+            (4, "b", '{"other": 1}'),
+            (5, None, None),
+        ],
+        "id long, grp string, props string",
+    )
+    p = {r["id"]: r["k"] for r in parse_json_fields(df, "props", {"k": "long"}).collect()}
+    assert p == {1: 10, 2: 32, 3: None, 4: None, 5: None}
+    stats = {
+        r["grp"]: (r["n_events"], r["k_sum"], r["k_max"], r["k_distinct"])
+        for r in json_field_stats(df, "props", "k", "grp").collect()
+    }
+    assert stats["a"] == (2, 42, 32, 2)
+    assert stats["b"] == (2, None, None, 0)
