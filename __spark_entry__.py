@@ -4517,6 +4517,39 @@ def q_events_json_stats(spark, sf_dir):
     return json_field_stats(ev, "props", "k", "event_type")
 
 
+SSSP_LANDMARKS = 3
+
+
+def q_sssp_landmarks(spark, sf_dir):
+    """Distance-to-landmark features: exact min-cost distances from the
+    SSSP_LANDMARKS smallest customer nodes, ALL landmarks batched through
+    one superstep loop (operators/sssp.sssp_weighted_multi)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
+        sssp_weighted_multi,
+        undirected_min_cost,
+    )
+
+    g = _graph(spark, sf_dir)
+    e = undirected_min_cost(
+        _weighted_edges(spark, sf_dir).select(
+            "src", "dst", F.col("weight").alias("w")
+        )
+    )
+    srcs = (
+        g.nodes.where(F.col("id") < 1_000_000)
+        .orderBy("id")
+        .limit(SSSP_LANDMARKS)
+        .select(F.col("id").alias("source"))
+    )
+    return sssp_weighted_multi(
+        spark,
+        e,
+        srcs,
+        max_rounds=SSSP_ROUNDS,
+        n_hint=g.n * SSSP_LANDMARKS,
+    )
+
+
 _BASE_QUERIES26AC = queries
 _BASE_ORACLE26AC = oracle_sql
 
@@ -4524,6 +4557,7 @@ _BASE_ORACLE26AC = oracle_sql
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
     q = _BASE_QUERIES26AC()
     q["events_json_stats"] = q_events_json_stats
+    q["sssp_landmarks"] = q_sssp_landmarks
     return q
 
 
@@ -4531,10 +4565,19 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     from personalized_pagerank_algorithms_on_neo4j_spark.functions.jsoncol import (
         json_field_stats_oracle_sql,
     )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
+        sssp_multi_oracle_sql,
+    )
 
     sql = _BASE_ORACLE26AC()
     sql["events_json_stats"] = json_field_stats_oracle_sql(
         "SELECT * FROM events", "props", "k", "event_type"
+    )
+    sql["sssp_landmarks"] = sssp_multi_oracle_sql(
+        _und_weighted_int_sql(),
+        "SELECT CAST(c_custkey AS BIGINT) AS s FROM customer"
+        f" ORDER BY c_custkey LIMIT {SSSP_LANDMARKS}",
+        rounds=SSSP_ROUNDS,
     )
     return sql
 
@@ -4590,6 +4633,7 @@ _WINDOW_PRIORITY = [
     "graph_lpa",            # r5: gds.labelPropagation plurality rounds
     "sssp_weighted",        # r5: gds.shortestPath frontier Bellman-Ford
     "events_json_stats",    # r5: typed JSON-field extraction (props.k)
+    "sssp_landmarks",       # r5: batched multi-landmark weighted SSSP
     "ppr_pagerank",         # I8 — first-ever oracle row for the comparator
     "ppr_multi_source",     # r5: sourceNodes-set personalization
     "graph_pagerank",       # r5: whole-graph gds.pageRank shape

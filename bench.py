@@ -198,6 +198,9 @@ def main() -> None:
     # typed JSON-field extraction over the events props payload
     timed("q_events_json",
           lambda: E.q_events_json_stats(spark, SF_DIR).count())
+    # k landmarks batched through one weighted-SSSP superstep loop
+    timed("q_sssp_multi",
+          lambda: E.q_sssp_landmarks(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

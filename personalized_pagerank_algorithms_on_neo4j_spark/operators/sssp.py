@@ -147,3 +147,89 @@ def sssp_oracle_sql(
 WITH {body}
 SELECT node, dist FROM d{rounds}
 """
+
+
+def sssp_weighted_multi(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 20,
+    n_hint: int | None = None,
+) -> DataFrame:
+    """(landmark, node, dist) exact min-cost distances from EVERY source in
+    ``sources`` (a 1-column ``source`` frame), batched through ONE
+    superstep loop — k landmark relaxations ride the same per-round edge
+    join instead of k sequential loops (the `bfs_distances_multi` shape,
+    weighted). Same fixed-point/early-exit algebra as `sssp_weighted`,
+    applied per landmark; the state is bounded by k x n, so pass
+    ``n_hint`` as graph.n x len(sources) for the broadcast gate."""
+    small = n_hint is not None and n_hint <= BROADCAST_NODE_BOUND
+    loop_parts = loop_shuffle_partitions(spark, n_hint) if small else None
+    dist = sources.distinct().select(
+        F.col("source").alias("landmark"),
+        F.col("source").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
+        edges = edges.localCheckpoint(eager=True)
+        dist = dist.localCheckpoint(eager=True)
+        frontier = dist
+        for _ in range(max_rounds):
+            fj = F.broadcast(frontier) if small else frontier
+            cand = (
+                edges.join(fj, edges.src == fj["node"])
+                .groupBy(F.col("landmark"), F.col("dst").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+            )
+            # full outer joins cannot broadcast (see sssp_weighted); the
+            # dist side stays (landmark, node)-partitioned from the
+            # previous round's checkpoint, only candidates move
+            merged = dist.join(cand, ["landmark", "node"], "full_outer").select(
+                "landmark",
+                "node",
+                F.least(F.col("dist"), F.col("cand")).alias("new_dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("cand") < F.col("dist"))
+                ).alias("improved"),
+            )
+            merged = merged.localCheckpoint(eager=True)
+            frontier = merged.where("improved").select(
+                "landmark", "node", F.col("new_dist").alias("dist")
+            )
+            dist = merged.select(
+                "landmark", "node", F.col("new_dist").alias("dist")
+            )
+            if frontier.limit(1).count() == 0:
+                break
+    return dist
+
+
+def sssp_multi_oracle_sql(
+    weighted_edges_sql: str, sources_sql: str, rounds: int = 20
+) -> str:
+    """DuckDB twin of `sssp_weighted_multi`: ``sources_sql`` yields a
+    column ``s`` (one row per landmark); ``rounds`` naive relaxation
+    rounds carry the landmark through every CTE. Equal at any round
+    count past the per-landmark fixed points."""
+    ctes = [
+        f"ue AS MATERIALIZED ({weighted_edges_sql})",
+        f"srcs AS (SELECT DISTINCT s FROM ({sources_sql}) s0)",
+        """m0 AS MATERIALIZED (
+  SELECT s AS landmark, s AS node, CAST(0 AS BIGINT) AS dist FROM srcs)""",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""m{i + 1} AS MATERIALIZED (
+  SELECT landmark, node, MIN(dist) AS dist FROM (
+    SELECT landmark, node, dist FROM m{i}
+    UNION ALL
+    SELECT d.landmark, e.dst AS node, d.dist + e.w AS dist
+    FROM m{i} d JOIN ue e ON d.node = e.src
+  ) u GROUP BY landmark, node)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT landmark, node, dist FROM m{rounds}
+"""

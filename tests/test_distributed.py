@@ -534,3 +534,33 @@ def test_sssp_cheap_long_path_beats_heavy_edge(spark):
         for r in undirected_min_cost(ua).collect()
     }
     assert und == {(1, 2): 3, (2, 1): 3}
+
+
+def test_sssp_multi_matches_single(got):
+    """One batched weighted-SSSP loop over several landmarks must produce,
+    per landmark, exactly the single-source result."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
+        sssp_weighted,
+        sssp_weighted_multi,
+        undirected_min_cost,
+    )
+
+    e = undirected_min_cost(
+        got.edges.select("src", "dst", F.lit(2).alias("w"))
+    ).localCheckpoint(eager=True)
+    srcs = [got.id_of("Eddard"), got.id_of("Robert")]
+    sdf = got.spark.createDataFrame([(s,) for s in srcs], "source long")
+    multi = sssp_weighted_multi(
+        got.spark, e, sdf, max_rounds=30, n_hint=got.n * 2
+    ).collect()
+    by_src: dict[int, dict[int, int]] = {}
+    for r in multi:
+        by_src.setdefault(r["landmark"], {})[r["node"]] = r["dist"]
+    for s in srcs:
+        single = {
+            r["node"]: r["dist"]
+            for r in sssp_weighted(
+                got.spark, e, s, max_rounds=30, n_hint=got.n
+            ).collect()
+        }
+        assert by_src[s] == single
