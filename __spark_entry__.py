@@ -4550,6 +4550,59 @@ def q_sssp_landmarks(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Block 26ad: unpivot (wide->long) + event-time RANGE window frame
+# ---------------------------------------------------------------------------
+
+RANGE_WINDOW_SECONDS = 86400  # trailing day: avg frame ~3 rows at sf0.01
+# (a 1-hour frame holds ~1 row there — a near-no-op gate; see memory rule
+#  'prefer non-empty oracle results')
+
+
+def q_part_unpivot(spark, sf_dir):
+    """Wide->long melt of part's numeric attributes via the native
+    DataFrame.unpivot (Spark's Expand node: one scan emits N rows per
+    input row, no join/union re-scan; the oracle is the equivalent
+    UNION ALL). Values unified to double (exact: 2-decimal prices and
+    integer sizes both round-trip)."""
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return p.unpivot(
+        ["p_partkey"], ["p_retailprice", "p_size"], "attr", "value"
+    )
+
+
+def q_events_range_window(spark, sf_dir):
+    """Per-event trailing-DAY totals with an EVENT-TIME RANGE frame
+    (rangeBetween over epoch seconds — frame membership is defined by
+    the time distance, not a row count, so bursts and gaps are handled
+    correctly where rowsBetween is wrong). Partitioned per user: frames
+    never cross users, no single-partition window. Integer-cents sums
+    (exact in any order) and floor-second keys on BOTH engines (Spark's
+    timestamp->long cast truncates; the oracle uses FLOOR(epoch(ts)))."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ (no direct long cast in Spark 4): go through a
+    # session-UTC timestamp — _t pins the session timezone, so the epoch
+    # seconds equal DuckDB's FLOOR(epoch(ts)) on the same naive values
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-RANGE_WINDOW_SECONDS, 0)
+    )
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.sum(_cents(F.col("value"))).over(w).alias("trailing_cents"),
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+    )
+
+
 _BASE_QUERIES26AC = queries
 _BASE_ORACLE26AC = oracle_sql
 
@@ -4558,6 +4611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
     q = _BASE_QUERIES26AC()
     q["events_json_stats"] = q_events_json_stats
     q["sssp_landmarks"] = q_sssp_landmarks
+    q["part_unpivot"] = q_part_unpivot
+    q["events_range_window"] = q_events_range_window
     return q
 
 
@@ -4579,6 +4634,25 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         f" ORDER BY c_custkey LIMIT {SSSP_LANDMARKS}",
         rounds=SSSP_ROUNDS,
     )
+    sql["part_unpivot"] = """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, 'p_retailprice' AS attr,
+       CAST(p_retailprice AS DOUBLE) AS value
+FROM part
+UNION ALL
+SELECT CAST(p_partkey AS BIGINT), 'p_size', CAST(p_size AS DOUBLE)
+FROM part
+"""
+    sql["events_range_window"] = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS BIGINT)
+         AS trailing_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN {RANGE_WINDOW_SECONDS} PRECEDING AND CURRENT ROW)
+"""
     return sql
 
 
@@ -4634,6 +4708,8 @@ _WINDOW_PRIORITY = [
     "sssp_weighted",        # r5: gds.shortestPath frontier Bellman-Ford
     "events_json_stats",    # r5: typed JSON-field extraction (props.k)
     "sssp_landmarks",       # r5: batched multi-landmark weighted SSSP
+    "part_unpivot",         # r5: wide->long melt (Expand, no re-scan)
+    "events_range_window",  # r5: event-time RANGE window frame
     "ppr_pagerank",         # I8 — first-ever oracle row for the comparator
     "ppr_multi_source",     # r5: sourceNodes-set personalization
     "graph_pagerank",       # r5: whole-graph gds.pageRank shape
