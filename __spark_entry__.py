@@ -4459,6 +4459,21 @@ def q_graph_lpa(spark, sf_dir):
     return label_propagation(_graph(spark, sf_dir), rounds=LPA_ROUNDS)
 
 
+def _und_weighted_edges(spark, sf_dir):
+    """Shared undirected integer-cost edge view for BOTH SSSP queries —
+    one derivation next to its SQL twin `_und_weighted_int_sql`, so a
+    cost change cannot diverge the two queries from the shared oracle."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
+        undirected_min_cost,
+    )
+
+    return undirected_min_cost(
+        _weighted_edges(spark, sf_dir).select(
+            "src", "dst", F.col("weight").alias("w")
+        )
+    )
+
+
 def q_sssp_weighted(spark, sf_dir):
     """Exact min-cost distances from the smallest customer node over the
     UNDIRECTED order-volume graph with integer costs
@@ -4466,17 +4481,15 @@ def q_sssp_weighted(spark, sf_dir):
     gds.shortestPath verb; costs are the lineitem counts, nation edges 1)."""
     from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
         sssp_weighted,
-        undirected_min_cost,
     )
 
     g = _graph(spark, sf_dir)
-    e = undirected_min_cost(
-        _weighted_edges(spark, sf_dir).select(
-            "src", "dst", F.col("weight").alias("w")
-        )
-    )
     return sssp_weighted(
-        spark, e, _source(g), max_rounds=SSSP_ROUNDS, n_hint=g.n
+        spark,
+        _und_weighted_edges(spark, sf_dir),
+        _source(g),
+        max_rounds=SSSP_ROUNDS,
+        n_hint=g.n,
     )
 
 
@@ -4526,15 +4539,10 @@ def q_sssp_landmarks(spark, sf_dir):
     one superstep loop (operators/sssp.sssp_weighted_multi)."""
     from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
         sssp_weighted_multi,
-        undirected_min_cost,
     )
 
     g = _graph(spark, sf_dir)
-    e = undirected_min_cost(
-        _weighted_edges(spark, sf_dir).select(
-            "src", "dst", F.col("weight").alias("w")
-        )
-    )
+    e = _und_weighted_edges(spark, sf_dir)
     srcs = (
         g.nodes.where(F.col("id") < 1_000_000)
         .orderBy("id")
@@ -4764,9 +4772,10 @@ _WINDOW_PRIORITY = [
     "revenue_by_nation",
     "customer_order_counts",
     "customer_spend_share",
-    # (customer_spend_share, quality_filter and minhash_signatures —
-    #  observed r2/r3 — were displaced to the round-6 debt by the three
-    #  Block-26ab/26ac registrations; never-observed queries always
+    # (revenue_by_customer, revenue_by_nation, customer_order_counts,
+    #  customer_spend_share, quality_filter and minhash_signatures — all
+    #  observed r1-r3 — were displaced to the round-6 debt by the six
+    #  Block-26ab/26ac/26ad registrations; never-observed queries always
     #  outrank rotation debt, COVERAGE.md "Correctness-window rotation
     #  schedule")
     "quality_filter",

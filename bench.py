@@ -201,10 +201,17 @@ def main() -> None:
     # k landmarks batched through one weighted-SSSP superstep loop
     timed("q_sssp_multi",
           lambda: E.q_sssp_landmarks(spark, SF_DIR).count())
-    # wide->long Expand melt and the event-time RANGE window frame
+    # wide->long Expand melt and the event-time RANGE window frame.
+    # NOTE: the range-window key must AGGREGATE a window output column —
+    # .count() alone lets ColumnPruning drop the Window node entirely
+    # (window expressions don't change cardinality), timing a bare scan
     timed("q_unpivot", lambda: E.q_part_unpivot(spark, SF_DIR).count())
-    timed("q_range_window",
-          lambda: E.q_events_range_window(spark, SF_DIR).count())
+    timed(
+        "q_range_window",
+        lambda: E.q_events_range_window(spark, SF_DIR)
+        .agg(F.sum("trailing_cents"))
+        .collect(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

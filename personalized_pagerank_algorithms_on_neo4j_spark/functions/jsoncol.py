@@ -25,12 +25,23 @@ def parse_json_fields(
 ) -> DataFrame:
     """All of ``df``'s columns plus one typed column per requested JSON
     field (``fields`` maps field name -> Spark DDL type, e.g.
-    ``{"k": "long"}``)."""
+    ``{"k": "long"}``). A requested field whose name collides with an
+    existing column is rejected up front (the silent alternative is two
+    same-named output columns and ambiguous-reference errors downstream).
+    """
+    clash = set(fields) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"JSON field(s) {sorted(clash)} collide with existing columns"
+        )
+    tmp = "_parsed"
+    while tmp in df.columns:  # never replace a caller's column
+        tmp += "_"
     ddl = ", ".join(f"{name} {typ}" for name, typ in fields.items())
-    parsed = df.withColumn("_parsed", F.from_json(F.col(col), ddl))
+    parsed = df.withColumn(tmp, F.from_json(F.col(col), ddl))
     return parsed.select(
         *df.columns,
-        *[F.col(f"_parsed.{name}").alias(name) for name in fields],
+        *[F.col(f"{tmp}.{name}").alias(name) for name in fields],
     )
 
 

@@ -165,9 +165,10 @@ def sssp_weighted_multi(
     ``n_hint`` as graph.n x len(sources) for the broadcast gate."""
     small = n_hint is not None and n_hint <= BROADCAST_NODE_BOUND
     loop_parts = loop_shuffle_partitions(spark, n_hint) if small else None
-    dist = sources.distinct().select(
-        F.col("source").alias("landmark"),
-        F.col("source").alias("node"),
+    src = F.col("source").cast("long")  # int32 inputs must not leak into
+    dist = sources.distinct().select(   # the output schema (dtype parity)
+        src.alias("landmark"),
+        src.alias("node"),
         F.lit(0).cast("long").alias("dist"),
     )
     with static_superstep_plan(spark, shuffle_partitions=loop_parts):
