@@ -4696,6 +4696,52 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26af: winnowing fingerprints (rolling-hash k-gram sampling)
+# ---------------------------------------------------------------------------
+# The MOSS winnowing scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03) — the
+# brief's "document fingerprinting (rolling hash)" bullet as a first-class
+# operator, complementing the order-independent bag-of-words fingerprint in
+# text_profile.  One per-document window MIN over the packed
+# (40-bit gram hash | 20-bit bit-flipped position) BIGINT gives the
+# rightmost-min tie-break declaratively in both engines.
+
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 4  # hashes per winnowing window (match guarantee: w+k-1 tokens)
+
+
+def q_doc_winnow(spark, sf_dir):
+    """Winnowing fingerprints over `documents` (functions/text
+    .winnow_fingerprints — posexplode + doc-partitioned window MIN +
+    distinct; no self-join, no Python UDF)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+
+
+_BASE_QUERIES26AF = queries
+_BASE_ORACLE26AF = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AF()
+    q["doc_winnow"] = q_doc_winnow
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        winnow_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26AF()
+    sql["doc_winnow"] = winnow_oracle_sql(k=WINNOW_K, w=WINNOW_W)
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4712,6 +4758,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 _WINDOW_PRIORITY = [
     # --- (a) never driver-observed: round-4 tail (registry positions 87-93
     #     in r4, behind the window) + round-5 additions ---------------------
+    "doc_winnow",           # r5: MOSS winnowing rolling-hash fingerprints
     "graph_lpa",            # r5: gds.labelPropagation plurality rounds
     "sssp_weighted",        # r5: gds.shortestPath frontier Bellman-Ford
     "events_json_stats",    # r5: typed JSON-field extraction (props.k)
@@ -4766,7 +4813,9 @@ _WINDOW_PRIORITY = [
     "report_layout",        # S6
     # --- (c) rotation debt: r1/r2/r3-observed queries, out of the window
     #     since round 3 or earlier, oldest evidence first (see COVERAGE.md
-    #     "Correctness-window rotation schedule") ---------------------------
+    #     "Correctness-window rotation schedule").  NOTE: the late doc_winnow
+    #     registration pushed ppr_power (observed r1-r3) to position 51 —
+    #     never-observed queries always outrank rotation debt --------------
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

@@ -212,6 +212,7 @@ def main() -> None:
         .agg(F.sum("trailing_cents"))
         .collect(),
     )
+    timed("q_winnow", lambda: E.q_doc_winnow(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

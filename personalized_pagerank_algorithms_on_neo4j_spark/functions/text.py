@@ -25,15 +25,19 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
-def portable_hash(col: Column, seed: Column | int = 0) -> Column:
+def portable_hash(col: Column, seed: Column | int = 0, hex_chars: int = 12) -> Column:
     """Deterministic 48-bit hash identical in Spark and DuckDB (md5-based).
 
     48 bits so that small multiplier/accumulator arithmetic stays far below
     2^63: Spark longs wrap silently but DuckDB BIGINTs raise on overflow, so
-    portable pipelines must never overflow."""
+    portable pipelines must never overflow.  `hex_chars` narrows the hash
+    (4 bits per hex char) when the caller packs extra payload bits next to
+    it in one BIGINT (winnowing packs 40-bit hash + 20-bit position)."""
     seed_col = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
     return F.conv(
-        F.substring(F.md5(F.concat(col.cast("string"), F.lit("#"), seed_col)), 1, 12),
+        F.substring(
+            F.md5(F.concat(col.cast("string"), F.lit("#"), seed_col)), 1, hex_chars
+        ),
         16,
         10,
     ).cast("long")
@@ -863,4 +867,129 @@ SELECT query_id, {id_col}, score,
                                ORDER BY score DESC, {id_col} ASC) AS BIGINT) AS pos
 FROM per
 QUALIFY pos <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash k-gram sampling)
+# ---------------------------------------------------------------------------
+
+WINNOW_POS_BITS = 20
+_WINNOW_POS_LIMIT = 1 << WINNOW_POS_BITS  # 1,048,576 grams per document
+_WINNOW_POS_MASK = _WINNOW_POS_LIMIT - 1
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS scheme): hash every k-token shingle, slide a w-wide window
+    over the hash sequence, keep each window's minimum hash (ties -> the
+    RIGHTMOST minimum), then deduplicate the selections.
+
+    Guarantee: any token run shared by two documents of length >= w+k-1
+    tokens contributes at least one common fingerprint; expected density is
+    2/(w+1) of the grams.  Documents shorter than k tokens fingerprint
+    their whole token string; documents with fewer than w grams take the
+    global minimum (one clipped window).
+
+    Scale shape: one narrow posexplode + ONE per-document window MIN
+    (frames are doc-bounded, partitioned by `id_col` — never a global
+    window) + distinct.  No self-join, no Python UDF.  The rightmost-min
+    tie-break rides a plain MIN in both engines by packing (40-bit hash |
+    20-bit bit-flipped position) into one BIGINT; grams beyond 2^20 per
+    document are dropped (explicit cap, guard-tested never to bind at gate
+    scale — real corpora hit multi-million-token docs only via concat
+    errors that upstream `doc_chunks` splitting removes).
+
+    Output: (id_col, fp_pos int, fp_hash long), one row per selected
+    fingerprint.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    # Materialize the grams array as a bound column BEFORE the explode:
+    # expressions that survive past a Generate are re-evaluated per exploded
+    # row, so size(<transform-expr>) after posexplode would rebuild the whole
+    # k-gram array once per gram (O(n^2) string joins per document).  A bound
+    # attribute crosses the Generate as a materialized array instead.
+    base = df.select(F.col(id_col), grams.alias("gs"))
+    g = base.select(
+        F.col(id_col),
+        F.size("gs").alias("ng"),
+        F.posexplode("gs").alias("pos", "gram"),
+    ).where(F.col("pos") < _WINNOW_POS_LIMIT)
+    packed = portable_hash(F.col("gram"), hex_chars=10) * F.lit(
+        _WINNOW_POS_LIMIT
+    ) + (F.lit(_WINNOW_POS_MASK) - F.col("pos")).cast("long")
+
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        g.select(
+            F.col(id_col),
+            F.col("ng"),
+            F.col("pos"),
+            F.min(packed).over(win).alias("m"),
+        )
+        .where(F.col("pos") <= F.greatest(F.col("ng") - w, F.lit(0)))
+        .select(
+            F.col(id_col),
+            (F.lit(_WINNOW_POS_MASK) - F.col("m") % F.lit(_WINNOW_POS_LIMIT))
+            .cast("int")
+            .alias("fp_pos"),
+            F.expr(f"m DIV {_WINNOW_POS_LIMIT}").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
+def winnow_oracle_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> str:
+    """DuckDB twin of `winnow_fingerprints` — identical md5-based 40-bit
+    gram hash, identical packed-BIGINT rightmost-min tie-break, identical
+    clipped-window semantics for short documents."""
+    lim, mask = _WINNOW_POS_LIMIT, _WINNOW_POS_MASK
+    h = "CAST(('0x' || substring(md5(gram || '#' || '0'), 1, 10)) AS BIGINT)"
+    return f"""
+WITH src AS ({docs_sql}),
+tk AS (SELECT {id_col}, string_split_regex(trim(lower(text)), ' +') AS t
+       FROM src),
+gr AS (
+  SELECT {id_col},
+    CASE WHEN len(t) >= {k}
+      THEN list_transform(range(0, len(t) - {k} + 1),
+                          i -> array_to_string(t[i+1:i+{k}], ' '))
+      ELSE [array_to_string(t, ' ')] END AS gs
+  FROM tk),
+g AS (
+  SELECT {id_col}, len(gs) AS ng, CAST(i AS INT) AS pos, gs[i+1] AS gram
+  FROM (SELECT {id_col}, gs, unnest(range(0, len(gs))) AS i FROM gr)),
+pk AS (
+  SELECT {id_col}, ng, pos, {h} * {lim} + CAST({mask} - pos AS BIGINT) AS p
+  FROM g WHERE pos < {lim}),
+wm AS (
+  SELECT {id_col}, ng, pos,
+         MIN(p) OVER (PARTITION BY {id_col} ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m
+  FROM pk)
+SELECT DISTINCT {id_col},
+       CAST({mask} - (m % {lim}) AS INT) AS fp_pos,
+       CAST(m // {lim} AS BIGINT) AS fp_hash
+FROM wm
+WHERE pos <= greatest(ng - {w}, 0)
 """

@@ -1550,3 +1550,76 @@ def test_parse_json_fields_semantics(spark):
     }
     assert stats["a"] == (2, 42, 32, 2)
     assert stats["b"] == (2, None, None, 0)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_match_guarantee_and_density(spark):
+    # Two docs sharing a run of w+k-1 = 7 tokens MUST share a fingerprint
+    # (the winnowing guarantee); unrelated docs with disjoint vocab share none.
+    shared = "alpha bravo charlie delta echo foxtrot golf"
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} seven eight nine ten eleven twelve"),
+            (3, "k l m n o p q r s t u v w x y z aa bb cc dd"),
+        ],
+        schema="doc_id long, text string",
+    )
+    fps = text.winnow_fingerprints(df, k=4, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "docs sharing a 7-token run share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: winnowing selects at most one fingerprint per window start,
+    # far fewer than the number of grams (expected ~2/(w+1))
+    n_grams_3 = 20 - 4 + 1
+    assert 1 <= len(by_doc[3]) < n_grams_3
+
+
+def test_winnow_short_docs_degenerate_windows(spark):
+    # < k tokens: whole token string is the single gram -> one fingerprint
+    # at pos 0.  >= k tokens but < w grams: global min over the clipped
+    # window, still exactly one selection (deduplicated).
+    df = spark.createDataFrame(
+        [(1, "just two"), (2, "five little tokens right here")],
+        schema="doc_id long, text string",
+    )
+    rows = text.winnow_fingerprints(df, k=4, w=4).collect()
+    got = {r["doc_id"]: (r["fp_pos"], r["fp_hash"]) for r in rows}
+    assert len(rows) == 2 and set(got) == {1, 2}
+    assert got[1][0] == 0
+    # doc 2 has 2 grams; the selected one is the min of the two packed keys
+    assert got[2][0] in (0, 1)
+
+
+def test_winnow_rightmost_min_tiebreak(spark):
+    # A doc that repeats the same k-gram everywhere: every window's minimum
+    # hash ties, so the tie-break must pick the RIGHTMOST position in each
+    # window — selections advance with the window, one per start, and all
+    # share the single gram hash.
+    df = spark.createDataFrame(
+        [(1, " ".join(["rep"] * 12))], schema="doc_id long, text string"
+    )
+    rows = text.winnow_fingerprints(df, k=4, w=4).collect()
+    hashes = {r["fp_hash"] for r in rows}
+    assert len(hashes) == 1
+    # window starts 0..5 select positions start+w-1 = 3..8 (rightmost of
+    # each tied window)
+    assert sorted(r["fp_pos"] for r in rows) == [3, 4, 5, 6, 7, 8]
+
+
+def test_winnow_pos_cap_never_binds_at_gate_scale(spark, sf_dir=None):
+    # The 2^20-grams-per-doc packing cap must stay far from binding on the
+    # gate corpus (mirrors the minhash bucket-cap guard pattern).
+    from .conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    max_toks = docs.select(
+        F.max(F.size(text.tokens(F.lower(F.col("text"))))).alias("m")
+    ).collect()[0]["m"]
+    assert max_toks < (1 << text.WINNOW_POS_BITS) // 64
