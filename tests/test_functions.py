@@ -1623,3 +1623,60 @@ def test_winnow_pos_cap_never_binds_at_gate_scale(spark, sf_dir=None):
         F.max(F.size(text.tokens(F.lower(F.col("text"))))).alias("m")
     ).collect()[0]["m"]
     assert max_toks < (1 << text.WINNOW_POS_BITS) // 64
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage (name variants)
+# ---------------------------------------------------------------------------
+
+
+def test_name_variant_pairs_hand_computed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import linkage
+
+    df = spark.createDataFrame(
+        [
+            (1, "Acme Corp"),
+            (2, "acme corp"),      # case/trim variant of 1 -> dist 0
+            (3, "Acme Corp."),     # punctuation variant -> dist 1
+            (4, "Acme Holdings"),  # same block, too far (dist > 3)
+            (5, "Apex Corp"),      # different first token: never a candidate
+        ],
+        schema="id long, name string",
+    )
+    rows = linkage.name_variant_pairs(df, "name", max_dist=3).collect()
+    got = {(r["name_a"], r["name_b"]): (r["dist"], r["n_a"], r["n_b"]) for r in rows}
+    # "acme corp" has count 2 (rows 1+2 fold in the distinct aggregate)
+    assert got == {("acme corp", "acme corp."): (1, 2, 1)}
+
+
+def test_name_variant_hot_block_cap_drops_block(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import linkage
+
+    df = spark.createDataFrame(
+        [(i, f"hot name{i}") for i in range(10)] + [(99, "cold x"), (98, "cold y")],
+        schema="id long, name string",
+    )
+    uncapped = linkage.name_variant_pairs(df, "name", max_dist=3, block_cap=None)
+    capped = linkage.name_variant_pairs(df, "name", max_dist=3, block_cap=5)
+    # the 'hot' block (10 distinct names) is dropped; 'cold' block survives
+    assert uncapped.where(F.col("name_a").startswith("hot")).count() > 0
+    crows = capped.collect()
+    assert all(r["name_a"].startswith("cold") for r in crows)
+    assert len(crows) == 1  # cold x / cold y at dist 1
+
+
+def test_name_variant_block_cap_never_binds_at_gate_scale(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import linkage
+    from .conftest import SF_SMALL
+
+    part = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    max_block = (
+        part.select(F.split(F.lower(F.trim(F.col("p_name"))), " +").getItem(0).alias("tok"),
+                    F.lower(F.trim(F.col("p_name"))).alias("nm"))
+        .distinct()
+        .groupBy("tok")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_block < linkage.NAME_BLOCK_CAP // 64
