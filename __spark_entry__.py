@@ -4784,6 +4784,50 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26ah: token-budgeted mixture selection
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 800  # per-source token budget; keeps ~60% of each gate source
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Greedy quality-ordered per-source prefix under a token budget
+    (functions/packing.token_budget_mix — quality-band decomposition:
+    tiny band aggregate + broadcast offsets, doc window only WITHIN narrow
+    (source, quality) bands, never over a whole source)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.packing import (
+        token_budget_mix,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return token_budget_mix(docs, budget=TOKEN_BUDGET)
+
+
+_BASE_QUERIES26AH = queries
+_BASE_ORACLE26AH = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AH()
+    q["token_budget_mix"] = q_token_budget_mix
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.packing import (
+        token_budget_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26AH()
+    sql["token_budget_mix"] = token_budget_oracle_sql(
+        "SELECT doc_id, source, text FROM documents",
+        TOKEN_BUDGET,
+        _sql_quality_combine(_SQL_LEN_SCORE, _sql_sw_raw("en"), _SQL_PUNCT_RAW),
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4862,6 +4906,7 @@ _WINDOW_PRIORITY = [
     #     family reps above are non-displaceable, so it queues here at the
     #     FRONT of the r6 window (never-observed > debt) -------------------
     "part_name_variants",
+    "token_budget_mix",
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

@@ -217,6 +217,10 @@ def main() -> None:
         "q_name_variants",
         lambda: E.q_part_name_variants(spark, SF_DIR).count(),
     )
+    timed(
+        "q_token_budget",
+        lambda: E.q_token_budget_mix(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

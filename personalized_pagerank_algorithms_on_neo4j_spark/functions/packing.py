@@ -24,7 +24,11 @@ Two ends of the "fit documents into fixed token windows" problem:
   thresholds come from one tiny aggregate broadcast back over the corpus:
   one shuffle of k rows, one scan.
 
-All three are cross-engine exact: integer token counts, integer ppm
+- `token_budget_mix` — greedy quality-ordered per-source prefix under a
+  token budget, decomposed through quality bands so the doc-level window
+  never spans a whole source (see the function docstring).
+
+All four are cross-engine exact: integer token counts, integer ppm
 thresholds, and the md5-based `portable_hash` shared with the DuckDB
 oracles.
 """
@@ -259,4 +263,105 @@ thr AS (
 SELECT d.* FROM {table} d
 JOIN thr USING ({source_col})
 WHERE ({bucket}) < _thr
+"""
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budgeted mixture selection: per source, keep the best documents
+    (quality desc, id asc) while the running token total fits ``budget`` —
+    the greedy-prefix rule every token-budgeted pretraining mixture uses.
+
+    Scale shape: the naive plan is ONE window per source (10 sources at
+    100 TB = 10 serial tasks).  Instead the prefix is decomposed through
+    quality BANDS (quality is already rounded to 6 decimals, so the band
+    IS the exact sort key):
+
+    1. per-(source, quality) token totals — a partial-aggregated shuffle
+       bounded by |sources| x |distinct qualities| (tiny);
+    2. band-level running offsets via a window over that TINY frame;
+    3. broadcast the offsets back; each document's cumulative total is
+       `band_offset + within-band prefix`, where the within-band window
+       partitions by (source, quality) — thousands of narrow partitions
+       instead of one partition per source.
+
+    The result is row-identical to the naive per-source window (the sort
+    key (quality DESC, id ASC) is the band order followed by the in-band
+    order), which is exactly what the DuckDB oracle runs.
+
+    Output: (id_col, source_col, quality double, n_tok long,
+    cum_tokens long) for kept documents.
+    """
+    from .text import quality_score
+
+    c = F.col(text_col)
+    d = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        quality_score(c).alias("quality"),
+        F.size(tokens(c)).cast("long").alias("n_tok"),
+    )
+    bands = d.groupBy(source_col, "quality").agg(
+        F.sum("n_tok").alias("_band_toks")
+    )
+    wb = (
+        Window.partitionBy(source_col)
+        .orderBy(F.desc("quality"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = bands.select(
+        F.col(source_col),
+        F.col("quality"),
+        (F.sum("_band_toks").over(wb) - F.col("_band_toks")).alias("_before"),
+    )
+    wd = (
+        Window.partitionBy(source_col, "quality")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(offsets), [source_col, "quality"])
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("quality"),
+            F.col("n_tok"),
+            (F.col("_before") + F.sum("n_tok").over(wd)).alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+    )
+
+
+def token_budget_oracle_sql(
+    docs_sql: str,
+    budget: int,
+    quality_sql: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `token_budget_mix` — the NAIVE per-source prefix
+    window (the band decomposition is a plan optimization, not a semantics
+    change).  `quality_sql` must be the engine-shared quality expression
+    over a `text` column (see __spark_entry__._sql_quality_combine usage).
+    Integer window SUM is CAST to BIGINT (DuckDB HUGEINT vs Spark long)."""
+    return f"""
+WITH d AS (
+  SELECT {id_col}, {source_col}, {quality_sql} AS quality,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tok
+  FROM ({docs_sql})
+),
+c AS (
+  SELECT {id_col}, {source_col}, quality, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY {source_col}
+                               ORDER BY quality DESC, {id_col} ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM d
+)
+SELECT * FROM c WHERE cum_tokens <= {budget}
 """

@@ -1680,3 +1680,65 @@ def test_name_variant_block_cap_never_binds_at_gate_scale(spark):
         .collect()[0][0]
     )
     assert max_block < linkage.NAME_BLOCK_CAP // 64
+
+
+# ---------------------------------------------------------------------------
+# Token-budgeted mixture selection
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_mix_greedy_prefix_hand_computed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import packing
+
+    # equal quality ("x y z" repeated patterns would differ) -> craft texts
+    # with controlled lengths; same quality within a source falls back to
+    # doc_id order.
+    df = spark.createDataFrame(
+        [
+            (1, "s", "a b c d e f"),          # 6 tokens
+            (2, "s", "a b c d e f"),          # 6 tokens, same quality
+            (3, "s", "a b c d e f"),          # 6 tokens, same quality
+        ],
+        schema="doc_id long, source string, text string",
+    )
+    kept = packing.token_budget_mix(df, budget=13).collect()
+    got = sorted((r["doc_id"], r["cum_tokens"]) for r in kept)
+    # prefix by doc_id: cum 6, 12, 18 -> doc 3 overflows the 13 budget
+    assert got == [(1, 6), (2, 12)]
+
+
+def test_token_budget_mix_equals_naive_window(spark):
+    from pyspark.sql import Window as W
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import packing
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        quality_score,
+        tokens,
+    )
+    from .conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    banded = packing.token_budget_mix(docs, budget=800)
+    c = F.col("text")
+    naive = (
+        docs.select(
+            "doc_id",
+            "source",
+            quality_score(c).alias("quality"),
+            F.size(tokens(c)).cast("long").alias("n_tok"),
+        )
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tok").over(
+                W.partitionBy("source")
+                .orderBy(F.desc("quality"), F.asc("doc_id"))
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .where(F.col("cum_tokens") <= 800)
+    )
+    b = sorted(tuple(r) for r in banded.collect())
+    n = sorted(tuple(r) for r in naive.select(*banded.columns).collect())
+    assert b == n and len(b) > 0
