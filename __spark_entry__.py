@@ -737,12 +737,18 @@ def _sql_sw_raw(lang: str) -> str:
     )
 
 
+def _sql_quality_raw(len_expr: str, sw_expr: str, punct_expr: str) -> str:
+    """Un-rounded quality double (bit-exact cross-engine; use for ordering
+    — text.quality_score_raw is the Spark twin)."""
+    return (
+        f"{len_expr}*0.4 + least(({sw_expr})*4.0, 1.0)*0.4"
+        f" + (1.0 - least(({punct_expr})*2.0, 1.0))*0.2"
+    )
+
+
 def _sql_quality_combine(len_expr: str, sw_expr: str, punct_expr: str) -> str:
     """quality = 0.4*len + 0.4*min(4*sw, 1) + 0.2*(1 - min(2*punct, 1))."""
-    return (
-        f"ROUND({len_expr}*0.4 + least(({sw_expr})*4.0, 1.0)*0.4"
-        f" + (1.0 - least(({punct_expr})*2.0, 1.0))*0.2, 6)"
-    )
+    return f"ROUND({_sql_quality_raw(len_expr, sw_expr, punct_expr)}, 6)"
 
 
 _SQL_SHINGLES = f"""list_filter(list_distinct(list_transform(
@@ -4822,7 +4828,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     sql["token_budget_mix"] = token_budget_oracle_sql(
         "SELECT doc_id, source, text FROM documents",
         TOKEN_BUDGET,
-        _sql_quality_combine(_SQL_LEN_SCORE, _sql_sw_raw("en"), _SQL_PUNCT_RAW),
+        _sql_quality_raw(_SQL_LEN_SCORE, _sql_sw_raw("en"), _SQL_PUNCT_RAW),
     )
     return sql
 
@@ -4900,11 +4906,12 @@ _WINDOW_PRIORITY = [
     # --- (c) rotation debt: r1/r2/r3-observed queries, out of the window
     #     since round 3 or earlier, oldest evidence first (see COVERAGE.md
     #     "Correctness-window rotation schedule").  NOTE: the late doc_winnow
-    #     registration pushed ppr_power (observed r1-r3) to position 51 —
+    #     registration pushed ppr_power (observed r1-r3) out of the window —
     #     never-observed queries always outrank rotation debt.  The window
-    #     was exactly full when part_name_variants registered, and the 14
-    #     family reps above are non-displaceable, so it queues here at the
-    #     FRONT of the r6 window (never-observed > debt) -------------------
+    #     was exactly full when part_name_variants / token_budget_mix
+    #     registered, and the 14 family reps above are non-displaceable, so
+    #     they queue here at positions 51-52 — the FRONT of the r6 window
+    #     (never-observed > debt); ppr_power follows at 53 ------------------
     "part_name_variants",
     "token_budget_mix",
     "ppr_power",

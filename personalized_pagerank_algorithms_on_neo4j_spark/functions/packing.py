@@ -42,7 +42,12 @@ from pyspark.sql import Window
 from .sampling import BUCKETS, _bucket
 from .text import tokens
 
-__all__ = ["chunk_documents", "pack_sequences", "mixture_rebalance"]
+__all__ = [
+    "chunk_documents",
+    "pack_sequences",
+    "mixture_rebalance",
+    "token_budget_mix",
+]
 
 
 def chunk_documents(
@@ -294,42 +299,54 @@ def token_budget_mix(
     key (quality DESC, id ASC) is the band order followed by the in-band
     order), which is exactly what the DuckDB oracle runs.
 
+    Ordering and band keys use the RAW (un-rounded) quality double — the
+    scalar IEEE expression is bit-exact across engines, while ROUND(q, 6)
+    is not (Spark HALF_UPs the decimal string, DuckDB rounds the binary
+    double): one flipped .5-boundary band would reorder the prefix and
+    shift every later cum_tokens in that source.  The rounded value is
+    emitted only as the display column.
+
+    EAGER: the narrow 4-column doc frame is localCheckpoint'd at call time
+    — it feeds both the band aggregate and the join side, and quality's
+    regex/array work over every token is the dominant cost; without the
+    checkpoint the documents scan and scoring run twice.
+
     Output: (id_col, source_col, quality double, n_tok long,
     cum_tokens long) for kept documents.
     """
-    from .text import quality_score
+    from .text import quality_score_raw
 
     c = F.col(text_col)
     d = df.select(
         F.col(id_col),
         F.col(source_col),
-        quality_score(c).alias("quality"),
+        quality_score_raw(c).alias("_q"),
         F.size(tokens(c)).cast("long").alias("n_tok"),
-    )
-    bands = d.groupBy(source_col, "quality").agg(
+    ).localCheckpoint(eager=True)
+    bands = d.groupBy(source_col, "_q").agg(
         F.sum("n_tok").alias("_band_toks")
     )
     wb = (
         Window.partitionBy(source_col)
-        .orderBy(F.desc("quality"))
+        .orderBy(F.desc("_q"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = bands.select(
         F.col(source_col),
-        F.col("quality"),
+        F.col("_q"),
         (F.sum("_band_toks").over(wb) - F.col("_band_toks")).alias("_before"),
     )
     wd = (
-        Window.partitionBy(source_col, "quality")
+        Window.partitionBy(source_col, "_q")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        d.join(F.broadcast(offsets), [source_col, "quality"])
+        d.join(F.broadcast(offsets), [source_col, "_q"])
         .select(
             F.col(id_col),
             F.col(source_col),
-            F.col("quality"),
+            F.round(F.col("_q"), 6).alias("quality"),
             F.col("n_tok"),
             (F.col("_before") + F.sum("n_tok").over(wd)).alias("cum_tokens"),
         )
@@ -340,25 +357,26 @@ def token_budget_mix(
 def token_budget_oracle_sql(
     docs_sql: str,
     budget: int,
-    quality_sql: str,
+    quality_raw_sql: str,
     source_col: str = "source",
     id_col: str = "doc_id",
 ) -> str:
     """DuckDB twin of `token_budget_mix` — the NAIVE per-source prefix
     window (the band decomposition is a plan optimization, not a semantics
-    change).  `quality_sql` must be the engine-shared quality expression
-    over a `text` column (see __spark_entry__._sql_quality_combine usage).
+    change).  `quality_raw_sql` must be the UN-ROUNDED engine-shared
+    quality expression over a `text` column (ordering on the raw double is
+    bit-exact cross-engine; ROUND is applied only to the display column).
     Integer window SUM is CAST to BIGINT (DuckDB HUGEINT vs Spark long)."""
     return f"""
 WITH d AS (
-  SELECT {id_col}, {source_col}, {quality_sql} AS quality,
+  SELECT {id_col}, {source_col}, {quality_raw_sql} AS q_raw,
          CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tok
   FROM ({docs_sql})
 ),
 c AS (
-  SELECT {id_col}, {source_col}, quality, n_tok,
+  SELECT {id_col}, {source_col}, ROUND(q_raw, 6) AS quality, n_tok,
          CAST(SUM(n_tok) OVER (PARTITION BY {source_col}
-                               ORDER BY quality DESC, {id_col} ASC
+                               ORDER BY q_raw DESC, {id_col} ASC
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS cum_tokens
   FROM d

@@ -77,16 +77,25 @@ def mean_token_len(col: Column) -> Column:
     return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
-def quality_score(col: Column) -> Column:
-    """Heuristic quality in [0,1]: length band + stopword presence - punct
-    excess. Deterministic arithmetic over the ratios above."""
+def quality_score_raw(col: Column) -> Column:
+    """Un-rounded quality double.  The scalar IEEE expression tree is
+    identical in Spark and DuckDB, so this value is BIT-EXACT across
+    engines — use it (not the rounded `quality_score`) wherever quality
+    ORDERS or JOINS rows: Spark's `F.round` HALF_UPs the decimal string
+    while DuckDB rounds the binary double, so ROUND(q, 6) can flip the
+    last digit at a .5 boundary and cascade through any ordering built on
+    it (the adamic_adar lesson)."""
     len_score = F.least(F.length(col).cast("double") / F.lit(500.0), F.lit(1.0))
     sw = stopword_ratio(col)
     sw_score = F.least(sw * 4.0, F.lit(1.0))
     punct_penalty = F.least(punct_ratio(col) * 2.0, F.lit(1.0))
-    return F.round(
-        (len_score * 0.4 + sw_score * 0.4 + (1.0 - punct_penalty) * 0.2), 6
-    )
+    return len_score * 0.4 + sw_score * 0.4 + (1.0 - punct_penalty) * 0.2
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + stopword presence - punct
+    excess. Deterministic arithmetic over the ratios above."""
+    return F.round(quality_score_raw(col), 6)
 
 
 def langid(col: Column) -> Column:

@@ -1613,7 +1613,7 @@ def test_winnow_rightmost_min_tiebreak(spark):
     assert sorted(r["fp_pos"] for r in rows) == [3, 4, 5, 6, 7, 8]
 
 
-def test_winnow_pos_cap_never_binds_at_gate_scale(spark, sf_dir=None):
+def test_winnow_pos_cap_never_binds_at_gate_scale(spark):
     # The 2^20-grams-per-doc packing cap must stay far from binding on the
     # gate corpus (mirrors the minhash bucket-cap guard pattern).
     from .conftest import SF_SMALL
@@ -1712,7 +1712,7 @@ def test_token_budget_mix_equals_naive_window(spark):
 
     from personalized_pagerank_algorithms_on_neo4j_spark.functions import packing
     from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
-        quality_score,
+        quality_score_raw,
         tokens,
     )
     from .conftest import SF_SMALL
@@ -1726,18 +1726,25 @@ def test_token_budget_mix_equals_naive_window(spark):
         docs.select(
             "doc_id",
             "source",
-            quality_score(c).alias("quality"),
+            quality_score_raw(c).alias("_q"),
             F.size(tokens(c)).cast("long").alias("n_tok"),
         )
         .withColumn(
             "cum_tokens",
             F.sum("n_tok").over(
                 W.partitionBy("source")
-                .orderBy(F.desc("quality"), F.asc("doc_id"))
+                .orderBy(F.desc("_q"), F.asc("doc_id"))
                 .rowsBetween(W.unboundedPreceding, W.currentRow)
             ),
         )
         .where(F.col("cum_tokens") <= 800)
+        .select(
+            "doc_id",
+            "source",
+            F.round("_q", 6).alias("quality"),
+            "n_tok",
+            "cum_tokens",
+        )
     )
     b = sorted(tuple(r) for r in banded.collect())
     n = sorted(tuple(r) for r in naive.select(*banded.columns).collect())
