@@ -931,7 +931,20 @@ def winnow_fingerprints(
     # row, so size(<transform-expr>) after posexplode would rebuild the whole
     # k-gram array once per gram (O(n^2) string joins per document).  A bound
     # attribute crosses the Generate as a materialized array instead.
-    base = df.select(F.col(id_col), grams.alias("gs"))
+    #
+    # Repartition by id BEFORE the gram/hash projection: the window below
+    # requires a doc-keyed exchange anyway, and placing it ahead of the
+    # expansion (a) ships the smaller pre-explode rows and (b) spreads the
+    # shingle+md5 work across the cluster even when the input collapses to
+    # a few splits (small files); the window then needs NO second exchange
+    # (any hashpartitioning(id) satisfies its ClusteredDistribution).  The
+    # partition count is EXPLICIT — a column-only repartition is advisory
+    # and AQE coalesces it to one partition on small pre-explode bytes,
+    # which would serialize the whole expansion.
+    num = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col), F.col(text_col)).repartition(
+        num, F.col(id_col)
+    ).select(F.col(id_col), grams.alias("gs"))
     g = base.select(
         F.col(id_col),
         F.size("gs").alias("ng"),
