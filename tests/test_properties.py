@@ -425,3 +425,106 @@ def test_sssp_oracle_matches_dijkstra(edges):
         ).fetchall()
     )
     assert got == dist
+
+
+# ---------------------------------------------------------------------------
+# Winnowing oracle builder vs pure-Python reference
+# ---------------------------------------------------------------------------
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "rep"])
+_doc_texts = st.lists(_words, min_size=0, max_size=30).map(" ".join)
+
+
+def _ref_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    import hashlib
+    import re
+
+    toks = re.split(" +", text.strip().lower())
+    if len(toks) >= k:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        grams = [" ".join(toks)]
+
+    def h(g: str) -> int:
+        return int(hashlib.md5((g + "#0").encode()).hexdigest()[:10], 16)
+
+    packed = [h(g) * 1048576 + (1048575 - p) for p, g in enumerate(grams)]
+    out = set()
+    for p in range(0, max(len(packed) - w, 0) + 1):
+        m = min(packed[p : p + w])
+        out.add((1048575 - (m % 1048576), m // 1048576))
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(_doc_texts, min_size=1, max_size=6),
+    k=st.integers(2, 5),
+    w=st.integers(2, 5),
+)
+def test_winnow_oracle_matches_reference(texts, k, w):
+    import duckdb
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        winnow_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO docs VALUES (?, ?)", [i, t])
+    sql = winnow_oracle_sql("SELECT doc_id, text FROM docs", k=k, w=w)
+    got: dict[int, set] = {}
+    for doc_id, fp_pos, fp_hash in con.execute(sql).fetchall():
+        got.setdefault(doc_id, set()).add((fp_pos, fp_hash))
+    want = {i: _ref_winnow(t, k, w) for i, t in enumerate(texts)}
+    assert got == {i: s for i, s in want.items() if s}
+
+
+# ---------------------------------------------------------------------------
+# Token-budget oracle builder vs pure-Python greedy reference
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]), st.integers(1, 8)),
+        min_size=1,
+        max_size=12,
+    ),
+    budget=st.integers(1, 40),
+)
+def test_token_budget_oracle_matches_greedy_reference(rows, budget):
+    import duckdb
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.packing import (
+        token_budget_oracle_sql,
+    )
+
+    docs = [(i, src, " ".join(["tok"] * n)) for i, (src, n) in enumerate(rows)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    for d in docs:
+        con.execute("INSERT INTO docs VALUES (?, ?, ?)", list(d))
+    # quality = text length (ties abound since texts repeat one token)
+    sql = token_budget_oracle_sql(
+        "SELECT doc_id, source, text FROM docs",
+        budget,
+        "CAST(length(text) AS DOUBLE)",
+    )
+    got = {r[0]: r[4] for r in con.execute(sql).fetchall()}
+    # greedy reference: per source, (quality desc, doc_id asc) prefix
+    want = {}
+    for src in {s for _, s, _ in docs}:
+        cum = 0
+        members = sorted(
+            (d for d in docs if d[1] == src),
+            key=lambda d: (-len(d[2]), d[0]),
+        )
+        for doc_id, _, text in members:
+            cum += len(text.split(" "))
+            if cum > budget:
+                break
+            want[doc_id] = cum
+    assert got == want
