@@ -4834,6 +4834,51 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26ai: inter-source shingle overlap (provenance duplication matrix)
+# ---------------------------------------------------------------------------
+
+
+def q_source_overlap(spark, sf_dir):
+    """Pairwise distinct-shingle intersection/union sizes between sources
+    (functions/dedup.source_shingle_overlap — one vocab-bounded distinct,
+    self-join multiplicity bounded by |sources|, integer-only output)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.dedup import (
+        source_shingle_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_shingle_overlap(docs, n=3)
+
+
+_BASE_QUERIES26AI = queries
+_BASE_ORACLE26AI = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AI()
+    q["source_overlap"] = q_source_overlap
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE26AI()
+    sql["source_overlap"] = f"""
+WITH ss AS MATERIALIZED (
+  SELECT DISTINCT source AS src, unnest({_SQL_SHINGLES}) AS sh FROM documents
+),
+sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+inter AS (
+  SELECT a.src AS sa, b.src AS sb, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ss a JOIN ss b USING (sh) WHERE a.src < b.src GROUP BY 1, 2
+)
+SELECT sa AS source_a, sb AS source_b, inter,
+       CAST(x.n + y.n - inter AS BIGINT) AS union_n
+FROM inter JOIN sizes x ON x.src = sa JOIN sizes y ON y.src = sb
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4914,6 +4959,7 @@ _WINDOW_PRIORITY = [
     #     (never-observed > debt); ppr_power follows at 53 ------------------
     "part_name_variants",
     "token_budget_mix",
+    "source_overlap",
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

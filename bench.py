@@ -221,6 +221,10 @@ def main() -> None:
         "q_token_budget",
         lambda: E.q_token_budget_mix(spark, SF_DIR).count(),
     )
+    timed(
+        "q_source_overlap",
+        lambda: E.q_source_overlap(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

@@ -919,3 +919,67 @@ def dedup_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def source_shingle_overlap(
+    df: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source_a, source_b, inter, union_n): pairwise distinct-shingle
+    overlap between corpus sources — the provenance-level duplication
+    signal (two feeds scraping the same sites show a fat intersection
+    long before doc-level dedup finds the pairs).
+
+    Output is INTEGER-only (intersection and union sizes, both BIGINT):
+    emitting the float Jaccard would re-expose the cross-engine
+    ROUND(x, 6) .5-boundary flip, and callers can divide.  Pairs with an
+    empty intersection are absent (inner-join semantics).
+
+    Scale shape: ONE distinct shuffle bounded by |vocabulary| x |sources|,
+    then a self-join whose per-shingle multiplicity is bounded by
+    |sources| — a small dimension (tens..thousands), so the join output is
+    |shared vocab| x O(|sources|^2) worst case, map-side-combined down to
+    one row per source pair.  The distinct frame is localCheckpoint'd
+    (EAGER) — it feeds the size aggregate and both join sides.
+    """
+    # Explicit round-robin repartition BEFORE the shingle expansion: the
+    # small parquet input collapses to one split, which would serialize
+    # the tokenize+shingle work on one task (the doc_winnow lesson); the
+    # distinct reshuffles on (src, sh) afterwards anyway, so the extra
+    # exchange ships only the narrow (src, text) rows.
+    num = df.sparkSession.sparkContext.defaultParallelism
+    ss = (
+        df.select(F.col(source_col).alias("src"), F.col(text_col))
+        .repartition(num)
+        .select(
+            "src", tokens(normalized(F.col(text_col))).alias("_toks")
+        )
+        .select(
+            "src", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("sh")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = ss.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = ss.select(F.col("src").alias("source_a"), "sh")
+    b = ss.select(F.col("src").alias("source_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("src").alias("source_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("src").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("union_n"),
+        )
+    )

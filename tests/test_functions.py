@@ -1749,3 +1749,18 @@ def test_token_budget_mix_equals_naive_window(spark):
     b = sorted(tuple(r) for r in banded.collect())
     n = sorted(tuple(r) for r in naive.select(*banded.columns).collect())
     assert b == n and len(b) > 0
+
+
+def test_source_shingle_overlap_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "sA", "a b c d"),     # shingles: "a b c", "b c d"
+            (2, "sB", "a b c x"),     # shingles: "a b c", "b c x"
+            (3, "sC", "q r s t"),     # disjoint from sA/sB
+        ],
+        schema="doc_id long, source string, text string",
+    )
+    rows = dedup.source_shingle_overlap(df, n=3).collect()
+    got = {(r["source_a"], r["source_b"]): (r["inter"], r["union_n"]) for r in rows}
+    # sA ∩ sB = {"a b c"}: inter 1, union 2+2-1=3; sC pairs are absent
+    assert got == {("sA", "sB"): (1, 3)}
