@@ -4953,10 +4953,11 @@ _WINDOW_PRIORITY = [
     #     "Correctness-window rotation schedule").  NOTE: the late doc_winnow
     #     registration pushed ppr_power (observed r1-r3) out of the window —
     #     never-observed queries always outrank rotation debt.  The window
-    #     was exactly full when part_name_variants / token_budget_mix
-    #     registered, and the 14 family reps above are non-displaceable, so
-    #     they queue here at positions 51-52 — the FRONT of the r6 window
-    #     (never-observed > debt); ppr_power follows at 53 ------------------
+    #     was exactly full when part_name_variants / token_budget_mix /
+    #     source_overlap registered, and the 14 family reps above are
+    #     non-displaceable, so they queue here at positions 51-53 — the
+    #     FRONT of the r6 window (never-observed > debt); ppr_power
+    #     follows at 54 ---------------------------------------------------
     "part_name_variants",
     "token_budget_mix",
     "source_overlap",

@@ -948,17 +948,22 @@ def source_shingle_overlap(
     # small parquet input collapses to one split, which would serialize
     # the tokenize+shingle work on one task (the doc_winnow lesson); the
     # distinct reshuffles on (src, sh) afterwards anyway, so the extra
-    # exchange ships only the narrow (src, text) rows.
-    num = df.sparkSession.sparkContext.defaultParallelism
+    # exchange ships only the narrow (src, text) rows.  The expansion
+    # itself is _doc_shingles with the SOURCE as the id column (same
+    # pre-projected-tokens contract, one implementation).
+    spark = df.sparkSession
+    num = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     ss = (
-        df.select(F.col(source_col).alias("src"), F.col(text_col))
-        .repartition(num)
-        .select(
-            "src", tokens(normalized(F.col(text_col))).alias("_toks")
+        _doc_shingles(
+            df.select(F.col(source_col), F.col(text_col)).repartition(num),
+            text_col,
+            source_col,
+            n,
         )
-        .select(
-            "src", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("sh")
-        )
+        .select(F.col("doc_id").alias("src"), "sh")
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -940,8 +940,14 @@ def winnow_fingerprints(
     # (any hashpartitioning(id) satisfies its ClusteredDistribution).  The
     # partition count is EXPLICIT — a column-only repartition is advisory
     # and AQE coalesces it to one partition on small pre-explode bytes,
-    # which would serialize the whole expansion.
-    num = df.sparkSession.sparkContext.defaultParallelism
+    # which would serialize the whole expansion.  max(cores, configured
+    # shuffle partitions): never below core count on a small input, never
+    # below the session's tuned width for the post-explode window sort.
+    spark = df.sparkSession
+    num = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     base = df.select(F.col(id_col), F.col(text_col)).repartition(
         num, F.col(id_col)
     ).select(F.col(id_col), grams.alias("gs"))
