@@ -4879,6 +4879,77 @@ FROM inter JOIN sizes x ON x.src = sa JOIN sizes y ON y.src = sb
 
 
 # ---------------------------------------------------------------------------
+# Block 26aj: snapshot diff (corpus-version reconciliation)
+# ---------------------------------------------------------------------------
+# v2 is derived deterministically from the documents table in BOTH engines:
+# ~6% of docs removed (doc_id % 17 = 0), ~7% changed (text uppercased where
+# doc_id % 13 = 0), ~5% added (doc_id % 19 = 0 re-keyed to doc_id+100000).
+
+_DIFF_COLS = ["text", "lang", "source", "n_chars"]
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Added/removed/changed rows between two corpus snapshots
+    (functions/quality_checks.snapshot_diff — digest-first, narrow
+    co-partitioned full-outer join; no payload comparison after the
+    digest projection)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.quality_checks import (
+        snapshot_diff,
+    )
+
+    v1 = _t(spark, sf_dir, "documents")
+    kept = v1.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    added = v1.where(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    v2 = kept.unionByName(added)
+    return snapshot_diff(v1, v2, "doc_id", _DIFF_COLS)
+
+
+_BASE_QUERIES26AJ = queries
+_BASE_ORACLE26AJ = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AJ()
+    q["corpus_diff"] = q_corpus_diff
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.quality_checks import (
+        snapshot_diff_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26AJ()
+    v2_sql = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END AS text,
+       lang, source, n_chars
+FROM documents WHERE doc_id % 17 <> 0
+UNION ALL
+SELECT doc_id + 100000, text, lang, source, n_chars
+FROM documents WHERE doc_id % 19 = 0
+"""
+    sql["corpus_diff"] = snapshot_diff_oracle_sql(
+        "SELECT * FROM documents", v2_sql, "doc_id", _DIFF_COLS
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4961,6 +5032,7 @@ _WINDOW_PRIORITY = [
     "part_name_variants",
     "token_budget_mix",
     "source_overlap",
+    "corpus_diff",
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

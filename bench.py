@@ -225,6 +225,7 @@ def main() -> None:
         "q_source_overlap",
         lambda: E.q_source_overlap(spark, SF_DIR).count(),
     )
+    timed("q_corpus_diff", lambda: E.q_corpus_diff(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

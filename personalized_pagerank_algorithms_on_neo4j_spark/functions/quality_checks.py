@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expect", "validate_expectations"]
+__all__ = [
+    "expect",
+    "validate_expectations",
+    "snapshot_diff",
+    "snapshot_diff_oracle_sql",
+]
 
 
 def expect(kind: str, col: str, *args) -> tuple:
@@ -82,3 +87,76 @@ def validate_expectations(df: DataFrame, rules: list[tuple]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id_col, status): reconcile two snapshots of a keyed table —
+    'added' (key only in new), 'removed' (key only in old), 'changed'
+    (key in both, any compared column differs); unchanged keys are
+    omitted.  The incremental-ingestion audit every versioned corpus
+    needs before promoting a new crawl.
+
+    Each side collapses to (id, digest) FIRST — digest = md5 over the
+    compared columns with an ASCII unit separator and a null sentinel —
+    so the full-outer join ships two narrow columns per row, co-
+    partitions on the key, and never compares wide payloads twice.
+    Spark cannot broadcast either side of a full outer join (it would
+    drop the hint), so none is attempted.
+    """
+    cols = compare_cols or [c for c in new.columns if c != id_col]
+
+    def digest(df: DataFrame) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+                    for c in cols
+                ],
+            )
+        )
+
+    o = old.select(F.col(id_col), digest(old).alias("_od"))
+    nw = new.select(F.col(id_col), digest(new).alias("_nd"))
+    joined = o.join(nw, [id_col], "full_outer")
+    status = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+    )
+    return (
+        joined.select(F.col(id_col), status.alias("status"))
+        .where(F.col("status").isNotNull())
+    )
+
+
+def snapshot_diff_oracle_sql(
+    old_sql: str, new_sql: str, id_col: str, compare_cols: list[str]
+) -> str:
+    """DuckDB twin of `snapshot_diff` — identical md5-digest compare
+    (chr(31) separator, chr(1) null sentinel)."""
+    def dig(alias: str) -> str:
+        parts = ", ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), chr(1))" for c in compare_cols
+        )
+        return f"md5(concat_ws(chr(31), {parts}))"
+
+    return f"""
+WITH o AS (SELECT {id_col}, {dig('o')} AS od FROM ({old_sql})),
+n AS (SELECT {id_col}, {dig('n')} AS nd FROM ({new_sql})),
+j AS (
+  SELECT COALESCE(o.{id_col}, n.{id_col}) AS {id_col}, od, nd
+  FROM o FULL OUTER JOIN n ON o.{id_col} = n.{id_col}
+)
+SELECT {id_col},
+       CASE WHEN od IS NULL THEN 'added'
+            WHEN nd IS NULL THEN 'removed'
+            WHEN od <> nd THEN 'changed' END AS status
+FROM j
+WHERE od IS NULL OR nd IS NULL OR od <> nd
+"""

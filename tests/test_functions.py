@@ -1764,3 +1764,34 @@ def test_source_shingle_overlap_hand_computed(spark):
     got = {(r["source_a"], r["source_b"]): (r["inter"], r["union_n"]) for r in rows}
     # sA ∩ sB = {"a b c"}: inter 1, union 2+2-1=3; sC pairs are absent
     assert got == {("sA", "sB"): (1, 3)}
+
+
+def test_snapshot_diff_statuses_hand_computed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.quality_checks import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y")],
+        schema="id long, v string, w string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "x"), (3, "CHANGED", "y"), (4, "d", None)],
+        schema="id long, v string, w string",
+    )
+    rows = snapshot_diff(old, new, "id").collect()
+    got = {r["id"]: r["status"] for r in rows}
+    # 1 removed, 2 unchanged (omitted), 3 changed, 4 added; null-sentinel
+    # digests must not equate NULL with the empty string or collide rows
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_null_vs_empty_not_equal(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.quality_checks import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, None)], schema="id long, v string")
+    new = spark.createDataFrame([(1, "")], schema="id long, v string")
+    rows = snapshot_diff(old, new, "id").collect()
+    assert [(r["id"], r["status"]) for r in rows] == [(1, "changed")]
