@@ -759,6 +759,28 @@ _SQL_DOC_SHINGLES = f"""
 SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM documents
 """
 
+# shared by the ngram_jaccard AND split_leakage oracles (threshold 0.5,
+# n=3, shingle-DF cap 1000 — mirror q_ngram_jaccard / q_split_leakage)
+_SQL_NGRAM_PAIRS_05 = f"""
+WITH ds AS MATERIALIZED ({_SQL_DOC_SHINGLES}),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
+kept AS MATERIALIZED (
+  SELECT d.* FROM ds d
+  JOIN (SELECT sh FROM ds GROUP BY sh HAVING COUNT(*) <= 1000) ok USING (sh)
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE) >= 0.5
+"""
+
 _SQL_MINHASH_SIG = f"""
 WITH ds AS MATERIALIZED ({_SQL_DOC_SHINGLES}),
 based AS MATERIALIZED (
@@ -823,25 +845,7 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.doc_id < b.doc_id
 """
-    sql["ngram_jaccard"] = f"""
-WITH ds AS MATERIALIZED ({_SQL_DOC_SHINGLES}),
-sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
-kept AS MATERIALIZED (
-  SELECT d.* FROM ds d
-  JOIN (SELECT sh FROM ds GROUP BY sh HAVING COUNT(*) <= 1000) ok USING (sh)
-),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       ROUND(CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) AS jaccard
-FROM common
-JOIN sizes na ON na.doc_id = doc_a
-JOIN sizes nb ON nb.doc_id = doc_b
-WHERE CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE) >= 0.5
-"""
+    sql["ngram_jaccard"] = _SQL_NGRAM_PAIRS_05
     sql["simhash"] = f"""
 WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
 th AS MATERIALIZED (SELECT doc_id, {_sql_hash('tok')} AS h FROM tok),
@@ -4950,6 +4954,60 @@ FROM documents WHERE doc_id % 19 = 0
 
 
 # ---------------------------------------------------------------------------
+# Block 26ak: split-leakage check (eval hygiene)
+# ---------------------------------------------------------------------------
+
+
+def q_split_leakage(spark, sf_dir):
+    """Near-duplicate pairs straddling the train/val/test boundary
+    (functions/dedup.split_leakage — the shingle-Jaccard pair set joined
+    to the doc_split assignment on both endpoints; same threshold/cap as
+    q_ngram_jaccard, same split constants as q_doc_split)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.dedup import (
+        split_leakage,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    splits = _sampling.split_assign(
+        docs.select("doc_id"), SPLIT_WEIGHTS, seed=SPLIT_SEED
+    )
+    return split_leakage(docs, splits, threshold=0.5, n=3, max_shingle_df=1000)
+
+
+_BASE_QUERIES26AK = queries
+_BASE_ORACLE26AK = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AK()
+    q["split_leakage"] = q_split_leakage
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE26AK()
+    split_bucket = _sampling.sampling_oracle_fragments(SPLIT_SEED)
+    t_train = int(round(SPLIT_WEIGHTS["train"] * _sampling.BUCKETS))
+    t_val = t_train + int(round(SPLIT_WEIGHTS["val"] * _sampling.BUCKETS))
+    sql["split_leakage"] = f"""
+WITH pairs AS MATERIALIZED ({_SQL_NGRAM_PAIRS_05}),
+s AS (
+  SELECT doc_id,
+         CASE WHEN {split_bucket} < {t_train} THEN 'train'
+              WHEN {split_bucket} < {t_val} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b
+FROM pairs
+JOIN s sa ON sa.doc_id = doc_a
+JOIN s sb ON sb.doc_id = doc_b
+WHERE sa.split <> sb.split
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5033,6 +5091,7 @@ _WINDOW_PRIORITY = [
     "token_budget_mix",
     "source_overlap",
     "corpus_diff",
+    "split_leakage",
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

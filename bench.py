@@ -226,6 +226,10 @@ def main() -> None:
         lambda: E.q_source_overlap(spark, SF_DIR).count(),
     )
     timed("q_corpus_diff", lambda: E.q_corpus_diff(spark, SF_DIR).count())
+    timed(
+        "q_split_leakage",
+        lambda: E.q_split_leakage(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

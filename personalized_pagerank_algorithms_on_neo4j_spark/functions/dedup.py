@@ -988,3 +988,46 @@ def source_shingle_overlap(
             (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("union_n"),
         )
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    splits: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_df: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """(doc_a, doc_b, split_a, split_b): near-duplicate pairs that straddle
+    a train/val/test boundary — the eval-hygiene check run before trusting
+    any held-out metric (a test doc near-duplicating a train doc inflates
+    the score even when exact dedup is clean).
+
+    Composition: the shingle-Jaccard candidate pairs (with the same
+    stop-shingle document-frequency cap) joined to the split assignment on
+    both endpoints, keeping only boundary-crossing pairs.  The pair set is
+    tiny next to the corpus, so AQE broadcasts it against the doc-sized
+    split frame; output is split labels only (no float scores).
+    """
+    pairs = ngram_jaccard_pairs(
+        df,
+        threshold=threshold,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        max_shingle_df=max_shingle_df,
+    )
+    sa = splits.select(
+        F.col(id_col).alias("doc_a"), F.col(split_col).alias("split_a")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("doc_b"), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )

@@ -1795,3 +1795,29 @@ def test_snapshot_diff_null_vs_empty_not_equal(spark):
     new = spark.createDataFrame([(1, "")], schema="id long, v string")
     rows = snapshot_diff(old, new, "id").collect()
     assert [(r["id"], r["status"]) for r in rows] == [(1, "changed")]
+
+
+def test_split_leakage_flags_only_boundary_pairs(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.dedup import (
+        split_leakage,
+    )
+
+    near = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, near),                   # near-dup of 2 (one token changed)
+            (2, near + " nine"),
+            (3, near),                   # near-dup of 1/2, same split as 1
+            (4, "totally different words here with nothing shared at all"),
+        ],
+        schema="doc_id long, text string",
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "test")],
+        schema="doc_id long, split string",
+    )
+    rows = split_leakage(df, splits, threshold=0.5, n=3).collect()
+    got = {(r["doc_a"], r["doc_b"]): (r["split_a"], r["split_b"]) for r in rows}
+    # (1,2) and (2,3) cross; (1,3) is within-train and must NOT appear
+    assert set(got) == {(1, 2), (2, 3)}
+    assert got[(1, 2)] == ("train", "test")
