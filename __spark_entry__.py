@@ -4887,7 +4887,9 @@ FROM inter JOIN sizes x ON x.src = sa JOIN sizes y ON y.src = sb
 # ---------------------------------------------------------------------------
 # v2 is derived deterministically from the documents table in BOTH engines:
 # ~6% of docs removed (doc_id % 17 = 0), ~7% changed (text uppercased where
-# doc_id % 13 = 0), ~5% added (doc_id % 19 = 0 re-keyed to doc_id+100000).
+# doc_id % 13 = 0), ~5% added (doc_id % 19 = 0 re-keyed to -(doc_id+1) —
+# the negative range can never collide with a real doc_id at ANY scale
+# factor, unlike a fixed positive offset).
 
 _DIFF_COLS = ["text", "lang", "source", "n_chars"]
 
@@ -4912,7 +4914,7 @@ def q_corpus_diff(spark, sf_dir):
         "n_chars",
     )
     added = v1.where(F.col("doc_id") % 19 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         "text",
         "lang",
         "source",
@@ -4944,7 +4946,7 @@ SELECT doc_id,
        lang, source, n_chars
 FROM documents WHERE doc_id % 17 <> 0
 UNION ALL
-SELECT doc_id + 100000, text, lang, source, n_chars
+SELECT -(doc_id + 1), text, lang, source, n_chars
 FROM documents WHERE doc_id % 19 = 0
 """
     sql["corpus_diff"] = snapshot_diff_oracle_sql(

@@ -101,28 +101,33 @@ def snapshot_diff(
     omitted.  The incremental-ingestion audit every versioned corpus
     needs before promoting a new crawl.
 
-    Each side collapses to (id, digest) FIRST — digest = md5 over the
-    compared columns with an ASCII unit separator and a null sentinel —
-    so the full-outer join ships two narrow columns per row, co-
-    partitions on the key, and never compares wide payloads twice.
-    Spark cannot broadcast either side of a full outer join (it would
-    drop the hint), so none is attempted.
+    Each side collapses to (id, digest) FIRST — so the full-outer join
+    ships two narrow columns per row, co-partitions on the key, and never
+    compares wide payloads twice.  The digest is md5 over an INJECTIVE
+    length-prefixed encoding of the compared columns ("v<len>:<value>|"
+    per value, "n|" for NULL): plain separator-joined concatenation is
+    injectable — a value containing the separator can shift bytes between
+    columns and make genuinely different rows hash equal.  Spark cannot
+    broadcast either side of a full outer join (it would drop the hint),
+    so none is attempted.
     """
     cols = compare_cols or [c for c in new.columns if c != id_col]
 
-    def digest(df: DataFrame) -> Column:
-        return F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
-                    for c in cols
-                ],
+    def digest() -> Column:
+        parts = []
+        for c in cols:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.when(s.isNull(), F.lit("n|")).otherwise(
+                    F.concat(
+                        F.lit("v"), F.length(s), F.lit(":"), s, F.lit("|")
+                    )
+                )
             )
-        )
+        return F.md5(F.concat(*parts))
 
-    o = old.select(F.col(id_col), digest(old).alias("_od"))
-    nw = new.select(F.col(id_col), digest(new).alias("_nd"))
+    o = old.select(F.col(id_col), digest().alias("_od"))
+    nw = new.select(F.col(id_col), digest().alias("_nd"))
     joined = o.join(nw, [id_col], "full_outer")
     status = (
         F.when(F.col("_od").isNull(), F.lit("added"))
@@ -138,17 +143,20 @@ def snapshot_diff(
 def snapshot_diff_oracle_sql(
     old_sql: str, new_sql: str, id_col: str, compare_cols: list[str]
 ) -> str:
-    """DuckDB twin of `snapshot_diff` — identical md5-digest compare
-    (chr(31) separator, chr(1) null sentinel)."""
-    def dig(alias: str) -> str:
-        parts = ", ".join(
-            f"COALESCE(CAST({c} AS VARCHAR), chr(1))" for c in compare_cols
+    """DuckDB twin of `snapshot_diff` — the identical injective
+    length-prefixed md5 digest."""
+    def dig() -> str:
+        parts = " || ".join(
+            f"CASE WHEN CAST({c} AS VARCHAR) IS NULL THEN 'n|'"
+            f" ELSE 'v' || length(CAST({c} AS VARCHAR)) || ':'"
+            f" || CAST({c} AS VARCHAR) || '|' END"
+            for c in compare_cols
         )
-        return f"md5(concat_ws(chr(31), {parts}))"
+        return f"md5({parts})"
 
     return f"""
-WITH o AS (SELECT {id_col}, {dig('o')} AS od FROM ({old_sql})),
-n AS (SELECT {id_col}, {dig('n')} AS nd FROM ({new_sql})),
+WITH o AS (SELECT {id_col}, {dig()} AS od FROM ({old_sql})),
+n AS (SELECT {id_col}, {dig()} AS nd FROM ({new_sql})),
 j AS (
   SELECT COALESCE(o.{id_col}, n.{id_col}) AS {id_col}, od, nd
   FROM o FULL OUTER JOIN n ON o.{id_col} = n.{id_col}

@@ -1821,3 +1821,16 @@ def test_split_leakage_flags_only_boundary_pairs(spark):
     # (1,2) and (2,3) cross; (1,3) is within-train and must NOT appear
     assert set(got) == {(1, 2), (2, 3)}
     assert got[(1, 2)] == ("train", "test")
+
+
+def test_snapshot_diff_digest_not_injectable(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.quality_checks import (
+        snapshot_diff,
+    )
+
+    # byte-shifting across the column boundary must NOT hash equal:
+    # ('a|', 'b') vs ('a', '|b') concat identically without length prefixes
+    old = spark.createDataFrame([(1, "a|", "b")], schema="id long, v string, w string")
+    new = spark.createDataFrame([(1, "a", "|b")], schema="id long, v string, w string")
+    rows = snapshot_diff(old, new, "id").collect()
+    assert [(r["id"], r["status"]) for r in rows] == [(1, "changed")]
