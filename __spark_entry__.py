@@ -5010,6 +5010,49 @@ WHERE sa.split <> sb.split
 
 
 # ---------------------------------------------------------------------------
+# Block 26al: winnow-fingerprint near-dup pairs (the MOSS match step)
+# ---------------------------------------------------------------------------
+
+WINNOW_MIN_SHARED = 2
+
+
+def q_winnow_dups(spark, sf_dir):
+    """Document pairs sharing >= WINNOW_MIN_SHARED winnowing fingerprints
+    (functions/text.winnow_dup_pairs — fp_hash-keyed join over distinct
+    (doc, fingerprint) rows, hot-fingerprint DF cap, never all-pairs)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        winnow_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_dup_pairs(
+        docs, min_shared=WINNOW_MIN_SHARED, k=WINNOW_K, w=WINNOW_W
+    )
+
+
+_BASE_QUERIES26AL = queries
+_BASE_ORACLE26AL = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AL()
+    q["winnow_dups"] = q_winnow_dups
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        winnow_dups_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26AL()
+    sql["winnow_dups"] = winnow_dups_oracle_sql(
+        min_shared=WINNOW_MIN_SHARED, k=WINNOW_K, w=WINNOW_W
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5094,6 +5137,7 @@ _WINDOW_PRIORITY = [
     "source_overlap",
     "corpus_diff",
     "split_leakage",
+    "winnow_dups",
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

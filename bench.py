@@ -230,6 +230,7 @@ def main() -> None:
         "q_split_leakage",
         lambda: E.q_split_leakage(spark, SF_DIR).count(),
     )
+    timed("q_winnow_dups", lambda: E.q_winnow_dups(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

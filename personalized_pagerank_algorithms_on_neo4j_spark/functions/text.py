@@ -1021,3 +1021,73 @@ SELECT DISTINCT {id_col},
 FROM wm
 WHERE pos <= greatest(ng - {w}, 0)
 """
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 4,
+    w: int = 4,
+    max_fp_df: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, shared): document pairs sharing at least
+    ``min_shared`` winnowing fingerprints — the MOSS match step over
+    `winnow_fingerprints`.  By the winnowing guarantee, any two documents
+    sharing a token run of >= w+k-1 tokens per matched region surface here.
+
+    Scale shape: the pair join runs on DISTINCT (doc, fp_hash) rows and is
+    keyed by fp_hash, so only docs sharing a fingerprint ever meet.
+    Fingerprints appearing in more than ``max_fp_df`` documents
+    (boilerplate at corpus scale — the d^2 join bomb) are dropped from the
+    join with a broadcast anti join, same discipline as the shingle-DF cap
+    in `ngram_jaccard_pairs`; the fingerprint frame is localCheckpoint'd
+    (EAGER) since it feeds the DF aggregate and both join sides.
+    """
+    fps = (
+        winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
+        .select(id_col, "fp_hash")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    join_side = fps
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_fp_df)
+            .select("fp_hash")
+        )
+        join_side = fps.join(F.broadcast(hot), "fp_hash", "left_anti")
+    a = join_side.select(F.col(id_col).alias("doc_a"), "fp_hash")
+    b = join_side.select(F.col(id_col).alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
+def winnow_dups_oracle_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    min_shared: int = 2,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `winnow_dup_pairs` — cap-free (the DF cap is
+    guard-tested never to bind at the compare scale)."""
+    inner = winnow_oracle_sql(docs_sql, id_col=id_col, k=k, w=w)
+    return f"""
+WITH fps AS MATERIALIZED (
+  SELECT DISTINCT {id_col}, fp_hash FROM ({inner})
+)
+SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared
+FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.{id_col} < b.{id_col}
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""

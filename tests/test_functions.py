@@ -1834,3 +1834,38 @@ def test_snapshot_diff_digest_not_injectable(spark):
     new = spark.createDataFrame([(1, "a", "|b")], schema="id long, v string, w string")
     rows = snapshot_diff(old, new, "id").collect()
     assert [(r["id"], r["status"]) for r in rows] == [(1, "changed")]
+
+
+def test_winnow_dup_pairs_matches_and_caps(spark):
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token shared run
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} other ending entirely"),
+            (3, "unrelated vocabulary nothing matching anything else at all"),
+        ],
+        schema="doc_id long, text string",
+    )
+    rows = text.winnow_dup_pairs(df, min_shared=2, k=4, w=4).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["shared"] for r in rows}
+    # 12 shared tokens >> w+k-1 = 7 -> multiple shared fingerprints for (1,2)
+    assert set(got) == {(1, 2)} and got[(1, 2)] >= 2
+    # the DF cap drops ubiquitous fingerprints: with cap 1 every fingerprint
+    # shared by 2+ docs is excluded -> no pairs survive
+    assert text.winnow_dup_pairs(df, min_shared=1, k=4, w=4, max_fp_df=1).count() == 0
+
+
+def test_winnow_fp_df_cap_never_binds_at_gate_scale(spark):
+    from .conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    max_df = (
+        text.winnow_fingerprints(docs, k=4, w=4)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .groupBy("fp_hash")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_df < 1000 // 64
