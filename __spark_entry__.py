@@ -5053,6 +5053,56 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26am: landmark-sampled betweenness centrality (Brandes)
+# ---------------------------------------------------------------------------
+
+BETWEENNESS_LANDMARKS = 8
+BETWEENNESS_HOPS = 6
+
+
+def q_graph_betweenness(spark, sf_dir):
+    """Brandes dependency sums from the 8 highest-out-degree landmarks —
+    batched forward BFS with integer path counts + level-synchronous
+    backward dependency accumulation (operators/betweenness.py; the
+    gds.betweenness sampled shape)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.betweenness import (
+        betweenness_landmarks,
+    )
+
+    g = _graph(spark, sf_dir)
+    return betweenness_landmarks(
+        g, n_landmarks=BETWEENNESS_LANDMARKS, max_hops=BETWEENNESS_HOPS
+    )
+
+
+_BASE_QUERIES26AM = queries
+_BASE_ORACLE26AM = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AM()
+    q["graph_betweenness"] = q_graph_betweenness
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.betweenness import (
+        betweenness_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        GRAPH_EDGES_SQL,
+    )
+
+    sql = _BASE_ORACLE26AM()
+    sql["graph_betweenness"] = betweenness_oracle_sql(
+        GRAPH_EDGES_SQL,
+        n_landmarks=BETWEENNESS_LANDMARKS,
+        max_hops=BETWEENNESS_HOPS,
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5138,6 +5188,7 @@ _WINDOW_PRIORITY = [
     "corpus_diff",
     "split_leakage",
     "winnow_dups",
+    "graph_betweenness",
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

@@ -231,6 +231,10 @@ def main() -> None:
         lambda: E.q_split_leakage(spark, SF_DIR).count(),
     )
     timed("q_winnow_dups", lambda: E.q_winnow_dups(spark, SF_DIR).count())
+    timed(
+        "q_betweenness",
+        lambda: E.q_graph_betweenness(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

@@ -1,0 +1,219 @@
+"""Landmark-sampled betweenness centrality (Brandes dependency sums).
+
+The fifth graph-centrality verb next to pagerank / harmonic / HITS /
+k-core.  The reference repo ships no betweenness of its own, but its
+Neo4j host answers `gds.betweenness` (sampled Brandes) out of the box —
+a user switching from the reference keeps that capability here.
+
+Brandes (2001) per landmark s:
+  forward  — BFS levels carrying sigma(v) = number of shortest s-v paths
+             (sigma is INTEGER, summed level-synchronously: every
+             predecessor's sigma is final when its level is the frontier,
+             so one groupBy per level is exact — and integer sigma makes
+             the forward pass bit-identical across engines);
+  backward — dependency accumulation from the deepest level up:
+             delta(v) = sum over successors w one level deeper of
+             sigma(v)/sigma(w) * (1 + delta(w)).
+  bc(v)    = sum over landmarks of delta(v), v not the landmark itself.
+
+All landmarks ride the SAME superstep loops ((source, node)-keyed state,
+the bfs_distances_multi pattern), so the sweep is one forward job chain +
+one backward job chain regardless of landmark count.  Supersteps are
+bounded by the graph eccentricity from the landmarks (<= max_hops); both
+directions follow the iterative-plan discipline (AQE off, state-scaled
+partitions, broadcast-gated frontier).
+
+Scale note: sigma counts grow with shortest-path multiplicity; they stay
+exact while < 2^63 (Spark wraps silently past that, DuckDB raises) — a
+gate-scale guard asserts the corpus stays orders of magnitude below the
+bound.  delta is a double; per-level sums feed the next level exactly like
+the power-method matvec, and cross-engine parity holds at ROUND(_, 6) on
+the final sums (same discipline as harmonic/power oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import PropertyGraph
+from ..plans.iterative import (
+    BROADCAST_NODE_BOUND,
+    loop_shuffle_partitions,
+    static_superstep_plan,
+)
+
+
+def top_degree_landmarks(edges: DataFrame, n_landmarks: int) -> DataFrame:
+    """Deterministic landmark set: highest out-degree, ties by id — the
+    same rule the harmonic-centrality sweep uses."""
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .orderBy(F.desc("od"), F.asc("src"))
+        .limit(n_landmarks)
+        .select(F.col("src").alias("source"))
+    )
+
+
+def betweenness_landmarks(
+    graph: PropertyGraph, n_landmarks: int = 8, max_hops: int = 6
+) -> DataFrame:
+    """(node, bc): Brandes dependency sums over the landmark sample.
+
+    Output covers every node at dist >= 1 from any landmark (zero scores
+    included — a leaf has bc 0.0 but IS part of the report); landmarks
+    contribute no dependency to themselves, per Brandes.
+    """
+    spark = graph.spark
+    edges = graph.edges.select("src", "dst")
+    sources = top_degree_landmarks(edges, n_landmarks)
+    state_bound = graph.n * max(1, n_landmarks)
+    small = state_bound <= BROADCAST_NODE_BOUND
+    loop_parts = loop_shuffle_partitions(spark, state_bound) if small else None
+
+    sp = sources.select(
+        "source",
+        F.col("source").alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    )
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
+        sp = sp.localCheckpoint(eager=True)
+        frontier = sp
+        for h in range(1, max_hops + 1):
+            f = F.broadcast(frontier) if small else frontier
+            cand = (
+                f.join(edges, f["node"] == edges.src)
+                .select("source", F.col("dst").alias("node"), "sigma")
+                .groupBy("source", "node")
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(sp.select("source", "node"), ["source", "node"], "left_anti")
+                .select(
+                    "source",
+                    "node",
+                    F.lit(h).cast("int").alias("dist"),
+                    "sigma",
+                )
+                .localCheckpoint(eager=True)
+            )
+            if cand.isEmpty():
+                break
+            sp = sp.unionByName(cand).localCheckpoint(eager=True)
+            frontier = cand
+
+        lmax = sp.agg(F.max("dist")).first()[0]
+        if lmax == 0:
+            return spark.createDataFrame([], "node long, bc double")
+        delta = (
+            sp.where(F.col("dist") == lmax)
+            .select("source", "node", F.lit(0.0).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        levels = [delta]
+        for lvl in range(lmax - 1, -1, -1):
+            parents = sp.where(F.col("dist") == lvl)
+            child = delta.join(
+                sp.where(F.col("dist") == lvl + 1).select(
+                    "source", "node", F.col("sigma").alias("sigma_w")
+                ),
+                ["source", "node"],
+            )
+            pf = F.broadcast(parents) if small else parents
+            contrib = (
+                pf.join(edges, pf["node"] == edges.src)
+                .select(
+                    "source",
+                    F.col("node").alias("v"),
+                    "sigma",
+                    F.col("dst").alias("node"),
+                )
+                .join(child.select("source", "node", "sigma_w", "delta"),
+                      ["source", "node"])
+                .groupBy("source", "v")
+                .agg(
+                    F.sum(
+                        F.col("sigma")
+                        / F.col("sigma_w")
+                        * (F.lit(1.0) + F.col("delta"))
+                    ).alias("delta")
+                )
+                .withColumnRenamed("v", "node")
+            )
+            delta = (
+                parents.select("source", "node")
+                .join(contrib, ["source", "node"], "left")
+                .select(
+                    "source",
+                    "node",
+                    F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if lvl > 0:
+                levels.append(delta)
+
+    out = levels[0]
+    for frame in levels[1:]:
+        out = out.unionByName(frame)
+    return out.groupBy("node").agg(F.round(F.sum("delta"), 6).alias("bc"))
+
+
+def betweenness_oracle_sql(
+    edges_sql: str, n_landmarks: int = 8, max_hops: int = 6
+) -> str:
+    """DuckDB twin: recursive min-dist CTE (identical to the harmonic
+    walk), then forward sigma levels and backward delta levels unrolled to
+    ``max_hops`` — levels past the true eccentricity are empty, so the
+    extra unrolled rounds are no-ops (the SSSP fixed-round argument)."""
+    R = max_hops
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        f"""lm AS MATERIALIZED (
+  SELECT src AS source FROM (SELECT src, COUNT(*) AS od FROM e GROUP BY src)
+  ORDER BY od DESC, src ASC LIMIT {n_landmarks})""",
+        f"""walk(source, node, dist) AS (
+  SELECT source, source AS node, 0 AS dist FROM lm
+  UNION
+  SELECT w.source, e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < {R})""",
+        "md AS MATERIALIZED (SELECT source, node, CAST(MIN(dist) AS INT)"
+        " AS dist FROM walk GROUP BY 1, 2)",
+        "s0 AS (SELECT source, node, CAST(1 AS BIGINT) AS sigma FROM md"
+        " WHERE dist = 0)",
+    ]
+    for l in range(1, R + 1):
+        ctes.append(f"""s{l} AS (
+  SELECT p.source, e.dst AS node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+  FROM s{l - 1} p JOIN e ON e.src = p.node
+  JOIN md ON md.source = p.source AND md.node = e.dst AND md.dist = {l}
+  GROUP BY 1, 2)""")
+    sg_union = " UNION ALL ".join(
+        f"SELECT source, node, sigma, {l} AS dist FROM s{l}" for l in range(R + 1)
+    )
+    ctes.append(f"sg AS MATERIALIZED ({sg_union})")
+    ctes.append(
+        f"d{R} AS (SELECT source, node, CAST(0.0 AS DOUBLE) AS delta"
+        f" FROM md WHERE dist = {R})"
+    )
+    for l in range(R - 1, -1, -1):
+        ctes.append(f"""d{l} AS (
+  SELECT p.source, p.node, COALESCE(c.delta, 0.0) AS delta
+  FROM (SELECT source, node FROM md WHERE dist = {l}) p
+  LEFT JOIN (
+    SELECT pv.source, pv.node,
+           SUM(pv.sigma / ws.sigma * (1.0 + wd.delta)) AS delta
+    FROM (SELECT source, node, sigma FROM sg WHERE dist = {l}) pv
+    JOIN e ON e.src = pv.node
+    JOIN d{l + 1} wd ON wd.source = pv.source AND wd.node = e.dst
+    JOIN (SELECT source, node, sigma FROM sg WHERE dist = {l + 1}) ws
+      ON ws.source = pv.source AND ws.node = e.dst
+    GROUP BY 1, 2
+  ) c ON c.source = p.source AND c.node = p.node)""")
+    all_d = " UNION ALL ".join(f"SELECT * FROM d{l}" for l in range(R, 0, -1))
+    body = ",\n".join(ctes)
+    return f"""
+WITH RECURSIVE {body}
+SELECT node, ROUND(SUM(delta), 6) AS bc
+FROM ({all_d}) GROUP BY node
+"""

@@ -1869,3 +1869,56 @@ def test_winnow_fp_df_cap_never_binds_at_gate_scale(spark):
         .collect()[0][0]
     )
     assert max_df < 1000 // 64
+
+
+def test_betweenness_hand_computed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.graph import PropertyGraph
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.betweenness import (
+        betweenness_landmarks,
+    )
+
+    # diamond: 1 -> {2,4} -> 3. From landmark 1 there are TWO shortest
+    # 1->3 paths, so delta(2) = delta(4) = sigma/sigma3 * (1+0) = 1/2;
+    # node 3 is a leaf (bc 0); landmarks 2 and 4 contribute nothing
+    # (their only successor 3 is a leaf of their trees).
+    nodes = spark.createDataFrame(
+        [(i, f"n{i}") for i in (1, 2, 3, 4)], "id long, name string"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 4), (2, 3), (4, 3)], "src long, dst long"
+    )
+    g = PropertyGraph(spark, nodes, edges, nodes_cover_edges=True)
+    got = {r["node"]: r["bc"] for r in
+           betweenness_landmarks(g, n_landmarks=3, max_hops=4).collect()}
+    assert got == {2: 0.5, 4: 0.5, 3: 0.0}
+
+
+def test_betweenness_sigma_bound_at_gate_scale(spark):
+    # sigma (shortest-path counts) must stay orders of magnitude under the
+    # 2^63 overflow bound at gate scale (Spark wraps silently past it,
+    # DuckDB raises — the cross-engine divergence the docstring documents).
+    import duckdb
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        GRAPH_EDGES_SQL,
+    )
+    from .conftest import SF_ORACLE
+
+    con = duckdb.connect()
+    for t in ("customer", "supplier", "orders", "lineitem", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'"
+        )
+    mx = con.execute(f"""
+WITH RECURSIVE e AS MATERIALIZED ({GRAPH_EDGES_SQL}),
+lm AS (SELECT src AS source FROM
+       (SELECT src, COUNT(*) od FROM e GROUP BY src)
+       ORDER BY od DESC, src ASC LIMIT 8),
+walk(source, node, dist, sigma) AS (
+  SELECT source, source, 0, CAST(1 AS BIGINT) FROM lm
+  UNION ALL
+  SELECT w.source, e.dst, w.dist + 1, w.sigma
+  FROM walk w JOIN e ON e.src = w.node WHERE w.dist < 6
+)
+SELECT MAX(sigma) FROM walk""").fetchone()[0]
+    assert mx < 2**40
