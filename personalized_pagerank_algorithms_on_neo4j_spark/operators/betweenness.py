@@ -26,9 +26,16 @@ partitions, broadcast-gated frontier).
 Scale note: sigma counts grow with shortest-path multiplicity; they stay
 exact while < 2^63 (Spark wraps silently past that, DuckDB raises) — a
 gate-scale guard asserts the corpus stays orders of magnitude below the
-bound.  delta is a double; per-level sums feed the next level exactly like
-the power-method matvec, and cross-engine parity holds at ROUND(_, 6) on
-the final sums (same discipline as harmonic/power oracles).
+bound.
+
+Cross-engine float discipline: delta is accumulated in INTEGER MICRO-
+UNITS, not doubles.  Each per-edge contribution is computed elementwise
+(sigma_v / sigma_w * (1e6 + delta_w), identical IEEE ops on identical
+integer inputs in both engines), rounded to a BIGINT, then summed —
+integer sums are summation-order-independent, so the ROUND(float-SUM, 6)
+.5-boundary flip that bit adamic_adar cannot occur.  The quantized
+recurrence (±1 micro-unit per edge per level) IS the operator contract;
+both engines implement it bit-identically.  Output bc_micros is integer.
 """
 
 from __future__ import annotations
@@ -44,30 +51,30 @@ from ..plans.iterative import (
 )
 
 
-def top_degree_landmarks(edges: DataFrame, n_landmarks: int) -> DataFrame:
-    """Deterministic landmark set: highest out-degree, ties by id — the
-    same rule the harmonic-centrality sweep uses."""
-    return (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("od"))
-        .orderBy(F.desc("od"), F.asc("src"))
-        .limit(n_landmarks)
-        .select(F.col("src").alias("source"))
-    )
+DELTA_SCALE = 1_000_000  # micro-units per 1.0 of Brandes dependency
 
 
 def betweenness_landmarks(
     graph: PropertyGraph, n_landmarks: int = 8, max_hops: int = 6
 ) -> DataFrame:
-    """(node, bc): Brandes dependency sums over the landmark sample.
+    """(node, bc_micros): Brandes dependency sums (in 1e-6 units) over the
+    landmark sample.
 
-    Output covers every node at dist >= 1 from any landmark (zero scores
-    included — a leaf has bc 0.0 but IS part of the report); landmarks
-    contribute no dependency to themselves, per Brandes.
+    Landmarks are the ``n_landmarks`` highest-out-degree nodes, ties by id
+    — read from the cached ``graph.degrees`` frame exactly like
+    `harmonic_centrality` (no fresh edge aggregation).  Output covers
+    every node at dist >= 1 from any landmark (zero scores included — a
+    leaf has bc 0 but IS part of the report); landmarks contribute no
+    dependency to themselves, per Brandes.
     """
     spark = graph.spark
     edges = graph.edges.select("src", "dst")
-    sources = top_degree_landmarks(edges, n_landmarks)
+    sources = (
+        graph.degrees.where(F.col("out_degree") > 0)
+        .orderBy(F.desc("out_degree"), F.asc("node"))
+        .limit(n_landmarks)
+        .select(F.col("node").alias("source"))
+    )
     state_bound = graph.n * max(1, n_landmarks)
     small = state_bound <= BROADCAST_NODE_BOUND
     loop_parts = loop_shuffle_partitions(spark, state_bound) if small else None
@@ -103,15 +110,17 @@ def betweenness_landmarks(
             frontier = cand
 
         lmax = sp.agg(F.max("dist")).first()[0]
-        if lmax == 0:
-            return spark.createDataFrame([], "node long, bc double")
+        if not lmax:  # None (no landmarks / no edges) or 0 (no expansion)
+            return spark.createDataFrame([], "node long, bc_micros long")
         delta = (
             sp.where(F.col("dist") == lmax)
-            .select("source", "node", F.lit(0.0).alias("delta"))
+            .select("source", "node", F.lit(0).cast("long").alias("delta"))
             .localCheckpoint(eager=True)
         )
         levels = [delta]
-        for lvl in range(lmax - 1, -1, -1):
+        # down to level 1 only: the landmarks' own delta (level 0) has no
+        # consumer — computing it would be a wasted superstep
+        for lvl in range(lmax - 1, 0, -1):
             parents = sp.where(F.col("dist") == lvl)
             child = delta.join(
                 sp.where(F.col("dist") == lvl + 1).select(
@@ -120,6 +129,16 @@ def betweenness_landmarks(
                 ["source", "node"],
             )
             pf = F.broadcast(parents) if small else parents
+            # per-edge contribution in micro-units, rounded to a long
+            # BEFORE the sum: identical elementwise IEEE ops in both
+            # engines, then an order-independent integer sum
+            term = F.round(
+                F.col("sigma").cast("double")
+                / F.col("sigma_w").cast("double")
+                * (F.lit(DELTA_SCALE).cast("long") + F.col("delta")).cast(
+                    "double"
+                )
+            ).cast("long")
             contrib = (
                 pf.join(edges, pf["node"] == edges.src)
                 .select(
@@ -131,13 +150,7 @@ def betweenness_landmarks(
                 .join(child.select("source", "node", "sigma_w", "delta"),
                       ["source", "node"])
                 .groupBy("source", "v")
-                .agg(
-                    F.sum(
-                        F.col("sigma")
-                        / F.col("sigma_w")
-                        * (F.lit(1.0) + F.col("delta"))
-                    ).alias("delta")
-                )
+                .agg(F.sum(term).alias("delta"))
                 .withColumnRenamed("v", "node")
             )
             delta = (
@@ -146,17 +159,18 @@ def betweenness_landmarks(
                 .select(
                     "source",
                     "node",
-                    F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+                    F.coalesce(F.col("delta"), F.lit(0).cast("long")).alias(
+                        "delta"
+                    ),
                 )
                 .localCheckpoint(eager=True)
             )
-            if lvl > 0:
-                levels.append(delta)
+            levels.append(delta)
 
     out = levels[0]
     for frame in levels[1:]:
         out = out.unionByName(frame)
-    return out.groupBy("node").agg(F.round(F.sum("delta"), 6).alias("bc"))
+    return out.groupBy("node").agg(F.sum("delta").alias("bc_micros"))
 
 
 def betweenness_oracle_sql(
@@ -193,16 +207,19 @@ def betweenness_oracle_sql(
     )
     ctes.append(f"sg AS MATERIALIZED ({sg_union})")
     ctes.append(
-        f"d{R} AS (SELECT source, node, CAST(0.0 AS DOUBLE) AS delta"
+        f"d{R} AS (SELECT source, node, CAST(0 AS BIGINT) AS delta"
         f" FROM md WHERE dist = {R})"
     )
-    for l in range(R - 1, -1, -1):
+    for l in range(R - 1, 0, -1):
         ctes.append(f"""d{l} AS (
-  SELECT p.source, p.node, COALESCE(c.delta, 0.0) AS delta
+  SELECT p.source, p.node, COALESCE(c.delta, CAST(0 AS BIGINT)) AS delta
   FROM (SELECT source, node FROM md WHERE dist = {l}) p
   LEFT JOIN (
     SELECT pv.source, pv.node,
-           SUM(pv.sigma / ws.sigma * (1.0 + wd.delta)) AS delta
+           CAST(SUM(CAST(ROUND(
+             CAST(pv.sigma AS DOUBLE) / CAST(ws.sigma AS DOUBLE)
+             * CAST({DELTA_SCALE} + wd.delta AS DOUBLE)
+           ) AS BIGINT)) AS BIGINT) AS delta
     FROM (SELECT source, node, sigma FROM sg WHERE dist = {l}) pv
     JOIN e ON e.src = pv.node
     JOIN d{l + 1} wd ON wd.source = pv.source AND wd.node = e.dst
@@ -214,6 +231,6 @@ def betweenness_oracle_sql(
     body = ",\n".join(ctes)
     return f"""
 WITH RECURSIVE {body}
-SELECT node, ROUND(SUM(delta), 6) AS bc
+SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_micros
 FROM ({all_d}) GROUP BY node
 """

@@ -1615,10 +1615,11 @@ def test_winnow_rightmost_min_tiebreak(spark):
 
 def test_winnow_pos_cap_never_binds_at_gate_scale(spark):
     # The 2^20-grams-per-doc packing cap must stay far from binding on the
-    # gate corpus (mirrors the minhash bucket-cap guard pattern).
-    from .conftest import SF_SMALL
+    # ORACLE-COMPARE corpus (sf0.01 — the scale the cap-free DuckDB twin
+    # actually runs at; mirrors the minhash bucket-cap guard pattern).
+    from .conftest import SF_ORACLE
 
-    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     max_toks = docs.select(
         F.max(F.size(text.tokens(F.lower(F.col("text"))))).alias("m")
     ).collect()[0]["m"]
@@ -1667,9 +1668,9 @@ def test_name_variant_hot_block_cap_drops_block(spark):
 
 def test_name_variant_block_cap_never_binds_at_gate_scale(spark):
     from personalized_pagerank_algorithms_on_neo4j_spark.functions import linkage
-    from .conftest import SF_SMALL
+    from .conftest import SF_ORACLE
 
-    part = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    part = spark.read.parquet(f"{SF_ORACLE}/part.parquet")
     max_block = (
         part.select(F.split(F.lower(F.trim(F.col("p_name"))), " +").getItem(0).alias("tok"),
                     F.lower(F.trim(F.col("p_name"))).alias("nm"))
@@ -1856,9 +1857,10 @@ def test_winnow_dup_pairs_matches_and_caps(spark):
 
 
 def test_winnow_fp_df_cap_never_binds_at_gate_scale(spark):
-    from .conftest import SF_SMALL
+    # at SF_ORACLE, the scale the cap-free DuckDB twin compares at
+    from .conftest import SF_ORACLE
 
-    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     max_df = (
         text.winnow_fingerprints(docs, k=4, w=4)
         .select("doc_id", "fp_hash")
@@ -1888,9 +1890,18 @@ def test_betweenness_hand_computed(spark):
         [(1, 2), (1, 4), (2, 3), (4, 3)], "src long, dst long"
     )
     g = PropertyGraph(spark, nodes, edges, nodes_cover_edges=True)
-    got = {r["node"]: r["bc"] for r in
+    got = {r["node"]: r["bc_micros"] for r in
            betweenness_landmarks(g, n_landmarks=3, max_hops=4).collect()}
-    assert got == {2: 0.5, 4: 0.5, 3: 0.0}
+    # delta in integer micro-units: 0.5 -> 500000
+    assert got == {2: 500000, 4: 500000, 3: 0}
+
+    # empty-edge graph: graceful empty result, not a crash
+    g0 = PropertyGraph(
+        spark, nodes,
+        spark.createDataFrame([], "src long, dst long"),
+        nodes_cover_edges=True,
+    )
+    assert betweenness_landmarks(g0, n_landmarks=2, max_hops=2).count() == 0
 
 
 def test_betweenness_sigma_bound_at_gate_scale(spark):
@@ -1909,16 +1920,22 @@ def test_betweenness_sigma_bound_at_gate_scale(spark):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'"
         )
+    # enumerate every path (UNION ALL keeps multiplicity); sigma at a node
+    # = COUNT of distinct paths arriving at its minimal dist
     mx = con.execute(f"""
 WITH RECURSIVE e AS MATERIALIZED ({GRAPH_EDGES_SQL}),
 lm AS (SELECT src AS source FROM
        (SELECT src, COUNT(*) od FROM e GROUP BY src)
        ORDER BY od DESC, src ASC LIMIT 8),
-walk(source, node, dist, sigma) AS (
-  SELECT source, source, 0, CAST(1 AS BIGINT) FROM lm
+walk(source, node, dist) AS (
+  SELECT source, source, 0 FROM lm
   UNION ALL
-  SELECT w.source, e.dst, w.dist + 1, w.sigma
+  SELECT w.source, e.dst, w.dist + 1
   FROM walk w JOIN e ON e.src = w.node WHERE w.dist < 6
-)
-SELECT MAX(sigma) FROM walk""").fetchone()[0]
-    assert mx < 2**40
+),
+paths AS (SELECT source, node, dist, COUNT(*) AS n_paths
+          FROM walk GROUP BY 1, 2, 3),
+md AS (SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2)
+SELECT MAX(p.n_paths) FROM paths p
+JOIN md USING (source, node) WHERE p.dist = md.dist""").fetchone()[0]
+    assert 1 < mx < 2**40  # non-vacuous: real multiplicity exists
