@@ -5103,6 +5103,45 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26an: PMI collocation mining
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Pointwise mutual information over adjacent token pairs
+    (functions/text.pmi_collocations — one bigram aggregation, integer
+    marginals, a single ln() per surviving pair)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        pmi_collocations,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=PMI_MIN_COUNT)
+
+
+_BASE_QUERIES26AN = queries
+_BASE_ORACLE26AN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AN()
+    q["pmi_collocations"] = q_pmi_collocations
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        pmi_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26AN()
+    sql["pmi_collocations"] = pmi_oracle_sql(min_count=PMI_MIN_COUNT)
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5189,6 +5228,7 @@ _WINDOW_PRIORITY = [
     "split_leakage",
     "winnow_dups",
     "graph_betweenness",
+    "pmi_collocations",
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

@@ -235,6 +235,7 @@ def main() -> None:
         "q_betweenness",
         lambda: E.q_graph_betweenness(spark, SF_DIR).count(),
     )
+    timed("q_pmi", lambda: E.q_pmi_collocations(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

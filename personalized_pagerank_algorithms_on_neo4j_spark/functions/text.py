@@ -1091,3 +1091,95 @@ FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.{id_col} < b.{id_col}
 GROUP BY 1, 2
 HAVING COUNT(*) >= {min_shared}
 """
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(w1, w2, c12, pmi): pointwise mutual information over adjacent
+    token pairs — collocation / multiword-phrase mining, the standard
+    corpus-analysis signal for tokenizer-vocab and phrase decisions.
+
+    PMI = ln(c12 * N / (c1 * c2)) with c1/c2 the left/right positional
+    marginals of the bigram table and N its total mass — all INTEGER
+    counts off one bigram aggregation (the `bigram_logprob_scores` array
+    extraction, no positional self-join); the single ln() runs on
+    identical integer-derived doubles in both engines, ROUND(_, 6).
+    Pairs with c12 < ``min_count`` are dropped (noise floor — PMI of
+    rare pairs is unstable and their count makes the output corpus-
+    vocabulary-bounded, not corpus-bounded).
+    """
+    t = docs.select(
+        F.filter(
+            tokens(F.lower(F.col(text_col))), lambda x: F.length(x) > 0
+        ).alias("_toks"),
+    ).where(F.size("_toks") >= 2)
+    big = (
+        t.select(
+            F.slice("_toks", F.lit(1), F.size("_toks") - 1).alias("w1s"),
+            F.slice("_toks", F.lit(2), F.size("_toks") - 1).alias("w2s"),
+        )
+        .select(F.explode(F.arrays_zip("w1s", "w2s")).alias("bg"))
+        .select(F.col("bg.w1s").alias("w1"), F.col("bg.w2s").alias("w2"))
+    )
+    counts = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    ).localCheckpoint(eager=True)
+    # ^ feeds the two marginals, the total, and the output — one
+    # aggregation pass over the corpus, three tiny derivations after
+    left = counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = counts.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = counts.agg(F.sum("c12").cast("double").alias("n"))
+    return (
+        counts.where(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def pmi_oracle_sql(
+    table: str = "documents",
+    min_count: int = 5,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of `pmi_collocations`."""
+    return f"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(lower(trim({text_col})), ' +'),
+                     x -> length(x) > 0) AS toks
+  FROM {table}
+),
+t2 AS (
+  SELECT toks[1:len(toks)-1] AS w1s, toks[2:len(toks)] AS w2s
+  FROM t WHERE len(toks) >= 2
+),
+big AS (SELECT unnest(w1s) AS w1, unnest(w2s) AS w2 FROM t2),
+counts AS MATERIALIZED (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2
+),
+lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM counts GROUP BY 1),
+rgt AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM counts GROUP BY 1),
+tot AS (SELECT CAST(SUM(c12) AS DOUBLE) AS n FROM counts)
+SELECT w1, w2, c12,
+       ROUND(ln(CAST(c12 AS DOUBLE) * n
+                / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+FROM counts JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+WHERE c12 >= {min_count}
+"""

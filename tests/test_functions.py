@@ -1939,3 +1939,27 @@ md AS (SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2)
 SELECT MAX(p.n_paths) FROM paths p
 JOIN md USING (source, node) WHERE p.dist = md.dist""").fetchone()[0]
     assert 1 < mx < 2**40  # non-vacuous: real multiplicity exists
+
+
+def test_pmi_collocations_hand_computed(spark):
+    # corpus: "a b" x4, "a c" x2 -> bigrams: (a,b):4, (a,c):2
+    # marginals: c1(a)=6; c2(b)=4, c2(c)=2; N=6
+    # pmi(a,b) = ln(4*6/(6*4)) = 0; pmi(a,c) = ln(2*6/(6*2)) = 0
+    # make it non-trivial with a second left word: "d b" x2
+    # counts: (a,b):4 (a,c):2 (d,b):2; c1: a=6 d=2; c2: b=6 c=2; N=8
+    import math
+
+    docs = spark.createDataFrame(
+        [(i, "a b") for i in range(4)]
+        + [(10 + i, "a c") for i in range(2)]
+        + [(20 + i, "d b") for i in range(2)],
+        schema="doc_id long, text string",
+    )
+    rows = text.pmi_collocations(docs, min_count=2).collect()
+    got = {(r["w1"], r["w2"]): (r["c12"], r["pmi"]) for r in rows}
+    exp = {
+        ("a", "b"): (4, round(math.log(4 * 8 / (6 * 6)), 6)),
+        ("a", "c"): (2, round(math.log(2 * 8 / (6 * 2)), 6)),
+        ("d", "b"): (2, round(math.log(2 * 8 / (2 * 6)), 6)),
+    }
+    assert got == exp
