@@ -5142,6 +5142,43 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26ao: per-source KL divergence (mixture drift)
+# ---------------------------------------------------------------------------
+
+
+def q_source_divergence(spark, sf_dir):
+    """KL(source token distribution || corpus distribution) per source
+    (functions/text.source_divergence — one (source, token) aggregation
+    feeds totals, marginals, and the sum)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        source_divergence,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_divergence(docs)
+
+
+_BASE_QUERIES26AO = queries
+_BASE_ORACLE26AO = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AO()
+    q["source_divergence"] = q_source_divergence
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        source_divergence_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26AO()
+    sql["source_divergence"] = source_divergence_oracle_sql()
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5229,6 +5266,7 @@ _WINDOW_PRIORITY = [
     "winnow_dups",
     "graph_betweenness",
     "pmi_collocations",
+    "source_divergence",
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

@@ -236,6 +236,10 @@ def main() -> None:
         lambda: E.q_graph_betweenness(spark, SF_DIR).count(),
     )
     timed("q_pmi", lambda: E.q_pmi_collocations(spark, SF_DIR).count())
+    timed(
+        "q_source_divergence",
+        lambda: E.q_source_divergence(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

@@ -1183,3 +1183,92 @@ SELECT w1, w2, c12,
 FROM counts JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
 WHERE c12 >= {min_count}
 """
+
+
+def source_divergence(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_tokens, kl): KL(source token distribution || corpus
+    token distribution) per source — the mixture-drift signal (a source
+    whose vocabulary usage diverges from the corpus stands out long
+    before manual inspection finds it).
+
+    KL is finite by construction: every source token IS a corpus token,
+    so q(w) > 0 wherever p(w) > 0.  One (source, token) count
+    aggregation feeds everything — per-source totals, corpus marginals,
+    and the final sum; all counts integer, one ln() per (source, token)
+    pair, final ROUND(_, 6) (the doc_logprob float discipline).
+    """
+    st = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                F.filter(
+                    tokens(F.lower(F.col(text_col))),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("term"),
+        )
+        .groupBy("src", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    stot = st.groupBy("src").agg(F.sum("c").alias("ns"))
+    corpus = st.groupBy("term").agg(F.sum("c").alias("cw"))
+    ntot = st.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        st.join(F.broadcast(stot), "src")
+        .join(corpus, "term")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "src",
+            "ns",
+            (
+                F.col("c").cast("double")
+                / F.col("ns").cast("double")
+                * F.log(
+                    F.col("c").cast("double")
+                    * F.col("n")
+                    / (F.col("ns").cast("double") * F.col("cw").cast("double"))
+                )
+            ).alias("_t"),
+        )
+        .groupBy("src", "ns")
+        .agg(F.round(F.sum("_t"), 6).alias("kl"))
+        .select(
+            F.col("src").alias("source"),
+            F.col("ns").alias("n_tokens"),
+            "kl",
+        )
+    )
+
+
+def source_divergence_oracle_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of `source_divergence`."""
+    return f"""
+WITH st AS MATERIALIZED (
+  SELECT {source_col} AS src, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT {source_col},
+           unnest(list_filter(
+             string_split_regex(lower(trim({text_col})), ' +'),
+             x -> length(x) > 0)) AS term
+    FROM {table}
+  ) GROUP BY 1, 2
+),
+stot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS ns FROM st GROUP BY 1),
+corpus AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cw FROM st GROUP BY 1),
+ntot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM st)
+SELECT src AS source, ns AS n_tokens,
+       ROUND(SUM(CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+                 * ln(CAST(c AS DOUBLE) * n
+                      / (CAST(ns AS DOUBLE) * CAST(cw AS DOUBLE)))), 6) AS kl
+FROM st JOIN stot USING (src) JOIN corpus USING (term) CROSS JOIN ntot
+GROUP BY 1, 2
+"""

@@ -1963,3 +1963,20 @@ def test_pmi_collocations_hand_computed(spark):
         ("d", "b"): (2, round(math.log(2 * 8 / (2 * 6)), 6)),
     }
     assert got == exp
+
+
+def test_source_divergence_hand_computed(spark):
+    import math
+
+    # sA: tokens a,a,b (p: a=2/3, b=1/3); sB: b,b,c (p: b=2/3, c=1/3)
+    # corpus: a=2, b=3, c=1, N=6 (q: a=1/3, b=1/2, c=1/6)
+    docs = spark.createDataFrame(
+        [(1, "sA", "a a b"), (2, "sB", "b b c")],
+        schema="doc_id long, source string, text string",
+    )
+    rows = text.source_divergence(docs).collect()
+    got = {r["source"]: (r["n_tokens"], r["kl"]) for r in rows}
+    kl_a = 2 / 3 * math.log((2 / 3) / (2 / 6)) + 1 / 3 * math.log((1 / 3) / (3 / 6))
+    kl_b = 2 / 3 * math.log((2 / 3) / (3 / 6)) + 1 / 3 * math.log((1 / 3) / (1 / 6))
+    assert got == {"sA": (3, round(kl_a, 6)), "sB": (3, round(kl_b, 6))}
+    assert all(kl >= 0 for _, kl in got.values())
