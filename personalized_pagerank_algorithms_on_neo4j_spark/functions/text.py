@@ -1097,7 +1097,6 @@ def pmi_collocations(
     docs: DataFrame,
     min_count: int = 5,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """(w1, w2, c12, pmi): pointwise mutual information over adjacent
     token pairs — collocation / multiword-phrase mining, the standard
@@ -1190,16 +1189,20 @@ def source_divergence(
     source_col: str = "source",
     text_col: str = "text",
 ) -> DataFrame:
-    """(source, n_tokens, kl): KL(source token distribution || corpus
-    token distribution) per source — the mixture-drift signal (a source
-    whose vocabulary usage diverges from the corpus stands out long
-    before manual inspection finds it).
+    """(source, n_tokens, kl_nanos): KL(source token distribution ||
+    corpus token distribution) per source, in integer NANO-units — the
+    mixture-drift signal (a source whose vocabulary usage diverges from
+    the corpus stands out long before manual inspection finds it).
 
     KL is finite by construction: every source token IS a corpus token,
-    so q(w) > 0 wherever p(w) > 0.  One (source, token) count
-    aggregation feeds everything — per-source totals, corpus marginals,
-    and the final sum; all counts integer, one ln() per (source, token)
-    pair, final ROUND(_, 6) (the doc_logprob float discipline).
+    so q(w) > 0 wherever p(w) > 0.  One (source, token) count aggregation
+    feeds everything — per-source totals, corpus marginals, and the final
+    sum.  Each per-term contribution p*ln(p/q) is computed elementwise on
+    identical integer-derived doubles in both engines, scaled by 1e9 and
+    rounded to a BIGINT BEFORE the sum (the betweenness micro-unit
+    discipline): integer sums are summation-order-independent, so the
+    ROUND(float-SUM) .5-boundary cross-engine flip cannot occur.  The
+    ±0.5 nano quantization per term is the operator contract.
     """
     st = (
         docs.select(
@@ -1218,29 +1221,27 @@ def source_divergence(
     stot = st.groupBy("src").agg(F.sum("c").alias("ns"))
     corpus = st.groupBy("term").agg(F.sum("c").alias("cw"))
     ntot = st.agg(F.sum("c").cast("double").alias("n"))
+    term_nanos = F.round(
+        F.lit(1e9)
+        * F.col("c").cast("double")
+        / F.col("ns").cast("double")
+        * F.log(
+            F.col("c").cast("double")
+            * F.col("n")
+            / (F.col("ns").cast("double") * F.col("cw").cast("double"))
+        )
+    ).cast("long")
     return (
         st.join(F.broadcast(stot), "src")
         .join(corpus, "term")
         .crossJoin(F.broadcast(ntot))
-        .select(
-            "src",
-            "ns",
-            (
-                F.col("c").cast("double")
-                / F.col("ns").cast("double")
-                * F.log(
-                    F.col("c").cast("double")
-                    * F.col("n")
-                    / (F.col("ns").cast("double") * F.col("cw").cast("double"))
-                )
-            ).alias("_t"),
-        )
+        .select("src", "ns", term_nanos.alias("_t"))
         .groupBy("src", "ns")
-        .agg(F.round(F.sum("_t"), 6).alias("kl"))
+        .agg(F.sum("_t").alias("kl_nanos"))
         .select(
             F.col("src").alias("source"),
             F.col("ns").alias("n_tokens"),
-            "kl",
+            "kl_nanos",
         )
     )
 
@@ -1266,9 +1267,11 @@ stot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS ns FROM st GROUP BY 1),
 corpus AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cw FROM st GROUP BY 1),
 ntot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM st)
 SELECT src AS source, ns AS n_tokens,
-       ROUND(SUM(CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
-                 * ln(CAST(c AS DOUBLE) * n
-                      / (CAST(ns AS DOUBLE) * CAST(cw AS DOUBLE)))), 6) AS kl
+       CAST(SUM(CAST(ROUND(
+         1e9 * CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+         * ln(CAST(c AS DOUBLE) * n
+              / (CAST(ns AS DOUBLE) * CAST(cw AS DOUBLE)))
+       ) AS BIGINT)) AS BIGINT) AS kl_nanos
 FROM st JOIN stot USING (src) JOIN corpus USING (term) CROSS JOIN ntot
 GROUP BY 1, 2
 """

@@ -1975,8 +1975,15 @@ def test_source_divergence_hand_computed(spark):
         schema="doc_id long, source string, text string",
     )
     rows = text.source_divergence(docs).collect()
-    got = {r["source"]: (r["n_tokens"], r["kl"]) for r in rows}
-    kl_a = 2 / 3 * math.log((2 / 3) / (2 / 6)) + 1 / 3 * math.log((1 / 3) / (3 / 6))
-    kl_b = 2 / 3 * math.log((2 / 3) / (3 / 6)) + 1 / 3 * math.log((1 / 3) / (1 / 6))
-    assert got == {"sA": (3, round(kl_a, 6)), "sB": (3, round(kl_b, 6))}
+    got = {r["source"]: (r["n_tokens"], r["kl_nanos"]) for r in rows}
+
+    def nanos(terms):
+        # per-term nano-rounding BEFORE the sum, replicating the operator's
+        # left-associated 1e9 * c / ns * ln(...) expression exactly
+        return sum(round(1e9 * c / ns * math.log(c * n / (ns * cw)))
+                   for c, ns, cw, n in terms)
+
+    kl_a = nanos([(2, 3, 2, 6), (1, 3, 3, 6)])
+    kl_b = nanos([(2, 3, 3, 6), (1, 3, 1, 6)])
+    assert got == {"sA": (3, kl_a), "sB": (3, kl_b)}
     assert all(kl >= 0 for _, kl in got.values())
