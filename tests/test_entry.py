@@ -242,3 +242,31 @@ def test_minhash_bucket_cap_never_binds_at_gate_scale(spark):
         "side would diverge from the uncapped oracles — raise the cap or "
         "model it in the oracle SQL"
     )
+
+
+def test_window_queue_matches_coverage_ledger():
+    """The 50-row driver window and the r6 queue must match COVERAGE.md's
+    rotation ledger (it drifted twice in r5 before this guard): the window
+    ends with the 14 protected family reps, and every late-registered
+    never-observed query sits immediately after position 50, before any
+    rotation debt."""
+    order = list(E.queries())
+    assert order[49] == "report_layout", "family reps must close the window"
+    r6_queue = [
+        "part_name_variants",
+        "token_budget_mix",
+        "source_overlap",
+        "corpus_diff",
+        "split_leakage",
+        "winnow_dups",
+        "graph_betweenness",
+        "pmi_collocations",
+        "source_divergence",
+    ]
+    assert order[50 : 50 + len(r6_queue)] == r6_queue
+    assert order[50 + len(r6_queue)] == "ppr_power"
+    # the ledger in COVERAGE.md must name every queued key in its r6 row
+    ledger = Path("/root/repo/COVERAGE.md").read_text()
+    r6_row = next(line for line in ledger.splitlines() if line.startswith("| r6 |"))
+    for key in r6_queue:
+        assert f"`{key}`" in r6_row, f"{key} missing from the COVERAGE r6 row"
