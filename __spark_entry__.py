@@ -5179,6 +5179,50 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26ap: salted join driver row (result-equality vs the plain join)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_salted_join(spark, sf_dir):
+    """orders ⋈ customer through plans/skew.salted_join (hot keys split 8
+    ways, small side replicated per salt) — the oracle is the PLAIN join:
+    salting is a physical strategy, never a semantics change."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.plans.skew import (
+        salted_join,
+    )
+
+    big = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+    )
+    small = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("custkey"), "c_name"
+    )
+    return salted_join(big, small, "custkey")
+
+
+_BASE_QUERIES26AP = queries
+_BASE_ORACLE26AP = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AP()
+    q["orders_salted_join"] = q_orders_salted_join
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    sql = _BASE_ORACLE26AP()
+    sql["orders_salted_join"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS custkey,
+       c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5267,6 +5311,7 @@ _WINDOW_PRIORITY = [
     "graph_betweenness",
     "pmi_collocations",
     "source_divergence",
+    "orders_salted_join",
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

@@ -240,6 +240,10 @@ def main() -> None:
         "q_source_divergence",
         lambda: E.q_source_divergence(spark, SF_DIR).count(),
     )
+    timed(
+        "q_salted_join",
+        lambda: E.q_orders_salted_join(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

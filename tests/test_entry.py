@@ -262,6 +262,7 @@ def test_window_queue_matches_coverage_ledger():
         "graph_betweenness",
         "pmi_collocations",
         "source_divergence",
+        "orders_salted_join",
     ]
     assert order[50 : 50 + len(r6_queue)] == r6_queue
     assert order[50 + len(r6_queue)] == "ppr_power"
