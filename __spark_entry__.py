@@ -5223,6 +5223,52 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 
 
 # ---------------------------------------------------------------------------
+# Block 26aq: negative edge sampling (link-prediction training pairs)
+# ---------------------------------------------------------------------------
+
+NEG_K = 3
+NEG_SEED = 11
+
+
+def q_graph_negatives(spark, sf_dir):
+    """Deterministic hash-sampled non-edges, up to NEG_K per source
+    (functions/graphstats.link_negatives — one expand + two equi joins +
+    one bounded window; no rejection loop, no node-set broadcast)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        link_negatives,
+    )
+
+    g = _graph(spark, sf_dir)
+    return link_negatives(g.edges, g.nodes, k=NEG_K, seed=NEG_SEED)
+
+
+_BASE_QUERIES26AQ = queries
+_BASE_ORACLE26AQ = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AQ()
+    q["graph_negatives"] = q_graph_negatives
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        link_negatives_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        GRAPH_EDGES_SQL,
+        GRAPH_NODES_SQL,
+    )
+
+    sql = _BASE_ORACLE26AQ()
+    sql["graph_negatives"] = link_negatives_oracle_sql(
+        GRAPH_EDGES_SQL, GRAPH_NODES_SQL, k=NEG_K, seed=NEG_SEED
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5312,6 +5358,7 @@ _WINDOW_PRIORITY = [
     "pmi_collocations",
     "source_divergence",
     "orders_salted_join",
+    "graph_negatives",
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

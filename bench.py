@@ -244,6 +244,10 @@ def main() -> None:
         "q_salted_join",
         lambda: E.q_orders_salted_join(spark, SF_DIR).count(),
     )
+    timed(
+        "q_negatives",
+        lambda: E.q_graph_negatives(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

@@ -517,3 +517,149 @@ pairs AS (
 )
 SELECT src AS node, COUNT(*) AS n_two_hop FROM pairs GROUP BY 1
 """
+
+
+NEG_BUCKET_TARGET = 8  # expected nodes per sampling bucket
+
+
+def link_negatives(
+    edges: DataFrame,
+    nodes: DataFrame,
+    k: int = 3,
+    seed: int = 0,
+    oversample: int = 3,
+) -> DataFrame:
+    """(src, neg, i): up to ``k`` deterministic NEGATIVE destinations per
+    source node — the link-prediction / contrastive-training sampling
+    step (positives are the edges; negatives are hash-sampled non-edges).
+
+    Mapping draws to nodes never touches the id SPACE (real id layouts
+    are sparse — a range-modulo draw would miss almost always): nodes
+    hash into ~``NEG_BUCKET_TARGET``-node buckets, each (src, draw)
+    probes ONE bucket, and the candidate is the bucket member with the
+    lexicographically smallest md5(id#src#draw) key — a fresh key per
+    draw, so repeated probes of one bucket pick different members.
+    Candidates equal to src or forming a real edge are dropped (anti
+    join); the first ``k`` survivors by draw index are emitted with a
+    dense rank ``i``.  Sources where fewer than k of the oversample*k
+    draws survive emit fewer rows (documented; no rejection loop).
+
+    Scale shape: one k*oversample expand, one bucket equi-join whose
+    fan-out is the bucket size (tunable constant), one (src, draw)
+    argmin aggregate, one edge anti-join, one bounded per-src window.
+    No node-set broadcast, no dense-rank global sort, no id-space
+    assumptions.
+    """
+    from pyspark.sql import Window
+
+    from .text import portable_hash
+
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return edges.sparkSession.createDataFrame([], "src long, neg long, i int")
+    n_buckets = max(1, n_nodes // NEG_BUCKET_TARGET)
+    nb = nodes.select(
+        F.col("id").cast("long").alias("cand"),
+        (portable_hash(F.col("id"), 1) % F.lit(n_buckets)).alias("b"),
+    )
+    srcs = edges.select("src").distinct()
+    draws = srcs.select(
+        "src",
+        F.explode(F.sequence(F.lit(0), F.lit(k * oversample - 1))).alias("d"),
+    ).select(
+        "src",
+        "d",
+        (
+            portable_hash(F.col("src"), F.col("d") + F.lit(seed * 1000))
+            % F.lit(n_buckets)
+        ).alias("b"),
+    )
+    keyed = (
+        draws.join(nb, "b")
+        .where(F.col("cand") != F.col("src"))
+        .select(
+            "src",
+            "d",
+            F.concat(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col("cand").cast("string"),
+                        F.col("src").cast("string"),
+                        F.col("d").cast("string"),
+                    )
+                ),
+                F.lit(":"),
+                F.col("cand").cast("string"),
+            ).alias("kk"),
+        )
+        .groupBy("src", "d")
+        .agg(F.min("kk").alias("kk"))
+        .select(
+            "src",
+            "d",
+            F.split(F.col("kk"), ":").getItem(1).cast("long").alias("neg"),
+        )
+    )
+    kept = keyed.join(
+        edges.select("src", F.col("dst").alias("neg")), ["src", "neg"], "left_anti"
+    )
+    win = Window.partitionBy("src").orderBy("d")
+    return (
+        kept.withColumn("_r", F.row_number().over(win))
+        .where(F.col("_r") <= k)
+        .select("src", "neg", (F.col("_r") - 1).cast("int").alias("i"))
+    )
+
+
+def link_negatives_oracle_sql(
+    edges_sql: str,
+    nodes_sql: str,
+    k: int = 3,
+    seed: int = 0,
+    oversample: int = 3,
+) -> str:
+    """DuckDB twin of `link_negatives` (identical md5 hashes, bucket
+    arithmetic, and argmin key)."""
+    hid = (
+        "CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || '#' || '1')"
+        ", 1, 12)) AS BIGINT)"
+    )
+    hdraw = (
+        "CAST(('0x' || substring(md5(CAST(src AS VARCHAR) || '#' || "
+        f"CAST(d + {seed * 1000} AS VARCHAR)), 1, 12)) AS BIGINT)"
+    )
+    return f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+n AS MATERIALIZED (SELECT CAST(id AS BIGINT) AS id FROM ({nodes_sql})),
+nbk AS (SELECT GREATEST(1, COUNT(*) // {NEG_BUCKET_TARGET}) AS nb FROM n),
+buckets AS (SELECT id AS cand, {hid} % nb AS b FROM n CROSS JOIN nbk),
+srcs AS (SELECT DISTINCT src FROM e),
+draws AS (
+  SELECT src, CAST(i AS INT) AS d, {hdraw} % nb AS b
+  FROM (SELECT src, unnest(range(0, {k * oversample})) AS i FROM srcs) _dr,
+       nbk
+),
+keyed AS (
+  SELECT src, d,
+         MIN(md5(CAST(cand AS VARCHAR) || '#' || CAST(src AS VARCHAR)
+                 || '#' || CAST(d AS VARCHAR))
+             || ':' || CAST(cand AS VARCHAR)) AS kk
+  FROM draws JOIN buckets USING (b)
+  WHERE cand <> src
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT src, d, CAST(string_split(kk, ':')[2] AS BIGINT) AS neg FROM keyed
+),
+kept AS (
+  SELECT c.src, c.d, c.neg
+  FROM cand c LEFT JOIN e ON e.src = c.src AND e.dst = c.neg
+  WHERE e.src IS NULL
+),
+ranked AS (
+  SELECT src, neg, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d) AS r
+  FROM kept
+)
+SELECT src, neg, CAST(r - 1 AS INT) AS i FROM ranked WHERE r <= {k}
+"""

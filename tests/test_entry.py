@@ -263,6 +263,7 @@ def test_window_queue_matches_coverage_ledger():
         "pmi_collocations",
         "source_divergence",
         "orders_salted_join",
+        "graph_negatives",
     ]
     assert order[50 : 50 + len(r6_queue)] == r6_queue
     assert order[50 + len(r6_queue)] == "ppr_power"

@@ -1987,3 +1987,26 @@ def test_source_divergence_hand_computed(spark):
     kl_b = nanos([(2, 3, 3, 6), (1, 3, 1, 6)])
     assert got == {"sA": (3, kl_a), "sB": (3, kl_b)}
     assert all(kl >= 0 for _, kl in got.values())
+
+
+def test_link_negatives_are_nonedges_and_deterministic(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import graphstats
+
+    nodes = spark.createDataFrame([(i, f"n{i}") for i in range(10)],
+                                  "id long, name string")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "src long, dst long"
+    )
+    out = graphstats.link_negatives(edges, nodes, k=2, seed=7)
+    rows = {(r["src"], r["neg"], r["i"]) for r in out.collect()}
+    edge_set = {(0, 1), (0, 2), (1, 2), (2, 3)}
+    for s, neg, i in rows:
+        assert (s, neg) not in edge_set and neg != s and 0 <= neg <= 9
+        assert i in (0, 1)
+    # at most k per source, and re-running yields the identical sample
+    from collections import Counter
+    per_src = Counter(s for s, _, _ in rows)
+    assert all(c <= 2 for c in per_src.values()) and per_src
+    rows2 = {(r["src"], r["neg"], r["i"]) for r in
+             graphstats.link_negatives(edges, nodes, k=2, seed=7).collect()}
+    assert rows == rows2
