@@ -5184,9 +5184,11 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 def q_orders_salted_join(spark, sf_dir):
-    """orders ⋈ customer through plans/skew.salted_join (hot keys split 8
-    ways, small side replicated per salt) — the oracle is the PLAIN join:
-    salting is a physical strategy, never a semantics change."""
+    """orders ⋈ customer through plans/skew.salted_join (every big-side
+    row scattered uniformly across 8 salt buckets, small side replicated
+    once per salt — uniform salting, the treatment for extreme-key skew)
+    — the oracle is the PLAIN join: salting is a physical strategy,
+    never a semantics change."""
     from personalized_pagerank_algorithms_on_neo4j_spark.plans.skew import (
         salted_join,
     )

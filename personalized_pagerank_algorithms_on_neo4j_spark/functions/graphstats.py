@@ -537,12 +537,16 @@ def link_negatives(
     are sparse — a range-modulo draw would miss almost always): nodes
     hash into ~``NEG_BUCKET_TARGET``-node buckets, each (src, draw)
     probes ONE bucket, and the candidate is the bucket member with the
-    lexicographically smallest md5(id#src#draw) key — a fresh key per
-    draw, so repeated probes of one bucket pick different members.
-    Candidates equal to src or forming a real edge are dropped (anti
-    join); the first ``k`` survivors by draw index are emitted with a
-    dense rank ``i``.  Sources where fewer than k of the oversample*k
-    draws survive emit fewer rows (documented; no rejection loop).
+    lexicographically smallest md5(id#src#draw#seed) key — a fresh key
+    per draw AND per seed, so repeated probes of one bucket usually pick
+    different members and different seeds yield different samples even
+    on single-bucket graphs.  Two draws can still collide on the same
+    member, so candidates are deduplicated per (src, neg) keeping the
+    earliest draw; candidates equal to src or forming a real edge are
+    dropped (anti join); the first ``k`` DISTINCT survivors by draw
+    index are emitted with a dense rank ``i``.  Sources where fewer than
+    k of the oversample*k draws survive emit fewer rows (documented; no
+    rejection loop).
 
     Scale shape: one k*oversample expand, one bucket equi-join whose
     fan-out is the bucket size (tunable constant), one (src, draw)
@@ -587,6 +591,7 @@ def link_negatives(
                         F.col("cand").cast("string"),
                         F.col("src").cast("string"),
                         F.col("d").cast("string"),
+                        F.lit(str(seed)),
                     )
                 ),
                 F.lit(":"),
@@ -600,6 +605,9 @@ def link_negatives(
             "d",
             F.split(F.col("kk"), ":").getItem(1).cast("long").alias("neg"),
         )
+        # two draws may argmin onto the same member: keep the earliest draw
+        .groupBy("src", "neg")
+        .agg(F.min("d").alias("d"))
     )
     kept = keyed.join(
         edges.select("src", F.col("dst").alias("neg")), ["src", "neg"], "left_anti"
@@ -643,14 +651,16 @@ draws AS (
 keyed AS (
   SELECT src, d,
          MIN(md5(CAST(cand AS VARCHAR) || '#' || CAST(src AS VARCHAR)
-                 || '#' || CAST(d AS VARCHAR))
+                 || '#' || CAST(d AS VARCHAR) || '#' || '{seed}')
              || ':' || CAST(cand AS VARCHAR)) AS kk
   FROM draws JOIN buckets USING (b)
   WHERE cand <> src
   GROUP BY 1, 2
 ),
 cand AS (
-  SELECT src, d, CAST(string_split(kk, ':')[2] AS BIGINT) AS neg FROM keyed
+  SELECT src, MIN(d) AS d, neg FROM (
+    SELECT src, d, CAST(string_split(kk, ':')[2] AS BIGINT) AS neg FROM keyed
+  ) GROUP BY src, neg
 ),
 kept AS (
   SELECT c.src, c.d, c.neg

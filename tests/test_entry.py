@@ -268,7 +268,9 @@ def test_window_queue_matches_coverage_ledger():
     assert order[50 : 50 + len(r6_queue)] == r6_queue
     assert order[50 + len(r6_queue)] == "ppr_power"
     # the ledger in COVERAGE.md must name every queued key in its r6 row
-    ledger = Path("/root/repo/COVERAGE.md").read_text()
+    ledger = (
+        Path(__file__).resolve().parent.parent / "COVERAGE.md"
+    ).read_text()
     r6_row = next(line for line in ledger.splitlines() if line.startswith("| r6 |"))
     for key in r6_queue:
         assert f"`{key}`" in r6_row, f"{key} missing from the COVERAGE r6 row"

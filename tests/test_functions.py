@@ -2010,3 +2010,23 @@ def test_link_negatives_are_nonedges_and_deterministic(spark):
     rows2 = {(r["src"], r["neg"], r["i"]) for r in
              graphstats.link_negatives(edges, nodes, k=2, seed=7).collect()}
     assert rows == rows2
+
+
+def test_link_negatives_distinct_and_seed_sensitive(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import graphstats
+
+    nodes = spark.createDataFrame([(i, f"n{i}") for i in range(10)],
+                                  "id long, name string")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "src long, dst long"
+    )
+    out = graphstats.link_negatives(edges, nodes, k=3, seed=7).collect()
+    # no duplicate (src, neg) pairs even when draws collide in a bucket
+    pairs = [(r["src"], r["neg"]) for r in out]
+    assert len(pairs) == len(set(pairs))
+    # different seeds vary the sample even on a single-bucket graph
+    # (n_buckets = max(1, 10//8) = 1: only the argmin key can differ)
+    s7 = {(r["src"], r["neg"]) for r in out}
+    s8 = {(r["src"], r["neg"]) for r in
+          graphstats.link_negatives(edges, nodes, k=3, seed=8).collect()}
+    assert s7 != s8
