@@ -528,3 +528,98 @@ def test_token_budget_oracle_matches_greedy_reference(rows, budget):
                 break
             want[doc_id] = cum
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Betweenness oracle builder vs pure-Python Brandes reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_betweenness(edges, n_landmarks, max_hops):
+    """Quantized Brandes (integer micro-units), mirroring the operator
+    contract: forward BFS sigma, backward per-edge terms rounded to int
+    BEFORE the sum, landmarks = top out-degree (ties by id)."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    od = defaultdict(int)
+    for s, t in edges:
+        adj[s].append(t)
+        od[s] += 1
+    landmarks = sorted(od, key=lambda v: (-od[v], v))[:n_landmarks]
+    bc = defaultdict(int)
+    for s in landmarks:
+        dist, sigma = {s: 0}, {s: 1}
+        frontier = [s]
+        for h in range(1, max_hops + 1):
+            nxt = defaultdict(int)
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in dist or dist[w] == h:
+                        nxt[w] += sigma[v]
+            frontier = []
+            for w, sg in nxt.items():
+                if w not in dist:
+                    dist[w] = h
+                    sigma[w] = sg
+                    frontier.append(w)
+            if not frontier:
+                break
+        lmax = max(dist.values())
+        delta = {v: 0 for v in dist if dist[v] == lmax}
+        out = dict(delta)
+        for lvl in range(lmax - 1, 0, -1):
+            nd = {}
+            for v in dist:
+                if dist[v] != lvl:
+                    continue
+                tot = 0
+                for w in adj[v]:
+                    if dist.get(w) == lvl + 1:
+                        # half-away-from-zero (Spark HALF_UP / DuckDB ROUND),
+                        # NOT Python's banker's round: a sigma ratio of n/2
+                        # lands exactly on .5 and the two conventions differ
+                        import math
+
+                        tot += math.floor(
+                            sigma[v] / sigma[w] * float(1_000_000 + delta[w])
+                            + 0.5
+                        )
+                nd[v] = tot
+            delta = nd
+            out.update(nd)
+        for v, dv in out.items():
+            if dist[v] > 0:
+                bc[v] += dv
+    # nodes reached at dist>0 from ANY landmark appear (zeros included)
+    return dict(bc)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    nl=st.integers(1, 4),
+)
+def test_betweenness_oracle_matches_reference(edges, nl):
+    import duckdb
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.betweenness import (
+        betweenness_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ed (src BIGINT, dst BIGINT)")
+    for s, t in edges:
+        con.execute("INSERT INTO ed VALUES (?, ?)", [s, t])
+    sql = betweenness_oracle_sql("SELECT src, dst FROM ed", n_landmarks=nl,
+                                 max_hops=6)
+    got = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    want = _ref_betweenness(edges, nl, 6)
+    assert got == want
