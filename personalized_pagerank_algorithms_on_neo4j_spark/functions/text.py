@@ -887,6 +887,43 @@ WINNOW_POS_BITS = 20
 _WINNOW_POS_LIMIT = 1 << WINNOW_POS_BITS  # 1,048,576 grams per document
 _WINNOW_POS_MASK = _WINNOW_POS_LIMIT - 1
 
+# Rolling (Horner) gram hash parameters.  Token hashes are 28-bit
+# (md5, 7 hex chars); the Horner step (acc*A + th) % P stays under 2^63
+# in both engines (acc < P < 2^53, A < 2^10, th < 2^28 -> product
+# < 2^63); the final gram hash reduces to 40 bits so the (hash |
+# flipped-pos) packing fits one BIGINT.
+_WINNOW_A = 521
+_WINNOW_P = PRIME53
+_WINNOW_HASH_LIMIT = 1 << 40
+
+
+def _winnow_gram_hashes(th, k: int):
+    """array<long> of rolling gram hashes from a BOUND token-hash array
+    column: Horner combine over k consecutive token hashes, one O(1)
+    integer expression per gram — never a gram string, never a per-gram
+    md5.  Documents shorter than k tokens hash their tokens padded to k
+    with the empty-token hash (one gram at position 0)."""
+    h_empty = portable_hash(F.lit(""), hex_chars=7)
+
+    def horner(get):
+        acc = get(0)
+        for j in range(1, k):
+            acc = (acc * F.lit(_WINNOW_A) + get(j)) % F.lit(_WINNOW_P)
+        return acc % F.lit(_WINNOW_HASH_LIMIT)
+
+    full = F.transform(
+        F.sequence(F.lit(0), F.size(th) - k),
+        lambda i: horner(lambda j: F.element_at(th, i + 1 + j)),
+    )
+    # try_element_at, not element_at: ANSI mode (Spark 4 default) makes an
+    # out-of-bounds element_at THROW instead of returning NULL
+    short = F.array(
+        horner(
+            lambda j: F.coalesce(F.try_element_at(th, F.lit(j + 1)), h_empty)
+        )
+    )
+    return F.when(F.size(th) >= k, full).otherwise(short)
+
 
 def winnow_fingerprints(
     df: DataFrame,
@@ -896,15 +933,22 @@ def winnow_fingerprints(
     w: int = 4,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
-    — the MOSS scheme): hash every k-token shingle, slide a w-wide window
-    over the hash sequence, keep each window's minimum hash (ties -> the
-    RIGHTMOST minimum), then deduplicate the selections.
+    — the MOSS scheme): rolling-hash every k-token shingle, slide a w-wide
+    window over the hash sequence, keep each window's minimum hash (ties ->
+    the RIGHTMOST minimum), then deduplicate the selections.
 
     Guarantee: any token run shared by two documents of length >= w+k-1
     tokens contributes at least one common fingerprint; expected density is
-    2/(w+1) of the grams.  Documents shorter than k tokens fingerprint
-    their whole token string; documents with fewer than w grams take the
-    global minimum (one clipped window).
+    2/(w+1) of the grams.  Documents shorter than k tokens hash their
+    tokens padded to k (one gram); documents with fewer than w grams take
+    the global minimum (one clipped window).
+
+    The gram hash is a TRUE rolling construction (Rabin-Karp/Horner): one
+    md5 per TOKEN, then an O(1) integer combine per gram position —
+    never a materialized gram string, never a per-gram md5, so per-gram
+    CPU is k small long ops instead of a k-token string build + digest
+    (the cost that dominates at corpus scale).  All arithmetic stays
+    under 2^63 in both engines (see _WINNOW_A/_WINNOW_P bounds note).
 
     Scale shape: one narrow posexplode + ONE per-document window MIN
     (frames are doc-bounded, partitioned by `id_col` — never a global
@@ -919,46 +963,64 @@ def winnow_fingerprints(
     fingerprint.
     """
     toks = tokens(F.lower(F.col(text_col)))
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    # Materialize the grams array as a bound column BEFORE the explode:
-    # expressions that survive past a Generate are re-evaluated per exploded
-    # row, so size(<transform-expr>) after posexplode would rebuild the whole
-    # k-gram array once per gram (O(n^2) string joins per document).  A bound
-    # attribute crosses the Generate as a materialized array instead.
+    # Materialize the token-hash array as a bound column BEFORE deriving
+    # gram hashes: expressions referenced inside a transform lambda are
+    # re-evaluated per element, so an unbound token-hash tree would re-md5
+    # the whole document once per gram (the O(n^2) trap); and materialize
+    # the gram-hash array before the explode for the same reason.
     #
-    # Repartition by id BEFORE the gram/hash projection: the window below
+    # Repartition by id BEFORE the hash projections: the window below
     # requires a doc-keyed exchange anyway, and placing it ahead of the
     # expansion (a) ships the smaller pre-explode rows and (b) spreads the
-    # shingle+md5 work across the cluster even when the input collapses to
-    # a few splits (small files); the window then needs NO second exchange
-    # (any hashpartitioning(id) satisfies its ClusteredDistribution).  The
-    # partition count is EXPLICIT — a column-only repartition is advisory
-    # and AQE coalesces it to one partition on small pre-explode bytes,
-    # which would serialize the whole expansion.  max(cores, configured
-    # shuffle partitions): never below core count on a small input, never
-    # below the session's tuned width for the post-explode window sort.
+    # tokenize+hash work across the cluster even when the input collapses
+    # to a few splits (small files); the window then needs NO second
+    # exchange (any hashpartitioning(id) satisfies its
+    # ClusteredDistribution).  The partition count is EXPLICIT — a
+    # column-only repartition is advisory and AQE coalesces it to one
+    # partition on small pre-explode bytes, which would serialize the
+    # whole expansion.  max(cores, configured shuffle partitions): never
+    # below core count on a small input, never below the session's tuned
+    # width for the post-explode window sort.
     spark = df.sparkSession
     num = max(
         spark.sparkContext.defaultParallelism,
         int(spark.conf.get("spark.sql.shuffle.partitions")),
     )
-    base = df.select(F.col(id_col), F.col(text_col)).repartition(
-        num, F.col(id_col)
-    ).select(F.col(id_col), grams.alias("gs"))
+    # The repartition sits BETWEEN the token-hash projection and the
+    # gram-hash projection: two adjacent Projects would be merged by
+    # CollapseProject, inlining the whole token-hash transform into every
+    # element_at reference — O(n^2) md5s per document (measured 20x
+    # slower).  An exchange is a collapse barrier, and it is the same
+    # doc-keyed exchange the window needs anyway; it now also ships the
+    # compact long-array th instead of raw text.
+    base = (
+        df.select(
+            F.col(id_col),
+            F.transform(
+                toks, lambda t: portable_hash(t, hex_chars=7)
+            ).alias("th"),
+        )
+        .repartition(num, F.col(id_col))
+        .select(
+            F.col(id_col), _winnow_gram_hashes(F.col("th"), k).alias("gs")
+        )
+    )
+    # posexplode_OUTER, not posexplode: a plain generate triggers
+    # InferFiltersFromGenerate, which pushes a size(gs) > 0 predicate down
+    # BELOW the exchange with the whole gram-hash expression substituted
+    # in terms of raw text — an interpreted O(tokens x grams) monster
+    # evaluated per input row at the scan (measured 20x the query cost).
+    # The outer variant infers nothing; the null rows it would keep for
+    # empty arrays (which never occur — every doc yields >= 1 gram) are
+    # dropped by a cheap bound-column filter after the explode.
     g = base.select(
         F.col(id_col),
         F.size("gs").alias("ng"),
-        F.posexplode("gs").alias("pos", "gram"),
-    ).where(F.col("pos") < _WINNOW_POS_LIMIT)
-    packed = portable_hash(F.col("gram"), hex_chars=10) * F.lit(
-        _WINNOW_POS_LIMIT
-    ) + (F.lit(_WINNOW_POS_MASK) - F.col("pos")).cast("long")
+        F.posexplode_outer("gs").alias("pos", "gh"),
+    ).where(F.col("gh").isNotNull() & (F.col("pos") < _WINNOW_POS_LIMIT))
+    packed = F.col("gh") * F.lit(_WINNOW_POS_LIMIT) + (
+        F.lit(_WINNOW_POS_MASK) - F.col("pos")
+    ).cast("long")
 
     from pyspark.sql import Window
 
@@ -988,27 +1050,43 @@ def winnow_oracle_sql(
     k: int = 4,
     w: int = 4,
 ) -> str:
-    """DuckDB twin of `winnow_fingerprints` — identical md5-based 40-bit
-    gram hash, identical packed-BIGINT rightmost-min tie-break, identical
-    clipped-window semantics for short documents."""
+    """DuckDB twin of `winnow_fingerprints` — identical per-token md5,
+    identical Horner rolling combine and 40-bit reduction, identical
+    packed-BIGINT rightmost-min tie-break, identical padded-gram
+    semantics for short documents."""
     lim, mask = _WINNOW_POS_LIMIT, _WINNOW_POS_MASK
-    h = "CAST(('0x' || substring(md5(gram || '#' || '0'), 1, 10)) AS BIGINT)"
+    a, p_mod, hl = _WINNOW_A, _WINNOW_P, _WINNOW_HASH_LIMIT
+    he = "CAST(('0x' || substring(md5('#0'), 1, 7)) AS BIGINT)"
+
+    def horner(get) -> str:
+        acc = get(0)
+        for j in range(1, k):
+            acc = f"(({acc}) * {a} + {get(j)}) % {p_mod}"
+        return f"(({acc}) % {hl})"
+
+    full = horner(lambda j: f"th[i+1+{j}]")
+    short = horner(lambda j: f"COALESCE(th[{j + 1}], {he})")
     return f"""
 WITH src AS ({docs_sql}),
 tk AS (SELECT {id_col}, string_split_regex(trim(lower(text)), ' +') AS t
        FROM src),
+thc AS (
+  SELECT {id_col},
+         list_transform(t, x ->
+           CAST(('0x' || substring(md5(x || '#' || '0'), 1, 7)) AS BIGINT)
+         ) AS th
+  FROM tk),
 gr AS (
   SELECT {id_col},
-    CASE WHEN len(t) >= {k}
-      THEN list_transform(range(0, len(t) - {k} + 1),
-                          i -> array_to_string(t[i+1:i+{k}], ' '))
-      ELSE [array_to_string(t, ' ')] END AS gs
-  FROM tk),
+    CASE WHEN len(th) >= {k}
+      THEN list_transform(range(0, len(th) - {k} + 1), i -> {full})
+      ELSE [{short}] END AS gs
+  FROM thc),
 g AS (
-  SELECT {id_col}, len(gs) AS ng, CAST(i AS INT) AS pos, gs[i+1] AS gram
+  SELECT {id_col}, len(gs) AS ng, CAST(i AS INT) AS pos, gs[i+1] AS gh
   FROM (SELECT {id_col}, gs, unnest(range(0, len(gs))) AS i FROM gr)),
 pk AS (
-  SELECT {id_col}, ng, pos, {h} * {lim} + CAST({mask} - pos AS BIGINT) AS p
+  SELECT {id_col}, ng, pos, gh * {lim} + CAST({mask} - pos AS BIGINT) AS p
   FROM g WHERE pos < {lim}),
 wm AS (
   SELECT {id_col}, ng, pos,

@@ -439,16 +439,26 @@ def _ref_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
     import hashlib
     import re
 
+    A, P, HL = 521, 9007199254740881, 1 << 40
+
+    def th(tok: str) -> int:
+        return int(hashlib.md5((tok + "#0").encode()).hexdigest()[:7], 16)
+
     toks = re.split(" +", text.strip().lower())
-    if len(toks) >= k:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [th(t) for t in toks]
+    he = th("")
+
+    def horner(vals):
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = (acc * A + v) % P
+        return acc % HL
+
+    if len(hs) >= k:
+        grams = [horner(hs[i : i + k]) for i in range(len(hs) - k + 1)]
     else:
-        grams = [" ".join(toks)]
-
-    def h(g: str) -> int:
-        return int(hashlib.md5((g + "#0").encode()).hexdigest()[:10], 16)
-
-    packed = [h(g) * 1048576 + (1048575 - p) for p, g in enumerate(grams)]
+        grams = [horner((hs + [he] * k)[:k])]
+    packed = [g * 1048576 + (1048575 - p) for p, g in enumerate(grams)]
     out = set()
     for p in range(0, max(len(packed) - w, 0) + 1):
         m = min(packed[p : p + w])
