@@ -5271,6 +5271,54 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26ar: incremental winnow-fingerprint matching (cross-corpus)
+# ---------------------------------------------------------------------------
+
+
+def q_winnow_incremental(spark, sf_dir):
+    """Incoming docs (source = BENCH_SOURCE stands in for a microbatch)
+    sharing winnowing fingerprints with the historical corpus — the
+    fingerprint-family twin of q_lsh_incremental (functions/text
+    .cross_corpus_winnow_matches; historical-side DF cap)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        cross_corpus_winnow_matches,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    new = d.where(F.col("source") == BENCH_SOURCE).select("doc_id", "text")
+    old = d.where(F.col("source") != BENCH_SOURCE).select("doc_id", "text")
+    return cross_corpus_winnow_matches(
+        new, old, min_shared=1, k=WINNOW_K, w=WINNOW_W
+    )
+
+
+_BASE_QUERIES26AR = queries
+_BASE_ORACLE26AR = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AR()
+    q["winnow_incremental"] = q_winnow_incremental
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        cross_corpus_winnow_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26AR()
+    sql["winnow_incremental"] = cross_corpus_winnow_oracle_sql(
+        f"SELECT doc_id, text FROM documents WHERE source = '{BENCH_SOURCE}'",
+        f"SELECT doc_id, text FROM documents WHERE source <> '{BENCH_SOURCE}'",
+        min_shared=1,
+        k=WINNOW_K,
+        w=WINNOW_W,
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5361,6 +5409,7 @@ _WINDOW_PRIORITY = [
     "source_divergence",
     "orders_salted_join",
     "graph_negatives",
+    "winnow_incremental",
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

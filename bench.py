@@ -248,6 +248,10 @@ def main() -> None:
         "q_negatives",
         lambda: E.q_graph_negatives(spark, SF_DIR).count(),
     )
+    timed(
+        "q_winnow_incr",
+        lambda: E.q_winnow_incremental(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

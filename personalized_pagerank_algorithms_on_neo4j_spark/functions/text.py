@@ -1353,3 +1353,77 @@ SELECT src AS source, ns AS n_tokens,
 FROM st JOIN stot USING (src) JOIN corpus USING (term) CROSS JOIN ntot
 GROUP BY 1, 2
 """
+
+
+def cross_corpus_winnow_matches(
+    new: DataFrame,
+    old: DataFrame,
+    min_shared: int = 1,
+    k: int = 4,
+    w: int = 4,
+    max_fp_df: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(new_id, old_id, shared): incoming documents sharing at least
+    ``min_shared`` winnowing fingerprints with the historical corpus —
+    the incremental-ingestion twin of `winnow_dup_pairs` (one corpus per
+    side, never a within-corpus self-join), completing the fingerprint
+    family's stream-shaped story alongside the LSH signature index.
+
+    The document-frequency cap applies to the HISTORICAL side only
+    (that is where accumulated boilerplate lives; the microbatch side is
+    small by construction) — same discipline as the cross-corpus LSH
+    candidates; cap-free oracle, guard-tested never to bind at gate
+    scale.
+    """
+    fn = (
+        winnow_fingerprints(new, id_col=id_col, text_col=text_col, k=k, w=w)
+        .select(F.col(id_col).alias("new_id"), "fp_hash")
+        .distinct()
+    )
+    fo = (
+        winnow_fingerprints(old, id_col=id_col, text_col=text_col, k=k, w=w)
+        .select(F.col(id_col).alias("old_id"), "fp_hash")
+        .distinct()
+    )
+    if max_fp_df is not None:
+        fo = fo.localCheckpoint(eager=True)
+        hot = (
+            fo.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_fp_df)
+            .select("fp_hash")
+        )
+        fo = fo.join(F.broadcast(hot), "fp_hash", "left_anti")
+    return (
+        fn.join(fo, "fp_hash")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
+def cross_corpus_winnow_oracle_sql(
+    new_sql: str,
+    old_sql: str,
+    min_shared: int = 1,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `cross_corpus_winnow_matches` (cap-free)."""
+    nf = winnow_oracle_sql(new_sql, id_col=id_col, k=k, w=w)
+    of = winnow_oracle_sql(old_sql, id_col=id_col, k=k, w=w)
+    return f"""
+WITH nf AS MATERIALIZED (
+  SELECT DISTINCT {id_col} AS new_id, fp_hash FROM ({nf})
+),
+of AS MATERIALIZED (
+  SELECT DISTINCT {id_col} AS old_id, fp_hash FROM ({of})
+)
+SELECT new_id, old_id, CAST(COUNT(*) AS BIGINT) AS shared
+FROM nf JOIN of USING (fp_hash)
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""

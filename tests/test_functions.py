@@ -2030,3 +2030,19 @@ def test_link_negatives_distinct_and_seed_sensitive(spark):
     s8 = {(r["src"], r["neg"]) for r in
           graphstats.link_negatives(edges, nodes, k=3, seed=8).collect()}
     assert s7 != s8
+
+
+def test_cross_corpus_winnow_matches_hand_computed(spark):
+    shared = " ".join(f"c{i}" for i in range(9))  # 9-token shared run
+    new = spark.createDataFrame(
+        [(1, f"{shared} fresh suffix here"), (2, "nothing like the others")],
+        schema="doc_id long, text string",
+    )
+    old = spark.createDataFrame(
+        [(10, f"old prefix {shared} trailing"), (11, "also unrelated words")],
+        schema="doc_id long, text string",
+    )
+    rows = text.cross_corpus_winnow_matches(new, old, min_shared=1).collect()
+    got = {(r["new_id"], r["old_id"]): r["shared"] for r in rows}
+    # 9 shared tokens >= w+k-1 = 7 -> (1, 10) must match; doc 2 matches none
+    assert set(got) == {(1, 10)} and got[(1, 10)] >= 1
