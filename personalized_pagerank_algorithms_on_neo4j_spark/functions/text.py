@@ -1101,6 +1101,35 @@ WHERE pos <= greatest(ng - {w}, 0)
 """
 
 
+def _drop_hot_fingerprints(
+    fps: DataFrame, max_fp_df: int, label: str
+) -> DataFrame:
+    """Exclude fingerprints present in more than ``max_fp_df`` documents
+    from a (id, fp_hash) frame, logging the drop (no-silent-caps; the ONE
+    implementation shared by the self-join and cross-corpus matchers —
+    the fp-family twin of dedup._drop_hot_buckets).  `fps` must already
+    be materialized (checkpointed): it feeds the DF aggregate and the
+    surviving join side."""
+    hot = (
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_fp_df)
+        .select("fp_hash", "_df")
+        .localCheckpoint(eager=True)
+    )
+    dropped = hot.agg(F.count(F.lit(1)), F.sum("_df")).first()
+    if dropped[0]:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: dropped %d hot fingerprints covering %d (doc, fp) rows "
+            "(document frequency > %d); byte-identical boilerplate belongs "
+            "to exact_dup_groups",
+            label, dropped[0], dropped[1], max_fp_df,
+        )
+    return fps.join(F.broadcast(hot.select("fp_hash")), "fp_hash", "left_anti")
+
+
 def winnow_dup_pairs(
     df: DataFrame,
     min_shared: int = 2,
@@ -1131,13 +1160,7 @@ def winnow_dup_pairs(
     )
     join_side = fps
     if max_fp_df is not None:
-        hot = (
-            fps.groupBy("fp_hash")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > max_fp_df)
-            .select("fp_hash")
-        )
-        join_side = fps.join(F.broadcast(hot), "fp_hash", "left_anti")
+        join_side = _drop_hot_fingerprints(fps, max_fp_df, "winnow_dup_pairs")
     a = join_side.select(F.col(id_col).alias("doc_a"), "fp_hash")
     b = join_side.select(F.col(id_col).alias("doc_b"), "fp_hash")
     return (
@@ -1375,7 +1398,9 @@ def cross_corpus_winnow_matches(
     (that is where accumulated boilerplate lives; the microbatch side is
     small by construction) — same discipline as the cross-corpus LSH
     candidates; cap-free oracle, guard-tested never to bind at gate
-    scale.
+    scale.  EAGER with the cap enabled: the historical fingerprint frame
+    is localCheckpoint'd at call time (it feeds the DF aggregate and the
+    join side) — pass ``max_fp_df=None`` to only inspect the plan.
     """
     fn = (
         winnow_fingerprints(new, id_col=id_col, text_col=text_col, k=k, w=w)
@@ -1388,14 +1413,11 @@ def cross_corpus_winnow_matches(
         .distinct()
     )
     if max_fp_df is not None:
-        fo = fo.localCheckpoint(eager=True)
-        hot = (
-            fo.groupBy("fp_hash")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > max_fp_df)
-            .select("fp_hash")
+        fo = _drop_hot_fingerprints(
+            fo.localCheckpoint(eager=True),
+            max_fp_df,
+            "cross_corpus_winnow_matches",
         )
-        fo = fo.join(F.broadcast(hot), "fp_hash", "left_anti")
     return (
         fn.join(fo, "fp_hash")
         .groupBy("new_id", "old_id")

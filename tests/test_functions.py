@@ -2046,3 +2046,23 @@ def test_cross_corpus_winnow_matches_hand_computed(spark):
     got = {(r["new_id"], r["old_id"]): r["shared"] for r in rows}
     # 9 shared tokens >= w+k-1 = 7 -> (1, 10) must match; doc 2 matches none
     assert set(got) == {(1, 10)} and got[(1, 10)] >= 1
+
+
+def test_cross_corpus_winnow_cap_binds(spark):
+    # with cap 1, a fingerprint present in 2+ HISTORICAL docs is excluded
+    # -> the new doc matching only through that boilerplate finds nothing
+    shared = " ".join(f"z{i}" for i in range(9))
+    new = spark.createDataFrame(
+        [(1, f"{shared} new tail")], schema="doc_id long, text string"
+    )
+    old = spark.createDataFrame(
+        [(10, f"{shared} old one"), (11, f"{shared} old two")],
+        schema="doc_id long, text string",
+    )
+    uncapped = text.cross_corpus_winnow_matches(new, old, min_shared=1)
+    capped = text.cross_corpus_winnow_matches(
+        new, old, min_shared=1, max_fp_df=1
+    )
+    assert uncapped.count() > 0
+    # every shared fingerprint lives in both historical docs -> all capped
+    assert capped.count() == 0
