@@ -5319,6 +5319,48 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Block 26as: frequent event paths (sequence mining)
+# ---------------------------------------------------------------------------
+
+EVENT_PATH_LEN = 3
+EVENT_PATH_MIN = 5
+
+
+def q_event_paths(spark, sf_dir):
+    """Frequent length-3 event paths per user stream
+    (functions/funnel.event_paths — N-1 lead() expressions over ONE
+    user-partitioned window, vocabulary-bounded aggregate)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        event_paths,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return event_paths(ev, length=EVENT_PATH_LEN, min_count=EVENT_PATH_MIN)
+
+
+_BASE_QUERIES26AS = queries
+_BASE_ORACLE26AS = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES26AS()
+    q["event_paths"] = q_event_paths
+    return q
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        event_paths_oracle_sql,
+    )
+
+    sql = _BASE_ORACLE26AS()
+    sql["event_paths"] = event_paths_oracle_sql(
+        length=EVENT_PATH_LEN, min_count=EVENT_PATH_MIN
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5410,6 +5452,7 @@ _WINDOW_PRIORITY = [
     "orders_salted_join",
     "graph_negatives",
     "winnow_incremental",
+    "event_paths",
     "ppr_power",
     "revenue_by_customer",
     "revenue_by_nation",

@@ -217,3 +217,68 @@ SELECT {user_col} AS user_id,
 FROM {table} CROSS JOIN anchor
 GROUP BY {user_col}
 """
+
+
+def event_paths(
+    events: DataFrame,
+    length: int = 3,
+    min_count: int = 5,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(step_1..step_N, n): frequent length-N event paths over each user's
+    time-ordered stream — the sequence-mining step up from the first-order
+    `event_transitions` matrix (a path says "search -> click -> purchase",
+    which no product of bigram probabilities can).
+
+    Scale shape: the SAME single user-partitioned lag window the
+    transition matrix uses (N-1 lead() expressions ride ONE window, one
+    shuffle); the path aggregate is at most k^N rows for k event types —
+    still vocabulary-bounded, never fact-table-bounded — and ``min_count``
+    keeps the report to paths with support.  Ties on `ts` break by
+    `tiebreak_col` so paths are deterministic under any partitioning.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    steps = [F.col(type_col).alias("step_1")] + [
+        F.lead(F.col(type_col), i).over(w).alias(f"step_{i + 1}")
+        for i in range(1, length)
+    ]
+    names = [f"step_{i + 1}" for i in range(length)]
+    return (
+        events.select(*steps)
+        .where(F.col(names[-1]).isNotNull())
+        .groupBy(*names)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+
+
+def event_paths_oracle_sql(
+    length: int = 3,
+    min_count: int = 5,
+    table: str = "events",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> str:
+    """DuckDB twin of `event_paths`."""
+    leads = ", ".join(
+        f"LEAD({type_col}, {i}) OVER w AS step_{i + 1}"
+        for i in range(1, length)
+    )
+    names = ", ".join(f"step_{i + 1}" for i in range(length))
+    return f"""
+WITH seq AS (
+  SELECT {type_col} AS step_1, {leads}
+  FROM {table}
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {tiebreak_col})
+)
+SELECT {names}, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq
+WHERE step_{length} IS NOT NULL
+GROUP BY {names}
+HAVING COUNT(*) >= {min_count}
+"""

@@ -265,6 +265,7 @@ def test_window_queue_matches_coverage_ledger():
         "orders_salted_join",
         "graph_negatives",
         "winnow_incremental",
+        "event_paths",
     ]
     assert order[50 : 50 + len(r6_queue)] == r6_queue
     assert order[50 + len(r6_queue)] == "ppr_power"

@@ -2066,3 +2066,30 @@ def test_cross_corpus_winnow_cap_binds(spark):
     assert uncapped.count() > 0
     # every shared fingerprint lives in both historical docs -> all capped
     assert capped.count() == 0
+
+
+def test_event_paths_hand_computed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        event_paths,
+    )
+
+    # user 1: a b c a b c  -> trigrams: abc, bca, cab, abc
+    # user 2: a b c        -> abc
+    rows = []
+    for i, e in enumerate("abcabc"):
+        rows.append((i, 1, e, i))
+    for i, e in enumerate("abc"):
+        rows.append((10 + i, 2, e, 10 + i))
+    ev = spark.createDataFrame(
+        rows, schema="event_id long, user_id long, event_type string, ts long"
+    )
+    got = {
+        (r["step_1"], r["step_2"], r["step_3"]): r["n"]
+        for r in event_paths(ev, length=3, min_count=1).collect()
+    }
+    assert got == {("a", "b", "c"): 3, ("b", "c", "a"): 1, ("c", "a", "b"): 1}
+    # min_count filters to supported paths only; paths never cross users
+    assert {
+        tuple(r[:3])
+        for r in event_paths(ev, length=3, min_count=3).collect()
+    } == {("a", "b", "c")}
