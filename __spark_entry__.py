@@ -3717,12 +3717,16 @@ WITH b AS (
   FROM documents
 ),
 q AS (
+  -- bucket from the RAW quality (bit-exact cross-engine); the rounded
+  -- quality is display-only (the .5-boundary ROUND divergence must not
+  -- flip a bucket)
   SELECT doc_id,
-         {_sql_quality_combine('len_score', 'sw_raw', 'punct_raw')} AS quality
+         {_sql_quality_combine('len_score', 'sw_raw', 'punct_raw')} AS quality,
+         {_sql_quality_raw('len_score', 'sw_raw', 'punct_raw')} AS q_raw
   FROM b
 )
 SELECT doc_id, quality,
-       least(CAST(floor((1.0 - quality) * {CURRICULUM_BUCKETS}) AS BIGINT),
+       least(CAST(floor((1.0 - q_raw) * {CURRICULUM_BUCKETS}) AS BIGINT),
              {CURRICULUM_BUCKETS - 1}) AS bucket,
        {_sql_hash('CAST(doc_id AS VARCHAR)', str(CURRICULUM_SEED))} AS order_key
 FROM q

@@ -11,7 +11,10 @@ never N repeated ``get_json_object`` calls re-parsing the same string per
 field. Fields the caller doesn't request are never materialized, so
 Catalyst prunes the struct down to the extracted columns. Malformed
 documents yield NULL fields (PERMISSIVE parse), which aggregates then
-skip — same null algebra as the DuckDB twin.
+skip. DuckDB's ``json_extract`` instead ERRORS on malformed JSON, so the
+oracle twin guards every extraction with ``json_valid`` to reproduce the
+same null algebra (one malformed row must degrade to a NULL in both
+engines, not turn the parity check into a hard error).
 """
 
 from __future__ import annotations
@@ -65,8 +68,13 @@ def json_field_stats_oracle_sql(
 ) -> str:
     """DuckDB twin of `json_field_stats` (json_extract + the same
     aggregate set; every integer aggregate CAST to BIGINT — DuckDB's
-    HUGEINT SUM otherwise surfaces as float64 in fetchdf)."""
-    j = f"CAST(json_extract({col}, '$.{field}') AS BIGINT)"
+    HUGEINT SUM otherwise surfaces as float64 in fetchdf). Extraction is
+    gated on ``json_valid`` because DuckDB raises 'Malformed JSON' where
+    Spark's PERMISSIVE parse yields NULL."""
+    j = (
+        f"CASE WHEN json_valid({col}) "
+        f"THEN CAST(json_extract({col}, '$.{field}') AS BIGINT) END"
+    )
     return f"""
 SELECT {group_col},
        CAST(COUNT(*) AS BIGINT) AS n_events,

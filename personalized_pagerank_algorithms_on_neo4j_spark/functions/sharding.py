@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import portable_hash, quality_score, tokens
+from .text import portable_hash, quality_score, quality_score_raw, tokens
 
 
 def shard_assign(
@@ -75,17 +75,25 @@ def curriculum_order(
     bucket = quantized quality (0 = highest-quality = trained first),
     clamped so quality 0.0 still lands in the last bucket; order_key is a
     seeded per-doc hash for a deterministic shuffle within a bucket. The
-    consumer sorts its shard by (bucket, order_key, doc_id)."""
+    consumer sorts its shard by (bucket, order_key, doc_id).
+
+    The bucket quantizes the RAW quality double (bit-exact scalar
+    expression in both engines); the rounded `quality` is display-only.
+    Deriving the bucket from ROUND(q, 6) would re-open the documented
+    .5-boundary divergence (Spark HALF_UPs the decimal string, DuckDB
+    rounds the binary double) and flip a boundary doc's bucket
+    cross-engine — the same exposure token_budget_mix was redesigned
+    around."""
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-    q = quality_score(F.col(text_col))
+    q_raw = quality_score_raw(F.col(text_col))
     bucket = F.least(
-        F.floor((F.lit(1.0) - q) * n_buckets).cast("long"),
+        F.floor((F.lit(1.0) - q_raw) * n_buckets).cast("long"),
         F.lit(n_buckets - 1).cast("long"),
     )
     return df.select(
         F.col(id_col),
-        q.alias("quality"),
+        quality_score(F.col(text_col)).alias("quality"),
         bucket.alias("bucket"),
         portable_hash(F.col(id_col), seed).alias("order_key"),
     )

@@ -156,9 +156,14 @@ def pagerank_weighted(
     # validation, the out-weight marginal, the probability join, and both
     # node-union branches would otherwise each re-derive it from source
     edges_w = edges_w.localCheckpoint(eager=True)
-    # NOT (weight > 0) also catches NULL weights, which `weight <= 0`
-    # would silently pass (NULL comparison -> filtered out)
-    bad = edges_w.where(~(F.col("weight") > 0)).limit(1).count()
+    # explicit NULL arm: NOT(NULL > 0) is NULL, so a pure negation filter
+    # would drop NULL-weight rows and let them silently vanish from the
+    # recurrence (SUM skips their NULL contribution)
+    bad = (
+        edges_w.where(F.col("weight").isNull() | (F.col("weight") <= 0))
+        .limit(1)
+        .count()
+    )
     if bad:
         raise ValueError("pagerank_weighted: weights must be positive (and non-null)")
     w_tot = edges_w.groupBy("src").agg(F.sum("weight").alias("w_out"))

@@ -22,9 +22,22 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """big ⋈ small on `key`, with the hot-key partitions split `salt_buckets`
-    ways. Output columns = big's + small's (minus the duplicate key)."""
+    ways. Output columns = big's + small's (minus the duplicate key).
+
+    The salt is DETERMINISTIC per row — `pmod(hash(<all big columns>), R)`
+    — never `F.rand`: SURVEY §4's randomness rule ("pin partitioning before
+    rand") applies because a rand-salted row re-routes on task retry / AQE
+    re-execution, and while an inner/left join's *result* is salt-invariant,
+    any consumer that samples or checkpoints mid-plan would see retry
+    flutter. Hashing ONLY the key would be wrong the other way (every row
+    of a hot key lands in one bucket — no split at all); hashing the whole
+    row scatters a hot key's distinct rows uniformly. Exact duplicate rows
+    share a bucket — residual skew only if the big side is dominated by
+    bit-identical rows, which upstream exact-dedup owns."""
     big_s = big.withColumn(
-        "_salt", (F.floor(F.rand(42) * salt_buckets)).cast("int")
+        "_salt",
+        F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+        .cast("int"),
     )
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.dedup import MINHASH_BUCKET_CAP
+
 
 def create_name_index(
     graph, table_name: str = "nodes_by_name", buckets: int = 16
@@ -67,8 +69,6 @@ def create_signature_index(
     # build-time hot-bucket report: probes exclude oversized keys (see
     # probe_signature_index), so the no-silent-caps log happens ONCE here
     # instead of per probe
-    from ..functions.dedup import MINHASH_BUCKET_CAP
-
     spark = banded.sparkSession
     hot = (
         spark.table(table_name)
@@ -91,33 +91,33 @@ def probe_signature_index(
     spark: SparkSession,
     probe: DataFrame,
     table_name: str = "lsh_signatures",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = MINHASH_BUCKET_CAP,
 ) -> DataFrame:
     """(new_id, old_id): candidate pairs for a probe band table (doc_id,
     band, bucket) against the persisted signature index. Only the probe
     side shuffles — the index scan carries its bucketing.
 
-    ``max_bucket_size`` defaults to `dedup.MINHASH_BUCKET_CAP` (pass an
-    int to override, None resolves to the default): index keys above it
-    are excluded lazily (a second bucket-local scan of the persisted
-    table, no checkpoint), matching `cross_corpus_lsh_candidates`'
-    declared cap semantics; the drop is reported once at index build."""
+    ``max_bucket_size`` defaults to `dedup.MINHASH_BUCKET_CAP`; ``None``
+    DISABLES the cap — the same semantics as every sibling candidate
+    generator (`minhash_lsh_candidates`, `cross_corpus_lsh_candidates`,
+    `winnow_dup_pairs`), so a caller moving between the inline operator
+    and the index probe keeps one cap contract. Capped index keys are
+    excluded lazily (a second bucket-local scan of the persisted table,
+    no checkpoint); the drop is reported once at index build."""
     from pyspark.sql import functions as F
 
-    from ..functions.dedup import MINHASH_BUCKET_CAP
-
-    cap = MINHASH_BUCKET_CAP if max_bucket_size is None else max_bucket_size
     idx = spark.table(table_name).select(
         F.col("doc_id").alias("old_id"), "band", "bucket"
     )
-    hot = (
-        spark.table(table_name)
-        .groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_sz"))
-        .where(F.col("_sz") > cap)
-        .select("band", "bucket")
-    )
-    idx = idx.join(hot, ["band", "bucket"], "left_anti")
+    if max_bucket_size is not None:
+        hot = (
+            spark.table(table_name)
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .where(F.col("_sz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        idx = idx.join(hot, ["band", "bucket"], "left_anti")
     return (
         probe.select(F.col("doc_id").alias("new_id"), "band", "bucket")
         .join(idx, ["band", "bucket"])

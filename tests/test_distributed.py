@@ -346,6 +346,17 @@ def test_pagerank_weighted_uniform_equals_unweighted(got, spark):
         pagerank.pagerank_weighted(
             got.edges.select("src", "dst", F.lit(0.0).alias("weight"))
         )
+    # NULL weights must be rejected too — a pure `NOT(weight > 0)` filter
+    # silently drops the NULL row (NOT(NULL>0) is NULL) and the edge then
+    # vanishes from the recurrence
+    with _pytest.raises(ValueError):
+        pagerank.pagerank_weighted(
+            got.edges.select(
+                "src",
+                "dst",
+                F.when(F.col("src") % 2 == 0, F.lit(1.0)).alias("weight"),
+            )
+        )
 
 
 def test_distributed_plan_shape(got):

@@ -1552,6 +1552,35 @@ def test_parse_json_fields_semantics(spark):
     assert stats["b"] == (2, None, None, 0)
 
 
+def test_json_field_stats_oracle_survives_malformed_rows():
+    """The DuckDB twin must DEGRADE malformed JSON to NULL (json_valid
+    guard), not raise 'Malformed JSON' — the same null algebra as Spark's
+    PERMISSIVE from_json. Runs the oracle itself on a table containing a
+    malformed row and checks the aggregate parity by hand."""
+    import duckdb
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.jsoncol import (
+        json_field_stats_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE ev(grp VARCHAR, props VARCHAR);
+           INSERT INTO ev VALUES
+             ('a', '{"k": 10}'),
+             ('a', '{"k": 32}'),
+             ('b', 'not json'),
+             ('b', '{"other": 1}'),
+             ('b', NULL)"""
+    )
+    sql = json_field_stats_oracle_sql("SELECT * FROM ev", "props", "k", "grp")
+    rows = {
+        r[0]: r[1:] for r in con.execute(sql).fetchall()
+    }
+    assert rows["a"] == (2, 42, 32, 2)
+    assert rows["b"] == (3, None, None, 0)
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints
 # ---------------------------------------------------------------------------

@@ -42,3 +42,23 @@ def test_salted_join_equivalence(spark):
     assert sorted(tuple(r) for r in plain.collect()) == sorted(
         tuple(r) for r in salted.collect()
     )
+
+
+def test_salted_join_salt_is_deterministic_and_spreads(spark):
+    """Row-identical inputs produce IDENTICAL per-row salt routing under a
+    physical reshuffle (retry/AQE safety — F.rand would flutter), and a hot
+    key's rows still spread across buckets (hash-of-key-only would not)."""
+    big = spark.range(0, 1000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(0, "hot")], "k long, tag string")
+    a = salted_join(big, small, "k", salt_buckets=8)
+    b = salted_join(big.repartition(13, "v"), small, "k", salt_buckets=8)
+    assert sorted(tuple(r) for r in a.collect()) == sorted(
+        tuple(r) for r in b.collect()
+    )
+    # the deterministic salt must actually split the single hot key
+    # (same expression salted_join builds: hash over all big columns)
+    salted = big.withColumn(
+        "_salt", F.pmod(F.hash("k", "v"), F.lit(8)).cast("int")
+    )
+    n_buckets = salted.select("_salt").distinct().count()
+    assert n_buckets == 8
