@@ -31,7 +31,14 @@ def hourly_anomaly_scores(
     """(bucket, n, n_prev, mean_prev, z) for every bucket with at least
     `min_prev` trailing buckets. The bucket column only needs a total
     order (timestamp or 'yyyy-MM-dd HH:mm:ss' string sort identically)."""
-    w = Window.orderBy(bucket_col).rowsBetween(-trailing, -1)
+    # ordered window over |buckets| rows (hours, not events) — bounded by
+    # the time range, so one partition is the intended plan; the constant
+    # partitionBy declares that instead of tripping WindowExec's
+    # "no partition defined" WARN. The per-bucket counts feeding it come
+    # from a fully parallel groupBy.
+    w = Window.partitionBy(F.lit(0)).orderBy(bucket_col).rowsBetween(
+        -trailing, -1
+    )
     with_stats = hourly.select(
         bucket_col,
         count_col,

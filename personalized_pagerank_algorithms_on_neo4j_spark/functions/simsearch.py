@@ -147,7 +147,11 @@ def ivf_assign(
             df.orderBy(id_col)
             .limit(n_cells)
             .select(
-                F.row_number().over(Window.orderBy(id_col)).alias("cell"),
+                # numbering n_cells rows (post-limit) — constant partition
+                # declares the intended single-partition tiny window
+                F.row_number()
+                .over(Window.partitionBy(F.lit(0)).orderBy(id_col))
+                .alias("cell"),
                 F.col(vec_col).alias("cvec"),
             )
         )

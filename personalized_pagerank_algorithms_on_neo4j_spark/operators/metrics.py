@@ -42,7 +42,12 @@ def _dcg(ranked: DataFrame, gain_col: str = "gain") -> float:
 
 def ndcg_at_k(est_topk: DataFrame, gnd_topk: DataFrame) -> float | None:
     """NDCG of the estimated ranking against the oracle tie-set."""
-    w = Window.orderBy(F.desc("ppr"), F.asc("node"))
+    # The rank window runs over the k-row top-k tie-set — a deliberately
+    # global, bounded frame. partitionBy on a constant declares that (same
+    # single-partition execution) instead of tripping WindowExec's
+    # "no partition defined" WARN, which must stay reserved for real
+    # unbounded-window hazards in the bench tail.
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("ppr"), F.asc("node"))
     gnd_ranked = gnd_topk.select(
         "node", F.col("ppr").alias("gain"), F.row_number().over(w).alias("pos")
     )
