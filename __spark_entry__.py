@@ -5378,56 +5378,41 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
 # entries (hard evidence: CORRECTNESS_r02 and _r03 both contain exactly the
 # first 50 registered keys while the registry grew 68 -> 79).  This block
-# rebuilds the dict in an explicit priority order so the window covers:
-#   (a) the 29 queries that have never had a driver row (r01-r03), first;
-#   (b) one representative per SURVEY.md section-2 operator family, so no
-#       section-2 operator loses driver coverage this round;
-#   (c) the twice-observed remainder (green in both r02 and r03 on code
-#       untouched since), which rotates back into the window next round.
-# See README "Correctness-snapshot protocol" for the rotation plan.
+# rebuilds the dict in an explicit priority order; the window composition
+# rule lives in COVERAGE.md "Correctness-window rotation schedule" and is
+# pinned by tests/test_entry.py::test_window_queue_matches_coverage_ledger
+# (update BOTH in the same commit as any edit here):
+#   window = NEVER_OBSERVED + NEW_THIS_ROUND + stale anchors + the 14
+#            protected family reps + oldest-evidence rotation debt to 50.
+# Everything past 50 is the next round's queue, oldest evidence first.
 
-_WINDOW_PRIORITY = [
-    # --- (a) never driver-observed: round-4 tail (registry positions 87-93
-    #     in r4, behind the window) + round-5 additions ---------------------
-    "doc_winnow",           # r5: MOSS winnowing rolling-hash fingerprints
-    "graph_lpa",            # r5: gds.labelPropagation plurality rounds
-    "sssp_weighted",        # r5: gds.shortestPath frontier Bellman-Ford
-    "events_json_stats",    # r5: typed JSON-field extraction (props.k)
-    "sssp_landmarks",       # r5: batched multi-landmark weighted SSSP
-    "part_unpivot",         # r5: wide->long melt (Expand, no re-scan)
-    "events_range_window",  # r5: event-time RANGE window frame
-    "ppr_pagerank",         # I8 — first-ever oracle row for the comparator
-    "ppr_multi_source",     # r5: sourceNodes-set personalization
-    "graph_pagerank",       # r5: whole-graph gds.pageRank shape
-    "graph_pagerank_weighted",  # r5: relationshipWeightProperty shape
-    "ppr_pagerank_weighted",    # r5: weighted + personalized together
-    "next_tokens",              # r5: bigram-LM next-token ranking
-    "hot_shingles",         # r5: corpus-wide boilerplate mining
-    "shard_manifest",       # r5: training-data sharding
-    "curriculum_order",     # r5: curriculum schedule columns
-    "clustering_coeff",     # r5: local clustering coefficient
-    "doc_bigram_logprob",   # r5: sequence-aware quality proxy
-    "adamic_adar",          # r5: link prediction
-    "degree_histogram",     # r5: degree profiling
-    "simsearch_ivfpq",      # r5: IVF-PQ hybrid ANN
-    "lsh_incremental",      # r5: cross-corpus LSH (stream twin)
-    "histogram_quantiles",  # r5: percentile scale path
-    "doc_token_quantiles",  # r5: corpus length report via histogram path
-    "similar_docs",         # r5: single-probe near-dup retrieval
-    "event_gap_quantiles",  # r5: inter-arrival gaps via histogram path
-    "graph_wcc",
-    "graph_hits",
-    "graph_kcore",
-    "click_attribution",
-    "dedup_survivors",
-    "order_price_bands",
-    "bm25_multi",
-    # --- (a2) driver-RED in r4, oracle dtype fixed this round -------------
-    "seq_packing",
-    "corpus_report",
-    "data_expectations",
-    # --- (b) section-2 operator-family representatives (one per family,
-    #     kept in-window every round) --------------------------------------
+# (a) never driver-observed (registered r5 after the window filled) --------
+_R6_NEVER_OBSERVED = [
+    "part_name_variants",   # fuzzy record linkage (blocked Levenshtein)
+    "token_budget_mix",     # token-budgeted mixture selection
+    "source_overlap",       # inter-source shingle overlap matrix
+    "corpus_diff",          # snapshot diff (injective digest)
+    "split_leakage",        # train/eval leakage check
+    "winnow_dups",          # winnow near-dup pairs
+    "graph_betweenness",    # sampled Brandes betweenness
+    "pmi_collocations",     # PMI collocation mining
+    "source_divergence",    # per-source KL drift
+    "orders_salted_join",   # plans/skew deterministic salted join
+    "graph_negatives",      # negative edge sampling
+    "winnow_incremental",   # cross-corpus winnow matching
+    "event_paths",          # frequent event paths
+]
+
+# (a2) new round-6 registrations: append HERE in the same commit that adds
+#      the query (never-observed outranks all debt) ------------------------
+_R6_NEW = []
+
+# (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------
+_R6_ANCHORS = ["ppr_power"]
+
+# (b) section-2 operator-family representatives (one per family, kept
+#     in-window every round) ----------------------------------------------
+_FAMILY_REPS = [
     "graph_stats",          # S3/A5
     "graph_degrees",        # A7/J3
     "ppr_power_names",      # I3 + P1 + T1
@@ -5442,47 +5427,54 @@ _WINDOW_PRIORITY = [
     "ppr_fora_topk",        # I6/I2
     "base_all_pairs",       # I7/S5/P2/T5/T6
     "report_layout",        # S6
-    # --- (c) rotation debt: r1/r2/r3-observed queries, out of the window
-    #     since round 3 or earlier, oldest evidence first (see COVERAGE.md
-    #     "Correctness-window rotation schedule").  NOTE: the late doc_winnow
-    #     registration pushed ppr_power (observed r1-r3) out of the window —
-    #     never-observed queries always outrank rotation debt.  The window
-    #     was exactly full when part_name_variants / token_budget_mix /
-    #     source_overlap registered, and the 14 family reps above are
-    #     non-displaceable, so they queue here at positions 51-53 — the
-    #     FRONT of the r6 window (never-observed > debt); ppr_power
-    #     follows at 54 ---------------------------------------------------
-    "part_name_variants",
-    "token_budget_mix",
-    "source_overlap",
-    "corpus_diff",
-    "split_leakage",
-    "winnow_dups",
-    "graph_betweenness",
-    "pmi_collocations",
-    "source_divergence",
-    "orders_salted_join",
-    "graph_negatives",
-    "winnow_incremental",
-    "event_paths",
-    "ppr_power",
+]
+
+# (c) rotation debt, oldest driver evidence first (COVERAGE.md r6 row):
+#     the 24 keys displaced from the r5 window (last observed r4 or
+#     earlier), then the remaining r2/r3-observed keys, then r4-observed
+#     extension keys.  Only the first (50 - fixed) fit the r6 window; the
+#     remainder is the r7 queue. ------------------------------------------
+_ROTATION_DEBT = [
     "revenue_by_customer",
     "revenue_by_nation",
     "customer_order_counts",
     "customer_spend_share",
-    # (revenue_by_customer, revenue_by_nation, customer_order_counts,
-    #  customer_spend_share, quality_filter and minhash_signatures — all
-    #  observed r1-r3 — were displaced to the round-6 debt by the six
-    #  Block-26ab/26ac/26ad registrations; never-observed queries always
-    #  outrank rotation debt, COVERAGE.md "Correctness-window rotation
-    #  schedule")
     "quality_filter",
     "minhash_signatures",
-    # --- (d) observed r4 (33 green rows) + remaining r2/r3 queries follow
-    #     in registration order; they rotate back in per the COVERAGE.md
-    #     schedule (every registered query gets a driver row at least once
-    #     per 3 rounds) ----------------------------------------------------
+    "part_math",
+    "orders_by_month",
+    "global_aggs",
+    "top_orders_ties",
+    "customers_without_orders",
+    "delta_merge",
+    "dedup_exact",
+    "token_counts",
+    "simsearch_cosine",
+    "text_profile",
+    "minhash_lsh_candidates",
+    "ngram_jaccard",
+    "simhash",
+    "embedding_near_dup",
+    "simsearch_lsh",
+    "simsearch_ivf",
+    "multimodal_features",
+    "events_hourly",
+    "user_sessions",
+    "pivot_status",
+    "rollup_revenue",
+    "running_revenue",
+    "asof_clicks",
+    "distinct_suppliers",
+    "cube_revenue",
+    "customer_set_ops",
+    "dedup_clusters",
+    "doc_split",
+    "stratified_sample",
 ]
+
+_WINDOW_PRIORITY = (
+    _R6_NEVER_OBSERVED + _R6_NEW + _R6_ANCHORS + _FAMILY_REPS + _ROTATION_DEBT
+)
 
 _BASE_QUERIES27 = queries
 _BASE_ORACLE27 = oracle_sql

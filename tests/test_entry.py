@@ -245,34 +245,37 @@ def test_minhash_bucket_cap_never_binds_at_gate_scale(spark):
 
 
 def test_window_queue_matches_coverage_ledger():
-    """The 50-row driver window and the r6 queue must match COVERAGE.md's
-    rotation ledger (it drifted twice in r5 before this guard): the window
-    ends with the 14 protected family reps, and every late-registered
-    never-observed query sits immediately after position 50, before any
-    rotation debt."""
+    """The 50-row driver window must match COVERAGE.md's rotation ledger
+    (it drifted twice in r5 before this guard).  r6 composition: the 13
+    never-observed r5-tail keys first, any new r6 registrations next, then
+    ppr_power (I3's anchor, last observed r3), the 14 protected family
+    reps, and oldest-evidence rotation debt filling to 50.  Everything
+    past 50 is the r7 queue in debt order."""
     order = list(E.queries())
-    assert order[49] == "report_layout", "family reps must close the window"
-    r6_queue = [
-        "part_name_variants",
-        "token_budget_mix",
-        "source_overlap",
-        "corpus_diff",
-        "split_leakage",
-        "winnow_dups",
-        "graph_betweenness",
-        "pmi_collocations",
-        "source_divergence",
-        "orders_salted_join",
-        "graph_negatives",
-        "winnow_incremental",
-        "event_paths",
-    ]
-    assert order[50 : 50 + len(r6_queue)] == r6_queue
-    assert order[50 + len(r6_queue)] == "ppr_power"
-    # the ledger in COVERAGE.md must name every queued key in its r6 row
+    expected_window = (
+        E._R6_NEVER_OBSERVED
+        + E._R6_NEW
+        + E._R6_ANCHORS
+        + E._FAMILY_REPS
+        + E._ROTATION_DEBT
+    )[:50]
+    assert order[:50] == expected_window
+    assert len(E._R6_NEVER_OBSERVED) == 13
+    assert E._R6_ANCHORS == ["ppr_power"]
+    assert len(E._FAMILY_REPS) == 14 and E._FAMILY_REPS[-1] == "report_layout"
+    # every registered query appears exactly once (priority list has no
+    # typos/dups and nothing silently dropped from the registry)
+    assert len(set(order)) == len(order)
+    assert set(E._WINDOW_PRIORITY) <= set(order)
+    # the ledger in COVERAGE.md must name every never-observed key and the
+    # new-registration keys in its r6 row
     ledger = (
         Path(__file__).resolve().parent.parent / "COVERAGE.md"
     ).read_text()
     r6_row = next(line for line in ledger.splitlines() if line.startswith("| r6 |"))
-    for key in r6_queue:
+    for key in E._R6_NEVER_OBSERVED + E._R6_NEW + E._R6_ANCHORS:
         assert f"`{key}`" in r6_row, f"{key} missing from the COVERAGE r6 row"
+    # the r7 row must name the head of the overflow queue
+    r7_row = next(line for line in ledger.splitlines() if line.startswith("| r7 |"))
+    for key in order[50:52]:
+        assert f"`{key}`" in r7_row, f"{key} missing from the COVERAGE r7 row"
