@@ -445,7 +445,7 @@ _REV_CENTS = (
 )
 
 
-def oracle_sql() -> dict[str, str]:
+def _base_oracle() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["graph_stats"] = f"""
 SELECT (SELECT COUNT(*) FROM ({GRAPH_NODES_SQL}) n) AS n_nodes,
@@ -589,7 +589,7 @@ QUALIFY RANK() OVER (ORDER BY cosine DESC) <= 20
     return sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_stats": q_graph_stats,
         "graph_degrees": q_graph_degrees,
@@ -625,6 +625,20 @@ def entry(spark: SparkSession) -> DataFrame:
     eng = PPREngine(g, alpha=ALPHA)
     df = eng.ppr(_source(g), algo="power")
     return g.with_names(df).select("node", "name", "ppr").orderBy(F.desc("ppr"))
+
+
+# ---------------------------------------------------------------------------
+# Registration tables.  Each block below appends its queries/oracles to
+# these ordered dicts at import time (one flat table instead of the former
+# ~34-layer queries()/oracle_sql() wrapper chain); the public queries() /
+# oracle_sql() at the bottom of the file merge them over the base block
+# and apply the _WINDOW_PRIORITY ordering.  Registration order == dict
+# order, so the rotation ledger's "registration order" remainder is
+# preserved exactly.
+# ---------------------------------------------------------------------------
+
+_REGISTRY_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_REGISTRY_SQL: dict[str, str] = {}
 
 
 # ---------------------------------------------------------------------------
@@ -945,33 +959,25 @@ FROM m CROSS JOIN dims d
     return sql
 
 
-_BASE_QUERIES = queries
-_BASE_ORACLE = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES()
-    q.update(
-        {
-            "text_profile": q_text_profile,
-            "quality_filter": q_quality_filter,
-            "minhash_signatures": q_minhash_signatures,
-            "minhash_lsh_candidates": q_minhash_lsh_candidates,
-            "ngram_jaccard": q_ngram_jaccard,
-            "simhash": q_simhash,
-            "embedding_near_dup": q_embedding_near_dup,
-            "simsearch_lsh": q_simsearch_lsh,
-            "simsearch_ivf": q_simsearch_ivf,
-            "multimodal_features": q_multimodal_features,
-        }
-    )
-    return q
+_REGISTRY_Q.update(
+    {
+        "text_profile": q_text_profile,
+        "quality_filter": q_quality_filter,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "simsearch_lsh": q_simsearch_lsh,
+        "simsearch_ivf": q_simsearch_ivf,
+        "multimodal_features": q_multimodal_features,
+    }
+)
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE()
-    sql.update(_pipeline_oracle_sql())
-    return sql
+_REGISTRY_SQL.update(_pipeline_oracle_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -1009,26 +1015,19 @@ def q_user_sessions(spark, sf_dir):
     )
 
 
-_BASE_QUERIES2 = queries
-_BASE_ORACLE2 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES2()
-    q["events_hourly"] = q_events_hourly
-    q["user_sessions"] = q_user_sessions
-    return q
+_REGISTRY_Q["events_hourly"] = q_events_hourly
+_REGISTRY_Q["user_sessions"] = q_user_sessions
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE2()
-    sql["events_hourly"] = """
+_REGISTRY_SQL["events_hourly"] = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
        event_type, COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(COALESCE(value, 0.0)*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
 FROM events GROUP BY 1, 2
 """
-    sql["user_sessions"] = """
+_REGISTRY_SQL["user_sessions"] = """
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -1047,7 +1046,6 @@ SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM sessions GROUP BY user_id
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -1260,36 +1258,29 @@ def _bwd_push_chain(
     return ",\n".join(ctes)
 
 
-_BASE_QUERIES3 = queries
-_BASE_ORACLE3 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES3()
-    q.update(
-        {
-            "ppr_fwdpush": q_ppr_fwdpush,
-            "ppr_backward": q_ppr_backward,
-            "ndcg_positional": q_ndcg_positional,
-            "pivot_status": q_pivot_status,
-            "rollup_revenue": q_rollup_revenue,
-            "running_revenue": q_running_revenue,
-            "asof_clicks": q_asof_clicks,
-            "distinct_suppliers": q_distinct_suppliers,
-        }
-    )
-    return q
+_REGISTRY_Q.update(
+    {
+        "ppr_fwdpush": q_ppr_fwdpush,
+        "ppr_backward": q_ppr_backward,
+        "ndcg_positional": q_ndcg_positional,
+        "pivot_status": q_pivot_status,
+        "rollup_revenue": q_rollup_revenue,
+        "running_revenue": q_running_revenue,
+        "asof_clicks": q_asof_clicks,
+        "distinct_suppliers": q_distinct_suppliers,
+    }
+)
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE3()
-    sql["ppr_fwdpush"] = f"""WITH {_GRAPH_CTES},
+_REGISTRY_SQL["ppr_fwdpush"] = f"""WITH {_GRAPH_CTES},
 {_fwd_push_chain("fp", FWD_STEPS, FWD_RMAX)}
 SELECT node, ROUND(reserve, 9) AS ppr FROM fp{FWD_STEPS} WHERE ROUND(reserve, 9) > 0"""
-    sql["ppr_backward"] = f"""WITH {_GRAPH_CTES},
+_REGISTRY_SQL["ppr_backward"] = f"""WITH {_GRAPH_CTES},
 {_bwd_push_chain("bp", BWD_STEPS, BWD_RMAX, BWD_TARGET, alpha=BWD_ALPHA)}
 SELECT node, ROUND(reserve, 9) AS ppr FROM bp{BWD_STEPS} WHERE ROUND(reserve, 9) > 0"""
-    sql["ndcg_positional"] = f"""WITH {_GRAPH_CTES},
+_REGISTRY_SQL["ndcg_positional"] = f"""WITH {_GRAPH_CTES},
 {_power_chain("it", POWER_ITERS)},
 {_power_chain("jt", POWER_ITERS_LO)},
 gnd AS (SELECT node, ROUND(reserve,9) AS ppr FROM it{POWER_ITERS} WHERE ROUND(reserve,9) > 0
@@ -1307,20 +1298,20 @@ SELECT ROUND(
   (SELECT SUM((POW(2.0, gain) - 1.0) / (LN(pos + 1.0) / LN(2.0))) FROM est_ranked)
   / (SELECT SUM((POW(2.0, gain) - 1.0) / (LN(pos + 1.0) / LN(2.0))) FROM gnd_ranked),
 6) AS ndcg"""
-    sql["pivot_status"] = """
+_REGISTRY_SQL["pivot_status"] = """
 SELECT o_orderpriority,
        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders GROUP BY o_orderpriority
 """
-    sql["rollup_revenue"] = f"""
+_REGISTRY_SQL["rollup_revenue"] = f"""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        CAST(SUM({_REV_CENTS}) AS BIGINT) / 10000.0 AS revenue
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
-    sql["running_revenue"] = """
+_REGISTRY_SQL["running_revenue"] = """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -1329,7 +1320,7 @@ SELECT o_custkey, o_orderkey,
             AS BIGINT) AS order_seq
 FROM orders
 """
-    sql["asof_clicks"] = """
+_REGISTRY_SQL["asof_clicks"] = """
 WITH views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
 clicks AS (
   SELECT user_id, ts, MAX(event_id) AS click_event
@@ -1339,12 +1330,11 @@ SELECT v.event_id AS view_event, v.user_id, c.click_event, c.ts AS click_ts
 FROM views v ASOF LEFT JOIN clicks c
   ON v.user_id = c.user_id AND c.ts <= v.ts
 """
-    sql["distinct_suppliers"] = """
+_REGISTRY_SQL["distinct_suppliers"] = """
 SELECT o.o_custkey, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_custkey
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -1405,19 +1395,12 @@ def _base_all_chain(prefix: str, steps: int, rmax: float, alpha: float) -> str:
     return ",\n".join(ctes)
 
 
-_BASE_QUERIES4 = queries
-_BASE_ORACLE4 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES4()
-    q["base_all_pairs"] = q_base_all_pairs
-    return q
+_REGISTRY_Q["base_all_pairs"] = q_base_all_pairs
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE4()
-    sql["base_all_pairs"] = f"""WITH {_GRAPH_CTES},
+_REGISTRY_SQL["base_all_pairs"] = f"""WITH {_GRAPH_CTES},
 {_base_all_chain("ba", BASE_STEPS, BASE_THRESHOLD, BWD_ALPHA)},
 final AS (
   SELECT node AS source, target, ROUND(reserve, 9) AS ppr
@@ -1429,7 +1412,6 @@ final AS (
   WHERE i.dst IS NULL
 )
 SELECT source, target, ppr FROM final"""
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -1462,33 +1444,25 @@ def q_customer_set_ops(spark, sf_dir):
     return both.unionAll(rich_only)
 
 
-_BASE_QUERIES5 = queries
-_BASE_ORACLE5 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES5()
-    q["cube_revenue"] = q_cube_revenue
-    q["customer_set_ops"] = q_customer_set_ops
-    return q
+_REGISTRY_Q["cube_revenue"] = q_cube_revenue
+_REGISTRY_Q["customer_set_ops"] = q_customer_set_ops
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE5()
-    sql["cube_revenue"] = f"""
+_REGISTRY_SQL["cube_revenue"] = f"""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        CAST(SUM({_REV_CENTS}) AS BIGINT) / 10000.0 AS revenue
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
-    sql["customer_set_ops"] = """
+_REGISTRY_SQL["customer_set_ops"] = """
 WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
 busy AS (SELECT o_custkey AS k FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10)
 SELECT k, 'both' AS bucket FROM (SELECT k FROM rich INTERSECT SELECT k FROM busy) t
 UNION ALL
 SELECT k, 'rich_only' AS bucket FROM (SELECT k FROM rich EXCEPT ALL SELECT k FROM busy) t
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -1525,30 +1499,22 @@ def q_report_layout(spark, sf_dir):
     )
 
 
-_BASE_QUERIES6 = queries
-_BASE_ORACLE6 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES6()
-    q["report_layout"] = q_report_layout
-    return q
+_REGISTRY_Q["report_layout"] = q_report_layout
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.sources.report import (
-        REPORT_COLUMNS,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.report import (
+    REPORT_COLUMNS,
+)
 
-    sql = _BASE_ORACLE6()
-    values = ", ".join(
-        f"({i}, '{c}')" for i, c in enumerate(REPORT_COLUMNS)
-    )
-    sql["report_layout"] = (
-        f"SELECT CAST(pos AS INT) AS pos, col_name FROM (VALUES {values}) "
-        "t(pos, col_name)"
-    )
-    return sql
+values = ", ".join(
+    f"({i}, '{c}')" for i, c in enumerate(REPORT_COLUMNS)
+)
+_REGISTRY_SQL["report_layout"] = (
+    f"SELECT CAST(pos AS INT) AS pos, col_name FROM (VALUES {values}) "
+    "t(pos, col_name)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1590,19 +1556,12 @@ def _cluster_chain(prefix: str, steps: int) -> str:
     return ",\n".join(ctes)
 
 
-_BASE_QUERIES7 = queries
-_BASE_ORACLE7 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES7()
-    q["dedup_clusters"] = q_dedup_clusters
-    return q
+_REGISTRY_Q["dedup_clusters"] = q_dedup_clusters
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE7()
-    sql["dedup_clusters"] = f"""
+_REGISTRY_SQL["dedup_clusters"] = f"""
 WITH sig AS MATERIALIZED ({_SQL_MINHASH_SIG}),
 banded AS MATERIALIZED (
   SELECT doc_id, i // 2 AS band,
@@ -1617,7 +1576,6 @@ cand AS MATERIALIZED (
 {_cluster_chain("cl", CLUSTER_STEPS)}
 SELECT node AS doc_id, label AS cluster_id FROM cl{CLUSTER_STEPS}
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -1663,47 +1621,39 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
-_BASE_QUERIES8 = queries
-_BASE_ORACLE8 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES8()
-    q.update(
-        {
-            "doc_split": q_doc_split,
-            "stratified_sample": q_stratified_sample,
-            "kmeans_clusters": q_kmeans_clusters,
-        }
-    )
-    return q
+_REGISTRY_Q.update(
+    {
+        "doc_split": q_doc_split,
+        "stratified_sample": q_stratified_sample,
+        "kmeans_clusters": q_kmeans_clusters,
+    }
+)
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE8()
-    split_bucket = _sampling.sampling_oracle_fragments(SPLIT_SEED)
-    t_train = int(round(SPLIT_WEIGHTS["train"] * _sampling.BUCKETS))
-    t_val = t_train + int(round(SPLIT_WEIGHTS["val"] * _sampling.BUCKETS))
-    sql["doc_split"] = f"""
+split_bucket = _sampling.sampling_oracle_fragments(SPLIT_SEED)
+t_train = int(round(SPLIT_WEIGHTS["train"] * _sampling.BUCKETS))
+t_val = t_train + int(round(SPLIT_WEIGHTS["val"] * _sampling.BUCKETS))
+_REGISTRY_SQL["doc_split"] = f"""
 SELECT doc_id,
        CASE WHEN {split_bucket} < {t_train} THEN 'train'
             WHEN {split_bucket} < {t_val} THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """
-    strat_bucket = _sampling.sampling_oracle_fragments(STRAT_SEED)
-    strat_thr = " ".join(
-        f"WHEN lang = '{v}' THEN {int(round(r * _sampling.BUCKETS))}"
-        for v, r in sorted(STRAT_RATES.items())
-    )
-    sql["stratified_sample"] = f"""
+strat_bucket = _sampling.sampling_oracle_fragments(STRAT_SEED)
+strat_thr = " ".join(
+    f"WHEN lang = '{v}' THEN {int(round(r * _sampling.BUCKETS))}"
+    for v, r in sorted(STRAT_RATES.items())
+)
+_REGISTRY_SQL["stratified_sample"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE {strat_bucket} < (CASE {strat_thr} ELSE 0 END)
 """
-    sql["kmeans_clusters"] = _clustering.kmeans_oracle_sql(
-        k=KMEANS_K, iterations=KMEANS_ITERS, dim=64
-    )
-    return sql
+_REGISTRY_SQL["kmeans_clusters"] = _clustering.kmeans_oracle_sql(
+    k=KMEANS_K, iterations=KMEANS_ITERS, dim=64
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1779,36 +1729,29 @@ def q_decontamination(spark, sf_dir):
     return _dedup.cross_corpus_contamination(corpus, bench, n=3)
 
 
-_BASE_QUERIES9 = queries
-_BASE_ORACLE9 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES9()
-    q.update(
-        {
-            "pii_scrub": q_pii_scrub,
-            "doc_repetition": q_doc_repetition,
-            "decontamination": q_decontamination,
-            "quality_weighted_sample": q_quality_weighted_sample,
-        }
-    )
-    return q
+_REGISTRY_Q.update(
+    {
+        "pii_scrub": q_pii_scrub,
+        "doc_repetition": q_doc_repetition,
+        "decontamination": q_decontamination,
+        "quality_weighted_sample": q_quality_weighted_sample,
+    }
+)
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
-        PII_PATTERNS,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+    PII_PATTERNS,
+)
 
-    sql = _BASE_ORACLE9()
-    em, ur, ph = PII_PATTERNS["email"], PII_PATTERNS["url"], PII_PATTERNS["phone"]
-    synth = (
-        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
-        "'@example.com via http://site.example/p/' || CAST(doc_id AS VARCHAR) || "
-        "(CASE WHEN doc_id % 3 = 0 THEN ' tel 555 123-4567' ELSE '' END)"
-    )
-    sql["pii_scrub"] = f"""
+em, ur, ph = PII_PATTERNS["email"], PII_PATTERNS["url"], PII_PATTERNS["phone"]
+synth = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com via http://site.example/p/' || CAST(doc_id AS VARCHAR) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN ' tel 555 123-4567' ELSE '' END)"
+)
+_REGISTRY_SQL["pii_scrub"] = f"""
 WITH s AS (SELECT doc_id, {synth} AS synth FROM documents)
 SELECT doc_id,
        CAST(len(regexp_extract_all(synth, '{em}')) AS BIGINT) AS n_emails,
@@ -1819,11 +1762,11 @@ SELECT doc_id,
          AS clean
 FROM s
 """
-    bigrams = f"""list_filter(list_transform(
+bigrams = f"""list_filter(list_transform(
   range(0, greatest(len({_SQL_TOKS_RAW.replace("text", "lower(text)")}) - 2, 0) + 1),
   i -> array_to_string(({_SQL_TOKS_RAW.replace("text", "lower(text)")})[i+1:i+2], ' ')),
   s -> length(s) > 0)"""
-    sql["doc_repetition"] = f"""
+_REGISTRY_SQL["doc_repetition"] = f"""
 SELECT doc_id,
        CASE WHEN len({bigrams}) = 0 THEN 0.0
             ELSE ROUND(1.0 - CAST(len(list_distinct({bigrams})) AS DOUBLE)
@@ -1832,7 +1775,7 @@ SELECT doc_id,
        CAST(len({_SQL_TOKS_RAW}) AS BIGINT) AS n_tokens
 FROM documents
 """
-    sql["decontamination"] = f"""
+_REGISTRY_SQL["decontamination"] = f"""
 WITH cs AS MATERIALIZED (
   SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS sh
   FROM documents WHERE source <> '{BENCH_SOURCE}'
@@ -1852,13 +1795,12 @@ SELECT s.doc_id, s.n_sh,
          AS contamination
 FROM sizes s LEFT JOIN common c ON s.doc_id = c.doc_id
 """
-    qw_bucket = _sampling.sampling_oracle_fragments(QW_SEED)
-    sql["quality_weighted_sample"] = f"""
-WITH prof AS ({sql["text_profile"]})
+qw_bucket = _sampling.sampling_oracle_fragments(QW_SEED)
+_REGISTRY_SQL["quality_weighted_sample"] = f"""
+WITH prof AS ({_REGISTRY_SQL["text_profile"]})
 SELECT doc_id, quality FROM prof
 WHERE {qw_bucket} < CAST(ROUND(quality * {QW_RATE * _sampling.BUCKETS}, 0) AS BIGINT)
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -1892,30 +1834,23 @@ def q_simsearch_pq(spark, sf_dir):
     return _pq.pq_adc_topk(e, query_id=0, k=20, codebooks=cbs, codes=codes)
 
 
-_BASE_QUERIES10 = queries
-_BASE_ORACLE10 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES10()
-    q["pq_codes"] = q_pq_codes
-    q["simsearch_pq"] = q_simsearch_pq
-    return q
+_REGISTRY_Q["pq_codes"] = q_pq_codes
+_REGISTRY_Q["simsearch_pq"] = q_simsearch_pq
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.pq import (
-        pq_oracle_ctes,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.pq import (
+    pq_oracle_ctes,
+)
 
-    sql = _BASE_ORACLE10()
-    ctes = pq_oracle_ctes(m=4, ksub=16, dim=64)
-    sql["pq_codes"] = f"""
+ctes = pq_oracle_ctes(m=4, ksub=16, dim=64)
+_REGISTRY_SQL["pq_codes"] = f"""
 WITH {ctes}
 SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes_str
 FROM enc GROUP BY vec_id
 """
-    sql["simsearch_pq"] = f"""
+_REGISTRY_SQL["simsearch_pq"] = f"""
 WITH {ctes},
 q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
 lut AS (
@@ -1930,7 +1865,6 @@ adist AS (
 SELECT vec_id, adist FROM adist
 QUALIFY RANK() OVER (ORDER BY adist ASC) <= 20
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -1951,19 +1885,12 @@ def q_events_topk_hourly(spark, sf_dir):
     return board.withColumn("rank", F.col("rank").cast("long"))
 
 
-_BASE_QUERIES11 = queries
-_BASE_ORACLE11 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES11()
-    q["events_topk_hourly"] = q_events_topk_hourly
-    return q
+_REGISTRY_Q["events_topk_hourly"] = q_events_topk_hourly
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE11()
-    sql["events_topk_hourly"] = """
+_REGISTRY_SQL["events_topk_hourly"] = """
 WITH totals AS (
   SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
          user_id AS key, COUNT(*) AS n,
@@ -1976,7 +1903,6 @@ SELECT bucket, key, n,
 FROM totals
 QUALIFY rank <= 3
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -1993,19 +1919,12 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(d, k=3)
 
 
-_BASE_QUERIES12 = queries
-_BASE_ORACLE12 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES12()
-    q["tfidf_top_terms"] = q_tfidf_top_terms
-    return q
+_REGISTRY_Q["tfidf_top_terms"] = q_tfidf_top_terms
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE12()
-    sql["tfidf_top_terms"] = """
+_REGISTRY_SQL["tfidf_top_terms"] = """
 WITH toks AS MATERIALIZED (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(trim(lower(text)), ' +'),
@@ -2031,7 +1950,6 @@ SELECT doc_id, term, score, pos FROM (
   FROM scored
 ) t WHERE pos <= 3
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -2062,31 +1980,24 @@ def q_events_value_quantiles(spark, sf_dir):
     )
 
 
-_BASE_QUERIES13 = queries
-_BASE_ORACLE13 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES13()
-    q["exact_k_by_lang"] = q_exact_k_by_lang
-    q["events_value_quantiles"] = q_events_value_quantiles
-    return q
+_REGISTRY_Q["exact_k_by_lang"] = q_exact_k_by_lang
+_REGISTRY_Q["events_value_quantiles"] = q_events_value_quantiles
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE13()
-    h = (
-        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || "
-        f"'{EXACT_K_SEED}'), 1, 12)) AS BIGINT)"
-    )
-    sql["exact_k_by_lang"] = f"""
+h = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || "
+    f"'{EXACT_K_SEED}'), 1, 12)) AS BIGINT)"
+)
+_REGISTRY_SQL["exact_k_by_lang"] = f"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h} ASC, doc_id ASC) AS rn
   FROM documents
 ) t WHERE rn <= 5
 """
-    sql["events_value_quantiles"] = """
+_REGISTRY_SQL["events_value_quantiles"] = """
 SELECT event_type,
        ROUND(quantile_cont(value, 0.25), 6) AS p25,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,
@@ -2095,7 +2006,6 @@ SELECT event_type,
 FROM events WHERE value IS NOT NULL
 GROUP BY event_type
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -2115,19 +2025,12 @@ def q_event_funnel(spark, sf_dir):
     return funnel_report(e, FUNNEL_STEPS)
 
 
-_BASE_QUERIES14 = queries
-_BASE_ORACLE14 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES14()
-    q["event_funnel"] = q_event_funnel
-    return q
+_REGISTRY_Q["event_funnel"] = q_event_funnel
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE14()
-    sql["event_funnel"] = """
+_REGISTRY_SQL["event_funnel"] = """
 WITH firsts AS (
   SELECT user_id AS u,
          MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
@@ -2160,7 +2063,6 @@ SELECT s.step_idx, s.step,
 FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase')) AS s(step_idx, step)
 CROSS JOIN counts
 """
-    return sql
 
 
 def q_retention_cohorts(spark, sf_dir):
@@ -2171,19 +2073,12 @@ def q_retention_cohorts(spark, sf_dir):
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
-_BASE_QUERIES15 = queries
-_BASE_ORACLE15 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES15()
-    q["retention_cohorts"] = q_retention_cohorts
-    return q
+_REGISTRY_Q["retention_cohorts"] = q_retention_cohorts
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE15()
-    sql["retention_cohorts"] = """
+_REGISTRY_SQL["retention_cohorts"] = """
 WITH cohorts AS (
   SELECT user_id AS u, MIN(date_trunc('week', ts)) AS cohort_wk
   FROM events WHERE event_type = 'signup' GROUP BY 1
@@ -2198,7 +2093,6 @@ FROM activity a JOIN cohorts c ON a.u = c.u
 WHERE a.wk >= c.cohort_wk
 GROUP BY 1, 2
 """
-    return sql
 
 
 def q_revenue_moving_avg(spark, sf_dir):
@@ -2226,19 +2120,12 @@ def q_revenue_moving_avg(spark, sf_dir):
     )
 
 
-_BASE_QUERIES16 = queries
-_BASE_ORACLE16 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES16()
-    q["revenue_moving_avg"] = q_revenue_moving_avg
-    return q
+_REGISTRY_Q["revenue_moving_avg"] = q_revenue_moving_avg
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE16()
-    sql["revenue_moving_avg"] = """
+_REGISTRY_SQL["revenue_moving_avg"] = """
 WITH daily AS (
   SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -2251,7 +2138,6 @@ SELECT day,
 FROM daily
 WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -2276,41 +2162,34 @@ def q_bloom_decontamination(spark, sf_dir):
     )
 
 
-_BASE_QUERIES17 = queries
-_BASE_ORACLE17 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES17()
-    q["bloom_decontamination"] = q_bloom_decontamination
-    return q
+_REGISTRY_Q["bloom_decontamination"] = q_bloom_decontamination
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.bloom import (
-        bloom_oracle_build_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.bloom import (
+    bloom_oracle_build_sql,
+)
 
-    sql = _BASE_ORACLE17()
-    M, K = BLOOM_M_BITS, BLOOM_K
-    bench_sh = (
-        f"SELECT DISTINCT unnest({_SQL_SHINGLES}) AS sh FROM documents "
-        f"WHERE source = '{BENCH_SOURCE}'"
-    )
-    h = (
-        lambda s: "CAST(('0x' || substring(md5(sh || '#' || '"
-        + str(s)
-        + "'), 1, 12)) AS BIGINT)"
-    )
-    bits = ", ".join(f"{h(s)} % {M} AS bit{s}" for s in range(K))
-    joins = "\n  ".join(
-        f"LEFT JOIN bloom b{s} ON c.bit{s} // 48 = b{s}.word_idx" for s in range(K)
-    )
-    hits = " AND ".join(
-        f"(FLOOR(COALESCE(b{s}.word, 0) / POW(2.0, c.bit{s} % 48)) % 2 = 1)"
-        for s in range(K)
-    )
-    sql["bloom_decontamination"] = f"""
+M, K = BLOOM_M_BITS, BLOOM_K
+bench_sh = (
+    f"SELECT DISTINCT unnest({_SQL_SHINGLES}) AS sh FROM documents "
+    f"WHERE source = '{BENCH_SOURCE}'"
+)
+h = (
+    lambda s: "CAST(('0x' || substring(md5(sh || '#' || '"
+    + str(s)
+    + "'), 1, 12)) AS BIGINT)"
+)
+bits = ", ".join(f"{h(s)} % {M} AS bit{s}" for s in range(K))
+joins = "\n  ".join(
+    f"LEFT JOIN bloom b{s} ON c.bit{s} // 48 = b{s}.word_idx" for s in range(K)
+)
+hits = " AND ".join(
+    f"(FLOOR(COALESCE(b{s}.word, 0) / POW(2.0, c.bit{s} % 48)) % 2 = 1)"
+    for s in range(K)
+)
+_REGISTRY_SQL["bloom_decontamination"] = f"""
 WITH {bloom_oracle_build_sql(bench_sh, "sh", M, K)},
 cs AS MATERIALIZED (
   SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS sh
@@ -2327,7 +2206,6 @@ SELECT doc_id, COUNT(*) AS n_sh,
          AS maybe_rate
 FROM probe GROUP BY 1
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -2376,21 +2254,14 @@ def q_supplier_cooccurrence(spark, sf_dir):
     return item_jaccard(inc, min_shared=COOC_MIN_SHARED)
 
 
-_BASE_QUERIES18 = queries
-_BASE_ORACLE18 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES18()
-    q["event_transitions"] = q_event_transitions
-    q["ngram_span_dups"] = q_ngram_span_dups
-    q["supplier_cooccurrence"] = q_supplier_cooccurrence
-    return q
+_REGISTRY_Q["event_transitions"] = q_event_transitions
+_REGISTRY_Q["ngram_span_dups"] = q_ngram_span_dups
+_REGISTRY_Q["supplier_cooccurrence"] = q_supplier_cooccurrence
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE18()
-    sql["event_transitions"] = """
+_REGISTRY_SQL["event_transitions"] = """
 WITH pairs AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
          event_type AS dst
@@ -2403,7 +2274,7 @@ SELECT src, dst, n,
        ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS prob
 FROM counts
 """
-    sql["ngram_span_dups"] = f"""
+_REGISTRY_SQL["ngram_span_dups"] = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 spans AS (
   SELECT doc_id, array_to_string(t[i:i+{SPAN_N - 1}], ' ') AS span
@@ -2413,7 +2284,7 @@ spans AS (
 SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
 FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
 """
-    sql["supplier_cooccurrence"] = f"""
+_REGISTRY_SQL["supplier_cooccurrence"] = f"""
 WITH e AS (
   SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS basket,
                   CAST(l.l_suppkey AS BIGINT) AS item
@@ -2432,7 +2303,6 @@ FROM pairs
 JOIN deg da ON pairs.item_a = da.item
 JOIN deg db ON pairs.item_b = db.item
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -2455,28 +2325,20 @@ def q_pq_trained_codes(spark, sf_dir):
     )
 
 
-_BASE_QUERIES19 = queries
-_BASE_ORACLE19 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES19()
-    q["pq_trained_codes"] = q_pq_trained_codes
-    return q
+_REGISTRY_Q["pq_trained_codes"] = q_pq_trained_codes
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.pq import (
-        pq_trained_oracle_ctes,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.pq import (
+    pq_trained_oracle_ctes,
+)
 
-    sql = _BASE_ORACLE19()
-    sql["pq_trained_codes"] = f"""
+_REGISTRY_SQL["pq_trained_codes"] = f"""
 WITH {pq_trained_oracle_ctes(m=4, ksub=16, iterations=PQ_TRAIN_ITERS, dim=64)}
 SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes_str
 FROM enc GROUP BY vec_id
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -2525,33 +2387,25 @@ def q_mixture_rebalance(spark, sf_dir):
     )
 
 
-_BASE_QUERIES20 = queries
-_BASE_ORACLE20 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES20()
-    q["doc_chunks"] = q_doc_chunks
-    q["seq_packing"] = q_seq_packing
-    q["mixture_rebalance"] = q_mixture_rebalance
-    return q
+_REGISTRY_Q["doc_chunks"] = q_doc_chunks
+_REGISTRY_Q["seq_packing"] = q_seq_packing
+_REGISTRY_Q["mixture_rebalance"] = q_mixture_rebalance
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions import packing as _packing
+from personalized_pagerank_algorithms_on_neo4j_spark.functions import packing as _packing
 
-    sql = _BASE_ORACLE20()
-    sql["doc_chunks"] = _packing.chunk_oracle_sql(
-        chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
-    )
-    sql["seq_packing"] = _packing.pack_oracle_sql(
-        budget_tokens=PACK_BUDGET, n_buckets=PACK_BUCKETS, seed=PACK_SEED
-    )
-    sql["mixture_rebalance"] = f"""
+_REGISTRY_SQL["doc_chunks"] = _packing.chunk_oracle_sql(
+    chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+)
+_REGISTRY_SQL["seq_packing"] = _packing.pack_oracle_sql(
+    budget_tokens=PACK_BUDGET, n_buckets=PACK_BUCKETS, seed=PACK_SEED
+)
+_REGISTRY_SQL["mixture_rebalance"] = f"""
 WITH base AS ({_packing.mixture_oracle_sql(MIX_TARGETS, seed=MIX_SEED)})
 SELECT doc_id, source, lang FROM base
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -2572,24 +2426,16 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(d, BM25_QUERY, k=BM25_K)
 
 
-_BASE_QUERIES21 = queries
-_BASE_ORACLE21 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES21()
-    q["bm25_topk"] = q_bm25_topk
-    return q
+_REGISTRY_Q["bm25_topk"] = q_bm25_topk
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
-        bm25_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+    bm25_oracle_sql,
+)
 
-    sql = _BASE_ORACLE21()
-    sql["bm25_topk"] = bm25_oracle_sql(BM25_QUERY, k=BM25_K)
-    return sql
+_REGISTRY_SQL["bm25_topk"] = bm25_oracle_sql(BM25_QUERY, k=BM25_K)
 
 
 # ---------------------------------------------------------------------------
@@ -2637,20 +2483,13 @@ def q_corpus_report(spark, sf_dir):
     )
 
 
-_BASE_QUERIES22 = queries
-_BASE_ORACLE22 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES22()
-    q["events_anomaly"] = q_events_anomaly
-    q["corpus_report"] = q_corpus_report
-    return q
+_REGISTRY_Q["events_anomaly"] = q_events_anomaly
+_REGISTRY_Q["corpus_report"] = q_corpus_report
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE22()
-    sql["events_anomaly"] = f"""
+_REGISTRY_SQL["events_anomaly"] = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
   FROM events GROUP BY 1
@@ -2671,7 +2510,7 @@ SELECT hour, n, CAST(n_prev AS BIGINT) AS n_prev,
                   ELSE 0.0 END, 6) AS z
 FROM st WHERE n_prev >= 12
 """
-    sql["corpus_report"] = """
+_REGISTRY_SQL["corpus_report"] = """
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_tokens,
@@ -2682,7 +2521,6 @@ SELECT source,
        MAX(doc_id) AS max_doc_id
 FROM documents GROUP BY source
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -2701,24 +2539,16 @@ def q_doc_logprob(spark, sf_dir):
     return unigram_logprob_scores(d)
 
 
-_BASE_QUERIES23 = queries
-_BASE_ORACLE23 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES23()
-    q["doc_logprob"] = q_doc_logprob
-    return q
+_REGISTRY_Q["doc_logprob"] = q_doc_logprob
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
-        unigram_logprob_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+    unigram_logprob_oracle_sql,
+)
 
-    sql = _BASE_ORACLE23()
-    sql["doc_logprob"] = unigram_logprob_oracle_sql()
-    return sql
+_REGISTRY_SQL["doc_logprob"] = unigram_logprob_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2740,27 +2570,19 @@ def q_two_hop_counts(spark, sf_dir):
     return two_hop_neighbors(g.edges, hub_cap=TWO_HOP_CAP)
 
 
-_BASE_QUERIES24 = queries
-_BASE_ORACLE24 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES24()
-    q["two_hop_counts"] = q_two_hop_counts
-    return q
+_REGISTRY_Q["two_hop_counts"] = q_two_hop_counts
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
-        two_hop_oracle_sql,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
-        GRAPH_EDGES_SQL,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+    two_hop_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    GRAPH_EDGES_SQL,
+)
 
-    sql = _BASE_ORACLE24()
-    sql["two_hop_counts"] = two_hop_oracle_sql(GRAPH_EDGES_SQL, hub_cap=TWO_HOP_CAP)
-    return sql
+_REGISTRY_SQL["two_hop_counts"] = two_hop_oracle_sql(GRAPH_EDGES_SQL, hub_cap=TWO_HOP_CAP)
 
 
 # ---------------------------------------------------------------------------
@@ -2781,24 +2603,16 @@ def q_decayed_scores(spark, sf_dir):
     return decayed_user_scores(e, half_life_days=DECAY_HALF_LIFE)
 
 
-_BASE_QUERIES25 = queries
-_BASE_ORACLE25 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES25()
-    q["decayed_scores"] = q_decayed_scores
-    return q
+_REGISTRY_Q["decayed_scores"] = q_decayed_scores
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
-        decayed_scores_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+    decayed_scores_oracle_sql,
+)
 
-    sql = _BASE_ORACLE25()
-    sql["decayed_scores"] = decayed_scores_oracle_sql(half_life_days=DECAY_HALF_LIFE)
-    return sql
+_REGISTRY_SQL["decayed_scores"] = decayed_scores_oracle_sql(half_life_days=DECAY_HALF_LIFE)
 
 
 # ---------------------------------------------------------------------------
@@ -2827,19 +2641,12 @@ def q_data_expectations(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26 = queries
-_BASE_ORACLE26 = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26()
-    q["data_expectations"] = q_data_expectations
-    return q
+_REGISTRY_Q["data_expectations"] = q_data_expectations
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26()
-    sql["data_expectations"] = """
+_REGISTRY_SQL["data_expectations"] = """
 SELECT 'not_null:o_custkey' AS rule, 'o_custkey' AS col_name,
        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS violations,
@@ -2863,7 +2670,6 @@ SELECT 'unique:o_orderkey', 'o_orderkey',
        CAST(SUM(n - 1) AS BIGINT), CAST(SUM(n) AS BIGINT)
 FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -2891,27 +2697,20 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26B = queries
-_BASE_ORACLE26B = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26B()
-    q["semantic_dedup"] = q_semantic_dedup
-    return q
+_REGISTRY_Q["semantic_dedup"] = q_semantic_dedup
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26B()
-    _cos = lambda a, b: (  # noqa: E731
-        f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-        f" / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
-        f" * SQRT(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
-    )
-    kmeans = _clustering.kmeans_oracle_sql(
-        k=KMEANS_K, iterations=KMEANS_ITERS, dim=64
-    )
-    sql["semantic_dedup"] = f"""
+_cos = lambda a, b: (  # noqa: E731
+    f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    f" / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    f" * SQRT(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+)
+kmeans = _clustering.kmeans_oracle_sql(
+    k=KMEANS_K, iterations=KMEANS_ITERS, dim=64
+)
+_REGISTRY_SQL["semantic_dedup"] = f"""
 WITH assign AS MATERIALIZED (SELECT * FROM ({kmeans}) t),
 ok AS (SELECT cluster FROM assign GROUP BY cluster HAVING COUNT(*) <= {SEMDEDUP_CAP}),
 lab AS MATERIALIZED (
@@ -2922,7 +2721,6 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM lab a JOIN lab b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 WHERE ROUND({_cos('a.embedding', 'b.embedding')}, 6) >= 0.35
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -2961,32 +2759,24 @@ def q_node_similarity(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26C = queries
-_BASE_ORACLE26C = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26C()
-    q["triangle_counts"] = q_triangle_counts
-    q["node_similarity"] = q_node_similarity
-    return q
+_REGISTRY_Q["triangle_counts"] = q_triangle_counts
+_REGISTRY_Q["node_similarity"] = q_node_similarity
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
-        node_similarity_oracle_sql,
-        triangle_oracle_sql,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
-        GRAPH_EDGES_SQL,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+    node_similarity_oracle_sql,
+    triangle_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    GRAPH_EDGES_SQL,
+)
 
-    sql = _BASE_ORACLE26C()
-    sql["triangle_counts"] = triangle_oracle_sql(GRAPH_EDGES_SQL)
-    sql["node_similarity"] = node_similarity_oracle_sql(
-        GRAPH_EDGES_SQL, threshold=NODE_SIM_THRESHOLD, hub_cap=TWO_HOP_CAP
-    )
-    return sql
+_REGISTRY_SQL["triangle_counts"] = triangle_oracle_sql(GRAPH_EDGES_SQL)
+_REGISTRY_SQL["node_similarity"] = node_similarity_oracle_sql(
+    GRAPH_EDGES_SQL, threshold=NODE_SIM_THRESHOLD, hub_cap=TWO_HOP_CAP
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3008,31 +2798,23 @@ def q_graph_bfs(spark, sf_dir):
     return bfs_distances(g, _source(g), max_hops=BFS_MAX_HOPS)
 
 
-_BASE_QUERIES26D = queries
-_BASE_ORACLE26D = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26D()
-    q["graph_bfs"] = q_graph_bfs
-    return q
+_REGISTRY_Q["graph_bfs"] = q_graph_bfs
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
-        bfs_oracle_sql,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
-        GRAPH_EDGES_SQL,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
+    bfs_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    GRAPH_EDGES_SQL,
+)
 
-    sql = _BASE_ORACLE26D()
-    sql["graph_bfs"] = bfs_oracle_sql(
-        GRAPH_EDGES_SQL,
-        "SELECT CAST(MIN(c_custkey) AS BIGINT) AS s FROM customer",
-        max_hops=BFS_MAX_HOPS,
-    )
-    return sql
+_REGISTRY_SQL["graph_bfs"] = bfs_oracle_sql(
+    GRAPH_EDGES_SQL,
+    "SELECT CAST(MIN(c_custkey) AS BIGINT) AS s FROM customer",
+    max_hops=BFS_MAX_HOPS,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3057,29 +2839,21 @@ def q_graph_wcc(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26E = queries
-_BASE_ORACLE26E = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26E()
-    q["graph_wcc"] = q_graph_wcc
-    return q
+_REGISTRY_Q["graph_wcc"] = q_graph_wcc
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
-        GRAPH_EDGES_SQL,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    GRAPH_EDGES_SQL,
+)
 
-    sql = _BASE_ORACLE26E()
-    sql["graph_wcc"] = f"""
+_REGISTRY_SQL["graph_wcc"] = f"""
 WITH e AS MATERIALIZED ({GRAPH_EDGES_SQL}),
 cand AS MATERIALIZED (SELECT DISTINCT src AS doc_a, dst AS doc_b FROM e),
 {_cluster_chain("cl", GRAPH_WCC_STEPS)}
 SELECT node, label AS component FROM cl{GRAPH_WCC_STEPS}
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -3100,27 +2874,19 @@ def q_graph_hits(spark, sf_dir):
     return hits(g, iterations=HITS_ITERS)
 
 
-_BASE_QUERIES26F = queries
-_BASE_ORACLE26F = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26F()
-    q["graph_hits"] = q_graph_hits
-    return q
+_REGISTRY_Q["graph_hits"] = q_graph_hits
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.operators.hits import (
-        hits_oracle_sql,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
-        GRAPH_EDGES_SQL,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.hits import (
+    hits_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    GRAPH_EDGES_SQL,
+)
 
-    sql = _BASE_ORACLE26F()
-    sql["graph_hits"] = hits_oracle_sql(GRAPH_EDGES_SQL, iterations=HITS_ITERS)
-    return sql
+_REGISTRY_SQL["graph_hits"] = hits_oracle_sql(GRAPH_EDGES_SQL, iterations=HITS_ITERS)
 
 
 # ---------------------------------------------------------------------------
@@ -3148,29 +2914,21 @@ def q_graph_kcore(spark, sf_dir):
     return k_core(g.edges, k=KCORE_K)
 
 
-_BASE_QUERIES26G = queries
-_BASE_ORACLE26G = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26G()
-    q["graph_kcore"] = q_graph_kcore
-    return q
+_REGISTRY_Q["graph_kcore"] = q_graph_kcore
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
-        k_core_oracle_sql,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
-        GRAPH_EDGES_SQL,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+    k_core_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    GRAPH_EDGES_SQL,
+)
 
-    sql = _BASE_ORACLE26G()
-    sql["graph_kcore"] = k_core_oracle_sql(
-        GRAPH_EDGES_SQL, k=KCORE_K, rounds=KCORE_ORACLE_ROUNDS
-    )
-    return sql
+_REGISTRY_SQL["graph_kcore"] = k_core_oracle_sql(
+    GRAPH_EDGES_SQL, k=KCORE_K, rounds=KCORE_ORACLE_ROUNDS
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3198,19 +2956,12 @@ def q_click_attribution(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26H = queries
-_BASE_ORACLE26H = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26H()
-    q["click_attribution"] = q_click_attribution
-    return q
+_REGISTRY_Q["click_attribution"] = q_click_attribution
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26H()
-    sql["click_attribution"] = """
+_REGISTRY_SQL["click_attribution"] = """
 SELECT c.user_id AS user_id,
        c.event_id AS click_id,
        p.event_id AS purchase_id,
@@ -3223,7 +2974,6 @@ JOIN events p
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -3259,33 +3009,25 @@ def q_heavy_hitter_users(spark, sf_dir):
     return cms_heavy_hitters(e, "user_id", threshold=CMS_THRESHOLD)
 
 
-_BASE_QUERIES26I = queries
-_BASE_ORACLE26I = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26I()
-    q["approx_distinct_users"] = q_approx_distinct_users
-    q["heavy_hitter_users"] = q_heavy_hitter_users
-    return q
+_REGISTRY_Q["approx_distinct_users"] = q_approx_distinct_users
+_REGISTRY_Q["heavy_hitter_users"] = q_heavy_hitter_users
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
-        cms_oracle_sql,
-        hll_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+    cms_oracle_sql,
+    hll_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26I()
-    sql["approx_distinct_users"] = hll_oracle_sql(
-        "SELECT event_type, user_id FROM events",
-        "user_id",
-        group_exprs=["event_type"],
-    )
-    sql["heavy_hitter_users"] = cms_oracle_sql(
-        "SELECT user_id FROM events", "user_id", threshold=CMS_THRESHOLD
-    )
-    return sql
+_REGISTRY_SQL["approx_distinct_users"] = hll_oracle_sql(
+    "SELECT event_type, user_id FROM events",
+    "user_id",
+    group_exprs=["event_type"],
+)
+_REGISTRY_SQL["heavy_hitter_users"] = cms_oracle_sql(
+    "SELECT user_id FROM events", "user_id", threshold=CMS_THRESHOLD
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3310,29 +3052,21 @@ def q_harmonic_centrality(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26J = queries
-_BASE_ORACLE26J = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26J()
-    q["harmonic_centrality"] = q_harmonic_centrality
-    return q
+_REGISTRY_Q["harmonic_centrality"] = q_harmonic_centrality
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
-        harmonic_oracle_sql,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
-        GRAPH_EDGES_SQL,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
+    harmonic_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    GRAPH_EDGES_SQL,
+)
 
-    sql = _BASE_ORACLE26J()
-    sql["harmonic_centrality"] = harmonic_oracle_sql(
-        GRAPH_EDGES_SQL, n_landmarks=HARMONIC_LANDMARKS, max_hops=HARMONIC_HOPS
-    )
-    return sql
+_REGISTRY_SQL["harmonic_centrality"] = harmonic_oracle_sql(
+    GRAPH_EDGES_SQL, n_landmarks=HARMONIC_LANDMARKS, max_hops=HARMONIC_HOPS
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3352,19 +3086,12 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26K = queries
-_BASE_ORACLE26K = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26K()
-    q["dedup_survivors"] = q_dedup_survivors
-    return q
+_REGISTRY_Q["dedup_survivors"] = q_dedup_survivors
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26K()
-    sql["dedup_survivors"] = f"""
+_REGISTRY_SQL["dedup_survivors"] = f"""
 WITH sig AS MATERIALIZED ({_SQL_MINHASH_SIG}),
 banded AS MATERIALIZED (
   SELECT doc_id, i // 2 AS band,
@@ -3389,7 +3116,6 @@ FROM (
   FROM sized
 )
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -3424,22 +3150,15 @@ def q_order_price_bands(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26L = queries
-_BASE_ORACLE26L = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26L()
-    q["order_price_bands"] = q_order_price_bands
-    return q
+_REGISTRY_Q["order_price_bands"] = q_order_price_bands
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26L()
-    bands_values = ", ".join(
-        f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in PRICE_BANDS
-    )
-    sql["order_price_bands"] = f"""
+bands_values = ", ".join(
+    f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in PRICE_BANDS
+)
+_REGISTRY_SQL["order_price_bands"] = f"""
 WITH bands(band, lo, hi) AS (VALUES {bands_values})
 SELECT b.band,
        COUNT(*) AS n_orders,
@@ -3449,7 +3168,6 @@ FROM orders o
 JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
 GROUP BY b.band
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -3472,24 +3190,16 @@ def q_bm25_multi(spark, sf_dir):
     return bm25_topk_batch(d, BM25_BATCH, k=BM25_BATCH_K)
 
 
-_BASE_QUERIES26M = queries
-_BASE_ORACLE26M = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26M()
-    q["bm25_multi"] = q_bm25_multi
-    return q
+_REGISTRY_Q["bm25_multi"] = q_bm25_multi
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
-        bm25_batch_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+    bm25_batch_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26M()
-    sql["bm25_multi"] = bm25_batch_oracle_sql(BM25_BATCH, k=BM25_BATCH_K)
-    return sql
+_REGISTRY_SQL["bm25_multi"] = bm25_batch_oracle_sql(BM25_BATCH, k=BM25_BATCH_K)
 
 
 # ---------------------------------------------------------------------------
@@ -3532,25 +3242,17 @@ def _pagerank_chain(prefix: str, iterations: int, alpha: float = ALPHA) -> str:
     return ",\n".join(ctes)
 
 
-_BASE_QUERIES26N = queries
-_BASE_ORACLE26N = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26N()
-    q["ppr_pagerank"] = q_ppr_pagerank
-    return q
+_REGISTRY_Q["ppr_pagerank"] = q_ppr_pagerank
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26N()
-    sql["ppr_pagerank"] = f"""WITH {_GRAPH_CTES},
+_REGISTRY_SQL["ppr_pagerank"] = f"""WITH {_GRAPH_CTES},
 {_pagerank_chain("pr", PAGERANK_ITERS)}
 SELECT node, ROUND(rank / (SELECT SUM(rank) FROM pr{PAGERANK_ITERS}), 9) AS ppr
 FROM pr{PAGERANK_ITERS}
 WHERE ROUND(rank / (SELECT SUM(rank) FROM pr{PAGERANK_ITERS}), 9) > 0
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -3594,25 +3296,17 @@ def _pagerank_global_chain(prefix: str, iterations: int, alpha: float = ALPHA) -
     return ",\n".join(ctes)
 
 
-_BASE_QUERIES26O = queries
-_BASE_ORACLE26O = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26O()
-    q["graph_pagerank"] = q_graph_pagerank
-    return q
+_REGISTRY_Q["graph_pagerank"] = q_graph_pagerank
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26O()
-    sql["graph_pagerank"] = f"""WITH {_GRAPH_CTES},
+_REGISTRY_SQL["graph_pagerank"] = f"""WITH {_GRAPH_CTES},
 nod AS MATERIALIZED (SELECT id FROM ({GRAPH_NODES_SQL})),
 nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nod),
 {_pagerank_global_chain("gp", PAGERANK_GLOBAL_ITERS)}
 SELECT node, ROUND(rank, 9) AS score FROM gp{PAGERANK_GLOBAL_ITERS}
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -3633,19 +3327,12 @@ def q_hot_shingles(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26P = queries
-_BASE_ORACLE26P = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26P()
-    q["hot_shingles"] = q_hot_shingles
-    return q
+_REGISTRY_Q["hot_shingles"] = q_hot_shingles
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26P()
-    sql["hot_shingles"] = f"""
+_REGISTRY_SQL["hot_shingles"] = f"""
 WITH ds AS ({_SQL_DOC_SHINGLES}),
 c AS (SELECT sh, COUNT(*) AS df FROM ds GROUP BY sh)
 SELECT sh, CAST(df AS BIGINT) AS df FROM c
@@ -3653,7 +3340,6 @@ WHERE df >= {HOT_SHINGLE_MIN_DF}
 ORDER BY df DESC, sh
 LIMIT {HOT_SHINGLE_K}
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -3691,20 +3377,13 @@ def q_curriculum_order(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26Q = queries
-_BASE_ORACLE26Q = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26Q()
-    q["shard_manifest"] = q_shard_manifest
-    q["curriculum_order"] = q_curriculum_order
-    return q
+_REGISTRY_Q["shard_manifest"] = q_shard_manifest
+_REGISTRY_Q["curriculum_order"] = q_curriculum_order
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26Q()
-    sql["shard_manifest"] = f"""
+_REGISTRY_SQL["shard_manifest"] = f"""
 WITH s AS (
   SELECT {_sql_hash('CAST(doc_id AS VARCHAR)', str(SHARD_SEED))} % {N_SHARDS}
            AS shard,
@@ -3716,7 +3395,7 @@ SELECT shard, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
 FROM s GROUP BY shard
 """
-    sql["curriculum_order"] = f"""
+_REGISTRY_SQL["curriculum_order"] = f"""
 WITH b AS (
   SELECT doc_id,
     {_SQL_LEN_SCORE} AS len_score,
@@ -3739,7 +3418,6 @@ SELECT doc_id, quality,
        {_sql_hash('CAST(doc_id AS VARCHAR)', str(CURRICULUM_SEED))} AS order_key
 FROM q
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -3759,27 +3437,19 @@ def q_clustering_coeff(spark, sf_dir):
     return clustering_coefficient(g.edges)
 
 
-_BASE_QUERIES26R = queries
-_BASE_ORACLE26R = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26R()
-    q["clustering_coeff"] = q_clustering_coeff
-    return q
+_REGISTRY_Q["clustering_coeff"] = q_clustering_coeff
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
-        clustering_oracle_sql,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
-        GRAPH_EDGES_SQL,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+    clustering_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    GRAPH_EDGES_SQL,
+)
 
-    sql = _BASE_ORACLE26R()
-    sql["clustering_coeff"] = clustering_oracle_sql(GRAPH_EDGES_SQL)
-    return sql
+_REGISTRY_SQL["clustering_coeff"] = clustering_oracle_sql(GRAPH_EDGES_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -3795,20 +3465,12 @@ def q_doc_bigram_logprob(spark, sf_dir):
     return _text.bigram_logprob_scores(d)
 
 
-_BASE_QUERIES26S = queries
-_BASE_ORACLE26S = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26S()
-    q["doc_bigram_logprob"] = q_doc_bigram_logprob
-    return q
+_REGISTRY_Q["doc_bigram_logprob"] = q_doc_bigram_logprob
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26S()
-    sql["doc_bigram_logprob"] = _text.bigram_logprob_oracle_sql()
-    return sql
+_REGISTRY_SQL["doc_bigram_logprob"] = _text.bigram_logprob_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -3852,31 +3514,24 @@ def q_degree_histogram(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26T = queries
-_BASE_ORACLE26T = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26T()
-    q["adamic_adar"] = q_adamic_adar
-    q["degree_histogram"] = q_degree_histogram
-    return q
+_REGISTRY_Q["adamic_adar"] = q_adamic_adar
+_REGISTRY_Q["degree_histogram"] = q_degree_histogram
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
-        adamic_adar_oracle_sql,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
-        GRAPH_DEGREES_SQL,
-        GRAPH_EDGES_SQL,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+    adamic_adar_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    GRAPH_DEGREES_SQL,
+    GRAPH_EDGES_SQL,
+)
 
-    sql = _BASE_ORACLE26T()
-    sql["adamic_adar"] = adamic_adar_oracle_sql(
-        GRAPH_EDGES_SQL, threshold=AA_THRESHOLD, hub_cap=TWO_HOP_CAP
-    )
-    sql["degree_histogram"] = f"""
+_REGISTRY_SQL["adamic_adar"] = adamic_adar_oracle_sql(
+    GRAPH_EDGES_SQL, threshold=AA_THRESHOLD, hub_cap=TWO_HOP_CAP
+)
+_REGISTRY_SQL["degree_histogram"] = f"""
 WITH d AS ({GRAPH_DEGREES_SQL}),
 oh AS (SELECT out_degree AS degree, COUNT(*) AS n_out FROM d GROUP BY 1),
 ih AS (SELECT in_degree AS degree, COUNT(*) AS n_in FROM d GROUP BY 1)
@@ -3885,7 +3540,6 @@ SELECT COALESCE(oh.degree, ih.degree) AS degree,
        CAST(COALESCE(ih.n_in, 0) AS BIGINT) AS n_in
 FROM oh FULL OUTER JOIN ih ON oh.degree = ih.degree
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -3907,28 +3561,21 @@ def q_simsearch_ivfpq(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26U = queries
-_BASE_ORACLE26U = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26U()
-    q["simsearch_ivfpq"] = q_simsearch_ivfpq
-    return q
+_REGISTRY_Q["simsearch_ivfpq"] = q_simsearch_ivfpq
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.pq import (
-        pq_oracle_ctes,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.pq import (
+    pq_oracle_ctes,
+)
 
-    sql = _BASE_ORACLE26U()
-    cos = lambda a, b: (  # noqa: E731 — same cosine fragment as simsearch_ivf
-        f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-        f" / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
-        f" * SQRT(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
-    )
-    sql["simsearch_ivfpq"] = f"""
+cos = lambda a, b: (  # noqa: E731 — same cosine fragment as simsearch_ivf
+    f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    f" / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    f" * SQRT(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+)
+_REGISTRY_SQL["simsearch_ivfpq"] = f"""
 WITH {pq_oracle_ctes(m=4, ksub=16, dim=64)},
 cent AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS cvec
@@ -3963,7 +3610,6 @@ adist AS (
 SELECT vec_id, adist FROM adist
 QUALIFY RANK() OVER (ORDER BY adist ASC) <= {IVFPQ_K}
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -3984,19 +3630,12 @@ def q_lsh_incremental(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26V = queries
-_BASE_ORACLE26V = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26V()
-    q["lsh_incremental"] = q_lsh_incremental
-    return q
+_REGISTRY_Q["lsh_incremental"] = q_lsh_incremental
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26V()
-    sql["lsh_incremental"] = f"""
+_REGISTRY_SQL["lsh_incremental"] = f"""
 WITH sig AS MATERIALIZED ({_SQL_MINHASH_SIG}),
 banded AS MATERIALIZED (
   SELECT doc_id, i // 2 AS band,
@@ -4014,7 +3653,6 @@ oldb AS (
 SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
 FROM newb n JOIN oldb o USING (band, bucket)
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -4039,8 +3677,6 @@ def q_histogram_quantiles(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26W = queries
-_BASE_ORACLE26W = oracle_sql
 
 
 def q_doc_token_quantiles(spark, sf_dir):
@@ -4060,35 +3696,29 @@ def q_doc_token_quantiles(spark, sf_dir):
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26W()
-    q["histogram_quantiles"] = q_histogram_quantiles
-    q["doc_token_quantiles"] = q_doc_token_quantiles
-    return q
+_REGISTRY_Q["histogram_quantiles"] = q_histogram_quantiles
+_REGISTRY_Q["doc_token_quantiles"] = q_doc_token_quantiles
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
-        histogram_quantiles_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+    histogram_quantiles_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26W()
-    sql["histogram_quantiles"] = histogram_quantiles_oracle_sql(
-        "SELECT * FROM events",
-        "value",
-        HQ_PROBS,
-        group_expr="event_type",
-        resolution=100,
-    )
-    sql["doc_token_quantiles"] = histogram_quantiles_oracle_sql(
-        f"SELECT source, CAST(len({_SQL_TOKS_RAW}) AS DOUBLE) AS nt "
-        "FROM documents",
-        "nt",
-        HQ_PROBS,
-        group_expr="source",
-        resolution=1,
-    )
-    return sql
+_REGISTRY_SQL["histogram_quantiles"] = histogram_quantiles_oracle_sql(
+    "SELECT * FROM events",
+    "value",
+    HQ_PROBS,
+    group_expr="event_type",
+    resolution=100,
+)
+_REGISTRY_SQL["doc_token_quantiles"] = histogram_quantiles_oracle_sql(
+    f"SELECT source, CAST(len({_SQL_TOKS_RAW}) AS DOUBLE) AS nt "
+    "FROM documents",
+    "nt",
+    HQ_PROBS,
+    group_expr="source",
+    resolution=1,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -4171,30 +3801,22 @@ def q_graph_pagerank_weighted(spark, sf_dir):
     return df.select("node", F.round("score", 9).alias("score"))
 
 
-_BASE_QUERIES26X = queries
-_BASE_ORACLE26X = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26X()
-    q["graph_pagerank_weighted"] = q_graph_pagerank_weighted
-    return q
+_REGISTRY_Q["graph_pagerank_weighted"] = q_graph_pagerank_weighted
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
-        pagerank_weighted_oracle_sql,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
-        NATION_BASE,
-        SUPP_BASE,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+    pagerank_weighted_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    NATION_BASE,
+    SUPP_BASE,
+)
 
-    sql = _BASE_ORACLE26X()
-    sql["graph_pagerank_weighted"] = pagerank_weighted_oracle_sql(
-        _weighted_edges_sql(), iterations=PAGERANK_W_ITERS, alpha=ALPHA
-    )
-    return sql
+_REGISTRY_SQL["graph_pagerank_weighted"] = pagerank_weighted_oracle_sql(
+    _weighted_edges_sql(), iterations=PAGERANK_W_ITERS, alpha=ALPHA
+)
 
 
 # ---------------------------------------------------------------------------
@@ -4261,19 +3883,12 @@ def _power_multi_chain(prefix: str, iterations: int, alpha: float = ALPHA) -> st
     return ",\n".join(ctes)
 
 
-_BASE_QUERIES26Y = queries
-_BASE_ORACLE26Y = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26Y()
-    q["ppr_multi_source"] = q_ppr_multi_source
-    return q
+_REGISTRY_Q["ppr_multi_source"] = q_ppr_multi_source
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26Y()
-    sql["ppr_multi_source"] = f"""WITH {_GRAPH_CTES},
+_REGISTRY_SQL["ppr_multi_source"] = f"""WITH {_GRAPH_CTES},
 srcm AS MATERIALIZED (
   SELECT CAST(c_custkey AS BIGINT) AS s FROM customer
   ORDER BY c_custkey LIMIT {MULTI_SOURCES_K}),
@@ -4282,7 +3897,6 @@ kk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM srcm),
 SELECT node, ROUND(reserve, 9) AS ppr FROM pm{POWER_ITERS}
 WHERE ROUND(reserve, 9) > 0
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -4328,24 +3942,17 @@ def q_event_gap_quantiles(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26Z = queries
-_BASE_ORACLE26Z = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26Z()
-    q["similar_docs"] = q_similar_docs
-    q["event_gap_quantiles"] = q_event_gap_quantiles
-    return q
+_REGISTRY_Q["similar_docs"] = q_similar_docs
+_REGISTRY_Q["event_gap_quantiles"] = q_event_gap_quantiles
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
-        histogram_quantiles_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+    histogram_quantiles_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26Z()
-    sql["similar_docs"] = f"""
+_REGISTRY_SQL["similar_docs"] = f"""
 WITH ds AS MATERIALIZED ({_SQL_DOC_SHINGLES}),
 probe AS (SELECT sh FROM ds WHERE doc_id = {SIMILAR_PROBE_ID}),
 np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM probe),
@@ -4364,17 +3971,16 @@ FROM common c JOIN sizes s USING (doc_id)
 ORDER BY jaccard DESC, c.doc_id
 LIMIT {SIMILAR_K}
 """
-    sql["event_gap_quantiles"] = histogram_quantiles_oracle_sql(
-        """SELECT event_type,
+_REGISTRY_SQL["event_gap_quantiles"] = histogram_quantiles_oracle_sql(
+    """SELECT event_type,
        epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_type)) AS gap_s
 FROM events""",
-        "gap_s",
-        HQ_PROBS,
-        group_expr="event_type",
-        resolution=1,
-    )
-    return sql
+    "gap_s",
+    HQ_PROBS,
+    group_expr="event_type",
+    resolution=1,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -4413,53 +4019,45 @@ def q_next_tokens(spark, sf_dir):
     return _text.bigram_next_tokens(d, NEXT_TOKEN_PREFIX, k=NEXT_TOKEN_K)
 
 
-_BASE_QUERIES26AA = queries
-_BASE_ORACLE26AA = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AA()
-    q["ppr_pagerank_weighted"] = q_ppr_pagerank_weighted
-    q["next_tokens"] = q_next_tokens
-    return q
+_REGISTRY_Q["ppr_pagerank_weighted"] = q_ppr_pagerank_weighted
+_REGISTRY_Q["next_tokens"] = q_next_tokens
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26AA()
-    d = 1.0 - ALPHA
-    # the SAME edge derivation as the global weighted oracle, with a
-    # single-source restart chain instead of the uniform one
-    ctes = [
-        f"e AS MATERIALIZED ({_weighted_edges_sql()})",
-        """wt AS (SELECT src, SUM(weight) AS w_out FROM e GROUP BY src)""",
-        """ew AS MATERIALIZED (
+d = 1.0 - ALPHA
+# the SAME edge derivation as the global weighted oracle, with a
+# single-source restart chain instead of the uniform one
+ctes = [
+    f"e AS MATERIALIZED ({_weighted_edges_sql()})",
+    """wt AS (SELECT src, SUM(weight) AS w_out FROM e GROUP BY src)""",
+    """ew AS MATERIALIZED (
   SELECT e.src, e.dst, e.weight / wt.w_out AS p
   FROM e JOIN wt ON e.src = wt.src)""",
-        "srcw AS (SELECT CAST(MIN(c_custkey) AS BIGINT) AS s FROM customer)",
-        """pw0 AS MATERIALIZED (
+    "srcw AS (SELECT CAST(MIN(c_custkey) AS BIGINT) AS s FROM customer)",
+    """pw0 AS MATERIALIZED (
   SELECT s AS node, CAST(1.0 AS DOUBLE) AS rank FROM srcw)""",
-    ]
-    for i in range(PAGERANK_W_ITERS):
-        ctes.append(
-            f"""pw{i + 1} AS MATERIALIZED (
+]
+for i in range(PAGERANK_W_ITERS):
+    ctes.append(
+        f"""pw{i + 1} AS MATERIALIZED (
   SELECT node, SUM(rank) AS rank FROM (
     SELECT ew.dst AS node, {d} * t.rank * ew.p AS rank
     FROM pw{i} t JOIN ew ON t.node = ew.src
     UNION ALL
     SELECT s AS node, CAST({ALPHA} AS DOUBLE) AS rank FROM srcw
   ) u GROUP BY node)"""
-        )
-    sql["ppr_pagerank_weighted"] = (
-        "WITH " + ",\n".join(ctes)
-        + f"""
+    )
+_REGISTRY_SQL["ppr_pagerank_weighted"] = (
+    "WITH " + ",\n".join(ctes)
+    + f"""
 SELECT node, ROUND(rank, 9) AS score FROM pw{PAGERANK_W_ITERS}
 WHERE ROUND(rank, 9) > 0
 """
-    )
-    sql["next_tokens"] = _text.bigram_next_tokens_oracle_sql(
-        NEXT_TOKEN_PREFIX, k=NEXT_TOKEN_K
-    )
-    return sql
+)
+_REGISTRY_SQL["next_tokens"] = _text.bigram_next_tokens_oracle_sql(
+    NEXT_TOKEN_PREFIX, k=NEXT_TOKEN_K
+)
 
 
 # ---------------------------------------------------------------------------
@@ -4633,38 +4231,31 @@ def q_events_range_window(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26AC = queries
-_BASE_ORACLE26AC = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AC()
-    q["events_json_stats"] = q_events_json_stats
-    q["sssp_landmarks"] = q_sssp_landmarks
-    q["part_unpivot"] = q_part_unpivot
-    q["events_range_window"] = q_events_range_window
-    return q
+_REGISTRY_Q["events_json_stats"] = q_events_json_stats
+_REGISTRY_Q["sssp_landmarks"] = q_sssp_landmarks
+_REGISTRY_Q["part_unpivot"] = q_part_unpivot
+_REGISTRY_Q["events_range_window"] = q_events_range_window
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.jsoncol import (
-        json_field_stats_oracle_sql,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
-        sssp_multi_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.jsoncol import (
+    json_field_stats_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
+    sssp_multi_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26AC()
-    sql["events_json_stats"] = json_field_stats_oracle_sql(
-        "SELECT * FROM events", "props", "k", "event_type"
-    )
-    sql["sssp_landmarks"] = sssp_multi_oracle_sql(
-        _und_weighted_int_sql(),
-        "SELECT CAST(c_custkey AS BIGINT) AS s FROM customer"
-        f" ORDER BY c_custkey LIMIT {SSSP_LANDMARKS}",
-        rounds=SSSP_ROUNDS,
-    )
-    sql["part_unpivot"] = """
+_REGISTRY_SQL["events_json_stats"] = json_field_stats_oracle_sql(
+    "SELECT * FROM events", "props", "k", "event_type"
+)
+_REGISTRY_SQL["sssp_landmarks"] = sssp_multi_oracle_sql(
+    _und_weighted_int_sql(),
+    "SELECT CAST(c_custkey AS BIGINT) AS s FROM customer"
+    f" ORDER BY c_custkey LIMIT {SSSP_LANDMARKS}",
+    rounds=SSSP_ROUNDS,
+)
+_REGISTRY_SQL["part_unpivot"] = """
 SELECT CAST(p_partkey AS BIGINT) AS p_partkey, 'p_retailprice' AS attr,
        CAST(p_retailprice AS DOUBLE) AS value
 FROM part
@@ -4672,7 +4263,7 @@ UNION ALL
 SELECT CAST(p_partkey AS BIGINT), 'p_size', CAST(p_size AS DOUBLE)
 FROM part
 """
-    sql["events_range_window"] = f"""
+_REGISTRY_SQL["events_range_window"] = f"""
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS BIGINT)
@@ -4683,38 +4274,29 @@ WINDOW w AS (PARTITION BY user_id
              ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
              RANGE BETWEEN {RANGE_WINDOW_SECONDS} PRECEDING AND CURRENT ROW)
 """
-    return sql
 
 
-_BASE_QUERIES26AB = queries
-_BASE_ORACLE26AB = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AB()
-    q["graph_lpa"] = q_graph_lpa
-    q["sssp_weighted"] = q_sssp_weighted
-    return q
+_REGISTRY_Q["graph_lpa"] = q_graph_lpa
+_REGISTRY_Q["sssp_weighted"] = q_sssp_weighted
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.operators.lpa import (
-        lpa_oracle_sql,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
-        sssp_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.lpa import (
+    lpa_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
+    sssp_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26AB()
-    sql["graph_lpa"] = lpa_oracle_sql(
-        GRAPH_EDGES_SQL, GRAPH_NODES_SQL, rounds=LPA_ROUNDS
-    )
-    sql["sssp_weighted"] = sssp_oracle_sql(
-        _und_weighted_int_sql(),
-        "SELECT CAST(MIN(c_custkey) AS BIGINT) AS s FROM customer",
-        rounds=SSSP_ROUNDS,
-    )
-    return sql
+_REGISTRY_SQL["graph_lpa"] = lpa_oracle_sql(
+    GRAPH_EDGES_SQL, GRAPH_NODES_SQL, rounds=LPA_ROUNDS
+)
+_REGISTRY_SQL["sssp_weighted"] = sssp_oracle_sql(
+    _und_weighted_int_sql(),
+    "SELECT CAST(MIN(c_custkey) AS BIGINT) AS s FROM customer",
+    rounds=SSSP_ROUNDS,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -4743,24 +4325,16 @@ def q_doc_winnow(spark, sf_dir):
     return winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
 
 
-_BASE_QUERIES26AF = queries
-_BASE_ORACLE26AF = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AF()
-    q["doc_winnow"] = q_doc_winnow
-    return q
+_REGISTRY_Q["doc_winnow"] = q_doc_winnow
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
-        winnow_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+    winnow_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26AF()
-    sql["doc_winnow"] = winnow_oracle_sql(k=WINNOW_K, w=WINNOW_W)
-    return sql
+_REGISTRY_SQL["doc_winnow"] = winnow_oracle_sql(k=WINNOW_K, w=WINNOW_W)
 
 
 # ---------------------------------------------------------------------------
@@ -4783,26 +4357,18 @@ def q_part_name_variants(spark, sf_dir):
     return name_variant_pairs(part, "p_name", max_dist=NAME_VARIANT_DIST)
 
 
-_BASE_QUERIES26AG = queries
-_BASE_ORACLE26AG = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AG()
-    q["part_name_variants"] = q_part_name_variants
-    return q
+_REGISTRY_Q["part_name_variants"] = q_part_name_variants
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.linkage import (
-        name_variant_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.linkage import (
+    name_variant_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26AG()
-    sql["part_name_variants"] = name_variant_oracle_sql(
-        "SELECT p_name FROM part", "p_name", max_dist=NAME_VARIANT_DIST
-    )
-    return sql
+_REGISTRY_SQL["part_name_variants"] = name_variant_oracle_sql(
+    "SELECT p_name FROM part", "p_name", max_dist=NAME_VARIANT_DIST
+)
 
 
 # ---------------------------------------------------------------------------
@@ -4825,28 +4391,20 @@ def q_token_budget_mix(spark, sf_dir):
     return token_budget_mix(docs, budget=TOKEN_BUDGET)
 
 
-_BASE_QUERIES26AH = queries
-_BASE_ORACLE26AH = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AH()
-    q["token_budget_mix"] = q_token_budget_mix
-    return q
+_REGISTRY_Q["token_budget_mix"] = q_token_budget_mix
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.packing import (
-        token_budget_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.packing import (
+    token_budget_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26AH()
-    sql["token_budget_mix"] = token_budget_oracle_sql(
-        "SELECT doc_id, source, text FROM documents",
-        TOKEN_BUDGET,
-        _sql_quality_raw(_SQL_LEN_SCORE, _sql_sw_raw("en"), _SQL_PUNCT_RAW),
-    )
-    return sql
+_REGISTRY_SQL["token_budget_mix"] = token_budget_oracle_sql(
+    "SELECT doc_id, source, text FROM documents",
+    TOKEN_BUDGET,
+    _sql_quality_raw(_SQL_LEN_SCORE, _sql_sw_raw("en"), _SQL_PUNCT_RAW),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -4866,19 +4424,12 @@ def q_source_overlap(spark, sf_dir):
     return source_shingle_overlap(docs, n=3)
 
 
-_BASE_QUERIES26AI = queries
-_BASE_ORACLE26AI = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AI()
-    q["source_overlap"] = q_source_overlap
-    return q
+_REGISTRY_Q["source_overlap"] = q_source_overlap
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26AI()
-    sql["source_overlap"] = f"""
+_REGISTRY_SQL["source_overlap"] = f"""
 WITH ss AS MATERIALIZED (
   SELECT DISTINCT source AS src, unnest({_SQL_SHINGLES}) AS sh FROM documents
 ),
@@ -4891,7 +4442,6 @@ SELECT sa AS source_a, sb AS source_b, inter,
        CAST(x.n + y.n - inter AS BIGINT) AS union_n
 FROM inter JOIN sizes x ON x.src = sa JOIN sizes y ON y.src = sb
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -4936,23 +4486,16 @@ def q_corpus_diff(spark, sf_dir):
     return snapshot_diff(v1, v2, "doc_id", _DIFF_COLS)
 
 
-_BASE_QUERIES26AJ = queries
-_BASE_ORACLE26AJ = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AJ()
-    q["corpus_diff"] = q_corpus_diff
-    return q
+_REGISTRY_Q["corpus_diff"] = q_corpus_diff
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.quality_checks import (
-        snapshot_diff_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.quality_checks import (
+    snapshot_diff_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26AJ()
-    v2_sql = """
+v2_sql = """
 SELECT doc_id,
        CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END AS text,
        lang, source, n_chars
@@ -4961,10 +4504,9 @@ UNION ALL
 SELECT -(doc_id + 1), text, lang, source, n_chars
 FROM documents WHERE doc_id % 19 = 0
 """
-    sql["corpus_diff"] = snapshot_diff_oracle_sql(
-        "SELECT * FROM documents", v2_sql, "doc_id", _DIFF_COLS
-    )
-    return sql
+_REGISTRY_SQL["corpus_diff"] = snapshot_diff_oracle_sql(
+    "SELECT * FROM documents", v2_sql, "doc_id", _DIFF_COLS
+)
 
 
 # ---------------------------------------------------------------------------
@@ -4988,22 +4530,15 @@ def q_split_leakage(spark, sf_dir):
     return split_leakage(docs, splits, threshold=0.5, n=3, max_shingle_df=1000)
 
 
-_BASE_QUERIES26AK = queries
-_BASE_ORACLE26AK = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AK()
-    q["split_leakage"] = q_split_leakage
-    return q
+_REGISTRY_Q["split_leakage"] = q_split_leakage
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26AK()
-    split_bucket = _sampling.sampling_oracle_fragments(SPLIT_SEED)
-    t_train = int(round(SPLIT_WEIGHTS["train"] * _sampling.BUCKETS))
-    t_val = t_train + int(round(SPLIT_WEIGHTS["val"] * _sampling.BUCKETS))
-    sql["split_leakage"] = f"""
+split_bucket = _sampling.sampling_oracle_fragments(SPLIT_SEED)
+t_train = int(round(SPLIT_WEIGHTS["train"] * _sampling.BUCKETS))
+t_val = t_train + int(round(SPLIT_WEIGHTS["val"] * _sampling.BUCKETS))
+_REGISTRY_SQL["split_leakage"] = f"""
 WITH pairs AS MATERIALIZED ({_SQL_NGRAM_PAIRS_05}),
 s AS (
   SELECT doc_id,
@@ -5018,7 +4553,6 @@ JOIN s sa ON sa.doc_id = doc_a
 JOIN s sb ON sb.doc_id = doc_b
 WHERE sa.split <> sb.split
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -5042,26 +4576,18 @@ def q_winnow_dups(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26AL = queries
-_BASE_ORACLE26AL = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AL()
-    q["winnow_dups"] = q_winnow_dups
-    return q
+_REGISTRY_Q["winnow_dups"] = q_winnow_dups
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
-        winnow_dups_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+    winnow_dups_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26AL()
-    sql["winnow_dups"] = winnow_dups_oracle_sql(
-        min_shared=WINNOW_MIN_SHARED, k=WINNOW_K, w=WINNOW_W
-    )
-    return sql
+_REGISTRY_SQL["winnow_dups"] = winnow_dups_oracle_sql(
+    min_shared=WINNOW_MIN_SHARED, k=WINNOW_K, w=WINNOW_W
+)
 
 
 # ---------------------------------------------------------------------------
@@ -5087,31 +4613,23 @@ def q_graph_betweenness(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26AM = queries
-_BASE_ORACLE26AM = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AM()
-    q["graph_betweenness"] = q_graph_betweenness
-    return q
+_REGISTRY_Q["graph_betweenness"] = q_graph_betweenness
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.operators.betweenness import (
-        betweenness_oracle_sql,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
-        GRAPH_EDGES_SQL,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.betweenness import (
+    betweenness_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    GRAPH_EDGES_SQL,
+)
 
-    sql = _BASE_ORACLE26AM()
-    sql["graph_betweenness"] = betweenness_oracle_sql(
-        GRAPH_EDGES_SQL,
-        n_landmarks=BETWEENNESS_LANDMARKS,
-        max_hops=BETWEENNESS_HOPS,
-    )
-    return sql
+_REGISTRY_SQL["graph_betweenness"] = betweenness_oracle_sql(
+    GRAPH_EDGES_SQL,
+    n_landmarks=BETWEENNESS_LANDMARKS,
+    max_hops=BETWEENNESS_HOPS,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -5133,24 +4651,16 @@ def q_pmi_collocations(spark, sf_dir):
     return pmi_collocations(docs, min_count=PMI_MIN_COUNT)
 
 
-_BASE_QUERIES26AN = queries
-_BASE_ORACLE26AN = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AN()
-    q["pmi_collocations"] = q_pmi_collocations
-    return q
+_REGISTRY_Q["pmi_collocations"] = q_pmi_collocations
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
-        pmi_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+    pmi_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26AN()
-    sql["pmi_collocations"] = pmi_oracle_sql(min_count=PMI_MIN_COUNT)
-    return sql
+_REGISTRY_SQL["pmi_collocations"] = pmi_oracle_sql(min_count=PMI_MIN_COUNT)
 
 
 # ---------------------------------------------------------------------------
@@ -5170,24 +4680,16 @@ def q_source_divergence(spark, sf_dir):
     return source_divergence(docs)
 
 
-_BASE_QUERIES26AO = queries
-_BASE_ORACLE26AO = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AO()
-    q["source_divergence"] = q_source_divergence
-    return q
+_REGISTRY_Q["source_divergence"] = q_source_divergence
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
-        source_divergence_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+    source_divergence_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26AO()
-    sql["source_divergence"] = source_divergence_oracle_sql()
-    return sql
+_REGISTRY_SQL["source_divergence"] = source_divergence_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -5215,25 +4717,17 @@ def q_orders_salted_join(spark, sf_dir):
     return salted_join(big, small, "custkey")
 
 
-_BASE_QUERIES26AP = queries
-_BASE_ORACLE26AP = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AP()
-    q["orders_salted_join"] = q_orders_salted_join
-    return q
+_REGISTRY_Q["orders_salted_join"] = q_orders_salted_join
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    sql = _BASE_ORACLE26AP()
-    sql["orders_salted_join"] = """
+_REGISTRY_SQL["orders_salted_join"] = """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        CAST(o_custkey AS BIGINT) AS custkey,
        c_name
 FROM orders JOIN customer ON o_custkey = c_custkey
 """
-    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -5256,30 +4750,22 @@ def q_graph_negatives(spark, sf_dir):
     return link_negatives(g.edges, g.nodes, k=NEG_K, seed=NEG_SEED)
 
 
-_BASE_QUERIES26AQ = queries
-_BASE_ORACLE26AQ = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AQ()
-    q["graph_negatives"] = q_graph_negatives
-    return q
+_REGISTRY_Q["graph_negatives"] = q_graph_negatives
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
-        link_negatives_oracle_sql,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
-        GRAPH_EDGES_SQL,
-        GRAPH_NODES_SQL,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+    link_negatives_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    GRAPH_EDGES_SQL,
+    GRAPH_NODES_SQL,
+)
 
-    sql = _BASE_ORACLE26AQ()
-    sql["graph_negatives"] = link_negatives_oracle_sql(
-        GRAPH_EDGES_SQL, GRAPH_NODES_SQL, k=NEG_K, seed=NEG_SEED
-    )
-    return sql
+_REGISTRY_SQL["graph_negatives"] = link_negatives_oracle_sql(
+    GRAPH_EDGES_SQL, GRAPH_NODES_SQL, k=NEG_K, seed=NEG_SEED
+)
 
 
 # ---------------------------------------------------------------------------
@@ -5304,30 +4790,22 @@ def q_winnow_incremental(spark, sf_dir):
     )
 
 
-_BASE_QUERIES26AR = queries
-_BASE_ORACLE26AR = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AR()
-    q["winnow_incremental"] = q_winnow_incremental
-    return q
+_REGISTRY_Q["winnow_incremental"] = q_winnow_incremental
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
-        cross_corpus_winnow_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+    cross_corpus_winnow_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26AR()
-    sql["winnow_incremental"] = cross_corpus_winnow_oracle_sql(
-        f"SELECT doc_id, text FROM documents WHERE source = '{BENCH_SOURCE}'",
-        f"SELECT doc_id, text FROM documents WHERE source <> '{BENCH_SOURCE}'",
-        min_shared=1,
-        k=WINNOW_K,
-        w=WINNOW_W,
-    )
-    return sql
+_REGISTRY_SQL["winnow_incremental"] = cross_corpus_winnow_oracle_sql(
+    f"SELECT doc_id, text FROM documents WHERE source = '{BENCH_SOURCE}'",
+    f"SELECT doc_id, text FROM documents WHERE source <> '{BENCH_SOURCE}'",
+    min_shared=1,
+    k=WINNOW_K,
+    w=WINNOW_W,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -5350,26 +4828,18 @@ def q_event_paths(spark, sf_dir):
     return event_paths(ev, length=EVENT_PATH_LEN, min_count=EVENT_PATH_MIN)
 
 
-_BASE_QUERIES26AS = queries
-_BASE_ORACLE26AS = oracle_sql
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    q = _BASE_QUERIES26AS()
-    q["event_paths"] = q_event_paths
-    return q
+_REGISTRY_Q["event_paths"] = q_event_paths
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
-        event_paths_oracle_sql,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+    event_paths_oracle_sql,
+)
 
-    sql = _BASE_ORACLE26AS()
-    sql["event_paths"] = event_paths_oracle_sql(
-        length=EVENT_PATH_LEN, min_count=EVENT_PATH_MIN
-    )
-    return sql
+_REGISTRY_SQL["event_paths"] = event_paths_oracle_sql(
+    length=EVENT_PATH_LEN, min_count=EVENT_PATH_MIN
+)
 
 
 # ---------------------------------------------------------------------------
@@ -5476,10 +4946,6 @@ _WINDOW_PRIORITY = (
     _R6_NEVER_OBSERVED + _R6_NEW + _R6_ANCHORS + _FAMILY_REPS + _ROTATION_DEBT
 )
 
-_BASE_QUERIES27 = queries
-_BASE_ORACLE27 = oracle_sql
-
-
 def _reorder(d: dict) -> dict:
     out = {k: d[k] for k in _WINDOW_PRIORITY if k in d}
     out.update({k: v for k, v in d.items() if k not in out})
@@ -5487,8 +4953,12 @@ def _reorder(d: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    return _reorder(_BASE_QUERIES27())
+    d = _base_queries()
+    d.update(_REGISTRY_Q)
+    return _reorder(d)
 
 
 def oracle_sql() -> dict[str, str]:  # noqa: F811
-    return _reorder(_BASE_ORACLE27())
+    d = _base_oracle()
+    d.update(_REGISTRY_SQL)
+    return _reorder(d)
