@@ -4025,35 +4025,17 @@ _REGISTRY_Q["ppr_pagerank_weighted"] = q_ppr_pagerank_weighted
 _REGISTRY_Q["next_tokens"] = q_next_tokens
 
 
-d = 1.0 - ALPHA
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+    pagerank_weighted_personalized_oracle_sql,
+)
+
 # the SAME edge derivation as the global weighted oracle, with a
 # single-source restart chain instead of the uniform one
-ctes = [
-    f"e AS MATERIALIZED ({_weighted_edges_sql()})",
-    """wt AS (SELECT src, SUM(weight) AS w_out FROM e GROUP BY src)""",
-    """ew AS MATERIALIZED (
-  SELECT e.src, e.dst, e.weight / wt.w_out AS p
-  FROM e JOIN wt ON e.src = wt.src)""",
-    "srcw AS (SELECT CAST(MIN(c_custkey) AS BIGINT) AS s FROM customer)",
-    """pw0 AS MATERIALIZED (
-  SELECT s AS node, CAST(1.0 AS DOUBLE) AS rank FROM srcw)""",
-]
-for i in range(PAGERANK_W_ITERS):
-    ctes.append(
-        f"""pw{i + 1} AS MATERIALIZED (
-  SELECT node, SUM(rank) AS rank FROM (
-    SELECT ew.dst AS node, {d} * t.rank * ew.p AS rank
-    FROM pw{i} t JOIN ew ON t.node = ew.src
-    UNION ALL
-    SELECT s AS node, CAST({ALPHA} AS DOUBLE) AS rank FROM srcw
-  ) u GROUP BY node)"""
-    )
-_REGISTRY_SQL["ppr_pagerank_weighted"] = (
-    "WITH " + ",\n".join(ctes)
-    + f"""
-SELECT node, ROUND(rank, 9) AS score FROM pw{PAGERANK_W_ITERS}
-WHERE ROUND(rank, 9) > 0
-"""
+_REGISTRY_SQL["ppr_pagerank_weighted"] = pagerank_weighted_personalized_oracle_sql(
+    _weighted_edges_sql(),
+    "SELECT MIN(c_custkey) FROM customer",
+    iterations=PAGERANK_W_ITERS,
+    alpha=ALPHA,
 )
 _REGISTRY_SQL["next_tokens"] = _text.bigram_next_tokens_oracle_sql(
     NEXT_TOKEN_PREFIX, k=NEXT_TOKEN_K
@@ -4843,6 +4825,62 @@ _REGISTRY_SQL["event_paths"] = event_paths_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 28: temporal (recency-decayed) personalized PageRank over events
+# ---------------------------------------------------------------------------
+# North-star capability: "what does this user's RECENT behaviour connect
+# them to" — gds.pageRank's sourceNodes + relationshipWeightProperty shape
+# (Neo4j_Method.java:44-76 is the comparator spec) with edge weights that
+# decay by event age.  The graph is the decayed user <-> event-type
+# bipartite affinity (functions/funnel.decayed_bipartite_edges: integer
+# micro-unit weights, exact cross-engine), fed into the existing
+# operators/pagerank.pagerank_weighted personalized loop.
+
+TEMPORAL_HALF_LIFE = 7.0
+TEMPORAL_TYPE_BASE = 1_000_000_000
+TEMPORAL_ITERS = 10
+
+
+def q_ppr_temporal(spark, sf_dir):
+    """Temporal PPR: personalized PageRank from the smallest user id over
+    recency-decayed user<->event-type edges — recent events steer the
+    ranking, old events fade with a 7-day half-life."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        decayed_bipartite_edges,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+        pagerank_weighted,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = decayed_bipartite_edges(
+        e, half_life_days=TEMPORAL_HALF_LIFE, type_base=TEMPORAL_TYPE_BASE
+    )
+    src = e.agg(F.min("user_id")).collect()[0][0]
+    df = pagerank_weighted(
+        edges, iterations=TEMPORAL_ITERS, alpha=ALPHA, source=int(src)
+    )
+    return df.select("node", F.round("score", 9).alias("score")).where(
+        F.col("score") > 0
+    )
+
+
+_REGISTRY_Q["ppr_temporal"] = q_ppr_temporal
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+    decayed_bipartite_edges_sql,
+)
+
+_REGISTRY_SQL["ppr_temporal"] = pagerank_weighted_personalized_oracle_sql(
+    decayed_bipartite_edges_sql(
+        half_life_days=TEMPORAL_HALF_LIFE, type_base=TEMPORAL_TYPE_BASE
+    ),
+    "SELECT MIN(user_id) FROM events",
+    iterations=TEMPORAL_ITERS,
+    alpha=ALPHA,
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4875,7 +4913,9 @@ _R6_NEVER_OBSERVED = [
 
 # (a2) new round-6 registrations: append HERE in the same commit that adds
 #      the query (never-observed outranks all debt) ------------------------
-_R6_NEW = []
+_R6_NEW = [
+    "ppr_temporal",         # r6: recency-decayed personalized PageRank
+]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------
 _R6_ANCHORS = ["ppr_power"]

@@ -282,3 +282,109 @@ WHERE step_{length} IS NOT NULL
 GROUP BY {names}
 HAVING COUNT(*) >= {min_count}
 """
+
+
+def decayed_bipartite_edges(
+    events: DataFrame,
+    half_life_days: float = 30.0,
+    type_base: int = 1_000_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(src, dst, weight): recency-decayed user <-> event-type affinity
+    edges — the graph input for temporal personalized PageRank.
+
+    Each event contributes 0.5^(age_days / half_life) to its (user, type)
+    pair, aged against the corpus max timestamp (deterministic anchor, no
+    wall clock); per-pair contributions are summed and the edge is emitted
+    in BOTH directions (user -> type node and type -> user), so PPR from a
+    user ranks event types by that user's recent behaviour AND other users
+    by shared recent behaviour.  Event-type nodes get ids
+    type_base + dense-rank(type name) so they never collide with user ids.
+
+    Cross-engine determinism: the per-event decay is one scalar IEEE
+    expression on exact integer microsecond ages, rounded to BIGINT
+    MICRO-UNITS (same float-free-contract discipline as betweenness /
+    source_divergence) — the per-pair SUM is integer arithmetic, exact in
+    any order, and weight / W(u) inside `pagerank_weighted` is then a
+    bit-exact division of identical integers in both engines.  Events
+    older than ~20 half-lives round to 0 micro-units and are dropped
+    (they contribute nothing; `pagerank_weighted` rejects w <= 0).
+
+    Scale shape: one scalar anchor aggregate (broadcast), one tiny
+    distinct-types rank (|types| rows, broadcast back), ONE
+    groupBy(user, type) with map-side combine, and a 2x narrow union for
+    the reverse direction — no window over the event log."""
+    anchor = events.agg(F.max(ts_col).alias("_anchor"))
+    epoch_us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    age_days = (epoch_us(F.col("_anchor")) - epoch_us(F.col(ts_col))) / F.lit(
+        86400.0e6
+    )
+    micro = F.round(
+        F.lit(1.0e6) * F.pow(F.lit(0.5), age_days / F.lit(half_life_days))
+    ).cast("bigint")
+    # |types|-row rank: deterministic name order, ids offset by type_base
+    types = (
+        events.select(F.col(type_col).alias("_type"))
+        .distinct()
+        .select(
+            "_type",
+            (
+                F.lit(type_base)
+                + F.row_number().over(
+                    Window.partitionBy(F.lit(0)).orderBy("_type")
+                )
+            ).cast("bigint").alias("_tid"),
+        )
+    )
+    pair_w = (
+        events.crossJoin(F.broadcast(anchor))
+        .join(F.broadcast(types), F.col(type_col) == F.col("_type"))
+        .groupBy(
+            F.col(user_col).cast("bigint").alias("u"), F.col("_tid").alias("t")
+        )
+        .agg(F.sum(micro).alias("weight"))
+        .where(F.col("weight") > 0)
+    )
+    return pair_w.select(
+        F.col("u").alias("src"), F.col("t").alias("dst"), "weight"
+    ).unionAll(
+        pair_w.select(F.col("t").alias("src"), F.col("u").alias("dst"), "weight")
+    )
+
+
+def decayed_bipartite_edges_sql(
+    half_life_days: float = 30.0,
+    type_base: int = 1_000_000_000,
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of `decayed_bipartite_edges` (same anchor, same
+    micro-unit rounding, same type-id ranking)."""
+    return f"""
+SELECT src, dst, weight FROM (
+  WITH anchor AS (SELECT MAX({ts_col}) AS a FROM {table}),
+  types AS (
+    SELECT {type_col} AS tname,
+           CAST({type_base} + ROW_NUMBER() OVER (ORDER BY {type_col}) AS BIGINT)
+             AS tid
+    FROM (SELECT DISTINCT {type_col} FROM {table})
+  ),
+  pair_w AS (
+    SELECT CAST(e.{user_col} AS BIGINT) AS u, t.tid AS t,
+           CAST(SUM(CAST(ROUND(1.0e6 * POWER(0.5,
+               (epoch_us(anchor.a) - epoch_us(e.{ts_col})) / 86400.0e6
+               / {half_life_days})) AS BIGINT)) AS BIGINT) AS weight
+    FROM {table} e CROSS JOIN anchor
+    JOIN types t ON e.{type_col} = t.tname
+    GROUP BY u, t.tid
+    HAVING weight > 0
+  )
+  SELECT u AS src, t AS dst, weight FROM pair_w
+  UNION ALL
+  SELECT t AS src, u AS dst, weight FROM pair_w
+)
+"""

@@ -238,6 +238,44 @@ SELECT node, ROUND(rank, 9) AS score FROM wr{iterations}
 """
 
 
+def pagerank_weighted_personalized_oracle_sql(
+    edges_sql: str,
+    source_sql: str,
+    iterations: int = 10,
+    alpha: float = DEFAULT_ALPHA,
+) -> str:
+    """DuckDB twin of `pagerank_weighted(source=...)` over any
+    (src, dst, weight) SQL: all restart and start mass on the single node
+    produced by `source_sql` (a one-row, one-column SELECT); unreachable
+    nodes get no row, matching the Spark side's score > 0 filter."""
+    d = 1.0 - alpha
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        """wt AS (SELECT src, SUM(weight) AS w_out FROM e GROUP BY src)""",
+        """ew AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight / wt.w_out AS p
+  FROM e JOIN wt ON e.src = wt.src)""",
+        f"srcw AS (SELECT CAST(({source_sql}) AS BIGINT) AS s)",
+        """pw0 AS MATERIALIZED (
+  SELECT s AS node, CAST(1.0 AS DOUBLE) AS rank FROM srcw)""",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""pw{i + 1} AS MATERIALIZED (
+  SELECT node, SUM(rank) AS rank FROM (
+    SELECT ew.dst AS node, {d} * t.rank * ew.p AS rank
+    FROM pw{i} t JOIN ew ON t.node = ew.src
+    UNION ALL
+    SELECT s AS node, CAST({alpha} AS DOUBLE) AS rank FROM srcw
+  ) u GROUP BY node)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT node, ROUND(rank, 9) AS score FROM pw{iterations}
+WHERE ROUND(rank, 9) > 0
+"""
+
+
 def _pagerank_distributed(
     graph: PropertyGraph, source: int, iterations: int, alpha: float
 ) -> DataFrame:

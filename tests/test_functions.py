@@ -2122,3 +2122,34 @@ def test_event_paths_hand_computed(spark):
         tuple(r[:3])
         for r in event_paths(ev, length=3, min_count=3).collect()
     } == {("a", "b", "c")}
+
+
+def test_decayed_bipartite_edges_hand_computed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        decayed_bipartite_edges,
+    )
+
+    # anchor = max ts = 86400s; ages: 0 days -> 1e6 micro-units,
+    # exactly one half-life -> 5e5
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "x", 86400),
+            (2, 1, "x", 0),
+            (3, 2, "y", 0),
+        ],
+        schema="event_id long, user_id long, event_type string, ts long",
+    )
+    base = 1000
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in decayed_bipartite_edges(
+            ev, half_life_days=1.0, type_base=base
+        ).collect()
+    }
+    x, y = base + 1, base + 2  # name-ordered type ids
+    assert got == {
+        (1, x): 1_500_000,
+        (x, 1): 1_500_000,
+        (2, y): 500_000,
+        (y, 2): 500_000,
+    }
