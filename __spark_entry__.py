@@ -4881,6 +4881,67 @@ _REGISTRY_SQL["ppr_temporal"] = pagerank_weighted_personalized_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 29: URL canonicalization + per-host dedup keys
+# ---------------------------------------------------------------------------
+# The crawl-pipeline verb (functions/urlnorm): canonicalize url strings
+# (case, default ports, duplicate slashes, tracking params, param order,
+# fragments) and reduce hosts to registrable domains, then aggregate
+# per-domain dedup stats.  The corpus has no url column, so the query
+# derives a url-shaped fixture column from real event rows via ONE
+# expression string evaluated identically by F.expr and DuckDB — the
+# operator under test is the canonicalizer, not the fixture.
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions import (  # noqa: E402
+    urlnorm as _urlnorm,
+)
+
+_URL_FIXTURE_EXPR = (
+    "'HTTPS://WWW.Site' || CAST(user_id % 50 AS STRING) || '.Example.' || "
+    "CASE WHEN user_id % 3 = 0 THEN 'CO.UK' "
+    "WHEN user_id % 3 = 1 THEN 'COM' ELSE 'ORG' END || "
+    "':443/p//' || CAST(event_id % 97 AS STRING) || "
+    "CASE event_type WHEN 'click' THEN '/?utm_source=news&b=2&a=1#frag' "
+    "WHEN 'view' THEN '?id=7&utm_campaign=x&fbclid=abc' "
+    "WHEN 'purchase' THEN '/checkout/?z=1&y=2&x=3' "
+    "WHEN 'error' THEN '#anchor' ELSE '/' END"
+)
+
+
+def q_url_canonical(spark, sf_dir):
+    """Per-domain dedup stats over canonicalized urls: total url mentions,
+    distinct canonical pages, and the byte-smallest canonical url."""
+    e = _t(spark, sf_dir, "events")
+    k = _urlnorm.url_dedup_key(F.expr(_URL_FIXTURE_EXPR))
+    return (
+        e.select(k.alias("k"))
+        .groupBy(F.col("k.domain").alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("k.canon").alias("n_unique"),
+            F.min("k.canon").alias("first_url"),
+        )
+        .orderBy("domain")
+    )
+
+
+_REGISTRY_Q["url_canonical"] = q_url_canonical
+
+_REGISTRY_SQL["url_canonical"] = f"""
+WITH u AS (
+  SELECT {_urlnorm.canonical_url_sql(_URL_FIXTURE_EXPR)} AS canon,
+         {_urlnorm.registered_domain_sql(_urlnorm.host_of_sql(_URL_FIXTURE_EXPR))}
+           AS domain
+  FROM events
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_unique,
+       MIN(canon) AS first_url
+FROM u GROUP BY domain ORDER BY domain
+"""
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4915,6 +4976,7 @@ _R6_NEVER_OBSERVED = [
 #      the query (never-observed outranks all debt) ------------------------
 _R6_NEW = [
     "ppr_temporal",         # r6: recency-decayed personalized PageRank
+    "url_canonical",        # r6: URL canonicalization + per-host dedup keys
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

@@ -254,6 +254,7 @@ def main() -> None:
     )
     timed("q_event_paths", lambda: E.q_event_paths(spark, SF_DIR).count())
     timed("q_ppr_temporal", lambda: E.q_ppr_temporal(spark, SF_DIR).count())
+    timed("q_url_canonical", lambda: E.q_url_canonical(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

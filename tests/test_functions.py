@@ -2153,3 +2153,52 @@ def test_decayed_bipartite_edges_hand_computed(spark):
         (2, y): 500_000,
         (y, 2): 500_000,
     }
+
+
+def test_url_canonicalization_rules_and_duckdb_parity(spark):
+    import duckdb
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+        urlnorm as U,
+    )
+
+    urls = [
+        # case + www + default port + slash runs + tracking + order + frag
+        "HTTPS://WWW.Site.COM:443/p//1/?utm_source=x&b=2&a=1#frag",
+        "https://site.com/p/1?a=1&b=2",          # its canonical fixpoint
+        "http://example.co.uk:80/",              # default http port
+        "http://example.co.uk",                  # empty path -> '/'
+        "HTTP://User.Example.ORG:8080//x///y/?fbclid=1",  # kept port
+        "https://sub.shop.com.au/path/?z=1&y=2&ref=aff",  # multi-part suffix
+        "not a url",                             # unparseable -> NULL
+        "https://host.com/?utm_source=a&utm_medium=b",    # all-tracking query
+        "https://a.b.c.co.jp/x?m=1&m=0",         # duplicate param names sort
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = df.select(
+        "url",
+        U.canonical_url(F.col("url")).alias("canon"),
+        U.registered_domain(U.host_of(F.col("url"))).alias("domain"),
+    ).collect()
+    by_url = {r["url"]: r for r in got}
+    assert by_url[urls[0]]["canon"] == "https://site.com/p/1?a=1&b=2"
+    assert by_url[urls[1]]["canon"] == "https://site.com/p/1?a=1&b=2"
+    assert by_url[urls[2]]["canon"] == "http://example.co.uk/"
+    assert by_url[urls[3]]["canon"] == "http://example.co.uk/"
+    assert by_url[urls[4]]["canon"] == "http://user.example.org:8080/x/y"
+    assert by_url[urls[5]]["domain"] == "shop.com.au"
+    assert by_url["not a url"]["canon"] is None
+    assert by_url[urls[7]]["canon"] == "https://host.com/"
+    assert by_url[urls[8]]["canon"] == "https://a.b.c.co.jp/x?m=0&m=1"
+    assert by_url[urls[8]]["domain"] == "c.co.jp"
+    # the DuckDB twins must agree byte-for-byte on every case
+    con = duckdb.connect()
+    csql = U.canonical_url_sql("url")
+    dsql = U.registered_domain_sql(U.host_of_sql("url"))
+    for r in got:
+        o = con.execute(
+            f"SELECT {csql} AS c, {dsql} AS d FROM (SELECT ? AS url)",
+            [r["url"]],
+        ).fetchone()
+        assert r["canon"] == o[0], (r["url"], r["canon"], o[0])
+        assert r["domain"] == o[1], (r["url"], r["domain"], o[1])
