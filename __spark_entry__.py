@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 
 from personalized_pagerank_algorithms_on_neo4j_spark import PPREngine, load_tpch_graph
 from personalized_pagerank_algorithms_on_neo4j_spark.operators import topk as topk_ops
+from personalized_pagerank_algorithms_on_neo4j_spark.plans.windows import (
+    bounded_global_window,
+)
 from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
     GRAPH_DEGREES_SQL,
     GRAPH_EDGES_SQL,
@@ -1093,9 +1096,8 @@ def q_ndcg_positional(spark, sf_dir):
 
     gnd_k = topk_ops.retrieve_topk(_power_df(spark, sf_dir, POWER_ITERS), 10)
     est_k = topk_ops.retrieve_topk(_power_df(spark, sf_dir, POWER_ITERS_LO), 10)
-    # k-row tie-set rank — constant partition declares the intended
-    # single-partition bounded window (no WindowExec WARN in the bench tail)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("ppr"), F.asc("node"))
+    # k-row tie-set rank — bounded by construction
+    w = bounded_global_window(F.desc("ppr"), F.asc("node"))
     gnd_ranked = gnd_k.select(
         "node", F.col("ppr").alias("gain"), F.row_number().over(w).alias("pos")
     )
@@ -2104,13 +2106,10 @@ def q_revenue_moving_avg(spark, sf_dir):
     daily = o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
     ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("cents"))
-    # global ordered window over |days| rows (~365/yr) — bounded by the
-    # calendar, not the fact table, so one partition is the intended plan.
-    # partitionBy(lit(0)) declares that instead of tripping WindowExec's
-    # "no partition defined" WARN (a year partition would break the 7-day
-    # frame across Dec 31/Jan 1). The heavy lifting stays in the daily
-    # rollup aggregate above, which is fully parallel.
-    w = Window.partitionBy(F.lit(0)).orderBy("day").rowsBetween(-6, 0)
+    # over |days| rows (~365/yr) — bounded by the calendar, not the fact
+    # table (a year partition would break the 7-day frame across Dec 31/
+    # Jan 1); the heavy lifting stays in the fully parallel daily rollup
+    w = bounded_global_window("day").rowsBetween(-6, 0)
     return daily.select(
         "day",
         (F.col("cents") / F.lit(100.0)).alias("revenue"),

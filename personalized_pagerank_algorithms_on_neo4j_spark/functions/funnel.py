@@ -16,7 +16,7 @@ is also what makes the DuckDB oracle a direct transliteration).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -160,6 +160,23 @@ def retention_cohorts(
     )
 
 
+def _decay_age_days(events: DataFrame, ts_col: str) -> tuple[DataFrame, Column]:
+    """(anchor frame, age-in-days column): the shared decay scaffolding —
+    corpus-max-timestamp anchor (deterministic, no wall clock) and the
+    exact-integer-microsecond age expression.  One definition keeps
+    `decayed_user_scores` and `decayed_bipartite_edges` (and their DuckDB
+    twins' `epoch_us(...)/86400.0e6` fragment) in lockstep."""
+    anchor = events.agg(F.max(ts_col).alias("_anchor"))
+    # exact integer MICROSECONDS on both engines (a plain seconds cast
+    # truncates sub-second fractions that DuckDB's epoch() keeps); session
+    # TZ is UTC, matching DuckDB's naive-timestamp epoch
+    epoch_us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    age_days = (epoch_us(F.col("_anchor")) - epoch_us(F.col(ts_col))) / F.lit(
+        86400.0e6
+    )
+    return anchor, age_days
+
+
 def decayed_user_scores(
     events: DataFrame,
     half_life_days: float = 7.0,
@@ -175,14 +192,7 @@ def decayed_user_scores(
     + one groupBy(user) — the decay is a per-row expression, map-side.
     Cross-engine determinism: age in exact integer seconds, per-event
     weight ROUND(_, 9), per-user score ROUND(_, 6)."""
-    anchor = events.agg(F.max(ts_col).alias("_anchor"))
-    # exact integer MICROSECONDS on both engines (a plain seconds cast
-    # truncates sub-second fractions that DuckDB's epoch() keeps); session
-    # TZ is UTC, matching DuckDB's naive-timestamp epoch
-    epoch_us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    age_days = (epoch_us(F.col("_anchor")) - epoch_us(F.col(ts_col))) / F.lit(
-        86400.0e6
-    )
+    anchor, age_days = _decay_age_days(events, ts_col)
     weight = F.round(
         F.coalesce(F.col(value_col), F.lit(0.0))
         * F.pow(F.lit(0.5), age_days / F.lit(half_life_days)),
@@ -316,25 +326,25 @@ def decayed_bipartite_edges(
     distinct-types rank (|types| rows, broadcast back), ONE
     groupBy(user, type) with map-side combine, and a 2x narrow union for
     the reverse direction — no window over the event log."""
-    anchor = events.agg(F.max(ts_col).alias("_anchor"))
-    epoch_us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    age_days = (epoch_us(F.col("_anchor")) - epoch_us(F.col(ts_col))) / F.lit(
-        86400.0e6
-    )
+    from ..plans.windows import bounded_global_window
+
+    anchor, age_days = _decay_age_days(events, ts_col)
     micro = F.round(
         F.lit(1.0e6) * F.pow(F.lit(0.5), age_days / F.lit(half_life_days))
     ).cast("bigint")
-    # |types|-row rank: deterministic name order, ids offset by type_base
+    # |types|-row rank: deterministic name order, ids offset by type_base.
+    # NULL types are dropped BEFORE the rank: Spark orders NULLS FIRST and
+    # DuckDB's ROW_NUMBER defaults to NULLS LAST, so a stray NULL would
+    # shift every real type's id by one on exactly one engine.
     types = (
         events.select(F.col(type_col).alias("_type"))
+        .where(F.col(type_col).isNotNull())
         .distinct()
         .select(
             "_type",
             (
                 F.lit(type_base)
-                + F.row_number().over(
-                    Window.partitionBy(F.lit(0)).orderBy("_type")
-                )
+                + F.row_number().over(bounded_global_window("_type"))
             ).cast("bigint").alias("_tid"),
         )
     )
@@ -371,7 +381,8 @@ SELECT src, dst, weight FROM (
     SELECT {type_col} AS tname,
            CAST({type_base} + ROW_NUMBER() OVER (ORDER BY {type_col}) AS BIGINT)
              AS tid
-    FROM (SELECT DISTINCT {type_col} FROM {table})
+    FROM (SELECT DISTINCT {type_col} FROM {table}
+          WHERE {type_col} IS NOT NULL)
   ),
   pair_w AS (
     SELECT CAST(e.{user_col} AS BIGINT) AS u, t.tid AS t,

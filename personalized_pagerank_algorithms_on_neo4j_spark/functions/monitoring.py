@@ -15,8 +15,9 @@ cross-engine; s*s and sum(n*n) fit in long up to ~3e9 events per bucket.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..plans.windows import bounded_global_window
 
 __all__ = ["hourly_anomaly_scores"]
 
@@ -31,14 +32,10 @@ def hourly_anomaly_scores(
     """(bucket, n, n_prev, mean_prev, z) for every bucket with at least
     `min_prev` trailing buckets. The bucket column only needs a total
     order (timestamp or 'yyyy-MM-dd HH:mm:ss' string sort identically)."""
-    # ordered window over |buckets| rows (hours, not events) — bounded by
-    # the time range, so one partition is the intended plan; the constant
-    # partitionBy declares that instead of tripping WindowExec's
-    # "no partition defined" WARN. The per-bucket counts feeding it come
-    # from a fully parallel groupBy.
-    w = Window.partitionBy(F.lit(0)).orderBy(bucket_col).rowsBetween(
-        -trailing, -1
-    )
+    # over |buckets| rows (hours, not events) — bounded by the time
+    # range; the per-bucket counts feeding it come from a fully
+    # parallel groupBy
+    w = bounded_global_window(bucket_col).rowsBetween(-trailing, -1)
     with_stats = hourly.select(
         bucket_col,
         count_col,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..plans.windows import bounded_global_window
 
 from ..operators.topk import retrieve_topk
 from .dedup import embedding_sign_sketch
@@ -147,10 +148,9 @@ def ivf_assign(
             df.orderBy(id_col)
             .limit(n_cells)
             .select(
-                # numbering n_cells rows (post-limit) — constant partition
-                # declares the intended single-partition tiny window
+                # numbering n_cells rows (post-limit)
                 F.row_number()
-                .over(Window.partitionBy(F.lit(0)).orderBy(id_col))
+                .over(bounded_global_window(id_col))
                 .alias("cell"),
                 F.col(vec_col).alias("cvec"),
             )

@@ -50,9 +50,13 @@ TRACKING_PARAMS = (
     "msclkid",
     "mc_cid",
     "mc_eid",
-    "ref",
     "igshid",
 )
+# NOT in the list: "ref" — on many real sites (code hosts, marketplaces) it
+# is content-distinguishing (branch/tag refs, listing refs); dropping it
+# would silently collapse distinct pages into one dedup key, which for a
+# training corpus means losing documents, a worse failure than keeping the
+# occasional affiliate-ref duplicate.
 
 # common multi-part public suffixes (heuristic subset; the full PSL is a
 # drop-in replacement for this tuple)

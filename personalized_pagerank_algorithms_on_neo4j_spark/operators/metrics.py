@@ -16,8 +16,9 @@ All three run as DataFrame plans (the inputs are top-k-sized or node-sized).
 from __future__ import annotations
 
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..plans.windows import bounded_global_window
 
 
 def precision_at_k(est_topk: DataFrame, gnd_topk: DataFrame) -> float:
@@ -42,12 +43,8 @@ def _dcg(ranked: DataFrame, gain_col: str = "gain") -> float:
 
 def ndcg_at_k(est_topk: DataFrame, gnd_topk: DataFrame) -> float | None:
     """NDCG of the estimated ranking against the oracle tie-set."""
-    # The rank window runs over the k-row top-k tie-set — a deliberately
-    # global, bounded frame. partitionBy on a constant declares that (same
-    # single-partition execution) instead of tripping WindowExec's
-    # "no partition defined" WARN, which must stay reserved for real
-    # unbounded-window hazards in the bench tail.
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("ppr"), F.asc("node"))
+    # rank over the k-row top-k tie-set — bounded by construction
+    w = bounded_global_window(F.desc("ppr"), F.asc("node"))
     gnd_ranked = gnd_topk.select(
         "node", F.col("ppr").alias("gain"), F.row_number().over(w).alias("pos")
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 
 def salted_join(
@@ -33,10 +34,22 @@ def salted_join(
     of a hot key lands in one bucket — no split at all); hashing the whole
     row scatters a hot key's distinct rows uniformly. Exact duplicate rows
     share a bucket — residual skew only if the big side is dominated by
-    bit-identical rows, which upstream exact-dedup owns."""
+    bit-identical rows, which upstream exact-dedup owns.
+
+    MapType columns are excluded from the hash (F.hash rejects maps since
+    Spark 3.0) — fine for scatter quality as long as at least one non-map
+    column varies; a big side with ONLY map columns is rejected."""
+    hashable = [
+        f.name for f in big.schema.fields if not isinstance(f.dataType, MapType)
+    ]
+    if not hashable:
+        raise ValueError(
+            "salted_join: big side has only MapType columns — no hashable "
+            "salt input (F.hash cannot consume maps)"
+        )
     big_s = big.withColumn(
         "_salt",
-        F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+        F.pmod(F.hash(*[F.col(c) for c in hashable]), F.lit(salt_buckets))
         .cast("int"),
     )
     small_s = small.withColumn(

@@ -2202,3 +2202,51 @@ def test_url_canonicalization_rules_and_duckdb_parity(spark):
         ).fetchone()
         assert r["canon"] == o[0], (r["url"], r["canon"], o[0])
         assert r["domain"] == o[1], (r["url"], r["domain"], o[1])
+
+
+def test_decayed_bipartite_edges_null_type_cross_engine(spark):
+    import duckdb
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        decayed_bipartite_edges,
+        decayed_bipartite_edges_sql,
+    )
+
+    # a NULL event_type must neither contribute an edge nor SHIFT the
+    # type-id ranking (Spark sorts NULLS FIRST, DuckDB's ROW_NUMBER
+    # defaults NULLS LAST — both sides now drop NULLs before ranking)
+    rows = [
+        (1, 1, "x", 86400),
+        (2, 1, None, 86400),
+        (3, 2, "y", 0),
+    ]
+    ev = spark.createDataFrame(
+        rows, schema="event_id long, user_id long, event_type string, ts long"
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in decayed_bipartite_edges(
+            ev, half_life_days=1.0, type_base=1000
+        ).collect()
+    }
+    assert got == {
+        (1, 1001): 1_000_000,
+        (1001, 1): 1_000_000,
+        (2, 1002): 500_000,
+        (1002, 2): 500_000,
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        "(1, 1, 'x', to_timestamp(86400)::TIMESTAMP), "
+        "(2, 1, NULL, to_timestamp(86400)::TIMESTAMP), "
+        "(3, 2, 'y', to_timestamp(0)::TIMESTAMP)) "
+        "t(event_id, user_id, event_type, ts)"
+    )
+    oracle = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            decayed_bipartite_edges_sql(half_life_days=1.0, type_base=1000)
+        ).fetchall()
+    }
+    assert oracle == got

@@ -301,3 +301,33 @@ def test_signature_index_bucketed_join(spark):
         assert capped.count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sig_idx")
+
+
+def test_no_bare_global_windows():
+    """Machine-check the bounded-global-window convention (see
+    plans/windows.py): the WindowExec 'No Partition Defined' WARN is
+    silenced in build_spark, so a bare Window.orderBy(...) — a genuinely
+    unpartitioned window that could drag fact-table data through one task
+    — must never appear; deliberate bounded-global sites go through
+    bounded_global_window."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    offenders = []
+    for path in [root / "__spark_entry__.py", root / "bench.py"] + sorted(
+        (root / "personalized_pagerank_algorithms_on_neo4j_spark").rglob("*.py")
+    ):
+        if path.name == "windows.py":  # the helper itself (+ its docstring)
+            continue
+        src = path.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            if re.search(r"Window\.orderBy\(", line):
+                offenders.append(f"{path.name}:{i}: {line.strip()}")
+            # a constant partition outside the helper dodges the guard
+            if "partitionBy(F.lit(" in line:
+                offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert not offenders, (
+        "bare/inline global windows found (use plans.windows."
+        "bounded_global_window):\n" + "\n".join(offenders)
+    )

@@ -62,3 +62,28 @@ def test_salted_join_salt_is_deterministic_and_spreads(spark):
     )
     n_buckets = salted.select("_salt").distinct().count()
     assert n_buckets == 8
+
+
+def test_salted_join_skips_map_columns(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.plans.skew import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame(
+        [(1, {"a": "b"}, 10), (1, {"c": "d"}, 20), (2, {}, 30)],
+        schema="k int, props map<string,string>, v int",
+    )
+    small = spark.createDataFrame([(1, "one"), (2, "two")], "k int, name string")
+    out = salted_join(big, small, "k", salt_buckets=4).collect()
+    assert sorted((r["k"], r["v"], r["name"]) for r in out) == [
+        (1, 10, "one"),
+        (1, 20, "one"),
+        (2, 30, "two"),
+    ]
+    # all-map big side has no hashable salt input: explicit error, not a
+    # silent analysis failure
+    import pytest as _pytest
+
+    only_maps = big.select("props")
+    with _pytest.raises(ValueError, match="only MapType"):
+        salted_join(only_maps, small.withColumnRenamed("k", "props"), "props")
