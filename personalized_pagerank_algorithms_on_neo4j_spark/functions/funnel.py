@@ -296,7 +296,7 @@ HAVING COUNT(*) >= {min_count}
 
 def decayed_bipartite_edges(
     events: DataFrame,
-    half_life_days: float = 30.0,
+    half_life_days: float = 7.0,
     type_base: int = 1_000_000_000,
     user_col: str = "user_id",
     ts_col: str = "ts",
@@ -365,7 +365,7 @@ def decayed_bipartite_edges(
 
 
 def decayed_bipartite_edges_sql(
-    half_life_days: float = 30.0,
+    half_life_days: float = 7.0,
     type_base: int = 1_000_000_000,
     table: str = "events",
     user_col: str = "user_id",

@@ -581,3 +581,94 @@ def test_streaming_minhash_dedup_matches_batch_and_replays(spark, tmp_path):
         (r["new_id"], r["old_id"], r["epoch"])
         for r in M.read_flags(spark, flags).collect()
     } == after_e2
+
+
+def test_temporal_edge_store_matches_batch_and_replays(spark, tmp_path):
+    """Forward-decay store == batch decayed_bipartite_edges when the
+    landmark equals the store anchor; epochs replay idempotently;
+    compaction preserves the merged graph."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        decayed_bipartite_edges,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        temporal_stream as TS,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    t0_us = events.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    store = str(tmp_path / "decayed_edges")
+    run_epoch = TS.make_edge_merge_batch(spark, store, t0_us, half_life_days=7.0)
+    # three disjoint micro-batches by event_id residue
+    for ep in range(3):
+        run_epoch(events.where(F.col("event_id") % 3 == ep), ep)
+
+    batch = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in decayed_bipartite_edges(
+            events, half_life_days=7.0, type_base=1_000_000_000
+        ).collect()
+    }
+    streamed = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in TS.read_decayed_edges(spark, store, t0_us, 7.0).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+    # at-least-once: replaying epoch 1 rewrites its partition, no drift
+    run_epoch(events.where(F.col("event_id") % 3 == 1), 1)
+    assert {
+        (r["src"], r["dst"]): r["weight"]
+        for r in TS.read_decayed_edges(spark, store, t0_us, 7.0).collect()
+    } == batch
+
+    # compaction folds epochs 0-1 into the -1 sentinel, graph unchanged
+    assert TS.compact_store(spark, store) == 2
+    assert {
+        (r["src"], r["dst"]): r["weight"]
+        for r in TS.read_decayed_edges(spark, store, t0_us, 7.0).collect()
+    } == batch
+    import os
+
+    epochs = sorted(
+        p for p in os.listdir(store) if p.startswith("epoch=")
+    )
+    assert epochs == ["epoch=-1", "epoch=2"]
+
+
+def test_temporal_ppr_from_store_matches_batch_operator(spark, tmp_path):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        decayed_bipartite_edges,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+        pagerank_weighted,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        temporal_stream as TS,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    t0_us = events.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    store = str(tmp_path / "decayed_edges")
+    TS.make_edge_merge_batch(spark, store, t0_us)(events, 0)
+    src = events.agg(F.min("user_id")).collect()[0][0]
+    got = {
+        r["node"]: r["score"]
+        for r in TS.temporal_ppr_from_store(
+            spark, store, int(src), t0_us, iterations=5
+        ).collect()
+    }
+    want_df = pagerank_weighted(
+        decayed_bipartite_edges(events, half_life_days=7.0),
+        iterations=5,
+        alpha=0.15,
+        source=int(src),
+    )
+    want = {
+        r["node"]: round(r["score"], 9)
+        for r in want_df.where(F.round("score", 9) > 0).collect()
+    }
+    assert got == want and len(got) > 0
