@@ -4941,6 +4941,92 @@ FROM u GROUP BY domain ORDER BY domain
 
 
 # ---------------------------------------------------------------------------
+# Block 30: graph sampling (GNN fanout + walk corpus) and eigenvector
+# centrality
+# ---------------------------------------------------------------------------
+# functions/walks.py: GraphSAGE-style per-node neighbor sampling and a
+# DeepWalk-style deterministic walk corpus (argmin-portable-hash next hop,
+# replay-stable and oracle-checkable); operators/eigenvector.py: the
+# remaining classic centrality next to PageRank/HITS/betweenness/harmonic
+# (gds.eigenvector) via the shifted (A+I) power recurrence with one final
+# L2 normalization.
+
+SAMPLE_NEIGHBORS_K = 5
+SAMPLE_NEIGHBORS_SEED = 11
+WALK_LENGTH = 6
+WALK_SEED = 11
+EIGEN_ITERS = 10
+
+
+def q_graph_sample_neighbors(spark, sf_dir):
+    """GraphSAGE fanout sampling: at most k=5 out-neighbors per node,
+    chosen by the portable per-edge hash (functions/walks.sample_neighbors
+    — one window top-k, deterministic across runs/partitionings)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.walks import (
+        sample_neighbors,
+    )
+
+    g = _graph(spark, sf_dir)
+    return sample_neighbors(
+        g.edges, k=SAMPLE_NEIGHBORS_K, seed=SAMPLE_NEIGHBORS_SEED
+    )
+
+
+_REGISTRY_Q["graph_sample_neighbors"] = q_graph_sample_neighbors
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.walks import (  # noqa: E402
+    sample_neighbors_oracle_sql,
+    walk_corpus_oracle_sql,
+)
+
+_REGISTRY_SQL["graph_sample_neighbors"] = sample_neighbors_oracle_sql(
+    GRAPH_EDGES_SQL, k=SAMPLE_NEIGHBORS_K, seed=SAMPLE_NEIGHBORS_SEED
+)
+
+
+def q_graph_walks(spark, sf_dir):
+    """DeepWalk corpus: one deterministic 6-hop walk per node over the
+    symmetrized graph (functions/walks.walk_corpus — argmin-hash next hop
+    under the shared iterative-loop discipline)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.walks import (
+        walk_corpus,
+    )
+
+    g = _graph(spark, sf_dir)
+    return walk_corpus(spark, g.edges, length=WALK_LENGTH, seed=WALK_SEED)
+
+
+_REGISTRY_Q["graph_walks"] = q_graph_walks
+
+_REGISTRY_SQL["graph_walks"] = walk_corpus_oracle_sql(
+    GRAPH_EDGES_SQL, length=WALK_LENGTH, seed=WALK_SEED
+)
+
+
+def q_graph_eigenvector(spark, sf_dir):
+    """Eigenvector centrality over the symmetrized graph: 10 shifted
+    (A+I) power rounds, one final L2 normalization, ROUND(_, 9)
+    (operators/eigenvector.py — the gds.eigenvector verb)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.eigenvector import (
+        eigenvector_centrality,
+    )
+
+    g = _graph(spark, sf_dir)
+    return eigenvector_centrality(spark, g.edges, iterations=EIGEN_ITERS)
+
+
+_REGISTRY_Q["graph_eigenvector"] = q_graph_eigenvector
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.eigenvector import (  # noqa: E402
+    eigenvector_oracle_sql,
+)
+
+_REGISTRY_SQL["graph_eigenvector"] = eigenvector_oracle_sql(
+    GRAPH_EDGES_SQL, iterations=EIGEN_ITERS
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -4976,6 +5062,9 @@ _R6_NEVER_OBSERVED = [
 _R6_NEW = [
     "ppr_temporal",         # r6: recency-decayed personalized PageRank
     "url_canonical",        # r6: URL canonicalization + per-host dedup keys
+    "graph_sample_neighbors",  # r6: GraphSAGE fanout sampler
+    "graph_walks",          # r6: DeepWalk deterministic walk corpus
+    "graph_eigenvector",    # r6: eigenvector centrality (A+I power)
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

@@ -255,6 +255,17 @@ def main() -> None:
     timed("q_event_paths", lambda: E.q_event_paths(spark, SF_DIR).count())
     timed("q_ppr_temporal", lambda: E.q_ppr_temporal(spark, SF_DIR).count())
     timed("q_url_canonical", lambda: E.q_url_canonical(spark, SF_DIR).count())
+    # round-6 graph-sampling + eigenvector trend lines: per-src hash top-k,
+    # the L-superstep walk loop, and the shifted-power centrality loop
+    timed(
+        "q_sample_neighbors",
+        lambda: E.q_graph_sample_neighbors(spark, SF_DIR).count(),
+    )
+    timed("q_walks", lambda: E.q_graph_walks(spark, SF_DIR).count())
+    timed(
+        "q_eigenvector",
+        lambda: E.q_graph_eigenvector(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

@@ -1,0 +1,176 @@
+"""Gates for graph sampling (functions/walks.py) and eigenvector
+centrality (operators/eigenvector.py): hand-computed fixed points,
+structural invariants, determinism, and DuckDB oracle parity on literal
+edge tables (the same cross-engine discipline as every other operator)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions import walks
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.eigenvector import (
+    eigenvector_centrality,
+    eigenvector_oracle_sql,
+)
+
+EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (3, 4), (4, 5), (5, 2)]
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _edges_sql(pairs):
+    vals = ", ".join(f"({s}, {d})" for s, d in pairs)
+    return (
+        f"SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst "
+        f"FROM (VALUES {vals}) AS t(src, dst)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_neighbors
+# ---------------------------------------------------------------------------
+
+
+def test_sample_neighbors_bounds_and_determinism(spark):
+    e = _edges_df(spark, EDGES)
+    out = walks.sample_neighbors(e, k=2, seed=7).collect()
+    pairs = {(r["src"], r["dst"]) for r in out}
+    assert pairs <= set(EDGES)  # only real edges survive
+    from collections import Counter
+
+    per_src = Counter(r["src"] for r in out)
+    assert all(c <= 2 for c in per_src.values())
+    # node 0 has 3 out-neighbors -> exactly k kept, ranks are 1..k
+    assert per_src[0] == 2
+    ranks = sorted(r["sample_rank"] for r in out if r["src"] == 0)
+    assert ranks == [1, 2]
+    # deterministic rerun; different seed reshuffles node 0's pick
+    out2 = {(r["src"], r["dst"], r["sample_rank"])
+            for r in walks.sample_neighbors(e, k=2, seed=7).collect()}
+    assert out2 == {(r["src"], r["dst"], r["sample_rank"]) for r in out}
+    seeds = {
+        s: {(r["src"], r["dst"]) for r in
+            walks.sample_neighbors(e, k=2, seed=s).collect() if r["src"] == 0}
+        for s in range(6)
+    }
+    assert len(set(map(frozenset, seeds.values()))) > 1
+
+
+def test_sample_neighbors_oracle_parity(spark):
+    got = {
+        (r["src"], r["dst"], r["sample_rank"])
+        for r in walks.sample_neighbors(_edges_df(spark, EDGES), k=2, seed=3).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            walks.sample_neighbors_oracle_sql(_edges_sql(EDGES), k=2, seed=3)
+        ).fetchall()
+    }
+    assert got == want and got
+
+
+def test_sample_neighbors_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        walks.sample_neighbors(_edges_df(spark, EDGES), k=0)
+
+
+# ---------------------------------------------------------------------------
+# walk_corpus
+# ---------------------------------------------------------------------------
+
+
+def test_walk_corpus_structure_and_determinism(spark):
+    e = _edges_df(spark, EDGES)
+    out = walks.walk_corpus(spark, e, length=4, seed=1).collect()
+    und = {(s, d) for s, d in EDGES} | {(d, s) for s, d in EDGES}
+    nodes = {s for s, _ in und}
+    assert {r["walk_id"] for r in out} == nodes  # one walk per node
+    for r in out:
+        hops = [int(x) for x in r["path"].split("->")]
+        assert len(hops) == 5 and hops[0] == r["walk_id"]
+        assert hops[-1] == r["end_node"]
+        for a, b in zip(hops, hops[1:]):
+            assert (a, b) in und  # every hop is a real undirected edge
+    again = {(r["walk_id"], r["path"]) for r in
+             walks.walk_corpus(spark, e, length=4, seed=1).collect()}
+    assert again == {(r["walk_id"], r["path"]) for r in out}
+    other = {(r["walk_id"], r["path"]) for r in
+             walks.walk_corpus(spark, e, length=4, seed=2).collect()}
+    assert other != again  # seed varies the corpus
+
+
+def test_walk_corpus_oracle_parity(spark):
+    got = {
+        (r["walk_id"], r["end_node"], r["path"])
+        for r in walks.walk_corpus(
+            spark, _edges_df(spark, EDGES), length=5, seed=4
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            walks.walk_corpus_oracle_sql(_edges_sql(EDGES), length=5, seed=4)
+        ).fetchall()
+    }
+    assert got == want and got
+
+
+def test_walk_corpus_rejects_bad_length(spark):
+    with pytest.raises(ValueError):
+        walks.walk_corpus(spark, _edges_df(spark, EDGES), length=0)
+
+
+# ---------------------------------------------------------------------------
+# eigenvector centrality
+# ---------------------------------------------------------------------------
+
+
+def test_eigenvector_triangle_exact(spark):
+    # all-ones IS the principal eigenvector of a triangle: every iterate
+    # stays uniform, so the normalized result is exactly 1/sqrt(3)
+    e = _edges_df(spark, [(0, 1), (1, 2), (2, 0)])
+    out = {r["node"]: r["score"]
+           for r in eigenvector_centrality(spark, e, iterations=5).collect()}
+    want = round(1 / math.sqrt(3), 9)
+    assert out == {0: want, 1: want, 2: want}
+
+
+def test_eigenvector_star_converges_despite_bipartite(spark):
+    # K_{1,3} is bipartite: plain power iteration oscillates forever, the
+    # shifted (A+I) recurrence converges to the principal eigenvector
+    # (center 1/sqrt(2), leaves 1/sqrt(6))
+    e = _edges_df(spark, [(0, 1), (0, 2), (0, 3)])
+    out = {r["node"]: r["score"]
+           for r in eigenvector_centrality(spark, e, iterations=12).collect()}
+    assert abs(out[0] - 1 / math.sqrt(2)) < 1e-3
+    for leaf in (1, 2, 3):
+        assert abs(out[leaf] - 1 / math.sqrt(6)) < 1e-3
+    # ranking is already exact at any iteration count
+    assert out[0] > out[1] == out[2] == out[3]
+
+
+def test_eigenvector_oracle_parity(spark):
+    got = {
+        (r["node"], r["score"])
+        for r in eigenvector_centrality(
+            spark, _edges_df(spark, EDGES), iterations=8
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            eigenvector_oracle_sql(_edges_sql(EDGES), iterations=8)
+        ).fetchall()
+    }
+    assert got == want and len(got) == 6
+
+
+def test_eigenvector_rejects_bad_iterations(spark):
+    with pytest.raises(ValueError):
+        eigenvector_centrality(spark, _edges_df(spark, EDGES), iterations=0)
