@@ -5027,6 +5027,65 @@ _REGISTRY_SQL["graph_eigenvector"] = eigenvector_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 31: community quality (modularity over the LPA partition) and
+# degree assortativity
+# ---------------------------------------------------------------------------
+# functions/graphstats.modularity: per-community Newman modularity terms
+# with an exact BIGINT numerator (q_c = (m2*w_c - d_c^2) / m2^2) — the
+# quality metric the LPA communities are judged by; the oracle nests the
+# unrolled LPA recurrence verbatim as its labels subquery, so the driver
+# re-checks the full LPA-then-score pipeline end-to-end.
+# functions/graphstats.degree_assortativity: Newman's degree-correlation
+# coefficient via a square-root-free ratio of exact integer sums.
+
+
+def q_graph_modularity(spark, sf_dir):
+    """Modularity of the LPA community partition: per-community
+    (n_nodes, inside_edges, degree_sum, q_term) with the exact-integer
+    numerator contract (functions/graphstats.modularity over
+    operators/lpa.label_propagation at LPA_ROUNDS)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        modularity,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.lpa import (
+        label_propagation,
+    )
+
+    g = _graph(spark, sf_dir)
+    return modularity(g.edges, label_propagation(g, rounds=LPA_ROUNDS))
+
+
+_REGISTRY_Q["graph_modularity"] = q_graph_modularity
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (  # noqa: E402
+    assortativity_oracle_sql,
+    modularity_oracle_sql,
+)
+
+_REGISTRY_SQL["graph_modularity"] = modularity_oracle_sql(
+    GRAPH_EDGES_SQL,
+    lpa_oracle_sql(GRAPH_EDGES_SQL, GRAPH_NODES_SQL, rounds=LPA_ROUNDS),
+)
+
+
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the undirected simple graph — one row
+    (m_edges, assortativity), exact integer sums, one final division
+    (functions/graphstats.degree_assortativity)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        degree_assortativity,
+    )
+
+    g = _graph(spark, sf_dir)
+    return degree_assortativity(g.edges)
+
+
+_REGISTRY_Q["graph_assortativity"] = q_graph_assortativity
+
+_REGISTRY_SQL["graph_assortativity"] = assortativity_oracle_sql(GRAPH_EDGES_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5065,6 +5124,8 @@ _R6_NEW = [
     "graph_sample_neighbors",  # r6: GraphSAGE fanout sampler
     "graph_walks",          # r6: DeepWalk deterministic walk corpus
     "graph_eigenvector",    # r6: eigenvector centrality (A+I power)
+    "graph_modularity",     # r6: modularity of the LPA partition
+    "graph_assortativity",  # r6: degree assortativity coefficient
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

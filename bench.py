@@ -266,6 +266,16 @@ def main() -> None:
         "q_eigenvector",
         lambda: E.q_graph_eigenvector(spark, SF_DIR).count(),
     )
+    # community-quality + wiring-fingerprint trend lines: modularity rides
+    # the 5-round LPA loop, assortativity is one degree join + global sum
+    timed(
+        "q_modularity",
+        lambda: E.q_graph_modularity(spark, SF_DIR).count(),
+    )
+    timed(
+        "q_assortativity",
+        lambda: E.q_graph_assortativity(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

@@ -32,6 +32,10 @@ __all__ = [
     "adamic_adar_oracle_sql",
     "k_core",
     "k_core_oracle_sql",
+    "modularity",
+    "modularity_oracle_sql",
+    "degree_assortativity",
+    "assortativity_oracle_sql",
 ]
 
 
@@ -672,4 +676,200 @@ ranked AS (
   FROM kept
 )
 SELECT src, neg, CAST(r - 1 AS INT) AS i FROM ranked WHERE r <= {k}
+"""
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(label, n_nodes, inside_edges, degree_sum, q_term): per-community
+    Newman modularity terms for a node->community assignment over the
+    UNDIRECTED simple graph induced by the edge list — the quality metric
+    every community verb (graph_lpa here, `gds.labelPropagation` /
+    `gds.louvain` on the reference's host platform) is judged by; total
+    modularity Q is SUM(q_term).
+
+    Float-free contract: with m2 = |directed undirected-edge rows| = 2m,
+    w_c = within-community directed rows (= 2 * inside edges) and
+    d_c = community degree sum, the per-community term
+
+        q_c = m_c/m - (d_c/2m)^2 = (m2*w_c - d_c^2) / m2^2
+
+    has an EXACT BIGINT numerator — every quantity is integral until the
+    single final division (then ROUND(_, 9)), so cross-engine equality is
+    bit-exact (same discipline as betweenness' micro-units).  Exact while
+    m2*w_c < 2^63 — any graph up to ~2e9 undirected edges.
+
+    `labels` must cover every node incident to an edge (LPA output does by
+    construction); labeled isolated nodes contribute n_nodes only.  An
+    edgeless input yields NULL q_terms (m2 = 0 has no defined modularity).
+
+    Scale shape: two label joins onto the edge table (state side is
+    node-bounded), three key-grouped aggregates, one broadcast scalar —
+    no window, no driver loop."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        # read by the degree aggregate, the within-count join and the m2
+        # scalar: materialize once instead of three distinct-scans
+        .localCheckpoint(eager=True)
+    )
+    lab = labels.select("node", "label")
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    m2 = und.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    ls = lab.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    ld = lab.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    win = (
+        und.join(ls, "src")
+        .join(ld, "dst")
+        .where(F.col("lsrc") == F.col("ldst"))
+        .groupBy(F.col("lsrc").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    per_label = (
+        lab.join(deg, "node", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.coalesce(F.col("deg"), F.lit(0))).cast("long").alias("dc"),
+        )
+    )
+    return (
+        per_label.join(win, "label", "left")
+        .na.fill({"w": 0})
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "label",
+            "n_nodes",
+            F.floor(F.col("w") / 2).cast("long").alias("inside_edges"),
+            F.col("dc").alias("degree_sum"),
+            F.when(
+                F.col("m2") > 0,
+                F.round(
+                    (
+                        F.col("m2") * F.col("w") - F.col("dc") * F.col("dc")
+                    ).cast("double")
+                    / (F.col("m2").cast("double") * F.col("m2").cast("double")),
+                    9,
+                ),
+            ).alias("q_term"),
+        )
+    )
+
+
+def modularity_oracle_sql(edges_sql: str, labels_sql: str) -> str:
+    """DuckDB twin of `modularity`; ``labels_sql`` is any (node, label)
+    SELECT (nested WITH allowed — the LPA oracle drops in verbatim; CTE
+    names here are q_-prefixed so they never collide with the nested
+    query's own aliases, which DuckDB rejects as duplicates)."""
+    return f"""
+WITH q_e_raw AS ({edges_sql}),
+q_und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM q_e_raw WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM q_e_raw WHERE src <> dst)),
+q_lab AS MATERIALIZED (SELECT node, label FROM ({labels_sql})),
+q_deg AS (SELECT src AS node, COUNT(*) AS deg FROM q_und GROUP BY 1),
+q_m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM q_und),
+q_win AS (
+  SELECT ls.label, CAST(COUNT(*) AS BIGINT) AS w
+  FROM q_und u
+  JOIN q_lab ls ON u.src = ls.node
+  JOIN q_lab ld ON u.dst = ld.node
+  WHERE ls.label = ld.label
+  GROUP BY 1),
+q_per_label AS (
+  SELECT l.label,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS dc
+  FROM q_lab l LEFT JOIN q_deg d ON l.node = d.node
+  GROUP BY 1)
+SELECT p.label, p.n_nodes,
+       CAST(FLOOR(COALESCE(w.w, 0) / 2) AS BIGINT) AS inside_edges,
+       p.dc AS degree_sum,
+       CASE WHEN m.m2 > 0 THEN ROUND(
+         CAST(m.m2 * COALESCE(w.w, 0) - p.dc * p.dc AS DOUBLE)
+         / (CAST(m.m2 AS DOUBLE) * CAST(m.m2 AS DOUBLE)), 9)
+       END AS q_term
+FROM q_per_label p LEFT JOIN q_win w ON p.label = w.label CROSS JOIN q_m m
+"""
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One row (m_edges, assortativity): Pearson correlation of endpoint
+    degrees over the UNDIRECTED simple graph (Newman's degree
+    assortativity coefficient) — hub-to-hub vs hub-to-leaf wiring, the
+    one-number structural fingerprint of a crawl/citation/social graph.
+
+    Every edge is counted in both directions, so the x and y marginals
+    coincide and r reduces to a square-root-free ratio of EXACT integer
+    sums
+
+        r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2)
+
+    (M = directed rows, Sx = sum deg, Sxx = sum deg^2, Sxy = sum
+    deg_src*deg_dst) — integral until one final division, then
+    ROUND(_, 9); bit-exact cross-engine, exact while M*Sxx < 2^63.
+    Degree-regular graphs (denominator 0) yield NULL.
+
+    Scale shape: one degree aggregate joined onto both edge endpoints
+    (node-bounded state side), one global sum — no window, no loop."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # degree aggregate + two-sided join
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    dx = deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))
+    dy = deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))
+    sums = (
+        und.join(dx, "src")
+        .join(dy, "dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m_dir"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    num = F.col("m_dir") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m_dir") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        F.floor(F.col("m_dir") / 2).cast("long").alias("m_edges"),
+        F.when(
+            den != F.lit(0),
+            F.round(num.cast("double") / den.cast("double"), 9),
+        ).alias("assortativity"),
+    )
+
+
+def assortativity_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of `degree_assortativity` (identical integer sums)."""
+    return f"""
+WITH e_raw AS ({edges_sql}),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e_raw WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM e_raw WHERE src <> dst)),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY 1),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_dir,
+         CAST(SUM(dx.deg) AS BIGINT) AS sx,
+         CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx,
+         CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy
+  FROM und u
+  JOIN deg dx ON u.src = dx.node
+  JOIN deg dy ON u.dst = dy.node)
+SELECT CAST(FLOOR(m_dir / 2) AS BIGINT) AS m_edges,
+       CASE WHEN m_dir * sxx - sx * sx <> 0 THEN ROUND(
+         CAST(m_dir * sxy - sx * sx AS DOUBLE)
+         / CAST(m_dir * sxx - sx * sx AS DOUBLE), 9)
+       END AS assortativity
+FROM sums
 """

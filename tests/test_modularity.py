@@ -1,0 +1,134 @@
+"""Gates for modularity and degree assortativity
+(functions/graphstats.py): hand-computed closed forms on literal graphs
+plus DuckDB oracle parity — the same cross-engine discipline as every
+other operator."""
+
+from __future__ import annotations
+
+import duckdb
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+    assortativity_oracle_sql,
+    degree_assortativity,
+    modularity,
+    modularity_oracle_sql,
+)
+
+# two triangles joined by one bridge edge: the textbook modularity fixture
+TWO_TRI = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+TWO_TRI_LABELS = [(0, 10), (1, 10), (2, 10), (3, 20), (4, 20), (5, 20)]
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _edges_sql(pairs):
+    vals = ", ".join(f"({s}, {d})" for s, d in pairs)
+    return (
+        f"SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst "
+        f"FROM (VALUES {vals}) AS t(src, dst)"
+    )
+
+
+def _labels_sql(pairs):
+    vals = ", ".join(f"({n}, {l})" for n, l in pairs)
+    return (
+        f"SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label "
+        f"FROM (VALUES {vals}) AS t(node, label)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# modularity
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_two_triangles_exact(spark):
+    # m = 7, m2 = 14; each triangle community: w = 6 directed-within rows,
+    # degree sum 7 (2+2+3) -> q = (14*6 - 49) / 196 = 35/196 = 0.178571429
+    out = {
+        r["label"]: r
+        for r in modularity(
+            _edges_df(spark, TWO_TRI),
+            spark.createDataFrame(TWO_TRI_LABELS, "node long, label long"),
+        ).collect()
+    }
+    assert set(out) == {10, 20}
+    for lbl in (10, 20):
+        r = out[lbl]
+        assert r["n_nodes"] == 3
+        assert r["inside_edges"] == 3
+        assert r["degree_sum"] == 7
+        assert r["q_term"] == round(35 / 196, 9)
+
+
+def test_modularity_single_community_is_zero(spark):
+    # everything in one community: Q = m/m - (2m/2m)^2 = 0 exactly
+    labels = spark.createDataFrame(
+        [(n, 1) for n in range(6)], "node long, label long"
+    )
+    rows = modularity(_edges_df(spark, TWO_TRI), labels).collect()
+    assert len(rows) == 1
+    assert rows[0]["inside_edges"] == 7 and rows[0]["degree_sum"] == 14
+    assert rows[0]["q_term"] == 0.0
+
+
+def test_modularity_edgeless_is_null(spark):
+    labels = spark.createDataFrame([(0, 1), (1, 2)], "node long, label long")
+    rows = modularity(
+        spark.createDataFrame([], "src long, dst long"), labels
+    ).collect()
+    assert {r["label"] for r in rows} == {1, 2}
+    assert all(r["q_term"] is None and r["degree_sum"] == 0 for r in rows)
+
+
+def test_modularity_oracle_parity(spark):
+    got = {
+        tuple(r)
+        for r in modularity(
+            _edges_df(spark, TWO_TRI),
+            spark.createDataFrame(TWO_TRI_LABELS, "node long, label long"),
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            modularity_oracle_sql(
+                _edges_sql(TWO_TRI), _labels_sql(TWO_TRI_LABELS)
+            )
+        ).fetchall()
+    }
+    assert got == want and len(got) == 2
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity
+# ---------------------------------------------------------------------------
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # K_{1,3}: every edge joins the hub (deg 3) to a leaf (deg 1) —
+    # perfectly disassortative, r = -1 exactly
+    rows = degree_assortativity(
+        _edges_df(spark, [(0, 1), (0, 2), (0, 3)])
+    ).collect()
+    assert rows == [rows[0]]
+    assert rows[0]["m_edges"] == 3 and rows[0]["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    # a triangle is 2-regular: zero degree variance -> undefined (NULL)
+    rows = degree_assortativity(
+        _edges_df(spark, [(0, 1), (1, 2), (2, 0)])
+    ).collect()
+    assert rows[0]["m_edges"] == 3 and rows[0]["assortativity"] is None
+
+
+def test_assortativity_oracle_parity(spark):
+    got = {tuple(r) for r in degree_assortativity(_edges_df(spark, TWO_TRI)).collect()}
+    want = {
+        tuple(r)
+        for r in duckdb.sql(assortativity_oracle_sql(_edges_sql(TWO_TRI))).fetchall()
+    }
+    assert got == want and len(got) == 1
