@@ -702,9 +702,13 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     construction); labeled isolated nodes contribute n_nodes only.  An
     edgeless input yields NULL q_terms (m2 = 0 has no defined modularity).
 
-    Scale shape: two label joins onto the edge table (state side is
-    node-bounded), three key-grouped aggregates, one broadcast scalar —
-    no window, no driver loop."""
+    Scale shape: two label joins onto the edge table — broadcast when the
+    label vector fits ``BROADCAST_NODE_BOUND`` so the edge table never
+    exchanges for them; above the bound they shuffle on the node key (the
+    100x plan) — three key-grouped aggregates, one broadcast scalar.  No
+    window, no driver loop."""
+    from ..plans.iterative import BROADCAST_NODE_BOUND
+
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     und = (
         e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -713,7 +717,11 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         # scalar: materialize once instead of three distinct-scans
         .localCheckpoint(eager=True)
     )
-    lab = labels.select("node", "label")
+    # referenced by both endpoint joins plus the per-label rollup:
+    # materialize once; the count both sizes the broadcast gate and is the
+    # frame's only full pass
+    lab = labels.select("node", "label").localCheckpoint(eager=True)
+    small = lab.count() <= BROADCAST_NODE_BOUND
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -721,14 +729,14 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     ls = lab.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
     ld = lab.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
     win = (
-        und.join(ls, "src")
-        .join(ld, "dst")
+        und.join(F.broadcast(ls) if small else ls, "src")
+        .join(F.broadcast(ld) if small else ld, "dst")
         .where(F.col("lsrc") == F.col("ldst"))
         .groupBy(F.col("lsrc").alias("label"))
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     per_label = (
-        lab.join(deg, "node", "left")
+        lab.join(F.broadcast(deg) if small else deg, "node", "left")
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
@@ -736,7 +744,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         )
     )
     return (
-        per_label.join(win, "label", "left")
+        per_label.join(F.broadcast(win) if small else win, "label", "left")
         .na.fill({"w": 0})
         .crossJoin(F.broadcast(m2))
         .select(
