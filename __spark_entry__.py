@@ -5086,6 +5086,80 @@ _REGISTRY_SQL["graph_assortativity"] = assortativity_oracle_sql(GRAPH_EDGES_SQL)
 
 
 # ---------------------------------------------------------------------------
+# Block 32: node2vec biased walks + skip-gram training pairs
+# ---------------------------------------------------------------------------
+# functions/walks.node2vec_walk_corpus: the deterministic (p, q)-biased
+# second-order walk (`gds.node2vec`'s walk stage) — candidate hash scaled
+# by the node2vec class multiplier, argmin wins; replay-stable and
+# oracle-checkable. functions/walks.skipgram_pairs: join-free skip-gram
+# co-occurrence extraction over a walk corpus — the (center, context)
+# training pairs a word2vec-style embedding trainer consumes.
+
+NODE2VEC_LENGTH = 6
+NODE2VEC_SEED = 11
+NODE2VEC_P = 4
+NODE2VEC_Q = 2
+SKIPGRAM_WINDOW = 2
+
+
+def q_graph_node2vec(spark, sf_dir):
+    """node2vec-biased walk corpus: one deterministic 6-hop second-order
+    walk per node, backtrack x4 / common-neighbor x1 / explore x2 hash
+    bias (functions/walks.node2vec_walk_corpus)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.walks import (
+        node2vec_walk_corpus,
+    )
+
+    g = _graph(spark, sf_dir)
+    return node2vec_walk_corpus(
+        spark,
+        g.edges,
+        length=NODE2VEC_LENGTH,
+        seed=NODE2VEC_SEED,
+        p_mult=NODE2VEC_P,
+        q_mult=NODE2VEC_Q,
+    )
+
+
+_REGISTRY_Q["graph_node2vec"] = q_graph_node2vec
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.walks import (  # noqa: E402
+    node2vec_oracle_sql,
+    skipgram_oracle_sql,
+)
+
+_REGISTRY_SQL["graph_node2vec"] = node2vec_oracle_sql(
+    GRAPH_EDGES_SQL,
+    length=NODE2VEC_LENGTH,
+    seed=NODE2VEC_SEED,
+    p_mult=NODE2VEC_P,
+    q_mult=NODE2VEC_Q,
+)
+
+
+def q_walk_skipgrams(spark, sf_dir):
+    """Skip-gram (center, context, n_pairs) counts over the DeepWalk
+    corpus at window 2 — embedding training pairs, extracted join-free
+    (functions/walks.skipgram_pairs over walk_corpus)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.walks import (
+        skipgram_pairs,
+        walk_corpus,
+    )
+
+    g = _graph(spark, sf_dir)
+    corpus = walk_corpus(spark, g.edges, length=WALK_LENGTH, seed=WALK_SEED)
+    return skipgram_pairs(corpus, window=SKIPGRAM_WINDOW)
+
+
+_REGISTRY_Q["walk_skipgrams"] = q_walk_skipgrams
+
+_REGISTRY_SQL["walk_skipgrams"] = skipgram_oracle_sql(
+    f"SELECT * FROM ({walk_corpus_oracle_sql(GRAPH_EDGES_SQL, length=WALK_LENGTH, seed=WALK_SEED)})",
+    window=SKIPGRAM_WINDOW,
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5126,6 +5200,8 @@ _R6_NEW = [
     "graph_eigenvector",    # r6: eigenvector centrality (A+I power)
     "graph_modularity",     # r6: modularity of the LPA partition
     "graph_assortativity",  # r6: degree assortativity coefficient
+    "graph_node2vec",       # r6: (p,q)-biased second-order walk corpus
+    "walk_skipgrams",       # r6: skip-gram training pairs over walks
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

@@ -276,6 +276,10 @@ def main() -> None:
         "q_assortativity",
         lambda: E.q_graph_assortativity(spark, SF_DIR).count(),
     )
+    # second-order walk loop (per-(prev,cur) successor map + membership
+    # join) and the join-free skip-gram extraction over the walk corpus
+    timed("q_node2vec", lambda: E.q_graph_node2vec(spark, SF_DIR).count())
+    timed("q_skipgrams", lambda: E.q_walk_skipgrams(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

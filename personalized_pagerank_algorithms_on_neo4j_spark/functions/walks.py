@@ -59,6 +59,10 @@ __all__ = [
     "sample_neighbors_oracle_sql",
     "walk_corpus",
     "walk_corpus_oracle_sql",
+    "node2vec_walk_corpus",
+    "node2vec_oracle_sql",
+    "skipgram_pairs",
+    "skipgram_oracle_sql",
 ]
 
 
@@ -232,4 +236,204 @@ def walk_corpus_oracle_sql(edges_sql: str, length: int = 8, seed: int = 0) -> st
     return f"""
 WITH {body}
 SELECT walk_id, cur AS end_node, path FROM w{length}
+"""
+
+
+def node2vec_walk_corpus(
+    spark: SparkSession,
+    edges: DataFrame,
+    length: int = 8,
+    seed: int = 0,
+    p_mult: int = 4,
+    q_mult: int = 2,
+) -> DataFrame:
+    """(walk_id, end_node, path): one ``length``-hop SECOND-ORDER biased
+    walk per node — the deterministic analogue of node2vec's (p, q) walk
+    (`gds.node2vec` on the reference's host platform; Grover & Leskovec,
+    KDD'16).
+
+    Bias without randomness: from ``cur`` with predecessor ``prev``, each
+    candidate's 48-bit portable hash is SCALED by its node2vec class
+    multiplier — ``p_mult`` for the backtrack (x == prev), 1 for a common
+    neighbor of prev (BFS-ish), ``q_mult`` otherwise (DFS-ish) — and the
+    argmin wins.  A larger multiplier makes a class proportionally less
+    likely to hold the minimum, reproducing the 1/p / 1 / 1/q preference
+    ordering as a pure function of the adjacency, so the walk is
+    replay-stable and oracle-checkable exactly like ``walk_corpus``.  The
+    first hop has no predecessor and is the plain first-order pick.
+    Multipliers are capped at 16384 so the scaled key (48-bit hash x
+    multiplier) stays under 2^62 — no BIGINT overflow in either engine.
+
+    Scale shape: the successor map keys on DISTINCT occupied (prev, cur)
+    pairs; candidates fan out per pair's adjacency and the common-neighbor
+    flag is one broadcast-gated membership join against the edge table —
+    the inherent second-order cost (first-order walks collapse on cur
+    alone).  Multiplied keys stay in BIGINT (hash < 2^48, multiplier
+    small)."""
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    if not (1 <= p_mult <= 16384 and 1 <= q_mult <= 16384):
+        raise ValueError("p_mult and q_mult must be in [1, 16384]")
+    und = _symmetrize(edges).localCheckpoint(eager=True)  # read every superstep
+    n_edges = und.count()
+    from ..plans.iterative import BROADCAST_EDGE_BOUND
+
+    state = (
+        und.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("walk_id"),
+            F.col("src").alias("prev"),
+            F.col("src").alias("cur"),
+            F.col("src").cast("string").alias("path"),
+        )
+    )
+    n_walks = state.select("walk_id").count()
+    loop = SuperstepLoop(checkpoint_every=4)
+    small = n_walks <= BROADCAST_NODE_BOUND
+    edge_small = n_edges <= BROADCAST_EDGE_BOUND
+    loop_parts = loop_shuffle_partitions(spark, n_walks) if small else None
+    nbr = und.select(
+        F.col("src").alias("prev"), F.col("dst").alias("x"), F.lit(1).alias("is_nbr")
+    )
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
+        for t in range(1, length + 1):
+            occ = state.select("prev", "cur").distinct()
+            oj = F.broadcast(occ) if small else occ
+            cand = oj.join(und, oj.cur == und.src).select(
+                "prev", "cur", F.col("dst").alias("x")
+            )
+            if t > 1:
+                nj = F.broadcast(nbr) if edge_small else nbr
+                cand = cand.join(nj, ["prev", "x"], "left")
+                mult = (
+                    F.when(F.col("x") == F.col("prev"), F.lit(p_mult))
+                    .when(F.col("is_nbr") == 1, F.lit(1))
+                    .otherwise(F.lit(q_mult))
+                )
+            else:
+                mult = F.lit(1)  # no predecessor yet: plain first-order hop
+            pick = F.struct(
+                (_edge_hash(F.col("cur"), F.col("x"), t, seed) * mult).alias("h"),
+                F.col("x").alias("x"),
+            )
+            succ = (
+                cand.groupBy("prev", "cur")
+                .agg(F.min(pick).alias("p"))
+                .select("prev", "cur", F.col("p.x").alias("nxt"))
+            )
+            sj = F.broadcast(succ) if small else succ
+            state = state.join(sj, ["prev", "cur"]).select(
+                "walk_id",
+                F.col("cur").alias("prev"),
+                F.col("nxt").alias("cur"),
+                F.concat(
+                    F.col("path"), F.lit("->"), F.col("nxt").cast("string")
+                ).alias("path"),
+            )
+            state = loop.materialize(state)
+    return state.select("walk_id", F.col("cur").alias("end_node"), "path")
+
+
+def node2vec_oracle_sql(
+    edges_sql: str,
+    length: int = 8,
+    seed: int = 0,
+    p_mult: int = 4,
+    q_mult: int = 2,
+) -> str:
+    """DuckDB twin of ``node2vec_walk_corpus``: the identical biased hops
+    unrolled as chained CTEs (hash x class multiplier, argmin per walk)."""
+    ctes = [
+        f"raw AS ({edges_sql})",
+        """und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+  ) WHERE src <> dst)""",
+        """w0 AS (
+  SELECT DISTINCT src AS walk_id, src AS prev, src AS cur,
+         CAST(src AS VARCHAR) AS path
+  FROM und)""",
+    ]
+    for t in range(1, length + 1):
+        h = _edge_hash_sql("t.cur", "u.dst", f"'{t}'", seed)
+        if t > 1:
+            mult = (
+                f"CASE WHEN u.dst = t.prev THEN {p_mult} "
+                f"WHEN nb.src IS NOT NULL THEN 1 ELSE {q_mult} END"
+            )
+            nbjoin = "LEFT JOIN und nb ON nb.src = t.prev AND nb.dst = u.dst"
+        else:
+            mult = "1"
+            nbjoin = ""
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT walk_id, prev, cur, path FROM (
+    SELECT t.walk_id, t.cur AS prev, u.dst AS cur,
+           t.path || '->' || CAST(u.dst AS VARCHAR) AS path,
+           ROW_NUMBER() OVER (PARTITION BY t.walk_id
+                              ORDER BY {h} * ({mult}), u.dst) AS rn
+    FROM w{t - 1} t JOIN und u ON t.cur = u.src
+    {nbjoin}
+  ) WHERE rn = 1)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT walk_id, cur AS end_node, path FROM w{length}
+"""
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n_pairs): skip-gram co-occurrence counts over a
+    walk corpus — the training pairs a word2vec-style embedding trainer
+    consumes, extracted from ``walk_corpus``/``node2vec_walk_corpus``
+    output (any frame with a ``->``-joined ``path`` column of node ids).
+
+    Join-free: for each offset d in 1..window the path's token array is
+    zipped against its d-shifted self (both orientations emitted), so the
+    whole extraction is per-row JVM array arithmetic + ONE count
+    aggregate — no self-join, no window, no Python.  Pair counts are
+    integral; cross-engine equality is exact."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = F.transform(F.split(F.col("path"), "->"), lambda s: s.cast("long"))
+    offset_pairs = [
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - d),
+            F.slice(toks, d + 1, F.size(toks) - d),
+            lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+        )
+        for d in range(1, window + 1)
+    ]
+    fwd = F.flatten(F.array(*offset_pairs))
+    pairs = walks.select(F.explode(fwd).alias("pr")).select(
+        F.col("pr.u").alias("u"), F.col("pr.v").alias("v")
+    )
+    both = pairs.select(F.col("u").alias("center"), F.col("v").alias("context")).unionAll(
+        pairs.select(F.col("v").alias("center"), F.col("u").alias("context"))
+    )
+    return both.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+def skipgram_oracle_sql(walks_sql: str, window: int = 2) -> str:
+    """DuckDB twin of ``skipgram_pairs`` over any SELECT with a ``path``
+    column (``->``-joined ids)."""
+    return f"""
+WITH w AS ({walks_sql}),
+tok AS (SELECT string_split(path, '->') AS toks FROM w),
+fwd AS (
+  SELECT CAST(toks[i] AS BIGINT) AS u, CAST(toks[i + d] AS BIGINT) AS v
+  FROM tok,
+       LATERAL (SELECT UNNEST(generate_series(1, len(toks))) AS i) pos,
+       LATERAL (SELECT UNNEST(generate_series(1, {window})) AS d) off
+  WHERE i + d <= len(toks)),
+both_dir AS (
+  SELECT u AS center, v AS context FROM fwd
+  UNION ALL
+  SELECT v AS center, u AS context FROM fwd)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM both_dir GROUP BY center, context
 """

@@ -174,3 +174,119 @@ def test_eigenvector_oracle_parity(spark):
 def test_eigenvector_rejects_bad_iterations(spark):
     with pytest.raises(ValueError):
         eigenvector_centrality(spark, _edges_df(spark, EDGES), iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# node2vec biased walks
+# ---------------------------------------------------------------------------
+
+
+def test_node2vec_structure_and_bias(spark):
+    e = _edges_df(spark, EDGES)
+    out = walks.node2vec_walk_corpus(spark, e, length=4, seed=1).collect()
+    und = {(s, d) for s, d in EDGES} | {(d, s) for s, d in EDGES}
+    nodes = {s for s, _ in und}
+    assert {r["walk_id"] for r in out} == nodes
+    for r in out:
+        hops = [int(x) for x in r["path"].split("->")]
+        assert len(hops) == 5 and hops[0] == r["walk_id"]
+        assert hops[-1] == r["end_node"]
+        for a, b in zip(hops, hops[1:]):
+            assert (a, b) in und
+    # determinism
+    again = {(r["walk_id"], r["path"]) for r in
+             walks.node2vec_walk_corpus(spark, e, length=4, seed=1).collect()}
+    assert again == {(r["walk_id"], r["path"]) for r in out}
+    # the (p, q) bias must actually change at least one walk vs heavy
+    # backtrack-preference (p_mult=1 favors returning; large q_mult makes
+    # exploration ~1000x less likely) at the same seed
+    biased = {(r["walk_id"], r["path"]) for r in
+              walks.node2vec_walk_corpus(
+                  spark, e, length=4, seed=1, p_mult=1, q_mult=1_000
+              ).collect()}
+    assert biased != again
+
+
+def test_node2vec_backtrack_forced_on_leaf(spark):
+    # a path graph 0-1: every hop must alternate (only one neighbor each)
+    e = _edges_df(spark, [(0, 1)])
+    out = {r["walk_id"]: r["path"]
+           for r in walks.node2vec_walk_corpus(spark, e, length=3, seed=0).collect()}
+    assert out == {0: "0->1->0->1", 1: "1->0->1->0"}
+
+
+def test_node2vec_oracle_parity(spark):
+    got = {
+        (r["walk_id"], r["end_node"], r["path"])
+        for r in walks.node2vec_walk_corpus(
+            spark, _edges_df(spark, EDGES), length=5, seed=4
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            walks.node2vec_oracle_sql(_edges_sql(EDGES), length=5, seed=4)
+        ).fetchall()
+    }
+    assert got == want and got
+
+
+def test_node2vec_rejects_bad_params(spark):
+    e = _edges_df(spark, EDGES)
+    with pytest.raises(ValueError):
+        walks.node2vec_walk_corpus(spark, e, length=0)
+    with pytest.raises(ValueError):
+        walks.node2vec_walk_corpus(spark, e, length=2, p_mult=0)
+
+
+# ---------------------------------------------------------------------------
+# skip-gram pairs
+# ---------------------------------------------------------------------------
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    # one walk 0->1->2->3, window 2:
+    # offset 1: (0,1) (1,2) (2,3); offset 2: (0,2) (1,3); both directions
+    w = spark.createDataFrame([(0, "0->1->2->3")], "walk_id long, path string")
+    out = {(r["center"], r["context"]): r["n_pairs"]
+           for r in walks.skipgram_pairs(w, window=2).collect()}
+    fwd = {(0, 1), (1, 2), (2, 3), (0, 2), (1, 3)}
+    want = {}
+    for a, b in fwd:
+        want[(a, b)] = want.get((a, b), 0) + 1
+        want[(b, a)] = want.get((b, a), 0) + 1
+    assert out == want
+
+
+def test_skipgram_repeated_node_counts_multiplicity(spark):
+    # backtracking walk 0->1->0, window 1: pairs (0,1) and (1,0) each from
+    # two offsets-positions -> n_pairs 2 in both orientations
+    w = spark.createDataFrame([(0, "0->1->0")], "walk_id long, path string")
+    out = {(r["center"], r["context"]): r["n_pairs"]
+           for r in walks.skipgram_pairs(w, window=1).collect()}
+    assert out == {(0, 1): 2, (1, 0): 2}
+
+
+def test_skipgram_oracle_parity(spark):
+    e = _edges_df(spark, EDGES)
+    corpus = walks.walk_corpus(spark, e, length=4, seed=2)
+    got = {
+        tuple(r)
+        for r in walks.skipgram_pairs(corpus, window=2).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            walks.skipgram_oracle_sql(
+                f"SELECT * FROM ({walks.walk_corpus_oracle_sql(_edges_sql(EDGES), length=4, seed=2)})",
+                window=2,
+            )
+        ).fetchall()
+    }
+    assert got == want and got
+
+
+def test_skipgram_rejects_bad_window(spark):
+    w = spark.createDataFrame([(0, "0->1")], "walk_id long, path string")
+    with pytest.raises(ValueError):
+        walks.skipgram_pairs(w, window=0)
