@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.iterative import BROADCAST_EDGE_BOUND
+from ..plans.iterative import BROADCAST_EDGE_BOUND, BROADCAST_NODE_BOUND
 
 __all__ = [
     "two_hop_neighbors",
@@ -36,7 +36,19 @@ __all__ = [
     "modularity_oracle_sql",
     "degree_assortativity",
     "assortativity_oracle_sql",
+    "symmetrize_edges",
 ]
+
+
+def symmetrize_edges(edges: DataFrame) -> DataFrame:
+    """Undirected simple view of an edge list: both directions of every
+    edge, self-loops dropped, distinct — the shared first step of every
+    undirected graph operator (modularity, assortativity, eigenvector,
+    walk corpora).  Callers materialize (localCheckpoint) when the result
+    feeds multiple branches or a superstep loop."""
+    e = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return e.unionAll(rev).where(F.col("src") != F.col("dst")).distinct()
 
 
 def two_hop_neighbors(
@@ -696,7 +708,9 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     has an EXACT BIGINT numerator — every quantity is integral until the
     single final division (then ROUND(_, 9)), so cross-engine equality is
     bit-exact (same discipline as betweenness' micro-units).  Exact while
-    m2*w_c < 2^63 — any graph up to ~2e9 undirected edges.
+    max(m2*w_c, d_c^2) < 2^63 — the d_c^2 term binds first on a
+    hub-heavy community (d_c up to 2m), so the worst-case safe size is
+    ~1.5e9 undirected edges.
 
     `labels` must cover every node incident to an edge (LPA output does by
     construction); labeled isolated nodes contribute n_nodes only.  An
@@ -707,16 +721,9 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     exchanges for them; above the bound they shuffle on the node key (the
     100x plan) — three key-grouped aggregates, one broadcast scalar.  No
     window, no driver loop."""
-    from ..plans.iterative import BROADCAST_NODE_BOUND
-
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    und = (
-        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        # read by the degree aggregate, the within-count join and the m2
-        # scalar: materialize once instead of three distinct-scans
-        .localCheckpoint(eager=True)
-    )
+    # read by the degree aggregate, the within-count join and the m2
+    # scalar: materialize once instead of three distinct-scans
+    und = symmetrize_edges(edges).localCheckpoint(eager=True)
     # referenced by both endpoint joins plus the per-label rollup:
     # materialize once; the count both sizes the broadcast gate and is the
     # frame's only full pass
@@ -824,12 +831,8 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
 
     Scale shape: one degree aggregate joined onto both edge endpoints
     (node-bounded state side), one global sum — no window, no loop."""
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    und = (
-        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)  # degree aggregate + two-sided join
-    )
+    # degree aggregate + two-sided join: materialize once
+    und = symmetrize_edges(edges).localCheckpoint(eager=True)
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )

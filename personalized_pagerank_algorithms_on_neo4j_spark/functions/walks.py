@@ -47,11 +47,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.iterative import (
+    BROADCAST_EDGE_BOUND,
     BROADCAST_NODE_BOUND,
     SuperstepLoop,
     loop_shuffle_partitions,
     static_superstep_plan,
 )
+from .graphstats import symmetrize_edges
 from .text import portable_hash
 
 __all__ = [
@@ -127,12 +129,8 @@ FROM ranked WHERE sample_rank <= {k}
 """
 
 
-def _symmetrize(edges: DataFrame) -> DataFrame:
-    """Undirected view: both directions of every edge, self-loops dropped,
-    distinct — the graph DeepWalk walks on."""
-    fwd = edges.select("src", "dst")
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return fwd.unionAll(rev).where(F.col("src") != F.col("dst")).distinct()
+# the graph both walk generators walk on: the shared undirected view
+_symmetrize = symmetrize_edges
 
 
 def walk_corpus(
@@ -276,8 +274,6 @@ def node2vec_walk_corpus(
         raise ValueError("p_mult and q_mult must be in [1, 16384]")
     und = _symmetrize(edges).localCheckpoint(eager=True)  # read every superstep
     n_edges = und.count()
-    from ..plans.iterative import BROADCAST_EDGE_BOUND
-
     state = (
         und.select("src")
         .distinct()
@@ -398,10 +394,13 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     toks = F.transform(F.split(F.col("path"), "->"), lambda s: s.cast("long"))
+    # clamp the slice length at 0: a walk shorter than the window offset
+    # contributes no pairs at that offset (negative lengths throw in ANSI
+    # mode; the DuckDB twin's i + d <= len(toks) guard is the same rule)
     offset_pairs = [
         F.zip_with(
-            F.slice(toks, 1, F.size(toks) - d),
-            F.slice(toks, d + 1, F.size(toks) - d),
+            F.slice(toks, 1, F.greatest(F.size(toks) - d, F.lit(0))),
+            F.slice(toks, d + 1, F.greatest(F.size(toks) - d, F.lit(0))),
             lambda a, b: F.struct(a.alias("u"), b.alias("v")),
         )
         for d in range(1, window + 1)

@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.graphstats import symmetrize_edges
 from ..plans.iterative import (
     BROADCAST_NODE_BOUND,
     SuperstepLoop,
@@ -65,13 +66,15 @@ def eigenvector_centrality(
     normalization, rounded to 9 decimals."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     if symmetrize:
-        e = e.unionAll(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        e = symmetrize_edges(edges)
+    else:
+        e = (
+            edges.select("src", "dst")
             .where(F.col("src") != F.col("dst"))
+            .distinct()
         )
-    e = e.distinct().localCheckpoint(eager=True)  # read every superstep
+    e = e.localCheckpoint(eager=True)  # read every superstep
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))

@@ -290,3 +290,16 @@ def test_skipgram_rejects_bad_window(spark):
     w = spark.createDataFrame([(0, "0->1")], "walk_id long, path string")
     with pytest.raises(ValueError):
         walks.skipgram_pairs(w, window=0)
+
+
+def test_skipgram_window_longer_than_walk(spark):
+    # window >= token count: the long offsets contribute nothing instead
+    # of crashing; oracle agrees
+    w = spark.createDataFrame([(0, "0->1")], "walk_id long, path string")
+    out = {(r["center"], r["context"]): r["n_pairs"]
+           for r in walks.skipgram_pairs(w, window=3).collect()}
+    assert out == {(0, 1): 1, (1, 0): 1}
+    want = {(r[0], r[1]): r[2] for r in duckdb.sql(
+        walks.skipgram_oracle_sql("SELECT '0->1' AS path", window=3)
+    ).fetchall()}
+    assert out == want
