@@ -5160,6 +5160,39 @@ _REGISTRY_SQL["walk_skipgrams"] = skipgram_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 33: landmark closeness centrality
+# ---------------------------------------------------------------------------
+# operators/bfs.closeness_centrality: the gds.closeness verb next to the
+# existing harmonic — same batched multi-source BFS loop, one extra
+# aggregate (n_reached / total_dist over exact integers, ROUND(_, 6)).
+
+
+def q_graph_closeness(spark, sf_dir):
+    """Landmark closeness centrality: one multi-source BFS from the 8
+    highest-out-degree landmarks, then n_reached / total_dist per node
+    (operators/bfs.closeness_centrality — shares the harmonic loop)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
+        closeness_centrality,
+    )
+
+    g = _graph(spark, sf_dir)
+    return closeness_centrality(
+        g, n_landmarks=HARMONIC_LANDMARKS, max_hops=HARMONIC_HOPS
+    )
+
+
+_REGISTRY_Q["graph_closeness"] = q_graph_closeness
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (  # noqa: E402
+    closeness_oracle_sql,
+)
+
+_REGISTRY_SQL["graph_closeness"] = closeness_oracle_sql(
+    GRAPH_EDGES_SQL, n_landmarks=HARMONIC_LANDMARKS, max_hops=HARMONIC_HOPS
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5202,6 +5235,7 @@ _R6_NEW = [
     "graph_assortativity",  # r6: degree assortativity coefficient
     "graph_node2vec",       # r6: (p,q)-biased second-order walk corpus
     "walk_skipgrams",       # r6: skip-gram training pairs over walks
+    "graph_closeness",      # r6: landmark closeness centrality
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

@@ -280,6 +280,9 @@ def main() -> None:
     # join) and the join-free skip-gram extraction over the walk corpus
     timed("q_node2vec", lambda: E.q_graph_node2vec(spark, SF_DIR).count())
     timed("q_skipgrams", lambda: E.q_walk_skipgrams(spark, SF_DIR).count())
+    # landmark closeness rides the same batched BFS loop as q_harmonic;
+    # the trend line isolates the extra aggregate's cost
+    timed("q_closeness", lambda: E.q_graph_closeness(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

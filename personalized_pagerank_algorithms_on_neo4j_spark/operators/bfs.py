@@ -174,3 +174,69 @@ SELECT node, COUNT(*) AS n_reached,
        ROUND(SUM(1.0 / dist), 6) AS harmonic
 FROM md WHERE dist > 0 GROUP BY node
 """
+
+
+def closeness_centrality(
+    graph: PropertyGraph, n_landmarks: int = 8, max_hops: int = 6
+) -> DataFrame:
+    """(node, n_reached, total_dist, closeness) — landmark-approximated
+    closeness centrality (the `gds.closeness` verb next to harmonic):
+    one multi-source BFS from the ``n_landmarks`` highest-out-degree
+    nodes (deterministic tie-break by id), then per node
+
+        closeness = n_reached / total_dist
+
+    over the landmarks that reach it (dist > 0) — the Wasserman-Faust
+    shape restricted to the landmark set, the standard scale substitute
+    for exact all-pairs closeness.  n_reached and total_dist are exact
+    integers; the single division is ROUND(_, 6), so cross-engine
+    equality is bit-exact.  Shares `bfs_distances_multi`'s batch loop —
+    adding this metric costs one aggregate, not another BFS."""
+    landmarks = (
+        graph.degrees.where(F.col("out_degree") > 0)
+        .orderBy(F.desc("out_degree"), F.asc("node"))
+        .limit(n_landmarks)
+        .select(F.col("node").alias("source"))
+    )
+    d = bfs_distances_multi(graph, landmarks, max_hops=max_hops)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("dist").cast("long").alias("total_dist"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / F.sum("dist").cast("double"),
+                6,
+            ).alias("closeness"),
+        )
+    )
+
+
+def closeness_oracle_sql(
+    edges_sql: str, n_landmarks: int = 8, max_hops: int = 6
+) -> str:
+    """DuckDB twin of `closeness_centrality`: the same recursive-CTE BFS
+    as the harmonic oracle, closing with the n/sum-dist aggregate."""
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED ({edges_sql}),
+lm AS MATERIALIZED (
+  SELECT src AS source FROM (
+    SELECT src, COUNT(*) AS od FROM e GROUP BY src
+  ) ORDER BY od DESC, src ASC LIMIT {n_landmarks}
+),
+walk(source, node, dist) AS (
+  SELECT source, source AS node, 0 AS dist FROM lm
+  UNION
+  SELECT w.source, e.dst, w.dist + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < {max_hops}
+),
+md AS (SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY source, node)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(dist) AS BIGINT) AS total_dist,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(dist) AS DOUBLE), 6)
+         AS closeness
+FROM md WHERE dist > 0 GROUP BY node
+"""

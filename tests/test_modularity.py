@@ -132,3 +132,60 @@ def test_assortativity_oracle_parity(spark):
         for r in duckdb.sql(assortativity_oracle_sql(_edges_sql(TWO_TRI))).fetchall()
     }
     assert got == want and len(got) == 1
+
+
+# ---------------------------------------------------------------------------
+# landmark closeness centrality
+# ---------------------------------------------------------------------------
+
+
+def _graph_of(spark, pairs):
+    from personalized_pagerank_algorithms_on_neo4j_spark.graph import PropertyGraph
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    nodes = (
+        edges.selectExpr("src AS id")
+        .unionAll(edges.selectExpr("dst AS id"))
+        .distinct()
+        .selectExpr("id", "CAST(id AS STRING) AS name")
+    )
+    return PropertyGraph(spark, nodes, edges, nodes_cover_edges=True)
+
+
+def test_closeness_path_hand_computed(spark):
+    # directed path 0->1->2 with landmarks {0, 1} (both out-degree 1):
+    # node 1: reached by 0 at dist 1 -> 1/1 = 1.0
+    # node 2: reached by 0 at 2 and 1 at 1 -> 2/3
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
+        closeness_centrality,
+    )
+
+    g = _graph_of(spark, [(0, 1), (1, 2)])
+    out = {r["node"]: r for r in
+           closeness_centrality(g, n_landmarks=2, max_hops=5).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_reached"] == 1 and out[1]["total_dist"] == 1
+    assert out[1]["closeness"] == 1.0
+    assert out[2]["n_reached"] == 2 and out[2]["total_dist"] == 3
+    assert out[2]["closeness"] == round(2 / 3, 6)
+
+
+def test_closeness_oracle_parity(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (
+        closeness_centrality,
+        closeness_oracle_sql,
+    )
+
+    got = {
+        tuple(r)
+        for r in closeness_centrality(
+            _graph_of(spark, TWO_TRI), n_landmarks=3, max_hops=4
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            closeness_oracle_sql(_edges_sql(TWO_TRI), n_landmarks=3, max_hops=4)
+        ).fetchall()
+    }
+    assert got == want and got
