@@ -5193,6 +5193,55 @@ _REGISTRY_SQL["graph_closeness"] = closeness_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 34: FastRP node embeddings
+# ---------------------------------------------------------------------------
+# operators/fastrp.py: the host platform's default embedding verb
+# (gds.fastRP) as iterative sparse random projection with the repo's
+# float-free discipline — {-1,0,+1} portable-hash init, integer
+# neighbor-sum rounds, integer iterate weights, ONE final L2
+# normalization (sqrt + divide of exact integers, ROUND(_, 9)).
+
+FASTRP_DIMS = 16
+FASTRP_ITERS = 2
+FASTRP_WEIGHTS = (1, 2)
+FASTRP_SEED = 7
+
+
+def q_graph_fastrp(spark, sf_dir):
+    """FastRP embeddings in long (node, dim, value) format: 16 dims, two
+    neighbor-sum rounds over the symmetrized graph, iterates weighted
+    (1, 2), one L2 normalization (operators/fastrp.fastrp_embeddings)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.fastrp import (
+        fastrp_embeddings,
+    )
+
+    g = _graph(spark, sf_dir)
+    return fastrp_embeddings(
+        spark,
+        g.edges,
+        dims=FASTRP_DIMS,
+        iterations=FASTRP_ITERS,
+        weights=FASTRP_WEIGHTS,
+        seed=FASTRP_SEED,
+    )
+
+
+_REGISTRY_Q["graph_fastrp"] = q_graph_fastrp
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.fastrp import (  # noqa: E402
+    fastrp_oracle_sql,
+)
+
+_REGISTRY_SQL["graph_fastrp"] = fastrp_oracle_sql(
+    GRAPH_EDGES_SQL,
+    dims=FASTRP_DIMS,
+    iterations=FASTRP_ITERS,
+    weights=FASTRP_WEIGHTS,
+    seed=FASTRP_SEED,
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5236,6 +5285,7 @@ _R6_NEW = [
     "graph_node2vec",       # r6: (p,q)-biased second-order walk corpus
     "walk_skipgrams",       # r6: skip-gram training pairs over walks
     "graph_closeness",      # r6: landmark closeness centrality
+    "graph_fastrp",         # r6: FastRP node embeddings
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

@@ -283,6 +283,9 @@ def main() -> None:
     # landmark closeness rides the same batched BFS loop as q_harmonic;
     # the trend line isolates the extra aggregate's cost
     timed("q_closeness", lambda: E.q_graph_closeness(spark, SF_DIR).count())
+    # FastRP: two integer neighbor-sum rounds on one 16-wide array column
+    # + one L2 normalization — the embedding-generation trend line
+    timed("q_fastrp", lambda: E.q_graph_fastrp(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend
