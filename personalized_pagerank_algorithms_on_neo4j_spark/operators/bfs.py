@@ -106,6 +106,19 @@ def bfs_distances_multi(
     return dist
 
 
+def _landmark_sources(graph: PropertyGraph, n_landmarks: int) -> DataFrame:
+    """The shared landmark rule for every landmark-approximated
+    centrality: the ``n_landmarks`` highest-out-degree nodes,
+    deterministic tie-break by id — ONE definition so harmonic and
+    closeness can never diverge on which nodes they sweep from."""
+    return (
+        graph.degrees.where(F.col("out_degree") > 0)
+        .orderBy(F.desc("out_degree"), F.asc("node"))
+        .limit(n_landmarks)
+        .select(F.col("node").alias("source"))
+    )
+
+
 def harmonic_centrality(
     graph: PropertyGraph, n_landmarks: int = 8, max_hops: int = 6
 ) -> DataFrame:
@@ -115,13 +128,9 @@ def harmonic_centrality(
     harmonic = sum over landmarks of 1/dist (dist > 0), ROUND 6. The
     landmark approximation is the standard scale substitute for exact
     all-pairs closeness (which is O(n) BFS runs)."""
-    landmarks = (
-        graph.degrees.where(F.col("out_degree") > 0)
-        .orderBy(F.desc("out_degree"), F.asc("node"))
-        .limit(n_landmarks)
-        .select(F.col("node").alias("source"))
+    d = bfs_distances_multi(
+        graph, _landmark_sources(graph, n_landmarks), max_hops=max_hops
     )
-    d = bfs_distances_multi(graph, landmarks, max_hops=max_hops)
     return (
         d.where(F.col("dist") > 0)
         .groupBy("node")
@@ -150,11 +159,13 @@ SELECT node, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY node
 """
 
 
-def harmonic_oracle_sql(
-    edges_sql: str, n_landmarks: int = 8, max_hops: int = 6
+def _landmark_bfs_prefix_sql(
+    edges_sql: str, n_landmarks: int, max_hops: int
 ) -> str:
-    """DuckDB twin of `harmonic_centrality`: recursive CTE over
-    (source, node, dist) seeded with the same deterministic landmarks."""
+    """The shared recursive-CTE prefix of every landmark-centrality
+    oracle: edges -> deterministic landmark set -> multi-source BFS ->
+    per-(source, node) min distance in ``md`` — one copy so the harmonic
+    and closeness oracles can never diverge on landmark or hop rules."""
     return f"""
 WITH RECURSIVE e AS MATERIALIZED ({edges_sql}),
 lm AS MATERIALIZED (
@@ -170,6 +181,16 @@ walk(source, node, dist) AS (
   WHERE w.dist < {max_hops}
 ),
 md AS (SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY source, node)
+"""
+
+
+def harmonic_oracle_sql(
+    edges_sql: str, n_landmarks: int = 8, max_hops: int = 6
+) -> str:
+    """DuckDB twin of `harmonic_centrality`: recursive CTE over
+    (source, node, dist) seeded with the same deterministic landmarks."""
+    prefix = _landmark_bfs_prefix_sql(edges_sql, n_landmarks, max_hops)
+    return f"""{prefix}
 SELECT node, COUNT(*) AS n_reached,
        ROUND(SUM(1.0 / dist), 6) AS harmonic
 FROM md WHERE dist > 0 GROUP BY node
@@ -190,15 +211,12 @@ def closeness_centrality(
     shape restricted to the landmark set, the standard scale substitute
     for exact all-pairs closeness.  n_reached and total_dist are exact
     integers; the single division is ROUND(_, 6), so cross-engine
-    equality is bit-exact.  Shares `bfs_distances_multi`'s batch loop —
-    adding this metric costs one aggregate, not another BFS."""
-    landmarks = (
-        graph.degrees.where(F.col("out_degree") > 0)
-        .orderBy(F.desc("out_degree"), F.asc("node"))
-        .limit(n_landmarks)
-        .select(F.col("node").alias("source"))
+    equality is bit-exact.  Shares `bfs_distances_multi`'s batch loop and
+    `_landmark_sources`' landmark rule — adding this metric costs one
+    aggregate, not another BFS."""
+    d = bfs_distances_multi(
+        graph, _landmark_sources(graph, n_landmarks), max_hops=max_hops
     )
-    d = bfs_distances_multi(graph, landmarks, max_hops=max_hops)
     return (
         d.where(F.col("dist") > 0)
         .groupBy("node")
@@ -218,22 +236,10 @@ def closeness_oracle_sql(
     edges_sql: str, n_landmarks: int = 8, max_hops: int = 6
 ) -> str:
     """DuckDB twin of `closeness_centrality`: the same recursive-CTE BFS
-    as the harmonic oracle, closing with the n/sum-dist aggregate."""
-    return f"""
-WITH RECURSIVE e AS MATERIALIZED ({edges_sql}),
-lm AS MATERIALIZED (
-  SELECT src AS source FROM (
-    SELECT src, COUNT(*) AS od FROM e GROUP BY src
-  ) ORDER BY od DESC, src ASC LIMIT {n_landmarks}
-),
-walk(source, node, dist) AS (
-  SELECT source, source AS node, 0 AS dist FROM lm
-  UNION
-  SELECT w.source, e.dst, w.dist + 1
-  FROM walk w JOIN e ON e.src = w.node
-  WHERE w.dist < {max_hops}
-),
-md AS (SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY source, node)
+    prefix as the harmonic oracle, closing with the n/sum-dist
+    aggregate."""
+    prefix = _landmark_bfs_prefix_sql(edges_sql, n_landmarks, max_hops)
+    return f"""{prefix}
 SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached,
        CAST(SUM(dist) AS BIGINT) AS total_dist,
        ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(dist) AS DOUBLE), 6)

@@ -110,8 +110,13 @@ def fastrp_embeddings(
             *[_init_entry(F.col("node"), d, seed) for d in range(dims)]
         ).alias("emb"),
     )
-    small = n <= BROADCAST_NODE_BOUND
-    loop_parts = loop_shuffle_partitions(spark, n) if small else None
+    # each state row carries a dims-long BIGINT array, so the broadcast
+    # and partition gates must scale by the embedding width, not the node
+    # count alone (the same per-row-payload rule bfs_distances_multi
+    # applies to its landmark multiplicity)
+    state_bound = n * dims
+    small = state_bound <= BROADCAST_NODE_BOUND
+    loop_parts = loop_shuffle_partitions(spark, state_bound) if small else None
     loop = SuperstepLoop(checkpoint_every=1)
     iterates: list[DataFrame] = []
     with static_superstep_plan(spark, shuffle_partitions=loop_parts):

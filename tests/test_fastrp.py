@@ -15,20 +15,10 @@ from personalized_pagerank_algorithms_on_neo4j_spark.operators.fastrp import (
     fastrp_embeddings,
     fastrp_oracle_sql,
 )
+from tests.graphfixtures import edges_df as _edges_df
+from tests.graphfixtures import edges_sql as _edges_sql
 
 EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (3, 4), (4, 5), (5, 2)]
-
-
-def _edges_df(spark, pairs):
-    return spark.createDataFrame(pairs, "src long, dst long")
-
-
-def _edges_sql(pairs):
-    vals = ", ".join(f"({s}, {d})" for s, d in pairs)
-    return (
-        f"SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst "
-        f"FROM (VALUES {vals}) AS t(src, dst)"
-    )
 
 
 def _py_fastrp(pairs, dims, iterations, weights, seed):

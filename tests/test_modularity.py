@@ -13,30 +13,13 @@ from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import
     modularity,
     modularity_oracle_sql,
 )
+from tests.graphfixtures import edges_df as _edges_df
+from tests.graphfixtures import edges_sql as _edges_sql
+from tests.graphfixtures import labels_sql as _labels_sql
 
 # two triangles joined by one bridge edge: the textbook modularity fixture
 TWO_TRI = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
 TWO_TRI_LABELS = [(0, 10), (1, 10), (2, 10), (3, 20), (4, 20), (5, 20)]
-
-
-def _edges_df(spark, pairs):
-    return spark.createDataFrame(pairs, "src long, dst long")
-
-
-def _edges_sql(pairs):
-    vals = ", ".join(f"({s}, {d})" for s, d in pairs)
-    return (
-        f"SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst "
-        f"FROM (VALUES {vals}) AS t(src, dst)"
-    )
-
-
-def _labels_sql(pairs):
-    vals = ", ".join(f"({n}, {l})" for n, l in pairs)
-    return (
-        f"SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label "
-        f"FROM (VALUES {vals}) AS t(node, label)"
-    )
 
 
 # ---------------------------------------------------------------------------
