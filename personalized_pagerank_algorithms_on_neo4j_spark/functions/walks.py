@@ -31,13 +31,15 @@ Scale shape:
   Extreme hubs are a data problem, not a plan problem: compose with a hub
   cap upstream if a single adjacency list cannot fit one task.
 * ``walk_corpus`` state is one row per walk; each of the L supersteps
-  joins the O(walks) frontier against the cached symmetrized edge table
-  and reduces per-walk with a ``MIN(struct(h, dst, path))`` aggregate —
-  a map-side-combinable argmin, so the shuffle carries one row per
-  (walk, partition) rather than the walks x degree candidate fan-out —
+  builds a successor map over the DISTINCT occupied nodes (the hash keys
+  on (node, dst, t), never walk_id) with a ``MIN(struct(h, dst))``
+  aggregate — map-side combinable, fan-out bounded by m even when
+  thousands of walks pile onto one hub — and maps walks through it,
   under the iterative-loop discipline of plans/iterative.py (AQE off,
   state-scaled partitions, broadcast-gated frontier), identical to the
-  PageRank/SSSP loops.
+  PageRank/SSSP loops.  ``node2vec_walk_corpus`` is the second-order
+  variant: the map keys on (prev, cur) pairs and the hash is scaled by
+  the node2vec class multiplier.
 """
 
 from __future__ import annotations
