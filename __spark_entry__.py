@@ -5242,6 +5242,41 @@ _REGISTRY_SQL["graph_fastrp"] = fastrp_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 35: ArticleRank centrality
+# ---------------------------------------------------------------------------
+# operators/pagerank.article_rank: the gds.articleRank verb beside
+# gds.pageRank — identical uniform-restart superstep loop, contribution
+# denominator out(u) + avg_out (avg = m/n, one bit-portable IEEE division
+# of the exact integer pair).
+
+ARTICLERANK_ITERS = 10
+
+
+def q_graph_articlerank(spark, sf_dir):
+    """gds.articleRank-shaped centrality: uniform 1/n start and restart,
+    damping 1-alpha, contributions divided by out(u) + m/n, fixed
+    iterations, raw scores (operators/pagerank.article_rank)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+        article_rank,
+    )
+
+    g = _graph(spark, sf_dir)
+    df = article_rank(g, iterations=ARTICLERANK_ITERS, alpha=ALPHA)
+    return df.select("node", F.round("score", 9).alias("score"))
+
+
+_REGISTRY_Q["graph_articlerank"] = q_graph_articlerank
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (  # noqa: E402
+    article_rank_oracle_sql,
+)
+
+_REGISTRY_SQL["graph_articlerank"] = article_rank_oracle_sql(
+    GRAPH_EDGES_SQL, GRAPH_NODES_SQL, iterations=ARTICLERANK_ITERS, alpha=ALPHA
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5286,6 +5321,7 @@ _R6_NEW = [
     "walk_skipgrams",       # r6: skip-gram training pairs over walks
     "graph_closeness",      # r6: landmark closeness centrality
     "graph_fastrp",         # r6: FastRP node embeddings
+    "graph_articlerank",    # r6: ArticleRank centrality
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

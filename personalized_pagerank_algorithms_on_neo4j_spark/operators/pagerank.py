@@ -132,6 +132,93 @@ def _uniform_restart_loop(
     return rank.select("node", F.col("rank").alias("score"))
 
 
+def article_rank(
+    graph: PropertyGraph,
+    iterations: int = 10,
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """ArticleRank (gds.articleRank): the PageRank variant that dampens the
+    influence of low-out-degree sources by dividing each contribution by
+    ``out(u) + avg_out`` instead of ``out(u)`` —
+
+        rank_{i+1}(v) = (1-d)/n + d * sum_{u->v} rank_i(u) / (out(u) + avg),
+        avg = m / n,
+
+    with the same conventions as `pagerank_global` (uniform 1/n start,
+    damping d = 1-alpha, dangling mass dropped, fixed iterations, raw
+    scores).  The centrality verb sits beside gds.pageRank in the
+    reference's host-platform catalogue; same Neo4j_Method.java:66-98
+    execution shape, different contribution denominator.
+
+    Cross-engine exactness: ``avg`` is one correctly-rounded IEEE division
+    of the exact integer pair (m, n) — bit-identical in Spark and DuckDB —
+    and every per-edge term is a scalar expression over it, so the unrolled
+    oracle replays the recurrence exactly (ROUND(_, 9) on final values).
+
+    Scale shape: identical to `pagerank_global` — the O(n) rank vector is
+    the only per-superstep shuffle against the cached pre-partitioned edge
+    table (`_uniform_restart_loop`'s discipline)."""
+    d = 1.0 - alpha
+    n = graph.n
+    avg_out = graph.m / n  # exact ints -> one IEEE division, bit-portable
+    restart = (
+        graph.nodes.select(
+            F.col("id").alias("node"),
+            F.lit((1.0 - d) / n).alias("rank"),
+        )
+        .localCheckpoint(eager=True)  # read every superstep; derive once
+    )
+    return _uniform_restart_loop(
+        graph.spark,
+        edges=graph.edges_deg,
+        contrib=F.lit(d)
+        * F.col("rank")
+        / (F.col("src_out_degree") + F.lit(avg_out)),
+        restart=restart,
+        n=n,
+        iterations=iterations,
+    )
+
+
+def article_rank_oracle_sql(
+    edges_sql: str,
+    nodes_sql: str,
+    iterations: int = 10,
+    alpha: float = DEFAULT_ALPHA,
+) -> str:
+    """DuckDB twin of `article_rank` over any (src, dst) edge SQL and
+    (id, ...) node SQL: the identical unrolled recurrence with
+    avg = COUNT(edges)::DOUBLE / COUNT(nodes)::DOUBLE."""
+    d = 1.0 - alpha
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "dg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src)",
+        """ew AS MATERIALIZED (
+  SELECT e.src, e.dst, dg.od FROM e JOIN dg ON e.src = dg.src)""",
+        f"nod AS MATERIALIZED (SELECT id FROM ({nodes_sql}))",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nod)",
+        """av AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM e)
+  / (SELECT n FROM nn) AS a)""",
+        """ar0 AS MATERIALIZED (
+  SELECT id AS node, 1.0 / (SELECT n FROM nn) AS rank FROM nod)""",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""ar{i + 1} AS MATERIALIZED (
+  SELECT node, SUM(rank) AS rank FROM (
+    SELECT ew.dst AS node,
+           {d} * t.rank / (ew.od + (SELECT a FROM av)) AS rank
+    FROM ar{i} t JOIN ew ON t.node = ew.src
+    UNION ALL
+    SELECT id AS node, {alpha} / (SELECT n FROM nn) AS rank FROM nod
+  ) u GROUP BY node)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT node, ROUND(rank, 9) AS score FROM ar{iterations}
+"""
+
+
 def pagerank_weighted(
     edges_w: DataFrame,
     iterations: int = 10,

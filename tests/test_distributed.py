@@ -359,6 +359,40 @@ def test_pagerank_weighted_uniform_equals_unweighted(got, spark):
         )
 
 
+def test_article_rank_matches_replay_and_diverges_from_pagerank(got):
+    """ArticleRank == a pure-Python replay of the recurrence (same start,
+    restart and damping as pagerank_global, denominator out(u) + m/n), and
+    actually differs from plain PageRank on the same graph (the avg-degree
+    denominator must change the answer, or the verb is a no-op)."""
+    edges = [(r["src"], r["dst"]) for r in got.edges.collect()]
+    nodes = [r["id"] for r in got.nodes.collect()]
+    n, m = len(nodes), len(edges)
+    avg = m / n
+    out: dict[int, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    d = 1.0 - ALPHA
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(6):
+        nxt = {v: (1.0 - d) / n for v in nodes}
+        for s, t in edges:
+            nxt[t] += d * rank[s] / (out[s] + avg)
+        rank = nxt
+    got_scores = {
+        r["node"]: r["score"]
+        for r in pagerank.article_rank(got, iterations=6).collect()
+    }
+    assert set(got_scores) == set(nodes)
+    assert max(abs(got_scores[v] - rank[v]) for v in nodes) < 1e-12
+    pr = {
+        r["node"]: r["score"]
+        for r in pagerank.pagerank_global(
+            got, iterations=6, mode="distributed"
+        ).collect()
+    }
+    assert max(abs(got_scores[v] - pr[v]) for v in nodes) > 1e-6
+
+
 def test_distributed_plan_shape(got):
     """The per-superstep join must keep the big (edge) side un-reshuffled:
     edges_deg is pre-partitioned on src and cached."""
