@@ -5277,6 +5277,43 @@ _REGISTRY_SQL["graph_articlerank"] = article_rank_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 36: per-community conductance
+# ---------------------------------------------------------------------------
+# functions/graphstats.conductance: the gds.conductance verb beside the
+# existing modularity — same broadcast-gated label joins, per-community
+# boundary quality phi_c = cut_c / min(vol_c, m2 - vol_c), every quantity
+# an exact BIGINT until the one final division.
+
+
+def q_graph_conductance(spark, sf_dir):
+    """Per-community conductance of the LPA partition (gds.conductance
+    shape): cut / min(volume, 2m - volume) over the undirected simple
+    graph, exact integers until one final division
+    (functions/graphstats.conductance over operators/lpa at LPA_ROUNDS)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        conductance,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.lpa import (
+        label_propagation,
+    )
+
+    g = _graph(spark, sf_dir)
+    return conductance(g.edges, label_propagation(g, rounds=LPA_ROUNDS))
+
+
+_REGISTRY_Q["graph_conductance"] = q_graph_conductance
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (  # noqa: E402
+    conductance_oracle_sql,
+)
+
+_REGISTRY_SQL["graph_conductance"] = conductance_oracle_sql(
+    GRAPH_EDGES_SQL,
+    lpa_oracle_sql(GRAPH_EDGES_SQL, GRAPH_NODES_SQL, rounds=LPA_ROUNDS),
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5322,6 +5359,7 @@ _R6_NEW = [
     "graph_closeness",      # r6: landmark closeness centrality
     "graph_fastrp",         # r6: FastRP node embeddings
     "graph_articlerank",    # r6: ArticleRank centrality
+    "graph_conductance",    # r6: per-community conductance
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

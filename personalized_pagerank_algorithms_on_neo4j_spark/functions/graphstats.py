@@ -812,6 +812,111 @@ FROM q_per_label p LEFT JOIN q_win w ON p.label = w.label CROSS JOIN q_m m
 """
 
 
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(label, n_nodes, cut_edges, volume, conductance): per-community
+    conductance over the UNDIRECTED simple graph induced by the edge list —
+    the community-boundary quality metric (`gds.conductance` on the
+    reference's host platform) that complements modularity: how leaky is
+    each community,
+
+        phi_c = cut_c / min(vol_c, m2 - vol_c),
+
+    with m2 = |directed undirected-edge rows| = 2m, vol_c = the community's
+    degree sum (= directed rows with src in c) and cut_c = directed rows
+    with src in c and dst outside (= the community's undirected boundary
+    edge count — each boundary edge contributes exactly one direction to
+    each side's cut).
+
+    Float-free contract: every quantity is an exact BIGINT until the single
+    final division (then ROUND(_, 9)) — the same discipline as modularity.
+    Communities with min(vol_c, m2 - vol_c) = 0 (isolated nodes, or the
+    whole graph in one community) yield NULL, matching the undefined ratio.
+
+    `labels` must cover every node incident to an edge (LPA output does by
+    construction); labeled isolated nodes contribute n_nodes only.
+
+    Scale shape: two label joins onto the edge table — broadcast when the
+    label vector fits ``BROADCAST_NODE_BOUND``, shuffled on the node key
+    above it — one per-label aggregate, one broadcast scalar.  No window,
+    no driver loop."""
+    und = symmetrize_edges(edges).localCheckpoint(eager=True)
+    lab = labels.select("node", "label").localCheckpoint(eager=True)
+    small = lab.count() <= BROADCAST_NODE_BOUND
+    m2 = und.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    ls = lab.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    ld = lab.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    per_src = (
+        und.join(F.broadcast(ls) if small else ls, "src")
+        .join(F.broadcast(ld) if small else ld, "dst")
+        .groupBy(F.col("lsrc").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vol"),
+            F.sum(
+                F.when(F.col("lsrc") != F.col("ldst"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("cut"),
+        )
+    )
+    per_label = lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    den = F.least(F.col("vol"), F.col("m2") - F.col("vol"))
+    return (
+        per_label.join(F.broadcast(per_src) if small else per_src, "label", "left")
+        .na.fill({"vol": 0, "cut": 0})
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "label",
+            "n_nodes",
+            F.col("cut").alias("cut_edges"),
+            F.col("vol").alias("volume"),
+            F.when(
+                den > 0,
+                F.round(F.col("cut").cast("double") / den.cast("double"), 9),
+            ).alias("conductance"),
+        )
+    )
+
+
+def conductance_oracle_sql(edges_sql: str, labels_sql: str) -> str:
+    """DuckDB twin of `conductance`; ``labels_sql`` is any (node, label)
+    SELECT (nested WITH allowed — the LPA oracle drops in verbatim; CTE
+    names here are qc_-prefixed so they never collide with the nested
+    query's own aliases, which DuckDB rejects as duplicates)."""
+    return f"""
+WITH qc_e_raw AS ({edges_sql}),
+qc_und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM qc_e_raw WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM qc_e_raw WHERE src <> dst)),
+qc_lab AS MATERIALIZED (SELECT node, label FROM ({labels_sql})),
+qc_m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM qc_und),
+qc_per_src AS (
+  SELECT ls.label,
+         CAST(COUNT(*) AS BIGINT) AS vol,
+         CAST(SUM(CASE WHEN ls.label <> ld.label THEN 1 ELSE 0 END) AS BIGINT) AS cut
+  FROM qc_und u
+  JOIN qc_lab ls ON u.src = ls.node
+  JOIN qc_lab ld ON u.dst = ld.node
+  GROUP BY 1),
+qc_per_label AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM qc_lab GROUP BY 1)
+SELECT p.label, p.n_nodes,
+       COALESCE(s.cut, 0) AS cut_edges,
+       COALESCE(s.vol, 0) AS volume,
+       CASE WHEN LEAST(COALESCE(s.vol, 0), m.m2 - COALESCE(s.vol, 0)) > 0
+            THEN ROUND(
+              CAST(COALESCE(s.cut, 0) AS DOUBLE)
+              / CAST(LEAST(COALESCE(s.vol, 0), m.m2 - COALESCE(s.vol, 0)) AS DOUBLE), 9)
+       END AS conductance
+FROM qc_per_label p LEFT JOIN qc_per_src s ON p.label = s.label CROSS JOIN qc_m m
+"""
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """One row (m_edges, assortativity): Pearson correlation of endpoint
     degrees over the UNDIRECTED simple graph (Newman's degree

@@ -9,6 +9,8 @@ import duckdb
 
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
     assortativity_oracle_sql,
+    conductance,
+    conductance_oracle_sql,
     degree_assortativity,
     modularity,
     modularity_oracle_sql,
@@ -78,6 +80,74 @@ def test_modularity_oracle_parity(spark):
         tuple(r)
         for r in duckdb.sql(
             modularity_oracle_sql(
+                _edges_sql(TWO_TRI), _labels_sql(TWO_TRI_LABELS)
+            )
+        ).fetchall()
+    }
+    assert got == want and len(got) == 2
+
+
+# ---------------------------------------------------------------------------
+# conductance
+# ---------------------------------------------------------------------------
+
+
+def test_conductance_two_triangles_exact(spark):
+    # m2 = 14; each triangle community: volume 7 (degrees 2+2+3), one
+    # boundary edge -> phi = 1 / min(7, 7) = 1/7
+    out = {
+        r["label"]: r
+        for r in conductance(
+            _edges_df(spark, TWO_TRI),
+            spark.createDataFrame(TWO_TRI_LABELS, "node long, label long"),
+        ).collect()
+    }
+    assert set(out) == {10, 20}
+    for lbl in (10, 20):
+        r = out[lbl]
+        assert r["n_nodes"] == 3
+        assert r["cut_edges"] == 1
+        assert r["volume"] == 7
+        assert r["conductance"] == round(1 / 7, 9)
+
+
+def test_conductance_single_community_is_null(spark):
+    # the whole graph in one community: min(vol, m2 - vol) = 0 -> undefined
+    labels = spark.createDataFrame(
+        [(n, 1) for n in range(6)], "node long, label long"
+    )
+    rows = conductance(_edges_df(spark, TWO_TRI), labels).collect()
+    assert len(rows) == 1
+    assert rows[0]["cut_edges"] == 0 and rows[0]["volume"] == 14
+    assert rows[0]["conductance"] is None
+
+
+def test_conductance_isolated_community_is_null(spark):
+    # a label whose nodes touch no edge: volume 0 -> NULL, n_nodes only
+    labels = spark.createDataFrame(
+        TWO_TRI_LABELS + [(99, 30)], "node long, label long"
+    )
+    out = {
+        r["label"]: r
+        for r in conductance(_edges_df(spark, TWO_TRI), labels).collect()
+    }
+    assert out[30]["n_nodes"] == 1 and out[30]["volume"] == 0
+    assert out[30]["conductance"] is None
+    assert out[10]["conductance"] == round(1 / 7, 9)
+
+
+def test_conductance_oracle_parity(spark):
+    got = {
+        tuple(r)
+        for r in conductance(
+            _edges_df(spark, TWO_TRI),
+            spark.createDataFrame(TWO_TRI_LABELS, "node long, label long"),
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            conductance_oracle_sql(
                 _edges_sql(TWO_TRI), _labels_sql(TWO_TRI_LABELS)
             )
         ).fetchall()
