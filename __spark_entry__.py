@@ -5314,6 +5314,51 @@ _REGISTRY_SQL["graph_conductance"] = conductance_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 37: DSIR importance weights (data selection for LM pretraining)
+# ---------------------------------------------------------------------------
+# functions/text.dsir_importance_weights: hashed unigram+bigram importance
+# resampling weights (DSIR, Xie et al. 2023) — score every document by how
+# much it resembles a trusted target slice. Bucket log-ratios in integer
+# nano-units (source_divergence discipline); bucket table is O(n_buckets)
+# and broadcast.
+
+DSIR_BUCKETS = 4096
+DSIR_SEED = 11
+DSIR_TARGET_SQL = "source = 'src0'"
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights against the src0 slice as the target
+    corpus: per-doc sum of hashed-bigram bucket log-ratios in integer
+    nano-units (functions/text.dsir_importance_weights)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        dsir_importance_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs,
+        target=F.col("source") == "src0",
+        n_buckets=DSIR_BUCKETS,
+        seed=DSIR_SEED,
+    )
+
+
+_REGISTRY_Q["dsir_weights"] = q_dsir_weights
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (  # noqa: E402
+    dsir_oracle_sql,
+)
+
+_REGISTRY_SQL["dsir_weights"] = dsir_oracle_sql(
+    table="documents",
+    target_expr=DSIR_TARGET_SQL,
+    n_buckets=DSIR_BUCKETS,
+    seed=DSIR_SEED,
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5360,6 +5405,7 @@ _R6_NEW = [
     "graph_fastrp",         # r6: FastRP node embeddings
     "graph_articlerank",    # r6: ArticleRank centrality
     "graph_conductance",    # r6: per-community conductance
+    "dsir_weights",         # r6: DSIR hashed-n-gram importance weights
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

@@ -1378,6 +1378,142 @@ GROUP BY 1, 2
 """
 
 
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 4096,
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, dsir_nanos): hashed-n-gram importance weights for
+    Data Selection via Importance Resampling (DSIR, Xie et al. 2023) — the
+    published LLM-pretraining recipe for picking raw-corpus documents that
+    resemble a trusted target corpus.  ``target`` is a boolean row
+    predicate naming the target corpus (NULL coalesces to false); every
+    document is scored by
+
+        w(x) = sum_{g in grams(x)} ln( p_target(b(g)) / p_raw(b(g)) ),
+
+    where grams are lowercase unigrams + adjacent bigrams, b(g) hashes the
+    gram into ``n_buckets`` buckets (portable 48-bit md5 hash, identical
+    in both engines), and each bucket's probability is add-1 smoothed:
+    p(b) = (cnt(b)+1) / (total+B).  High scores = looks like the target.
+
+    Exactness: each per-BUCKET log-ratio is computed once, elementwise on
+    identical integer-derived doubles in both engines, scaled by 1e9 and
+    rounded to a BIGINT BEFORE the per-document sum (the source_divergence
+    nano-unit discipline) — integer sums are summation-order-independent,
+    so no float-SUM .5-boundary exposure.  The ±0.5 nano quantization per
+    bucket term is the operator contract.  Documents with no tokens get no
+    row (they have no grams to score).
+
+    Scale shape: one (doc, gram-occurrence) expansion feeds ONE bucket
+    aggregate (state = ``n_buckets`` rows, tiny by design) and one
+    broadcast join back onto the occurrences — no self-join, no window,
+    no per-row Python."""
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda x: F.length(x) > 0
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(target, F.lit(False)).alias("is_t"),
+        toks.alias("_toks"),
+    )
+    n = F.size("_toks")
+    pair_len = F.greatest(n - 1, F.lit(0))  # ANSI: slice throws on negatives
+    bigrams = F.zip_with(
+        F.slice("_toks", 1, pair_len),
+        F.slice("_toks", 2, pair_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g = (
+        base.select(
+            "doc_id", "is_t", F.explode(F.concat("_toks", bigrams)).alias("gram")
+        )
+        .select(
+            "doc_id",
+            "is_t",
+            (portable_hash(F.col("gram"), seed) % n_buckets).alias("bucket"),
+        )
+        # feeds the bucket-count aggregate AND the score join: one pass
+        .localCheckpoint(eager=True)
+    )
+    cnt = g.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).cast("long").alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").cast("double").alias("t_tot"),
+        F.sum("cr").cast("double").alias("r_tot"),
+    )
+    w_nano = F.round(
+        F.lit(1e9)
+        * F.log(
+            ((F.col("ct") + 1).cast("double") / (F.col("t_tot") + n_buckets))
+            / ((F.col("cr") + 1).cast("double") / (F.col("r_tot") + n_buckets))
+        )
+    ).cast("long")
+    wb = cnt.crossJoin(F.broadcast(tot)).select("bucket", w_nano.alias("w_nano"))
+    return (
+        g.join(F.broadcast(wb), "bucket")  # wb is <= n_buckets rows
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("w_nano").cast("long").alias("dsir_nanos"),
+        )
+    )
+
+
+def dsir_oracle_sql(
+    table: str = "documents",
+    target_expr: str = "source = 'src0'",
+    n_buckets: int = 4096,
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of `dsir_importance_weights`; ``target_expr`` is any
+    boolean SQL expression over the table's columns."""
+    return f"""
+WITH dt AS MATERIALIZED (
+  SELECT {id_col} AS doc_id, COALESCE({target_expr}, FALSE) AS is_t,
+         list_filter(string_split_regex(lower(trim({text_col})), ' +'),
+                     x -> length(x) > 0) AS toks
+  FROM {table}),
+tok AS (SELECT doc_id, is_t, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS ord FROM dt),
+gram AS MATERIALIZED (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substring(md5(gram || '#' || '{seed}'), 1, 12))
+              AS BIGINT) % {n_buckets} AS bucket
+  FROM (
+    SELECT doc_id, is_t, term AS gram FROM tok
+    UNION ALL
+    SELECT doc_id, is_t, term || ' ' || nxt AS gram FROM (
+      SELECT doc_id, is_t, term,
+             LEAD(term) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+      FROM tok)
+    WHERE nxt IS NOT NULL)),
+cnt AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS cr
+  FROM gram GROUP BY 1),
+tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS t_tot,
+               CAST(SUM(cr) AS DOUBLE) AS r_tot FROM cnt),
+wb AS (
+  SELECT bucket, CAST(ROUND(1e9 * ln(
+    (CAST(ct + 1 AS DOUBLE) / (t_tot + {n_buckets}))
+    / (CAST(cr + 1 AS DOUBLE) / (r_tot + {n_buckets})))) AS BIGINT) AS w_nano
+  FROM cnt CROSS JOIN tot)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(w.w_nano) AS BIGINT) AS dsir_nanos
+FROM gram g JOIN wb w USING (bucket)
+GROUP BY 1
+"""
+
+
 def cross_corpus_winnow_matches(
     new: DataFrame,
     old: DataFrame,

@@ -2018,6 +2018,66 @@ def test_source_divergence_hand_computed(spark):
     assert all(kl >= 0 for _, kl in got.values())
 
 
+def test_dsir_weights_match_python_replay(spark):
+    """DSIR nano-weights == a pure-Python replay of the hashed-bigram
+    bucket model (same md5 bucket hash, same add-1 smoothing, same
+    per-bucket nano-rounding), target docs score above dissimilar raw
+    docs, and token-less docs get no row."""
+    rows = [
+        ("a", "good clean prose here", "tgt"),
+        ("b", "good clean prose here too", "raw"),
+        ("c", "entirely different junk words", "raw"),
+        ("d", "   ", "raw"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = {
+        r["doc_id"]: (r["n_grams"], r["dsir_nanos"])
+        for r in text.dsir_importance_weights(
+            docs, F.col("source") == "tgt", n_buckets=64, seed=3
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}  # "d" has no grams
+
+    def grams(s):
+        toks = [t for t in s.lower().split() if t]
+        return toks + [f"{x} {y}" for x, y in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(f"{g}#3".encode()).hexdigest()[:12], 16) % 64
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    per_doc: dict[str, list[int]] = {}
+    for doc_id, txt, src in rows:
+        bs = [bucket(g) for g in grams(txt)]
+        per_doc[doc_id] = bs
+        for b in bs:
+            (ct if src == "tgt" else cr)[b] = (ct if src == "tgt" else cr).get(b, 0) + 1
+    t_tot = float(sum(ct.values()))
+    r_tot = float(sum(cr.values()))
+    wb = {
+        b: round(
+            1e9
+            * math.log(
+                ((ct.get(b, 0) + 1) / (t_tot + 64))
+                / ((cr.get(b, 0) + 1) / (r_tot + 64))
+            )
+        )
+        for b in set(ct) | set(cr)
+    }
+    for doc_id, bs in per_doc.items():
+        if not bs:
+            continue
+        n_grams, nanos = out[doc_id]
+        assert n_grams == len(bs)
+        # +-1 nano per bucket term tolerates libm ulp + rounding-mode
+        # differences between the JVM and CPython; the binding cross-engine
+        # parity gate is the DuckDB oracle in test_entry
+        assert abs(nanos - sum(wb[b] for b in bs)) <= len(bs)
+    # a doc sharing the target's vocabulary outranks a dissimilar one
+    assert out["b"][1] > out["c"][1]
+
+
 def test_link_negatives_are_nonedges_and_deterministic(spark):
     from personalized_pagerank_algorithms_on_neo4j_spark.functions import graphstats
 
