@@ -5359,6 +5359,45 @@ _REGISTRY_SQL["dsir_weights"] = dsir_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 38: deterministic two-level Louvain
+# ---------------------------------------------------------------------------
+# operators/louvain.py: the gds.louvain flagship community verb as a
+# deterministic parallel-Louvain variant — synchronous integer
+# modularity-gain local moves on an alternating parity schedule, community
+# contraction, a second local-moving pass, projection back. All-integer
+# recurrence; unrolled-CTE oracle.
+
+LOUVAIN_ROUNDS1 = 4
+LOUVAIN_ROUNDS2 = 2
+
+
+def q_graph_louvain(spark, sf_dir):
+    """Two-level deterministic Louvain communities: 4 parity-scheduled
+    gain rounds, contraction, 2 rounds on the contracted graph
+    (operators/louvain.louvain)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (
+        louvain,
+    )
+
+    g = _graph(spark, sf_dir)
+    return louvain(g, rounds1=LOUVAIN_ROUNDS1, rounds2=LOUVAIN_ROUNDS2)
+
+
+_REGISTRY_Q["graph_louvain"] = q_graph_louvain
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (  # noqa: E402
+    louvain_oracle_sql,
+)
+
+_REGISTRY_SQL["graph_louvain"] = louvain_oracle_sql(
+    GRAPH_EDGES_SQL,
+    GRAPH_NODES_SQL,
+    rounds1=LOUVAIN_ROUNDS1,
+    rounds2=LOUVAIN_ROUNDS2,
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5406,6 +5445,7 @@ _R6_NEW = [
     "graph_articlerank",    # r6: ArticleRank centrality
     "graph_conductance",    # r6: per-community conductance
     "dsir_weights",         # r6: DSIR hashed-n-gram importance weights
+    "graph_louvain",        # r6: deterministic two-level Louvain
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------
