@@ -5398,6 +5398,33 @@ _REGISTRY_SQL["graph_louvain"] = louvain_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 39: within-document token entropy
+# ---------------------------------------------------------------------------
+# functions/text.doc_token_entropy: per-doc Shannon entropy of the doc's
+# own token distribution in integer nano-units — the corpus-model-free
+# lexical-diversity quality filter.
+
+
+def q_doc_entropy(spark, sf_dir):
+    """Per-document token-distribution Shannon entropy in integer
+    nano-units (functions/text.doc_token_entropy)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        doc_token_entropy,
+    )
+
+    return doc_token_entropy(_t(spark, sf_dir, "documents"))
+
+
+_REGISTRY_Q["doc_entropy"] = q_doc_entropy
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (  # noqa: E402
+    doc_entropy_oracle_sql,
+)
+
+_REGISTRY_SQL["doc_entropy"] = doc_entropy_oracle_sql(table="documents")
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5446,6 +5473,7 @@ _R6_NEW = [
     "graph_conductance",    # r6: per-community conductance
     "dsir_weights",         # r6: DSIR hashed-n-gram importance weights
     "graph_louvain",        # r6: deterministic two-level Louvain
+    "doc_entropy",          # r6: within-doc token entropy (nano-units)
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

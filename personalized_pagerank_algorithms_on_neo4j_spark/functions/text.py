@@ -1378,6 +1378,89 @@ GROUP BY 1, 2
 """
 
 
+def doc_token_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, entropy_nanos): Shannon entropy of
+    each document's OWN token distribution in integer NANO-units —
+    H = -sum_t p_t ln p_t = sum_t (c_t/N) ln(N/c_t) — the within-document
+    lexical-diversity quality signal (keyword-stuffed or template text
+    scores near 0; varied prose scores near ln(N)).  Complements
+    `repetition_ratio` (n-gram duplication) and the corpus-level LM scores
+    (`unigram_logprob_scores`): this one needs no corpus model at all.
+
+    Exactness: per-TERM contributions are computed elementwise on
+    identical integer-derived doubles in both engines, scaled by 1e9 and
+    rounded to BIGINT BEFORE the per-document sum (the source_divergence
+    nano-unit discipline) — no float-SUM ordering exposure.  Every term
+    has c_t >= 1 so ln(N/c_t) >= 0 and entropy_nanos >= 0.  Documents
+    with no tokens get no row.
+
+    Scale shape: one (doc, term) count aggregate, one per-doc total join
+    keyed on the doc id, one final per-doc sum — embarrassingly
+    partitionable by document, no corpus-wide state."""
+    tc = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(
+                    tokens(F.lower(F.col(text_col))),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    term_nanos = F.round(
+        F.lit(1e9)
+        * F.col("c").cast("double")
+        / F.col("n_tokens").cast("double")
+        * F.log(F.col("n_tokens").cast("double") / F.col("c").cast("double"))
+    ).cast("long")
+    return (
+        tc.join(tot, "doc_id")
+        .select("doc_id", "n_tokens", "n_distinct", term_nanos.alias("_t"))
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.sum("_t").cast("long").alias("entropy_nanos"))
+    )
+
+
+def doc_entropy_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of `doc_token_entropy`."""
+    return f"""
+WITH tc AS MATERIALIZED (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT {id_col} AS doc_id,
+           unnest(list_filter(
+             string_split_regex(lower(trim({text_col})), ' +'),
+             x -> length(x) > 0)) AS term
+    FROM {table}
+  ) GROUP BY 1, 2),
+tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM tc GROUP BY 1)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(SUM(CAST(ROUND(
+         1e9 * CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         * ln(CAST(n_tokens AS DOUBLE) / CAST(c AS DOUBLE))
+       ) AS BIGINT)) AS BIGINT) AS entropy_nanos
+FROM tc JOIN tot USING (doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
 def dsir_importance_weights(
     docs: DataFrame,
     target: Column,

@@ -2078,6 +2078,34 @@ def test_dsir_weights_match_python_replay(spark):
     assert out["b"][1] > out["c"][1]
 
 
+def test_doc_token_entropy_hand_computed(spark):
+    """Uniform doc -> ln(N); single-token doc -> 0; skewed doc matches the
+    per-term nano replay; token-less docs get no row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # uniform over 4 -> H = ln(4)
+            (2, "a a a a"),        # degenerate -> H = 0
+            (3, "a a b"),          # H = (2/3)ln(3/2) + (1/3)ln(3)
+            (4, "   "),            # no tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy_nanos"])
+        for r in text.doc_token_entropy(docs).collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    def nanos(terms, n):
+        return sum(round(1e9 * c / n * math.log(n / c)) for c in terms)
+
+    assert got[1] == (4, 4, nanos([1, 1, 1, 1], 4))
+    assert got[2] == (4, 1, 0)
+    assert got[3] == (3, 2, nanos([2, 1], 3))
+    # uniform maximizes entropy for its length
+    assert got[1][2] > got[3][2] > got[2][2]
+
+
 def test_link_negatives_are_nonedges_and_deterministic(spark):
     from personalized_pagerank_algorithms_on_neo4j_spark.functions import graphstats
 
