@@ -5425,6 +5425,42 @@ _REGISTRY_SQL["doc_entropy"] = doc_entropy_oracle_sql(table="documents")
 
 
 # ---------------------------------------------------------------------------
+# Block 40: k-truss decomposition
+# ---------------------------------------------------------------------------
+# functions/graphstats.k_truss: triangle-support peeling to the fixed
+# point — the cohesion verb one step above graph_kcore. Spark peels to
+# convergence; the oracle unrolls KTRUSS_ORACLE_ROUNDS steps, and
+# test_entry.test_sql_oracle_depths_cover_convergence guards that the
+# fixed point is reached within that bound at the compare scale.
+
+KTRUSS_K = 3
+KTRUSS_ORACLE_ROUNDS = 4
+
+
+def q_graph_ktruss(spark, sf_dir):
+    """Edges of the 3-truss with their within-truss triangle support
+    (functions/graphstats.k_truss — iterative support peeling over the
+    degree-oriented triangle enumeration)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        k_truss,
+    )
+
+    g = _graph(spark, sf_dir)
+    return k_truss(g.edges, k=KTRUSS_K)
+
+
+_REGISTRY_Q["graph_ktruss"] = q_graph_ktruss
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (  # noqa: E402
+    k_truss_oracle_sql,
+)
+
+_REGISTRY_SQL["graph_ktruss"] = k_truss_oracle_sql(
+    GRAPH_EDGES_SQL, k=KTRUSS_K, rounds=KTRUSS_ORACLE_ROUNDS
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5474,6 +5510,7 @@ _R6_NEW = [
     "dsir_weights",         # r6: DSIR hashed-n-gram importance weights
     "graph_louvain",        # r6: deterministic two-level Louvain
     "doc_entropy",          # r6: within-doc token entropy (nano-units)
+    "graph_ktruss",         # r6: k-truss via triangle-support peeling
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

@@ -479,6 +479,147 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int | None = None) -> DataF
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
 
 
+def _edge_triangle_support(und: DataFrame) -> DataFrame:
+    """(u, v, s): per-edge triangle counts over a CANONICAL (u < v,
+    distinct, checkpointed) edge set — the support step of k-truss
+    peeling.  Same compact-forward degree orientation as
+    `triangle_counts` (wedge join bounded at O(m^1.5) with no hub cap);
+    each triangle credits its THREE canonical edges.  Edges in no
+    triangle get no row."""
+    deg = (
+        und.selectExpr("u AS node")
+        .unionAll(und.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("bdeg"),
+    )
+    shuffle_n = int(und.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    o = o.repartition(shuffle_n, "a").localCheckpoint(eager=True)
+    e1 = o.select("a", F.col("b").alias("b1"), F.col("bdeg").alias("d1"))
+    e2 = o.select("a", F.col("b").alias("b2"), F.col("bdeg").alias("d2"))
+    wedges = e1.join(e2, "a").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("b1") < F.col("b2")))
+    )
+    closing = o.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    if o.count() <= BROADCAST_EDGE_BOUND:
+        closing = F.broadcast(closing)
+    tri = wedges.join(closing, ["b1", "b2"]).select("a", "b1", "b2")
+    sides = (
+        tri.select(
+            F.least("a", "b1").alias("u"), F.greatest("a", "b1").alias("v")
+        )
+        .unionAll(
+            tri.select(
+                F.least("a", "b2").alias("u"), F.greatest("a", "b2").alias("v")
+            )
+        )
+        .unionAll(
+            tri.select(
+                F.least("b1", "b2").alias("u"), F.greatest("b1", "b2").alias("v")
+            )
+        )
+    )
+    return sides.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("s"))
+
+
+def k_truss(
+    edges: DataFrame, k: int = 3, max_rounds: int | None = None
+) -> DataFrame:
+    """(u, v, support): the k-truss of the UNDIRECTED simple graph — the
+    maximal subgraph where every edge closes at least k-2 triangles WITHIN
+    the subgraph — by iterative support peeling: count per-edge triangles,
+    drop edges under k-2, recompute on the survivors, repeat to the fixed
+    point.  ``support`` is the edge's triangle count within the truss.
+    The cohesion verb one step above `k_core`: cores bound degrees, trusses
+    bound triangle embeddedness (Cohen 2008).
+
+    All quantities integral — exact cross-engine equality, no rounding
+    gate.  Scale shape: each round is one degree-oriented triangle
+    enumeration (O(m^1.5) wedge join, no hub cap — `_edge_triangle_support`)
+    plus one edge filter over the SHRINKING edge set; like `k_core`, the
+    default runs to the guaranteed-terminating fixed point (every non-final
+    round strictly removes an edge) and ``max_rounds`` raises rather than
+    return a truncated truss."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
+        sup = _edge_triangle_support(und)
+        keep = (
+            und.join(sup, ["u", "v"], "left")
+            .select(
+                "u", "v", F.coalesce(F.col("s"), F.lit(0)).alias("support")
+            )
+            .where(F.col("support") >= k - 2)
+            .localCheckpoint(eager=True)
+        )
+        if keep.count() == und.count():
+            return keep
+        und = keep.select("u", "v").localCheckpoint(eager=True)
+    raise RuntimeError(f"k_truss did not converge within {max_rounds} rounds")
+
+
+def k_truss_oracle_sql(edges_sql: str, k: int = 3, rounds: int = 4) -> str:
+    """DuckDB twin: ``rounds`` unrolled peel steps (id-ordered triangle
+    enumeration — same triangle set as the degree-ordered Spark side;
+    extra rounds past the fixed point are no-ops), then the within-truss
+    support of the surviving edges."""
+    ctes = [
+        f"kt_raw AS ({edges_sql})",
+        """kt_e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM kt_raw WHERE src <> dst)""",
+    ]
+    for i in range(rounds + 1):  # one extra support pass for the output
+        ctes.append(
+            f"""kt_t{i} AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM kt_e{i} e1
+  JOIN kt_e{i} e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN kt_e{i} e3 ON e3.u = e1.v AND e3.v = e2.v)"""
+        )
+        ctes.append(
+            f"""kt_s{i} AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s FROM (
+    SELECT a AS u, b AS v FROM kt_t{i}
+    UNION ALL SELECT a, c FROM kt_t{i}
+    UNION ALL SELECT b, c FROM kt_t{i}) GROUP BY 1, 2)"""
+        )
+        if i < rounds:
+            ctes.append(
+                f"""kt_e{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM kt_e{i} e
+  JOIN kt_s{i} s ON e.u = s.u AND e.v = s.v
+  WHERE s.s >= {k - 2})"""
+            )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT e.u, e.v, COALESCE(s.s, 0) AS support
+FROM kt_e{rounds} e
+LEFT JOIN kt_s{rounds} s ON e.u = s.u AND e.v = s.v
+WHERE COALESCE(s.s, 0) >= {k - 2}
+"""
+
+
 def k_core_oracle_sql(edges_sql: str, k: int = 3, rounds: int = 10) -> str:
     """DuckDB twin: ``rounds`` unrolled peeling steps (extra rounds past
     the fixed point are no-ops, so any depth >= the actual peeling depth

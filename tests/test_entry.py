@@ -169,6 +169,17 @@ def test_sql_oracle_depths_cover_convergence(spark):
         k=E.KCORE_K,
         max_rounds=E.KCORE_ORACLE_ROUNDS,
     ).count()
+    # k-truss: same discipline — peel under the oracle's unroll depth and
+    # let k_truss's own RuntimeError fail the test if depth outgrows it
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        k_truss,
+    )
+
+    k_truss(
+        E._graph(spark, SF_ORACLE).edges,
+        k=E.KTRUSS_K,
+        max_rounds=E.KTRUSS_ORACLE_ROUNDS,
+    ).count()
     # sssp: oracle parity holds at ANY round count past Spark's stopping
     # round (fixed-point algebra, operators/sssp.py), but the EXACT-
     # distances claim needs true convergence within SSSP_ROUNDS at the

@@ -156,6 +156,62 @@ def test_conductance_oracle_parity(spark):
 
 
 # ---------------------------------------------------------------------------
+# k-truss
+# ---------------------------------------------------------------------------
+
+
+def test_ktruss_peels_the_bridge(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        k_truss,
+    )
+
+    # each triangle edge closes exactly one triangle; the bridge closes
+    # none -> the 3-truss is the two triangles, support 1 everywhere
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in k_truss(_edges_df(spark, TWO_TRI), k=3).collect()
+    }
+    assert got == {
+        (0, 1): 1, (1, 2): 1, (0, 2): 1,
+        (3, 4): 1, (4, 5): 1, (3, 5): 1,
+    }
+
+
+def test_ktruss_k4_on_clique(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        k_truss,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    # K4: every edge closes two triangles -> the 4-truss is all of K4;
+    # the two-triangle graph has no edge with support >= 2 -> empty
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in k_truss(_edges_df(spark, k4), k=4).collect()
+    }
+    assert got == {(a, b): 2 for a, b in k4}
+    assert k_truss(_edges_df(spark, TWO_TRI), k=4).count() == 0
+
+
+def test_ktruss_oracle_parity(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        k_truss,
+        k_truss_oracle_sql,
+    )
+
+    got = sorted(
+        tuple(r) for r in k_truss(_edges_df(spark, TWO_TRI), k=3).collect()
+    )
+    want = sorted(
+        tuple(int(x) for x in r)
+        for r in duckdb.sql(
+            k_truss_oracle_sql(_edges_sql(TWO_TRI), k=3, rounds=3)
+        ).fetchall()
+    )
+    assert got == want and len(got) == 6
+
+
+# ---------------------------------------------------------------------------
 # degree assortativity
 # ---------------------------------------------------------------------------
 
