@@ -286,6 +286,27 @@ def main() -> None:
     # FastRP: two integer neighbor-sum rounds on one 16-wide array column
     # + one L2 normalization — the embedding-generation trend line
     timed("q_fastrp", lambda: E.q_graph_fastrp(spark, SF_DIR).count())
+    # ArticleRank rides the pagerank uniform-restart loop with the
+    # avg-degree denominator — the trend line isolates the contrib delta
+    timed(
+        "q_articlerank",
+        lambda: E.q_graph_articlerank(spark, SF_DIR).count(),
+    )
+    # conductance rides the LPA loop + one label-join aggregate
+    timed(
+        "q_conductance",
+        lambda: E.q_graph_conductance(spark, SF_DIR).count(),
+    )
+    # two-level Louvain: 4 parity-scheduled gain rounds + contraction + 2
+    # contracted rounds — the community-detection flagship trend line
+    timed("q_louvain", lambda: E.q_graph_louvain(spark, SF_DIR).count())
+    # DSIR: one gram expansion -> 4096-bucket aggregate -> broadcast join
+    timed("q_dsir", lambda: E.q_dsir_weights(spark, SF_DIR).count())
+    # within-doc entropy: one (doc, term) aggregate + per-doc sum
+    timed("q_doc_entropy", lambda: E.q_doc_entropy(spark, SF_DIR).count())
+    # k-truss: triangle-support peeling (first round dominates — full
+    # degree-oriented enumeration over the unpeeled edge set)
+    timed("q_ktruss", lambda: E.q_graph_ktruss(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

@@ -99,43 +99,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    deg = und.selectExpr("u AS node").unionAll(und.selectExpr("v AS node")).groupBy(
-        "node"
-    ).agg(F.count(F.lit(1)).alias("deg"))
-    # orient each edge low -> high by (deg, id); carry the head's order key
-    # so the wedge join can order its two heads without another deg join
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    ed = und.join(du, "u").join(dv, "v")
-    fwd = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = ed.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("bdeg"),
-    )
-    # the oriented table feeds THREE join sides; without materialization
-    # Spark re-derives distinct+degree+orientation for each reference
-    # (3x the edge scan at scale — the plan audit showed 280 exchanges).
-    # Pre-partitioning by the wedge key lets BOTH sides of the self-join
-    # reuse the checkpoint's layout instead of exchanging m rows twice.
-    shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    o = o.repartition(shuffle_n, "a").localCheckpoint(eager=True)
-    e1 = o.select("a", F.col("b").alias("b1"), F.col("bdeg").alias("d1"))
-    e2 = o.select("a", F.col("b").alias("b2"), F.col("bdeg").alias("d2"))
-    wedges = e1.join(e2, "a").where(
-        (F.col("d1") < F.col("d2"))
-        | ((F.col("d1") == F.col("d2")) & (F.col("b1") < F.col("b2")))
-    )
-    closing = o.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
-    # the closure probe is the WEDGE set (O(m^1.5) rows) against the
-    # oriented edges (m rows): broadcasting the edge side under the bound
-    # means the wedges — the biggest frame in the operator — never
-    # shuffle. o is checkpointed, so the count is one cheap job.
-    if o.count() <= BROADCAST_EDGE_BOUND:
-        closing = F.broadcast(closing)
-    tri = wedges.join(closing, ["b1", "b2"]).select("a", "b1", "b2")
+    tri = _oriented_triangles(und)
     corners = (
         tri.selectExpr("a AS node")
         .unionAll(tri.selectExpr("b1 AS node"))
@@ -479,13 +443,21 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int | None = None) -> DataF
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
 
 
-def _edge_triangle_support(und: DataFrame) -> DataFrame:
-    """(u, v, s): per-edge triangle counts over a CANONICAL (u < v,
-    distinct, checkpointed) edge set — the support step of k-truss
-    peeling.  Same compact-forward degree orientation as
-    `triangle_counts` (wedge join bounded at O(m^1.5) with no hub cap);
-    each triangle credits its THREE canonical edges.  Edges in no
-    triangle get no row."""
+def _oriented_triangles(und: DataFrame) -> DataFrame:
+    """tri(a, b1, b2): every triangle of a CANONICAL (u < v, distinct)
+    edge set, found exactly once — the compact-forward / degree-ordered
+    enumeration shared by `triangle_counts` and k-truss support: orient
+    each edge from its lower-(deg, id) endpoint so every oriented
+    out-degree is O(sqrt(m)) and the wedge self-join is bounded by
+    O(m^1.5) regardless of hubs.
+
+    The oriented table feeds THREE join sides; without materialization
+    Spark re-derives degree+orientation for each reference (3x the edge
+    scan at scale — the plan audit showed 280 exchanges).
+    Pre-partitioning by the wedge key lets BOTH sides of the self-join
+    reuse the checkpoint's layout; the closure probe broadcasts the
+    oriented edges under ``BROADCAST_EDGE_BOUND`` so the wedges — the
+    biggest frame in the operator — never shuffle."""
     deg = (
         und.selectExpr("u AS node")
         .unionAll(und.selectExpr("v AS node"))
@@ -514,7 +486,15 @@ def _edge_triangle_support(und: DataFrame) -> DataFrame:
     closing = o.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
     if o.count() <= BROADCAST_EDGE_BOUND:
         closing = F.broadcast(closing)
-    tri = wedges.join(closing, ["b1", "b2"]).select("a", "b1", "b2")
+    return wedges.join(closing, ["b1", "b2"]).select("a", "b1", "b2")
+
+
+def _edge_triangle_support(und: DataFrame) -> DataFrame:
+    """(u, v, s): per-edge triangle counts over a CANONICAL (u < v,
+    distinct, checkpointed) edge set — the support step of k-truss
+    peeling; each triangle credits its THREE canonical edges.  Edges in
+    no triangle get no row."""
+    tri = _oriented_triangles(und)
     sides = (
         tri.select(
             F.least("a", "b1").alias("u"), F.greatest("a", "b1").alias("v")
@@ -573,7 +553,8 @@ def k_truss(
         )
         if keep.count() == und.count():
             return keep
-        und = keep.select("u", "v").localCheckpoint(eager=True)
+        # keep is already checkpointed; the projection is zero-cost on top
+        und = keep.select("u", "v")
     raise RuntimeError(f"k_truss did not converge within {max_rounds} rounds")
 
 

@@ -72,22 +72,24 @@ def pagerank_global(
         pdf = pd.DataFrame({"node": lg.ids, "score": r})
         return graph.spark.createDataFrame(pdf, schema="node long, score double")
     d = 1.0 - alpha
-    n = graph.n
-    restart = (
-        graph.nodes.select(
-            F.col("id").alias("node"),
-            F.lit((1.0 - d) / n).alias("rank"),
-        )
-        .localCheckpoint(eager=True)  # read every superstep; derive once
-    )
     return _uniform_restart_loop(
         graph.spark,
         edges=graph.edges_deg,
         contrib=F.lit(d) * F.col("rank") / F.col("src_out_degree"),
-        restart=restart,
-        n=n,
+        restart=_uniform_restart_vector(graph, d),
+        n=graph.n,
         iterations=iterations,
     )
+
+
+def _uniform_restart_vector(graph: PropertyGraph, d: float) -> DataFrame:
+    """Checkpointed (node, (1-d)/n) restart vector over every node —
+    read by every superstep of the uniform-restart loops
+    (`pagerank_global`, `article_rank`); derived once."""
+    return graph.nodes.select(
+        F.col("id").alias("node"),
+        F.lit((1.0 - d) / graph.n).alias("rank"),
+    ).localCheckpoint(eager=True)
 
 
 def _uniform_restart_loop(
@@ -159,23 +161,15 @@ def article_rank(
     the only per-superstep shuffle against the cached pre-partitioned edge
     table (`_uniform_restart_loop`'s discipline)."""
     d = 1.0 - alpha
-    n = graph.n
-    avg_out = graph.m / n  # exact ints -> one IEEE division, bit-portable
-    restart = (
-        graph.nodes.select(
-            F.col("id").alias("node"),
-            F.lit((1.0 - d) / n).alias("rank"),
-        )
-        .localCheckpoint(eager=True)  # read every superstep; derive once
-    )
+    avg_out = graph.m / graph.n  # exact ints -> one IEEE division, portable
     return _uniform_restart_loop(
         graph.spark,
         edges=graph.edges_deg,
         contrib=F.lit(d)
         * F.col("rank")
         / (F.col("src_out_degree") + F.lit(avg_out)),
-        restart=restart,
-        n=n,
+        restart=_uniform_restart_vector(graph, d),
+        n=graph.n,
         iterations=iterations,
     )
 
