@@ -31,6 +31,8 @@ from .text import portable_hash
 
 __all__ = [
     "hll_distinct",
+    "hll_register_rows",
+    "hll_estimate",
     "hll_oracle_sql",
     "cms_heavy_hitters",
     "cms_oracle_sql",
@@ -63,26 +65,40 @@ def _rho_sql(w_expr: str, w_bits: int) -> str:
     return f"(CASE\n{whens}\n    ELSE {w_bits + 1} END)"
 
 
-def hll_distinct(
+def hll_register_rows(
     df: DataFrame,
     value_col: str,
     group_cols: list[str] | None = None,
     p: int = 12,
 ) -> DataFrame:
-    """(group_cols..., approx_distinct) — HLL estimate of distinct
-    ``value_col`` per group (or one global row), ROUND(_, 4)."""
+    """(group_cols..., _bucket, _rho): the per-row register contributions —
+    the shard-able half of the sketch.  Registers merge by MAX, so any
+    partial max over these rows (a microbatch, a shard, an epoch
+    partition) composes losslessly into the global sketch."""
     group_cols = group_cols or []
     m = 1 << p
     w_bits = _HASH_BITS - p
     h = portable_hash(F.col(value_col))
     # count-distinct semantics ignore NULLs; an unfiltered NULL would
     # hash to a NULL bucket and inflate the register fold
-    rows = df.where(F.col(value_col).isNotNull()).select(
+    return df.where(F.col(value_col).isNotNull()).select(
         *group_cols,
         (h % F.lit(m)).alias("_bucket"),
-        _rho_column(F.floor(h / F.lit(m)).cast("long"), w_bits).alias("_rho"),
+        _rho_column(F.floor(h / F.lit(m)).cast("long"), w_bits)
+        .cast("int")
+        .alias("_rho"),
     )
-    regs = rows.groupBy(*group_cols, "_bucket").agg(F.max("_rho").alias("_reg"))
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: list[str] | None = None, p: int = 12
+) -> DataFrame:
+    """(group_cols..., approx_distinct) from folded registers
+    (group_cols..., _bucket, _reg) — the estimator half, shared by the
+    batch operator and the streaming store's read path so the two can
+    never drift."""
+    group_cols = group_cols or []
+    m = 1 << p
     per_group = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("_reg"))).alias("_s"),
         F.count(F.lit(1)).alias("_present"),
@@ -98,6 +114,20 @@ def hll_distinct(
     return per_group.select(
         *group_cols, F.round(est, 4).alias("approx_distinct")
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """(group_cols..., approx_distinct) — HLL estimate of distinct
+    ``value_col`` per group (or one global row), ROUND(_, 4)."""
+    group_cols = group_cols or []
+    rows = hll_register_rows(df, value_col, group_cols, p)
+    regs = rows.groupBy(*group_cols, "_bucket").agg(F.max("_rho").alias("_reg"))
+    return hll_estimate(regs, group_cols, p)
 
 
 def hll_oracle_sql(

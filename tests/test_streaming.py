@@ -672,3 +672,65 @@ def test_temporal_ppr_from_store_matches_batch_operator(spark, tmp_path):
         for r in want_df.where(F.round("score", 9) > 0).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_distinct_matches_batch_twin(spark, events_dir, tmp_path):
+    """Two microbatches of HLL register partials; the read-side max-fold +
+    shared estimator must equal the oracle-gated batch hll_distinct over
+    the complete event set EXACTLY (identical registers either way)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        hll_distinct,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        hll_stream as H,
+    )
+
+    store = str(tmp_path / "hll_store")
+    stream = S.read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = H.start_streaming_distinct(spark, stream, store)
+    _drain(q)
+
+    got = {
+        (r["event_type"], r["approx_distinct"])
+        for r in H.read_distinct_board(spark, store).collect()
+    }
+    want = {
+        (r["event_type"], r["approx_distinct"])
+        for r in hll_distinct(
+            load_table(spark, SF_SMALL, "events"),
+            "user_id",
+            group_cols=["event_type"],
+        ).collect()
+    }
+    assert got == want and got
+    # store layout: partitioned by epoch (the idempotent-replay overwrite unit)
+    assert glob.glob(os.path.join(store, "epoch=*")), os.listdir(store)
+
+
+def test_streaming_distinct_replay_and_compaction(spark, tmp_path):
+    """Replaying the last epoch and folding history via compact_store must
+    both leave the board unchanged (register MAX is idempotent; the
+    per-epoch partition discipline keeps the store bounded)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        hll_stream as H,
+    )
+
+    store = str(tmp_path / "hll_store")
+    events = load_table(spark, SF_SMALL, "events")
+    parts = [events.where(F.col("user_id") % 3 == i) for i in range(3)]
+
+    run_epoch = H.make_merge_batch(spark, store)
+    for i, part in enumerate(parts):
+        run_epoch(part, i)
+    board = lambda: sorted(  # noqa: E731
+        (r["event_type"], r["approx_distinct"])
+        for r in H.read_distinct_board(spark, store).collect()
+    )
+    before = board()
+    run_epoch(parts[-1], 2)  # replay the last epoch, as a restart would
+    assert board() == before
+    folded = H.compact_store(spark, store)
+    assert folded == 2  # epochs 0 and 1 -> the -1 sentinel partition
+    assert board() == before and before
+    epochs = {os.path.basename(p) for p in glob.glob(os.path.join(store, "epoch=*"))}
+    assert epochs == {"epoch=-1", "epoch=2"}
