@@ -84,8 +84,14 @@ def _local_moving(
     (src, dst, w) edge list with self-pairs already excluded; ``strength``
     is (node, deg) covering every edge endpoint (labels may cover more —
     isolated nodes ride through with deg 0 and only their own candidate).
-    """
-    loop = SuperstepLoop(checkpoint_every=2)
+
+    checkpoint_every=1: each round reads ``labels`` from FIVE consumers
+    (neighbor join, own-candidate union, community degree rollup,
+    own-label join, carry-through left join) — a lazy round re-derives
+    the previous round's plan per consumer (the unshared-subtree
+    recompute), which costs far more than one eager checkpoint of the
+    node-bounded label vector per round."""
+    loop = SuperstepLoop(checkpoint_every=1)
     with static_superstep_plan(spark, shuffle_partitions=loop_parts):
         edges = edges.localCheckpoint(eager=True)
         strength = strength.localCheckpoint(eager=True)
