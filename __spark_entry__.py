@@ -5461,6 +5461,36 @@ _REGISTRY_SQL["graph_ktruss"] = k_truss_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 41: span-corruption target generation (T5 denoising)
+# ---------------------------------------------------------------------------
+# functions/packing.span_corruption_targets: deterministic fixed-block
+# span masking producing (input_text, target_text) pairs with incremental
+# sentinels — byte-identical strings in both engines.
+
+
+def q_span_corruption(spark, sf_dir):
+    """T5-style span-corruption pairs over the documents table:
+    fixed-block deterministic masking, incremental <extra_id_k> sentinels
+    (functions/packing.span_corruption_targets)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.packing import (
+        span_corruption_targets,
+    )
+
+    return span_corruption_targets(_t(spark, sf_dir, "documents"))
+
+
+_REGISTRY_Q["span_corruption"] = q_span_corruption
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.packing import (  # noqa: E402
+    span_corruption_oracle_sql,
+)
+
+_REGISTRY_SQL["span_corruption"] = span_corruption_oracle_sql(
+    "SELECT doc_id, text FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5511,6 +5541,7 @@ _R6_NEW = [
     "graph_louvain",        # r6: deterministic two-level Louvain
     "doc_entropy",          # r6: within-doc token entropy (nano-units)
     "graph_ktruss",         # r6: k-truss via triangle-support peeling
+    "span_corruption",      # r6: T5-style span-corruption targets
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

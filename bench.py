@@ -307,6 +307,11 @@ def main() -> None:
     # k-truss: triangle-support peeling (first round dominates — full
     # degree-oriented enumeration over the unpeeled edge set)
     timed("q_ktruss", lambda: E.q_graph_ktruss(spark, SF_DIR).count())
+    # span corruption: one md5 per token + doc-keyed sorted rebuilds
+    timed(
+        "q_span_corruption",
+        lambda: E.q_span_corruption(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

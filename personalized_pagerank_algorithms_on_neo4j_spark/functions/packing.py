@@ -47,6 +47,8 @@ __all__ = [
     "pack_sequences",
     "mixture_rebalance",
     "token_budget_mix",
+    "span_corruption_targets",
+    "span_corruption_oracle_sql",
 ]
 
 
@@ -382,4 +384,203 @@ c AS (
   FROM d
 )
 SELECT * FROM c WHERE cum_tokens <= {budget}
+"""
+
+
+def span_corruption_targets(
+    docs: DataFrame,
+    block: int = 8,
+    mask_pct: int = 40,
+    seed: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_masked, n_spans, input_text, target_text): T5-style span
+    corruption — the denoising-pretraining target generator.  Masked spans
+    are replaced in the input by incremental sentinels and emitted in the
+    target as ``<extra_id_k> span tokens ...``:
+
+        tokens:  the quick brown fox jumps over the lazy dog
+        input:   the quick <extra_id_0> jumps over <extra_id_1> dog
+        target:  <extra_id_0> brown fox <extra_id_1> the lazy
+
+    Deterministic fixed-block variant (columnar-friendly): positions
+    partition into blocks of ``block`` tokens; per (doc, block) one md5
+    hash decides — via three independent hex slices — whether the block
+    masks a span (``mask_pct`` percent do), the span length L in {2,3,4},
+    and its offset within the block.  Blocks are independent, so masking
+    needs no sequential scan (the classic T5 sampler draws spans
+    sequentially to avoid overlap; fixed blocks make non-overlap
+    structural).  Expected mask rate = mask_pct% * E[L]/block = 15% at the
+    defaults.  Docs whose blocks all miss get input = normalized text and
+    an empty target; token-less docs get no row.
+
+    Cross-engine exactness: every decision is integer arithmetic on md5
+    hex slices, and both engines rebuild the strings with the same
+    order-keyed joins — byte-identical output.
+
+    Scale shape: one token explode (linear), per-(doc, block) aggregates,
+    and per-DOC windows/sorted-collects only — every shuffle key is the
+    doc id, state per doc is its own token count, nothing global."""
+    ntok = F.size(tokens(F.trim(F.col(text_col))))
+    toks = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.trim(F.col(text_col)))).alias("pos", "token"),
+    )
+    key = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit("|"),
+        (F.col("pos") / block).cast("long").cast("string"),
+        F.lit("#"),
+        F.lit(str(seed)),
+    )
+    m5 = F.md5(key)
+    h_mask = F.conv(F.substring(m5, 1, 4), 16, 10).cast("long")
+    h_len = F.conv(F.substring(m5, 5, 4), 16, 10).cast("long")
+    h_off = F.conv(F.substring(m5, 9, 4), 16, 10).cast("long")
+    span_len = F.lit(2) + (h_len % 3)
+    span_off = h_off % (F.lit(block) - span_len + 1)
+    offset = F.col("pos") % block
+    masked = (
+        (h_mask % 100 < mask_pct)
+        & (offset >= span_off)
+        & (offset < span_off + span_len)
+    )
+    rows = toks.select(
+        "doc_id",
+        "pos",
+        "token",
+        (F.col("pos") / block).cast("long").alias("block"),
+        masked.alias("masked"),
+    ).localCheckpoint(eager=True)  # feeds the span aggregate AND the keeps
+    spans = (
+        rows.where("masked")
+        .groupBy("doc_id", "block")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x["token"],
+                ),
+            ).alias("span_text"),
+        )
+    )
+    k = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("block")
+    ) - F.lit(1)
+    spans = spans.withColumn(
+        "sentinel", F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+    ).localCheckpoint(eager=True)  # feeds the input union AND the target
+    parts = (
+        rows.where(~F.col("masked"))
+        .select("doc_id", "pos", "token")
+        .unionByName(
+            spans.select(
+                "doc_id",
+                F.col("start_pos").alias("pos"),
+                F.col("sentinel").alias("token"),
+            )
+        )
+    )
+    inp = parts.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda x: x["token"],
+            ),
+        ).alias("input_text")
+    )
+    tgt = spans.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_masked"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "block",
+                            F.concat_ws(
+                                " ", F.col("sentinel"), F.col("span_text")
+                            ).alias("part"),
+                        )
+                    )
+                ),
+                lambda x: x["part"],
+            ),
+        ).alias("target_text"),
+    )
+    return inp.join(tgt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_masked"), F.lit(0)).cast("long").alias("n_masked"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        "input_text",
+        F.coalesce(F.col("target_text"), F.lit("")).alias("target_text"),
+    )
+
+
+def span_corruption_oracle_sql(
+    docs_sql: str,
+    block: int = 8,
+    mask_pct: int = 40,
+    seed: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of `span_corruption_targets` (byte-identical strings)."""
+    key = (
+        f"CAST(doc_id AS VARCHAR) || '|' || CAST(pos // {block} AS VARCHAR)"
+        f" || '#' || '{seed}'"
+    )
+    return f"""
+WITH sc_docs AS ({docs_sql}),
+sc_tok AS (
+  SELECT doc_id, ord - 1 AS pos, term FROM (
+    SELECT {id_col} AS doc_id,
+           unnest(string_split_regex(trim({text_col}), ' +')) AS term,
+           generate_subscripts(string_split_regex(trim({text_col}), ' +'), 1) AS ord
+    FROM sc_docs
+    WHERE length(trim({text_col})) > 0
+  )),
+sc_rows AS MATERIALIZED (
+  SELECT doc_id, pos, term, pos // {block} AS block,
+         (hm % 100 < {mask_pct}
+          AND (pos % {block}) >= (ho % ({block} - (2 + hl % 3) + 1))
+          AND (pos % {block}) < (ho % ({block} - (2 + hl % 3) + 1)) + 2 + hl % 3
+         ) AS masked
+  FROM (
+    SELECT doc_id, pos, term,
+           CAST(('0x' || substring(md5({key}), 1, 4)) AS BIGINT) AS hm,
+           CAST(('0x' || substring(md5({key}), 5, 4)) AS BIGINT) AS hl,
+           CAST(('0x' || substring(md5({key}), 9, 4)) AS BIGINT) AS ho
+    FROM sc_tok
+  )),
+sc_spans AS MATERIALIZED (
+  SELECT doc_id, block, MIN(pos) AS start_pos,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         string_agg(term, ' ' ORDER BY pos) AS span_text,
+         '<extra_id_' || CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY block) - 1 AS VARCHAR) || '>' AS sentinel
+  FROM sc_rows WHERE masked
+  GROUP BY doc_id, block),
+sc_inp AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS input_text FROM (
+    SELECT doc_id, pos, term AS token FROM sc_rows WHERE NOT masked
+    UNION ALL
+    SELECT doc_id, start_pos AS pos, sentinel AS token FROM sc_spans
+  ) GROUP BY doc_id),
+sc_tgt AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_masked,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         string_agg(sentinel || ' ' || span_text, ' ' ORDER BY block) AS target_text
+  FROM sc_spans GROUP BY doc_id)
+SELECT i.doc_id,
+       COALESCE(t.n_masked, 0) AS n_masked,
+       COALESCE(t.n_spans, 0) AS n_spans,
+       i.input_text,
+       COALESCE(t.target_text, '') AS target_text
+FROM sc_inp i LEFT JOIN sc_tgt t ON i.doc_id = t.doc_id
 """

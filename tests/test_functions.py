@@ -2106,6 +2106,70 @@ def test_doc_token_entropy_hand_computed(spark):
     assert got[1][2] > got[3][2] > got[2][2]
 
 
+def test_span_corruption_structure_and_parity(spark):
+    """Sentinels are incremental and consistent between input and target,
+    the reconstruction is lossless (unmasked tokens + target spans rebuild
+    the doc), the mask rate sits in the designed band on a long doc, and
+    the DuckDB twin emits byte-identical strings."""
+    import duckdb
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.packing import (
+        span_corruption_oracle_sql,
+        span_corruption_targets,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(400))
+    rows = [("long", long_doc), ("tiny", "one two three"), ("empty", " ")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in span_corruption_targets(df).collect()}
+    assert set(out) == {"long", "tiny"}  # token-less docs get no row
+
+    r = out["long"]
+    assert r["n_spans"] >= 1
+    # designed rate: 40% of blocks mask an E[L]=3 span in a block of 8
+    assert 0.05 <= r["n_masked"] / 400 <= 0.30
+    # sentinels increment 0..n_spans-1 and appear in BOTH strings
+    for k in range(r["n_spans"]):
+        assert f"<extra_id_{k}>" in r["input_text"]
+        assert f"<extra_id_{k}>" in r["target_text"]
+    assert f"<extra_id_{r['n_spans']}>" not in r["input_text"]
+    # lossless: substituting each target span back at its sentinel
+    # rebuilds the original token sequence
+    rebuilt = r["input_text"]
+    parts = rebuilt.split()
+    tgt = r["target_text"].split()
+    spans: dict[str, list[str]] = {}
+    cur = None
+    for t in tgt:
+        if t.startswith("<extra_id_"):
+            cur = t
+            spans[cur] = []
+        else:
+            spans[cur].append(t)
+    merged: list[str] = []
+    for t in parts:
+        merged.extend(spans[t] if t in spans else [t])
+    assert merged == long_doc.split()
+
+    vals = ",".join("('%s','%s')" % p for p in rows)
+    want = {
+        r[0]: tuple(r)
+        for r in duckdb.sql(
+            span_corruption_oracle_sql(
+                f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)"
+            )
+        ).fetchall()
+    }
+    for doc_id, row in out.items():
+        assert tuple(row) == (
+            want[doc_id][0],
+            int(want[doc_id][1]),
+            int(want[doc_id][2]),
+            want[doc_id][3],
+            want[doc_id][4],
+        )
+
+
 def test_link_negatives_are_nonedges_and_deterministic(spark):
     from personalized_pagerank_algorithms_on_neo4j_spark.functions import graphstats
 
