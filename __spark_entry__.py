@@ -5491,6 +5491,92 @@ _REGISTRY_SQL["span_corruption"] = span_corruption_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 42: snapshot (time-sliced) PageRank
+# ---------------------------------------------------------------------------
+# operators/pagerank.pagerank_snapshots: per-order-year customer->supplier
+# graphs (static nation edges in every snapshot), ALL years batched
+# through one superstep loop with (year, node)-keyed state — the
+# sssp_landmarks batching pattern applied to graphs-over-time.
+
+PAGERANK_SNAP_ITERS = 6
+
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (  # noqa: E402
+    NATION_BASE,
+    SUPP_BASE,
+)
+
+SNAP_EDGES_SQL = f"""
+SELECT snap, src, dst FROM (
+  SELECT DISTINCT CAST(year(o.o_orderdate) AS BIGINT) AS snap,
+         CAST(o.o_custkey AS BIGINT) AS src,
+         CAST(l.l_suppkey + {SUPP_BASE} AS BIGINT) AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  UNION ALL
+  SELECT y.snap, e.src, e.dst FROM (
+    SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS snap FROM orders
+  ) y CROSS JOIN (
+    SELECT CAST(s_suppkey + {SUPP_BASE} AS BIGINT) AS src,
+           CAST(s_nationkey + {NATION_BASE} AS BIGINT) AS dst
+    FROM supplier
+    UNION ALL
+    SELECT CAST(c_custkey AS BIGINT), CAST(c_nationkey + {NATION_BASE} AS BIGINT)
+    FROM customer
+  ) e
+)
+"""
+
+
+def q_pagerank_snapshots(spark, sf_dir):
+    """Per-order-year PageRank trend over the customer->supplier->nation
+    graph, every yearly snapshot batched through ONE superstep loop with
+    (year, node)-keyed state (operators/pagerank.pagerank_snapshots)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+        pagerank_snapshots,
+    )
+
+    g = _graph(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    cs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("snap"),
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + SUPP_BASE).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    years = orders.select(
+        F.year("o_orderdate").cast("long").alias("snap")
+    ).distinct()
+    static = supplier.select(
+        (F.col("s_suppkey") + SUPP_BASE).cast("long").alias("src"),
+        (F.col("s_nationkey") + NATION_BASE).cast("long").alias("dst"),
+    ).unionAll(
+        customer.select(
+            F.col("c_custkey").cast("long").alias("src"),
+            (F.col("c_nationkey") + NATION_BASE).cast("long").alias("dst"),
+        )
+    )
+    edges_t = cs.unionByName(years.crossJoin(static).select("snap", "src", "dst"))
+    df = pagerank_snapshots(edges_t, g.nodes, iterations=PAGERANK_SNAP_ITERS, alpha=ALPHA)
+    return df.select("snap", "node", F.round("score", 9).alias("score"))
+
+
+_REGISTRY_Q["pagerank_snapshots"] = q_pagerank_snapshots
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (  # noqa: E402
+    pagerank_snapshots_oracle_sql,
+)
+
+_REGISTRY_SQL["pagerank_snapshots"] = pagerank_snapshots_oracle_sql(
+    SNAP_EDGES_SQL, GRAPH_NODES_SQL, iterations=PAGERANK_SNAP_ITERS, alpha=ALPHA
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5542,6 +5628,7 @@ _R6_NEW = [
     "doc_entropy",          # r6: within-doc token entropy (nano-units)
     "graph_ktruss",         # r6: k-truss via triangle-support peeling
     "span_corruption",      # r6: T5-style span-corruption targets
+    "pagerank_snapshots",   # r6: batched time-sliced PageRank
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

@@ -312,6 +312,11 @@ def main() -> None:
         "q_span_corruption",
         lambda: E.q_span_corruption(spark, SF_DIR).count(),
     )
+    # seven yearly snapshots batched through one (snap, node)-keyed loop
+    timed(
+        "q_pagerank_snapshots",
+        lambda: E.q_pagerank_snapshots(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

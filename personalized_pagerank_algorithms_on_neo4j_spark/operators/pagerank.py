@@ -213,6 +213,112 @@ SELECT node, ROUND(rank, 9) AS score FROM ar{iterations}
 """
 
 
+def pagerank_snapshots(
+    edges_t: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 6,
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """(snap, node, score): whole-graph PageRank over T graph SNAPSHOTS —
+    ``edges_t`` is (snap, src, dst) — batched through ONE superstep loop
+    with (snap, node)-keyed state, the same batching design win as the
+    multi-landmark SSSP (operators/sssp.sssp_weighted_multi): running T
+    snapshots singly costs T driver round-trips per iteration and T
+    separate shuffled jobs; the composite key turns the time dimension
+    into ordinary parallelism, so the loop's job count is independent of
+    how many snapshots you analyze.  Same conventions per snapshot as
+    `pagerank_global` over the SHARED node set ``nodes`` (uniform 1/n
+    start, restart mass alpha/n on every node, damping d = 1-alpha,
+    dangling mass dropped, raw scores) — the temporal-trend analytic: how centrality
+    moved between snapshots.
+
+    Scale shape: the O(T*n) state shuffles on (snap, node) each superstep
+    against the checkpointed (snap)-sliced edge table; the restart frame
+    derives once; broadcast gating scales by T*n (per the
+    payload-scaled-gate rule), so a wide time range degrades gracefully to
+    the shuffled path."""
+    spark = edges_t.sparkSession
+    edges_t = edges_t.localCheckpoint(eager=True)  # degrees + every superstep
+    deg_t = edges_t.groupBy("snap", "src").agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    et = edges_t.join(deg_t, ["snap", "src"]).localCheckpoint(eager=True)
+    snaps = edges_t.select("snap").distinct()
+    n = nodes.count()
+    t_count = snaps.count()
+    d = 1.0 - alpha
+    restart = (
+        snaps.crossJoin(nodes.select(F.col("id").alias("node")))
+        .select("snap", "node", F.lit((1.0 - d) / n).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    rank = restart.select("snap", "node", F.lit(1.0 / n).alias("rank"))
+    loop = SuperstepLoop(checkpoint_every=4)
+    small = t_count * n <= BROADCAST_NODE_BOUND
+    loop_parts = loop_shuffle_partitions(spark, t_count * n) if small else None
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
+        for _ in range(iterations):
+            # name-keyed join: attribute conditions (rj.snap == et.snap)
+            # trip Spark's ambiguous-self-join check once rank's lineage
+            # includes et (non-checkpointed rounds)
+            rs = rank.withColumnRenamed("node", "src")
+            rj = F.broadcast(rs) if small else rs
+            step = rj.join(et, ["snap", "src"]).select(
+                "snap",
+                F.col("dst").alias("node"),
+                (F.lit(d) * F.col("rank") / F.col("out_deg")).alias("rank"),
+            )
+            rank = (
+                step.unionAll(restart)
+                .groupBy("snap", "node")
+                .agg(F.sum("rank").alias("rank"))
+            )
+            rank = loop.materialize(rank)
+    return rank.select("snap", "node", F.col("rank").alias("score"))
+
+
+def pagerank_snapshots_oracle_sql(
+    edges_t_sql: str,
+    nodes_sql: str,
+    iterations: int = 6,
+    alpha: float = DEFAULT_ALPHA,
+) -> str:
+    """DuckDB twin of `pagerank_snapshots` over any (snap, src, dst) edge
+    SQL and (id) node SQL — the unrolled recurrence with snap carried
+    through every CTE."""
+    d = 1.0 - alpha
+    ctes = [
+        f"ps_e AS MATERIALIZED ({edges_t_sql})",
+        """ps_deg AS (
+  SELECT snap, src, CAST(COUNT(*) AS BIGINT) AS out_deg
+  FROM ps_e GROUP BY 1, 2)""",
+        """ps_et AS MATERIALIZED (
+  SELECT e.snap, e.src, e.dst, g.out_deg
+  FROM ps_e e JOIN ps_deg g ON e.snap = g.snap AND e.src = g.src)""",
+        f"ps_nd AS MATERIALIZED (SELECT id AS node FROM ({nodes_sql}))",
+        "ps_nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ps_nd)",
+        "ps_sn AS (SELECT DISTINCT snap FROM ps_e)",
+        """ps_r0 AS MATERIALIZED (
+  SELECT s.snap, d.node, 1.0 / (SELECT n FROM ps_nn) AS rank
+  FROM ps_sn s CROSS JOIN ps_nd d)""",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""ps_r{i + 1} AS MATERIALIZED (
+  SELECT snap, node, SUM(rank) AS rank FROM (
+    SELECT e.snap, e.dst AS node, {d} * t.rank / e.out_deg AS rank
+    FROM ps_r{i} t JOIN ps_et e ON t.snap = e.snap AND t.node = e.src
+    UNION ALL
+    SELECT s.snap, d.node, {alpha} / (SELECT n FROM ps_nn) AS rank
+    FROM ps_sn s CROSS JOIN ps_nd d
+  ) u GROUP BY 1, 2)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT snap, node, ROUND(rank, 9) AS score FROM ps_r{iterations}
+"""
+
+
 def pagerank_weighted(
     edges_w: DataFrame,
     iterations: int = 10,

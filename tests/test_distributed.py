@@ -393,6 +393,39 @@ def test_article_rank_matches_replay_and_diverges_from_pagerank(got):
     assert max(abs(got_scores[v] - pr[v]) for v in nodes) > 1e-6
 
 
+def test_pagerank_snapshots_slice_equals_global(got, spark):
+    """Each snapshot's slice of the batched loop must equal
+    pagerank_global run on a graph holding just that snapshot's edges
+    (same shared node set) — pins the (snap, node)-keyed batching."""
+    e = got.edges
+    # two synthetic snapshots: even-src edges vs all edges
+    e1 = e.where(F.col("src") % 2 == 0)
+    edges_t = (
+        e1.select(F.lit(1).alias("snap"), "src", "dst")
+        .unionByName(e.select(F.lit(2).alias("snap"), "src", "dst"))
+    )
+    batched = {
+        (r["snap"], r["node"]): r["score"]
+        for r in pagerank.pagerank_snapshots(
+            edges_t, got.nodes, iterations=5
+        ).collect()
+    }
+    from personalized_pagerank_algorithms_on_neo4j_spark.graph import PropertyGraph
+
+    for snap, edges in ((1, e1), (2, e)):
+        g = PropertyGraph(spark, got.nodes, edges, nodes_cover_edges=True)
+        single = {
+            r["node"]: r["score"]
+            for r in pagerank.pagerank_global(
+                g, iterations=5, mode="distributed"
+            ).collect()
+        }
+        assert set(single) == {k[1] for k in batched if k[0] == snap}
+        assert all(
+            abs(batched[(snap, v)] - s) < 1e-12 for v, s in single.items()
+        )
+
+
 def test_distributed_plan_shape(got):
     """The per-superstep join must keep the big (edge) side un-reshuffled:
     edges_deg is pre-partitioned on src and cached."""
