@@ -5577,6 +5577,106 @@ _REGISTRY_SQL["pagerank_snapshots"] = pagerank_snapshots_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 43: ANN recall evaluation (LSH index vs brute-force cosine)
+# ---------------------------------------------------------------------------
+# functions/simsearch.ann_recall: recall@k of the banded-LSH index against
+# exact cosine over a probe set — the index-quality measurement loop.
+
+ANN_RECALL_QUERIES = [0, 1, 2, 3, 4, 5, 6, 7]
+ANN_RECALL_K = 10
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the 16-dim/4-band LSH index vs brute-force cosine for
+    eight probe vectors (functions/simsearch.ann_recall — index built
+    once, probes equi-join it)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (
+        ann_recall,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_recall(
+        e, query_ids=ANN_RECALL_QUERIES, k=ANN_RECALL_K, sketch_dims=16, bands=4
+    )
+
+
+_REGISTRY_Q["ann_recall"] = q_ann_recall
+
+
+def _ann_recall_oracle_sql(query_ids, k=10):
+    """Replays ann_recall: the same sign-sketch bands and ROUND(cos, 6)
+    scores as the simsearch_lsh / cosine_topk oracles, per probe."""
+    cos = lambda a, b: (  # noqa: E731
+        f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * SQRT(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+    )
+    band = lambda col, b: f"CAST(FLOOR({col} / POW(2.0, {b * 4})) AS BIGINT) % 16"  # noqa: E731
+    sketch16 = """(SELECT e2.vec_id, e2.embedding,
+      CAST(list_sum(list_transform(range(0, 16),
+           i -> CASE WHEN CAST(e2.embedding[i+1] AS DOUBLE) > 0
+                     THEN CAST(POW(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sk16
+    FROM embeddings e2)"""
+    ctes = [
+        f"""ar_sk AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {band('sk16', 0)} AS band0, {band('sk16', 1)} AS band1,
+         {band('sk16', 2)} AS band2, {band('sk16', 3)} AS band3
+  FROM {sketch16} t)"""
+    ]
+    ex_parts, ap_parts = [], []
+    for qid in query_ids:
+        ctes.append(
+            f"""ar_q{qid} AS (
+  SELECT embedding AS qe, band0 AS q0, band1 AS q1, band2 AS q2, band3 AS q3
+  FROM ar_sk WHERE vec_id = {qid})"""
+        )
+        ctes.append(
+            f"""ar_ex{qid} AS (
+  SELECT CAST({qid} AS BIGINT) AS query_id, vec_id AS id FROM (
+    SELECT s.vec_id, ROUND({cos('s.embedding', 'q.qe')}, 6) AS cosine
+    FROM ar_sk s CROSS JOIN ar_q{qid} q)
+  QUALIFY RANK() OVER (ORDER BY cosine DESC) <= {k})"""
+        )
+        ctes.append(
+            f"""ar_ap{qid} AS (
+  SELECT CAST({qid} AS BIGINT) AS query_id, vec_id AS id FROM (
+    SELECT s.vec_id, ROUND({cos('s.embedding', 'q.qe')}, 6) AS cosine
+    FROM ar_sk s CROSS JOIN ar_q{qid} q
+    WHERE s.band0 = q.q0 OR s.band1 = q.q1 OR s.band2 = q.q2 OR s.band3 = q.q3)
+  QUALIFY RANK() OVER (ORDER BY cosine DESC) <= {k})"""
+        )
+        ex_parts.append(f"SELECT * FROM ar_ex{qid}")
+        ap_parts.append(f"SELECT * FROM ar_ap{qid}")
+    ctes.append("ar_exact AS (" + "\nUNION ALL ".join(ex_parts) + ")")
+    ctes.append("ar_approx AS (" + "\nUNION ALL ".join(ap_parts) + ")")
+    ctes.append(
+        """ar_ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM ar_exact GROUP BY 1)"""
+    )
+    ctes.append(
+        """ar_nh AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ar_exact e JOIN ar_approx a ON e.query_id = a.query_id AND e.id = a.id
+  GROUP BY 1)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT ne.query_id, ne.n_exact,
+       COALESCE(nh.n_hit, 0) AS n_hit,
+       ROUND(CAST(COALESCE(nh.n_hit, 0) AS DOUBLE)
+             / CAST(ne.n_exact AS DOUBLE), 6) AS recall
+FROM ar_ne ne LEFT JOIN ar_nh nh ON ne.query_id = nh.query_id
+"""
+
+
+_REGISTRY_SQL["ann_recall"] = _ann_recall_oracle_sql(
+    ANN_RECALL_QUERIES, k=ANN_RECALL_K
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5629,6 +5729,7 @@ _R6_NEW = [
     "graph_ktruss",         # r6: k-truss via triangle-support peeling
     "span_corruption",      # r6: T5-style span-corruption targets
     "pagerank_snapshots",   # r6: batched time-sliced PageRank
+    "ann_recall",           # r6: LSH index recall@k vs brute cosine
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

@@ -317,6 +317,8 @@ def main() -> None:
         "q_pagerank_snapshots",
         lambda: E.q_pagerank_snapshots(spark, SF_DIR).count(),
     )
+    # eight LSH probes vs eight brute scans in one unioned job
+    timed("q_ann_recall", lambda: E.q_ann_recall(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

@@ -199,3 +199,74 @@ def ivf_topk(
         id_col, F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cosine")
     )
     return retrieve_topk(scored, k, value_col="cosine")
+
+
+def ann_recall(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    sketch_dims: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, n_exact, n_hit, recall): recall@k of the banded-LSH index
+    against exact brute-force cosine, per probe — the index-quality
+    evaluation every ANN deployment tunes against (bands/rows trade recall
+    for probe cost; this is the measurement loop).  Both sides are the
+    tie-aware top-k (sets may exceed k on score ties, identically in both
+    methods), so n_hit/n_exact is deterministic.
+
+    Scale shape: the LSH index is built ONCE and checkpointed (the
+    amortization `build_lsh_index` documents), then every probe is an
+    equi-join against it; the exact side is one broadcast-query scan per
+    probe.  The per-probe plans union into ONE job; only the final k-row
+    per-query aggregate shuffles.  Probe count is the caller's knob —
+    recall estimation needs a handful of probes, not a second corpus
+    pass."""
+    index = build_lsh_index(df, sketch_dims, bands, vec_col, id_col).localCheckpoint(
+        eager=True
+    )
+    exacts = []
+    approxs = []
+    for qid in query_ids:
+        exacts.append(
+            cosine_topk(df, qid, k, vec_col, id_col).select(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                F.col(id_col).alias("id"),
+            )
+        )
+        approxs.append(
+            lsh_topk(
+                df, qid, k, sketch_dims, bands, vec_col, id_col, index=index
+            ).select(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                F.col(id_col).alias("id"),
+            )
+        )
+    exact = exacts[0]
+    for e in exacts[1:]:
+        exact = exact.unionByName(e)
+    approx = approxs[0]
+    for a in approxs[1:]:
+        approx = approx.unionByName(a)
+    hits = exact.join(approx, ["query_id", "id"], "left_semi")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    n_hit = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -2106,6 +2106,34 @@ def test_doc_token_entropy_hand_computed(spark):
     assert got[1][2] > got[3][2] > got[2][2]
 
 
+def test_ann_recall_invariants_and_perfect_degenerate(spark):
+    """0 <= n_hit <= n_exact with recall = n_hit/n_exact on the real
+    embeddings fixture; a corpus whose every vector equals the query is a
+    single LSH bucket, so recall is exactly 1."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (
+        ann_recall,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tables import (
+        load_table,
+    )
+
+    from .conftest import SF_SMALL
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    rows = ann_recall(e, query_ids=[0, 1, 2], k=5).collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert r["recall"] == round(r["n_hit"] / r["n_exact"], 6)
+
+    same = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(12)], "vec_id long, embedding array<double>"
+    )
+    perfect = ann_recall(same, query_ids=[0], k=5).collect()
+    assert perfect[0]["recall"] == 1.0
+    assert perfect[0]["n_hit"] == perfect[0]["n_exact"] == 12  # all tie
+
+
 def test_span_corruption_structure_and_parity(spark):
     """Sentinels are incremental and consistent between input and target,
     the reconstruction is lossless (unmasked tokens + target spans rebuild
