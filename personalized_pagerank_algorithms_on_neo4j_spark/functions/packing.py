@@ -422,7 +422,6 @@ def span_corruption_targets(
     Scale shape: one token explode (linear), per-(doc, block) aggregates,
     and per-DOC windows/sorted-collects only — every shuffle key is the
     doc id, state per doc is its own token count, nothing global."""
-    ntok = F.size(tokens(F.trim(F.col(text_col))))
     toks = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.trim(F.col(text_col)))).alias("pos", "token"),

@@ -214,42 +214,59 @@ def ann_recall(
     against exact brute-force cosine, per probe — the index-quality
     evaluation every ANN deployment tunes against (bands/rows trade recall
     for probe cost; this is the measurement loop).  Both sides are the
-    tie-aware top-k (sets may exceed k on score ties, identically in both
-    methods), so n_hit/n_exact is deterministic.
+    tie-aware top-k (RANK <= k, sets may exceed k on score ties,
+    identically in both methods), so n_hit/n_exact is deterministic.
 
-    Scale shape: the LSH index is built ONCE and checkpointed (the
-    amortization `build_lsh_index` documents), then every probe is an
-    equi-join against it; the exact side is one broadcast-query scan per
-    probe.  The per-probe plans union into ONE job; only the final k-row
-    per-query aggregate shuffles.  Probe count is the caller's knob —
-    recall estimation needs a handful of probes, not a second corpus
-    pass."""
+    Scale shape: ONE corpus scan scores every probe (the probe vectors
+    broadcast into a single crossJoin), the approx side REUSES those
+    scores through a semi-join against the index candidates (the LSH
+    index is built once and checkpointed), and ranking is a
+    query-partitioned window (the bm25_multi multi-query precedent) —
+    each window partition holds one probe's scores, so per-probe work is
+    the evaluation op's inherent brute-scan cost and nothing is scored or
+    scanned twice.  Probe count is the caller's knob — recall estimation
+    needs a handful of probes, not a second corpus pass."""
+    from pyspark.sql import Window
+
+    qset = [int(q) for q in query_ids]
     index = build_lsh_index(df, sketch_dims, bands, vec_col, id_col).localCheckpoint(
         eager=True
     )
-    exacts = []
-    approxs = []
-    for qid in query_ids:
-        exacts.append(
-            cosine_topk(df, qid, k, vec_col, id_col).select(
-                F.lit(int(qid)).cast("long").alias("query_id"),
-                F.col(id_col).alias("id"),
-            )
+    queries = df.where(F.col(id_col).isin(qset)).select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("_q"),
+    )
+    scored = (
+        df.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            F.col(id_col).alias("id"),
+            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cosine"),
         )
-        approxs.append(
-            lsh_topk(
-                df, qid, k, sketch_dims, bands, vec_col, id_col, index=index
-            ).select(
-                F.lit(int(qid)).cast("long").alias("query_id"),
-                F.col(id_col).alias("id"),
-            )
-        )
-    exact = exacts[0]
-    for e in exacts[1:]:
-        exact = exact.unionByName(e)
-    approx = approxs[0]
-    for a in approxs[1:]:
-        approx = approx.unionByName(a)
+        # feeds the exact ranks AND the approx semi-join: score once
+        .localCheckpoint(eager=True)
+    )
+    probe_keys = index.where(F.col("id").isin(qset)).select(
+        F.col("id").cast("long").alias("query_id"), "band", "value"
+    )
+    cands = (
+        index.join(F.broadcast(probe_keys), ["band", "value"])
+        .select("query_id", "id")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"))
+    exact = (
+        scored.withColumn("_r", F.rank().over(w))
+        .where(F.col("_r") <= k)
+        .select("query_id", "id")
+        .localCheckpoint(eager=True)  # feeds the hit join AND n_exact
+    )
+    approx = (
+        scored.join(cands, ["query_id", "id"], "left_semi")
+        .withColumn("_r", F.rank().over(w))
+        .where(F.col("_r") <= k)
+        .select("query_id", "id")
+    )
     hits = exact.join(approx, ["query_id", "id"], "left_semi")
     n_exact = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_exact")

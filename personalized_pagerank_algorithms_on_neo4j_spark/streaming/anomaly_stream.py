@@ -118,48 +118,14 @@ def read_anomalies(spark: SparkSession, board_path: str) -> DataFrame:
 
 def compact_store(spark: SparkSession, store_path: str) -> int:
     """Fold every epoch partition EXCEPT the newest into one merged
-    `epoch=-1` partition, bounding the store's file/partition count for
-    long-lived streams. Returns how many partitions were folded away.
+    `epoch=-1` partition (SUM over per-hour counts) via the shared
+    crash-safe `_store.compact_epochs` protocol; run while the stream is
+    stopped. Returns how many partitions were folded."""
+    from ._store import compact_epochs
 
-    Run while the stream is STOPPED (after a clean stop): the newest
-    epoch is kept verbatim because it is the only one Structured
-    Streaming can replay after a restart — its partition overwrite stays
-    idempotent, and a replayed epoch id can never collide with the -1
-    sentinel. Crash-safe via build-aside + swap + recovery: the compacted
-    store is built at a sibling path and swapped in with two directory
-    renames. A crash between the renames leaves NO directory at the store
-    path (only the `_precompact` backup) — every store entry point (this
-    function and `merge_batch`) calls `_store.recover_store` first, which
-    renames the backup back into place, so no state is ever lost and a
-    double-counting mix can never form. (On an object store,
-    substitute the renames with the store's atomic move.)"""
-    import os
-    import shutil
-
-    from ._store import recover_store
-
-    recover_store(store_path)
-    df = spark.read.schema("bucket string, n bigint, epoch bigint").parquet(
-        store_path
+    return compact_epochs(
+        spark,
+        store_path,
+        "bucket string, n bigint, epoch bigint",
+        lambda df: df.groupBy("bucket").agg(F.sum("n").alias("n")),
     )
-    epochs = [r[0] for r in df.select("epoch").distinct().collect()]
-    if len(epochs) <= 2:  # nothing worth folding
-        return 0
-    newest = max(epochs)
-    merged = (
-        df.where(F.col("epoch") != newest)
-        .groupBy("bucket")
-        .agg(F.sum("n").alias("n"))
-        .withColumn("epoch", F.lit(-1).cast("long"))
-    )
-    tmp = store_path.rstrip("/") + "_compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.unionByName(df.where(F.col("epoch") == newest)).write.partitionBy(
-        "epoch"
-    ).parquet(tmp)
-    bak = store_path.rstrip("/") + "_precompact"
-    shutil.rmtree(bak, ignore_errors=True)
-    os.rename(store_path, bak)
-    os.rename(tmp, store_path)
-    shutil.rmtree(bak)
-    return len(epochs) - 1

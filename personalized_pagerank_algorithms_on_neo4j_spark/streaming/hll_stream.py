@@ -111,38 +111,16 @@ def compact_store(
     spark: SparkSession, store_path: str, group_col: str = "event_type"
 ) -> int:
     """Fold every epoch partition EXCEPT the newest into one merged
-    `epoch=-1` partition (MAX over registers), bounding the store's
-    file/partition count for long-lived streams.  Same crash-safe
-    build-aside + swap + recovery discipline as the anomaly store; run
-    while the stream is stopped.  Returns how many partitions were folded.
-    """
-    import os
-    import shutil
+    `epoch=-1` partition (MAX over registers) via the shared crash-safe
+    `_store.compact_epochs` protocol; run while the stream is stopped.
+    Returns how many partitions were folded."""
+    from ._store import compact_epochs
 
-    from ._store import recover_store
-
-    recover_store(store_path)
-    df = spark.read.schema(
-        f"{group_col} string, _bucket bigint, _reg int, epoch bigint"
-    ).parquet(store_path)
-    epochs = [r[0] for r in df.select("epoch").distinct().collect()]
-    if len(epochs) <= 2:  # nothing worth folding
-        return 0
-    newest = max(epochs)
-    merged = (
-        df.where(F.col("epoch") != newest)
-        .groupBy(group_col, "_bucket")
-        .agg(F.max("_reg").alias("_reg"))
-        .withColumn("epoch", F.lit(-1).cast("long"))
+    return compact_epochs(
+        spark,
+        store_path,
+        f"{group_col} string, _bucket bigint, _reg int, epoch bigint",
+        lambda df: df.groupBy(group_col, "_bucket").agg(
+            F.max("_reg").alias("_reg")
+        ),
     )
-    tmp = store_path.rstrip("/") + "_compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.unionByName(df.where(F.col("epoch") == newest)).write.partitionBy(
-        "epoch"
-    ).parquet(tmp)
-    bak = store_path.rstrip("/") + "_precompact"
-    shutil.rmtree(bak, ignore_errors=True)
-    os.rename(store_path, bak)
-    os.rename(tmp, store_path)
-    shutil.rmtree(bak)
-    return len(epochs) - 1

@@ -36,7 +36,6 @@ rebase would add documented drift and is deliberately not offered).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -191,32 +190,13 @@ def compact_store(spark: SparkSession, store_path: str) -> int:
     _precompact/_compacting directory-swap protocol shared with
     anomaly_stream/topk_stream.  Returns the number of epoch partitions
     folded away (0 = nothing to do)."""
-    from ._store import recover_store
+    from ._store import compact_epochs
 
-    recover_store(store_path)
-    df = spark.read.schema(_STORE_SCHEMA).parquet(store_path)
-    epochs = sorted(r["epoch"] for r in df.select("epoch").distinct().collect())
-    if len(epochs) <= 2:
-        return 0
-    newest = epochs[-1]
-    folded = (
-        df.where(F.col("epoch") < newest)
-        .groupBy("u", "tname")
-        .agg(F.sum("fnum").alias("fnum"), F.max("max_ts_us").alias("max_ts_us"))
-        .withColumn("epoch", F.lit(-1).cast("long"))
+    return compact_epochs(
+        spark,
+        store_path,
+        _STORE_SCHEMA,
+        lambda df: df.groupBy("u", "tname").agg(
+            F.sum("fnum").alias("fnum"), F.max("max_ts_us").alias("max_ts_us")
+        ),
     )
-    keep = df.where(F.col("epoch") == newest)
-    tmp = store_path.rstrip("/") + "_compacting"
-    (
-        folded.unionByName(keep)
-        .write.mode("overwrite")
-        .partitionBy("epoch")
-        .parquet(tmp)
-    )
-    bak = store_path.rstrip("/") + "_precompact"
-    os.rename(store_path, bak)
-    os.rename(tmp, store_path)
-    import shutil
-
-    shutil.rmtree(bak)
-    return len(epochs) - 1
