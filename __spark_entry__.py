@@ -5677,6 +5677,88 @@ _REGISTRY_SQL["ann_recall"] = _ann_recall_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 44: dedup-candidate evaluation (LSH precision/recall vs exact Jaccard)
+# ---------------------------------------------------------------------------
+# The measurement loop for the dedup family, mirroring ann_recall for the
+# ANN family: how many true near-dup pairs (exact shingle Jaccard >= 0.5)
+# does the banded MinHash-LSH candidate generator find, and how much junk
+# does it emit. Tuning bands/rows at corpus scale is exactly this tradeoff.
+
+
+def q_dedup_eval(spark, sf_dir):
+    """One metrics row (n_true, n_cand, n_hit, precision, recall): the
+    MinHash-LSH candidate set (8 hashes x 4 bands) scored against exact
+    3-shingle Jaccard >= 0.5 pairs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    true_pairs = (
+        _dedup.ngram_jaccard_pairs(d, threshold=0.5, n=3, max_shingle_df=1000)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # feeds the hit join AND its count
+    )
+    cands = (
+        _dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4, n=3)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    hits = true_pairs.join(cands, ["doc_a", "doc_b"], "left_semi")
+    nt = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    nc = cands.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.when(
+                F.col("n_cand") > 0,
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_cand").cast("double"),
+                    6,
+                ),
+            ).alias("precision"),
+            F.when(
+                F.col("n_true") > 0,
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+                    6,
+                ),
+            ).alias("recall"),
+        )
+    )
+
+
+_REGISTRY_Q["dedup_eval"] = q_dedup_eval
+
+_REGISTRY_SQL["dedup_eval"] = f"""
+WITH de_true AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_SQL_NGRAM_PAIRS_05})
+),
+de_cand AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_REGISTRY_SQL["minhash_lsh_candidates"]})
+),
+de_hit AS (
+  SELECT t.doc_a, t.doc_b FROM de_true t
+  JOIN de_cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+de_n AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM de_true) AS n_true,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM de_cand) AS n_cand,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM de_hit) AS n_hit
+)
+SELECT n_true, n_cand, n_hit,
+       CASE WHEN n_cand > 0
+            THEN ROUND(CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) END
+         AS precision,
+       CASE WHEN n_true > 0
+            THEN ROUND(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END
+         AS recall
+FROM de_n
+"""
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5730,6 +5812,7 @@ _R6_NEW = [
     "span_corruption",      # r6: T5-style span-corruption targets
     "pagerank_snapshots",   # r6: batched time-sliced PageRank
     "ann_recall",           # r6: LSH index recall@k vs brute cosine
+    "dedup_eval",           # r6: LSH candidate precision/recall vs Jaccard
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

@@ -319,6 +319,8 @@ def main() -> None:
     )
     # eight LSH probes vs eight brute scans in one unioned job
     timed("q_ann_recall", lambda: E.q_ann_recall(spark, SF_DIR).count())
+    # LSH candidate set scored against exact shingle Jaccard (one row)
+    timed("q_dedup_eval", lambda: E.q_dedup_eval(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend
