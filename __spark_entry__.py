@@ -5759,6 +5759,54 @@ FROM de_n
 
 
 # ---------------------------------------------------------------------------
+# Block 45: URL crawl-policy filtering (robots-style longest-prefix rules)
+# ---------------------------------------------------------------------------
+# functions/urlnorm.url_policy_decisions over the shared URL fixture:
+# every even-numbered site denies its /p/ content pages but re-allows the
+# /p/1* subset — longest-match precedence, the robots.txt semantics.
+
+
+def _url_policy_rules() -> list[tuple[str, bool]]:
+    tld = {0: "co.uk", 1: "com", 2: "org"}
+    rules = []
+    for k in range(0, 50, 2):
+        base = f"https://site{k}.example.{tld[k % 3]}/p/"
+        rules.append((base, False))
+        rules.append((base + "1", True))
+    return rules
+
+
+def q_url_policy(spark, sf_dir):
+    """Crawl-policy report over canonicalized event urls: mentions and
+    distinct pages per (host, allowed) under the longest-prefix-match
+    rule set (functions/urlnorm.url_policy_decisions)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr(_URL_FIXTURE_EXPR).alias("url")
+    )
+    dec = _urlnorm.url_policy_decisions(e, _url_policy_rules())
+    return dec.groupBy("host", "allowed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("canon").alias("n_pages"),
+    )
+
+
+_REGISTRY_Q["url_policy"] = q_url_policy
+
+_URL_RULES_VALUES = "VALUES " + ", ".join(
+    f"('{p}', {'TRUE' if a else 'FALSE'})" for p, a in _url_policy_rules()
+)
+
+_REGISTRY_SQL["url_policy"] = f"""
+WITH up_dec AS (
+  {_urlnorm.url_policy_oracle_sql(_URL_FIXTURE_EXPR, _URL_RULES_VALUES, table="events")}
+)
+SELECT host, allowed, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_pages
+FROM up_dec GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5813,6 +5861,7 @@ _R6_NEW = [
     "pagerank_snapshots",   # r6: batched time-sliced PageRank
     "ann_recall",           # r6: LSH index recall@k vs brute cosine
     "dedup_eval",           # r6: LSH candidate precision/recall vs Jaccard
+    "url_policy",           # r6: robots-style longest-prefix crawl policy
 ]
 
 # (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------

@@ -321,6 +321,8 @@ def main() -> None:
     timed("q_ann_recall", lambda: E.q_ann_recall(spark, SF_DIR).count())
     # LSH candidate set scored against exact shingle Jaccard (one row)
     timed("q_dedup_eval", lambda: E.q_dedup_eval(spark, SF_DIR).count())
+    # robots-style policy: broadcast rules, host-equi join, page decisions
+    timed("q_url_policy", lambda: E.q_url_policy(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

@@ -228,3 +228,101 @@ def registered_domain_sql(host_expr: str) -> str:
         f"WHEN len({labels}) >= 2 THEN {last2} "
         f"ELSE {host_expr} END"
     )
+
+
+def url_policy_decisions(
+    urls: "DataFrame",
+    rules: list[tuple[str, bool]],
+    url_col: str = "url",
+) -> "DataFrame":
+    """(url, canon, host, allowed, matched_prefix): robots-style crawl
+    policy over canonicalized urls — each rule is (canonical-url prefix,
+    allow), the decision for a url is the flag of the LONGEST matching
+    prefix among the rules for its host, and a url with no matching rule
+    is allowed (the robots.txt default).  Longest-match precedence is the
+    robots semantics: a specific re-allow ("/p/1") overrides a broader
+    deny ("/p/").
+
+    Rules should be written against CANONICAL form (lowercased, no www.,
+    no default port — `canonical_url`); the operator canonicalizes the
+    url side, so raw crawl urls match normalized rules.
+
+    Scale shape: the rule table is policy-sized (thousands at most) and
+    broadcasts; the join is an EQUI join on host — each url meets only
+    its own host's rules, never the whole rule set — followed by one
+    prefix filter and one struct-max per distinct page (two prefixes of
+    equal length both matching the same url are necessarily equal, so
+    the max is unambiguous).  Decisions compute once per DISTINCT canon
+    and join back, so duplicate mentions cost nothing."""
+    spark = urls.sparkSession
+    rdf = spark.createDataFrame(
+        [(p, bool(a)) for p, a in rules], "prefix string, allow boolean"
+    )
+    rdf = rdf.select(host_of(F.col("prefix")).alias("host"), "prefix", "allow")
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        canonical_url(F.col(url_col)).alias("canon"),
+    ).withColumn("host", host_of(F.col("canon")))
+    pages = u.select("canon", "host").distinct()
+    decided = (
+        pages.join(F.broadcast(rdf), "host")
+        .where(F.col("canon").startswith(F.col("prefix")))
+        .groupBy("canon")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("prefix").alias("l"),
+                    F.col("allow").cast("int").alias("a"),
+                    F.col("prefix").alias("p"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "canon",
+            (F.col("m.a") == 1).alias("_allow"),
+            F.col("m.p").alias("matched_prefix"),
+        )
+    )
+    return u.join(decided, "canon", "left").select(
+        "url",
+        "canon",
+        "host",
+        F.coalesce(F.col("_allow"), F.lit(True)).alias("allowed"),
+        "matched_prefix",
+    )
+
+
+def url_policy_oracle_sql(
+    url_expr: str,
+    rules_values: str,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of `url_policy_decisions` aggregating nothing — emits
+    the same per-mention decision rows.  ``rules_values`` is a VALUES
+    list SQL producing (prefix, allow)."""
+    canon = canonical_url_sql(url_expr)
+    return f"""
+WITH up_rules AS MATERIALIZED (
+  SELECT {host_of_sql("prefix")} AS host, prefix, allow
+  FROM ({rules_values}) r(prefix, allow)
+),
+up_u AS MATERIALIZED (
+  SELECT {url_expr} AS url, {canon} AS canon,
+         {host_of_sql(canon)} AS host
+  FROM {table}
+),
+up_pages AS (SELECT DISTINCT canon, host FROM up_u),
+up_decided AS (
+  SELECT canon, allow AS _allow, prefix AS matched_prefix FROM (
+    SELECT p.canon, r.allow, r.prefix,
+           ROW_NUMBER() OVER (PARTITION BY p.canon
+                              ORDER BY length(r.prefix) DESC) AS rn
+    FROM up_pages p JOIN up_rules r ON p.host = r.host
+    WHERE starts_with(p.canon, r.prefix)
+  ) WHERE rn = 1
+)
+SELECT u.url, u.canon, u.host,
+       COALESCE(d._allow, TRUE) AS allowed,
+       d.matched_prefix
+FROM up_u u LEFT JOIN up_decided d ON u.canon = d.canon
+"""

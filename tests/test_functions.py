@@ -2335,6 +2335,43 @@ def test_decayed_bipartite_edges_hand_computed(spark):
     }
 
 
+def test_url_policy_longest_match_and_default_allow(spark):
+    """Robots semantics: a specific re-allow overrides a broader deny
+    (longest prefix wins), unknown hosts and unmatched paths default to
+    allowed, and rules match the CANONICAL form (raw urls with WWW/port/
+    tracking junk still hit their rule)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.urlnorm import (
+        url_policy_decisions,
+    )
+
+    rules = [
+        ("https://a.com/p/", False),
+        ("https://a.com/p/1", True),
+    ]
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/p/7",),                      # denied by /p/
+            ("https://a.com/p/12",),                     # re-allowed by /p/1
+            ("https://a.com/other",),                    # no match -> allow
+            ("https://b.com/p/7",),                      # unknown host -> allow
+            ("HTTPS://WWW.A.com:443/p//7?utm_source=x",),  # canon -> denied
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: (r["allowed"], r["matched_prefix"])
+        for r in url_policy_decisions(urls, rules).collect()
+    }
+    assert got["https://a.com/p/7"] == (False, "https://a.com/p/")
+    assert got["https://a.com/p/12"] == (True, "https://a.com/p/1")
+    assert got["https://a.com/other"] == (True, None)
+    assert got["https://b.com/p/7"] == (True, None)
+    assert got["HTTPS://WWW.A.com:443/p//7?utm_source=x"] == (
+        False,
+        "https://a.com/p/",
+    )
+
+
 def test_url_canonicalization_rules_and_duckdb_parity(spark):
     import duckdb
 
