@@ -5767,12 +5767,16 @@ FROM de_n
 
 
 def _url_policy_rules() -> list[tuple[str, bool]]:
-    tld = {0: "co.uk", 1: "com", 2: "org"}
+    # the fixture's TLD comes from user_id % 3 INDEPENDENTLY of the site
+    # number (user_id % 50), so each site appears under all three TLD
+    # hosts — rules must cover every variant or 2/3 of an even site's
+    # mentions silently default-allow
     rules = []
     for k in range(0, 50, 2):
-        base = f"https://site{k}.example.{tld[k % 3]}/p/"
-        rules.append((base, False))
-        rules.append((base + "1", True))
+        for tld in ("co.uk", "com", "org"):
+            base = f"https://site{k}.example.{tld}/p/"
+            rules.append((base, False))
+            rules.append((base + "1", True))
     return rules
 
 

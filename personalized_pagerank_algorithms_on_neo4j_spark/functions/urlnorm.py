@@ -315,8 +315,12 @@ up_pages AS (SELECT DISTINCT canon, host FROM up_u),
 up_decided AS (
   SELECT canon, allow AS _allow, prefix AS matched_prefix FROM (
     SELECT p.canon, r.allow, r.prefix,
+           -- full struct-max order (length, allow, prefix): deterministic
+           -- even if a caller passes duplicate prefixes with conflicting
+           -- flags (allow wins, matching the Spark side's max)
            ROW_NUMBER() OVER (PARTITION BY p.canon
-                              ORDER BY length(r.prefix) DESC) AS rn
+                              ORDER BY length(r.prefix) DESC,
+                                       r.allow DESC, r.prefix DESC) AS rn
     FROM up_pages p JOIN up_rules r ON p.host = r.host
     WHERE starts_with(p.canon, r.prefix)
   ) WHERE rn = 1

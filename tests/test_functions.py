@@ -2370,6 +2370,13 @@ def test_url_policy_longest_match_and_default_allow(spark):
         False,
         "https://a.com/p/",
     )
+    # duplicate prefixes with conflicting flags: allow wins (struct-max
+    # order length, allow, prefix — the oracle's ORDER BY mirrors it)
+    dup = url_policy_decisions(
+        spark.createDataFrame([("https://a.com/p/7",)], "url string"),
+        [("https://a.com/p/", False), ("https://a.com/p/", True)],
+    ).collect()
+    assert dup[0]["allowed"] is True
 
 
 def test_url_canonicalization_rules_and_duckdb_parity(spark):
