@@ -259,10 +259,20 @@ def url_policy_decisions(
         [(p, bool(a)) for p, a in rules], "prefix string, allow boolean"
     )
     rdf = rdf.select(host_of(F.col("prefix")).alias("host"), "prefix", "allow")
-    u = urls.select(
-        F.col(url_col).alias("url"),
-        canonical_url(F.col(url_col)).alias("canon"),
-    ).withColumn("host", host_of(F.col("canon")))
+    u = (
+        urls.select(
+            F.col(url_col).alias("url"),
+            canonical_url(F.col(url_col)).alias("canon"),
+        )
+        .withColumn("host", host_of(F.col("canon")))
+        # materialize the regex-heavy projection ONCE: CollapseProject
+        # would inline the whole canonical_url expression tree into
+        # host_of's regexes, and the frame feeds both the distinct-page
+        # derivation and the final decision join (the doc_winnow lesson:
+        # separate expensive array/regex builds from their consumers with
+        # an exchange or checkpoint)
+        .localCheckpoint(eager=True)
+    )
     pages = u.select("canon", "host").distinct()
     decided = (
         pages.join(F.broadcast(rdf), "host")
