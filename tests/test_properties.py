@@ -633,3 +633,124 @@ def test_betweenness_oracle_matches_reference(edges, nl):
     got = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     want = _ref_betweenness(edges, nl, 6)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-6 second-wave oracles vs pure-Python brute force
+# ---------------------------------------------------------------------------
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (  # noqa: E402
+    k_truss_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (  # noqa: E402
+    louvain_oracle_sql,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(edges=_edge_lists, k=st.integers(3, 5))
+def test_k_truss_oracle_matches_bruteforce(edges, k):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        support: dict[tuple[int, int], int] = {}
+        for a, b, c in itertools.combinations(sorted({u for e in und for u in e}), 3):
+            if {(a, b), (a, c), (b, c)} <= und:
+                for e in ((a, b), (a, c), (b, c)):
+                    support[e] = support.get(e, 0) + 1
+        keep = {e for e in und if support.get(e, 0) >= k - 2}
+        if keep == und:
+            break
+        und = keep
+    expect = {e: support.get(e, 0) for e in und}
+    con = _duck_edges(edges)
+    got = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            k_truss_oracle_sql("SELECT src, dst FROM raw_edges", k=k, rounds=12)
+        ).fetchall()
+    }
+    assert got == expect
+
+
+def _louvain_replay(edges, nodes, m2, r1=4, r2=2):
+    """Pure-Python replay of the deterministic two-level Louvain
+    recurrence (operators/louvain.py): parity-scheduled synchronous
+    integer gain moves, contraction, second pass."""
+
+    def local_moving(edge_w, strength, labels, rounds):
+        for t in range(rounds):
+            par = t % 2
+            cand: dict[int, dict[int, int]] = {}
+            for (a, b), w in edge_w.items():
+                if a % 2 == par:
+                    cand.setdefault(a, {})
+                    c = labels[b]
+                    cand[a][c] = cand[a].get(c, 0) + w
+            for v, l in labels.items():
+                if v % 2 == par:
+                    cand.setdefault(v, {}).setdefault(l, 0)
+            dc: dict[int, int] = {}
+            for v, l in labels.items():
+                dc[l] = dc.get(l, 0) + strength.get(v, 0)
+            new = dict(labels)
+            for v, cmap in cand.items():
+                own, dv = labels[v], strength.get(v, 0)
+                new[v] = max(
+                    cmap.items(),
+                    key=lambda kv: (
+                        m2 * kv[1]
+                        - dv * (dc[kv[0]] - (dv if kv[0] == own else 0)),
+                        -kv[0],
+                    ),
+                )[0]
+            labels = new
+        return labels
+
+    und = {
+        (a, b)
+        for a, b in set(edges) | {(b, a) for a, b in edges}
+        if a != b
+    }
+    deg: dict[int, int] = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    l1 = local_moving(
+        {e: 1 for e in und}, deg, {v: v for v in nodes}, r1
+    )
+    e2: dict[tuple[int, int], int] = {}
+    for a, b in und:
+        key = (l1[a], l1[b])
+        e2[key] = e2.get(key, 0) + 1
+    s2: dict[int, int] = {}
+    for (a, _), w in e2.items():
+        s2[a] = s2.get(a, 0) + w
+    comms = set(l1.values())
+    for c in comms:
+        s2.setdefault(c, 0)
+    e2x = {k: w for k, w in e2.items() if k[0] != k[1]}
+    l2 = local_moving(e2x, s2, {c: c for c in comms}, r2)
+    return {v: l2[l1[v]] for v in nodes}
+
+
+@settings(max_examples=40, deadline=None)
+@given(edges=_edge_lists)
+def test_louvain_oracle_matches_python_replay(edges):
+    # node set: all endpoints plus one guaranteed-isolated node (the
+    # deg-0 ride-through path)
+    nodes = sorted({u for e in edges for u in e} | {10})
+    und = {
+        (a, b)
+        for a, b in set(edges) | {(b, a) for a, b in edges}
+        if a != b
+    }
+    expect = _louvain_replay(edges, nodes, m2=len(und))
+    con = _duck_edges(edges)
+    nodes_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({n})" for n in nodes
+    ) + ") t(id)"
+    got = dict(
+        con.execute(
+            louvain_oracle_sql("SELECT src, dst FROM raw_edges", nodes_sql)
+        ).fetchall()
+    )
+    assert got == expect
