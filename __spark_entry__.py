@@ -5841,8 +5841,12 @@ _R6_NEVER_OBSERVED = [
     "event_paths",          # frequent event paths
 ]
 
-# (a2) new round-6 registrations: append HERE in the same commit that adds
-#      the query (never-observed outranks all debt) ------------------------
+# (a2) round-6 registrations. THE WINDOW IS NOW EXACTLY FULL
+#      (13 + 22 + 1 + 14 = 50, zero debt slots): a 23rd entry here would
+#      displace a protected family rep. Round-7 registrations must open a
+#      _R7_NEW list, recompose _WINDOW_PRIORITY for r7 (observed r6 keys
+#      rotate behind the r7 debt queue in COVERAGE.md's r7 row), and move
+#      the ledger test to r7 semantics in the same commit. ----------------
 _R6_NEW = [
     "ppr_temporal",         # r6: recency-decayed personalized PageRank
     "url_canonical",        # r6: URL canonicalization + per-host dedup keys
