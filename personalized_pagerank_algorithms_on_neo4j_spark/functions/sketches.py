@@ -35,6 +35,9 @@ __all__ = [
     "hll_estimate",
     "hll_oracle_sql",
     "cms_heavy_hitters",
+    "cms_pair_rows",
+    "cms_sketch",
+    "cms_probe",
     "cms_oracle_sql",
     "histogram_quantiles",
     "histogram_quantiles_oracle_sql",
@@ -175,6 +178,60 @@ FROM folded
 """
 
 
+def cms_pair_rows(
+    frame: DataFrame, value_col: str, d: int, w: int, *keep: str
+) -> DataFrame:
+    """(keep..., _r, _bucket): all d (row, bucket) pairs per record in ONE
+    scan — a unionAll of d projections would re-read the input d times.
+    Shared by the sketch build, the probe side, and the streaming store's
+    per-epoch partials."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("_r"),
+                (portable_hash(F.col(value_col), seed=r) % F.lit(w)).alias(
+                    "_bucket"
+                ),
+            )
+            for r in range(d)
+        ]
+    )
+    return frame.select(*keep, F.explode(pairs).alias("_p")).select(
+        *keep, F.col("_p._r").alias("_r"), F.col("_p._bucket").alias("_bucket")
+    )
+
+
+def cms_sketch(df: DataFrame, value_col: str, d: int = 4, w: int = 2048) -> DataFrame:
+    """(_r, _bucket, _n): the d x w Count-Min sketch of ``value_col`` —
+    O(d*w) state regardless of input size, mergeable by +, so partial
+    sketches (shards, microbatches, epochs) sum into the global one."""
+    src = df.where(F.col(value_col).isNotNull())
+    return cms_pair_rows(src, value_col, d, w).groupBy("_r", "_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+
+
+def cms_probe(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    threshold: int,
+    d: int = 4,
+    w: int = 2048,
+) -> DataFrame:
+    """(value_col, est_count >= threshold): probe candidate ``items``
+    against a (possibly merged) sketch — min over rows, the CMS
+    upper-bound estimate; shared by the batch operator and the streaming
+    store's read path so the two cannot drift."""
+    probe = cms_pair_rows(items, value_col, d, w, value_col)
+    est = (
+        probe.join(sketch, ["_r", "_bucket"])
+        .groupBy(value_col)
+        .agg(F.min("_n").alias("est_count"))
+    )
+    return est.where(F.col("est_count") >= threshold)
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     value_col: str,
@@ -199,36 +256,15 @@ def cms_heavy_hitters(
     Deterministic in both engines: per-row hashes are the portable
     md5 hash seeded by the row index, so Spark and the DuckDB oracle
     build bit-identical sketches."""
-    def _rows_per_record(frame: DataFrame, *keep: str) -> DataFrame:
-        # ONE scan emitting all d (row, bucket) pairs per record — a
-        # unionAll of d projections would re-read the input d times
-        pairs = F.array(
-            *[
-                F.struct(
-                    F.lit(r).alias("_r"),
-                    (portable_hash(F.col(value_col), seed=r) % F.lit(w)).alias(
-                        "_bucket"
-                    ),
-                )
-                for r in range(d)
-            ]
-        )
-        return frame.select(*keep, F.explode(pairs).alias("_p")).select(
-            *keep, F.col("_p._r").alias("_r"), F.col("_p._bucket").alias("_bucket")
-        )
-
     src = df.where(F.col(value_col).isNotNull())
-    sketch = _rows_per_record(src).groupBy("_r", "_bucket").agg(
-        F.count(F.lit(1)).alias("_n")
+    return cms_probe(
+        cms_sketch(df, value_col, d, w),
+        src.select(value_col).distinct(),
+        value_col,
+        threshold,
+        d,
+        w,
     )
-    items = src.select(value_col).distinct()
-    probe = _rows_per_record(items, value_col)
-    est = (
-        probe.join(sketch, ["_r", "_bucket"])
-        .groupBy(value_col)
-        .agg(F.min("_n").alias("est_count"))
-    )
-    return est.where(F.col("est_count") >= threshold)
 
 
 def cms_oracle_sql(

@@ -734,3 +734,63 @@ def test_streaming_distinct_replay_and_compaction(spark, tmp_path):
     assert board() == before and before
     epochs = {os.path.basename(p) for p in glob.glob(os.path.join(store, "epoch=*"))}
     assert epochs == {"epoch=-1", "epoch=2"}
+
+
+def test_streaming_heavy_hitters_matches_batch_twin(spark, events_dir, tmp_path):
+    """Two microbatches of CMS cell partials; the read-side sum-fold +
+    shared probe must equal the oracle-gated batch cms_heavy_hitters over
+    the complete event set EXACTLY when probed with the same items."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
+        cms_heavy_hitters,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        cms_stream as C,
+    )
+
+    store = str(tmp_path / "cms_store")
+    stream = S.read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = C.start_streaming_heavy_hitters(spark, stream, store)
+    _drain(q)
+
+    events = load_table(spark, SF_SMALL, "events")
+    items = events.select("user_id").distinct()
+    got = {
+        (r["user_id"], r["est_count"])
+        for r in C.read_heavy_hitters(spark, store, items, threshold=8).collect()
+    }
+    want = {
+        (r["user_id"], r["est_count"])
+        for r in cms_heavy_hitters(events, "user_id", threshold=8).collect()
+    }
+    assert got == want and got
+    assert glob.glob(os.path.join(store, "epoch=*")), os.listdir(store)
+
+
+def test_streaming_heavy_hitters_replay_and_compaction(spark, tmp_path):
+    """Replaying the last epoch must not double-count (partition-overwrite
+    discipline — CMS cells sum, so this is the load-bearing guarantee),
+    and compaction folds history without changing the probe result."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        cms_stream as C,
+    )
+
+    store = str(tmp_path / "cms_store")
+    events = load_table(spark, SF_SMALL, "events")
+    items = events.select("user_id").distinct().localCheckpoint(eager=True)
+    parts = [events.where(F.col("event_id") % 3 == i) for i in range(3)]
+
+    run_epoch = C.make_merge_batch(spark, store)
+    for i, part in enumerate(parts):
+        run_epoch(part, i)
+    board = lambda: sorted(  # noqa: E731
+        (r["user_id"], r["est_count"])
+        for r in C.read_heavy_hitters(spark, store, items, threshold=8).collect()
+    )
+    before = board()
+    run_epoch(parts[-1], 2)  # replay the last epoch, as a restart would
+    assert board() == before
+    folded = C.compact_store(spark, store)
+    assert folded == 2
+    assert board() == before and before
+    epochs = {os.path.basename(p) for p in glob.glob(os.path.join(store, "epoch=*"))}
+    assert epochs == {"epoch=-1", "epoch=2"}
