@@ -5811,6 +5811,41 @@ FROM up_dec GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Block 46: weighted two-level Louvain (r7 queue — the r6 window is full)
+# ---------------------------------------------------------------------------
+# operators/louvain.louvain_weighted: gds.louvain's
+# relationshipWeightProperty mode over the order-volume weighted edges.
+# Registered for the r7 correctness window (never-observed keys go first
+# when r7 recomposes); fully oracle-gated locally via test_entry today.
+
+
+def q_graph_louvain_weighted(spark, sf_dir):
+    """Two-level deterministic Louvain over the order-volume WEIGHTED
+    graph: gains use summed edge weights and weighted strengths
+    (operators/louvain.louvain_weighted)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (
+        louvain_weighted,
+    )
+
+    return louvain_weighted(
+        _weighted_edges(spark, sf_dir),
+        rounds1=LOUVAIN_ROUNDS1,
+        rounds2=LOUVAIN_ROUNDS2,
+    )
+
+
+_REGISTRY_Q["graph_louvain_weighted"] = q_graph_louvain_weighted
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (  # noqa: E402
+    louvain_weighted_oracle_sql,
+)
+
+_REGISTRY_SQL["graph_louvain_weighted"] = louvain_weighted_oracle_sql(
+    _weighted_edges_sql(), rounds1=LOUVAIN_ROUNDS1, rounds2=LOUVAIN_ROUNDS2
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()

@@ -323,6 +323,11 @@ def main() -> None:
     timed("q_dedup_eval", lambda: E.q_dedup_eval(spark, SF_DIR).count())
     # robots-style policy: broadcast rules, host-equi join, page decisions
     timed("q_url_policy", lambda: E.q_url_policy(spark, SF_DIR).count())
+    # weighted two-level Louvain (summed weights through the same loop)
+    timed(
+        "q_louvain_weighted",
+        lambda: E.q_graph_louvain_weighted(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

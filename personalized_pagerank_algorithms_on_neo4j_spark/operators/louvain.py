@@ -241,6 +241,84 @@ def louvain(
     )
 
 
+def louvain_weighted(
+    edges_w: DataFrame, rounds1: int = 4, rounds2: int = 2
+) -> DataFrame:
+    """(node, label): two-level Louvain over a WEIGHTED edge list
+    (src, dst, weight) — the gds.louvain relationshipWeightProperty mode.
+    Weights must be positive INTEGERS (the exact-recurrence contract:
+    m2 = total symmetrized weight, strengths and gains stay BIGINT);
+    parallel edges and both directions sum.  Node set = edge endpoints
+    (an edge-list input names no isolated nodes).  Same deterministic
+    parity-scheduled recurrence as `louvain` — with unit weights the two
+    agree exactly on edge-incident nodes."""
+    spark = edges_w.sparkSession
+    e = edges_w.select("src", "dst", F.col("weight").cast("long").alias("w")).where(
+        F.col("src") != F.col("dst")
+    )
+    bad = e.where(F.col("w").isNull() | (F.col("w") <= 0)).limit(1).count()
+    if bad:
+        raise ValueError("louvain_weighted: weights must be positive integers")
+    und = (
+        e.unionAll(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    m2 = und.agg(F.sum("w")).first()[0]
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    small = n <= BROADCAST_NODE_BOUND
+    loop_parts = loop_shuffle_partitions(spark, n) if small else None
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").cast("long").alias("deg")
+    )
+    l1 = _local_moving(
+        spark,
+        und,
+        deg,
+        nodes.select("node", F.col("node").alias("label")),
+        int(m2),
+        rounds1,
+        small,
+        loop_parts,
+    ).localCheckpoint(eager=True)
+    ls = l1.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    ld = l1.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    e2 = (
+        und.join(F.broadcast(ls) if small else ls, "src")
+        .join(F.broadcast(ld) if small else ld, "dst")
+        .groupBy(F.col("la").alias("src"), F.col("lb").alias("dst"))
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    s2 = e2.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").cast("long").alias("deg")
+    )
+    comm = l1.select(F.col("label").alias("node")).distinct()
+    strength2 = comm.join(s2, "node", "left").select(
+        "node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
+    )
+    l2 = _local_moving(
+        spark,
+        e2.where(F.col("src") != F.col("dst")),
+        strength2,
+        comm.select("node", F.col("node").alias("label")),
+        int(m2),
+        rounds2,
+        small,
+        loop_parts,
+    )
+    proj = l2.select(F.col("node").alias("c1"), F.col("label").alias("final"))
+    return l1.join(F.broadcast(proj) if small else proj, l1.label == proj.c1).select(
+        "node", F.col("final").alias("label")
+    )
+
+
 def _moving_round_sql(
     i: int,
     prefix: str,
@@ -291,6 +369,36 @@ def _moving_round_sql(
     ]
 
 
+def _two_level_tail_sql(rounds1: int, rounds2: int) -> tuple[list[str], str]:
+    """The shared oracle tail over prebuilt lv_und(src, dst, w) / lv_m /
+    lv_deg / lv_l0 CTEs: level-1 rounds, contraction (edge weights SUM —
+    correct for unit and general integer weights alike), level-2 rounds.
+    Returns (ctes, level-1 result name)."""
+    m2 = "(SELECT m2 FROM lv_m)"
+    ctes: list[str] = []
+    for i in range(rounds1):
+        ctes += _moving_round_sql(i, "lv_", "lv_und", "lv_deg", m2)
+    r1 = f"lv_l{rounds1}"
+    ctes += [
+        f"""lv_e2 AS MATERIALIZED (
+  SELECT ls.label AS src, ld.label AS dst, CAST(SUM(u.w) AS BIGINT) AS w
+  FROM lv_und u
+  JOIN {r1} ls ON u.src = ls.node
+  JOIN {r1} ld ON u.dst = ld.node
+  GROUP BY 1, 2)""",
+        f"""lv_s2 AS MATERIALIZED (
+  SELECT c.label AS node, COALESCE(t.s, 0) AS deg
+  FROM (SELECT DISTINCT label FROM {r1}) c
+  LEFT JOIN (SELECT src, CAST(SUM(w) AS BIGINT) AS s FROM lv_e2 GROUP BY 1) t
+         ON c.label = t.src)""",
+        "lv_e2x AS MATERIALIZED (SELECT * FROM lv_e2 WHERE src <> dst)",
+        """ss_l0 AS MATERIALIZED (SELECT node, node AS label FROM lv_s2)""",
+    ]
+    for i in range(rounds2):
+        ctes += _moving_round_sql(i, "ss_", "lv_e2x", "lv_s2", m2)
+    return ctes, r1
+
+
 def louvain_oracle_sql(
     edges_sql: str, nodes_sql: str, rounds1: int = 4, rounds2: int = 2
 ) -> str:
@@ -310,27 +418,39 @@ def louvain_oracle_sql(
         f"""lv_l0 AS MATERIALIZED (
   SELECT id AS node, id AS label FROM ({nodes_sql}))""",
     ]
-    m2 = "(SELECT m2 FROM lv_m)"
-    for i in range(rounds1):
-        ctes += _moving_round_sql(i, "lv_", "lv_und", "lv_deg", m2)
-    r1 = f"lv_l{rounds1}"
-    ctes += [
-        f"""lv_e2 AS MATERIALIZED (
-  SELECT ls.label AS src, ld.label AS dst, CAST(COUNT(*) AS BIGINT) AS w
-  FROM lv_und u
-  JOIN {r1} ls ON u.src = ls.node
-  JOIN {r1} ld ON u.dst = ld.node
-  GROUP BY 1, 2)""",
-        f"""lv_s2 AS MATERIALIZED (
-  SELECT c.label AS node, COALESCE(t.s, 0) AS deg
-  FROM (SELECT DISTINCT label FROM {r1}) c
-  LEFT JOIN (SELECT src, CAST(SUM(w) AS BIGINT) AS s FROM lv_e2 GROUP BY 1) t
-         ON c.label = t.src)""",
-        "lv_e2x AS MATERIALIZED (SELECT * FROM lv_e2 WHERE src <> dst)",
-        """ss_l0 AS MATERIALIZED (SELECT node, node AS label FROM lv_s2)""",
+    tail, r1 = _two_level_tail_sql(rounds1, rounds2)
+    ctes += tail
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT l1.node, s.label
+FROM {r1} l1 JOIN ss_l{rounds2} s ON l1.label = s.node
+"""
+
+
+def louvain_weighted_oracle_sql(
+    edges_w_sql: str, rounds1: int = 4, rounds2: int = 2
+) -> str:
+    """DuckDB twin of `louvain_weighted` over any (src, dst, weight) SQL:
+    parallel edges and both directions SUM; node set = edge endpoints."""
+    ctes = [
+        f"""lv_e_raw AS MATERIALIZED (
+  SELECT src, dst, CAST(weight AS BIGINT) AS w FROM ({edges_w_sql})
+  WHERE src <> dst)""",
+        """lv_und AS MATERIALIZED (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM lv_e_raw
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM lv_e_raw
+  ) GROUP BY 1, 2)""",
+        "lv_m AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM lv_und)",
+        """lv_deg AS MATERIALIZED (
+  SELECT src AS node, CAST(SUM(w) AS BIGINT) AS deg FROM lv_und GROUP BY 1)""",
+        """lv_l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM lv_und)""",
     ]
-    for i in range(rounds2):
-        ctes += _moving_round_sql(i, "ss_", "lv_e2x", "lv_s2", m2)
+    tail, r1 = _two_level_tail_sql(rounds1, rounds2)
+    ctes += tail
     body = ",\n".join(ctes)
     return f"""
 WITH {body}

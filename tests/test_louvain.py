@@ -5,6 +5,7 @@ modularity quality, and DuckDB oracle parity."""
 from __future__ import annotations
 
 import duckdb
+from pyspark.sql import functions as F
 
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
     modularity,
@@ -72,6 +73,61 @@ def test_louvain_isolated_nodes_keep_their_own_community(spark):
         for r in louvain(_graph_of(spark, TWO_TRI, 8)).collect()
     }
     assert got[6] == 6 and got[7] == 7
+
+
+def test_louvain_weighted_uniform_equals_unweighted(spark):
+    """With unit weights the weighted recurrence degenerates to the
+    unweighted one on edge-incident nodes, and weights must be able to
+    flip a community choice (a heavy bridge pulls its endpoint across)."""
+    import pytest as _pytest
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (
+        louvain_weighted,
+    )
+
+    g = _graph_of(spark, TWO_TRI, 6)
+    base = {r["node"]: r["label"] for r in louvain(g).collect()}
+    ew = _edges_df(spark, TWO_TRI).select("src", "dst", F.lit(1).alias("weight"))
+    uni = {r["node"]: r["label"] for r in louvain_weighted(ew).collect()}
+    assert uni == {n: l for n, l in base.items() if n in uni} and len(uni) == 6
+    # make the bridge 2-3 massively heavy: nodes 2 and 3 must co-locate
+    heavy = _edges_df(spark, TWO_TRI).select(
+        "src",
+        "dst",
+        F.when(
+            (F.col("src") == 2) & (F.col("dst") == 3), F.lit(50)
+        ).otherwise(F.lit(1)).alias("weight"),
+    )
+    hv = {r["node"]: r["label"] for r in louvain_weighted(heavy).collect()}
+    assert hv[2] == hv[3]
+    with _pytest.raises(ValueError):
+        louvain_weighted(
+            _edges_df(spark, TWO_TRI).select(
+                "src", "dst", F.lit(0).alias("weight")
+            )
+        )
+
+
+def test_louvain_weighted_oracle_parity(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (
+        louvain_weighted,
+        louvain_weighted_oracle_sql,
+    )
+
+    ew = _edges_df(spark, TWO_TRI).select(
+        "src", "dst", (F.col("src") + F.col("dst") + 1).alias("weight")
+    )
+    got = sorted((r["node"], r["label"]) for r in louvain_weighted(ew).collect())
+    vals = ",".join(f"({a},{b},{a + b + 1})" for a, b in TWO_TRI)
+    want = sorted(
+        (int(a), int(b))
+        for a, b in duckdb.sql(
+            louvain_weighted_oracle_sql(
+                f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)"
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) == 6
 
 
 def test_louvain_oracle_parity(spark):
