@@ -23,6 +23,17 @@ _edge_lists = st.lists(
 ).filter(lambda es: any(a != b for a, b in es))
 
 
+def _round_away(x: float, digits: int = 9) -> float:
+    """Round-half-AWAY-from-zero — what BOTH engines do on an exact
+    decimal .5 boundary (Spark F.round HALF_UPs the decimal string,
+    DuckDB rounds the binary double away from zero), unlike Python's
+    banker's round().  Dyadic rationals like -41/1024 = -0.0400390625
+    land exactly on the boundary and exposed the difference (hypothesis
+    falsifying example, 2026-08-15)."""
+    scaled = x * 10**digits
+    return math.copysign(math.floor(abs(scaled) + 0.5), scaled) / 10**digits
+
+
 def _und(pairs):
     und = set()
     for s, d in pairs:
@@ -46,7 +57,7 @@ def test_modularity_oracle_matches_python(pairs, mod):
         members = [n for n in nodes if lab[n] == c]
         w = sum(1 for s, d in und if lab[s] == c and lab[d] == c)
         dc = sum(deg[n] for n in members)
-        q = round((m2 * w - dc * dc) / (m2 * m2), 9)
+        q = _round_away((m2 * w - dc * dc) / (m2 * m2), 9)
         want[c] = (len(members), w // 2, dc, q)
     got = {
         r[0]: (r[1], r[2], r[3], r[4])
@@ -71,7 +82,7 @@ def test_assortativity_oracle_matches_python(pairs):
     sxx = sum(deg[s] * deg[s] for s, _ in und)
     sxy = sum(deg[s] * deg[d] for s, d in und)
     den = m_dir * sxx - sx * sx
-    want_r = round((m_dir * sxy - sx * sx) / den, 9) if den != 0 else None
+    want_r = _round_away((m_dir * sxy - sx * sx) / den, 9) if den != 0 else None
     rows = duckdb.sql(assortativity_oracle_sql(edges_sql(pairs))).fetchall()
     assert len(rows) == 1
     m_edges, r = rows[0]
