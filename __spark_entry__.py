@@ -5811,12 +5811,12 @@ FROM up_dec GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
-# Block 46: weighted two-level Louvain (r7 queue — the r6 window is full)
+# Block 46: weighted two-level Louvain (r7 window head — never observed)
 # ---------------------------------------------------------------------------
 # operators/louvain.louvain_weighted: gds.louvain's
 # relationshipWeightProperty mode over the order-volume weighted edges.
-# Registered for the r7 correctness window (never-observed keys go first
-# when r7 recomposes); fully oracle-gated locally via test_entry today.
+# Registered r6 after that round's window filled; r7's recomposition puts
+# it first (_R7_NEVER_OBSERVED).  Oracle-gated locally via test_entry.
 
 
 def q_graph_louvain_weighted(spark, sf_dir):
@@ -5859,56 +5859,20 @@ _REGISTRY_SQL["graph_louvain_weighted"] = louvain_weighted_oracle_sql(
 #            protected family reps + oldest-evidence rotation debt to 50.
 # Everything past 50 is the next round's queue, oldest evidence first.
 
-# (a) never driver-observed (registered r5 after the window filled) --------
-_R6_NEVER_OBSERVED = [
-    "part_name_variants",   # fuzzy record linkage (blocked Levenshtein)
-    "token_budget_mix",     # token-budgeted mixture selection
-    "source_overlap",       # inter-source shingle overlap matrix
-    "corpus_diff",          # snapshot diff (injective digest)
-    "split_leakage",        # train/eval leakage check
-    "winnow_dups",          # winnow near-dup pairs
-    "graph_betweenness",    # sampled Brandes betweenness
-    "pmi_collocations",     # PMI collocation mining
-    "source_divergence",    # per-source KL drift
-    "orders_salted_join",   # plans/skew deterministic salted join
-    "graph_negatives",      # negative edge sampling
-    "winnow_incremental",   # cross-corpus winnow matching
-    "event_paths",          # frequent event paths
+# (a) never driver-observed (registered r6 after the window filled) --------
+_R7_NEVER_OBSERVED = [
+    "graph_louvain_weighted",  # gds.louvain relationshipWeightProperty mode
 ]
 
-# (a2) round-6 registrations. THE WINDOW IS NOW EXACTLY FULL
-#      (13 + 22 + 1 + 14 = 50, zero debt slots): a 23rd entry here would
-#      displace a protected family rep. Round-7 registrations must open a
-#      _R7_NEW list, recompose _WINDOW_PRIORITY for r7 (observed r6 keys
-#      rotate behind the r7 debt queue in COVERAGE.md's r7 row), and move
-#      the ledger test to r7 semantics in the same commit. ----------------
-_R6_NEW = [
-    "ppr_temporal",         # r6: recency-decayed personalized PageRank
-    "url_canonical",        # r6: URL canonicalization + per-host dedup keys
-    "graph_sample_neighbors",  # r6: GraphSAGE fanout sampler
-    "graph_walks",          # r6: DeepWalk deterministic walk corpus
-    "graph_eigenvector",    # r6: eigenvector centrality (A+I power)
-    "graph_modularity",     # r6: modularity of the LPA partition
-    "graph_assortativity",  # r6: degree assortativity coefficient
-    "graph_node2vec",       # r6: (p,q)-biased second-order walk corpus
-    "walk_skipgrams",       # r6: skip-gram training pairs over walks
-    "graph_closeness",      # r6: landmark closeness centrality
-    "graph_fastrp",         # r6: FastRP node embeddings
-    "graph_articlerank",    # r6: ArticleRank centrality
-    "graph_conductance",    # r6: per-community conductance
-    "dsir_weights",         # r6: DSIR hashed-n-gram importance weights
-    "graph_louvain",        # r6: deterministic two-level Louvain
-    "doc_entropy",          # r6: within-doc token entropy (nano-units)
-    "graph_ktruss",         # r6: k-truss via triangle-support peeling
-    "span_corruption",      # r6: T5-style span-corruption targets
-    "pagerank_snapshots",   # r6: batched time-sliced PageRank
-    "ann_recall",           # r6: LSH index recall@k vs brute cosine
-    "dedup_eval",           # r6: LSH candidate precision/recall vs Jaccard
-    "url_policy",           # r6: robots-style longest-prefix crawl policy
-]
+# (a2) round-7 registrations.  Appending a key here displaces the TAIL of
+#      _ROTATION_DEBT past position 50 (into the r8 queue); the VERDICT r7
+#      contract needs >=20 debt keys to stay in-window, so this list may
+#      hold at most 15 keys.  Update COVERAGE.md's r7/r8 rows and the
+#      ledger test in the SAME commit as any append. ----------------------
+_R7_NEW: list[str] = []
 
-# (a3) stale anchors: I3's own query, displaced r5, last observed r3 -------
-_R6_ANCHORS = ["ppr_power"]
+# (a3) stale anchors: none this round (ppr_power re-observed green r6) -----
+_R7_ANCHORS: list[str] = []
 
 # (b) section-2 operator-family representatives (one per family, kept
 #     in-window every round) ----------------------------------------------
@@ -5929,11 +5893,14 @@ _FAMILY_REPS = [
     "report_layout",        # S6
 ]
 
-# (c) rotation debt, oldest driver evidence first (COVERAGE.md r6 row):
-#     the 24 keys displaced from the r5 window (last observed r4 or
-#     earlier), then the remaining r2/r3-observed keys, then r4-observed
-#     extension keys.  Only the first (50 - fixed) fit the r6 window; the
-#     remainder is the r7 queue. ------------------------------------------
+# (c) rotation debt, oldest driver evidence first (COVERAGE.md r7 row):
+#     the 22 keys the r6 registrations popped (last observed r4/r5), then
+#     multimodal_features + events_hourly, then the 11 r2/r3-observed keys.
+#     35 keys; with N _R7_NEW registrations only the first 35-N fit the
+#     window — the displaced tail is the r8 queue head.  Keys with r6
+#     driver rows (the 13 r5-tail keys, the 22 _R6_NEW keys, ppr_power)
+#     are NOT in the priority list: _reorder appends them in registration
+#     order behind the debt, forming the r8+ rotation pool. ---------------
 _ROTATION_DEBT = [
     "revenue_by_customer",
     "revenue_by_nation",
@@ -5973,7 +5940,7 @@ _ROTATION_DEBT = [
 ]
 
 _WINDOW_PRIORITY = (
-    _R6_NEVER_OBSERVED + _R6_NEW + _R6_ANCHORS + _FAMILY_REPS + _ROTATION_DEBT
+    _R7_NEVER_OBSERVED + _R7_NEW + _R7_ANCHORS + _FAMILY_REPS + _ROTATION_DEBT
 )
 
 def _reorder(d: dict) -> dict:

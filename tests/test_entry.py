@@ -257,36 +257,42 @@ def test_minhash_bucket_cap_never_binds_at_gate_scale(spark):
 
 def test_window_queue_matches_coverage_ledger():
     """The 50-row driver window must match COVERAGE.md's rotation ledger
-    (it drifted twice in r5 before this guard).  r6 composition: the 13
-    never-observed r5-tail keys first, any new r6 registrations next, then
-    ppr_power (I3's anchor, last observed r3), the 14 protected family
-    reps, and oldest-evidence rotation debt filling to 50.  Everything
-    past 50 is the r7 queue in debt order."""
+    (it drifted twice in r5 before this guard).  r7 composition:
+    graph_louvain_weighted (the only never-observed key) first, any new r7
+    registrations next, the 14 protected family reps, and oldest-evidence
+    rotation debt (22 r6-popped keys, multimodal_features + events_hourly,
+    the 11 r2/r3 keys) filling to 50.  Everything past 50 is the r8 queue
+    (displaced debt tail first, then r6-observed keys in registration
+    order).  The VERDICT r7 contract needs >=20 debt keys in-window, so
+    _R7_NEW holds at most 15 keys."""
     order = list(E.queries())
     expected_window = (
-        E._R6_NEVER_OBSERVED
-        + E._R6_NEW
-        + E._R6_ANCHORS
+        E._R7_NEVER_OBSERVED
+        + E._R7_NEW
+        + E._R7_ANCHORS
         + E._FAMILY_REPS
         + E._ROTATION_DEBT
     )[:50]
     assert order[:50] == expected_window
-    assert len(E._R6_NEVER_OBSERVED) == 13
-    assert E._R6_ANCHORS == ["ppr_power"]
+    assert E._R7_NEVER_OBSERVED == ["graph_louvain_weighted"]
+    assert len(E._R7_NEW) <= 15
     assert len(E._FAMILY_REPS) == 14 and E._FAMILY_REPS[-1] == "report_layout"
+    assert len(E._ROTATION_DEBT) == 35
+    # >=20 rotation-debt keys must remain inside the 50-row window
+    assert len(set(order[:50]) & set(E._ROTATION_DEBT)) >= 20
     # every registered query appears exactly once (priority list has no
     # typos/dups and nothing silently dropped from the registry)
     assert len(set(order)) == len(order)
     assert set(E._WINDOW_PRIORITY) <= set(order)
     # the ledger in COVERAGE.md must name every never-observed key and the
-    # new-registration keys in its r6 row
+    # new-registration keys in its r7 row
     ledger = (
         Path(__file__).resolve().parent.parent / "COVERAGE.md"
     ).read_text()
-    r6_row = next(line for line in ledger.splitlines() if line.startswith("| r6 |"))
-    for key in E._R6_NEVER_OBSERVED + E._R6_NEW + E._R6_ANCHORS:
-        assert f"`{key}`" in r6_row, f"{key} missing from the COVERAGE r6 row"
-    # the r7 row must name the head of the overflow queue
     r7_row = next(line for line in ledger.splitlines() if line.startswith("| r7 |"))
-    for key in order[50:52]:
+    for key in E._R7_NEVER_OBSERVED + E._R7_NEW + E._R7_ANCHORS:
         assert f"`{key}`" in r7_row, f"{key} missing from the COVERAGE r7 row"
+    # the r8 row must name the head of the overflow queue
+    r8_row = next(line for line in ledger.splitlines() if line.startswith("| r8 |"))
+    for key in order[50:52]:
+        assert f"`{key}`" in r8_row, f"{key} missing from the COVERAGE r8 row"
