@@ -5846,6 +5846,85 @@ _REGISTRY_SQL["graph_louvain_weighted"] = louvain_weighted_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 47: strongly-connected components (gds.scc) — Markov communicating
+# classes of each user's event-type transition chain
+# ---------------------------------------------------------------------------
+# operators/scc.py: deterministic Forward-Backward coloring; the oracle is a
+# DuckDB recursive transitive closure (different algorithm — agreement checks
+# semantics, not implementation).  The TPC-H-derived graph is a DAG (SCC
+# degenerates to singletons, pinned in tests/test_scc.py), so the driver
+# query runs on the per-user transition graph where recurrent classes are
+# real (functions/funnel.user_transition_edges).
+
+
+SCC_SESSION_GAP_S = 14_400  # same-visit transition: gap <= 4 h.  Audited at
+# sf0.01: yields classes of every size 1..5 (104 full / 27+13+11 partial /
+# 60 singleton) so trim AND color/mark phases all run; unrestricted chains
+# make every user one full class (correct but structurally degenerate).
+
+
+def q_graph_scc(spark, sf_dir):
+    """(user_id, event_type, class_id): communicating classes of each
+    user's first-order Markov chain — SCC over the composite-id transition
+    graph (same-visit transitions only), decoded back through the
+    alphabetical type-rank table."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        TRANSITION_NODE_STRIDE,
+        user_transition_edges,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.scc import scc
+
+    e = _t(spark, sf_dir, "events")
+    comp = scc(user_transition_edges(e, max_gap_seconds=SCC_SESSION_GAP_S))
+    ranks = (
+        e.select(F.col("event_type").alias("tname"))
+        .distinct()
+        .select(
+            "tname",
+            (F.row_number().over(bounded_global_window("tname")) - 1)
+            .cast("long")
+            .alias("rk"),
+        )
+    )
+    return (
+        comp.select(
+            F.floor(F.col("node") / F.lit(TRANSITION_NODE_STRIDE))
+            .cast("long")
+            .alias("user_id"),
+            (F.col("node") % TRANSITION_NODE_STRIDE).alias("rk"),
+            F.col("scc_id").alias("class_id"),
+        )
+        .join(F.broadcast(ranks), "rk")
+        .select("user_id", F.col("tname").alias("event_type"), "class_id")
+    )
+
+
+_REGISTRY_Q["graph_scc"] = q_graph_scc
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (  # noqa: E402
+    TRANSITION_NODE_STRIDE as _TRS,
+    user_transition_edges_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.scc import (  # noqa: E402
+    scc_oracle_sql,
+)
+
+_REGISTRY_SQL["graph_scc"] = f"""
+WITH scc_comp AS MATERIALIZED (
+  SELECT * FROM (
+    {scc_oracle_sql(user_transition_edges_sql(max_gap_seconds=SCC_SESSION_GAP_S))}
+  ) t
+),
+scc_ty AS (SELECT tname, ROW_NUMBER() OVER (ORDER BY tname) - 1 AS rk
+           FROM (SELECT DISTINCT event_type AS tname FROM events))
+SELECT CAST(c.node // {_TRS} AS BIGINT) AS user_id,
+       ty.tname AS event_type,
+       CAST(c.scc_id AS BIGINT) AS class_id
+FROM scc_comp c JOIN scc_ty ty ON c.node % {_TRS} = ty.rk
+"""
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5869,7 +5948,9 @@ _R7_NEVER_OBSERVED = [
 #      contract needs >=20 debt keys to stay in-window, so this list may
 #      hold at most 15 keys.  Update COVERAGE.md's r7/r8 rows and the
 #      ledger test in the SAME commit as any append. ----------------------
-_R7_NEW: list[str] = []
+_R7_NEW: list[str] = [
+    "graph_scc",            # r7: Markov communicating classes via gds.scc
+]
 
 # (a3) stale anchors: none this round (ppr_power re-observed green r6) -----
 _R7_ANCHORS: list[str] = []

@@ -399,3 +399,114 @@ SELECT src, dst, weight FROM (
   SELECT t AS src, u AS dst, weight FROM pair_w
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user transition graph -> Markov communicating classes (feeds gds.scc)
+# ---------------------------------------------------------------------------
+
+TRANSITION_NODE_STRIDE = 8  # > |event types|; node id = user * stride + rank
+
+
+def user_transition_edges(
+    events: DataFrame,
+    max_gap_seconds: int | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(src, dst) directed edges of the per-user event-type transition
+    graph, in one composite id space: node = user * STRIDE + type_rank
+    (type ranks 0..k-1 by alphabetical order — identical in any engine).
+
+    The SCCs of this graph are the communicating classes of each user's
+    first-order Markov chain (`event_transitions` is the same chain's
+    probability matrix) — recurrent behavior sets per user, e.g. a user
+    whose tail is an error loop forms a class the earlier funnel states
+    can't re-enter.
+
+    Scale shape: the SAME single user-partitioned lag window every
+    sequence op here uses (one shuffle over the fact table), a broadcast
+    join against the k-row type-rank table, then DISTINCT on at most
+    k^2 x users rows.  Ties on `ts` break by `tiebreak_col`."""
+    from ..plans.windows import bounded_global_window
+
+    ranks = (
+        events.select(F.col(type_col).alias("tname"))
+        .distinct()
+        .select(
+            "tname",
+            (
+                F.row_number().over(bounded_global_window("tname")) - 1
+            ).cast("long").alias("rank"),
+        )
+    )
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = events.select(
+        F.col(user_col).cast("long").alias("u"),
+        F.lag(F.col(type_col)).over(w).alias("a"),
+        F.col(type_col).alias("b"),
+        (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(F.lag(F.col(ts_col)).over(w).cast("timestamp"))
+        ).alias("gap_us"),
+    ).where(F.col("a").isNotNull())
+    if max_gap_seconds is not None:
+        # exact integer microseconds (the _decay_age_days discipline) —
+        # no float boundary, bit-identical filter in both engines
+        pairs = pairs.where(
+            F.col("gap_us") <= F.lit(int(max_gap_seconds) * 1_000_000)
+        )
+    stride = F.lit(TRANSITION_NODE_STRIDE)
+    ranks_a = ranks.select(F.col("tname").alias("a"), F.col("rank").alias("ra"))
+    ranks_b = ranks.select(F.col("tname").alias("b"), F.col("rank").alias("rb"))
+    return (
+        pairs.join(F.broadcast(ranks_a), "a")
+        .join(F.broadcast(ranks_b), "b")
+        .select(
+            (F.col("u") * stride + F.col("ra")).alias("src"),
+            (F.col("u") * stride + F.col("rb")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def user_transition_edges_sql(
+    table: str = "events",
+    max_gap_seconds: int | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> str:
+    """DuckDB twin of `user_transition_edges` (same ranks, same stride,
+    same gap filter — epoch-second difference in both engines)."""
+    s = TRANSITION_NODE_STRIDE
+    gap = (
+        f"AND epoch_us(t.ts_b) - epoch_us(t.ts_a) <= "
+        f"{int(max_gap_seconds) * 1_000_000}"
+        if max_gap_seconds is not None
+        else ""
+    )
+    return f"""
+SELECT DISTINCT CAST(t.u * {s} + ra.rank AS BIGINT) AS src,
+       CAST(t.u * {s} + rb.rank AS BIGINT) AS dst
+FROM (
+  SELECT CAST({user_col} AS BIGINT) AS u,
+         LAG({type_col}) OVER (PARTITION BY {user_col}
+                               ORDER BY {ts_col}, {tiebreak_col}) AS a,
+         {type_col} AS b,
+         LAG({ts_col}) OVER (PARTITION BY {user_col}
+                             ORDER BY {ts_col}, {tiebreak_col}) AS ts_a,
+         {ts_col} AS ts_b
+  FROM {table}
+) t
+JOIN (SELECT tname, ROW_NUMBER() OVER (ORDER BY tname) - 1 AS rank
+      FROM (SELECT DISTINCT {type_col} AS tname FROM {table})) ra
+  ON t.a = ra.tname
+JOIN (SELECT tname, ROW_NUMBER() OVER (ORDER BY tname) - 1 AS rank
+      FROM (SELECT DISTINCT {type_col} AS tname FROM {table})) rb
+  ON t.b = rb.tname
+WHERE t.a IS NOT NULL {gap}
+"""
