@@ -328,6 +328,8 @@ def main() -> None:
         "q_louvain_weighted",
         lambda: E.q_graph_louvain_weighted(spark, SF_DIR).count(),
     )
+    # SCC (FW-BW coloring) over per-user same-visit transition graphs
+    timed("q_scc", lambda: E.q_graph_scc(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend
@@ -358,16 +360,44 @@ def main() -> None:
         ).count(),
     )
 
-    total = round(sum(timings.values()), 4)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
-        "metric": "ppr_spark_bench_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf),
-    }))
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    print(render_line(timings, sf))
     spark.stop()
+
+
+# The round-driver records only the LAST 2000 CHARS OF STDOUT (measured:
+# BENCH_r05's "tail" field is exactly 2000 chars ending at the JSON line's
+# newline; r6's 90-key 4-decimal line grew past that and lost its head, so
+# the driver recorded "parsed": null and the 10 headline keys vanished from
+# the perf-trend channel).  render_line therefore emits the final JSON line
+# compact (no spaces), values at 2 decimals, and per-query keys WITHOUT the
+# historical "q_" prefix (uniform rename, saves ~180 chars; the r6->r7 name
+# mapping is q_X -> X, noted in PERF_NOTES.md).  A guard keeps the line
+# under LINE_BUDGET chars, falling back to 1-decimal values before ever
+# truncating keys; tests/test_bench_driver.py pins the budget against the
+# full current key list with worst-case values.
+LINE_BUDGET = 1900  # < 2000 driver capture, with margin for the newline
+
+
+def render_line(timings: dict[str, float], sf: float) -> str:
+    total = round(sum(timings.values()), 2)
+    for ndigits in (2, 1):
+        q = {}
+        for k, v in timings.items():
+            short = k[2:] if k.startswith("q_") else k
+            assert short not in q, f"bench key collision after prefix strip: {k}"
+            q[short] = round(v, ndigits)
+        line = json.dumps(
+            {"metric": "ppr_spark_bench_total", "value": total, "unit": "sec",
+             "sf": sf, "queries": q},
+            separators=(",", ":"),
+        )
+        if len(line) <= LINE_BUDGET:
+            return line
+    raise AssertionError(
+        f"bench JSON line is {len(line)} chars even at 1-decimal precision; "
+        "the driver tail capture is 2000 — trim the key set"
+    )
 
 
 def _load(spark):

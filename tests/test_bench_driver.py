@@ -99,3 +99,31 @@ def test_per_algo_preprocessing_suite(got, tmp_path):
     by_algo = {r["algo"]: r for r in rows}
     assert by_algo["fwdpush"]["avg_max_err"] < 1e-3
     assert by_algo["pagerank"]["avg_max_err"] < 0.1  # damping-convention gap
+
+
+def test_bench_line_fits_driver_tail_capture():
+    """The round-driver records only the last 2000 chars of stdout
+    (BENCH_r06 lost its head at 90 keys x 4-decimal values and recorded
+    "parsed": null).  Rebuild the final JSON line from every timed() key
+    currently in bench.py with worst-case-width values and pin it under
+    bench.LINE_BUDGET."""
+    import importlib.util
+    import json as _json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("bench", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    src = (root / "bench.py").read_text()
+    keys = sorted(set(re.findall(r'"(q_[a-z0-9_]+|graph_load)"', src)))
+    assert len(keys) >= 90, f"key regex only found {len(keys)} bench keys"
+    # worst case: every query takes >100 s ("123.46" = 6 chars each)
+    line = bench.render_line({k: 123.4567 for k in keys}, 0.1)
+    assert len(line) <= bench.LINE_BUDGET, (len(line), bench.LINE_BUDGET)
+    parsed = _json.loads(line)
+    assert parsed["unit"] == "sec" and len(parsed["queries"]) == len(keys)
+    # prefix-strip must stay collision-free
+    assert len({k[2:] if k.startswith("q_") else k for k in keys}) == len(keys)
