@@ -5925,6 +5925,35 @@ FROM scc_comp c JOIN scc_ty ty ON c.node % {_TRS} = ty.rk
 
 
 # ---------------------------------------------------------------------------
+# Block 48: k-NN similarity graph (gds.knn) over the embeddings table
+# ---------------------------------------------------------------------------
+# functions/simsearch.knn_graph: banded-LSH candidates -> exact rescoring ->
+# per-node top-k; the bridge from the simsearch family to the graph family
+# (tests/test_simsearch.py composes it with weighted Louvain).
+
+KNN_GRAPH_K = 5
+
+
+def q_graph_knn(spark, sf_dir):
+    """(src, dst, cosine): 5-NN similarity graph over the embeddings table
+    via the banded sign-sketch LSH index (never an all-pairs join)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (
+        knn_graph,
+    )
+
+    return knn_graph(_t(spark, sf_dir, "embeddings"), k=KNN_GRAPH_K)
+
+
+_REGISTRY_Q["graph_knn"] = q_graph_knn
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (  # noqa: E402
+    knn_graph_oracle_sql,
+)
+
+_REGISTRY_SQL["graph_knn"] = knn_graph_oracle_sql(k=KNN_GRAPH_K)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5950,6 +5979,7 @@ _R7_NEVER_OBSERVED = [
 #      ledger test in the SAME commit as any append. ----------------------
 _R7_NEW: list[str] = [
     "graph_scc",            # r7: Markov communicating classes via gds.scc
+    "graph_knn",            # r7: k-NN similarity graph (gds.knn shape)
 ]
 
 # (a3) stale anchors: none this round (ppr_power re-observed green r6) -----

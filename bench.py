@@ -330,6 +330,8 @@ def main() -> None:
     )
     # SCC (FW-BW coloring) over per-user same-visit transition graphs
     timed("q_scc", lambda: E.q_graph_scc(spark, SF_DIR).count())
+    # k-NN similarity graph: banded-LSH candidates + per-node top-k
+    timed("q_knn_graph", lambda: E.q_graph_knn(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

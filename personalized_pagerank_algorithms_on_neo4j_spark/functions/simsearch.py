@@ -287,3 +287,114 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    sketch_dims: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(src, dst, cosine): k-nearest-neighbor similarity graph over an
+    embedding column — the `gds.knn` construction step that bridges the
+    similarity-search family to the graph family (kNN edges -> Louvain/LPA
+    is the standard corpus-clustering pipeline).
+
+    Candidates come from the SAME banded sign-sketch LSH index every
+    search op here uses (pairs sharing >= 1 band) — never an all-pairs
+    join; exact cosine rescoring runs only inside buckets, and the per-node
+    top-k is a src-partitioned ROW_NUMBER (deterministic ties: higher
+    cosine first, then smaller dst).  Ranking orders on the RAW IEEE
+    cosine (bit-exact across engines for scalar expression trees); only
+    the emitted score is rounded.
+
+    Scale shape: the index self-join shuffles on (band, value) — at 10^9
+    vectors, grow `sketch_dims` (bucket granularity is 2^(dims/bands) per
+    band, so granularity tracks n) and persist the index bucketed by
+    (band, value); the rescoring join shuffles on vector id; the top-k
+    window partitions by src.  No crossJoin, no global window, no driver
+    loop.  Approximation contract: a node's k-NN list only sees bucket
+    mates (true of every banded-LSH retrieval here); the oracle twin
+    models the IDENTICAL candidate set, so the gate checks the semantics
+    exactly rather than comparing to brute force — `ann_recall` is the op
+    that measures the brute-force gap."""
+    from pyspark.sql import Window
+
+    # the self-join references the index twice; checkpoint so the sketch
+    # subtree is computed once, not re-derived per reference (the
+    # triangle-counting lesson: Spark re-executes unshared subtrees)
+    index = build_lsh_index(df, sketch_dims, bands, vec_col, id_col).localCheckpoint(
+        eager=True
+    )
+    ia = index.select(F.col("id").alias("src"), "band", "value")
+    ib = index.select(F.col("id").alias("dst"), "band", "value")
+    cand = (
+        ia.join(ib, ["band", "value"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"))
+    scored = cand.join(va, "src").join(vb, "dst").select(
+        "src", "dst", cosine(F.col("_va"), F.col("_vb")).alias("_cos")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("_cos"), F.asc("dst"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("src", "dst", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+def knn_graph_oracle_sql(
+    k: int = 5,
+    sketch_dims: int = 16,
+    bands: int = 4,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of `knn_graph`: same sign sketch, same banded candidate
+    rule (>= 1 shared band), same raw-cosine ROW_NUMBER ranking."""
+    rows = sketch_dims // bands
+    cos = (
+        f"list_sum(list_transform(range(1, {dims + 1}),"
+        f" i -> CAST(a.{vec_col}[i] AS DOUBLE) * CAST(b.{vec_col}[i] AS DOUBLE)))"
+        f" / (SQRT(list_sum(list_transform(range(1, {dims + 1}),"
+        f" i -> CAST(a.{vec_col}[i] AS DOUBLE) * CAST(a.{vec_col}[i] AS DOUBLE))))"
+        f" * SQRT(list_sum(list_transform(range(1, {dims + 1}),"
+        f" i -> CAST(b.{vec_col}[i] AS DOUBLE) * CAST(b.{vec_col}[i] AS DOUBLE)))))"
+    )
+    band_cols = ", ".join(
+        f"CAST(FLOOR(sk / POW(2.0, {b * rows})) AS BIGINT) % {2 ** rows}"
+        f" AS band{b}"
+        for b in range(bands)
+    )
+    share = " OR ".join(f"a.band{b} = b.band{b}" for b in range(bands))
+    return f"""
+WITH knn_sk AS MATERIALIZED (
+  SELECT {id_col}, {vec_col}, {band_cols} FROM (
+    SELECT {id_col}, {vec_col},
+           CAST(list_sum(list_transform(range(0, {sketch_dims}),
+                i -> CASE WHEN CAST({vec_col}[i+1] AS DOUBLE) > 0
+                          THEN CAST(POW(2.0, i) AS BIGINT) ELSE 0 END))
+             AS BIGINT) AS sk
+    FROM {table}
+  ) t
+),
+knn_scored AS (
+  SELECT a.{id_col} AS src, b.{id_col} AS dst, {cos} AS raw_cos
+  FROM knn_sk a JOIN knn_sk b
+    ON ({share}) AND a.{id_col} <> b.{id_col}
+)
+SELECT src, dst, ROUND(raw_cos, 6) AS cosine FROM (
+  SELECT src, dst, raw_cos,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY raw_cos DESC, dst ASC) AS rn
+  FROM knn_scored
+) r WHERE rn <= {k}
+"""

@@ -2474,3 +2474,45 @@ def test_decayed_bipartite_edges_null_type_cross_engine(spark):
         ).fetchall()
     }
     assert oracle == got
+
+
+def test_knn_graph_shape_and_candidate_contract(spark):
+    """Every node gets <= k neighbors, no self-edges, and every emitted
+    edge shares at least one LSH band with its source (the candidate
+    contract the oracle models)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    g = simsearch.knn_graph(emb, k=3).cache()
+    rows = g.collect()
+    assert rows and all(r["src"] != r["dst"] for r in rows)
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["src"], []).append(r)
+    assert max(len(v) for v in per_src.values()) <= 3
+    idx = simsearch.build_lsh_index(emb, sketch_dims=16, bands=4)
+    bands = {}
+    for r in idx.collect():
+        bands.setdefault(r["id"], set()).add((r["band"], r["value"]))
+    assert all(bands[r["src"]] & bands[r["dst"]] for r in rows)
+    # deterministic under re-execution (row_number ties broken by dst)
+    again = sorted(map(tuple, simsearch.knn_graph(emb, k=3).collect()))
+    assert sorted(map(tuple, rows)) == again
+
+
+def test_knn_graph_feeds_louvain(spark):
+    """The corpus-clustering composition: kNN edges (micro-unit integer
+    weights) -> weighted two-level Louvain -> a real partition."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (
+        louvain_weighted,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    g = simsearch.knn_graph(emb, k=5)
+    edges_w = g.where(F.col("cosine") > 0).select(
+        "src", "dst", F.round(F.col("cosine") * 1e6).cast("long").alias("weight")
+    )
+    labels = louvain_weighted(edges_w, rounds1=4, rounds2=2)
+    rows = labels.collect()
+    nodes = {r["node"] for r in rows}
+    n_comm = len({r["label"] for r in rows})
+    assert len(rows) == len(nodes)  # one label per node
+    assert 1 < n_comm < len(nodes)  # neither all-singleton nor one blob
