@@ -962,8 +962,6 @@ FROM m CROSS JOIN dims d
     return sql
 
 
-
-
 _REGISTRY_Q.update(
     {
         "text_profile": q_text_profile,
@@ -1016,8 +1014,6 @@ def q_user_sessions(spark, sf_dir):
     return sess.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
     )
-
-
 
 
 _REGISTRY_Q["events_hourly"] = q_events_hourly
@@ -1260,8 +1256,6 @@ def _bwd_push_chain(
     return ",\n".join(ctes)
 
 
-
-
 _REGISTRY_Q.update(
     {
         "ppr_fwdpush": q_ppr_fwdpush,
@@ -1397,8 +1391,6 @@ def _base_all_chain(prefix: str, steps: int, rmax: float, alpha: float) -> str:
     return ",\n".join(ctes)
 
 
-
-
 _REGISTRY_Q["base_all_pairs"] = q_base_all_pairs
 
 
@@ -1444,8 +1436,6 @@ def q_customer_set_ops(spark, sf_dir):
     both = rich.intersect(busy).select("k", F.lit("both").alias("bucket"))
     rich_only = rich.exceptAll(busy).select("k", F.lit("rich_only").alias("bucket"))
     return both.unionAll(rich_only)
-
-
 
 
 _REGISTRY_Q["cube_revenue"] = q_cube_revenue
@@ -1501,8 +1491,6 @@ def q_report_layout(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["report_layout"] = q_report_layout
 
 
@@ -1556,8 +1544,6 @@ def _cluster_chain(prefix: str, steps: int) -> str:
   ) x GROUP BY node)"""
         )
     return ",\n".join(ctes)
-
-
 
 
 _REGISTRY_Q["dedup_clusters"] = q_dedup_clusters
@@ -1621,8 +1607,6 @@ def q_kmeans_clusters(spark, sf_dir):
     return _clustering.kmeans_assign(
         e, k=KMEANS_K, iterations=KMEANS_ITERS, dim=64
     )
-
-
 
 
 _REGISTRY_Q.update(
@@ -1731,8 +1715,6 @@ def q_decontamination(spark, sf_dir):
     return _dedup.cross_corpus_contamination(corpus, bench, n=3)
 
 
-
-
 _REGISTRY_Q.update(
     {
         "pii_scrub": q_pii_scrub,
@@ -1836,8 +1818,6 @@ def q_simsearch_pq(spark, sf_dir):
     return _pq.pq_adc_topk(e, query_id=0, k=20, codebooks=cbs, codes=codes)
 
 
-
-
 _REGISTRY_Q["pq_codes"] = q_pq_codes
 _REGISTRY_Q["simsearch_pq"] = q_simsearch_pq
 
@@ -1887,8 +1867,6 @@ def q_events_topk_hourly(spark, sf_dir):
     return board.withColumn("rank", F.col("rank").cast("long"))
 
 
-
-
 _REGISTRY_Q["events_topk_hourly"] = q_events_topk_hourly
 
 
@@ -1919,8 +1897,6 @@ def q_tfidf_top_terms(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_top_terms(d, k=3)
-
-
 
 
 _REGISTRY_Q["tfidf_top_terms"] = q_tfidf_top_terms
@@ -1982,8 +1958,6 @@ def q_events_value_quantiles(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["exact_k_by_lang"] = q_exact_k_by_lang
 _REGISTRY_Q["events_value_quantiles"] = q_events_value_quantiles
 
@@ -2025,8 +1999,6 @@ def q_event_funnel(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return funnel_report(e, FUNNEL_STEPS)
-
-
 
 
 _REGISTRY_Q["event_funnel"] = q_event_funnel
@@ -2075,8 +2047,6 @@ def q_retention_cohorts(spark, sf_dir):
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
-
-
 _REGISTRY_Q["retention_cohorts"] = q_retention_cohorts
 
 
@@ -2119,8 +2089,6 @@ def q_revenue_moving_avg(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["revenue_moving_avg"] = q_revenue_moving_avg
 
 
@@ -2159,8 +2127,6 @@ def q_bloom_decontamination(spark, sf_dir):
     return bloom_contamination(
         corpus, bench, m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K
     )
-
-
 
 
 _REGISTRY_Q["bloom_decontamination"] = q_bloom_decontamination
@@ -2253,8 +2219,6 @@ def q_supplier_cooccurrence(spark, sf_dir):
     return item_jaccard(inc, min_shared=COOC_MIN_SHARED)
 
 
-
-
 _REGISTRY_Q["event_transitions"] = q_event_transitions
 _REGISTRY_Q["ngram_span_dups"] = q_ngram_span_dups
 _REGISTRY_Q["supplier_cooccurrence"] = q_supplier_cooccurrence
@@ -2324,8 +2288,6 @@ def q_pq_trained_codes(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["pq_trained_codes"] = q_pq_trained_codes
 
 
@@ -2386,8 +2348,6 @@ def q_mixture_rebalance(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["doc_chunks"] = q_doc_chunks
 _REGISTRY_Q["seq_packing"] = q_seq_packing
 _REGISTRY_Q["mixture_rebalance"] = q_mixture_rebalance
@@ -2423,8 +2383,6 @@ def q_bm25_topk(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_topk(d, BM25_QUERY, k=BM25_K)
-
-
 
 
 _REGISTRY_Q["bm25_topk"] = q_bm25_topk
@@ -2482,8 +2440,6 @@ def q_corpus_report(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["events_anomaly"] = q_events_anomaly
 _REGISTRY_Q["corpus_report"] = q_corpus_report
 
@@ -2538,8 +2494,6 @@ def q_doc_logprob(spark, sf_dir):
     return unigram_logprob_scores(d)
 
 
-
-
 _REGISTRY_Q["doc_logprob"] = q_doc_logprob
 
 
@@ -2567,8 +2521,6 @@ def q_two_hop_counts(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return two_hop_neighbors(g.edges, hub_cap=TWO_HOP_CAP)
-
-
 
 
 _REGISTRY_Q["two_hop_counts"] = q_two_hop_counts
@@ -2600,8 +2552,6 @@ def q_decayed_scores(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return decayed_user_scores(e, half_life_days=DECAY_HALF_LIFE)
-
-
 
 
 _REGISTRY_Q["decayed_scores"] = q_decayed_scores
@@ -2638,8 +2588,6 @@ def q_data_expectations(spark, sf_dir):
             expect("unique", "o_orderkey"),
         ],
     )
-
-
 
 
 _REGISTRY_Q["data_expectations"] = q_data_expectations
@@ -2694,8 +2642,6 @@ def q_semantic_dedup(spark, sf_dir):
         threshold=0.35,
         max_cluster_size=SEMDEDUP_CAP,
     )
-
-
 
 
 _REGISTRY_Q["semantic_dedup"] = q_semantic_dedup
@@ -2758,8 +2704,6 @@ def q_node_similarity(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["triangle_counts"] = q_triangle_counts
 _REGISTRY_Q["node_similarity"] = q_node_similarity
 
@@ -2795,8 +2739,6 @@ def q_graph_bfs(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return bfs_distances(g, _source(g), max_hops=BFS_MAX_HOPS)
-
-
 
 
 _REGISTRY_Q["graph_bfs"] = q_graph_bfs
@@ -2838,8 +2780,6 @@ def q_graph_wcc(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["graph_wcc"] = q_graph_wcc
 
 
@@ -2871,8 +2811,6 @@ def q_graph_hits(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return hits(g, iterations=HITS_ITERS)
-
-
 
 
 _REGISTRY_Q["graph_hits"] = q_graph_hits
@@ -2913,8 +2851,6 @@ def q_graph_kcore(spark, sf_dir):
     return k_core(g.edges, k=KCORE_K)
 
 
-
-
 _REGISTRY_Q["graph_kcore"] = q_graph_kcore
 
 
@@ -2953,8 +2889,6 @@ def q_click_attribution(spark, sf_dir):
         e.where(F.col("event_type") == "purchase"),
         horizon=ATTRIB_HORIZON,
     )
-
-
 
 
 _REGISTRY_Q["click_attribution"] = q_click_attribution
@@ -3008,8 +2942,6 @@ def q_heavy_hitter_users(spark, sf_dir):
     return cms_heavy_hitters(e, "user_id", threshold=CMS_THRESHOLD)
 
 
-
-
 _REGISTRY_Q["approx_distinct_users"] = q_approx_distinct_users
 _REGISTRY_Q["heavy_hitter_users"] = q_heavy_hitter_users
 
@@ -3051,8 +2983,6 @@ def q_harmonic_centrality(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["harmonic_centrality"] = q_harmonic_centrality
 
 
@@ -3083,8 +3013,6 @@ def q_dedup_survivors(spark, sf_dir):
     return _dedup.dedup_survivorship(
         d, num_hashes=8, bands=4, n=3, max_iters=CLUSTER_STEPS, strict=False
     )
-
-
 
 
 _REGISTRY_Q["dedup_survivors"] = q_dedup_survivors
@@ -3149,8 +3077,6 @@ def q_order_price_bands(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["order_price_bands"] = q_order_price_bands
 
 
@@ -3187,8 +3113,6 @@ def q_bm25_multi(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return bm25_topk_batch(d, BM25_BATCH, k=BM25_BATCH_K)
-
-
 
 
 _REGISTRY_Q["bm25_multi"] = q_bm25_multi
@@ -3239,8 +3163,6 @@ def _pagerank_chain(prefix: str, iterations: int, alpha: float = ALPHA) -> str:
   ) u GROUP BY node)"""
         )
     return ",\n".join(ctes)
-
-
 
 
 _REGISTRY_Q["ppr_pagerank"] = q_ppr_pagerank
@@ -3295,8 +3217,6 @@ def _pagerank_global_chain(prefix: str, iterations: int, alpha: float = ALPHA) -
     return ",\n".join(ctes)
 
 
-
-
 _REGISTRY_Q["graph_pagerank"] = q_graph_pagerank
 
 
@@ -3324,8 +3244,6 @@ def q_hot_shingles(spark, sf_dir):
     return _dedup.hot_shingles(
         d, n=3, min_df=HOT_SHINGLE_MIN_DF, k=HOT_SHINGLE_K
     )
-
-
 
 
 _REGISTRY_Q["hot_shingles"] = q_hot_shingles
@@ -3374,8 +3292,6 @@ def q_curriculum_order(spark, sf_dir):
     return curriculum_order(
         d, n_buckets=CURRICULUM_BUCKETS, seed=CURRICULUM_SEED
     )
-
-
 
 
 _REGISTRY_Q["shard_manifest"] = q_shard_manifest
@@ -3436,8 +3352,6 @@ def q_clustering_coeff(spark, sf_dir):
     return clustering_coefficient(g.edges)
 
 
-
-
 _REGISTRY_Q["clustering_coeff"] = q_clustering_coeff
 
 
@@ -3462,8 +3376,6 @@ def q_doc_bigram_logprob(spark, sf_dir):
     companion to doc_logprob's unigram proxy."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return _text.bigram_logprob_scores(d)
-
-
 
 
 _REGISTRY_Q["doc_bigram_logprob"] = q_doc_bigram_logprob
@@ -3513,8 +3425,6 @@ def q_degree_histogram(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["adamic_adar"] = q_adamic_adar
 _REGISTRY_Q["degree_histogram"] = q_degree_histogram
 
@@ -3558,8 +3468,6 @@ def q_simsearch_ivfpq(spark, sf_dir):
     return _pq.ivfpq_topk(
         e, query_id=0, k=IVFPQ_K, n_cells=16, nprobe=4, m=4, ksub=16
     )
-
-
 
 
 _REGISTRY_Q["simsearch_ivfpq"] = q_simsearch_ivfpq
@@ -3629,8 +3537,6 @@ def q_lsh_incremental(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["lsh_incremental"] = q_lsh_incremental
 
 
@@ -3674,8 +3580,6 @@ def q_histogram_quantiles(spark, sf_dir):
     return histogram_quantiles(
         e, "value", HQ_PROBS, group_col="event_type", resolution=100
     )
-
-
 
 
 def q_doc_token_quantiles(spark, sf_dir):
@@ -3800,8 +3704,6 @@ def q_graph_pagerank_weighted(spark, sf_dir):
     return df.select("node", F.round("score", 9).alias("score"))
 
 
-
-
 _REGISTRY_Q["graph_pagerank_weighted"] = q_graph_pagerank_weighted
 
 
@@ -3882,8 +3784,6 @@ def _power_multi_chain(prefix: str, iterations: int, alpha: float = ALPHA) -> st
     return ",\n".join(ctes)
 
 
-
-
 _REGISTRY_Q["ppr_multi_source"] = q_ppr_multi_source
 
 
@@ -3939,8 +3839,6 @@ def q_event_gap_quantiles(spark, sf_dir):
     return histogram_quantiles(
         gaps, "gap_s", HQ_PROBS, group_col="event_type", resolution=1
     )
-
-
 
 
 _REGISTRY_Q["similar_docs"] = q_similar_docs
@@ -4016,8 +3914,6 @@ def q_next_tokens(spark, sf_dir):
     (functions/text.bigram_next_tokens)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return _text.bigram_next_tokens(d, NEXT_TOKEN_PREFIX, k=NEXT_TOKEN_K)
-
-
 
 
 _REGISTRY_Q["ppr_pagerank_weighted"] = q_ppr_pagerank_weighted
@@ -4212,8 +4108,6 @@ def q_events_range_window(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["events_json_stats"] = q_events_json_stats
 _REGISTRY_Q["sssp_landmarks"] = q_sssp_landmarks
 _REGISTRY_Q["part_unpivot"] = q_part_unpivot
@@ -4255,8 +4149,6 @@ WINDOW w AS (PARTITION BY user_id
              ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
              RANGE BETWEEN {RANGE_WINDOW_SECONDS} PRECEDING AND CURRENT ROW)
 """
-
-
 
 
 _REGISTRY_Q["graph_lpa"] = q_graph_lpa
@@ -4306,8 +4198,6 @@ def q_doc_winnow(spark, sf_dir):
     return winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
 
 
-
-
 _REGISTRY_Q["doc_winnow"] = q_doc_winnow
 
 
@@ -4336,8 +4226,6 @@ def q_part_name_variants(spark, sf_dir):
 
     part = _t(spark, sf_dir, "part")
     return name_variant_pairs(part, "p_name", max_dist=NAME_VARIANT_DIST)
-
-
 
 
 _REGISTRY_Q["part_name_variants"] = q_part_name_variants
@@ -4372,8 +4260,6 @@ def q_token_budget_mix(spark, sf_dir):
     return token_budget_mix(docs, budget=TOKEN_BUDGET)
 
 
-
-
 _REGISTRY_Q["token_budget_mix"] = q_token_budget_mix
 
 
@@ -4403,8 +4289,6 @@ def q_source_overlap(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return source_shingle_overlap(docs, n=3)
-
-
 
 
 _REGISTRY_Q["source_overlap"] = q_source_overlap
@@ -4467,8 +4351,6 @@ def q_corpus_diff(spark, sf_dir):
     return snapshot_diff(v1, v2, "doc_id", _DIFF_COLS)
 
 
-
-
 _REGISTRY_Q["corpus_diff"] = q_corpus_diff
 
 
@@ -4509,8 +4391,6 @@ def q_split_leakage(spark, sf_dir):
         docs.select("doc_id"), SPLIT_WEIGHTS, seed=SPLIT_SEED
     )
     return split_leakage(docs, splits, threshold=0.5, n=3, max_shingle_df=1000)
-
-
 
 
 _REGISTRY_Q["split_leakage"] = q_split_leakage
@@ -4557,8 +4437,6 @@ def q_winnow_dups(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["winnow_dups"] = q_winnow_dups
 
 
@@ -4592,8 +4470,6 @@ def q_graph_betweenness(spark, sf_dir):
     return betweenness_landmarks(
         g, n_landmarks=BETWEENNESS_LANDMARKS, max_hops=BETWEENNESS_HOPS
     )
-
-
 
 
 _REGISTRY_Q["graph_betweenness"] = q_graph_betweenness
@@ -4632,8 +4508,6 @@ def q_pmi_collocations(spark, sf_dir):
     return pmi_collocations(docs, min_count=PMI_MIN_COUNT)
 
 
-
-
 _REGISTRY_Q["pmi_collocations"] = q_pmi_collocations
 
 
@@ -4659,8 +4533,6 @@ def q_source_divergence(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return source_divergence(docs)
-
-
 
 
 _REGISTRY_Q["source_divergence"] = q_source_divergence
@@ -4698,8 +4570,6 @@ def q_orders_salted_join(spark, sf_dir):
     return salted_join(big, small, "custkey")
 
 
-
-
 _REGISTRY_Q["orders_salted_join"] = q_orders_salted_join
 
 
@@ -4729,8 +4599,6 @@ def q_graph_negatives(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return link_negatives(g.edges, g.nodes, k=NEG_K, seed=NEG_SEED)
-
-
 
 
 _REGISTRY_Q["graph_negatives"] = q_graph_negatives
@@ -4771,8 +4639,6 @@ def q_winnow_incremental(spark, sf_dir):
     )
 
 
-
-
 _REGISTRY_Q["winnow_incremental"] = q_winnow_incremental
 
 
@@ -4807,8 +4673,6 @@ def q_event_paths(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return event_paths(ev, length=EVENT_PATH_LEN, min_count=EVENT_PATH_MIN)
-
-
 
 
 _REGISTRY_Q["event_paths"] = q_event_paths
@@ -5866,62 +5730,25 @@ SCC_SESSION_GAP_S = 14_400  # same-visit transition: gap <= 4 h.  Audited at
 def q_graph_scc(spark, sf_dir):
     """(user_id, event_type, class_id): communicating classes of each
     user's first-order Markov chain — SCC over the composite-id transition
-    graph (same-visit transitions only), decoded back through the
-    alphabetical type-rank table."""
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
-        TRANSITION_NODE_STRIDE,
-        user_transition_edges,
+    graph, same-visit transitions only (operators/scc.py)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.scc import (
+        markov_communicating_classes,
     )
-    from personalized_pagerank_algorithms_on_neo4j_spark.operators.scc import scc
 
-    e = _t(spark, sf_dir, "events")
-    comp = scc(user_transition_edges(e, max_gap_seconds=SCC_SESSION_GAP_S))
-    ranks = (
-        e.select(F.col("event_type").alias("tname"))
-        .distinct()
-        .select(
-            "tname",
-            (F.row_number().over(bounded_global_window("tname")) - 1)
-            .cast("long")
-            .alias("rk"),
-        )
-    )
-    return (
-        comp.select(
-            F.floor(F.col("node") / F.lit(TRANSITION_NODE_STRIDE))
-            .cast("long")
-            .alias("user_id"),
-            (F.col("node") % TRANSITION_NODE_STRIDE).alias("rk"),
-            F.col("scc_id").alias("class_id"),
-        )
-        .join(F.broadcast(ranks), "rk")
-        .select("user_id", F.col("tname").alias("event_type"), "class_id")
+    return markov_communicating_classes(
+        _t(spark, sf_dir, "events"), max_gap_seconds=SCC_SESSION_GAP_S
     )
 
 
 _REGISTRY_Q["graph_scc"] = q_graph_scc
 
-from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (  # noqa: E402
-    TRANSITION_NODE_STRIDE as _TRS,
-    user_transition_edges_sql,
-)
 from personalized_pagerank_algorithms_on_neo4j_spark.operators.scc import (  # noqa: E402
-    scc_oracle_sql,
+    markov_classes_oracle_sql,
 )
 
-_REGISTRY_SQL["graph_scc"] = f"""
-WITH scc_comp AS MATERIALIZED (
-  SELECT * FROM (
-    {scc_oracle_sql(user_transition_edges_sql(max_gap_seconds=SCC_SESSION_GAP_S))}
-  ) t
-),
-scc_ty AS (SELECT tname, ROW_NUMBER() OVER (ORDER BY tname) - 1 AS rk
-           FROM (SELECT DISTINCT event_type AS tname FROM events))
-SELECT CAST(c.node // {_TRS} AS BIGINT) AS user_id,
-       ty.tname AS event_type,
-       CAST(c.scc_id AS BIGINT) AS class_id
-FROM scc_comp c JOIN scc_ty ty ON c.node % {_TRS} = ty.rk
-"""
+_REGISTRY_SQL["graph_scc"] = markov_classes_oracle_sql(
+    max_gap_seconds=SCC_SESSION_GAP_S
+)
 
 
 # ---------------------------------------------------------------------------

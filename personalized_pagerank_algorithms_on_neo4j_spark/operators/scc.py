@@ -250,3 +250,65 @@ mutual AS (
 )
 SELECT node, CAST(MIN(m) AS BIGINT) AS scc_id FROM mutual GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Composed op: Markov communicating classes over per-user transition chains
+# ---------------------------------------------------------------------------
+
+
+def markov_communicating_classes(
+    events: DataFrame, max_gap_seconds: int | None = None
+) -> DataFrame:
+    """(user_id, event_type, class_id): SCC over the composite-id per-user
+    event-type transition graph (`funnel.user_transition_edges`), decoded
+    back through the alphabetical type-rank table.  The communicating
+    classes of each user's first-order Markov chain — recurrent behavior
+    sets (`event_transitions` is the same chain's probability matrix)."""
+    from ..functions.funnel import TRANSITION_NODE_STRIDE, user_transition_edges
+    from ..plans.windows import bounded_global_window
+
+    comp = scc(user_transition_edges(events, max_gap_seconds=max_gap_seconds))
+    ranks = (
+        events.select(F.col("event_type").alias("tname"))
+        .distinct()
+        .select(
+            "tname",
+            (F.row_number().over(bounded_global_window("tname")) - 1)
+            .cast("long")
+            .alias("rk"),
+        )
+    )
+    return (
+        comp.select(
+            F.floor(F.col("node") / F.lit(TRANSITION_NODE_STRIDE))
+            .cast("long")
+            .alias("user_id"),
+            (F.col("node") % TRANSITION_NODE_STRIDE).alias("rk"),
+            F.col("scc_id").alias("class_id"),
+        )
+        .join(F.broadcast(ranks), "rk")
+        .select("user_id", F.col("tname").alias("event_type"), "class_id")
+    )
+
+
+def markov_classes_oracle_sql(
+    table: str = "events", max_gap_seconds: int | None = None
+) -> str:
+    """DuckDB twin of `markov_communicating_classes` (closure-based SCC
+    over the identical edge derivation, identical decode)."""
+    from ..functions.funnel import TRANSITION_NODE_STRIDE, user_transition_edges_sql
+
+    s = TRANSITION_NODE_STRIDE
+    edges = user_transition_edges_sql(table=table, max_gap_seconds=max_gap_seconds)
+    return f"""
+WITH scc_comp AS MATERIALIZED (
+  SELECT * FROM ({scc_oracle_sql(edges)}) t
+),
+scc_ty AS (SELECT tname, ROW_NUMBER() OVER (ORDER BY tname) - 1 AS rk
+           FROM (SELECT DISTINCT event_type AS tname FROM {table}))
+SELECT CAST(c.node // {s} AS BIGINT) AS user_id,
+       ty.tname AS event_type,
+       CAST(c.scc_id AS BIGINT) AS class_id
+FROM scc_comp c JOIN scc_ty ty ON c.node % {s} = ty.rk
+"""

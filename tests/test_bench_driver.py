@@ -15,6 +15,8 @@ from personalized_pagerank_algorithms_on_neo4j_spark.sources.report import (
     report_df,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight e2e: see pytest.ini / README two-tier loop
+
 
 def test_sample_query_nodes_seeded(got):
     a = bench_driver.sample_query_nodes(got, 10, seed=42)

@@ -3,9 +3,12 @@ session — kept to ONE invocation for suite-time reasons)."""
 
 from __future__ import annotations
 
+import pytest
 import subprocess
 import sys
 from pathlib import Path
+
+pytestmark = pytest.mark.slow  # heavyweight e2e: see pytest.ini / README two-tier loop
 
 REPO = Path(__file__).resolve().parent.parent
 GOT_NODES = "/root/reference/dataset/got/GOT_Nodes.csv"

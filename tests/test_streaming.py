@@ -18,6 +18,8 @@ from personalized_pagerank_algorithms_on_neo4j_spark.streaming import ppr_refres
 
 from .conftest import SF_SMALL
 
+pytestmark = pytest.mark.slow  # heavyweight e2e: see pytest.ini / README two-tier loop
+
 
 @pytest.fixture()
 def events_dir(spark, tmp_path):
