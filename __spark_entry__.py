@@ -5390,15 +5390,10 @@ SELECT snap, src, dst FROM (
 """
 
 
-def q_pagerank_snapshots(spark, sf_dir):
-    """Per-order-year PageRank trend over the customer->supplier->nation
-    graph, every yearly snapshot batched through ONE superstep loop with
-    (year, node)-keyed state (operators/pagerank.pagerank_snapshots)."""
-    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
-        pagerank_snapshots,
-    )
-
-    g = _graph(spark, sf_dir)
+def _snap_edges(spark, sf_dir):
+    """(snap, src, dst): the per-order-year snapshot edge table shared by
+    `pagerank_snapshots` and `graph_snapshot_diff` (SQL twin:
+    SNAP_EDGES_SQL)."""
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
     supplier = _t(spark, sf_dir, "supplier")
@@ -5424,8 +5419,22 @@ def q_pagerank_snapshots(spark, sf_dir):
             (F.col("c_nationkey") + NATION_BASE).cast("long").alias("dst"),
         )
     )
-    edges_t = cs.unionByName(years.crossJoin(static).select("snap", "src", "dst"))
-    df = pagerank_snapshots(edges_t, g.nodes, iterations=PAGERANK_SNAP_ITERS, alpha=ALPHA)
+    return cs.unionByName(years.crossJoin(static).select("snap", "src", "dst"))
+
+
+def q_pagerank_snapshots(spark, sf_dir):
+    """Per-order-year PageRank trend over the customer->supplier->nation
+    graph, every yearly snapshot batched through ONE superstep loop with
+    (year, node)-keyed state (operators/pagerank.pagerank_snapshots)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+        pagerank_snapshots,
+    )
+
+    g = _graph(spark, sf_dir)
+    df = pagerank_snapshots(
+        _snap_edges(spark, sf_dir), g.nodes, iterations=PAGERANK_SNAP_ITERS,
+        alpha=ALPHA,
+    )
     return df.select("snap", "node", F.round("score", 9).alias("score"))
 
 
@@ -5781,6 +5790,33 @@ _REGISTRY_SQL["graph_knn"] = knn_graph_oracle_sql(k=KNN_GRAPH_K)
 
 
 # ---------------------------------------------------------------------------
+# Block 49: cross-snapshot edge diff (graph churn between yearly slices)
+# ---------------------------------------------------------------------------
+# functions/graphstats.snapshot_edge_diff over the SAME (snap, src, dst)
+# table pagerank_snapshots batches — "how much did the graph move" before
+# comparing the scores.
+
+
+def q_graph_snapshot_diff(spark, sf_dir):
+    """(snap_from, snap_to, n_added, n_removed, n_kept, jaccard): edge
+    churn between consecutive order-year graph snapshots."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        snapshot_edge_diff,
+    )
+
+    return snapshot_edge_diff(_snap_edges(spark, sf_dir))
+
+
+_REGISTRY_Q["graph_snapshot_diff"] = q_graph_snapshot_diff
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (  # noqa: E402
+    snapshot_edge_diff_sql,
+)
+
+_REGISTRY_SQL["graph_snapshot_diff"] = snapshot_edge_diff_sql(SNAP_EDGES_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5807,6 +5843,7 @@ _R7_NEVER_OBSERVED = [
 _R7_NEW: list[str] = [
     "graph_scc",            # r7: Markov communicating classes via gds.scc
     "graph_knn",            # r7: k-NN similarity graph (gds.knn shape)
+    "graph_snapshot_diff",  # r7: edge churn between yearly graph slices
 ]
 
 # (a3) stale anchors: none this round (ppr_power re-observed green r6) -----

@@ -1111,3 +1111,110 @@ SELECT CAST(FLOOR(m_dir / 2) AS BIGINT) AS m_edges,
        END AS assortativity
 FROM sums
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot edge diff (graph churn between time slices)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_edge_diff(edges_t: DataFrame) -> DataFrame:
+    """(snap_from, snap_to, n_added, n_removed, n_kept, jaccard): edge
+    churn between CONSECUTIVE snapshots of a (snap, src, dst) edge table —
+    the edges-over-time companion of `pagerank_snapshots` (same input
+    shape), answering "how much did the graph move between slices" before
+    anyone compares the scores.
+
+    Counts are exact BIGINTs (the snapshot_diff integer-contract
+    discipline); `jaccard` = kept / (kept + added + removed) is computed
+    HALF-UP in integer micro-units then scaled — identical doubles from
+    identical integers in both engines, no ROUND(float) .5-boundary
+    exposure (the cents pattern).
+
+    Scale shape: the snap list is aggregated to a tiny frame (bounded by
+    the number of time slices), consecutive pairs come from one lead()
+    over it, and each edge row joins into at most its two adjacent pairs
+    — the diff itself is ONE shuffle keyed by (pair, src, dst) with
+    map-side-combinable max flags, then a pair-keyed count aggregate.
+    Nothing is quadratic in snapshots and nothing compares non-adjacent
+    slices."""
+    from ..plans.windows import bounded_global_window
+
+    snaps = edges_t.select("snap").distinct()
+    pairs = (
+        snaps.select(
+            F.col("snap").alias("snap_from"),
+            F.lead("snap").over(bounded_global_window("snap")).alias("snap_to"),
+        )
+        .where(F.col("snap_to").isNotNull())
+        .localCheckpoint(eager=True)  # read by both join branches
+    )
+    ea = edges_t.join(
+        F.broadcast(pairs), edges_t.snap == pairs.snap_from
+    ).select("snap_from", "snap_to", "src", "dst", F.lit(1).alias("in_a"),
+             F.lit(0).alias("in_b"))
+    eb = edges_t.join(
+        F.broadcast(pairs), edges_t.snap == pairs.snap_to
+    ).select("snap_from", "snap_to", "src", "dst", F.lit(0).alias("in_a"),
+             F.lit(1).alias("in_b"))
+    flags = (
+        ea.unionByName(eb)
+        .groupBy("snap_from", "snap_to", "src", "dst")
+        .agg(F.max("in_a").alias("a"), F.max("in_b").alias("b"))
+    )
+    n_added = F.sum(((F.col("b") == 1) & (F.col("a") == 0)).cast("long"))
+    n_removed = F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("long"))
+    n_kept = F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("long"))
+    return (
+        flags.groupBy("snap_from", "snap_to")
+        .agg(
+            n_added.alias("n_added"),
+            n_removed.alias("n_removed"),
+            n_kept.alias("n_kept"),
+        )
+        .select(
+            "snap_from",
+            "snap_to",
+            "n_added",
+            "n_removed",
+            "n_kept",
+            (
+                F.expr(
+                    "(n_kept * 2000000 + (n_kept + n_added + n_removed)) div "
+                    "(2 * (n_kept + n_added + n_removed))"
+                )
+                / F.lit(1_000_000.0)
+            ).alias("jaccard"),
+        )
+    )
+
+
+def snapshot_edge_diff_sql(edges_t_sql: str) -> str:
+    """DuckDB twin of `snapshot_edge_diff` (same adjacent-pair rule, same
+    flag aggregate, same single rounded division)."""
+    return f"""
+WITH sd_e AS MATERIALIZED (SELECT DISTINCT snap, src, dst FROM ({edges_t_sql})),
+sd_pairs AS (
+  SELECT snap AS snap_from, LEAD(snap) OVER (ORDER BY snap) AS snap_to
+  FROM (SELECT DISTINCT snap FROM sd_e)
+  QUALIFY snap_to IS NOT NULL
+),
+sd_flags AS (
+  SELECT p.snap_from, p.snap_to, t.src, t.dst,
+         MAX(CASE WHEN t.snap = p.snap_from THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN t.snap = p.snap_to THEN 1 ELSE 0 END) AS b
+  FROM sd_pairs p JOIN sd_e t ON t.snap IN (p.snap_from, p.snap_to)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT snap_from, snap_to, n_added, n_removed, n_kept,
+       ((n_kept * 2000000 + (n_kept + n_added + n_removed))
+        // (2 * (n_kept + n_added + n_removed))) / 1000000.0 AS jaccard
+FROM (
+  SELECT snap_from, snap_to,
+         CAST(SUM(CASE WHEN b = 1 AND a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM sd_flags
+  GROUP BY snap_from, snap_to
+) c
+"""

@@ -2516,3 +2516,27 @@ def test_knn_graph_feeds_louvain(spark):
     n_comm = len({r["label"] for r in rows})
     assert len(rows) == len(nodes)  # one label per node
     assert 1 < n_comm < len(nodes)  # neither all-singleton nor one blob
+
+
+def test_snapshot_edge_diff_hand_fixture(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        snapshot_edge_diff,
+    )
+
+    rows = [
+        # snap 1: {a,b,c}; snap 2: {b,c,d}; snap 3: {d}
+        (1, 1, 2), (1, 2, 3), (1, 3, 4),
+        (2, 2, 3), (2, 3, 4), (2, 9, 9),
+        (3, 9, 9),
+    ]
+    df = spark.createDataFrame(rows, "snap long, src long, dst long")
+    got = {
+        (r["snap_from"], r["snap_to"]): (
+            r["n_added"], r["n_removed"], r["n_kept"], r["jaccard"]
+        )
+        for r in snapshot_edge_diff(df).collect()
+    }
+    assert got == {
+        (1, 2): (1, 1, 2, 0.5),
+        (2, 3): (0, 2, 1, 0.333333),
+    }
