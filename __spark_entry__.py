@@ -5817,6 +5817,43 @@ _REGISTRY_SQL["graph_snapshot_diff"] = snapshot_edge_diff_sql(SNAP_EDGES_SQL)
 
 
 # ---------------------------------------------------------------------------
+# Block 50: paragraph-granularity winnow dedup (sub-document near-dups)
+# ---------------------------------------------------------------------------
+# functions/text.winnow_paragraph_dups: the MOSS match step re-keyed on
+# fixed 16-token blocks — near-dup text INSIDE documents whose doc-level
+# signature differs (the Lee-et-al sub-document dedup an LLM pipeline runs).
+
+WINNOW_PARA_MIN_SHARED = 2
+
+
+def q_winnow_paragraphs(spark, sf_dir):
+    """(doc_a, para_a, doc_b, para_b, shared): cross-document paragraph
+    pairs sharing >= 2 winnowing fingerprints (functions/text
+    .winnow_paragraph_dups — block stride cap modeled in the oracle)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        winnow_paragraph_dups,
+    )
+
+    return winnow_paragraph_dups(
+        _t(spark, sf_dir, "documents"),
+        min_shared=WINNOW_PARA_MIN_SHARED,
+        k=WINNOW_K,
+        w=WINNOW_W,
+    )
+
+
+_REGISTRY_Q["winnow_paragraphs"] = q_winnow_paragraphs
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (  # noqa: E402
+    winnow_paragraph_dups_oracle_sql,
+)
+
+_REGISTRY_SQL["winnow_paragraphs"] = winnow_paragraph_dups_oracle_sql(
+    min_shared=WINNOW_PARA_MIN_SHARED, k=WINNOW_K, w=WINNOW_W
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5844,6 +5881,7 @@ _R7_NEW: list[str] = [
     "graph_scc",            # r7: Markov communicating classes via gds.scc
     "graph_knn",            # r7: k-NN similarity graph (gds.knn shape)
     "graph_snapshot_diff",  # r7: edge churn between yearly graph slices
+    "winnow_paragraphs",    # r7: sub-document (paragraph) winnow dedup
 ]
 
 # (a3) stale anchors: none this round (ppr_power re-observed green r6) -----

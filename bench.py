@@ -337,6 +337,11 @@ def main() -> None:
         "q_snapshot_diff_graph",
         lambda: E.q_graph_snapshot_diff(spark, SF_DIR).count(),
     )
+    # sub-document dedup: winnow match step re-keyed on 16-token blocks
+    timed(
+        "q_winnow_paragraphs",
+        lambda: E.q_winnow_paragraphs(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

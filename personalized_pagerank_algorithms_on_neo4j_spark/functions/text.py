@@ -1668,3 +1668,156 @@ FROM nf JOIN of USING (fp_hash)
 GROUP BY 1, 2
 HAVING COUNT(*) >= {min_shared}
 """
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-granularity winnow dedup (sub-document near-dup pairs)
+# ---------------------------------------------------------------------------
+
+PARA_TOKENS = 16  # tokens per pseudo-paragraph block
+PARA_STRIDE = 256  # paragraphs-per-doc id stride (cap modeled in BOTH engines)
+
+
+def paragraph_rows(
+    docs: DataFrame,
+    para_tokens: int = PARA_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(pid, text): documents re-keyed to fixed token blocks — the
+    sub-document unit for paragraph-granularity dedup (Lee et al.'s point:
+    near-dup TEXT lives inside documents whose doc-level signature
+    differs).  The corpus has no paragraph markers, so blocks of
+    ``para_tokens`` whitespace tokens stand in — the same fixed-block
+    discipline `span_corruption` uses.  pid = doc * PARA_STRIDE + block
+    (block count capped at the stride; the cap is part of the operator's
+    definition and the SQL twin applies it identically — no guard test
+    needed, unlike caps the oracle cannot see).
+
+    Scale shape: one narrow projection builds the token array, a
+    posexplode over the per-doc block range fans out (the Generate sits
+    between the array-build and the slice projections, so CollapseProject
+    cannot inline the tokenizer into every slice reference), and each
+    block rejoins to a short string.  Rows out ~= tokens/para_tokens —
+    linear, no shuffle at all (the consumer decides the partitioning)."""
+    n_paras = F.least(
+        F.expr(f"(size(_toks) + {para_tokens - 1}) div {para_tokens}"),
+        F.lit(PARA_STRIDE).cast("long"),
+    )
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("_doc"),
+            tokens(F.lower(F.col(text_col))).alias("_toks"),
+        )
+        .select(
+            "_doc",
+            "_toks",
+            F.posexplode_outer(F.sequence(F.lit(0).cast("long"), n_paras - 1)).alias(
+                "_pp", "_pi"
+            ),
+        )
+        .where(F.col("_pi").isNotNull())
+        .select(
+            (F.col("_doc") * F.lit(PARA_STRIDE) + F.col("_pi")).alias("pid"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_toks"),
+                    (F.col("_pi") * para_tokens + 1).cast("int"),
+                    para_tokens,
+                ),
+            ).alias("text"),
+        )
+    )
+
+
+def paragraph_rows_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    para_tokens: int = PARA_TOKENS,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `paragraph_rows` (same tokenizer, same integer
+    block-count formula, same stride cap, same single-space rejoin)."""
+    p, s = para_tokens, PARA_STRIDE
+    return f"""
+SELECT CAST(t.{id_col} * {s} + pi AS BIGINT) AS pid,
+       array_to_string(list_slice(t.toks, pi*{p}+1, pi*{p}+{p}), ' ') AS text
+FROM (
+  SELECT {id_col}, toks,
+         unnest(range(0, LEAST((len(toks) + {p - 1}) // {p}, {s}))) AS pi
+  FROM (SELECT {id_col}, string_split_regex(trim(lower(text)), ' +') AS toks
+        FROM ({docs_sql}) d) x
+) t
+"""
+
+
+def winnow_paragraph_dups(
+    docs: DataFrame,
+    min_shared: int = 2,
+    para_tokens: int = PARA_TOKENS,
+    k: int = 4,
+    w: int = 4,
+    max_fp_df: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, para_a, doc_b, para_b, shared): CROSS-document paragraph
+    pairs sharing >= ``min_shared`` winnowing fingerprints — sub-document
+    near-dup detection (`winnow_dup_pairs` re-keyed on the composite
+    paragraph id; within-document pairs are dropped, they are the
+    repetition signal `doc_repetition` already measures)."""
+    paras = paragraph_rows(docs, para_tokens, id_col=id_col, text_col=text_col)
+    pairs = winnow_dup_pairs(
+        paras,
+        min_shared=min_shared,
+        k=k,
+        w=w,
+        max_fp_df=max_fp_df,
+        id_col="pid",
+        text_col="text",
+    )
+    s = PARA_STRIDE
+    return (
+        pairs.select(
+            F.expr(f"doc_a div {s}").alias("da"),
+            (F.col("doc_a") % s).cast("int").alias("para_a"),
+            F.expr(f"doc_b div {s}").alias("db"),
+            (F.col("doc_b") % s).cast("int").alias("para_b"),
+            "shared",
+        )
+        .where(F.col("da") != F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            "para_a",
+            F.col("db").alias("doc_b"),
+            "para_b",
+            "shared",
+        )
+    )
+
+
+def winnow_paragraph_dups_oracle_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    min_shared: int = 2,
+    para_tokens: int = PARA_TOKENS,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `winnow_paragraph_dups` (cap-free fingerprint join
+    like `winnow_dups_oracle_sql`; the paragraph stride cap IS modeled)."""
+    s = PARA_STRIDE
+    inner = winnow_dups_oracle_sql(
+        paragraph_rows_sql(docs_sql, para_tokens, id_col=id_col),
+        min_shared=min_shared,
+        k=k,
+        w=w,
+        id_col="pid",
+    )
+    return f"""
+WITH wpd AS MATERIALIZED ({inner})
+SELECT CAST(doc_a // {s} AS BIGINT) AS doc_a, CAST(doc_a % {s} AS INT) AS para_a,
+       CAST(doc_b // {s} AS BIGINT) AS doc_b, CAST(doc_b % {s} AS INT) AS para_b,
+       shared
+FROM wpd WHERE doc_a // {s} <> doc_b // {s}
+"""

@@ -2540,3 +2540,29 @@ def test_snapshot_edge_diff_hand_fixture(spark):
         (1, 2): (1, 1, 2, 0.5),
         (2, 3): (0, 2, 1, 0.333333),
     }
+
+
+def test_winnow_paragraph_dups_cross_doc_only(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import text as T
+
+    para = " ".join(f"tok{i}" for i in range(16))  # one full block
+    filler = " ".join(f"pad{i}" for i in range(16))
+    other = " ".join(f"zzz{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{para} {filler}"),          # para at block 0
+            (2, f"{other} {para}"),           # same para at block 1
+            (3, f"{filler} {filler}"),        # self-repeat within ONE doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["para_a"], r["doc_b"], r["para_b"])
+        for r in T.winnow_paragraph_dups(docs, min_shared=2).collect()
+    }
+    assert (1, 0, 2, 1) in got
+    # within-document repetition never surfaces here
+    assert all(a != b for a, _, b, _ in got)
+    # doc 3 pairs with doc 1 (filler paragraph shared cross-doc) but the
+    # (3,0)x(3,1) self pair is excluded
+    assert (1, 1, 3, 0) in got and (1, 1, 3, 1) in got
