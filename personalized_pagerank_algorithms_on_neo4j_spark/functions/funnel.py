@@ -408,6 +408,39 @@ SELECT src, dst, weight FROM (
 TRANSITION_NODE_STRIDE = 8  # > |event types|; node id = user * stride + rank
 
 
+def type_ranks(events: DataFrame, type_col: str = "event_type") -> DataFrame:
+    """(tname, rank): 0-based alphabetical dense rank of the DISTINCT event
+    types — the ONE rank table both the composite-id encode
+    (`user_transition_edges`) and decode (`markov_communicating_classes`)
+    read, so the round trip is structurally bit-identical.  NULL types are
+    dropped BEFORE ranking (Spark orders NULLS FIRST, DuckDB's ROW_NUMBER
+    defaults NULLS LAST — the `decayed_bipartite_edges` lesson; a stray
+    NULL would shift every real rank on exactly one engine)."""
+    from ..plans.windows import bounded_global_window
+
+    return (
+        events.select(F.col(type_col).alias("tname"))
+        .where(F.col(type_col).isNotNull())
+        .distinct()
+        .select(
+            "tname",
+            (F.row_number().over(bounded_global_window("tname")) - 1)
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+def type_ranks_sql(table: str = "events", type_col: str = "event_type") -> str:
+    """DuckDB twin of `type_ranks` (same NULL drop, same 0-based order) —
+    a parenthesized subquery fragment."""
+    return (
+        f"(SELECT tname, ROW_NUMBER() OVER (ORDER BY tname) - 1 AS rank"
+        f" FROM (SELECT DISTINCT {type_col} AS tname FROM {table}"
+        f" WHERE {type_col} IS NOT NULL) s)"
+    )
+
+
 def user_transition_edges(
     events: DataFrame,
     max_gap_seconds: int | None = None,
@@ -428,20 +461,21 @@ def user_transition_edges(
 
     Scale shape: the SAME single user-partitioned lag window every
     sequence op here uses (one shuffle over the fact table), a broadcast
-    join against the k-row type-rank table, then DISTINCT on at most
-    k^2 x users rows.  Ties on `ts` break by `tiebreak_col`."""
-    from ..plans.windows import bounded_global_window
-
-    ranks = (
-        events.select(F.col(type_col).alias("tname"))
-        .distinct()
-        .select(
-            "tname",
-            (
-                F.row_number().over(bounded_global_window("tname")) - 1
-            ).cast("long").alias("rank"),
+    join against the k-row type-rank table (`type_ranks` — NULL-safe,
+    shared with the decode side), then DISTINCT on at most k^2 x users
+    rows.  Ties on `ts` break by `tiebreak_col`.  Raises if the distinct
+    type count reaches TRANSITION_NODE_STRIDE: composite ids would
+    silently collide across users and the oracle, modeling the identical
+    formula, could NOT catch it (both engines would agree on corrupt
+    ids)."""
+    ranks = type_ranks(events, type_col).localCheckpoint(eager=True)
+    n_types = ranks.count()
+    if n_types >= TRANSITION_NODE_STRIDE:
+        raise ValueError(
+            f"{n_types} distinct {type_col} values >= TRANSITION_NODE_STRIDE="
+            f"{TRANSITION_NODE_STRIDE}: composite node ids would collide "
+            "across users — raise the stride"
         )
-    )
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     pairs = events.select(
         F.col(user_col).cast("long").alias("u"),
@@ -502,11 +536,9 @@ FROM (
          {ts_col} AS ts_b
   FROM {table}
 ) t
-JOIN (SELECT tname, ROW_NUMBER() OVER (ORDER BY tname) - 1 AS rank
-      FROM (SELECT DISTINCT {type_col} AS tname FROM {table})) ra
+JOIN {type_ranks_sql(table, type_col)} ra
   ON t.a = ra.tname
-JOIN (SELECT tname, ROW_NUMBER() OVER (ORDER BY tname) - 1 AS rank
-      FROM (SELECT DISTINCT {type_col} AS tname FROM {table})) rb
+JOIN {type_ranks_sql(table, type_col)} rb
   ON t.b = rb.tname
 WHERE t.a IS NOT NULL {gap}
 """

@@ -265,20 +265,15 @@ def markov_communicating_classes(
     back through the alphabetical type-rank table.  The communicating
     classes of each user's first-order Markov chain — recurrent behavior
     sets (`event_transitions` is the same chain's probability matrix)."""
-    from ..functions.funnel import TRANSITION_NODE_STRIDE, user_transition_edges
-    from ..plans.windows import bounded_global_window
+    from ..functions.funnel import (
+        TRANSITION_NODE_STRIDE,
+        type_ranks,
+        user_transition_edges,
+    )
 
     comp = scc(user_transition_edges(events, max_gap_seconds=max_gap_seconds))
-    ranks = (
-        events.select(F.col("event_type").alias("tname"))
-        .distinct()
-        .select(
-            "tname",
-            (F.row_number().over(bounded_global_window("tname")) - 1)
-            .cast("long")
-            .alias("rk"),
-        )
-    )
+    # decode through the SAME NULL-safe rank table the encode used
+    ranks = type_ranks(events).withColumnRenamed("rank", "rk")
     return (
         comp.select(
             F.floor(F.col("node") / F.lit(TRANSITION_NODE_STRIDE))
@@ -297,7 +292,11 @@ def markov_classes_oracle_sql(
 ) -> str:
     """DuckDB twin of `markov_communicating_classes` (closure-based SCC
     over the identical edge derivation, identical decode)."""
-    from ..functions.funnel import TRANSITION_NODE_STRIDE, user_transition_edges_sql
+    from ..functions.funnel import (
+        TRANSITION_NODE_STRIDE,
+        type_ranks_sql,
+        user_transition_edges_sql,
+    )
 
     s = TRANSITION_NODE_STRIDE
     edges = user_transition_edges_sql(table=table, max_gap_seconds=max_gap_seconds)
@@ -305,8 +304,7 @@ def markov_classes_oracle_sql(
 WITH scc_comp AS MATERIALIZED (
   SELECT * FROM ({scc_oracle_sql(edges)}) t
 ),
-scc_ty AS (SELECT tname, ROW_NUMBER() OVER (ORDER BY tname) - 1 AS rk
-           FROM (SELECT DISTINCT event_type AS tname FROM {table}))
+scc_ty AS (SELECT tname, rank AS rk FROM {type_ranks_sql(table)} tr)
 SELECT CAST(c.node // {s} AS BIGINT) AS user_id,
        ty.tname AS event_type,
        CAST(c.scc_id AS BIGINT) AS class_id

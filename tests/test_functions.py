@@ -2566,3 +2566,101 @@ def test_winnow_paragraph_dups_cross_doc_only(spark):
     # doc 3 pairs with doc 1 (filler paragraph shared cross-doc) but the
     # (3,0)x(3,1) self pair is excluded
     assert (1, 1, 3, 0) in got and (1, 1, 3, 1) in got
+
+
+def test_user_transition_edges_null_type_cross_engine(spark):
+    """A NULL event_type must neither create a transition node nor SHIFT
+    the type ranks (the decayed_bipartite_edges NULL-ranking lesson,
+    re-applied to the SCC composite-id encode/decode)."""
+    import duckdb
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        user_transition_edges,
+        user_transition_edges_sql,
+    )
+
+    rows = [
+        (1, 1, None, "2024-01-01 00:00:00"),
+        (2, 1, "b", "2024-01-01 00:01:00"),
+        (3, 1, "a", "2024-01-01 00:02:00"),
+        (4, 2, "a", "2024-01-01 00:00:00"),
+        (5, 2, "b", "2024-01-01 00:03:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, schema="event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        (r["src"], r["dst"]) for r in user_transition_edges(ev).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({e}, {u}, "
+            + ("NULL" if t is None else f"'{t}'")
+            + f", TIMESTAMP '{ts}')"
+            for e, u, t, ts in rows
+        )
+        + ") AS v(event_id, user_id, event_type, ts)"
+    )
+    oracle = sorted(con.execute(user_transition_edges_sql()).fetchall())
+    assert got == oracle
+    # ranks unshifted by the NULL: a=0, b=1 -> user1 has b->a only
+    # (NULL->b transition is dropped), user2 a->b
+    assert got == [(9, 8), (16, 17)]
+
+
+def test_user_transition_edges_stride_guard_raises(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        TRANSITION_NODE_STRIDE,
+        user_transition_edges,
+    )
+    import pytest as _pytest
+
+    rows = [
+        (i, 1, f"t{i}", "2024-01-01 00:00:%02d" % i)
+        for i in range(TRANSITION_NODE_STRIDE)
+    ]
+    ev = spark.createDataFrame(
+        rows, schema="event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with _pytest.raises(ValueError, match="TRANSITION_NODE_STRIDE"):
+        user_transition_edges(ev)
+
+
+def test_transition_types_under_stride_at_gate_scale(spark):
+    """The composite-id stride cap is invisible to the oracle (both
+    engines model the same formula), so pin it at SF_ORACLE like every
+    oracle-invisible cap."""
+    from .conftest import SF_ORACLE
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        TRANSITION_NODE_STRIDE,
+    )
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    n = ev.where(F.col("event_type").isNotNull()).select("event_type").distinct().count()
+    assert n < TRANSITION_NODE_STRIDE
+
+
+def test_winnow_paragraph_fp_df_cap_never_binds_at_gate_scale(spark):
+    """Paragraph units have their own fingerprint-DF distribution; the
+    Spark-side max_fp_df cap must not be able to bind at the scale the
+    cap-free oracle compares at."""
+    from .conftest import SF_ORACLE
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        paragraph_rows,
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    paras = paragraph_rows(docs)
+    max_df = (
+        winnow_fingerprints(paras, id_col="pid", k=4, w=4)
+        .select("pid", "fp_hash")
+        .distinct()
+        .groupBy("fp_hash")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_df < 1000 // 64
