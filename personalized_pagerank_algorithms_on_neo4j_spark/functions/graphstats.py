@@ -1140,6 +1140,9 @@ def snapshot_edge_diff(edges_t: DataFrame) -> DataFrame:
     slices."""
     from ..plans.windows import bounded_global_window
 
+    # three consumers (snap list + both pair-join branches): checkpoint so
+    # the upstream derivation (often a join+distinct) runs once, not 3x
+    edges_t = edges_t.localCheckpoint(eager=True)
     snaps = edges_t.select("snap").distinct()
     pairs = (
         snaps.select(
