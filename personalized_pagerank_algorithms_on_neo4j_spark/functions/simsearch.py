@@ -336,10 +336,26 @@ def knn_graph(
         .select("src", "dst")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"))
+    # norms once per VECTOR, not per pair: the rescoring join then pays a
+    # single interpreted dot per candidate instead of three (the higher-
+    # order-function cosine is the per-pair cost at scale)
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("n"),
+    )
+    va = normed.select(
+        F.col("id").alias("src"), F.col("v").alias("_va"), F.col("n").alias("_na")
+    )
+    vb = normed.select(
+        F.col("id").alias("dst"), F.col("v").alias("_vb"), F.col("n").alias("_nb")
+    )
     scored = cand.join(va, "src").join(vb, "dst").select(
-        "src", "dst", cosine(F.col("_va"), F.col("_vb")).alias("_cos")
+        "src",
+        "dst",
+        (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+            "_cos"
+        ),
     )
     w = Window.partitionBy("src").orderBy(F.desc("_cos"), F.asc("dst"))
     return (
