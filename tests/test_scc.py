@@ -79,3 +79,27 @@ def test_scc_matches_bruteforce_random(spark, seed):
     n, m = 24, 60
     pairs = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
     assert _run(spark, pairs) == _brute_scc(pairs)
+
+
+def test_scc_equals_wcc_on_symmetric_graph(spark):
+    """On a symmetric edge set, mutual reachability degenerates to plain
+    connectivity — SCC must equal WCC (min-label components)."""
+    import random
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.dedup import (
+        dedup_clusters,
+    )
+
+    rng = random.Random(7)
+    base = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(50)})
+    sym = sorted({p for a, b in base if a != b for p in [(a, b), (b, a)]})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["node"]: r["scc_id"] for r in scc(df).collect()}
+    pairs = df.select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    wcc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, strict=True).collect()
+    }
+    assert got == wcc
