@@ -796,3 +796,55 @@ def test_streaming_heavy_hitters_replay_and_compaction(spark, tmp_path):
     assert board() == before and before
     epochs = {os.path.basename(p) for p in glob.glob(os.path.join(store, "epoch=*"))}
     assert epochs == {"epoch=-1", "epoch=2"}
+
+
+def test_streaming_winnow_paragraphs_matches_batch_and_replays(spark, tmp_path):
+    """Store #10: incremental paragraph-winnow flags across epochs must
+    equal the batch twin as UNORDERED cross-doc pairs with identical
+    shared-counts (every pair surfaces once, in its later member's
+    epoch), and replays — latest and middle — must be idempotent.  Caps
+    never bind at this scale, so the per-side hot-fp drop cannot diverge
+    from the batch corpus-wide cap."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import text as T
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        winnow_stream as W,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    store = str(tmp_path / "wp_store")
+    flags = str(tmp_path / "wp_flags")
+    run = W.make_merge_batch(spark, store, flags, min_shared=1)
+    run(b0, 0)
+    run(b1, 1)
+    run(b2, 2)
+
+    def unordered(rows):
+        return {
+            (
+                frozenset(
+                    [(r["new_doc"], r["new_para"]), (r["old_doc"], r["old_para"])]
+                ),
+                r["shared"],
+            )
+            for r in rows
+        }
+
+    got = unordered(W.read_flags(spark, flags).collect())
+    want = {
+        (
+            frozenset([(r["doc_a"], r["para_a"]), (r["doc_b"], r["para_b"])]),
+            r["shared"],
+        )
+        for r in T.winnow_paragraph_dups(docs, min_shared=1).collect()
+    }
+    assert got == want and got
+
+    # replay the LATEST epoch, then a MIDDLE epoch after later ones exist
+    before = sorted(map(tuple, W.read_flags(spark, flags).collect()))
+    run(b2, 2)
+    assert sorted(map(tuple, W.read_flags(spark, flags).collect())) == before
+    run(b1, 1)
+    assert sorted(map(tuple, W.read_flags(spark, flags).collect())) == before
