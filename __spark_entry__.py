@@ -5854,6 +5854,32 @@ _REGISTRY_SQL["winnow_paragraphs"] = winnow_paragraph_dups_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 51: BPE merge-rule induction (tokenizer-vocab training loop)
+# ---------------------------------------------------------------------------
+# functions/bpe.bpe_merges: per-round pair-count argmax + literal fuse over
+# a double-space-delimited symbol stream; fixed rounds, unrolled oracle.
+
+
+def q_bpe_merges(spark, sf_dir):
+    """(step, lhs, rhs, n): the first 8 BPE merge rules learned from the
+    documents corpus, in training order (functions/bpe.py)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.bpe import (
+        bpe_merges,
+    )
+
+    return bpe_merges(_t(spark, sf_dir, "documents"))
+
+
+_REGISTRY_Q["bpe_merges"] = q_bpe_merges
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.bpe import (  # noqa: E402
+    bpe_merges_oracle_sql,
+)
+
+_REGISTRY_SQL["bpe_merges"] = bpe_merges_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5882,6 +5908,7 @@ _R7_NEW: list[str] = [
     "graph_knn",            # r7: k-NN similarity graph (gds.knn shape)
     "graph_snapshot_diff",  # r7: edge churn between yearly graph slices
     "winnow_paragraphs",    # r7: sub-document (paragraph) winnow dedup
+    "bpe_merges",           # r7: BPE tokenizer-vocab merge induction
 ]
 
 # (a3) stale anchors: none this round (ppr_power re-observed green r6) -----

@@ -342,6 +342,8 @@ def main() -> None:
         "q_winnow_paragraphs",
         lambda: E.q_winnow_paragraphs(spark, SF_DIR).count(),
     )
+    # BPE merge induction: 8 count-argmax-fuse rounds over the corpus
+    timed("q_bpe", lambda: E.q_bpe_merges(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend

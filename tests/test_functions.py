@@ -2664,3 +2664,58 @@ def test_winnow_paragraph_fp_df_cap_never_binds_at_gate_scale(spark):
         .collect()[0][0]
     )
     assert max_df < 1000 // 64
+
+
+def test_bpe_merges_matches_python_reference(spark):
+    """The distributed loop must replay a pure-python BPE trainer exactly:
+    overlapping pair counts, argmax with (n desc, lhs, rhs) tie-break,
+    greedy-left fusing."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.bpe import (
+        bpe_merges,
+    )
+
+    corpus = [
+        "a b a b c a b",
+        "b c b c b c",
+        "a b c d d d",
+        "x",
+        "",
+    ]
+
+    def ref(docs, rounds):
+        streams = [d.lower().split() for d in docs]
+        out = []
+        for step in range(rounds):
+            counts = {}
+            for t in streams:
+                for x, y in zip(t, t[1:]):
+                    counts[(x, y)] = counts.get((x, y), 0) + 1
+            if not counts:
+                break
+            (l, r), n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((step, l, r, n))
+            fused = []
+            for t in streams:
+                nt, i = [], 0
+                while i < len(t):
+                    if i + 1 < len(t) and t[i] == l and t[i + 1] == r:
+                        nt.append(l + r)
+                        i += 2
+                    else:
+                        nt.append(t[i])
+                        i += 1
+                fused.append(nt)
+            streams = fused
+        return out
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["n"])
+        for r in bpe_merges(docs, rounds=6).orderBy("step").collect()
+    ]
+    assert got == ref(corpus, 6)
+    assert len(got) == 6 and got[0][3] >= got[-1][3]
