@@ -5792,9 +5792,6 @@ _REGISTRY_SQL["graph_knn"] = knn_graph_oracle_sql(k=KNN_GRAPH_K)
 # ---------------------------------------------------------------------------
 # Block 49: cross-snapshot edge diff (graph churn between yearly slices)
 # ---------------------------------------------------------------------------
-# functions/graphstats.snapshot_edge_diff over the SAME (snap, src, dst)
-# table pagerank_snapshots batches — "how much did the graph move" before
-# comparing the scores.
 
 
 def q_graph_snapshot_diff(spark, sf_dir):
@@ -5819,9 +5816,6 @@ _REGISTRY_SQL["graph_snapshot_diff"] = snapshot_edge_diff_sql(SNAP_EDGES_SQL)
 # ---------------------------------------------------------------------------
 # Block 50: paragraph-granularity winnow dedup (sub-document near-dups)
 # ---------------------------------------------------------------------------
-# functions/text.winnow_paragraph_dups: the MOSS match step re-keyed on
-# fixed 16-token blocks — near-dup text INSIDE documents whose doc-level
-# signature differs (the Lee-et-al sub-document dedup an LLM pipeline runs).
 
 WINNOW_PARA_MIN_SHARED = 2
 
@@ -5856,8 +5850,6 @@ _REGISTRY_SQL["winnow_paragraphs"] = winnow_paragraph_dups_oracle_sql(
 # ---------------------------------------------------------------------------
 # Block 51: BPE merge-rule induction (tokenizer-vocab training loop)
 # ---------------------------------------------------------------------------
-# functions/bpe.bpe_merges: per-round pair-count argmax + literal fuse over
-# a double-space-delimited symbol stream; fixed rounds, unrolled oracle.
 
 
 def q_bpe_merges(spark, sf_dir):
