@@ -5686,10 +5686,8 @@ FROM up_dec GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 # Block 46: weighted two-level Louvain (r7 window head — never observed)
 # ---------------------------------------------------------------------------
-# operators/louvain.louvain_weighted: gds.louvain's
-# relationshipWeightProperty mode over the order-volume weighted edges.
-# Registered r6 after that round's window filled; r7's recomposition puts
-# it first (_R7_NEVER_OBSERVED).  Oracle-gated locally via test_entry.
+# operators/louvain.louvain_weighted: gds.louvain relationshipWeightProperty
+# mode; registered r6 post-window, r7 recomposition puts it first.
 
 
 def q_graph_louvain_weighted(spark, sf_dir):
@@ -5720,20 +5718,15 @@ _REGISTRY_SQL["graph_louvain_weighted"] = louvain_weighted_oracle_sql(
 
 # ---------------------------------------------------------------------------
 # Block 47: strongly-connected components (gds.scc) — Markov communicating
-# classes of each user's event-type transition chain
+# classes of each user's event-type transition chain (operators/scc.py;
+# oracle = independent recursive-closure rebuild; the TPC-H graph is a DAG,
+# pinned in tests, so the driver query uses the transition graph)
 # ---------------------------------------------------------------------------
-# operators/scc.py: deterministic Forward-Backward coloring; the oracle is a
-# DuckDB recursive transitive closure (different algorithm — agreement checks
-# semantics, not implementation).  The TPC-H-derived graph is a DAG (SCC
-# degenerates to singletons, pinned in tests/test_scc.py), so the driver
-# query runs on the per-user transition graph where recurrent classes are
-# real (functions/funnel.user_transition_edges).
 
 
-SCC_SESSION_GAP_S = 14_400  # same-visit transition: gap <= 4 h.  Audited at
-# sf0.01: yields classes of every size 1..5 (104 full / 27+13+11 partial /
-# 60 singleton) so trim AND color/mark phases all run; unrestricted chains
-# make every user one full class (correct but structurally degenerate).
+SCC_SESSION_GAP_S = 14_400  # same-visit gap <= 4 h: at sf0.01 this yields
+# classes of every size 1..5 (trim AND color/mark all run); unrestricted
+# chains make every user one full class — correct but degenerate.
 
 
 def q_graph_scc(spark, sf_dir):
@@ -5749,12 +5742,11 @@ def q_graph_scc(spark, sf_dir):
     )
 
 
-_REGISTRY_Q["graph_scc"] = q_graph_scc
-
 from personalized_pagerank_algorithms_on_neo4j_spark.operators.scc import (  # noqa: E402
     markov_classes_oracle_sql,
 )
 
+_REGISTRY_Q["graph_scc"] = q_graph_scc
 _REGISTRY_SQL["graph_scc"] = markov_classes_oracle_sql(
     max_gap_seconds=SCC_SESSION_GAP_S
 )
@@ -5762,10 +5754,8 @@ _REGISTRY_SQL["graph_scc"] = markov_classes_oracle_sql(
 
 # ---------------------------------------------------------------------------
 # Block 48: k-NN similarity graph (gds.knn) over the embeddings table
+# (functions/simsearch.knn_graph; composed with Louvain in tests)
 # ---------------------------------------------------------------------------
-# functions/simsearch.knn_graph: banded-LSH candidates -> exact rescoring ->
-# per-node top-k; the bridge from the simsearch family to the graph family
-# (tests/test_simsearch.py composes it with weighted Louvain).
 
 KNN_GRAPH_K = 5
 
@@ -5780,12 +5770,11 @@ def q_graph_knn(spark, sf_dir):
     return knn_graph(_t(spark, sf_dir, "embeddings"), k=KNN_GRAPH_K)
 
 
-_REGISTRY_Q["graph_knn"] = q_graph_knn
-
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (  # noqa: E402
     knn_graph_oracle_sql,
 )
 
+_REGISTRY_Q["graph_knn"] = q_graph_knn
 _REGISTRY_SQL["graph_knn"] = knn_graph_oracle_sql(k=KNN_GRAPH_K)
 
 
@@ -5804,12 +5793,11 @@ def q_graph_snapshot_diff(spark, sf_dir):
     return snapshot_edge_diff(_snap_edges(spark, sf_dir))
 
 
-_REGISTRY_Q["graph_snapshot_diff"] = q_graph_snapshot_diff
-
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (  # noqa: E402
     snapshot_edge_diff_sql,
 )
 
+_REGISTRY_Q["graph_snapshot_diff"] = q_graph_snapshot_diff
 _REGISTRY_SQL["graph_snapshot_diff"] = snapshot_edge_diff_sql(SNAP_EDGES_SQL)
 
 
@@ -5862,13 +5850,26 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(_t(spark, sf_dir, "documents"))
 
 
-_REGISTRY_Q["bpe_merges"] = q_bpe_merges
+def q_bpe_compression(spark, sf_dir):
+    """(doc_id, n_before, n_after): corpus compression from applying the
+    8 learned merge rules in training order (functions/bpe.py — the
+    train -> tokenize pipeline composition)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.bpe import (
+        bpe_compression,
+    )
+
+    return bpe_compression(_t(spark, sf_dir, "documents"))
+
 
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.bpe import (  # noqa: E402
+    bpe_compression_oracle_sql,
     bpe_merges_oracle_sql,
 )
 
+_REGISTRY_Q["bpe_merges"] = q_bpe_merges
+_REGISTRY_Q["bpe_compression"] = q_bpe_compression
 _REGISTRY_SQL["bpe_merges"] = bpe_merges_oracle_sql()
+_REGISTRY_SQL["bpe_compression"] = bpe_compression_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -5890,17 +5891,17 @@ _R7_NEVER_OBSERVED = [
     "graph_louvain_weighted",  # gds.louvain relationshipWeightProperty mode
 ]
 
-# (a2) round-7 registrations.  Appending a key here displaces the TAIL of
-#      _ROTATION_DEBT past position 50 (into the r8 queue); the VERDICT r7
-#      contract needs >=20 debt keys to stay in-window, so this list may
-#      hold at most 15 keys.  Update COVERAGE.md's r7/r8 rows and the
-#      ledger test in the SAME commit as any append. ----------------------
+# (a2) round-7 registrations.  Each key here displaces the _ROTATION_DEBT
+#      tail past position 50 (r8 queue); >=20 debt keys must stay in-window
+#      (max 15 here).  Update COVERAGE r7/r8 rows + ledger test in the
+#      SAME commit as any append. -----------------------------------------
 _R7_NEW: list[str] = [
     "graph_scc",            # r7: Markov communicating classes via gds.scc
     "graph_knn",            # r7: k-NN similarity graph (gds.knn shape)
     "graph_snapshot_diff",  # r7: edge churn between yearly graph slices
     "winnow_paragraphs",    # r7: sub-document (paragraph) winnow dedup
     "bpe_merges",           # r7: BPE tokenizer-vocab merge induction
+    "bpe_compression",      # r7: apply-side corpus compression of the vocab
 ]
 
 # (a3) stale anchors: none this round (ppr_power re-observed green r6) -----

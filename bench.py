@@ -344,6 +344,8 @@ def main() -> None:
     )
     # BPE merge induction: 8 count-argmax-fuse rounds over the corpus
     timed("q_bpe", lambda: E.q_bpe_merges(spark, SF_DIR).count())
+    # BPE apply side: train + chained-replace tokenize + per-doc counts
+    timed("q_bpe_apply", lambda: E.q_bpe_compression(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend
@@ -390,7 +392,9 @@ def main() -> None:
 # under LINE_BUDGET chars, falling back to 1-decimal values before ever
 # truncating keys; tests/test_bench_driver.py pins the budget against the
 # full current key list with worst-case values.
-LINE_BUDGET = 1950  # < 2000 driver capture, with margin for the newline
+LINE_BUDGET = 1990  # the capture window is the last 2000 chars INCLUDING
+# the line's trailing newline (BENCH_r05/r06 "tail" fields end exactly at
+# "}\n"), so a <=1999-char line survives; 1990 leaves margin
 
 
 def render_line(timings: dict[str, float], sf: float) -> str:

@@ -144,3 +144,86 @@ def bpe_merges_oracle_sql(
         f"SELECT {i} AS step, lhs, rhs, n FROM bpe_b{i}" for i in range(rounds)
     )
     return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def bpe_compression(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_before, n_after): per-document symbol counts before and
+    after applying the ``rounds`` learned merge rules in training order —
+    the apply side of `bpe_merges` (train -> tokenize is the pipeline; the
+    before/after delta is the vocab's corpus-compression value, the metric
+    a tokenizer ablation actually reports).
+
+    The merge table is a ``rounds``-row driver-side artifact (the same
+    1-row-per-round collects training already did), so application is a
+    chain of ``rounds`` literal `replace` projections — one corpus scan,
+    no joins, no shuffle; counting symbols is one split+size expression
+    on each side of the chain."""
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(docs, rounds, text_col).orderBy("step").collect()
+    ]
+    out = docs.select(
+        F.col("doc_id"), _stream(F.col(text_col)).alias("s")
+    ).withColumn("n_before", F.size(F.split(F.trim("s"), "  ")).cast("long"))
+    for l, r in merges:
+        out = out.withColumn(
+            "s", F.replace(F.col("s"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+        )
+    return out.select(
+        "doc_id",
+        "n_before",
+        F.size(F.split(F.trim("s"), "  ")).cast("long").alias("n_after"),
+    )
+
+
+def bpe_compression_oracle_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    rounds: int = BPE_ROUNDS,
+) -> str:
+    """DuckDB twin of `bpe_compression`: re-derives the merge table with
+    the `bpe_merges_oracle_sql` recurrence, then applies the same chained
+    replaces (the merge chain is unrolled per round through 1-row cross
+    joins, exactly as training produced it)."""
+    parts = [
+        f"""bpa_t0 AS MATERIALIZED (
+  SELECT doc_id,
+         '  ' || array_to_string(string_split_regex(trim(lower(text)), ' +'), '  ')
+         || '  ' AS s
+  FROM ({docs_sql}) d
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""bpa_b{i} AS MATERIALIZED (
+  SELECT t.toks[i] AS lhs, t.toks[i+1] AS rhs
+  FROM (
+    SELECT toks, unnest(range(1, len(toks))) AS i
+    FROM (SELECT string_split(trim(s), '  ') AS toks FROM bpa_t{i}) x
+  ) t
+  GROUP BY 1, 2
+  ORDER BY COUNT(*) DESC, lhs ASC, rhs ASC
+  LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""bpa_t{i + 1} AS MATERIALIZED (
+  SELECT t.doc_id,
+         replace(t.s, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                 ' ' || b.lhs || b.rhs || ' ') AS s
+  FROM bpa_t{i} t CROSS JOIN bpa_b{i} b
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a.doc_id,
+       CAST(len(string_split(trim(a.s), '  ')) AS BIGINT) AS n_before,
+       CAST(len(string_split(trim(z.s), '  ')) AS BIGINT) AS n_after
+FROM bpa_t0 a JOIN bpa_t{rounds} z ON a.doc_id = z.doc_id
+"""
+    )

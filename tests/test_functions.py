@@ -2719,3 +2719,30 @@ def test_bpe_merges_matches_python_reference(spark):
     ]
     assert got == ref(corpus, 6)
     assert len(got) == 6 and got[0][3] >= got[-1][3]
+
+
+def test_bpe_compression_invariants(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.bpe import (
+        bpe_compression,
+        bpe_merges,
+    )
+
+    corpus = [
+        (1, "a b a b c a b"),
+        (2, "b c b c b c"),
+        (3, "x"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in bpe_compression(docs, rounds=3).collect()}
+    # before counts = whitespace token counts; after <= before; doc 3 has
+    # no pairs so it never compresses
+    assert rows[1]["n_before"] == 7 and rows[2]["n_before"] == 6
+    assert all(r["n_after"] <= r["n_before"] for r in rows.values())
+    assert rows[3]["n_before"] == rows[3]["n_after"] == 1
+    # total symbols removed = total occurrences fused: each merge round
+    # removes exactly as many symbols as the greedy-left fuse count of
+    # its pair at apply time; cross-check the corpus-wide delta is
+    # positive and bounded by rounds * max pair count
+    merges = bpe_merges(docs, rounds=3).collect()
+    delta = sum(r["n_before"] - r["n_after"] for r in rows.values())
+    assert 0 < delta <= sum(m["n"] for m in merges)
