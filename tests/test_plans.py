@@ -331,3 +331,21 @@ def test_no_bare_global_windows():
         "bare/inline global windows found (use plans.windows."
         "bounded_global_window):\n" + "\n".join(offenders)
     )
+
+
+def test_r7_operator_plan_shapes(spark):
+    """Lock in the round-7 plan audits: no cartesian products anywhere,
+    and exchange counts at their audited ceilings (graph_snapshot_diff
+    collapsed 24 -> 8 exchanges when its three-consumer edge table got
+    checkpointed — a regression re-derives the orders x lineitem join
+    per consumer)."""
+    cases = {
+        "graph_knn": (E.q_graph_knn, 12),
+        "graph_snapshot_diff": (E.q_graph_snapshot_diff, 10),
+        "winnow_paragraphs": (E.q_winnow_paragraphs, 10),
+    }
+    for name, (fn, max_exchanges) in cases.items():
+        plan = _plan(fn(spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, name
+        n = plan.count("Exchange")
+        assert n <= max_exchanges, f"{name}: {n} exchanges > {max_exchanges}"
