@@ -1015,10 +1015,8 @@ def q_user_sessions(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
     )
 
-
 _REGISTRY_Q["events_hourly"] = q_events_hourly
 _REGISTRY_Q["user_sessions"] = q_user_sessions
-
 
 _REGISTRY_SQL["events_hourly"] = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
@@ -1269,7 +1267,6 @@ _REGISTRY_Q.update(
     }
 )
 
-
 _REGISTRY_SQL["ppr_fwdpush"] = f"""WITH {_GRAPH_CTES},
 {_fwd_push_chain("fp", FWD_STEPS, FWD_RMAX)}
 SELECT node, ROUND(reserve, 9) AS ppr FROM fp{FWD_STEPS} WHERE ROUND(reserve, 9) > 0"""
@@ -1390,9 +1387,7 @@ def _base_all_chain(prefix: str, steps: int, rmax: float, alpha: float) -> str:
         )
     return ",\n".join(ctes)
 
-
 _REGISTRY_Q["base_all_pairs"] = q_base_all_pairs
-
 
 _REGISTRY_SQL["base_all_pairs"] = f"""WITH {_GRAPH_CTES},
 {_base_all_chain("ba", BASE_STEPS, BASE_THRESHOLD, BWD_ALPHA)},
@@ -1437,10 +1432,8 @@ def q_customer_set_ops(spark, sf_dir):
     rich_only = rich.exceptAll(busy).select("k", F.lit("rich_only").alias("bucket"))
     return both.unionAll(rich_only)
 
-
 _REGISTRY_Q["cube_revenue"] = q_cube_revenue
 _REGISTRY_Q["customer_set_ops"] = q_customer_set_ops
-
 
 _REGISTRY_SQL["cube_revenue"] = f"""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -1489,7 +1482,6 @@ def q_report_layout(spark, sf_dir):
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(cols)], "pos int, col_name string"
     )
-
 
 _REGISTRY_Q["report_layout"] = q_report_layout
 
@@ -1545,9 +1537,7 @@ def _cluster_chain(prefix: str, steps: int) -> str:
         )
     return ",\n".join(ctes)
 
-
 _REGISTRY_Q["dedup_clusters"] = q_dedup_clusters
-
 
 _REGISTRY_SQL["dedup_clusters"] = f"""
 WITH sig AS MATERIALIZED ({_SQL_MINHASH_SIG}),
@@ -1817,7 +1807,6 @@ def q_simsearch_pq(spark, sf_dir):
     codes = _pq.pq_encode(e, cbs)
     return _pq.pq_adc_topk(e, query_id=0, k=20, codebooks=cbs, codes=codes)
 
-
 _REGISTRY_Q["pq_codes"] = q_pq_codes
 _REGISTRY_Q["simsearch_pq"] = q_simsearch_pq
 
@@ -1866,9 +1855,7 @@ def q_events_topk_hourly(spark, sf_dir):
     board = rank_topk(_bucketed_totals(e, "1 hour", "user_id", "value"), k=3)
     return board.withColumn("rank", F.col("rank").cast("long"))
 
-
 _REGISTRY_Q["events_topk_hourly"] = q_events_topk_hourly
-
 
 _REGISTRY_SQL["events_topk_hourly"] = """
 WITH totals AS (
@@ -1898,9 +1885,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_top_terms(d, k=3)
 
-
 _REGISTRY_Q["tfidf_top_terms"] = q_tfidf_top_terms
-
 
 _REGISTRY_SQL["tfidf_top_terms"] = """
 WITH toks AS MATERIALIZED (
@@ -1957,7 +1942,6 @@ def q_events_value_quantiles(spark, sf_dir):
         F.round(F.percentile("value", 0.9), 6).alias("p90"),
     )
 
-
 _REGISTRY_Q["exact_k_by_lang"] = q_exact_k_by_lang
 _REGISTRY_Q["events_value_quantiles"] = q_events_value_quantiles
 
@@ -2000,9 +1984,7 @@ def q_event_funnel(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return funnel_report(e, FUNNEL_STEPS)
 
-
 _REGISTRY_Q["event_funnel"] = q_event_funnel
-
 
 _REGISTRY_SQL["event_funnel"] = """
 WITH firsts AS (
@@ -2046,9 +2028,7 @@ def q_retention_cohorts(spark, sf_dir):
 
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
-
 _REGISTRY_Q["retention_cohorts"] = q_retention_cohorts
-
 
 _REGISTRY_SQL["retention_cohorts"] = """
 WITH cohorts AS (
@@ -2088,9 +2068,7 @@ def q_revenue_moving_avg(spark, sf_dir):
         ).alias("ma7"),
     )
 
-
 _REGISTRY_Q["revenue_moving_avg"] = q_revenue_moving_avg
-
 
 _REGISTRY_SQL["revenue_moving_avg"] = """
 WITH daily AS (
@@ -2127,7 +2105,6 @@ def q_bloom_decontamination(spark, sf_dir):
     return bloom_contamination(
         corpus, bench, m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K
     )
-
 
 _REGISTRY_Q["bloom_decontamination"] = q_bloom_decontamination
 
@@ -2218,11 +2195,9 @@ def q_supplier_cooccurrence(spark, sf_dir):
     )
     return item_jaccard(inc, min_shared=COOC_MIN_SHARED)
 
-
 _REGISTRY_Q["event_transitions"] = q_event_transitions
 _REGISTRY_Q["ngram_span_dups"] = q_ngram_span_dups
 _REGISTRY_Q["supplier_cooccurrence"] = q_supplier_cooccurrence
-
 
 _REGISTRY_SQL["event_transitions"] = """
 WITH pairs AS (
@@ -2287,7 +2262,6 @@ def q_pq_trained_codes(spark, sf_dir):
         "vec_id", F.array_join("codes", ",").alias("codes_str")
     )
 
-
 _REGISTRY_Q["pq_trained_codes"] = q_pq_trained_codes
 
 
@@ -2347,7 +2321,6 @@ def q_mixture_rebalance(spark, sf_dir):
         "doc_id", "source", "lang"
     )
 
-
 _REGISTRY_Q["doc_chunks"] = q_doc_chunks
 _REGISTRY_Q["seq_packing"] = q_seq_packing
 _REGISTRY_Q["mixture_rebalance"] = q_mixture_rebalance
@@ -2383,7 +2356,6 @@ def q_bm25_topk(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_topk(d, BM25_QUERY, k=BM25_K)
-
 
 _REGISTRY_Q["bm25_topk"] = q_bm25_topk
 
@@ -2439,10 +2411,8 @@ def q_corpus_report(spark, sf_dir):
         F.max("doc_id").alias("max_doc_id"),
     )
 
-
 _REGISTRY_Q["events_anomaly"] = q_events_anomaly
 _REGISTRY_Q["corpus_report"] = q_corpus_report
-
 
 _REGISTRY_SQL["events_anomaly"] = f"""
 WITH hourly AS (
@@ -2493,7 +2463,6 @@ def q_doc_logprob(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return unigram_logprob_scores(d)
 
-
 _REGISTRY_Q["doc_logprob"] = q_doc_logprob
 
 
@@ -2521,7 +2490,6 @@ def q_two_hop_counts(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return two_hop_neighbors(g.edges, hub_cap=TWO_HOP_CAP)
-
 
 _REGISTRY_Q["two_hop_counts"] = q_two_hop_counts
 
@@ -2552,7 +2520,6 @@ def q_decayed_scores(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return decayed_user_scores(e, half_life_days=DECAY_HALF_LIFE)
-
 
 _REGISTRY_Q["decayed_scores"] = q_decayed_scores
 
@@ -2589,9 +2556,7 @@ def q_data_expectations(spark, sf_dir):
         ],
     )
 
-
 _REGISTRY_Q["data_expectations"] = q_data_expectations
-
 
 _REGISTRY_SQL["data_expectations"] = """
 SELECT 'not_null:o_custkey' AS rule, 'o_custkey' AS col_name,
@@ -2642,7 +2607,6 @@ def q_semantic_dedup(spark, sf_dir):
         threshold=0.35,
         max_cluster_size=SEMDEDUP_CAP,
     )
-
 
 _REGISTRY_Q["semantic_dedup"] = q_semantic_dedup
 
@@ -2703,7 +2667,6 @@ def q_node_similarity(spark, sf_dir):
         g.edges, threshold=NODE_SIM_THRESHOLD, hub_cap=TWO_HOP_CAP
     )
 
-
 _REGISTRY_Q["triangle_counts"] = q_triangle_counts
 _REGISTRY_Q["node_similarity"] = q_node_similarity
 
@@ -2739,7 +2702,6 @@ def q_graph_bfs(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return bfs_distances(g, _source(g), max_hops=BFS_MAX_HOPS)
-
 
 _REGISTRY_Q["graph_bfs"] = q_graph_bfs
 
@@ -2779,7 +2741,6 @@ def q_graph_wcc(spark, sf_dir):
         F.col("doc_id").alias("node"), F.col("cluster_id").alias("component")
     )
 
-
 _REGISTRY_Q["graph_wcc"] = q_graph_wcc
 
 
@@ -2811,7 +2772,6 @@ def q_graph_hits(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return hits(g, iterations=HITS_ITERS)
-
 
 _REGISTRY_Q["graph_hits"] = q_graph_hits
 
@@ -2849,7 +2809,6 @@ def q_graph_kcore(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return k_core(g.edges, k=KCORE_K)
-
 
 _REGISTRY_Q["graph_kcore"] = q_graph_kcore
 
@@ -2890,9 +2849,7 @@ def q_click_attribution(spark, sf_dir):
         horizon=ATTRIB_HORIZON,
     )
 
-
 _REGISTRY_Q["click_attribution"] = q_click_attribution
-
 
 _REGISTRY_SQL["click_attribution"] = """
 SELECT c.user_id AS user_id,
@@ -2941,7 +2898,6 @@ def q_heavy_hitter_users(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return cms_heavy_hitters(e, "user_id", threshold=CMS_THRESHOLD)
 
-
 _REGISTRY_Q["approx_distinct_users"] = q_approx_distinct_users
 _REGISTRY_Q["heavy_hitter_users"] = q_heavy_hitter_users
 
@@ -2982,7 +2938,6 @@ def q_harmonic_centrality(spark, sf_dir):
         g, n_landmarks=HARMONIC_LANDMARKS, max_hops=HARMONIC_HOPS
     )
 
-
 _REGISTRY_Q["harmonic_centrality"] = q_harmonic_centrality
 
 
@@ -3014,9 +2969,7 @@ def q_dedup_survivors(spark, sf_dir):
         d, num_hashes=8, bands=4, n=3, max_iters=CLUSTER_STEPS, strict=False
     )
 
-
 _REGISTRY_Q["dedup_survivors"] = q_dedup_survivors
-
 
 _REGISTRY_SQL["dedup_survivors"] = f"""
 WITH sig AS MATERIALIZED ({_SQL_MINHASH_SIG}),
@@ -3076,7 +3029,6 @@ def q_order_price_bands(spark, sf_dir):
         F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
     )
 
-
 _REGISTRY_Q["order_price_bands"] = q_order_price_bands
 
 
@@ -3113,7 +3065,6 @@ def q_bm25_multi(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return bm25_topk_batch(d, BM25_BATCH, k=BM25_BATCH_K)
-
 
 _REGISTRY_Q["bm25_multi"] = q_bm25_multi
 
@@ -3164,9 +3115,7 @@ def _pagerank_chain(prefix: str, iterations: int, alpha: float = ALPHA) -> str:
         )
     return ",\n".join(ctes)
 
-
 _REGISTRY_Q["ppr_pagerank"] = q_ppr_pagerank
-
 
 _REGISTRY_SQL["ppr_pagerank"] = f"""WITH {_GRAPH_CTES},
 {_pagerank_chain("pr", PAGERANK_ITERS)}
@@ -3216,9 +3165,7 @@ def _pagerank_global_chain(prefix: str, iterations: int, alpha: float = ALPHA) -
         )
     return ",\n".join(ctes)
 
-
 _REGISTRY_Q["graph_pagerank"] = q_graph_pagerank
-
 
 _REGISTRY_SQL["graph_pagerank"] = f"""WITH {_GRAPH_CTES},
 nod AS MATERIALIZED (SELECT id FROM ({GRAPH_NODES_SQL})),
@@ -3245,9 +3192,7 @@ def q_hot_shingles(spark, sf_dir):
         d, n=3, min_df=HOT_SHINGLE_MIN_DF, k=HOT_SHINGLE_K
     )
 
-
 _REGISTRY_Q["hot_shingles"] = q_hot_shingles
-
 
 _REGISTRY_SQL["hot_shingles"] = f"""
 WITH ds AS ({_SQL_DOC_SHINGLES}),
@@ -3293,10 +3238,8 @@ def q_curriculum_order(spark, sf_dir):
         d, n_buckets=CURRICULUM_BUCKETS, seed=CURRICULUM_SEED
     )
 
-
 _REGISTRY_Q["shard_manifest"] = q_shard_manifest
 _REGISTRY_Q["curriculum_order"] = q_curriculum_order
-
 
 _REGISTRY_SQL["shard_manifest"] = f"""
 WITH s AS (
@@ -3351,7 +3294,6 @@ def q_clustering_coeff(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return clustering_coefficient(g.edges)
 
-
 _REGISTRY_Q["clustering_coeff"] = q_clustering_coeff
 
 
@@ -3377,9 +3319,7 @@ def q_doc_bigram_logprob(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return _text.bigram_logprob_scores(d)
 
-
 _REGISTRY_Q["doc_bigram_logprob"] = q_doc_bigram_logprob
-
 
 _REGISTRY_SQL["doc_bigram_logprob"] = _text.bigram_logprob_oracle_sql()
 
@@ -3424,7 +3364,6 @@ def q_degree_histogram(spark, sf_dir):
         )
     )
 
-
 _REGISTRY_Q["adamic_adar"] = q_adamic_adar
 _REGISTRY_Q["degree_histogram"] = q_degree_histogram
 
@@ -3468,7 +3407,6 @@ def q_simsearch_ivfpq(spark, sf_dir):
     return _pq.ivfpq_topk(
         e, query_id=0, k=IVFPQ_K, n_cells=16, nprobe=4, m=4, ksub=16
     )
-
 
 _REGISTRY_Q["simsearch_ivfpq"] = q_simsearch_ivfpq
 
@@ -3536,9 +3474,7 @@ def q_lsh_incremental(spark, sf_dir):
         new, old, num_hashes=8, bands=4, n=3
     )
 
-
 _REGISTRY_Q["lsh_incremental"] = q_lsh_incremental
-
 
 _REGISTRY_SQL["lsh_incremental"] = f"""
 WITH sig AS MATERIALIZED ({_SQL_MINHASH_SIG}),
@@ -3597,7 +3533,6 @@ def q_doc_token_quantiles(spark, sf_dir):
     return histogram_quantiles(
         d, "nt", HQ_PROBS, group_col="source", resolution=1
     )
-
 
 _REGISTRY_Q["histogram_quantiles"] = q_histogram_quantiles
 _REGISTRY_Q["doc_token_quantiles"] = q_doc_token_quantiles
@@ -3703,7 +3638,6 @@ def q_graph_pagerank_weighted(spark, sf_dir):
     )
     return df.select("node", F.round("score", 9).alias("score"))
 
-
 _REGISTRY_Q["graph_pagerank_weighted"] = q_graph_pagerank_weighted
 
 
@@ -3783,9 +3717,7 @@ def _power_multi_chain(prefix: str, iterations: int, alpha: float = ALPHA) -> st
         )
     return ",\n".join(ctes)
 
-
 _REGISTRY_Q["ppr_multi_source"] = q_ppr_multi_source
-
 
 _REGISTRY_SQL["ppr_multi_source"] = f"""WITH {_GRAPH_CTES},
 srcm AS MATERIALIZED (
@@ -3839,7 +3771,6 @@ def q_event_gap_quantiles(spark, sf_dir):
     return histogram_quantiles(
         gaps, "gap_s", HQ_PROBS, group_col="event_type", resolution=1
     )
-
 
 _REGISTRY_Q["similar_docs"] = q_similar_docs
 _REGISTRY_Q["event_gap_quantiles"] = q_event_gap_quantiles
@@ -3914,7 +3845,6 @@ def q_next_tokens(spark, sf_dir):
     (functions/text.bigram_next_tokens)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return _text.bigram_next_tokens(d, NEXT_TOKEN_PREFIX, k=NEXT_TOKEN_K)
-
 
 _REGISTRY_Q["ppr_pagerank_weighted"] = q_ppr_pagerank_weighted
 _REGISTRY_Q["next_tokens"] = q_next_tokens
@@ -4107,7 +4037,6 @@ def q_events_range_window(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("trailing_n"),
     )
 
-
 _REGISTRY_Q["events_json_stats"] = q_events_json_stats
 _REGISTRY_Q["sssp_landmarks"] = q_sssp_landmarks
 _REGISTRY_Q["part_unpivot"] = q_part_unpivot
@@ -4149,7 +4078,6 @@ WINDOW w AS (PARTITION BY user_id
              ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
              RANGE BETWEEN {RANGE_WINDOW_SECONDS} PRECEDING AND CURRENT ROW)
 """
-
 
 _REGISTRY_Q["graph_lpa"] = q_graph_lpa
 _REGISTRY_Q["sssp_weighted"] = q_sssp_weighted
@@ -4197,7 +4125,6 @@ def q_doc_winnow(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
 
-
 _REGISTRY_Q["doc_winnow"] = q_doc_winnow
 
 
@@ -4226,7 +4153,6 @@ def q_part_name_variants(spark, sf_dir):
 
     part = _t(spark, sf_dir, "part")
     return name_variant_pairs(part, "p_name", max_dist=NAME_VARIANT_DIST)
-
 
 _REGISTRY_Q["part_name_variants"] = q_part_name_variants
 
@@ -4259,7 +4185,6 @@ def q_token_budget_mix(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return token_budget_mix(docs, budget=TOKEN_BUDGET)
 
-
 _REGISTRY_Q["token_budget_mix"] = q_token_budget_mix
 
 
@@ -4290,9 +4215,7 @@ def q_source_overlap(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return source_shingle_overlap(docs, n=3)
 
-
 _REGISTRY_Q["source_overlap"] = q_source_overlap
-
 
 _REGISTRY_SQL["source_overlap"] = f"""
 WITH ss AS MATERIALIZED (
@@ -4350,7 +4273,6 @@ def q_corpus_diff(spark, sf_dir):
     v2 = kept.unionByName(added)
     return snapshot_diff(v1, v2, "doc_id", _DIFF_COLS)
 
-
 _REGISTRY_Q["corpus_diff"] = q_corpus_diff
 
 
@@ -4391,7 +4313,6 @@ def q_split_leakage(spark, sf_dir):
         docs.select("doc_id"), SPLIT_WEIGHTS, seed=SPLIT_SEED
     )
     return split_leakage(docs, splits, threshold=0.5, n=3, max_shingle_df=1000)
-
 
 _REGISTRY_Q["split_leakage"] = q_split_leakage
 
@@ -4436,7 +4357,6 @@ def q_winnow_dups(spark, sf_dir):
         docs, min_shared=WINNOW_MIN_SHARED, k=WINNOW_K, w=WINNOW_W
     )
 
-
 _REGISTRY_Q["winnow_dups"] = q_winnow_dups
 
 
@@ -4470,7 +4390,6 @@ def q_graph_betweenness(spark, sf_dir):
     return betweenness_landmarks(
         g, n_landmarks=BETWEENNESS_LANDMARKS, max_hops=BETWEENNESS_HOPS
     )
-
 
 _REGISTRY_Q["graph_betweenness"] = q_graph_betweenness
 
@@ -4507,7 +4426,6 @@ def q_pmi_collocations(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return pmi_collocations(docs, min_count=PMI_MIN_COUNT)
 
-
 _REGISTRY_Q["pmi_collocations"] = q_pmi_collocations
 
 
@@ -4533,7 +4451,6 @@ def q_source_divergence(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return source_divergence(docs)
-
 
 _REGISTRY_Q["source_divergence"] = q_source_divergence
 
@@ -4569,9 +4486,7 @@ def q_orders_salted_join(spark, sf_dir):
     )
     return salted_join(big, small, "custkey")
 
-
 _REGISTRY_Q["orders_salted_join"] = q_orders_salted_join
-
 
 _REGISTRY_SQL["orders_salted_join"] = """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -4599,7 +4514,6 @@ def q_graph_negatives(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return link_negatives(g.edges, g.nodes, k=NEG_K, seed=NEG_SEED)
-
 
 _REGISTRY_Q["graph_negatives"] = q_graph_negatives
 
@@ -4638,7 +4552,6 @@ def q_winnow_incremental(spark, sf_dir):
         new, old, min_shared=1, k=WINNOW_K, w=WINNOW_W
     )
 
-
 _REGISTRY_Q["winnow_incremental"] = q_winnow_incremental
 
 
@@ -4673,7 +4586,6 @@ def q_event_paths(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return event_paths(ev, length=EVENT_PATH_LEN, min_count=EVENT_PATH_MIN)
-
 
 _REGISTRY_Q["event_paths"] = q_event_paths
 
@@ -4725,7 +4637,6 @@ def q_ppr_temporal(spark, sf_dir):
     return df.select("node", F.round("score", 9).alias("score")).where(
         F.col("score") > 0
     )
-
 
 _REGISTRY_Q["ppr_temporal"] = q_ppr_temporal
 
@@ -4786,7 +4697,6 @@ def q_url_canonical(spark, sf_dir):
         .orderBy("domain")
     )
 
-
 _REGISTRY_Q["url_canonical"] = q_url_canonical
 
 _REGISTRY_SQL["url_canonical"] = f"""
@@ -4835,7 +4745,6 @@ def q_graph_sample_neighbors(spark, sf_dir):
         g.edges, k=SAMPLE_NEIGHBORS_K, seed=SAMPLE_NEIGHBORS_SEED
     )
 
-
 _REGISTRY_Q["graph_sample_neighbors"] = q_graph_sample_neighbors
 
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.walks import (  # noqa: E402
@@ -4859,7 +4768,6 @@ def q_graph_walks(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return walk_corpus(spark, g.edges, length=WALK_LENGTH, seed=WALK_SEED)
 
-
 _REGISTRY_Q["graph_walks"] = q_graph_walks
 
 _REGISTRY_SQL["graph_walks"] = walk_corpus_oracle_sql(
@@ -4877,7 +4785,6 @@ def q_graph_eigenvector(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return eigenvector_centrality(spark, g.edges, iterations=EIGEN_ITERS)
-
 
 _REGISTRY_Q["graph_eigenvector"] = q_graph_eigenvector
 
@@ -4918,7 +4825,6 @@ def q_graph_modularity(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return modularity(g.edges, label_propagation(g, rounds=LPA_ROUNDS))
 
-
 _REGISTRY_Q["graph_modularity"] = q_graph_modularity
 
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (  # noqa: E402
@@ -4942,7 +4848,6 @@ def q_graph_assortativity(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return degree_assortativity(g.edges)
-
 
 _REGISTRY_Q["graph_assortativity"] = q_graph_assortativity
 
@@ -4984,7 +4889,6 @@ def q_graph_node2vec(spark, sf_dir):
         q_mult=NODE2VEC_Q,
     )
 
-
 _REGISTRY_Q["graph_node2vec"] = q_graph_node2vec
 
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.walks import (  # noqa: E402
@@ -5014,7 +4918,6 @@ def q_walk_skipgrams(spark, sf_dir):
     corpus = walk_corpus(spark, g.edges, length=WALK_LENGTH, seed=WALK_SEED)
     return skipgram_pairs(corpus, window=SKIPGRAM_WINDOW)
 
-
 _REGISTRY_Q["walk_skipgrams"] = q_walk_skipgrams
 
 _REGISTRY_SQL["walk_skipgrams"] = skipgram_oracle_sql(
@@ -5043,7 +4946,6 @@ def q_graph_closeness(spark, sf_dir):
     return closeness_centrality(
         g, n_landmarks=HARMONIC_LANDMARKS, max_hops=HARMONIC_HOPS
     )
-
 
 _REGISTRY_Q["graph_closeness"] = q_graph_closeness
 
@@ -5089,7 +4991,6 @@ def q_graph_fastrp(spark, sf_dir):
         seed=FASTRP_SEED,
     )
 
-
 _REGISTRY_Q["graph_fastrp"] = q_graph_fastrp
 
 from personalized_pagerank_algorithms_on_neo4j_spark.operators.fastrp import (  # noqa: E402
@@ -5128,7 +5029,6 @@ def q_graph_articlerank(spark, sf_dir):
     df = article_rank(g, iterations=ARTICLERANK_ITERS, alpha=ALPHA)
     return df.select("node", F.round("score", 9).alias("score"))
 
-
 _REGISTRY_Q["graph_articlerank"] = q_graph_articlerank
 
 from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (  # noqa: E402
@@ -5163,7 +5063,6 @@ def q_graph_conductance(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return conductance(g.edges, label_propagation(g, rounds=LPA_ROUNDS))
-
 
 _REGISTRY_Q["graph_conductance"] = q_graph_conductance
 
@@ -5207,7 +5106,6 @@ def q_dsir_weights(spark, sf_dir):
         seed=DSIR_SEED,
     )
 
-
 _REGISTRY_Q["dsir_weights"] = q_dsir_weights
 
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (  # noqa: E402
@@ -5246,7 +5144,6 @@ def q_graph_louvain(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return louvain(g, rounds1=LOUVAIN_ROUNDS1, rounds2=LOUVAIN_ROUNDS2)
 
-
 _REGISTRY_Q["graph_louvain"] = q_graph_louvain
 
 from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (  # noqa: E402
@@ -5277,7 +5174,6 @@ def q_doc_entropy(spark, sf_dir):
     )
 
     return doc_token_entropy(_t(spark, sf_dir, "documents"))
-
 
 _REGISTRY_Q["doc_entropy"] = q_doc_entropy
 
@@ -5312,7 +5208,6 @@ def q_graph_ktruss(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return k_truss(g.edges, k=KTRUSS_K)
 
-
 _REGISTRY_Q["graph_ktruss"] = q_graph_ktruss
 
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (  # noqa: E402
@@ -5341,7 +5236,6 @@ def q_span_corruption(spark, sf_dir):
     )
 
     return span_corruption_targets(_t(spark, sf_dir, "documents"))
-
 
 _REGISTRY_Q["span_corruption"] = q_span_corruption
 
@@ -5437,7 +5331,6 @@ def q_pagerank_snapshots(spark, sf_dir):
     )
     return df.select("snap", "node", F.round("score", 9).alias("score"))
 
-
 _REGISTRY_Q["pagerank_snapshots"] = q_pagerank_snapshots
 
 from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (  # noqa: E402
@@ -5471,7 +5364,6 @@ def q_ann_recall(spark, sf_dir):
     return ann_recall(
         e, query_ids=ANN_RECALL_QUERIES, k=ANN_RECALL_K, sketch_dims=16, bands=4
     )
-
 
 _REGISTRY_Q["ann_recall"] = q_ann_recall
 
@@ -5543,7 +5435,6 @@ SELECT ne.query_id, ne.n_exact,
 FROM ar_ne ne LEFT JOIN ar_nh nh ON ne.query_id = nh.query_id
 """
 
-
 _REGISTRY_SQL["ann_recall"] = _ann_recall_oracle_sql(
     ANN_RECALL_QUERIES, k=ANN_RECALL_K
 )
@@ -5600,7 +5491,6 @@ def q_dedup_eval(spark, sf_dir):
             ).alias("recall"),
         )
     )
-
 
 _REGISTRY_Q["dedup_eval"] = q_dedup_eval
 
@@ -5666,7 +5556,6 @@ def q_url_policy(spark, sf_dir):
         F.countDistinct("canon").alias("n_pages"),
     )
 
-
 _REGISTRY_Q["url_policy"] = q_url_policy
 
 _URL_RULES_VALUES = "VALUES " + ", ".join(
@@ -5703,7 +5592,6 @@ def q_graph_louvain_weighted(spark, sf_dir):
         rounds1=LOUVAIN_ROUNDS1,
         rounds2=LOUVAIN_ROUNDS2,
     )
-
 
 _REGISTRY_Q["graph_louvain_weighted"] = q_graph_louvain_weighted
 
@@ -5823,7 +5711,6 @@ def q_winnow_paragraphs(spark, sf_dir):
         w=WINNOW_W,
     )
 
-
 _REGISTRY_Q["winnow_paragraphs"] = q_winnow_paragraphs
 
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (  # noqa: E402
@@ -5873,6 +5760,74 @@ _REGISTRY_SQL["bpe_compression"] = bpe_compression_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# Block 52: compositions over the kNN doc graph — related-doc PPR (the
+# engine's flagship verb on the similarity substrate) + corpus clustering
+# ---------------------------------------------------------------------------
+
+PPR_DOCS_ITERS = 10
+
+
+def q_ppr_docs(spark, sf_dir):
+    """(node, score): related documents by personalized PageRank from the
+    smallest vec_id over the micro-unit-weighted 5-NN similarity graph —
+    PPR-as-retrieval on the corpus substrate."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (
+        knn_weighted_edges,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+        pagerank_weighted,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.agg(F.min("vec_id")).collect()[0][0]
+    df = pagerank_weighted(
+        knn_weighted_edges(emb, k=KNN_GRAPH_K),
+        iterations=PPR_DOCS_ITERS,
+        alpha=ALPHA,
+        source=int(src),
+    )
+    return df.select("node", F.round("score", 9).alias("score")).where(
+        F.col("score") > 0
+    )
+
+
+def q_knn_communities(spark, sf_dir):
+    """(node, label): end-to-end corpus clustering — weighted two-level
+    Louvain over the micro-unit-weighted 5-NN similarity graph."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (
+        knn_weighted_edges,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (
+        louvain_weighted,
+    )
+
+    return louvain_weighted(
+        knn_weighted_edges(_t(spark, sf_dir, "embeddings"), k=KNN_GRAPH_K),
+        rounds1=LOUVAIN_ROUNDS1,
+        rounds2=LOUVAIN_ROUNDS2,
+    )
+
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (  # noqa: E402
+    knn_weighted_edges_sql,
+)
+
+_REGISTRY_Q["ppr_docs"] = q_ppr_docs
+_REGISTRY_Q["knn_communities"] = q_knn_communities
+_REGISTRY_SQL["ppr_docs"] = pagerank_weighted_personalized_oracle_sql(
+    knn_weighted_edges_sql(k=KNN_GRAPH_K),
+    "SELECT MIN(vec_id) FROM embeddings",
+    iterations=PPR_DOCS_ITERS,
+    alpha=ALPHA,
+)
+_REGISTRY_SQL["knn_communities"] = louvain_weighted_oracle_sql(
+    knn_weighted_edges_sql(k=KNN_GRAPH_K),
+    rounds1=LOUVAIN_ROUNDS1,
+    rounds2=LOUVAIN_ROUNDS2,
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5902,6 +5857,8 @@ _R7_NEW: list[str] = [
     "winnow_paragraphs",    # r7: sub-document (paragraph) winnow dedup
     "bpe_merges",           # r7: BPE tokenizer-vocab merge induction
     "bpe_compression",      # r7: apply-side corpus compression of the vocab
+    "ppr_docs",             # r7: related-doc PPR over the kNN graph
+    "knn_communities",      # r7: corpus clustering (kNN -> weighted Louvain)
 ]
 
 # (a3) stale anchors: none this round (ppr_power re-observed green r6) -----

@@ -346,6 +346,13 @@ def main() -> None:
     timed("q_bpe", lambda: E.q_bpe_merges(spark, SF_DIR).count())
     # BPE apply side: train + chained-replace tokenize + per-doc counts
     timed("q_bpe_apply", lambda: E.q_bpe_compression(spark, SF_DIR).count())
+    # flagship verb on the similarity substrate: doc-PPR over the kNN graph
+    timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
+    # end-to-end corpus clustering: kNN edges -> weighted Louvain
+    timed(
+        "q_knn_communities",
+        lambda: E.q_knn_communities(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): fixed 10 supersteps for the same per-superstep-cost trend
@@ -399,12 +406,15 @@ LINE_BUDGET = 1990  # the capture window is the last 2000 chars INCLUDING
 
 def render_line(timings: dict[str, float], sf: float) -> str:
     total = round(sum(timings.values()), 2)
-    for ndigits in (2, 1):
+    # precision tiers: 2-dec normally, 1-dec if long, integer seconds as
+    # the catastrophe tier (only reachable when most queries run >100 s,
+    # where sub-second precision is meaningless anyway)
+    for ndigits in (2, 1, 0):
         q = {}
         for k, v in timings.items():
             short = k[2:] if k.startswith("q_") else k
             assert short not in q, f"bench key collision after prefix strip: {k}"
-            q[short] = round(v, ndigits)
+            q[short] = int(round(v)) if ndigits == 0 else round(v, ndigits)
         line = json.dumps(
             {"metric": "ppr_spark_bench_total", "value": total, "unit": "sec",
              "sf": sf, "queries": q},
@@ -413,7 +423,7 @@ def render_line(timings: dict[str, float], sf: float) -> str:
         if len(line) <= LINE_BUDGET:
             return line
     raise AssertionError(
-        f"bench JSON line is {len(line)} chars even at 1-decimal precision; "
+        f"bench JSON line is {len(line)} chars even at integer precision; "
         "the driver tail capture is 2000 — trim the key set"
     )
 

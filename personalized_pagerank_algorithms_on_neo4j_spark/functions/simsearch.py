@@ -414,3 +414,44 @@ SELECT src, dst, ROUND(raw_cos, 6) AS cosine FROM (
   FROM knn_scored
 ) r WHERE rn <= {k}
 """
+
+
+def knn_weighted_edges(
+    df: DataFrame,
+    k: int = 5,
+    sketch_dims: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(src, dst, weight): the kNN graph with integer MICRO-UNIT cosine
+    weights — the edge substrate the weighted graph verbs consume (PPR
+    for related-item retrieval, Louvain for corpus clustering).  weight
+    = round(cosine_6dec * 1e6): rounding the ALREADY-6-dec cosine to an
+    integer kills the float representation error (0.123456 * 1e6 is
+    123455.999...; the outer round is ~1e-10 from its boundary, never
+    0.5 — exact in both engines).  Non-positive-cosine edges drop
+    (weighted verbs require positive weights)."""
+    g = knn_graph(df, k, sketch_dims, bands, vec_col, id_col)
+    return g.where(F.col("cosine") > 0).select(
+        "src",
+        "dst",
+        F.round(F.col("cosine") * 1e6).cast("long").alias("weight"),
+    )
+
+
+def knn_weighted_edges_sql(
+    k: int = 5,
+    sketch_dims: int = 16,
+    bands: int = 4,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of `knn_weighted_edges`."""
+    inner = knn_graph_oracle_sql(k, sketch_dims, bands, table, vec_col, id_col, dims)
+    return f"""
+SELECT src, dst, CAST(ROUND(cosine * 1000000) AS BIGINT) AS weight
+FROM ({inner}) knn_w WHERE cosine > 0
+"""
