@@ -5780,6 +5780,8 @@ def q_ppr_docs(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     src = emb.agg(F.min("vec_id")).collect()[0][0]
+    if src is None:
+        raise ValueError("ppr_docs: embeddings table is empty")
     df = pagerank_weighted(
         knn_weighted_edges(emb, k=KNN_GRAPH_K),
         iterations=PPR_DOCS_ITERS,

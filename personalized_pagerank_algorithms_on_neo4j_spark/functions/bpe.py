@@ -209,12 +209,16 @@ def bpe_compression_oracle_sql(
   LIMIT 1
 )"""
         )
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when a round's argmax CTE is
+        # empty (merge-exhausted corpus), the stream must pass through
+        # unchanged — a cross join would empty every later CTE and emit
+        # zero rows while the Spark twin still returns one row per doc
         parts.append(
             f"""bpa_t{i + 1} AS MATERIALIZED (
   SELECT t.doc_id,
-         replace(t.s, ' ' || b.lhs || '  ' || b.rhs || ' ',
-                 ' ' || b.lhs || b.rhs || ' ') AS s
-  FROM bpa_t{i} t CROSS JOIN bpa_b{i} b
+         COALESCE(replace(t.s, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                          ' ' || b.lhs || b.rhs || ' '), t.s) AS s
+  FROM bpa_t{i} t LEFT JOIN bpa_b{i} b ON TRUE
 )"""
         )
     return (

@@ -1751,6 +1751,17 @@ FROM (
 """
 
 
+def split_pid(pid) -> tuple:
+    """(doc, para) columns from a composite paragraph id — the ONE decode
+    matching `paragraph_rows`' encode (winnow_paragraph_dups and the
+    streaming store both go through here, so encode/decode cannot
+    drift)."""
+    return (
+        F.floor(pid / F.lit(PARA_STRIDE)).cast("long"),
+        (pid % F.lit(PARA_STRIDE)).cast("int"),
+    )
+
+
 def winnow_paragraph_dups(
     docs: DataFrame,
     min_shared: int = 2,
@@ -1776,13 +1787,14 @@ def winnow_paragraph_dups(
         id_col="pid",
         text_col="text",
     )
-    s = PARA_STRIDE
+    da, pa = split_pid(F.col("doc_a"))
+    db, pb = split_pid(F.col("doc_b"))
     return (
         pairs.select(
-            F.expr(f"doc_a div {s}").alias("da"),
-            (F.col("doc_a") % s).cast("int").alias("para_a"),
-            F.expr(f"doc_b div {s}").alias("db"),
-            (F.col("doc_b") % s).cast("int").alias("para_b"),
+            da.alias("da"),
+            pa.alias("para_a"),
+            db.alias("db"),
+            pb.alias("para_b"),
             "shared",
         )
         .where(F.col("da") != F.col("db"))

@@ -15,9 +15,17 @@ same history as its original run) and adds in-batch pairs separately;
 the flags board is itself per-epoch partitioned.
 
 Batch parity (pinned in tests): every cross-document paragraph pair is
-flagged exactly once — in the epoch of its LATER member — so the union
-of all flag partitions equals `winnow_paragraph_dups` over the union
-corpus, as unordered pairs with identical shared-counts.
+flagged exactly once — in the epoch of its LATER member — so, WHILE THE
+HOT-FINGERPRINT CAP BINDS ON NEITHER SIDE, the union of all flag
+partitions equals `winnow_paragraph_dups` over the union corpus, as
+unordered pairs with identical shared-counts.  The cap is applied
+per-side (history DF and batch DF separately — the minhash_stream
+discipline): a corpus-wide DF is not computable incrementally without
+rescanning the store, so a fingerprint whose GLOBAL DF crosses the cap
+mid-stream keeps its earlier flags and stops matching from that epoch
+on, where the batch op would suppress it everywhere.  That is the
+honest streaming semantics, not drift — rerun the batch operator for
+the cap-exact answer.
 
 Scale shape: the store grows one row per (paragraph, fingerprint); at
 corpus scale it is written bucketed by fp_hash so the microbatch side is
@@ -63,12 +71,15 @@ def make_merge_batch(
     an epoch directly without a running stream."""
 
     def _decode(pairs: DataFrame) -> DataFrame:
-        s = PARA_STRIDE
+        from ..functions.text import split_pid
+
+        nd, np_ = split_pid(F.col("new_pid"))
+        od, op = split_pid(F.col("old_pid"))
         return pairs.select(
-            F.expr(f"new_pid div {s}").alias("new_doc"),
-            (F.col("new_pid") % s).cast("int").alias("new_para"),
-            F.expr(f"old_pid div {s}").alias("old_doc"),
-            (F.col("old_pid") % s).cast("int").alias("old_para"),
+            nd.alias("new_doc"),
+            np_.alias("new_para"),
+            od.alias("old_doc"),
+            op.alias("old_para"),
             "shared",
         ).where(F.col("new_doc") != F.col("old_doc"))
 

@@ -2746,3 +2746,35 @@ def test_bpe_compression_invariants(spark):
     merges = bpe_merges(docs, rounds=3).collect()
     delta = sum(r["n_before"] - r["n_after"] for r in rows.values())
     assert 0 < delta <= sum(m["n"] for m in merges)
+
+
+def test_bpe_compression_oracle_on_merge_exhausted_corpus(spark):
+    """When learnable merges run out before `rounds`, the oracle's
+    passthrough LEFT JOIN must keep emitting one row per doc exactly
+    like the Spark side (a cross join against the empty argmax CTE used
+    to zero out every later round — caught in review)."""
+    import duckdb
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.bpe import (
+        bpe_compression,
+        bpe_compression_oracle_sql,
+    )
+
+    corpus = [(1, "a b"), (2, "a b"), (3, "x")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["n_before"], r["n_after"])
+        for r in bpe_compression(docs, rounds=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in corpus)
+        + ") v(doc_id, text)"
+    )
+    oracle = sorted(
+        map(tuple, con.execute(bpe_compression_oracle_sql(rounds=3)).fetchall())
+    )
+    assert got == oracle
+    # round 1 fuses 'a b' everywhere; rounds 2-3 find nothing; doc 3 inert
+    assert got == [(1, 2, 1), (2, 2, 1), (3, 1, 1)]
