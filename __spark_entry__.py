@@ -5843,28 +5843,20 @@ _REGISTRY_SQL["knn_communities"] = louvain_weighted_oracle_sql(
 #            protected family reps + oldest-evidence rotation debt to 50.
 # Everything past 50 is the next round's queue, oldest evidence first.
 
-# (a) never driver-observed (registered r6 after the window filled) --------
-_R7_NEVER_OBSERVED = [
-    "graph_louvain_weighted",  # gds.louvain relationshipWeightProperty mode
-]
+# (a) never driver-observed: NONE — as of CORRECTNESS_r07 every registered
+#     key has an observed green driver row at some round (the r7 debt flush
+#     closed the set for the first time). ---------------------------------
+_R8_NEVER_OBSERVED: list[str] = []
 
-# (a2) round-7 registrations.  Each key here displaces the _ROTATION_DEBT
-#      tail past position 50 (r8 queue); >=20 debt keys must stay in-window
-#      (max 15 here).  Update COVERAGE r7/r8 rows + ledger test in the
+# (a2) round-8 registrations.  Each key here displaces the _ROTATION_DEBT
+#      tail past position 50 (r9 queue); >=20 debt keys must stay in-window
+#      (max 15 here).  Update COVERAGE r8/r9 rows + ledger test in the
 #      SAME commit as any append. -----------------------------------------
-_R7_NEW: list[str] = [
-    "graph_scc",            # r7: Markov communicating classes via gds.scc
-    "graph_knn",            # r7: k-NN similarity graph (gds.knn shape)
-    "graph_snapshot_diff",  # r7: edge churn between yearly graph slices
-    "winnow_paragraphs",    # r7: sub-document (paragraph) winnow dedup
-    "bpe_merges",           # r7: BPE tokenizer-vocab merge induction
-    "bpe_compression",      # r7: apply-side corpus compression of the vocab
-    "ppr_docs",             # r7: related-doc PPR over the kNN graph
-    "knn_communities",      # r7: corpus clustering (kNN -> weighted Louvain)
-]
+_R8_NEW: list[str] = []
 
-# (a3) stale anchors: none this round (ppr_power re-observed green r6) -----
-_R7_ANCHORS: list[str] = []
+# (a3) stale anchors: none this round (ppr_power rotates back in via the
+#      debt queue below — it heads the registration-order remainder) ------
+_R8_ANCHORS: list[str] = []
 
 # (b) section-2 operator-family representatives (one per family, kept
 #     in-window every round) ----------------------------------------------
@@ -5885,42 +5877,17 @@ _FAMILY_REPS = [
     "report_layout",        # S6
 ]
 
-# (c) rotation debt, oldest driver evidence first (COVERAGE.md r7 row):
-#     the 22 keys the r6 registrations popped (last observed r4/r5), then
-#     multimodal_features + events_hourly, then the 11 r2/r3-observed keys.
-#     35 keys; with N _R7_NEW registrations only the first 35-N fit the
-#     window — the displaced tail is the r8 queue head.  Keys with r6
-#     driver rows (the 13 r5-tail keys, the 22 _R6_NEW keys, ppr_power)
-#     are NOT in the priority list: _reorder appends them in registration
-#     order behind the debt, forming the r8+ rotation pool. ---------------
+# (c) rotation debt, oldest driver evidence first (COVERAGE.md r8 row):
+#     the 8 keys the _R7_NEW wave displaced (last observed r2/r3), then the
+#     committed registration-order remainder (ppr_power — last observed r6
+#     as the I3 anchor — then the r3/r4-era registrations last observed
+#     r4/r5).  36 keys; with N _R8_NEW registrations only the first 36-N
+#     fit the window — the displaced tail is the r9 queue head.  Keys with
+#     r7 driver rows (the _R7_NEW wave, graph_louvain_weighted, the 27
+#     in-window r7 debt keys) are NOT in the priority list: _reorder
+#     appends them in registration order behind the debt, forming the r9+
+#     rotation pool. --------------------------------------------------------
 _ROTATION_DEBT = [
-    "revenue_by_customer",
-    "revenue_by_nation",
-    "customer_order_counts",
-    "customer_spend_share",
-    "quality_filter",
-    "minhash_signatures",
-    "part_math",
-    "orders_by_month",
-    "global_aggs",
-    "top_orders_ties",
-    "customers_without_orders",
-    "delta_merge",
-    "dedup_exact",
-    "token_counts",
-    "simsearch_cosine",
-    "text_profile",
-    "minhash_lsh_candidates",
-    "ngram_jaccard",
-    "simhash",
-    "embedding_near_dup",
-    "simsearch_lsh",
-    "simsearch_ivf",
-    "multimodal_features",
-    "events_hourly",
-    "user_sessions",
-    "pivot_status",
-    "rollup_revenue",
     "running_revenue",
     "asof_clicks",
     "distinct_suppliers",
@@ -5929,10 +5896,61 @@ _ROTATION_DEBT = [
     "dedup_clusters",
     "doc_split",
     "stratified_sample",
+    "ppr_power",
+    "kmeans_clusters",
+    "pii_scrub",
+    "doc_repetition",
+    "decontamination",
+    "quality_weighted_sample",
+    "pq_codes",
+    "simsearch_pq",
+    "events_topk_hourly",
+    "tfidf_top_terms",
+    "exact_k_by_lang",
+    "events_value_quantiles",
+    "event_funnel",
+    "retention_cohorts",
+    "revenue_moving_avg",
+    "bloom_decontamination",
+    "event_transitions",
+    "ngram_span_dups",
+    "supplier_cooccurrence",
+    "pq_trained_codes",
+    "doc_chunks",
+    "seq_packing",
+    "mixture_rebalance",
+    "bm25_topk",
+    "events_anomaly",
+    "corpus_report",
+    "doc_logprob",
+    "two_hop_counts",
+]
+
+# (d) r9 queue prefix — the keys whose last driver row is r5 (the oldest
+#     evidence outside the debt list above), pinned so the post-window
+#     queue stays oldest-evidence-first instead of falling back to
+#     registration order (which would put freshly r7-observed keys ahead
+#     of these).  Window-invisible: priority positions 51+. ---------------
+_R9_QUEUE = [
+    "decayed_scores", "data_expectations", "semantic_dedup",
+    "triangle_counts", "node_similarity", "graph_bfs",
+    "graph_wcc", "graph_hits", "graph_kcore",
+    "click_attribution", "approx_distinct_users", "heavy_hitter_users",
+    "harmonic_centrality", "dedup_survivors", "order_price_bands",
+    "bm25_multi", "ppr_pagerank", "graph_pagerank",
+    "hot_shingles", "shard_manifest", "curriculum_order",
+    "clustering_coeff", "doc_bigram_logprob", "adamic_adar",
+    "degree_histogram", "simsearch_ivfpq", "lsh_incremental",
+    "histogram_quantiles", "doc_token_quantiles", "graph_pagerank_weighted",
+    "ppr_multi_source", "similar_docs", "event_gap_quantiles",
+    "ppr_pagerank_weighted", "next_tokens", "events_json_stats",
+    "sssp_landmarks", "part_unpivot", "events_range_window",
+    "graph_lpa", "sssp_weighted", "doc_winnow",
 ]
 
 _WINDOW_PRIORITY = (
-    _R7_NEVER_OBSERVED + _R7_NEW + _R7_ANCHORS + _FAMILY_REPS + _ROTATION_DEBT
+    _R8_NEVER_OBSERVED + _R8_NEW + _R8_ANCHORS + _FAMILY_REPS + _ROTATION_DEBT
+    + _R9_QUEUE
 )
 
 def _reorder(d: dict) -> dict:

@@ -257,27 +257,38 @@ def test_minhash_bucket_cap_never_binds_at_gate_scale(spark):
 
 def test_window_queue_matches_coverage_ledger():
     """The 50-row driver window must match COVERAGE.md's rotation ledger
-    (it drifted twice in r5 before this guard).  r7 composition:
-    graph_louvain_weighted (the only never-observed key) first, any new r7
-    registrations next, the 14 protected family reps, and oldest-evidence
-    rotation debt (22 r6-popped keys, multimodal_features + events_hourly,
-    the 11 r2/r3 keys) filling to 50.  Everything past 50 is the r8 queue
-    (displaced debt tail first, then r6-observed keys in registration
-    order).  The VERDICT r7 contract needs >=20 debt keys in-window, so
-    _R7_NEW holds at most 15 keys."""
+    (it drifted twice in r5 before this guard).  r8 composition: zero
+    never-observed keys (the r7 debt flush closed the set), any new r8
+    registrations first, the 14 protected family reps, and oldest-evidence
+    rotation debt (the 8 keys the _R7_NEW wave displaced, then the
+    committed registration-order remainder) filling to 50.  Everything
+    past 50 is the r9 queue (displaced debt tail first, then r7-observed
+    keys in registration order).  The VERDICT contract needs >=20 debt
+    keys in-window, so _R8_NEW holds at most 15 keys."""
     order = list(E.queries())
     expected_window = (
-        E._R7_NEVER_OBSERVED
-        + E._R7_NEW
-        + E._R7_ANCHORS
+        E._R8_NEVER_OBSERVED
+        + E._R8_NEW
+        + E._R8_ANCHORS
         + E._FAMILY_REPS
         + E._ROTATION_DEBT
     )[:50]
     assert order[:50] == expected_window
-    assert E._R7_NEVER_OBSERVED == ["graph_louvain_weighted"]
-    assert len(E._R7_NEW) <= 15
+    assert E._R8_NEVER_OBSERVED == []
+    assert len(E._R8_NEW) <= 15
     assert len(E._FAMILY_REPS) == 14 and E._FAMILY_REPS[-1] == "report_layout"
-    assert len(E._ROTATION_DEBT) == 35
+    assert len(E._ROTATION_DEBT) == 36
+    # the 8 keys the _R7_NEW wave displaced must head the debt queue
+    assert E._ROTATION_DEBT[:8] == [
+        "running_revenue",
+        "asof_clicks",
+        "distinct_suppliers",
+        "cube_revenue",
+        "customer_set_ops",
+        "dedup_clusters",
+        "doc_split",
+        "stratified_sample",
+    ]
     # >=20 rotation-debt keys must remain inside the 50-row window
     assert len(set(order[:50]) & set(E._ROTATION_DEBT)) >= 20
     # every registered query appears exactly once (priority list has no
@@ -285,14 +296,14 @@ def test_window_queue_matches_coverage_ledger():
     assert len(set(order)) == len(order)
     assert set(E._WINDOW_PRIORITY) <= set(order)
     # the ledger in COVERAGE.md must name every never-observed key and the
-    # new-registration keys in its r7 row
+    # new-registration keys in its r8 row
     ledger = (
         Path(__file__).resolve().parent.parent / "COVERAGE.md"
     ).read_text()
-    r7_row = next(line for line in ledger.splitlines() if line.startswith("| r7 |"))
-    for key in E._R7_NEVER_OBSERVED + E._R7_NEW + E._R7_ANCHORS:
-        assert f"`{key}`" in r7_row, f"{key} missing from the COVERAGE r7 row"
-    # the r8 row must name the head of the overflow queue
     r8_row = next(line for line in ledger.splitlines() if line.startswith("| r8 |"))
-    for key in order[50:52]:
+    for key in E._R8_NEVER_OBSERVED + E._R8_NEW + E._R8_ANCHORS:
         assert f"`{key}`" in r8_row, f"{key} missing from the COVERAGE r8 row"
+    # the r9 row must name the head of the overflow queue
+    r9_row = next(line for line in ledger.splitlines() if line.startswith("| r9 |"))
+    for key in order[50:52]:
+        assert f"`{key}`" in r9_row, f"{key} missing from the COVERAGE r9 row"
