@@ -82,6 +82,7 @@ class PPREngine:
                 g, s, epsilon=params.get("epsilon", DEFAULT_EPSILON), alpha=a,
                 mode=mode, seed=params.get("seed", 42),
                 max_supersteps=params.get("max_supersteps", 1_000),
+                on_budget=params.get("on_budget", "stop"),
             )
         if algo == "fora":
             return fora.fora_whole_graph(

@@ -1709,6 +1709,13 @@ def paragraph_rows(
             F.col(id_col).cast("long").alias("_doc"),
             tokens(F.lower(F.col(text_col))).alias("_toks"),
         )
+        # NULL text => size(_toks) = -1 => n_paras = 0 and
+        # sequence(0, -1) emits Spark's DESCENDING [0, -1]: two phantom
+        # rows whose _pi = -1 pid collides with doc-1's paragraph 255.
+        # The DuckDB twin's range(0, NULL) emits zero rows, so NULL docs
+        # must be dropped here too.  ('' stays: both engines tokenize it
+        # to [''], one empty paragraph.)
+        .where(F.size("_toks") > 0)
         .select(
             "_doc",
             "_toks",
@@ -1747,6 +1754,7 @@ FROM (
          unnest(range(0, LEAST((len(toks) + {p - 1}) // {p}, {s}))) AS pi
   FROM (SELECT {id_col}, string_split_regex(trim(lower(text)), ' +') AS toks
         FROM ({docs_sql}) d) x
+  WHERE len(toks) > 0  -- NULL-doc guard, mirrors the Spark-side filter
 ) t
 """
 

@@ -2568,6 +2568,43 @@ def test_winnow_paragraph_dups_cross_doc_only(spark):
     assert (1, 1, 3, 0) in got and (1, 1, 3, 1) in got
 
 
+def test_paragraph_rows_null_and_empty_text_cross_engine(spark):
+    """NULL text must emit ZERO paragraph rows in BOTH engines.  Without
+    the size(_toks) > 0 guard, Spark's size(NULL) = -1 makes n_paras = 0
+    and sequence(0, -1) emits the DESCENDING [0, -1] — two phantom rows
+    whose _pi = -1 pid collides with doc-1's paragraph 255 — while the
+    DuckDB twin's range(0, NULL) emits nothing (ADVICE r8).  Empty text
+    stays: both engines tokenize '' to [''], one empty paragraph."""
+    import duckdb
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        paragraph_rows,
+        paragraph_rows_sql,
+    )
+
+    para = " ".join(f"tok{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, para)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["pid"], r["text"]) for r in paragraph_rows(docs).collect()
+    )
+    docs_sql = (
+        "SELECT * FROM (VALUES (1, CAST(NULL AS VARCHAR)), (2, ''), "
+        f"(3, '{para}')) AS v(doc_id, text)"
+    )
+    want = sorted(
+        (int(pid), text)
+        for pid, text in duckdb.sql(
+            paragraph_rows_sql(docs_sql=docs_sql)
+        ).fetchall()
+    )
+    assert got == want
+    # doc 1 (NULL) contributes nothing; doc 2 ('') one empty paragraph
+    assert [pid for pid, _ in got] == [2 * 256, 3 * 256]
+    assert got[0][1] == ""
+
+
 def test_user_transition_edges_null_type_cross_engine(spark):
     """A NULL event_type must neither create a transition node nor SHIFT
     the type ranks (the decayed_bipartite_edges NULL-ranking lesson,
