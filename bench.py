@@ -406,28 +406,69 @@ LINE_BUDGET = 1990  # the capture window is the last 2000 chars INCLUDING
 # the line's trailing newline (BENCH_r05/r06 "tail" fields end exactly at
 # "}\n"), so a <=1999-char line survives; 1990 leaves margin
 
+# --- sustainable per-key emission (round 8 scheme) -------------------------
+# At ~98 keys x ~19 chars the single line is one round from outgrowing the
+# 2000-char capture for good, so the per-key channel rotates like the
+# correctness window instead of degrading precision for everyone:
+#   1. PINNED_KEYS (the section-2 headline keys BASELINE.md prices) are
+#      ALWAYS emitted at full 2-decimal resolution;
+#   2. NEW_KEYS (this round's additions — fold into the rotation next
+#      round, like the correctness window's _R*_NEW lists) always emitted;
+#   3. every other key joins a deterministic rotation: sorted, rotated
+#      left by ROTATION_ROUND * ceil(len/3), greedily filled until the
+#      line meets LINE_BUDGET.  With capacity >= 1/3 of the rotating set,
+#      three consecutive rounds cover every key (same cadence as the
+#      correctness window); the quiet-box PERF_NOTES snapshot remains the
+#      full per-round map regardless.
+# Keys are DROPPED (keys_shown/keys_total record how many) before any
+# precision tier degrades, so the headline trend lines never lose digits.
+ROTATION_ROUND = 8  # bump alongside NEW_KEYS each round
+PINNED_KEYS = [
+    "graph_load", "q_power", "q_fwdpush", "q_fora", "q_montecarlo",
+    "q_fora_topk", "q_base_prep512", "q_base_lookup", "q_base_prep_heavy",
+    "q_power_dist10", "q_mc_dist10", "q_ppr_multi_dist10", "q_fwdpush_dist10",
+]
+NEW_KEYS: list[str] = []
+
 
 def render_line(timings: dict[str, float], sf: float) -> str:
     total = round(sum(timings.values()), 2)
-    # precision tiers: 2-dec normally, 1-dec if long, integer seconds as
-    # the catastrophe tier (only reachable when most queries run >100 s,
-    # where sub-second precision is meaningless anyway)
-    for ndigits in (2, 1, 0):
-        q = {}
-        for k, v in timings.items():
-            short = k[2:] if k.startswith("q_") else k
-            assert short not in q, f"bench key collision after prefix strip: {k}"
-            q[short] = int(round(v)) if ndigits == 0 else round(v, ndigits)
-        line = json.dumps(
+    shorts = {k: (k[2:] if k.startswith("q_") else k) for k in timings}
+    assert len(set(shorts.values())) == len(shorts), "bench key collision"
+    front = [k for k in timings if k in PINNED_KEYS or k in NEW_KEYS]
+    rotating = sorted(k for k in timings if k not in front)
+    if rotating:
+        start = (ROTATION_ROUND * -(-len(rotating) // 3)) % len(rotating)
+        rotating = rotating[start:] + rotating[:start]
+
+    def build(keys: list[str], ndigits: int) -> str:
+        q = {
+            shorts[k]: (int(round(timings[k])) if ndigits == 0
+                        else round(timings[k], ndigits))
+            for k in keys
+        }
+        return json.dumps(
             {"metric": "ppr_spark_bench_total", "value": total, "unit": "sec",
-             "sf": sf, "queries": q},
+             "sf": sf, "keys_total": len(timings), "keys_shown": len(keys),
+             "rot": ROTATION_ROUND, "queries": q},
             separators=(",", ":"),
         )
+
+    # drop rotating keys (most-recently-covered last) before touching
+    # precision; the 1/0-decimal tiers remain only as the catastrophe
+    # fallback should the pinned set alone ever outgrow the budget
+    for n_rot in range(len(rotating), -1, -1):
+        line = build(front + rotating[:n_rot], 2)
+        if len(line) <= LINE_BUDGET:
+            return line
+    for ndigits in (1, 0):
+        line = build(front, ndigits)
         if len(line) <= LINE_BUDGET:
             return line
     raise AssertionError(
-        f"bench JSON line is {len(line)} chars even at integer precision; "
-        "the driver tail capture is 2000 — trim the key set"
+        f"bench JSON line is {len(line)} chars even at integer precision "
+        "with only pinned keys; the driver tail capture is 2000 — trim "
+        "PINNED_KEYS"
     )
 
 

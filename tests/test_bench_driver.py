@@ -121,11 +121,71 @@ def test_bench_line_fits_driver_tail_capture():
 
     src = (root / "bench.py").read_text()
     keys = sorted(set(re.findall(r'"(q_[a-z0-9_]+|graph_load)"', src)))
+    keys = [k for k in keys if k not in {"q_"}]
     assert len(keys) >= 90, f"key regex only found {len(keys)} bench keys"
+
+    def short(k):
+        return k[2:] if k.startswith("q_") else k
+
     # worst case: every query takes >100 s ("123.46" = 6 chars each)
     line = bench.render_line({k: 123.4567 for k in keys}, 0.1)
     assert len(line) <= bench.LINE_BUDGET, (len(line), bench.LINE_BUDGET)
     parsed = _json.loads(line)
-    assert parsed["unit"] == "sec" and len(parsed["queries"]) == len(keys)
+    assert parsed["unit"] == "sec"
+    assert parsed["keys_total"] == len(keys)
+    assert parsed["keys_shown"] == len(parsed["queries"])
+    # the pinned section-2 headline keys survive ANY drop tier, at full
+    # 2-decimal resolution
+    for k in bench.PINNED_KEYS:
+        assert short(k) in parsed["queries"], f"pinned {k} dropped"
+        assert parsed["queries"][short(k)] == 123.46
+    # every pinned/new key must actually exist in bench.py's timed set
+    assert set(bench.PINNED_KEYS) <= set(keys)
+    assert set(bench.NEW_KEYS) <= set(keys)
     # prefix-strip must stay collision-free
-    assert len({k[2:] if k.startswith("q_") else k for k in keys}) == len(keys)
+    assert len({short(k) for k in keys}) == len(keys)
+
+
+def test_bench_rotation_covers_all_keys_within_three_rounds(monkeypatch):
+    """The round-8 emission scheme drops ROTATING keys when the line
+    outgrows the tail-capture budget.  The rotation must behave like the
+    correctness window: pinned keys always present, and three consecutive
+    ROTATION_ROUND values must cover every rotating key while capacity
+    stays >= 1/3 of the rotating set."""
+    import importlib.util
+    import json as _json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("bench_rot", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    src = (root / "bench.py").read_text()
+    keys = sorted(set(re.findall(r'"(q_[a-z0-9_]+|graph_load)"', src)))
+    timings = {k: 12.3456 for k in keys}
+
+    def short(k):
+        return k[2:] if k.startswith("q_") else k
+
+    rotating = {
+        short(k) for k in keys
+        if k not in bench.PINNED_KEYS and k not in bench.NEW_KEYS
+    }
+    # budget tight enough to force drops (~half the rotating set fits)
+    bench.LINE_BUDGET = 1100
+    seen: set = set()
+    for rnd in (3, 4, 5):
+        bench.ROTATION_ROUND = rnd
+        parsed = _json.loads(bench.render_line(timings, 0.1))
+        shown = set(parsed["queries"])
+        for k in bench.PINNED_KEYS:
+            assert short(k) in shown, f"pinned {k} dropped at round {rnd}"
+        shown_rot = shown & rotating
+        assert len(shown_rot) >= len(rotating) // 3, (
+            "capacity below 1/3 of the rotating set — 3-round coverage "
+            "guarantee broken, raise LINE_BUDGET or trim keys"
+        )
+        seen |= shown_rot
+    assert seen == rotating, sorted(rotating - seen)
