@@ -5830,6 +5830,77 @@ _REGISTRY_SQL["knn_communities"] = louvain_weighted_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Block 53: maximum spanning forest + single-linkage hierarchy over the
+# kNN doc graph (gds.spanningTree; the third flagship composition:
+# kNN -> MST -> cut IS single-linkage clustering)
+# ---------------------------------------------------------------------------
+
+MST_ORACLE_ROUNDS = 12  # unrolled Borůvka depth; rounds past convergence
+# are no-ops (fixed-round trick), so this only needs to dominate the true
+# round count at sf0.01 — pinned by test_sql_oracle_depths_cover_convergence
+KNN_HIERARCHY_CUT = 320_000  # micro-unit cosine 0.32 — audited at sf0.01:
+# 213 clusters, largest 131 docs, 162 singletons (multi-scale, non-trivial)
+
+
+def q_graph_mst(spark, sf_dir):
+    """(u, v, weight): the UNIQUE maximum spanning forest of the
+    micro-unit-weighted 5-NN doc graph under the strict (-w, u, v) order —
+    deterministic Borůvka (operators/mst.py); 499 edges span the 500-doc
+    corpus at sf0.01."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (
+        knn_weighted_edges,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.mst import (
+        boruvka_msf,
+    )
+
+    return boruvka_msf(
+        knn_weighted_edges(_t(spark, sf_dir, "embeddings"), k=KNN_GRAPH_K),
+        maximize=True,
+    )
+
+
+def q_knn_hierarchy(spark, sf_dir):
+    """(node, cluster): single-linkage corpus clusters at micro-cosine
+    >= KNN_HIERARCHY_CUT — kNN -> max spanning forest -> cut; every doc
+    gets a row (isolated -> own cluster).  The oracle rebuilds the
+    clusters WITHOUT the forest (components of the thresholded full
+    graph), so the gate checks the max-bottleneck semantics."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (
+        knn_weighted_edges,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.mst import (
+        single_linkage_clusters,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return single_linkage_clusters(
+        knn_weighted_edges(emb, k=KNN_GRAPH_K),
+        emb.select(F.col("vec_id").alias("node")),
+        cut=KNN_HIERARCHY_CUT,
+    )
+
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.mst import (  # noqa: E402
+    boruvka_oracle_sql,
+    single_linkage_oracle_sql,
+)
+
+_REGISTRY_Q["graph_mst"] = q_graph_mst
+_REGISTRY_Q["knn_hierarchy"] = q_knn_hierarchy
+_REGISTRY_SQL["graph_mst"] = boruvka_oracle_sql(
+    knn_weighted_edges_sql(k=KNN_GRAPH_K),
+    rounds=MST_ORACLE_ROUNDS,
+    maximize=True,
+)
+_REGISTRY_SQL["knn_hierarchy"] = single_linkage_oracle_sql(
+    knn_weighted_edges_sql(k=KNN_GRAPH_K),
+    "SELECT vec_id AS node FROM embeddings",
+    KNN_HIERARCHY_CUT,
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5852,7 +5923,10 @@ _R8_NEVER_OBSERVED: list[str] = []
 #      tail past position 50 (r9 queue); >=20 debt keys must stay in-window
 #      (max 15 here).  Update COVERAGE r8/r9 rows + ledger test in the
 #      SAME commit as any append. -----------------------------------------
-_R8_NEW: list[str] = []
+_R8_NEW: list[str] = [
+    "graph_mst",       # r8: Borůvka max spanning forest (gds.spanningTree)
+    "knn_hierarchy",   # r8: single-linkage clusters (kNN -> MST -> cut)
+]
 
 # (a3) stale anchors: none this round (ppr_power rotates back in via the
 #      debt queue below — it heads the registration-order remainder) ------

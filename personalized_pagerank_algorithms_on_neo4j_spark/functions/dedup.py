@@ -851,6 +851,7 @@ def dedup_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     strict: bool = True,
+    jump: bool = False,
 ) -> DataFrame:
     """(doc_id, cluster_id): connected components over near-dup pairs by
     min-label propagation; cluster_id = smallest doc_id in the component
@@ -860,8 +861,17 @@ def dedup_clusters(
     equi join + groupBy per step, state truncated via localCheckpoint; stops
     at the fixed point (no label changed). Near-dup components are shallow
     (duplicate groups, not social graphs), so plain 1-hop propagation
-    converges in a few rounds; a pointer-jumping/star-contraction variant is
-    only warranted for adversarial chain-shaped inputs.
+    converges in a few rounds there.
+
+    ``jump=True`` adds a pointer-jumping shortcut after each 1-hop step:
+    every label value is itself a node of the same component (the min seen
+    so far), so one labels⋈labels self-join rewrites label(x) to
+    label(label(x)) — O(log diameter) convergence instead of O(diameter).
+    Use it for CHAIN-SHAPED inputs (spanning-forest trees, single-linkage
+    clusters — a 131-node chain needs 130 1-hop rounds but 8 jumped ones).
+    The fixed point, and therefore the result, is identical either way:
+    at the 1-hop fixed point every label is the component min and the
+    shortcut is the identity.
 
     With ``strict`` (default), raises if the fixed point was not confirmed
     within ``max_iters`` — truncated labels split one true component into
@@ -901,8 +911,18 @@ def dedup_clusters(
             labels.unionAll(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        if jump:
+            # label values are node ids of the labels table (mins of node
+            # ids), so the inner join keeps every row: label(x) <- the
+            # label OF label(x)
+            hop = new_labels.select(
+                F.col("node").alias("label"), F.col("label").alias("_l2")
+            )
+            new_labels = new_labels.join(hop, "label").select(
+                "node", F.col("_l2").alias("label")
+            )
+        new_labels = new_labels.localCheckpoint(eager=True)
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:

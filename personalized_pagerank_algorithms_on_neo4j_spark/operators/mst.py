@@ -1,0 +1,312 @@
+"""Minimum/maximum spanning forest — the `gds.spanningTree` graph verb.
+
+The reference's host platform ships the spanning-tree family beside the
+PageRank procedures it benchmarks (Neo4j_Method.java:35 drives the same
+`gds.*` procedure surface); this engine already has the weighted-edge
+substrate (functions/simsearch.knn_weighted_edges, integer micro-unit
+cosines), and the maximum spanning forest over a kNN similarity graph IS
+single-linkage hierarchical clustering: cutting the forest at similarity
+``t`` yields exactly the connected components of the full graph restricted
+to ``weight >= t`` (the max-bottleneck property), which `single_linkage
+_clusters` exploits for its cross-algorithm oracle.
+
+Algorithm — deterministic Borůvka (the textbook distributed MST: every
+round each component claims its best incident cross-component edge, the
+claimed edges merge components, rounds at least halve the component
+count — O(log n) rounds of joins/aggregates, the only MST family member
+with no sequential edge scan):
+
+  round:  1. label each edge endpoint with its component;
+          2. per component, argmin over incident cross edges of the
+             STRICT total order (sw, u, v) — sw = w (minimize) or -w
+             (maximize); strict order makes the claimed edge set
+             cycle-free (a cycle needs strictly decreasing keys around
+             itself) and the forest UNIQUE, so any correct MST algorithm
+             must produce the identical edge set;
+          3. merge: min-label propagation over the claimed (label_u,
+             label_v) pairs (`dedup_clusters`, the engine-wide
+             components machine), relabel.
+
+Convergence = no cross-component edge remains (one emptiness probe per
+round, O(log n) rounds); ``strict`` raises on truncation (the
+`dedup_clusters` discipline — a truncated forest silently under-connects).
+
+Scale shape: state is (node, label) rows + the (u, v, w) edge table
+checkpointed once; every round is two equi joins + one groupBy-argmin +
+the bounded merge loop — same partitioning discipline as every iterative
+verb here (plans/iterative: AQE off, state-scaled shuffle partitions,
+localCheckpoint lineage cuts).  No windows over the full edge set, no
+driver loops over nodes; the per-round driver traffic is one emptiness
+probe plus dedup_clusters' 1-row monotone convergence aggregates.
+
+Oracle twin: ``boruvka_oracle_sql`` unrolls the identical rounds in
+DuckDB (per-round ROW_NUMBER argmin on the same strict key + an EXACT
+recursive-closure merge, so the inner merge needs no depth guard); rounds
+past convergence are no-ops (no cross edge -> empty claim -> labels
+unchanged), so any unroll >= the true round count is equal — the
+SSSP fixed-round oracle trick.  ``single_linkage_oracle_sql`` instead
+rebuilds the clusters from first principles (recursive closure over the
+THRESHOLDED full graph, never touching the forest) — a different
+algorithm, so the gate checks the MST semantics, not the implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.dedup import dedup_clusters
+from ..plans.iterative import loop_shuffle_partitions, static_superstep_plan
+
+# components at least halve per round: 48 rounds covers 2^48 initial
+# components, far past the 100 TB operating point; convergence breaks out
+MST_MAX_ROUNDS = 48
+MST_MERGE_STEPS = 32  # per-round label-merge propagation bound (strict)
+
+
+def _canonical_edges(
+    edges: DataFrame, weight_col: str, maximize: bool
+) -> DataFrame:
+    """Undirected reading: (u<v) canonical pair, parallel edges keep the
+    best weight (min when minimizing, max when maximizing), self-loops
+    drop (never forest edges).  ``sw`` is the strict-order sort key."""
+    best = F.max("w") if maximize else F.min("w")
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").cast("long").alias("u"),
+            F.greatest("src", "dst").cast("long").alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(best.alias("w"))
+    )
+    sgn = -1 if maximize else 1
+    return und.select("u", "v", "w", (F.lit(sgn) * F.col("w")).alias("sw"))
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    weight_col: str = "weight",
+    maximize: bool = False,
+    max_rounds: int = MST_MAX_ROUNDS,
+    strict: bool = True,
+) -> DataFrame:
+    """(u, v, weight): the unique spanning forest of the undirected
+    reading of ``edges(src, dst, weight_col)`` under the strict total
+    order (sw, u, v).  ``maximize=True`` builds the MAXIMUM spanning
+    forest (similarity graphs); weights must be integral (the engine's
+    micro-unit discipline — float weights would reintroduce cross-engine
+    .5-boundary risk into the order)."""
+    spark = edges.sparkSession
+    und = _canonical_edges(edges, weight_col, maximize).localCheckpoint(
+        eager=True
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    n0 = labels.count()
+    empty = und.select("u", "v", F.col("w").alias("weight")).limit(0)
+    if n0 == 0:
+        return empty
+    forest: list[DataFrame] = []
+    converged = False
+    with static_superstep_plan(spark, loop_shuffle_partitions(spark, n0)):
+        for _ in range(max_rounds):
+            la = labels.select(
+                F.col("node").alias("u"), F.col("label").alias("lu")
+            )
+            lb = labels.select(
+                F.col("node").alias("v"), F.col("label").alias("lv")
+            )
+            cross = (
+                und.join(la, "u")
+                .join(lb, "v")
+                .where(F.col("lu") != F.col("lv"))
+                .localCheckpoint(eager=True)  # probe + both claim branches
+            )
+            if cross.isEmpty():
+                converged = True
+                break
+            # w rides last in the struct: the strict order is (sw, u, v)
+            # and (u, v) already determines w, so it never affects the min
+            pick = F.struct("sw", "u", "v", "lu", "lv", "w").alias("pick")
+            cand = cross.select(F.col("lu").alias("comp"), pick).unionAll(
+                cross.select(F.col("lv").alias("comp"), pick)
+            )
+            sel = (
+                cand.groupBy("comp")
+                .agg(F.min("pick").alias("pick"))
+                .select("pick.*")
+                .distinct()
+                .localCheckpoint(eager=True)  # forest + merge consumers
+            )
+            forest.append(sel.select("u", "v", "w"))
+            merge = dedup_clusters(
+                sel.select(
+                    F.col("lu").alias("doc_a"), F.col("lv").alias("doc_b")
+                ),
+                max_iters=MST_MERGE_STEPS,
+                strict=strict,
+                jump=True,  # claim graphs chain too (min-edge pointer trees)
+            )
+            labels = (
+                labels.join(
+                    merge, labels.label == merge.doc_id, "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce("cluster_id", "label").alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    if not converged and strict:
+        raise RuntimeError(
+            f"boruvka_msf: not converged within max_rounds={max_rounds}; "
+            "a truncated forest under-connects — raise max_rounds"
+        )
+    if not forest:
+        return empty
+    out = forest[0]
+    for f in forest[1:]:
+        out = out.unionAll(f)
+    return out.select("u", "v", F.col("w").alias("weight"))
+
+
+def single_linkage_clusters(
+    edges: DataFrame,
+    nodes: DataFrame,
+    cut: int,
+    weight_col: str = "weight",
+    id_col: str = "node",
+    strict: bool = True,
+) -> DataFrame:
+    """(node, cluster): single-linkage flat clustering at similarity
+    threshold ``cut`` — the kNN -> MST -> cut composition.  Builds the
+    MAXIMUM spanning forest once, keeps forest edges with weight >= cut,
+    and labels components (cluster = smallest member id, the engine-wide
+    convention); every node of ``nodes`` gets a row (isolated -> own
+    cluster).  Equal by the max-bottleneck property to components of the
+    FULL graph restricted to weight >= cut, which is exactly what the
+    oracle twin rebuilds."""
+    msf = boruvka_msf(edges, weight_col=weight_col, maximize=True, strict=strict)
+    kept = msf.where(F.col("weight") >= int(cut))
+    # forest trees ARE the adversarial chain-shaped input (single-linkage
+    # chains by construction): pointer-jumping, O(log diameter) rounds
+    comp = dedup_clusters(
+        kept.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")),
+        max_iters=MST_MERGE_STEPS,
+        strict=strict,
+        jump=True,
+    )
+    base = nodes.select(F.col(id_col).cast("long").alias("node"))
+    return base.join(
+        comp, base.node == comp.doc_id, "left"
+    ).select(
+        "node", F.coalesce("cluster_id", "node").alias("cluster")
+    )
+
+
+# --- DuckDB oracle builders -------------------------------------------------
+
+
+def _canonical_edges_sql(edges_sql: str, maximize: bool) -> str:
+    best = "MAX" if maximize else "MIN"
+    sgn = "-" if maximize else ""
+    return f"""
+  SELECT u, v, {best}(w) AS w, {sgn}{best}(w) AS sw FROM (
+    SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+           CAST(weight AS BIGINT) AS w
+    FROM ({edges_sql}) ce WHERE src <> dst
+  ) cc GROUP BY u, v
+"""
+
+
+def boruvka_oracle_sql(
+    edges_sql: str, rounds: int = 12, maximize: bool = False
+) -> str:
+    """Unrolled Borůvka rounds over ``edges_sql`` (src, dst, weight).
+
+    Per round: ROW_NUMBER argmin on the identical strict key per
+    component, then an EXACT recursive-closure merge of the claimed label
+    pairs (no inner depth bound to guard).  Rounds past convergence are
+    no-ops, so ``rounds`` only needs to dominate ceil(log2(components))
+    at the COMPARE scale — pinned by the oracle-depth guard test."""
+    # every multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain
+    # CTEs per reference, and a chain of rounds each referencing the
+    # previous label table twice otherwise re-executes the whole prefix
+    # exponentially (measured: rounds=3 already 16 s on a 24-node graph)
+    parts = [
+        f"WITH RECURSIVE mst_e AS MATERIALIZED ({_canonical_edges_sql(edges_sql, maximize)}),",
+        "mst_lab0 AS MATERIALIZED (SELECT node, node AS label FROM "
+        "(SELECT u AS node FROM mst_e UNION SELECT v FROM mst_e) nn),",
+    ]
+    for r in range(rounds):
+        parts.append(f"""
+mst_x{r} AS MATERIALIZED (
+  SELECT e.u, e.v, e.w, e.sw, la.label AS lu, lb.label AS lv
+  FROM mst_e e
+  JOIN mst_lab{r} la ON e.u = la.node
+  JOIN mst_lab{r} lb ON e.v = lb.node
+  WHERE la.label <> lb.label
+),
+mst_s{r} AS MATERIALIZED (
+  SELECT DISTINCT u, v, w, lu, lv FROM (
+    SELECT comp, u, v, w, lu, lv,
+           ROW_NUMBER() OVER (PARTITION BY comp ORDER BY sw, u, v) AS rn
+    FROM (
+      SELECT lu AS comp, u, v, w, sw, lu, lv FROM mst_x{r}
+      UNION ALL
+      SELECT lv AS comp, u, v, w, sw, lu, lv FROM mst_x{r}
+    ) c
+  ) rr WHERE rn = 1
+),
+mst_p{r} AS MATERIALIZED (
+  SELECT lu AS a, lv AS b FROM mst_s{r}
+  UNION SELECT lv, lu FROM mst_s{r}
+),
+mst_r{r}(a, b) AS (
+  SELECT a, a FROM (SELECT a FROM mst_p{r} UNION SELECT b FROM mst_p{r}) n0
+  UNION
+  SELECT rr.a, p.b FROM mst_r{r} rr JOIN mst_p{r} p ON rr.b = p.a
+),
+mst_m{r} AS MATERIALIZED (SELECT a AS old, MIN(b) AS new FROM mst_r{r} GROUP BY a),
+mst_lab{r + 1} AS MATERIALIZED (
+  SELECT l.node, COALESCE(m.new, l.label) AS label
+  FROM mst_lab{r} l LEFT JOIN mst_m{r} m ON l.label = m.old
+),""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT u, v, w FROM mst_s{r}" for r in range(rounds)
+    )
+    parts.append(f"mst_forest AS ({union})")
+    parts.append("SELECT u, v, w AS weight FROM mst_forest")
+    return "\n".join(parts)
+
+
+def single_linkage_oracle_sql(
+    edges_sql: str, nodes_sql: str, cut: int
+) -> str:
+    """Single-linkage clusters at ``cut``, rebuilt WITHOUT the forest:
+    exact recursive-closure components of the thresholded full graph —
+    cross-algorithm gate for the kNN -> MST -> cut composition."""
+    return f"""
+WITH RECURSIVE sl_e AS MATERIALIZED (
+  SELECT u, v FROM ({_canonical_edges_sql(edges_sql, True)}) ce
+  WHERE w >= {int(cut)}
+),
+sl_p AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM sl_e UNION SELECT v, u FROM sl_e
+),
+sl_r(a, b) AS (
+  SELECT a, a FROM (SELECT a FROM sl_p UNION SELECT b FROM sl_p) n0
+  UNION
+  SELECT rr.a, p.b FROM sl_r rr JOIN sl_p p ON rr.b = p.a
+),
+sl_m AS (SELECT a AS node, MIN(b) AS cluster FROM sl_r GROUP BY a)
+SELECT CAST(n.node AS BIGINT) AS node,
+       CAST(COALESCE(m.cluster, n.node) AS BIGINT) AS cluster
+FROM ({nodes_sql}) n LEFT JOIN sl_m m ON n.node = m.node
+"""

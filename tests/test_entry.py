@@ -212,6 +212,24 @@ def test_sql_oracle_depths_cover_convergence(spark):
         dist = new
         rounds += 1
     assert rounds <= E.SSSP_ROUNDS, f"sssp needs {rounds} > {E.SSSP_ROUNDS}"
+    # MST: Borůvka rounds past convergence are no-ops in the unrolled
+    # oracle (fixed-round trick), but the Spark side must CONVERGE within
+    # MST_ORACLE_ROUNDS at the compare scale — run it under that bound and
+    # let boruvka_msf's own strict RuntimeError fail the test if the kNN
+    # graph ever needs more
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (
+        knn_weighted_edges,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.mst import (
+        boruvka_msf,
+    )
+
+    boruvka_msf(
+        knn_weighted_edges(E._t(spark, SF_ORACLE, "embeddings"), k=E.KNN_GRAPH_K),
+        maximize=True,
+        max_rounds=E.MST_ORACLE_ROUNDS,
+        strict=True,
+    ).count()
 
 
 def test_minhash_bucket_cap_never_binds_at_gate_scale(spark):
