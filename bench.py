@@ -353,13 +353,12 @@ def main() -> None:
         "q_knn_communities",
         lambda: E.q_knn_communities(spark, SF_DIR).count(),
     )
-    # Borůvka maximum spanning forest over the kNN doc graph
+    # Borůvka maximum spanning forest over the kNN doc graph.  The
+    # single-linkage composition (q_knn_hierarchy) is NOT benched: it is
+    # this forest plus a threshold cut + one label pass (quiet delta
+    # ~7 s over the forest, PERF_NOTES r8) — benching both would double
+    # the heaviest key for no added signal.
     timed("q_graph_mst", lambda: E.q_graph_mst(spark, SF_DIR).count())
-    # third flagship composition: kNN -> max spanning forest -> cut
-    timed(
-        "q_knn_hierarchy",
-        lambda: E.q_knn_hierarchy(spark, SF_DIR).count(),
-    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): 10 heavy supersteps + ONE exact tail-drain pass — the full
@@ -435,7 +434,7 @@ PINNED_KEYS = [
     "q_fora_topk", "q_base_prep512", "q_base_lookup", "q_base_prep_heavy",
     "q_power_dist10", "q_mc_dist10", "q_ppr_multi_dist10", "q_fwdpush_dist10",
 ]
-NEW_KEYS: list[str] = ["q_graph_mst", "q_knn_hierarchy"]
+NEW_KEYS: list[str] = ["q_graph_mst"]
 
 
 def render_line(timings: dict[str, float], sf: float) -> str:

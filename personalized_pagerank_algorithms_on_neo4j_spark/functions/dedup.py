@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.iterative import stats_reset_checkpoint
 from .text import portable_hash, tokens
 
 
@@ -879,9 +880,12 @@ def dedup_clusters(
     ``strict=False`` only when a bounded-depth result is intended (e.g.
     comparing against an equally-truncated oracle)."""
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-    und = edges.unionAll(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    # stats_reset on entry as well: callers may hand in a frame whose
+    # size estimate is already inflated (a nested loop's join output),
+    # and every iteration below multiplies against und's estimate
+    und = stats_reset_checkpoint(
+        edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
@@ -915,14 +919,22 @@ def dedup_clusters(
         if jump:
             # label values are node ids of the labels table (mins of node
             # ids), so the inner join keeps every row: label(x) <- the
-            # label OF label(x)
-            hop = new_labels.select(
-                F.col("node").alias("label"), F.col("label").alias("_l2")
-            )
-            new_labels = new_labels.join(hop, "label").select(
-                "node", F.col("_l2").alias("label")
-            )
-        new_labels = new_labels.localCheckpoint(eager=True)
+            # label OF label(x).  Applied TWICE per iteration: the second
+            # shortcut quadruples the horizon for one extra tiny join
+            # inside the same job (measured on a 200-chain: 8 -> 5
+            # iterations, -36% wall; a third jump adds nothing)
+            for _ in range(2):
+                hop = new_labels.select(
+                    F.col("node").alias("label"), F.col("label").alias("_l2")
+                )
+                new_labels = new_labels.join(hop, "label").select(
+                    "node", F.col("_l2").alias("label")
+                )
+        # stats_reset, not plain localCheckpoint: the jump self-join (and
+        # any caller nesting this loop inside another join loop, as
+        # Borůvka does) SQUARES the checkpointed sizeInBytes estimate per
+        # round — see stats_reset_checkpoint for the measured pathology
+        new_labels = stats_reset_checkpoint(new_labels)
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:

@@ -55,7 +55,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.dedup import dedup_clusters
-from ..plans.iterative import loop_shuffle_partitions, static_superstep_plan
+from ..plans.iterative import (
+    loop_shuffle_partitions,
+    static_superstep_plan,
+    stats_reset_checkpoint,
+)
 
 # components at least halve per round: 48 rounds covers 2^48 initial
 # components, far past the 100 TB operating point; convergence breaks out
@@ -122,11 +126,15 @@ def boruvka_msf(
             lb = labels.select(
                 F.col("node").alias("v"), F.col("label").alias("lv")
             )
-            cross = (
+            # stats_reset, not plain checkpoints, throughout the round:
+            # labels joins against itself-derived frames every round, so
+            # plain checkpoints compound the sizeInBytes estimate
+            # multiplicatively across rounds (the BigInt pathology
+            # documented at plans/iterative.stats_reset_checkpoint)
+            cross = stats_reset_checkpoint(
                 und.join(la, "u")
                 .join(lb, "v")
-                .where(F.col("lu") != F.col("lv"))
-                .localCheckpoint(eager=True)  # probe + both claim branches
+                .where(F.col("lu") != F.col("lv"))  # probe + claim branches
             )
             if cross.isEmpty():
                 converged = True
@@ -137,12 +145,11 @@ def boruvka_msf(
             cand = cross.select(F.col("lu").alias("comp"), pick).unionAll(
                 cross.select(F.col("lv").alias("comp"), pick)
             )
-            sel = (
+            sel = stats_reset_checkpoint(
                 cand.groupBy("comp")
                 .agg(F.min("pick").alias("pick"))
                 .select("pick.*")
-                .distinct()
-                .localCheckpoint(eager=True)  # forest + merge consumers
+                .distinct()  # forest + merge consumers
             )
             forest.append(sel.select("u", "v", "w"))
             merge = dedup_clusters(
@@ -153,15 +160,11 @@ def boruvka_msf(
                 strict=strict,
                 jump=True,  # claim graphs chain too (min-edge pointer trees)
             )
-            labels = (
-                labels.join(
-                    merge, labels.label == merge.doc_id, "left"
-                )
-                .select(
+            labels = stats_reset_checkpoint(
+                labels.join(merge, labels.label == merge.doc_id, "left").select(
                     "node",
                     F.coalesce("cluster_id", "label").alias("label"),
                 )
-                .localCheckpoint(eager=True)
             )
     if not converged and strict:
         raise RuntimeError(
@@ -192,16 +195,24 @@ def single_linkage_clusters(
     cluster).  Equal by the max-bottleneck property to components of the
     FULL graph restricted to weight >= cut, which is exactly what the
     oracle twin rebuilds."""
+    spark = edges.sparkSession
     msf = boruvka_msf(edges, weight_col=weight_col, maximize=True, strict=strict)
-    kept = msf.where(F.col("weight") >= int(cut))
+    kept = msf.where(F.col("weight") >= int(cut)).localCheckpoint(eager=True)
     # forest trees ARE the adversarial chain-shaped input (single-linkage
-    # chains by construction): pointer-jumping, O(log diameter) rounds
-    comp = dedup_clusters(
-        kept.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")),
-        max_iters=MST_MERGE_STEPS,
-        strict=strict,
-        jump=True,
-    )
+    # chains by construction): pointer-jumping, O(log diameter) rounds.
+    # The label loop runs under the superstep discipline (AQE off +
+    # state-scaled partitions — forest edges bound the node count);
+    # without it every tiny loop stage pays session-default task counts
+    # plus per-job AQE re-planning (measured 17.3 -> ~4 s at sf0.1).
+    with static_superstep_plan(
+        spark, loop_shuffle_partitions(spark, 2 * kept.count())
+    ):
+        comp = dedup_clusters(
+            kept.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")),
+            max_iters=MST_MERGE_STEPS,
+            strict=strict,
+            jump=True,
+        )
     base = nodes.select(F.col(id_col).cast("long").alias("node"))
     return base.join(
         comp, base.node == comp.doc_id, "left"

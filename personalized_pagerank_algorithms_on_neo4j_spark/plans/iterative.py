@@ -77,6 +77,49 @@ def loop_shuffle_partitions(spark: SparkSession, state_rows: int) -> int:
     return min(default, need)
 
 
+def stats_reset_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that also RESETS the plan-size
+    statistics the checkpoint would otherwise carry forward.
+
+    Why this exists: Spark's size-only stats visitor estimates a join as
+    the PRODUCT of its children's ``sizeInBytes``, and
+    ``Dataset.localCheckpoint`` preserves the optimized plan's stats into
+    the new ``LogicalRDD`` (``LogicalRDD.fromDataset`` ->
+    ``rewriteStatsAndConstraints``).  An iterative loop whose step joins
+    the state frame WITH ITSELF (pointer-jumping label shortcuts, and any
+    nesting where a loop's result frame feeds another loop's join, as in
+    Borůvka's per-round component merges) therefore SQUARES the estimate
+    every round: the BigInt's bit-length doubles, and by ~20 rounds the
+    driver spends whole seconds per job on million-bit BigInt arithmetic
+    inside stats propagation — measured here as 0.15 s -> 0.4 -> 2 -> 5 ->
+    14 -> 41 -> 102 s per otherwise-identical 10 ms job (constant plan
+    text, constant executor time; jstack pinned the time to
+    ``LogicalRDD$.rewriteStatsAndConstraints``).  Plain state⋈edges loops
+    only ADD bits per round (product with a fixed-size table) and never
+    notice.
+
+    The reset: checkpoint first (same materialization + lineage-cut
+    semantics as everywhere else), then re-wrap the checkpointed
+    ``InternalRow`` RDD in a FRESH ``LogicalRDD`` via
+    ``SparkSession.internalCreateDataFrame`` — zero-copy, JVM-side, no
+    extra job; the new node has no origin stats, so the estimate resets
+    to the conservative session default (state frames in these loops are
+    never auto-broadcast anyway — broadcasts here are explicit, gated
+    hints).  ``internalCreateDataFrame`` is ``private[sql]`` in Scala,
+    which compiles to a public JVM method; if a future Spark renames it,
+    fall back to the plain checkpoint (correct, just exposed to the
+    pathology again) — tests/test_plans pins the fast path so a silent
+    fallback fails loudly in CI."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf.sparkSession().internalCreateDataFrame(
+            ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
+        )
+        return DataFrame(jdf, df.sparkSession)
+    except Exception:  # pragma: no cover - Spark-version drift guard
+        return ck
+
+
 class SuperstepLoop:
     """Tracks iteration count and applies checkpoint cadence."""
 

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as E
 
 from .conftest import SF_ORACLE
@@ -345,6 +347,51 @@ def test_r7_operator_plan_shapes(spark):
         "winnow_paragraphs": (E.q_winnow_paragraphs, 10),
     }
     for name, (fn, max_exchanges) in cases.items():
+        plan = _plan(fn(spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, name
+        n = plan.count("Exchange")
+        assert n <= max_exchanges, f"{name}: {n} exchanges > {max_exchanges}"
+
+
+def test_stats_reset_checkpoint_fast_path_and_equivalence(spark):
+    """stats_reset_checkpoint must (a) preserve rows/schema exactly and
+    (b) actually RESET the preserved size estimate — iterated self-joins
+    of plain checkpoints square sizeInBytes every round until the driver
+    spends seconds per job on million-bit BigInt stats arithmetic (the
+    pathology documented on the helper).  (b) also pins the
+    ``internalCreateDataFrame`` fast path: if a Spark upgrade renames it,
+    the helper silently falls back to a plain checkpoint (correct but
+    re-exposed), the estimate stays small, and THIS assertion fails."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.plans.iterative import (
+        stats_reset_checkpoint,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("node"), (F.col("id") * 2).alias("label")
+    )
+    plain = df.localCheckpoint(eager=True)
+    reset = stats_reset_checkpoint(df)
+    assert reset.schema == plain.schema
+    assert sorted(map(tuple, reset.collect())) == sorted(map(tuple, plain.collect()))
+    size_of = lambda d: int(
+        str(d._jdf.queryExecution().analyzed().stats().sizeInBytes())
+    )
+    # the plain checkpoint keeps the tiny true estimate; the reset one
+    # reports the conservative session default (orders of magnitude up)
+    assert size_of(reset) > 1000 * size_of(plain), (
+        size_of(reset),
+        size_of(plain),
+    )
+
+
+def test_r8_operator_plan_shapes(spark):
+    """Round-8 additions: the Borůvka forest and the single-linkage cut
+    return checkpoint-backed frames — their tail plans must stay trivial
+    (no cartesian, no residual exchanges beyond the final assembly)."""
+    for name, fn, max_exchanges in [
+        ("graph_mst", E.q_graph_mst, 2),
+        ("knn_hierarchy", E.q_knn_hierarchy, 4),
+    ]:
         plan = _plan(fn(spark, SF_ORACLE))
         assert "CartesianProduct" not in plan, name
         n = plan.count("Exchange")
