@@ -1887,32 +1887,7 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 _REGISTRY_Q["tfidf_top_terms"] = q_tfidf_top_terms
 
-_REGISTRY_SQL["tfidf_top_terms"] = """
-WITH toks AS MATERIALIZED (
-  SELECT doc_id,
-         unnest(list_filter(string_split_regex(trim(lower(text)), ' +'),
-                            t -> length(t) > 0)) AS term
-  FROM documents
-),
-tf AS MATERIALIZED (
-  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
-),
-n AS (SELECT COUNT(*) AS n_docs FROM documents),
-idf AS MATERIALIZED (
-  SELECT term, ROUND(LN((n.n_docs + 1.0) / (COUNT(*) + 1.0)) + 1.0, 6) AS idf
-  FROM tf CROSS JOIN n GROUP BY term, n.n_docs
-),
-scored AS (
-  SELECT tf.doc_id, tf.term, ROUND(tf.tf * idf.idf, 6) AS score
-  FROM tf JOIN idf USING (term)
-)
-SELECT doc_id, term, score, pos FROM (
-  SELECT doc_id, term, score,
-         ROW_NUMBER() OVER (PARTITION BY doc_id
-                            ORDER BY score DESC, term ASC) AS pos
-  FROM scored
-) t WHERE pos <= 3
-"""
+_REGISTRY_SQL["tfidf_top_terms"] = _text.tfidf_top_terms_oracle_sql(k=3)
 
 
 # ---------------------------------------------------------------------------
@@ -1976,49 +1951,19 @@ GROUP BY event_type
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
-def q_event_funnel(spark, sf_dir):
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
-        funnel_report,
-    )
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (  # noqa: E402
+    funnel_report,
+    funnel_report_oracle_sql,
+)
 
+
+def q_event_funnel(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return funnel_report(e, FUNNEL_STEPS)
 
 _REGISTRY_Q["event_funnel"] = q_event_funnel
 
-_REGISTRY_SQL["event_funnel"] = """
-WITH firsts AS (
-  SELECT user_id AS u,
-         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
-         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
-         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
-  FROM events WHERE event_type IN ('view', 'click', 'purchase')
-  GROUP BY 1
-),
-reach AS (
-  SELECT CASE
-    WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
-         AND t2 IS NOT NULL AND t2 >= t1 THEN 3
-    WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0 THEN 2
-    WHEN t0 IS NOT NULL THEN 1
-    ELSE 0 END AS reached
-  FROM firsts
-),
-counts AS (
-  SELECT CAST(SUM(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-         CAST(SUM(CASE WHEN reached >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-         CAST(SUM(CASE WHEN reached >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n2
-  FROM reach
-)
-SELECT s.step_idx, s.step,
-       CASE s.step_idx WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS n_users,
-       CASE WHEN n0 > 0
-            THEN ROUND(CAST(CASE s.step_idx WHEN 1 THEN n0 WHEN 2 THEN n1
-                            ELSE n2 END AS DOUBLE) / n0, 6)
-            ELSE 0.0 END AS conversion
-FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase')) AS s(step_idx, step)
-CROSS JOIN counts
-"""
+_REGISTRY_SQL["event_funnel"] = funnel_report_oracle_sql(FUNNEL_STEPS)
 
 
 def q_retention_cohorts(spark, sf_dir):
@@ -2536,15 +2481,17 @@ _REGISTRY_SQL["decayed_scores"] = decayed_scores_oracle_sql(half_life_days=DECAY
 # ---------------------------------------------------------------------------
 
 
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.quality_checks import (  # noqa: E402
+    ORDERS_EXPECTATIONS_ORACLE_SQL,
+    expect,
+    validate_expectations,
+)
+
+
 def q_data_expectations(spark, sf_dir):
     """Deequ-style validation report over orders: all row-local rules ride
     ONE conditional aggregate (one scan for any rule count); the unique
     rule adds one groupBy."""
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.quality_checks import (
-        expect,
-        validate_expectations,
-    )
-
     o = _t(spark, sf_dir, "orders")
     return validate_expectations(
         o,
@@ -2558,30 +2505,7 @@ def q_data_expectations(spark, sf_dir):
 
 _REGISTRY_Q["data_expectations"] = q_data_expectations
 
-_REGISTRY_SQL["data_expectations"] = """
-SELECT 'not_null:o_custkey' AS rule, 'o_custkey' AS col_name,
-       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS violations,
-       COUNT(*) AS total
-FROM orders
-UNION ALL
-SELECT 'in_range:o_totalprice', 'o_totalprice',
-       CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0
-                     OR o_totalprice > 600000.0 THEN 1 ELSE 0 END) AS BIGINT),
-       COUNT(*)
-FROM orders
-UNION ALL
-SELECT 'matches:o_orderstatus', 'o_orderstatus',
-       CAST(SUM(CASE WHEN o_orderstatus IS NULL
-                     OR NOT regexp_matches(o_orderstatus, '^[OFP]$')
-                THEN 1 ELSE 0 END) AS BIGINT),
-       COUNT(*)
-FROM orders
-UNION ALL
-SELECT 'unique:o_orderkey', 'o_orderkey',
-       CAST(SUM(n - 1) AS BIGINT), CAST(SUM(n) AS BIGINT)
-FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
-"""
+_REGISTRY_SQL["data_expectations"] = ORDERS_EXPECTATIONS_ORACLE_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -3408,53 +3332,14 @@ def q_simsearch_ivfpq(spark, sf_dir):
         e, query_id=0, k=IVFPQ_K, n_cells=16, nprobe=4, m=4, ksub=16
     )
 
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.pq import (  # noqa: E402
+    ivfpq_oracle_sql,
+)
+
 _REGISTRY_Q["simsearch_ivfpq"] = q_simsearch_ivfpq
-
-
-from personalized_pagerank_algorithms_on_neo4j_spark.functions.pq import (
-    pq_oracle_ctes,
+_REGISTRY_SQL["simsearch_ivfpq"] = ivfpq_oracle_sql(
+    k=IVFPQ_K, n_cells=16, nprobe=4, m=4, ksub=16
 )
-
-cos = lambda a, b: (  # noqa: E731 — same cosine fragment as simsearch_ivf
-    f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    f" / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
-    f" * SQRT(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
-)
-_REGISTRY_SQL["simsearch_ivfpq"] = f"""
-WITH {pq_oracle_ctes(m=4, ksub=16, dim=64)},
-cent AS MATERIALIZED (
-  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 16
-),
-assigned AS MATERIALIZED (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY ROUND({cos('e.embedding', 'c.cvec')}, 9) DESC, c.cell ASC) AS rn
-    FROM embeddings e CROSS JOIN cent c
-  ) t WHERE rn = 1
-),
-q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-probe AS (
-  SELECT cell FROM cent CROSS JOIN q
-  ORDER BY ROUND({cos('cent.cvec', 'q.embedding')}, 9) DESC, cell ASC LIMIT 4
-),
-lut AS (
-  SELECT c.sub, c.code,
-         ROUND(list_sum(list_transform(range(1, 17),
-           i -> (CAST(q.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])
-              * (CAST(q.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i]))), 9) AS d
-  FROM cb c CROSS JOIN q),
-adist AS (
-  SELECT e.vec_id, ROUND(SUM(l.d), 6) AS adist
-  FROM enc e
-  JOIN assigned a ON a.vec_id = e.vec_id
-  JOIN probe p ON a.cell = p.cell
-  JOIN lut l USING (sub, code)
-  GROUP BY 1)
-SELECT vec_id, adist FROM adist
-QUALIFY RANK() OVER (ORDER BY adist ASC) <= {IVFPQ_K}
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -5842,19 +5727,20 @@ KNN_HIERARCHY_CUT = 320_000  # micro-unit cosine 0.32 — audited at sf0.01:
 # 213 clusters, largest 131 docs, 162 singletons (multi-scale, non-trivial)
 
 
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (  # noqa: E402
+    knn_weighted_edges,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.operators import (  # noqa: E402
+    mst as _mst,
+)
+
+
 def q_graph_mst(spark, sf_dir):
     """(u, v, weight): the UNIQUE maximum spanning forest of the
     micro-unit-weighted 5-NN doc graph under the strict (-w, u, v) order —
     deterministic Borůvka (operators/mst.py); 499 edges span the 500-doc
     corpus at sf0.01."""
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (
-        knn_weighted_edges,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.operators.mst import (
-        boruvka_msf,
-    )
-
-    return boruvka_msf(
+    return _mst.boruvka_msf(
         knn_weighted_edges(_t(spark, sf_dir, "embeddings"), k=KNN_GRAPH_K),
         maximize=True,
     )
@@ -5866,38 +5752,93 @@ def q_knn_hierarchy(spark, sf_dir):
     gets a row (isolated -> own cluster).  The oracle rebuilds the
     clusters WITHOUT the forest (components of the thresholded full
     graph), so the gate checks the max-bottleneck semantics."""
-    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (
-        knn_weighted_edges,
-    )
-    from personalized_pagerank_algorithms_on_neo4j_spark.operators.mst import (
-        single_linkage_clusters,
-    )
-
     emb = _t(spark, sf_dir, "embeddings")
-    return single_linkage_clusters(
+    return _mst.single_linkage_clusters(
         knn_weighted_edges(emb, k=KNN_GRAPH_K),
         emb.select(F.col("vec_id").alias("node")),
         cut=KNN_HIERARCHY_CUT,
     )
 
 
-from personalized_pagerank_algorithms_on_neo4j_spark.operators.mst import (  # noqa: E402
-    boruvka_oracle_sql,
-    single_linkage_oracle_sql,
-)
-
 _REGISTRY_Q["graph_mst"] = q_graph_mst
 _REGISTRY_Q["knn_hierarchy"] = q_knn_hierarchy
-_REGISTRY_SQL["graph_mst"] = boruvka_oracle_sql(
-    knn_weighted_edges_sql(k=KNN_GRAPH_K),
-    rounds=MST_ORACLE_ROUNDS,
-    maximize=True,
+_REGISTRY_SQL["graph_mst"] = _mst.boruvka_oracle_sql(
+    knn_weighted_edges_sql(k=KNN_GRAPH_K), rounds=MST_ORACLE_ROUNDS, maximize=True
 )
-_REGISTRY_SQL["knn_hierarchy"] = single_linkage_oracle_sql(
+_REGISTRY_SQL["knn_hierarchy"] = _mst.single_linkage_oracle_sql(
     knn_weighted_edges_sql(k=KNN_GRAPH_K),
     "SELECT vec_id AS node FROM embeddings",
     KNN_HIERARCHY_CUT,
 )
+
+
+# ---------------------------------------------------------------------------
+# Block 54: perceptual image dedup — dHash + Hamming-banded pairing +
+# duplicate clusters (functions/imagededup.py; the REAL decode path is
+# imagededup.media_dhash over netpbm blobs, pytest-pinned to the same
+# integer core these SQL-checked queries run)
+# ---------------------------------------------------------------------------
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions import (  # noqa: E402
+    imagededup as _imagededup,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.plans import (  # noqa: E402
+    iterative as _iterative,
+)
+
+IMAGE_CLUSTER_STEPS = 16  # strict: dedup_clusters raises if not converged
+_DOCS_SQL = "SELECT doc_id FROM documents"
+
+
+def _image_hashes(spark, sf_dir):
+    return _imagededup.dhash_from_gray(
+        _imagededup.gray_fixture(_t(spark, sf_dir, "documents").select("doc_id"))
+    )
+
+
+def q_image_dhash(spark, sf_dir):
+    """(doc_id, h_lo, h_hi): 64-bit perceptual difference hash (packed as
+    two 32-bit halves) of the deterministic per-document gray matrix —
+    exact integer box-sum comparisons, one exchange end-to-end."""
+    return _image_hashes(spark, sf_dir)
+
+
+def q_image_near_dups(spark, sf_dir):
+    """(doc_a, doc_b, hamming): every image pair within MAX_HAMMING bit
+    flips, via exact 8-bit Hamming banding (pigeonhole recall at
+    hamming <= 7); the oracle rebuilds the pairs brute-force, gating the
+    semantics rather than the candidate machinery."""
+    return _imagededup.near_dup_pairs(_image_hashes(spark, sf_dir))
+
+
+def q_image_dup_clusters(spark, sf_dir):
+    """(doc_id, cluster_id): connected components over the near-dup
+    pairs (the survivorship step; cluster = smallest member, the
+    engine-wide convention) — audited at sf0.01: 117 clusters, sizes
+    4 and 8, every doc in a cluster."""
+    pairs = _imagededup.near_dup_pairs(_image_hashes(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    # jump=True: cross-family hash collisions chain at larger corpora
+    # (sf0.1 components exceed 16 plain hops); superstep discipline for
+    # the label loop (the single_linkage_clusters lesson: 17 -> ~5 s)
+    with _iterative.static_superstep_plan(
+        spark, _iterative.loop_shuffle_partitions(spark, 2 * pairs.count())
+    ):
+        return _dedup.dedup_clusters(
+            pairs.select("doc_a", "doc_b"),
+            max_iters=IMAGE_CLUSTER_STEPS,
+            strict=True,
+            jump=True,
+        )
+
+
+_REGISTRY_Q["image_dhash"] = q_image_dhash
+_REGISTRY_Q["image_near_dups"] = q_image_near_dups
+_REGISTRY_Q["image_dup_clusters"] = q_image_dup_clusters
+_REGISTRY_SQL["image_dhash"] = _imagededup.dhash_oracle_sql(_DOCS_SQL)
+_REGISTRY_SQL["image_near_dups"] = _imagededup.near_dup_oracle_sql(_DOCS_SQL)
+_REGISTRY_SQL["image_dup_clusters"] = _imagededup.dup_clusters_oracle_sql(_DOCS_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -5924,8 +5865,11 @@ _R8_NEVER_OBSERVED: list[str] = []
 #      (max 15 here).  Update COVERAGE r8/r9 rows + ledger test in the
 #      SAME commit as any append. -----------------------------------------
 _R8_NEW: list[str] = [
-    "graph_mst",       # r8: Borůvka max spanning forest (gds.spanningTree)
-    "knn_hierarchy",   # r8: single-linkage clusters (kNN -> MST -> cut)
+    "graph_mst",           # r8: Borůvka max spanning forest (gds.spanningTree)
+    "knn_hierarchy",       # r8: single-linkage clusters (kNN -> MST -> cut)
+    "image_dhash",         # r8: perceptual difference hash (exact integer)
+    "image_near_dups",     # r8: Hamming-banded near-dup pairs (exact <= 7)
+    "image_dup_clusters",  # r8: components over the near-dup pairs
 ]
 
 # (a3) stale anchors: none this round (ppr_power rotates back in via the

@@ -359,6 +359,12 @@ def main() -> None:
     # ~7 s over the forest, PERF_NOTES r8) — benching both would double
     # the heaviest key for no added signal.
     timed("q_graph_mst", lambda: E.q_graph_mst(spark, SF_DIR).count())
+    # perceptual image dedup: dHash + exact Hamming banding (the cluster
+    # composition rides the dedup family; the pairing is the new cost)
+    timed(
+        "q_image_near_dups",
+        lambda: E.q_image_near_dups(spark, SF_DIR).count(),
+    )
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): 10 heavy supersteps + ONE exact tail-drain pass — the full
@@ -434,7 +440,7 @@ PINNED_KEYS = [
     "q_fora_topk", "q_base_prep512", "q_base_lookup", "q_base_prep_heavy",
     "q_power_dist10", "q_mc_dist10", "q_ppr_multi_dist10", "q_fwdpush_dist10",
 ]
-NEW_KEYS: list[str] = ["q_graph_mst"]
+NEW_KEYS: list[str] = ["q_graph_mst", "q_image_near_dups"]
 
 
 def render_line(timings: dict[str, float], sf: float) -> str:

@@ -542,3 +542,56 @@ JOIN {type_ranks_sql(table, type_col)} rb
   ON t.b = rb.tname
 WHERE t.a IS NOT NULL {gap}
 """
+
+
+def funnel_report_oracle_sql(steps: list[str]) -> str:
+    """DuckDB twin of ``funnel_report`` (first-touch ordered funnel over
+    the events table): per-user first timestamp per step, reached =
+    deepest prefix whose first-touches are non-decreasing, then step
+    counts and conversion vs step 1."""
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    firsts = ",\n         ".join(
+        f"MIN(CASE WHEN event_type = '{s}' THEN ts END) AS t{i}"
+        for i, s in enumerate(steps)
+    )
+    reach_cases = []
+    for depth in range(len(steps), 1, -1):
+        conds = [f"t0 IS NOT NULL"]
+        for i in range(1, depth):
+            conds.append(f"t{i} IS NOT NULL AND t{i} >= t{i - 1}")
+        reach_cases.append(f"WHEN {' AND '.join(conds)} THEN {depth}")
+    reach = "\n    ".join(reach_cases)
+    counts = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN reached >= {i + 1} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}"
+        for i in range(len(steps))
+    )
+    values = ", ".join(f"({i + 1}, '{s}')" for i, s in enumerate(steps))
+    pick = " ".join(
+        f"WHEN {i + 1} THEN n{i}" for i in range(len(steps) - 1)
+    ) + f" ELSE n{len(steps) - 1}"
+    return f"""
+WITH firsts AS (
+  SELECT user_id AS u,
+         {firsts}
+  FROM events WHERE event_type IN ({in_list})
+  GROUP BY 1
+),
+reach AS (
+  SELECT CASE
+    {reach}
+    WHEN t0 IS NOT NULL THEN 1
+    ELSE 0 END AS reached
+  FROM firsts
+),
+counts AS (
+  SELECT {counts}
+  FROM reach
+)
+SELECT s.step_idx, s.step,
+       CASE s.step_idx {pick} END AS n_users,
+       CASE WHEN n0 > 0
+            THEN ROUND(CAST(CASE s.step_idx {pick} END AS DOUBLE) / n0, 6)
+            ELSE 0.0 END AS conversion
+FROM (VALUES {values}) AS s(step_idx, step)
+CROSS JOIN counts
+"""

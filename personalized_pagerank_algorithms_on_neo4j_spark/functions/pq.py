@@ -410,3 +410,72 @@ enc AS MATERIALIZED (
                               ORDER BY {d2} ASC, c.code ASC) AS rn
     FROM {table} e CROSS JOIN cb c
   ) t WHERE rn = 1)"""
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB cosine fragment over list columns (same shape as the
+    simsearch_ivf oracle's)."""
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = (
+        f"SQRT(list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+    nb = (
+        f"SQRT(list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    )
+    return f"{dot} / ({na} * {nb})"
+
+
+def ivfpq_oracle_sql(
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``ivfpq_topk`` for query vec_id = 0: seed-codebook
+    PQ encoding (`pq_oracle_ctes`), first-`n_cells` seed centroids, probe
+    the ``nprobe`` closest cells, ADC lookup-table distances, RANK <= k
+    (ties kept, matching the Spark side)."""
+    dsub = dim // m
+    cos = lambda a, b: _cos_sql(a, b, dim)  # noqa: E731
+    return f"""
+WITH {pq_oracle_ctes(m=m, ksub=ksub, dim=dim)},
+cent AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND({cos('e.embedding', 'c.cvec')}, 9) DESC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) t WHERE rn = 1
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM cent CROSS JOIN q
+  ORDER BY ROUND({cos('cent.cvec', 'q.embedding')}, 9) DESC, cell ASC LIMIT {nprobe}
+),
+lut AS (
+  SELECT c.sub, c.code,
+         ROUND(list_sum(list_transform(range(1, {dsub + 1}),
+           i -> (CAST(q.embedding[c.sub * {dsub} + i] AS DOUBLE) - c.cvec[i])
+              * (CAST(q.embedding[c.sub * {dsub} + i] AS DOUBLE) - c.cvec[i]))), 9) AS d
+  FROM cb c CROSS JOIN q),
+adist AS (
+  SELECT e.vec_id, ROUND(SUM(l.d), 6) AS adist
+  FROM enc e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN probe p ON a.cell = p.cell
+  JOIN lut l USING (sub, code)
+  GROUP BY 1)
+SELECT vec_id, adist FROM adist
+QUALIFY RANK() OVER (ORDER BY adist ASC) <= {int(k)}
+"""

@@ -168,3 +168,29 @@ SELECT {id_col},
 FROM j
 WHERE od IS NULL OR nd IS NULL OR od <> nd
 """
+
+
+ORDERS_EXPECTATIONS_ORACLE_SQL = """
+SELECT 'not_null:o_custkey' AS rule, 'o_custkey' AS col_name,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations,
+       COUNT(*) AS total
+FROM orders
+UNION ALL
+SELECT 'in_range:o_totalprice', 'o_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0
+                     OR o_totalprice > 600000.0 THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'matches:o_orderstatus', 'o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                     OR NOT regexp_matches(o_orderstatus, '^[OFP]$')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey', 'o_orderkey',
+       CAST(SUM(n - 1) AS BIGINT), CAST(SUM(n) AS BIGINT)
+FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+"""

@@ -1841,3 +1841,35 @@ SELECT CAST(doc_a // {s} AS BIGINT) AS doc_a, CAST(doc_a % {s} AS INT) AS para_a
        shared
 FROM wpd WHERE doc_a // {s} <> doc_b // {s}
 """
+
+
+def tfidf_top_terms_oracle_sql(k: int = 3) -> str:
+    """DuckDB twin of ``tfidf_top_terms`` over the documents table:
+    whitespace tokenization, smoothed idf ln((N+1)/(df+1)) + 1, per-doc
+    ROW_NUMBER top-k on (score DESC, term ASC)."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), ' +'),
+                            t -> length(t) > 0)) AS term
+  FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS MATERIALIZED (
+  SELECT term, ROUND(LN((n.n_docs + 1.0) / (COUNT(*) + 1.0)) + 1.0, 6) AS idf
+  FROM tf CROSS JOIN n GROUP BY term, n.n_docs
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, ROUND(tf.tf * idf.idf, 6) AS score
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, term, score, pos FROM (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS pos
+  FROM scored
+) t WHERE pos <= {int(k)}
+"""
