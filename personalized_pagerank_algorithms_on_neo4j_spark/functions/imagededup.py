@@ -180,6 +180,25 @@ SELECT doc_id, h_lo, h_hi FROM img_hash
 """
 
 
+def band_values(hashes: DataFrame) -> DataFrame:
+    """(doc_id, band, value): the 8 disjoint 8-bit Hamming-LSH bands
+    (0-3 from h_lo, 4-7 from h_hi) — shared by the pairing operator and
+    the cap guard test so the guard measures the REAL bucketing."""
+    return hashes.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("band"),
+        "h_lo",
+        "h_hi",
+    ).select(
+        "doc_id",
+        "band",
+        F.expr(
+            "shiftright(CASE WHEN band < 4 THEN h_lo ELSE h_hi END,"
+            " CAST((band % 4) * 8 AS INT)) & 255"
+        ).alias("value"),
+    )
+
+
 def near_dup_pairs(
     hashes: DataFrame,
     max_hamming: int = MAX_HAMMING,
@@ -195,19 +214,7 @@ def near_dup_pairs(
     if not 0 <= max_hamming <= 7:
         raise ValueError("banded recall is exact only for max_hamming in [0, 7]")
     h = hashes.localCheckpoint(eager=True)  # bands + both verify sides
-    bands = h.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("band"),
-        "h_lo",
-        "h_hi",
-    ).select(
-        "doc_id",
-        "band",
-        F.expr(
-            "shiftright(CASE WHEN band < 4 THEN h_lo ELSE h_hi END,"
-            " CAST((band % 4) * 8 AS INT)) & 255"
-        ).alias("value"),
-    )
+    bands = band_values(h)
     sizes = bands.groupBy("band", "value").agg(F.count("*").alias("_bn"))
     keep = bands.join(
         sizes.where(F.col("_bn") <= int(band_cap)), ["band", "value"]

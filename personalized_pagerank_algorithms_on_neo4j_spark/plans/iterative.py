@@ -110,13 +110,27 @@ def stats_reset_checkpoint(df: DataFrame) -> DataFrame:
     fall back to the plain checkpoint (correct, just exposed to the
     pathology again) — tests/test_plans pins the fast path so a silent
     fallback fails loudly in CI."""
+    import py4j.protocol
+
     ck = df.localCheckpoint(eager=True)
     try:
         jdf = ck._jdf.sparkSession().internalCreateDataFrame(
             ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
         )
         return DataFrame(jdf, df.sparkSession)
-    except Exception:  # pragma: no cover - Spark-version drift guard
+    except py4j.protocol.Py4JError:  # pragma: no cover - rename drift only
+        # ONLY the missing/renamed-method case falls back (a transient
+        # JVM failure should surface, not silently reintroduce the
+        # pathology); warn so a stalled bench run has a breadcrumb
+        import warnings
+
+        warnings.warn(
+            "stats_reset_checkpoint: internalCreateDataFrame unavailable; "
+            "falling back to a plain checkpoint — iterated self-join loops "
+            "are re-exposed to the BigInt-stats driver stall",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return ck
 
 

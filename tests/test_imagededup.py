@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.imagededup import (
     GRAY_H,
+    band_values,
     GRAY_W,
     IMAGE_BAND_CAP,
     dhash_from_gray,
@@ -121,18 +122,7 @@ def test_band_cap_never_binds_at_gate_scale(spark):
     import __spark_entry__ as E
 
     h = E.q_image_dhash(spark, SF_ORACLE)
-    bands = h.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("band"),
-        "h_lo",
-        "h_hi",
-    ).select(
-        "band",
-        F.expr(
-            "shiftright(CASE WHEN band < 4 THEN h_lo ELSE h_hi END,"
-            " CAST((band % 4) * 8 AS INT)) & 255"
-        ).alias("value"),
-    )
+    bands = band_values(h)  # the operator's REAL bucketing, not a replica
     top = (
         bands.groupBy("band", "value")
         .count()
