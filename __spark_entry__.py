@@ -1024,25 +1024,11 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS buck
        CAST(SUM(CAST(ROUND(COALESCE(value, 0.0)*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
 FROM events GROUP BY 1, 2
 """
-_REGISTRY_SQL["user_sessions"] = """
-WITH flagged AS (
-  SELECT user_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sessions AS (
-  SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM flagged
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (  # noqa: E402
+    USER_SESSIONS_ORACLE_SQL,
 )
-SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
-       COUNT(*) AS n_events
-FROM sessions GROUP BY user_id
-"""
+
+_REGISTRY_SQL["user_sessions"] = USER_SESSIONS_ORACLE_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -2167,25 +2153,11 @@ spans AS (
 SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
 FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
 """
-_REGISTRY_SQL["supplier_cooccurrence"] = f"""
-WITH e AS (
-  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS basket,
-                  CAST(l.l_suppkey AS BIGINT) AS item
-  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-),
-deg AS (SELECT item, COUNT(*) AS d FROM e GROUP BY 1),
-pairs AS (
-  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS shared
-  FROM e a JOIN e b ON a.basket = b.basket AND a.item < b.item
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= {COOC_MIN_SHARED}
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.cooccurrence import (  # noqa: E402
+    supplier_cooccurrence_oracle_sql,
 )
-SELECT item_a, item_b, shared,
-       ROUND(CAST(shared AS DOUBLE) / (da.d + db.d - shared), 6) AS jaccard
-FROM pairs
-JOIN deg da ON pairs.item_a = da.item
-JOIN deg db ON pairs.item_b = db.item
-"""
+
+_REGISTRY_SQL["supplier_cooccurrence"] = supplier_cooccurrence_oracle_sql(COOC_MIN_SHARED)
 
 
 # ---------------------------------------------------------------------------
@@ -2359,27 +2331,11 @@ def q_corpus_report(spark, sf_dir):
 _REGISTRY_Q["events_anomaly"] = q_events_anomaly
 _REGISTRY_Q["corpus_report"] = q_corpus_report
 
-_REGISTRY_SQL["events_anomaly"] = f"""
-WITH hourly AS (
-  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
-  FROM events GROUP BY 1
-),
-st AS (
-  SELECT hour, n,
-         COUNT(*) OVER w AS n_prev,
-         SUM(n) OVER w AS s,
-         SUM(n * n) OVER w AS ss
-  FROM hourly
-  WINDOW w AS (ORDER BY hour ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.monitoring import (  # noqa: E402
+    hourly_anomaly_oracle_sql,
 )
-SELECT hour, n, CAST(n_prev AS BIGINT) AS n_prev,
-       ROUND(s / CAST(n_prev AS DOUBLE), 6) AS mean_prev,
-       ROUND(CASE WHEN (ss - s * s / CAST(n_prev AS DOUBLE)) / n_prev > 0
-                  THEN (n - s / CAST(n_prev AS DOUBLE))
-                       / sqrt((ss - s * s / CAST(n_prev AS DOUBLE)) / n_prev)
-                  ELSE 0.0 END, 6) AS z
-FROM st WHERE n_prev >= 12
-"""
+
+_REGISTRY_SQL["events_anomaly"] = hourly_anomaly_oracle_sql(ANOM_WINDOW)
 _REGISTRY_SQL["corpus_report"] = """
 SELECT source,
        COUNT(*) AS n_docs,
@@ -3361,24 +3317,9 @@ def q_lsh_incremental(spark, sf_dir):
 
 _REGISTRY_Q["lsh_incremental"] = q_lsh_incremental
 
-_REGISTRY_SQL["lsh_incremental"] = f"""
-WITH sig AS MATERIALIZED ({_SQL_MINHASH_SIG}),
-banded AS MATERIALIZED (
-  SELECT doc_id, i // 2 AS band,
-         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bucket
-  FROM sig GROUP BY doc_id, i // 2
-),
-newb AS (
-  SELECT b.doc_id, b.band, b.bucket FROM banded b
-  JOIN documents d USING (doc_id) WHERE d.source = '{BENCH_SOURCE}'
-),
-oldb AS (
-  SELECT b.doc_id, b.band, b.bucket FROM banded b
-  JOIN documents d USING (doc_id) WHERE d.source <> '{BENCH_SOURCE}'
+_REGISTRY_SQL["lsh_incremental"] = _dedup.lsh_incremental_oracle_sql(
+    _SQL_MINHASH_SIG, new_source=BENCH_SOURCE
 )
-SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-FROM newb n JOIN oldb o USING (band, bucket)
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -3665,25 +3606,13 @@ from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
     histogram_quantiles_oracle_sql,
 )
 
-_REGISTRY_SQL["similar_docs"] = f"""
-WITH ds AS MATERIALIZED ({_SQL_DOC_SHINGLES}),
-probe AS (SELECT sh FROM ds WHERE doc_id = {SIMILAR_PROBE_ID}),
-np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM probe),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
-common AS (
-  SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM ds JOIN probe USING (sh)
-  WHERE ds.doc_id <> {SIMILAR_PROBE_ID}
-  GROUP BY 1
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (  # noqa: E402
+    similar_docs_oracle_sql,
 )
-SELECT c.doc_id, c.n_common,
-       ROUND(CAST(c.n_common AS DOUBLE)
-             / CAST(s.n_sh + (SELECT n FROM np) - c.n_common AS DOUBLE), 6)
-         AS jaccard
-FROM common c JOIN sizes s USING (doc_id)
-ORDER BY jaccard DESC, c.doc_id
-LIMIT {SIMILAR_K}
-"""
+
+_REGISTRY_SQL["similar_docs"] = similar_docs_oracle_sql(
+    _SQL_DOC_SHINGLES, probe_id=SIMILAR_PROBE_ID, k=SIMILAR_K
+)
 _REGISTRY_SQL["event_gap_quantiles"] = histogram_quantiles_oracle_sql(
     """SELECT event_type,
        epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
@@ -5842,6 +5771,76 @@ _REGISTRY_SQL["image_dup_clusters"] = _imagededup.dup_clusters_oracle_sql(_DOCS_
 
 
 # ---------------------------------------------------------------------------
+# Block 55: Z-order table layout (OPTIMIZE ZORDER shape) + 1-WL structural
+# colors (builders in functions/sharding.py and operators/wl.py)
+# ---------------------------------------------------------------------------
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.sharding import (  # noqa: E402
+    zorder_layout,
+    zorder_layout_oracle_sql,
+    zorder_manifest,
+    zorder_manifest_oracle_sql,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.wl import (  # noqa: E402
+    wl_colors,
+    wl_oracle_sql,
+)
+
+ZORDER_SHARDS = 64
+WL_ROUNDS = 3
+_ZORDER_SRC_SQL = (
+    "SELECT o_orderkey, o_custkey,"
+    " CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders"
+)
+
+
+def _zorder(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    return zorder_layout(
+        o, a_col="o_custkey", b_col="cents", id_col="o_orderkey",
+        n_shards=ZORDER_SHARDS,
+    )
+
+
+def q_zorder_layout(spark, sf_dir):
+    """(id, a, b, zkey, shard): Morton layout of orders over (custkey,
+    price-cents) — contiguous z-range shards, no global sort (the only
+    global state is the broadcast min/max scalar row)."""
+    return _zorder(spark, sf_dir)
+
+
+def q_zorder_manifest(spark, sf_dir):
+    """(shard, n_rows, a_min, a_max, b_min, b_max): the per-shard
+    skipping stats the layout exists to tighten — a planner prunes
+    shards whose [min, max] excludes the predicate on EITHER key."""
+    return zorder_manifest(_zorder(spark, sf_dir))
+
+
+def q_graph_wl_colors(spark, sf_dir):
+    """(node, color): 1-WL color refinement (3 rounds) over the derived
+    graph — structural fingerprints; nodes share a color only if 1-WL
+    cannot distinguish their 3-hop neighbourhoods (sum-combine collisions
+    can merge classes, never split — documented in operators/wl.py)."""
+    return wl_colors(_graph(spark, sf_dir).edges, rounds=WL_ROUNDS)
+
+
+_REGISTRY_Q["zorder_layout"] = q_zorder_layout
+_REGISTRY_Q["zorder_manifest"] = q_zorder_manifest
+_REGISTRY_Q["graph_wl_colors"] = q_graph_wl_colors
+_REGISTRY_SQL["zorder_layout"] = zorder_layout_oracle_sql(
+    _ZORDER_SRC_SQL, a="o_custkey", b="cents", id_col="o_orderkey",
+    n_shards=ZORDER_SHARDS,
+)
+_REGISTRY_SQL["zorder_manifest"] = zorder_manifest_oracle_sql(
+    _ZORDER_SRC_SQL, a="o_custkey", b="cents", id_col="o_orderkey",
+    n_shards=ZORDER_SHARDS,
+)
+_REGISTRY_SQL["graph_wl_colors"] = wl_oracle_sql(GRAPH_EDGES_SQL, rounds=WL_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5870,6 +5869,9 @@ _R8_NEW: list[str] = [
     "image_dhash",         # r8: perceptual difference hash (exact integer)
     "image_near_dups",     # r8: Hamming-banded near-dup pairs (exact <= 7)
     "image_dup_clusters",  # r8: components over the near-dup pairs
+    "zorder_layout",       # r8: Morton table layout (OPTIMIZE ZORDER shape)
+    "zorder_manifest",     # r8: per-shard skipping stats of the layout
+    "graph_wl_colors",     # r8: 1-WL color refinement fingerprints
 ]
 
 # (a3) stale anchors: none this round (ppr_power rotates back in via the

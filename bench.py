@@ -365,6 +365,10 @@ def main() -> None:
         "q_image_near_dups",
         lambda: E.q_image_near_dups(spark, SF_DIR).count(),
     )
+    # Z-order layout (manifest subsumes the layout derivation) and the
+    # 1-WL structural-fingerprint superstep loop
+    timed("q_zorder", lambda: E.q_zorder_manifest(spark, SF_DIR).count())
+    timed("q_wl_colors", lambda: E.q_graph_wl_colors(spark, SF_DIR).count())
 
     # counted-walk distributed MC (state bounded by active nodes, not
     # omega): 10 heavy supersteps + ONE exact tail-drain pass — the full
@@ -440,7 +444,7 @@ PINNED_KEYS = [
     "q_fora_topk", "q_base_prep512", "q_base_lookup", "q_base_prep_heavy",
     "q_power_dist10", "q_mc_dist10", "q_ppr_multi_dist10", "q_fwdpush_dist10",
 ]
-NEW_KEYS: list[str] = ["q_graph_mst", "q_image_near_dups"]
+NEW_KEYS: list[str] = ["q_graph_mst", "q_image_near_dups", "q_zorder", "q_wl_colors"]
 
 
 def render_line(timings: dict[str, float], sf: float) -> str:

@@ -118,3 +118,27 @@ def item_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def supplier_cooccurrence_oracle_sql(min_shared: int) -> str:
+    """DuckDB twin of the basket-cooccurrence query over
+    orders x lineitem (basket = customer, item = supplier)."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS basket,
+                  CAST(l.l_suppkey AS BIGINT) AS item
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+deg AS (SELECT item, COUNT(*) AS d FROM e GROUP BY 1),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {int(min_shared)}
+)
+SELECT item_a, item_b, shared,
+       ROUND(CAST(shared AS DOUBLE) / (da.d + db.d - shared), 6) AS jaccard
+FROM pairs
+JOIN deg da ON pairs.item_a = da.item
+JOIN deg db ON pairs.item_b = db.item
+"""

@@ -1063,3 +1063,28 @@ def split_leakage(
         .where(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b")
     )
+
+
+def lsh_incremental_oracle_sql(minhash_sig_sql: str, new_source: str) -> str:
+    """DuckDB twin of the incremental-LSH probe: candidates between the
+    newly-arrived source's docs and the standing corpus, via the same
+    2-row banded minhash buckets.  ``minhash_sig_sql`` yields
+    (doc_id, i, minhash)."""
+    return f"""
+WITH sig AS MATERIALIZED ({minhash_sig_sql}),
+banded AS MATERIALIZED (
+  SELECT doc_id, i // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, i // 2
+),
+newb AS (
+  SELECT b.doc_id, b.band, b.bucket FROM banded b
+  JOIN documents d USING (doc_id) WHERE d.source = '{new_source}'
+),
+oldb AS (
+  SELECT b.doc_id, b.band, b.bucket FROM banded b
+  JOIN documents d USING (doc_id) WHERE d.source <> '{new_source}'
+)
+SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+FROM newb n JOIN oldb o USING (band, bucket)
+"""

@@ -595,3 +595,24 @@ SELECT s.step_idx, s.step,
 FROM (VALUES {values}) AS s(step_idx, step)
 CROSS JOIN counts
 """
+
+
+USER_SESSIONS_ORACLE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id
+"""

@@ -57,3 +57,30 @@ def hourly_anomaly_scores(
             6,
         ).alias("z"),
     )
+
+
+def hourly_anomaly_oracle_sql(window: int) -> str:
+    """DuckDB twin of the rolling-z hourly anomaly scorer: trailing
+    ``window``-hour mean/stddev (population), z only where >= 12 prior
+    hours exist."""
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+st AS (
+  SELECT hour, n,
+         COUNT(*) OVER w AS n_prev,
+         SUM(n) OVER w AS s,
+         SUM(n * n) OVER w AS ss
+  FROM hourly
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN {int(window)} PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, n, CAST(n_prev AS BIGINT) AS n_prev,
+       ROUND(s / CAST(n_prev AS DOUBLE), 6) AS mean_prev,
+       ROUND(CASE WHEN (ss - s * s / CAST(n_prev AS DOUBLE)) / n_prev > 0
+                  THEN (n - s / CAST(n_prev AS DOUBLE))
+                       / sqrt((ss - s * s / CAST(n_prev AS DOUBLE)) / n_prev)
+                  ELSE 0.0 END, 6) AS z
+FROM st WHERE n_prev >= 12
+"""

@@ -97,3 +97,144 @@ def curriculum_order(
         bucket.alias("bucket"),
         portable_hash(F.col(id_col), seed).alias("order_key"),
     )
+
+
+# --- Z-order (Morton) layout clustering --------------------------------------
+#
+# The table-layout verb a 100 TB engine runs before writing parquet
+# (Delta's OPTIMIZE ZORDER BY, Iceberg's sort-order z-curve): interleave
+# the bits of two clustering keys so rows close in BOTH dimensions land in
+# the same files, keeping per-file min/max ranges tight on each key — the
+# scan planner can then skip files for predicates on EITHER column.
+# Everything is exact integer arithmetic (min-max scale to a fixed bit
+# budget, then bit interleave), so the DuckDB twin is the same formula.
+
+ZORDER_BITS = 16  # per-key resolution; zkey is 2*bits wide (fits BIGINT)
+
+
+def _interleave_expr(a: str, b: str, bits: int, div: str) -> str:
+    """Morton interleave as ONE static expression (no per-bit explode —
+    2*bits integer terms, whole-stage-codegen friendly; `div` is the
+    engine's integer-division spelling: Spark DIV, DuckDB //)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({b} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def _scale_expr(col: str, lo: str, hi: str, bits: int, div: str) -> str:
+    """Min-max scale an integer column into [0, 2^bits): exact integer
+    ((x - lo) * (2^bits - 1)) div max(1, hi - lo).  Range * 2^bits must
+    stay under 2^63 — at bits=16 that allows key ranges up to 2^46."""
+    top = (1 << bits) - 1
+    return (
+        f"((({col}) - ({lo})) * {top}) {div} "
+        f"(CASE WHEN ({hi}) > ({lo}) THEN ({hi}) - ({lo}) ELSE 1 END)"
+    )
+
+
+def zorder_layout(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    id_col: str,
+    n_shards: int = 64,
+    bits: int = ZORDER_BITS,
+) -> DataFrame:
+    """(id, zkey, shard): Morton key over (a_col, b_col) and the z-range
+    shard each row lands in.  Shards are CONTIGUOUS z-ranges (zkey div
+    2^(2*bits)/n_shards) — how layout compaction actually buckets files —
+    rather than equal-count splits: an equal-count assignment needs a
+    global sort/window, which is a single-partition bottleneck at corpus
+    scale; z-range buckets need only the two global min/max scalars
+    (one broadcast 1-row aggregate).  Row-count skew across shards is
+    data-dependent and visible in the manifest (`zorder_manifest`)."""
+    stats = df.agg(
+        F.min(a_col).cast("long").alias("_alo"),
+        F.max(a_col).cast("long").alias("_ahi"),
+        F.min(b_col).cast("long").alias("_blo"),
+        F.max(b_col).cast("long").alias("_bhi"),
+    )
+    sa = _scale_expr(a_col, "_alo", "_ahi", bits, "DIV")
+    sb = _scale_expr(b_col, "_blo", "_bhi", bits, "DIV")
+    zk = _interleave_expr(f"({sa})", f"({sb})", bits, "DIV")
+    span = (1 << (2 * bits)) // int(n_shards) or 1
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(a_col).cast("long").alias("a"),
+            F.col(b_col).cast("long").alias("b"),
+            F.expr(zk).cast("long").alias("zkey"),
+        )
+        .select("id", "a", "b", "zkey", F.expr(f"zkey DIV {span}").alias("shard"))
+    )
+
+
+def zorder_manifest(layout: DataFrame) -> DataFrame:
+    """(shard, n_rows, a_min, a_max, b_min, b_max): the per-shard skipping
+    stats a scan planner prunes with — the point of the layout.  One
+    map-side-combinable aggregate."""
+    return layout.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("a").alias("a_min"),
+        F.max("a").alias("a_max"),
+        F.min("b").alias("b_min"),
+        F.max("b").alias("b_max"),
+    )
+
+
+def _zorder_layout_sql(
+    src_sql: str, a: str, b: str, id_col: str, n_shards: int, bits: int
+) -> str:
+    sa = _scale_expr("a", "alo", "ahi", bits, "//")
+    sb = _scale_expr("b", "blo", "bhi", bits, "//")
+    zk = _interleave_expr(f"({sa})", f"({sb})", bits, "//")
+    span = (1 << (2 * bits)) // int(n_shards) or 1
+    return f"""
+zsrc AS MATERIALIZED (
+  SELECT CAST({id_col} AS BIGINT) AS id, CAST({a} AS BIGINT) AS a,
+         CAST({b} AS BIGINT) AS b
+  FROM ({src_sql}) zz
+),
+zstat AS (
+  SELECT MIN(a) AS alo, MAX(a) AS ahi, MIN(b) AS blo, MAX(b) AS bhi FROM zsrc
+),
+zlay AS MATERIALIZED (
+  SELECT id, a, b, CAST({zk} AS BIGINT) AS zkey
+  FROM zsrc CROSS JOIN zstat
+)"""
+
+
+def zorder_layout_oracle_sql(
+    src_sql: str,
+    a: str,
+    b: str,
+    id_col: str,
+    n_shards: int = 64,
+    bits: int = ZORDER_BITS,
+) -> str:
+    span = (1 << (2 * bits)) // int(n_shards) or 1
+    return f"""
+WITH {_zorder_layout_sql(src_sql, a, b, id_col, n_shards, bits)}
+SELECT id, a, b, zkey, CAST(zkey // {span} AS BIGINT) AS shard FROM zlay
+"""
+
+
+def zorder_manifest_oracle_sql(
+    src_sql: str,
+    a: str,
+    b: str,
+    id_col: str,
+    n_shards: int = 64,
+    bits: int = ZORDER_BITS,
+) -> str:
+    span = (1 << (2 * bits)) // int(n_shards) or 1
+    return f"""
+WITH {_zorder_layout_sql(src_sql, a, b, id_col, n_shards, bits)}
+SELECT CAST(zkey // {span} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(a) AS a_min, MAX(a) AS a_max, MIN(b) AS b_min, MAX(b) AS b_max
+FROM zlay GROUP BY 1
+"""

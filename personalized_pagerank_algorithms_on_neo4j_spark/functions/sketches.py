@@ -416,3 +416,28 @@ FROM cum CROSS JOIN probs
 WHERE c >= CEIL(prob * tot)
 GROUP BY ALL
 """
+
+
+def similar_docs_oracle_sql(shingles_sql: str, probe_id: int, k: int) -> str:
+    """DuckDB twin of the shingle-Jaccard probe: exact overlap vs every
+    other document, top-k by (jaccard DESC, doc_id).  ``shingles_sql``
+    yields (doc_id, sh)."""
+    return f"""
+WITH ds AS MATERIALIZED ({shingles_sql}),
+probe AS (SELECT sh FROM ds WHERE doc_id = {int(probe_id)}),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM probe),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+common AS (
+  SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ds JOIN probe USING (sh)
+  WHERE ds.doc_id <> {int(probe_id)}
+  GROUP BY 1
+)
+SELECT c.doc_id, c.n_common,
+       ROUND(CAST(c.n_common AS DOUBLE)
+             / CAST(s.n_sh + (SELECT n FROM np) - c.n_common AS DOUBLE), 6)
+         AS jaccard
+FROM common c JOIN sizes s USING (doc_id)
+ORDER BY jaccard DESC, c.doc_id
+LIMIT {int(k)}
+"""
