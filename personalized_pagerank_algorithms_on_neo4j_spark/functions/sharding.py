@@ -141,6 +141,7 @@ def zorder_layout(
     id_col: str,
     n_shards: int = 64,
     bits: int = ZORDER_BITS,
+    bounds: tuple[int, int, int, int] | None = None,
 ) -> DataFrame:
     """(id, zkey, shard): Morton key over (a_col, b_col) and the z-range
     shard each row lands in.  Shards are CONTIGUOUS z-ranges (zkey div
@@ -149,15 +150,33 @@ def zorder_layout(
     global sort/window, which is a single-partition bottleneck at corpus
     scale; z-range buckets need only the two global min/max scalars
     (one broadcast 1-row aggregate).  Row-count skew across shards is
-    data-dependent and visible in the manifest (`zorder_manifest`)."""
-    stats = df.agg(
-        F.min(a_col).cast("long").alias("_alo"),
-        F.max(a_col).cast("long").alias("_ahi"),
-        F.min(b_col).cast("long").alias("_blo"),
-        F.max(b_col).cast("long").alias("_bhi"),
-    )
-    sa = _scale_expr(a_col, "_alo", "_ahi", bits, "DIV")
-    sb = _scale_expr(b_col, "_blo", "_bhi", bits, "DIV")
+    data-dependent and visible in the manifest (`zorder_manifest`).
+
+    ``bounds`` = (a_lo, a_hi, b_lo, b_hi) fixes the scaling domain up
+    front instead of deriving it — REQUIRED for incremental/streaming
+    layouts, where a data-derived domain would silently re-scale old
+    shards as new extremes arrive; out-of-bounds values clamp to the
+    declared edges (both engines)."""
+    if bounds is not None:
+        alo, ahi, blo, bhi = (int(x) for x in bounds)
+        stats = df.sparkSession.range(1).select(
+            F.lit(alo).alias("_alo"),
+            F.lit(ahi).alias("_ahi"),
+            F.lit(blo).alias("_blo"),
+            F.lit(bhi).alias("_bhi"),
+        )
+        a_in = f"GREATEST(LEAST({a_col}, _ahi), _alo)"
+        b_in = f"GREATEST(LEAST({b_col}, _bhi), _blo)"
+    else:
+        stats = df.agg(
+            F.min(a_col).cast("long").alias("_alo"),
+            F.max(a_col).cast("long").alias("_ahi"),
+            F.min(b_col).cast("long").alias("_blo"),
+            F.max(b_col).cast("long").alias("_bhi"),
+        )
+        a_in, b_in = a_col, b_col
+    sa = _scale_expr(a_in, "_alo", "_ahi", bits, "DIV")
+    sb = _scale_expr(b_in, "_blo", "_bhi", bits, "DIV")
     zk = _interleave_expr(f"({sa})", f"({sb})", bits, "DIV")
     span = (1 << (2 * bits)) // int(n_shards) or 1
     return (

@@ -848,3 +848,70 @@ def test_streaming_winnow_paragraphs_matches_batch_and_replays(spark, tmp_path):
     assert sorted(map(tuple, W.read_flags(spark, flags).collect())) == before
     run(b1, 1)
     assert sorted(map(tuple, W.read_flags(spark, flags).collect())) == before
+
+
+def test_streaming_zorder_manifest_matches_batch_and_replays(spark, tmp_path):
+    """Store #11: per-epoch partial Z-order manifests folded on read must
+    equal the batch manifest over the union at the SAME fixed bounds
+    (counts are additive over any row partition; ranges associative),
+    and replays — latest and middle — must be idempotent (n_rows merges
+    by SUM, so the epoch-partition discipline is load-bearing)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sharding import (
+        zorder_layout,
+        zorder_manifest,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        zorder_stream as Z,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bounds = (1, 2000, 100_000, 60_000_000)
+    b0 = orders.where(F.col("o_orderkey") % 3 == 0)
+    b1 = orders.where(F.col("o_orderkey") % 3 == 1)
+    b2 = orders.where(F.col("o_orderkey") % 3 == 2)
+    store = str(tmp_path / "z_store")
+    run = Z.make_merge_batch(
+        spark, store, a_col="o_custkey", b_col="cents", id_col="o_orderkey",
+        bounds=bounds, n_shards=16,
+    )
+    run(b0, 0)
+    run(b1, 1)
+    run(b2, 2)
+
+    want = sorted(
+        map(
+            tuple,
+            zorder_manifest(
+                zorder_layout(
+                    orders, a_col="o_custkey", b_col="cents",
+                    id_col="o_orderkey", n_shards=16, bounds=bounds,
+                )
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, Z.read_manifest(spark, store).collect()))
+    assert got == want and got
+
+    # replay the LATEST epoch, then a MIDDLE epoch after later ones exist
+    run(b2, 2)
+    assert sorted(map(tuple, Z.read_manifest(spark, store).collect())) == want
+    run(b1, 1)
+    assert sorted(map(tuple, Z.read_manifest(spark, store).collect())) == want
+
+    # compaction folds history without changing the read
+    folded = Z.compact_store(spark, store)
+    assert folded >= 1
+    assert sorted(map(tuple, Z.read_manifest(spark, store).collect())) == want
+
+    # out-of-bounds rows clamp to the declared edges instead of escaping
+    # the shard domain
+    wild = spark.createDataFrame(
+        [(10**9, 10**9, -5)], "o_orderkey long, o_custkey long, cents long"
+    )
+    run(wild, 3)
+    m = {r["shard"]: r for r in Z.read_manifest(spark, store).collect()}
+    assert sum(r["n_rows"] for r in m.values()) == orders.count() + 1
