@@ -3604,9 +3604,6 @@ _REGISTRY_Q["event_gap_quantiles"] = q_event_gap_quantiles
 
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
     histogram_quantiles_oracle_sql,
-)
-
-from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (  # noqa: E402
     similar_docs_oracle_sql,
 )
 

@@ -59,10 +59,11 @@ def hourly_anomaly_scores(
     )
 
 
-def hourly_anomaly_oracle_sql(window: int) -> str:
+def hourly_anomaly_oracle_sql(window: int, min_prev: int = 12) -> str:
     """DuckDB twin of the rolling-z hourly anomaly scorer: trailing
-    ``window``-hour mean/stddev (population), z only where >= 12 prior
-    hours exist."""
+    ``window``-hour mean/stddev (population), z only where >= ``min_prev``
+    prior hours exist (keep in lockstep with the Spark twin's
+    parameter)."""
     return f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
@@ -82,5 +83,5 @@ SELECT hour, n, CAST(n_prev AS BIGINT) AS n_prev,
                   THEN (n - s / CAST(n_prev AS DOUBLE))
                        / sqrt((ss - s * s / CAST(n_prev AS DOUBLE)) / n_prev)
                   ELSE 0.0 END, 6) AS z
-FROM st WHERE n_prev >= 12
+FROM st WHERE n_prev >= {int(min_prev)}
 """

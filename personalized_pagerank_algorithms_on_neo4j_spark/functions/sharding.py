@@ -187,7 +187,12 @@ def zorder_layout(
             F.col(b_col).cast("long").alias("b"),
             F.expr(zk).cast("long").alias("zkey"),
         )
-        .select("id", "a", "b", "zkey", F.expr(f"zkey DIV {span}").alias("shard"))
+        # LEAST clamp: span floors, so for non-power-of-two n_shards the
+        # z-key maximum would otherwise land in shard index n_shards
+        .select(
+            "id", "a", "b", "zkey",
+            F.expr(f"LEAST(zkey DIV {span}, {int(n_shards) - 1})").alias("shard"),
+        )
     )
 
 
@@ -237,7 +242,9 @@ def zorder_layout_oracle_sql(
     span = (1 << (2 * bits)) // int(n_shards) or 1
     return f"""
 WITH {_zorder_layout_sql(src_sql, a, b, id_col, n_shards, bits)}
-SELECT id, a, b, zkey, CAST(zkey // {span} AS BIGINT) AS shard FROM zlay
+SELECT id, a, b, zkey,
+       CAST(LEAST(zkey // {span}, {int(n_shards) - 1}) AS BIGINT) AS shard
+FROM zlay
 """
 
 
@@ -252,7 +259,7 @@ def zorder_manifest_oracle_sql(
     span = (1 << (2 * bits)) // int(n_shards) or 1
     return f"""
 WITH {_zorder_layout_sql(src_sql, a, b, id_col, n_shards, bits)}
-SELECT CAST(zkey // {span} AS BIGINT) AS shard,
+SELECT CAST(LEAST(zkey // {span}, {int(n_shards) - 1}) AS BIGINT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        MIN(a) AS a_min, MAX(a) AS a_max, MIN(b) AS b_min, MAX(b) AS b_max
 FROM zlay GROUP BY 1

@@ -118,6 +118,8 @@ def stats_reset_checkpoint(df: DataFrame) -> DataFrame:
             ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
         )
         return DataFrame(jdf, df.sparkSession)
+    except py4j.protocol.Py4JJavaError:  # pragma: no cover
+        raise  # a REAL JVM failure must surface, not mask as fallback
     except py4j.protocol.Py4JError:  # pragma: no cover - rename drift only
         # ONLY the missing/renamed-method case falls back (a transient
         # JVM failure should surface, not silently reintroduce the
