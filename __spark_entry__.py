@@ -24,7 +24,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from personalized_pagerank_algorithms_on_neo4j_spark import PPREngine, load_tpch_graph
@@ -1025,6 +1025,8 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS buck
 FROM events GROUP BY 1, 2
 """
 from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (  # noqa: E402
+    EVENT_TRANSITIONS_ORACLE_SQL,
+    RETENTION_COHORTS_ORACLE_SQL,
     USER_SESSIONS_ORACLE_SQL,
 )
 
@@ -1072,8 +1074,6 @@ def q_ppr_backward(spark, sf_dir):
 def q_ndcg_positional(spark, sf_dir):
     """E2/J6: NDCG of the 10-iteration ranking against the 30-iteration
     oracle tie-set — positional lookup join, fully DataFrame-native."""
-    from pyspark.sql import Window
-
     gnd_k = topk_ops.retrieve_topk(_power_df(spark, sf_dir, POWER_ITERS), 10)
     est_k = topk_ops.retrieve_topk(_power_df(spark, sf_dir, POWER_ITERS_LO), 10)
     # k-row tie-set rank — bounded by construction
@@ -1121,8 +1121,6 @@ def q_rollup_revenue(spark, sf_dir):
 
 
 def q_running_revenue(spark, sf_dir):
-    from pyspark.sql import Window
-
     o = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -1735,26 +1733,9 @@ SELECT doc_id,
        CAST(len({_SQL_TOKS_RAW}) AS BIGINT) AS n_tokens
 FROM documents
 """
-_REGISTRY_SQL["decontamination"] = f"""
-WITH cs AS MATERIALIZED (
-  SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS sh
-  FROM documents WHERE source <> '{BENCH_SOURCE}'
-),
-bs AS MATERIALIZED (
-  SELECT DISTINCT unnest({_SQL_SHINGLES}) AS sh
-  FROM documents WHERE source = '{BENCH_SOURCE}'
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM cs GROUP BY doc_id),
-common AS (
-  SELECT cs.doc_id, COUNT(*) AS n_common FROM cs JOIN bs USING (sh)
-  GROUP BY cs.doc_id
+_REGISTRY_SQL["decontamination"] = _dedup.decontamination_oracle_sql(
+    _SQL_SHINGLES, bench_source=BENCH_SOURCE
 )
-SELECT s.doc_id, s.n_sh,
-       COALESCE(c.n_common, 0) AS n_common,
-       ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6)
-         AS contamination
-FROM sizes s LEFT JOIN common c ON s.doc_id = c.doc_id
-"""
 qw_bucket = _sampling.sampling_oracle_fragments(QW_SEED)
 _REGISTRY_SQL["quality_weighted_sample"] = f"""
 WITH prof AS ({_REGISTRY_SQL["text_profile"]})
@@ -1961,28 +1942,12 @@ def q_retention_cohorts(spark, sf_dir):
 
 _REGISTRY_Q["retention_cohorts"] = q_retention_cohorts
 
-_REGISTRY_SQL["retention_cohorts"] = """
-WITH cohorts AS (
-  SELECT user_id AS u, MIN(date_trunc('week', ts)) AS cohort_wk
-  FROM events WHERE event_type = 'signup' GROUP BY 1
-),
-activity AS (
-  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS wk FROM events
-)
-SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort,
-       CAST(date_diff('day', c.cohort_wk, a.wk) // 7 AS INT) AS week_offset,
-       COUNT(DISTINCT a.u) AS n_users
-FROM activity a JOIN cohorts c ON a.u = c.u
-WHERE a.wk >= c.cohort_wk
-GROUP BY 1, 2
-"""
+_REGISTRY_SQL["retention_cohorts"] = RETENTION_COHORTS_ORACLE_SQL
 
 
 def q_revenue_moving_avg(spark, sf_dir):
     """7-day moving average of daily order revenue (window over the DAILY
     ROLLUP — |days| rows — never the raw fact table; integer-cents sums)."""
-    from pyspark.sql import Window
-
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
@@ -2130,19 +2095,7 @@ _REGISTRY_Q["event_transitions"] = q_event_transitions
 _REGISTRY_Q["ngram_span_dups"] = q_ngram_span_dups
 _REGISTRY_Q["supplier_cooccurrence"] = q_supplier_cooccurrence
 
-_REGISTRY_SQL["event_transitions"] = """
-WITH pairs AS (
-  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
-         event_type AS dst
-  FROM events
-),
-counts AS (
-  SELECT src, dst, COUNT(*) AS n FROM pairs WHERE src IS NOT NULL GROUP BY 1, 2
-)
-SELECT src, dst, n,
-       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS prob
-FROM counts
-"""
+_REGISTRY_SQL["event_transitions"] = EVENT_TRANSITIONS_ORACLE_SQL
 _REGISTRY_SQL["ngram_span_dups"] = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 spans AS (
@@ -3580,8 +3533,6 @@ def q_event_gap_quantiles(spark, sf_dir):
     from personalized_pagerank_algorithms_on_neo4j_spark.functions.sketches import (
         histogram_quantiles,
     )
-    from pyspark.sql import Window
-
     e = _t(spark, sf_dir, "events")
     # total order (ts, event_type): a ts tie between different event types
     # would otherwise assign the two gap values nondeterministically; cast
@@ -3829,8 +3780,6 @@ def q_events_range_window(spark, sf_dir):
     never cross users, no single-partition window. Integer-cents sums
     (exact in any order) and floor-second keys on BOTH engines (Spark's
     timestamp->long cast truncates; the oracle uses FLOOR(epoch(ts)))."""
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events")
     # ts is TIMESTAMP_NTZ (no direct long cast in Spark 4): go through a
     # session-UTC timestamp — _t pins the session timezone, so the epoch
@@ -5838,6 +5787,58 @@ _REGISTRY_SQL["graph_wl_colors"] = wl_oracle_sql(GRAPH_EDGES_SQL, rounds=WL_ROUN
 
 
 # ---------------------------------------------------------------------------
+# Block 56: DAG topological layers (gds.dag shape, doubles as cycle
+# detection) + image duplicate survivorship (detection -> components ->
+# election, the image twin of dedup_survivors)
+# ---------------------------------------------------------------------------
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.dag import (  # noqa: E402
+    topological_layers,
+    topological_layers_oracle_sql,
+)
+
+TOPO_ORACLE_ROUNDS = 6  # >= DAG depth at compare scale (depth 2 at sf0.01;
+# rounds past the fixed point are no-ops — guard-tested with the SSSP trick)
+
+
+def q_graph_topo_layers(spark, sf_dir):
+    """(node, layer): longest-path-from-source depth over the derived
+    DAG — (layer, node) is a topological order key; strict mode raises
+    on a cycle (audited at sf0.01: layers 0/1/2 = 1500/100/25)."""
+    return topological_layers(_graph(spark, sf_dir).edges)
+
+
+def q_image_survivors(spark, sf_dir):
+    """(doc_id, cluster_id, survivor_id, keep): one survivor per image
+    duplicate cluster — longest text, ties to lowest id (deterministic,
+    so the brute-force + exact-closure oracle elects identically)."""
+    clusters = q_image_dup_clusters(spark, sf_dir)
+    sized = clusters.join(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("_len")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_len"), F.asc("doc_id")
+    )
+    return sized.select(
+        "doc_id",
+        "cluster_id",
+        F.first("doc_id").over(w).alias("survivor_id"),
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("keep"),
+    )
+
+
+_REGISTRY_Q["graph_topo_layers"] = q_graph_topo_layers
+_REGISTRY_Q["image_survivors"] = q_image_survivors
+_REGISTRY_SQL["graph_topo_layers"] = topological_layers_oracle_sql(
+    GRAPH_EDGES_SQL, rounds=TOPO_ORACLE_ROUNDS
+)
+_REGISTRY_SQL["image_survivors"] = _imagededup.dup_survivors_oracle_sql(_DOCS_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5869,6 +5870,8 @@ _R8_NEW: list[str] = [
     "zorder_layout",       # r8: Morton table layout (OPTIMIZE ZORDER shape)
     "zorder_manifest",     # r8: per-shard skipping stats of the layout
     "graph_wl_colors",     # r8: 1-WL color refinement fingerprints
+    "graph_topo_layers",   # r8: DAG topological layers / cycle detection
+    "image_survivors",     # r8: survivor election over image dup clusters
 ]
 
 # (a3) stale anchors: none this round (ppr_power rotates back in via the

@@ -1088,3 +1088,30 @@ oldb AS (
 SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
 FROM newb n JOIN oldb o USING (band, bucket)
 """
+
+
+def decontamination_oracle_sql(shingles_sql: str, bench_source: str) -> str:
+    """DuckDB twin of ``cross_corpus_contamination``: per-doc fraction of
+    its distinct shingles that also occur in the held-out benchmark
+    source.  ``shingles_sql`` is the engine-shared shingle-array
+    expression over a `text` column."""
+    return f"""
+WITH cs AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest({shingles_sql}) AS sh
+  FROM documents WHERE source <> '{bench_source}'
+),
+bs AS MATERIALIZED (
+  SELECT DISTINCT unnest({shingles_sql}) AS sh
+  FROM documents WHERE source = '{bench_source}'
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM cs GROUP BY doc_id),
+common AS (
+  SELECT cs.doc_id, COUNT(*) AS n_common FROM cs JOIN bs USING (sh)
+  GROUP BY cs.doc_id
+)
+SELECT s.doc_id, s.n_sh,
+       COALESCE(c.n_common, 0) AS n_common,
+       ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6)
+         AS contamination
+FROM sizes s LEFT JOIN common c ON s.doc_id = c.doc_id
+"""

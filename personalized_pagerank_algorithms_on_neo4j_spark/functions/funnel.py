@@ -616,3 +616,34 @@ SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM sessions GROUP BY user_id
 """
+
+
+EVENT_TRANSITIONS_ORACLE_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM pairs WHERE src IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS prob
+FROM counts
+"""
+
+RETENTION_COHORTS_ORACLE_SQL = """
+WITH cohorts AS (
+  SELECT user_id AS u, MIN(date_trunc('week', ts)) AS cohort_wk
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS wk FROM events
+)
+SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', c.cohort_wk, a.wk) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT a.u) AS n_users
+FROM activity a JOIN cohorts c ON a.u = c.u
+WHERE a.wk >= c.cohort_wk
+GROUP BY 1, 2
+"""

@@ -230,6 +230,18 @@ def test_sql_oracle_depths_cover_convergence(spark):
         max_rounds=E.MST_ORACLE_ROUNDS,
         strict=True,
     ).count()
+    # DAG layers: same fixed-round trick — the Spark side must reach its
+    # fixed point within TOPO_ORACLE_ROUNDS at the compare scale (strict
+    # raises otherwise, failing this test)
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.dag import (
+        topological_layers,
+    )
+
+    topological_layers(
+        E._graph(spark, SF_ORACLE).edges,
+        max_rounds=E.TOPO_ORACLE_ROUNDS,
+        strict=True,
+    ).count()
 
 
 def test_minhash_bucket_cap_never_binds_at_gate_scale(spark):
