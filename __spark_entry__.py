@@ -5810,23 +5810,11 @@ def q_graph_topo_layers(spark, sf_dir):
 
 def q_image_survivors(spark, sf_dir):
     """(doc_id, cluster_id, survivor_id, keep): one survivor per image
-    duplicate cluster — longest text, ties to lowest id (deterministic,
-    so the brute-force + exact-closure oracle elects identically)."""
-    clusters = q_image_dup_clusters(spark, sf_dir)
-    sized = clusters.join(
-        _t(spark, sf_dir, "documents").select(
-            "doc_id", F.length("text").alias("_len")
-        ),
-        "doc_id",
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("_len"), F.asc("doc_id")
-    )
-    return sized.select(
-        "doc_id",
-        "cluster_id",
-        F.first("doc_id").over(w).alias("survivor_id"),
-        (F.col("doc_id") == F.first("doc_id").over(w)).alias("keep"),
+    duplicate cluster — the SHARED election rule (longest text, ties to
+    lowest id; functions/dedup.survivors_from_clusters), so the image
+    and MinHash survivorship pipelines cannot drift."""
+    return _dedup.survivors_from_clusters(
+        q_image_dup_clusters(spark, sf_dir), _t(spark, sf_dir, "documents")
     )
 
 

@@ -766,12 +766,26 @@ def dedup_survivorship(
     window partitioned by cluster — parallel across clusters, no global
     sort, no rank-then-self-join (first over the ordered window tags
     every row with its cluster's head in the same pass)."""
-    from pyspark.sql import Window
-
     pairs = minhash_lsh_candidates(df, num_hashes, bands, n, text_col, id_col)
     clusters = dedup_clusters(pairs, max_iters=max_iters, strict=strict)
+    return survivors_from_clusters(clusters, df, text_col, id_col)
+
+
+def survivors_from_clusters(
+    clusters: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cluster_id, survivor_id, keep): the shared survivor
+    election — longest text, ties to lowest id, keep marks the survivor
+    — over any (doc_id, cluster_id) assignment.  ONE place for the rule:
+    both the MinHash survivorship pipeline and the perceptual-image twin
+    call this, so the tie semantics cannot drift between their oracles."""
+    from pyspark.sql import Window
+
     sized = clusters.join(
-        df.select(
+        docs.select(
             F.col(id_col).alias("doc_id"), F.length(text_col).alias("_len")
         ),
         "doc_id",

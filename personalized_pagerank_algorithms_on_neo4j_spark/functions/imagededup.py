@@ -266,11 +266,12 @@ WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= {int(ma
 """
 
 
-def dup_clusters_oracle_sql(docs_sql: str, max_hamming: int = MAX_HAMMING) -> str:
-    """Connected components over the brute-force near-dup pairs via
-    exact recursive closure (no depth bound to guard)."""
-    return f"""
-WITH RECURSIVE {_dhash_sql(gray_fixture_sql(docs_sql))},
+def _clusters_sql(docs_sql: str, max_hamming: int) -> str:
+    """Shared CTE chain (brute-force pairs -> exact recursive closure ->
+    min-label clusters) for the cluster and survivorship oracles — ONE
+    place for the pairing predicate and closure, mirroring what
+    ``_dhash_sql`` does for the hash CTEs."""
+    return f"""{_dhash_sql(gray_fixture_sql(docs_sql))},
 img_pair AS MATERIALIZED (
   SELECT a.doc_id AS u, b.doc_id AS v
   FROM img_hash a JOIN img_hash b ON a.doc_id < b.doc_id
@@ -283,8 +284,18 @@ img_r(a, b) AS (
   SELECT a, a FROM (SELECT a FROM img_und UNION SELECT b FROM img_und) n0
   UNION
   SELECT rr.a, p.b FROM img_r rr JOIN img_und p ON rr.b = p.a
-)
-SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id FROM img_r GROUP BY a
+),
+img_cl AS MATERIALIZED (
+  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id FROM img_r GROUP BY a
+)"""
+
+
+def dup_clusters_oracle_sql(docs_sql: str, max_hamming: int = MAX_HAMMING) -> str:
+    """Connected components over the brute-force near-dup pairs via
+    exact recursive closure (no depth bound to guard)."""
+    return f"""
+WITH RECURSIVE {_clusters_sql(docs_sql, max_hamming)}
+SELECT doc_id, cluster_id FROM img_cl
 """
 
 
@@ -364,27 +375,12 @@ def media_dhash(media: DataFrame) -> DataFrame:
 
 def dup_survivors_oracle_sql(docs_sql: str, max_hamming: int = MAX_HAMMING) -> str:
     """Survivorship over the image duplicate clusters: ONE survivor per
-    cluster, longest text (ties -> lowest id — both deterministic).
-    Brute-force pairs + exact recursive closure, so the gate checks the
-    whole detection -> components -> election chain semantically."""
+    cluster, longest text (ties -> lowest id — the SHARED election rule,
+    see functions/dedup.survivors_from_clusters).  Reuses the cluster
+    CTE chain verbatim, so the two oracles cannot disagree about
+    membership."""
     return f"""
-WITH RECURSIVE {_dhash_sql(gray_fixture_sql(docs_sql))},
-img_pair AS MATERIALIZED (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM img_hash a JOIN img_hash b ON a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= {int(max_hamming)}
-),
-img_und AS MATERIALIZED (
-  SELECT u AS a, v AS b FROM img_pair UNION SELECT v, u FROM img_pair
-),
-img_r(a, b) AS (
-  SELECT a, a FROM (SELECT a FROM img_und UNION SELECT b FROM img_und) n0
-  UNION
-  SELECT rr.a, p.b FROM img_r rr JOIN img_und p ON rr.b = p.a
-),
-img_cl AS MATERIALIZED (
-  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id FROM img_r GROUP BY a
-),
+WITH RECURSIVE {_clusters_sql(docs_sql, max_hamming)},
 img_sized AS (
   SELECT c.doc_id, c.cluster_id, LENGTH(d.text) AS len
   FROM img_cl c JOIN documents d ON d.doc_id = c.doc_id

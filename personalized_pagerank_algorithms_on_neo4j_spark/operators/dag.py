@@ -11,10 +11,12 @@ Algorithm: monotone max-plus relaxation — every round one in-edge join +
 one node-keyed max; layers only ever INCREASE and the recursion reaches
 a fixed point iff the graph is acyclic (on a cycle the max-plus walk
 grows forever), so the convergence probe doubles as distributed CYCLE
-DETECTION: ``strict`` raises when ``max_rounds`` passes without a fixed
-point instead of returning silently-truncated depths.  Rounds needed =
-DAG depth, so the fixed-round oracle trick applies (rounds past the
-fixed point are no-ops) and the DuckDB twin is an exact unroll.
+DETECTION: ``strict`` raises when the round budget passes without a
+fixed point instead of returning silently-truncated depths.  A depth-d
+DAG needs d relaxation rounds plus ONE confirming no-op round (budgeted
+separately by the loop), so the fixed-round oracle trick applies
+(rounds past the fixed point are no-ops) and the DuckDB twin is an
+exact unroll.
 
 Scale shape: state is one (node, layer) frame; each round is the same
 edges⋈state + groupBy-max profile as every superstep verb here, run
@@ -33,16 +35,19 @@ from ..plans.iterative import (
     stats_reset_checkpoint,
 )
 
-DAG_MAX_ROUNDS = 64  # covers depth-64 DAGs; convergence breaks out early
+DAG_MAX_ROUNDS = 64  # supported DAG depth; convergence breaks out early
 
 
 def topological_layers(
     edges: DataFrame, max_rounds: int = DAG_MAX_ROUNDS, strict: bool = True
 ) -> DataFrame:
     """(node, layer): longest-path-from-source depth of every node of
-    ``edges(src, dst)``.  Raises (``strict``) if no fixed point within
-    ``max_rounds`` — which for a reachable cycle is guaranteed, so this
-    is also the engine's cycle detector."""
+    ``edges(src, dst)``.  ``max_rounds`` is the supported DEPTH: a
+    depth-d DAG needs d relaxation rounds plus ONE no-op round to
+    confirm the fixed point, so the loop runs max_rounds + 1 times.
+    Raises (``strict``) if no fixed point by then — which for a
+    reachable cycle is guaranteed, so this is also the engine's cycle
+    detector."""
     spark = edges.sparkSession
     e = stats_reset_checkpoint(
         edges.select(
@@ -68,7 +73,8 @@ def topological_layers(
     prev = _sum(layers)
     converged = False
     with static_superstep_plan(spark, loop_shuffle_partitions(spark, n0)):
-        for _ in range(int(max_rounds)):
+        # + 1: the confirming no-op round (depth d converges at round d+1)
+        for _ in range(int(max_rounds) + 1):
             relaxed = (
                 e.join(
                     layers.select(
@@ -91,9 +97,9 @@ def topological_layers(
             prev = cur
     if strict and not converged:
         raise RuntimeError(
-            f"topological_layers: no fixed point within max_rounds="
-            f"{max_rounds} — the graph has a cycle (or raise max_rounds "
-            "for a deeper DAG)"
+            f"topological_layers: no fixed point after max_rounds="
+            f"{max_rounds} relaxations (+1 confirm) — the graph has a "
+            "cycle (or raise max_rounds for a deeper DAG)"
         )
     return layers
 

@@ -57,3 +57,15 @@ def test_layers_match_oracle_on_random_dags(spark):
             ).fetchall()
         )
         assert got == want
+
+
+def test_depth_equals_max_rounds_is_not_a_false_cycle(spark):
+    """max_rounds is the supported DEPTH: a depth-8 chain must succeed
+    at max_rounds=8 (the confirming no-op round is budgeted separately)
+    and raise only below the true depth."""
+    chain = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    got = {r["node"]: r["layer"] for r in topological_layers(df, max_rounds=8).collect()}
+    assert got[8] == 8 and got[0] == 0
+    with pytest.raises(RuntimeError, match="cycle"):
+        topological_layers(df, max_rounds=7).count()
