@@ -3086,29 +3086,19 @@ SELECT shard, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
 FROM s GROUP BY shard
 """
-_REGISTRY_SQL["curriculum_order"] = f"""
-WITH b AS (
-  SELECT doc_id,
-    {_SQL_LEN_SCORE} AS len_score,
-    {_sql_sw_raw('en')} AS sw_raw,
-    {_SQL_PUNCT_RAW} AS punct_raw
-  FROM documents
-),
-q AS (
-  -- bucket from the RAW quality (bit-exact cross-engine); the rounded
-  -- quality is display-only (the .5-boundary ROUND divergence must not
-  -- flip a bucket)
-  SELECT doc_id,
-         {_sql_quality_combine('len_score', 'sw_raw', 'punct_raw')} AS quality,
-         {_sql_quality_raw('len_score', 'sw_raw', 'punct_raw')} AS q_raw
-  FROM b
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.sharding import (  # noqa: E402
+    curriculum_order_oracle_sql,
 )
-SELECT doc_id, quality,
-       least(CAST(floor((1.0 - q_raw) * {CURRICULUM_BUCKETS}) AS BIGINT),
-             {CURRICULUM_BUCKETS - 1}) AS bucket,
-       {_sql_hash('CAST(doc_id AS VARCHAR)', str(CURRICULUM_SEED))} AS order_key
-FROM q
-"""
+
+_REGISTRY_SQL["curriculum_order"] = curriculum_order_oracle_sql(
+    CURRICULUM_BUCKETS,
+    len_sql=_SQL_LEN_SCORE,
+    sw_sql=_sql_sw_raw("en"),
+    punct_sql=_SQL_PUNCT_RAW,
+    quality_sql=_sql_quality_combine("len_score", "sw_raw", "punct_raw"),
+    quality_raw_sql=_sql_quality_raw("len_score", "sw_raw", "punct_raw"),
+    order_key_sql=_sql_hash("CAST(doc_id AS VARCHAR)", str(CURRICULUM_SEED)),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -5254,31 +5244,9 @@ def q_dedup_eval(spark, sf_dir):
 
 _REGISTRY_Q["dedup_eval"] = q_dedup_eval
 
-_REGISTRY_SQL["dedup_eval"] = f"""
-WITH de_true AS MATERIALIZED (
-  SELECT doc_a, doc_b FROM ({_SQL_NGRAM_PAIRS_05})
-),
-de_cand AS MATERIALIZED (
-  SELECT doc_a, doc_b FROM ({_REGISTRY_SQL["minhash_lsh_candidates"]})
-),
-de_hit AS (
-  SELECT t.doc_a, t.doc_b FROM de_true t
-  JOIN de_cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
-),
-de_n AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM de_true) AS n_true,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM de_cand) AS n_cand,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM de_hit) AS n_hit
+_REGISTRY_SQL["dedup_eval"] = _dedup.dedup_eval_oracle_sql(
+    _SQL_NGRAM_PAIRS_05, _REGISTRY_SQL["minhash_lsh_candidates"]
 )
-SELECT n_true, n_cand, n_hit,
-       CASE WHEN n_cand > 0
-            THEN ROUND(CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) END
-         AS precision,
-       CASE WHEN n_true > 0
-            THEN ROUND(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END
-         AS recall
-FROM de_n
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -5827,6 +5795,51 @@ _REGISTRY_SQL["image_survivors"] = _imagededup.dup_survivors_oracle_sql(_DOCS_SQ
 
 
 # ---------------------------------------------------------------------------
+# Block 57: link-prediction trio + double-sweep diameter lower bound
+# ---------------------------------------------------------------------------
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (  # noqa: E402
+    link_prediction_oracle_sql,
+    link_prediction_scores,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.bfs import (  # noqa: E402
+    diameter_double_sweep,
+    diameter_oracle_sql,
+)
+
+DIAM_MAX_HOPS, LP_HUB_CAP = 20, 50  # audited at sf0.01: mid-degree spectrum is bimodal (rare
+# mids <= 50, nation hubs ~600); cap 50 keeps 2,163 non-trivial pairs vs
+# ~1.1M quadratic noise pairs from the uncapped nation hubs
+
+
+def q_link_prediction(spark, sf_dir):
+    """(node_a, node_b, n_common, pref_attachment, ra_score): common
+    neighbors, preferential attachment, and resource allocation per
+    OUT-neighbor-sharing pair — adamic_adar's siblings, same directed
+    convention and integer determinism contract."""
+    return link_prediction_scores(
+        _graph(spark, sf_dir).edges, hub_cap=LP_HUB_CAP
+    )
+
+
+def q_graph_diameter(spark, sf_dir):
+    """(far_a, far_b, diameter_lb): double-sweep diameter lower bound
+    of the undirected reading (exact on trees; scoped to the smallest
+    node's component, like every double sweep)."""
+    return diameter_double_sweep(_graph(spark, sf_dir).edges, max_hops=DIAM_MAX_HOPS)
+
+
+_REGISTRY_Q["link_prediction"] = q_link_prediction
+_REGISTRY_Q["graph_diameter"] = q_graph_diameter
+_REGISTRY_SQL["link_prediction"] = link_prediction_oracle_sql(
+    GRAPH_EDGES_SQL, hub_cap=LP_HUB_CAP
+)
+_REGISTRY_SQL["graph_diameter"] = diameter_oracle_sql(
+    GRAPH_EDGES_SQL, max_hops=DIAM_MAX_HOPS
+)
+
+
+# ---------------------------------------------------------------------------
 # Block 27: registry ordering for the driver's correctness-snapshot window
 # ---------------------------------------------------------------------------
 # The driver's correctness snapshot observes only the FIRST ~50 queries()
@@ -5860,6 +5873,8 @@ _R8_NEW: list[str] = [
     "graph_wl_colors",     # r8: 1-WL color refinement fingerprints
     "graph_topo_layers",   # r8: DAG topological layers / cycle detection
     "image_survivors",     # r8: survivor election over image dup clusters
+    "link_prediction",     # r8: CN / pref-attachment / resource allocation
+    "graph_diameter",      # r8: double-sweep diameter lower bound
 ]
 
 # (a3) stale anchors: none this round (ppr_power rotates back in via the

@@ -1129,3 +1129,33 @@ SELECT s.doc_id, s.n_sh,
          AS contamination
 FROM sizes s LEFT JOIN common c ON s.doc_id = c.doc_id
 """
+
+
+def dedup_eval_oracle_sql(true_pairs_sql: str, cand_pairs_sql: str) -> str:
+    """DuckDB twin of the candidate-set evaluation: precision/recall of
+    ANY (doc_a, doc_b) candidate SQL against a ground-truth pair SQL."""
+    return f"""
+WITH de_true AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({true_pairs_sql})
+),
+de_cand AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({cand_pairs_sql})
+),
+de_hit AS (
+  SELECT t.doc_a, t.doc_b FROM de_true t
+  JOIN de_cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+de_n AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM de_true) AS n_true,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM de_cand) AS n_cand,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM de_hit) AS n_hit
+)
+SELECT n_true, n_cand, n_hit,
+       CASE WHEN n_cand > 0
+            THEN ROUND(CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) END
+         AS precision,
+       CASE WHEN n_true > 0
+            THEN ROUND(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END
+         AS recall
+FROM de_n
+"""

@@ -1221,3 +1221,107 @@ FROM (
   GROUP BY snap_from, snap_to
 ) c
 """
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    hub_cap: int | None = 1_000,
+    min_common: int = 1,
+) -> DataFrame:
+    """(node_a, node_b, n_common, pref_attachment, ra_score): the
+    remaining gds.alpha.linkprediction trio beside `adamic_adar`, in the
+    same directed convention (pairs share OUT-neighbors):
+
+    - n_common            common neighbors (integer count);
+    - pref_attachment     out_deg(a) * out_deg(b) (pure integer);
+    - ra_score            resource allocation = sum over shared w of
+                          1 / in_deg(w).
+
+    Same scale shape and determinism contract as `adamic_adar`: pairs
+    generate per shared (hub-capped) neighbor, weights summed as
+    NANO-SCALED integers (round(1e9/d) — the scalar divide+round is
+    bit-identical cross-engine; the SUM is exact in any order), HALF-UP
+    to 6 decimals in integer arithmetic.  ``min_common`` drops pairs
+    below that many shared neighbors — the standard result bound (one
+    shared mid is mostly noise and quadratically many pairs)."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)  # pair sides + both degree aggs
+    ind = e.groupBy(F.col("dst").alias("mid")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    mids = ind.where(F.col("in_deg") >= 2)
+    if hub_cap is not None:
+        mids = mids.where(F.col("in_deg") <= hub_cap)
+    weights = mids.select(
+        "mid",
+        F.round(F.lit(1e9) / F.col("in_deg").cast("double"))
+        .cast("long")
+        .alias("w_nano"),
+    )
+    outd = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    a = e.select(F.col("src").alias("node_a"), F.col("dst").alias("mid"))
+    b = e.select(F.col("src").alias("node_b"), F.col("dst").alias("mid"))
+    pairs = (
+        a.join(weights, "mid")
+        .join(b, "mid")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            (
+                F.floor((F.sum("w_nano") + F.lit(500)) / F.lit(1000)).cast("long")
+                / F.lit(1e6)
+            ).alias("ra_score"),
+        )
+        .where(F.col("n_common") >= int(min_common))
+    )
+    da = outd.select(F.col("node").alias("node_a"), F.col("out_deg").alias("_da"))
+    db = outd.select(F.col("node").alias("node_b"), F.col("out_deg").alias("_db"))
+    return (
+        pairs.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            (F.col("_da") * F.col("_db")).cast("long").alias("pref_attachment"),
+            "ra_score",
+        )
+    )
+
+
+def link_prediction_oracle_sql(
+    edges_sql: str, hub_cap: int | None = 1_000, min_common: int = 1
+) -> str:
+    """DuckDB twin of `link_prediction_scores` over any (src, dst) SQL."""
+    cap = f"AND in_deg <= {hub_cap}" if hub_cap is not None else ""
+    return f"""
+WITH raw AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+w AS (
+  SELECT mid,
+         CAST(ROUND(1000000000.0 / CAST(in_deg AS DOUBLE)) AS BIGINT) AS w_nano
+  FROM (
+    SELECT dst AS mid, COUNT(*) AS in_deg FROM e GROUP BY 1
+  ) WHERE in_deg >= 2 {cap}
+),
+outd AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY 1),
+pairs AS (
+  SELECT a.src AS node_a, b.src AS node_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         ((CAST(SUM(w.w_nano) AS BIGINT) + 500) // 1000) / 1000000.0 AS ra_score
+  FROM e a
+  JOIN w ON a.dst = w.mid
+  JOIN e b ON b.dst = a.dst AND a.src < b.src
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {int(min_common)}
+)
+SELECT p.node_a, p.node_b, p.n_common,
+       CAST(da.out_deg * db.out_deg AS BIGINT) AS pref_attachment,
+       p.ra_score
+FROM pairs p
+JOIN outd da ON p.node_a = da.node
+JOIN outd db ON p.node_b = db.node
+"""

@@ -264,3 +264,39 @@ SELECT CAST(LEAST(zkey // {span}, {int(n_shards) - 1}) AS BIGINT) AS shard,
        MIN(a) AS a_min, MAX(a) AS a_max, MIN(b) AS b_min, MAX(b) AS b_max
 FROM zlay GROUP BY 1
 """
+
+
+def curriculum_order_oracle_sql(
+    n_buckets: int,
+    len_sql: str,
+    sw_sql: str,
+    punct_sql: str,
+    quality_sql: str,
+    quality_raw_sql: str,
+    order_key_sql: str,
+) -> str:
+    """DuckDB twin of ``curriculum_order``; the engine-shared quality /
+    hash fragments are passed in (they live beside the other oracles'
+    shared fragments in the entry registry).  The bucket quantizes the
+    RAW quality — bucketing the ROUND(q, 6) display value would re-open
+    the cross-engine .5-boundary flip."""
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    {len_sql} AS len_score,
+    {sw_sql} AS sw_raw,
+    {punct_sql} AS punct_raw
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         {quality_sql} AS quality,
+         {quality_raw_sql} AS q_raw
+  FROM b
+)
+SELECT doc_id, quality,
+       least(CAST(floor((1.0 - q_raw) * {int(n_buckets)}) AS BIGINT),
+             {int(n_buckets) - 1}) AS bucket,
+       {order_key_sql} AS order_key
+FROM q
+"""

@@ -246,3 +246,97 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached,
          AS closeness
 FROM md WHERE dist > 0 GROUP BY node
 """
+
+
+def diameter_double_sweep(
+    edges: DataFrame, max_hops: int = 20
+) -> DataFrame:
+    """One row (far_a, far_b, diameter_lb): the classic double-sweep
+    diameter lower bound over the UNDIRECTED reading — BFS from the
+    smallest node id to its farthest node u (ties -> smallest id), then
+    BFS from u; u's eccentricity lower-bounds the diameter (and is exact
+    on trees).  Scoped to the start node's component, like every
+    double-sweep.  Two bounded 1-row collects pick the sweep endpoints —
+    the same driver-traffic class as the engine's convergence probes.
+
+    Scale shape: two frontier BFS passes (the `bfs_distances` loop
+    shape) over the symmetrized edge table; nothing else."""
+    spark = edges.sparkSession
+    und = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = und.select("src").distinct().count()
+    s0 = int(und.agg(F.min("src")).collect()[0][0])
+
+    def _sweep(source: int) -> DataFrame:
+        dist = spark.createDataFrame([(source, 0)], "node long, dist int")
+        with static_superstep_plan(spark, loop_shuffle_partitions(spark, n)):
+            dist = dist.localCheckpoint(eager=True)
+            frontier = dist.select("node")
+            for h in range(1, max_hops + 1):
+                nxt = (
+                    frontier.join(und, frontier["node"] == und.src)
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
+                    .join(dist.select("node"), "node", "left_anti")
+                    .select("node", F.lit(h).cast("int").alias("dist"))
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.isEmpty():
+                    break
+                dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+                frontier = nxt.select("node")
+        return dist
+
+    def _far(dist: DataFrame) -> tuple[int, int]:
+        row = (
+            dist.orderBy(F.desc("dist"), F.asc("node")).limit(1).collect()[0]
+        )
+        return int(row["node"]), int(row["dist"])
+
+    u, _ = _far(_sweep(s0))
+    v, ecc = _far(_sweep(u))
+    a, b = (u, v) if u <= v else (v, u)
+    return spark.createDataFrame(
+        [(a, b, ecc)], "far_a long, far_b long, diameter_lb long"
+    )
+
+
+def diameter_oracle_sql(edges_sql: str, max_hops: int = 20) -> str:
+    """DuckDB twin: two nested recursive BFS closures with the identical
+    (dist DESC, node ASC) endpoint election."""
+    return f"""
+WITH RECURSIVE dd_e AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM ({edges_sql}) r1
+    UNION SELECT dst, src FROM ({edges_sql}) r2
+  ) u WHERE src <> dst
+),
+dd_s0 AS (SELECT MIN(src) AS s FROM dd_e),
+dd_w1(node, dist) AS (
+  SELECT s AS node, 0 AS dist FROM dd_s0
+  UNION
+  SELECT e.dst, w.dist + 1 FROM dd_w1 w JOIN dd_e e ON e.src = w.node
+  WHERE w.dist < {int(max_hops)}
+),
+dd_d1 AS (SELECT node, MIN(dist) AS dist FROM dd_w1 GROUP BY node),
+dd_u AS (SELECT node AS s FROM dd_d1 ORDER BY dist DESC, node ASC LIMIT 1),
+dd_w2(node, dist) AS (
+  SELECT s AS node, 0 AS dist FROM dd_u
+  UNION
+  SELECT e.dst, w.dist + 1 FROM dd_w2 w JOIN dd_e e ON e.src = w.node
+  WHERE w.dist < {int(max_hops)}
+),
+dd_d2 AS (SELECT node, MIN(dist) AS dist FROM dd_w2 GROUP BY node),
+dd_v AS (SELECT node, dist FROM dd_d2 ORDER BY dist DESC, node ASC LIMIT 1)
+SELECT CAST(LEAST(u.s, v.node) AS BIGINT) AS far_a,
+       CAST(GREATEST(u.s, v.node) AS BIGINT) AS far_b,
+       CAST(v.dist AS BIGINT) AS diameter_lb
+FROM dd_u u CROSS JOIN dd_v v
+"""
