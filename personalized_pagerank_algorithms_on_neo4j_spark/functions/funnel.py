@@ -549,6 +549,11 @@ def funnel_report_oracle_sql(steps: list[str]) -> str:
     the events table): per-user first timestamp per step, reached =
     deepest prefix whose first-touches are non-decreasing, then step
     counts and conversion vs step 1."""
+    if len(steps) < 2:
+        # With one step the n_users picker would emit a zero-branch
+        # `CASE s.step_idx ELSE n0 END`, which DuckDB rejects; a funnel
+        # needs at least two steps to be a funnel.
+        raise ValueError("funnel_report_oracle_sql needs >= 2 steps")
     in_list = ", ".join(f"'{s}'" for s in steps)
     firsts = ",\n         ".join(
         f"MIN(CASE WHEN event_type = '{s}' THEN ts END) AS t{i}"

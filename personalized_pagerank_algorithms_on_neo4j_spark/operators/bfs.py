@@ -272,7 +272,14 @@ def diameter_double_sweep(
         .localCheckpoint(eager=True)
     )
     n = und.select("src").distinct().count()
-    s0 = int(und.agg(F.min("src")).collect()[0][0])
+    s0_row = und.agg(F.min("src")).collect()[0][0]
+    if s0_row is None:
+        # Empty (or self-loop-only) edge table: no component to sweep.
+        # Same guard class as boruvka_msf's n0 == 0 early return.
+        return spark.createDataFrame(
+            [], "far_a long, far_b long, diameter_lb long"
+        )
+    s0 = int(s0_row)
 
     def _sweep(source: int) -> DataFrame:
         dist = spark.createDataFrame([(source, 0)], "node long, dist int")

@@ -2815,3 +2815,22 @@ def test_bpe_compression_oracle_on_merge_exhausted_corpus(spark):
     assert got == oracle
     # round 1 fuses 'a b' everywhere; rounds 2-3 find nothing; doc 3 inert
     assert got == [(1, 2, 1), (2, 2, 1), (3, 1, 1)]
+
+
+def test_funnel_oracle_builder_rejects_single_step():
+    """The generic oracle builder must refuse < 2 steps instead of
+    emitting a zero-WHEN `CASE s.step_idx ELSE n0 END` DuckDB rejects."""
+    import pytest as _pytest
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.funnel import (
+        funnel_report_oracle_sql,
+    )
+
+    with _pytest.raises(ValueError, match=">= 2 steps"):
+        funnel_report_oracle_sql(["view"])
+    with _pytest.raises(ValueError, match=">= 2 steps"):
+        funnel_report_oracle_sql([])
+    # the 3-step production shape still builds
+    assert "CASE s.step_idx WHEN 1" in funnel_report_oracle_sql(
+        ["view", "click", "purchase"]
+    )

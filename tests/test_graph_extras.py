@@ -66,3 +66,16 @@ def test_diameter_fixtures_and_oracle(spark):
         ).fetchone()
     )
     assert got == want
+
+
+def test_diameter_empty_and_selfloop_edges(spark):
+    """Empty or self-loop-only edge tables have no component to sweep:
+    the guard must return an empty frame, not TypeError on int(None)."""
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert diameter_double_sweep(empty).count() == 0
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    out = diameter_double_sweep(loops)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "far_a", "far_b", "diameter_lb"
+    ]
