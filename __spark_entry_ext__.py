@@ -1,0 +1,388 @@
+"""Overflow registration surface for `__spark_entry__.py`.
+
+The entry file carries a 6,000-line budget (it breached 5,994/6,000 at
+round 8); registration blocks past that budget live here.  The entry
+module imports this file at its merge point and calls
+``register(ctx)`` with its module globals — registrations land in the
+SAME ``_REGISTRY_Q`` / ``_REGISTRY_SQL`` dicts the driver reads, so
+``queries()`` / ``oracle_sql()`` in ``__spark_entry__`` remain the single
+driver surface.  This module never imports ``__spark_entry__`` (the ctx
+hand-off keeps the import graph acyclic); shared entry-level fixtures
+(`_t`, `_graph`, `ALPHA`, the URL/shingle SQL fragments) are injected
+into this module's globals by ``register`` BEFORE any query callable can
+run, so the relocated bodies below resolve them exactly as they did
+in-place.
+
+Relocated here at round 9: entry blocks 42-45 and 49 (snapshot
+PageRank, ANN recall, dedup-candidate evaluation, URL crawl policy,
+cross-snapshot edge diff — all r6-era, driver-observed green in r6).
+Round-9+ registrations are appended below and listed in ``R9_NEW``,
+which the entry's window-priority block (Block 27) imports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+    dedup as _dedup,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+    urlnorm as _urlnorm,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    GRAPH_NODES_SQL,
+    NATION_BASE,
+    SUPP_BASE,
+)
+
+# Shared entry fixtures injected by register(); named here so linters and
+# readers know exactly which names cross the boundary.
+_SHARED_FROM_ENTRY = (
+    "_t",
+    "_graph",
+    "ALPHA",
+    "_SQL_NGRAM_PAIRS_05",
+    "_URL_FIXTURE_EXPR",
+)
+
+# Round-9 registrations, window-priority head for Block 27 (same contract
+# as _R8_NEW: each key displaces the rotation-debt tail past position 50;
+# COVERAGE.md r9 row + tests/test_entry.py ledger test updated in the same
+# commit as any append).
+R9_NEW: list[str] = []
+
+
+# ---------------------------------------------------------------------------
+# Block 42 (relocated): snapshot (time-sliced) PageRank
+# ---------------------------------------------------------------------------
+# operators/pagerank.pagerank_snapshots: per-order-year customer->supplier
+# graphs (static nation edges in every snapshot), ALL years batched
+# through one superstep loop with (year, node)-keyed state — the
+# sssp_landmarks batching pattern applied to graphs-over-time.
+
+PAGERANK_SNAP_ITERS = 6
+
+SNAP_EDGES_SQL = f"""
+SELECT snap, src, dst FROM (
+  SELECT DISTINCT CAST(year(o.o_orderdate) AS BIGINT) AS snap,
+         CAST(o.o_custkey AS BIGINT) AS src,
+         CAST(l.l_suppkey + {SUPP_BASE} AS BIGINT) AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  UNION ALL
+  SELECT y.snap, e.src, e.dst FROM (
+    SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS snap FROM orders
+  ) y CROSS JOIN (
+    SELECT CAST(s_suppkey + {SUPP_BASE} AS BIGINT) AS src,
+           CAST(s_nationkey + {NATION_BASE} AS BIGINT) AS dst
+    FROM supplier
+    UNION ALL
+    SELECT CAST(c_custkey AS BIGINT), CAST(c_nationkey + {NATION_BASE} AS BIGINT)
+    FROM customer
+  ) e
+)
+"""
+
+
+def _snap_edges(spark, sf_dir):
+    """(snap, src, dst): the per-order-year snapshot edge table shared by
+    `pagerank_snapshots` and `graph_snapshot_diff` (SQL twin:
+    SNAP_EDGES_SQL)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    cs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("snap"),
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + SUPP_BASE).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    years = orders.select(
+        F.year("o_orderdate").cast("long").alias("snap")
+    ).distinct()
+    static = supplier.select(
+        (F.col("s_suppkey") + SUPP_BASE).cast("long").alias("src"),
+        (F.col("s_nationkey") + NATION_BASE).cast("long").alias("dst"),
+    ).unionAll(
+        customer.select(
+            F.col("c_custkey").cast("long").alias("src"),
+            (F.col("c_nationkey") + NATION_BASE).cast("long").alias("dst"),
+        )
+    )
+    return cs.unionByName(years.crossJoin(static).select("snap", "src", "dst"))
+
+
+def q_pagerank_snapshots(spark, sf_dir):
+    """Per-order-year PageRank trend over the customer->supplier->nation
+    graph, every yearly snapshot batched through ONE superstep loop with
+    (year, node)-keyed state (operators/pagerank.pagerank_snapshots)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+        pagerank_snapshots,
+    )
+
+    g = _graph(spark, sf_dir)
+    df = pagerank_snapshots(
+        _snap_edges(spark, sf_dir), g.nodes, iterations=PAGERANK_SNAP_ITERS,
+        alpha=ALPHA,
+    )
+    return df.select("snap", "node", F.round("score", 9).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Block 43 (relocated): ANN recall evaluation (LSH index vs brute-force
+# cosine)
+# ---------------------------------------------------------------------------
+# functions/simsearch.ann_recall: recall@k of the banded-LSH index against
+# exact cosine over a probe set — the index-quality measurement loop.
+
+ANN_RECALL_QUERIES = [0, 1, 2, 3, 4, 5, 6, 7]
+ANN_RECALL_K = 10
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the 16-dim/4-band LSH index vs brute-force cosine for
+    eight probe vectors (functions/simsearch.ann_recall — index built
+    once, probes equi-join it)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (
+        ann_recall,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_recall(
+        e, query_ids=ANN_RECALL_QUERIES, k=ANN_RECALL_K, sketch_dims=16, bands=4
+    )
+
+
+def _ann_recall_oracle_sql(query_ids, k=10):
+    """Replays ann_recall: the same sign-sketch bands and ROUND(cos, 6)
+    scores as the simsearch_lsh / cosine_topk oracles, per probe."""
+    cos = lambda a, b: (  # noqa: E731
+        f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * SQRT(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+    )
+    band = lambda col, b: f"CAST(FLOOR({col} / POW(2.0, {b * 4})) AS BIGINT) % 16"  # noqa: E731
+    sketch16 = """(SELECT e2.vec_id, e2.embedding,
+      CAST(list_sum(list_transform(range(0, 16),
+           i -> CASE WHEN CAST(e2.embedding[i+1] AS DOUBLE) > 0
+                     THEN CAST(POW(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sk16
+    FROM embeddings e2)"""
+    ctes = [
+        f"""ar_sk AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {band('sk16', 0)} AS band0, {band('sk16', 1)} AS band1,
+         {band('sk16', 2)} AS band2, {band('sk16', 3)} AS band3
+  FROM {sketch16} t)"""
+    ]
+    ex_parts, ap_parts = [], []
+    for qid in query_ids:
+        ctes.append(
+            f"""ar_q{qid} AS (
+  SELECT embedding AS qe, band0 AS q0, band1 AS q1, band2 AS q2, band3 AS q3
+  FROM ar_sk WHERE vec_id = {qid})"""
+        )
+        ctes.append(
+            f"""ar_ex{qid} AS (
+  SELECT CAST({qid} AS BIGINT) AS query_id, vec_id AS id FROM (
+    SELECT s.vec_id, ROUND({cos('s.embedding', 'q.qe')}, 6) AS cosine
+    FROM ar_sk s CROSS JOIN ar_q{qid} q)
+  QUALIFY RANK() OVER (ORDER BY cosine DESC) <= {k})"""
+        )
+        ctes.append(
+            f"""ar_ap{qid} AS (
+  SELECT CAST({qid} AS BIGINT) AS query_id, vec_id AS id FROM (
+    SELECT s.vec_id, ROUND({cos('s.embedding', 'q.qe')}, 6) AS cosine
+    FROM ar_sk s CROSS JOIN ar_q{qid} q
+    WHERE s.band0 = q.q0 OR s.band1 = q.q1 OR s.band2 = q.q2 OR s.band3 = q.q3)
+  QUALIFY RANK() OVER (ORDER BY cosine DESC) <= {k})"""
+        )
+        ex_parts.append(f"SELECT * FROM ar_ex{qid}")
+        ap_parts.append(f"SELECT * FROM ar_ap{qid}")
+    ctes.append("ar_exact AS (" + "\nUNION ALL ".join(ex_parts) + ")")
+    ctes.append("ar_approx AS (" + "\nUNION ALL ".join(ap_parts) + ")")
+    ctes.append(
+        """ar_ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM ar_exact GROUP BY 1)"""
+    )
+    ctes.append(
+        """ar_nh AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ar_exact e JOIN ar_approx a ON e.query_id = a.query_id AND e.id = a.id
+  GROUP BY 1)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT ne.query_id, ne.n_exact,
+       COALESCE(nh.n_hit, 0) AS n_hit,
+       ROUND(CAST(COALESCE(nh.n_hit, 0) AS DOUBLE)
+             / CAST(ne.n_exact AS DOUBLE), 6) AS recall
+FROM ar_ne ne LEFT JOIN ar_nh nh ON ne.query_id = nh.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Block 44 (relocated): dedup-candidate evaluation (LSH precision/recall vs
+# exact Jaccard)
+# ---------------------------------------------------------------------------
+# The measurement loop for the dedup family, mirroring ann_recall for the
+# ANN family: how many true near-dup pairs (exact shingle Jaccard >= 0.5)
+# does the banded MinHash-LSH candidate generator find, and how much junk
+# does it emit. Tuning bands/rows at corpus scale is exactly this tradeoff.
+
+
+def q_dedup_eval(spark, sf_dir):
+    """One metrics row (n_true, n_cand, n_hit, precision, recall): the
+    MinHash-LSH candidate set (8 hashes x 4 bands) scored against exact
+    3-shingle Jaccard >= 0.5 pairs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    true_pairs = (
+        _dedup.ngram_jaccard_pairs(d, threshold=0.5, n=3, max_shingle_df=1000)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # feeds the hit join AND its count
+    )
+    cands = (
+        _dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4, n=3)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    hits = true_pairs.join(cands, ["doc_a", "doc_b"], "left_semi")
+    nt = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    nc = cands.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.when(
+                F.col("n_cand") > 0,
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_cand").cast("double"),
+                    6,
+                ),
+            ).alias("precision"),
+            F.when(
+                F.col("n_true") > 0,
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+                    6,
+                ),
+            ).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block 45 (relocated): URL crawl-policy filtering (robots-style
+# longest-prefix rules)
+# ---------------------------------------------------------------------------
+# functions/urlnorm.url_policy_decisions over the shared URL fixture:
+# every even-numbered site denies its /p/ content pages but re-allows the
+# /p/1* subset — longest-match precedence, the robots.txt semantics.
+
+
+def _url_policy_rules() -> list[tuple[str, bool]]:
+    # the fixture's TLD comes from user_id % 3 INDEPENDENTLY of the site
+    # number (user_id % 50), so each site appears under all three TLD
+    # hosts — rules must cover every variant or 2/3 of an even site's
+    # mentions silently default-allow
+    rules = []
+    for k in range(0, 50, 2):
+        for tld in ("co.uk", "com", "org"):
+            base = f"https://site{k}.example.{tld}/p/"
+            rules.append((base, False))
+            rules.append((base + "1", True))
+    return rules
+
+
+def q_url_policy(spark, sf_dir):
+    """Crawl-policy report over canonicalized event urls: mentions and
+    distinct pages per (host, allowed) under the longest-prefix-match
+    rule set (functions/urlnorm.url_policy_decisions)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr(_URL_FIXTURE_EXPR).alias("url")
+    )
+    dec = _urlnorm.url_policy_decisions(e, _url_policy_rules())
+    return dec.groupBy("host", "allowed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("canon").alias("n_pages"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block 49 (relocated): cross-snapshot edge diff (graph churn between
+# yearly slices)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_snapshot_diff(spark, sf_dir):
+    """(snap_from, snap_to, n_added, n_removed, n_kept, jaccard): edge
+    churn between consecutive order-year graph snapshots."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        snapshot_edge_diff,
+    )
+
+    return snapshot_edge_diff(_snap_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# register(): the entry hand-off
+# ---------------------------------------------------------------------------
+
+
+def register(ctx: dict) -> None:
+    """Install every relocated/overflow registration into the entry's
+    registries.  `ctx` is `__spark_entry__`'s module globals; the shared
+    fixtures in _SHARED_FROM_ENTRY are injected into THIS module's
+    globals first so the query callables above resolve them at call
+    time."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        snapshot_edge_diff_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+        pagerank_snapshots_oracle_sql,
+    )
+
+    g = globals()
+    for name in _SHARED_FROM_ENTRY:
+        g[name] = ctx[name]
+    Q, SQL = ctx["_REGISTRY_Q"], ctx["_REGISTRY_SQL"]
+
+    Q["pagerank_snapshots"] = q_pagerank_snapshots
+    SQL["pagerank_snapshots"] = pagerank_snapshots_oracle_sql(
+        SNAP_EDGES_SQL, GRAPH_NODES_SQL,
+        iterations=PAGERANK_SNAP_ITERS, alpha=ctx["ALPHA"],
+    )
+
+    Q["ann_recall"] = q_ann_recall
+    SQL["ann_recall"] = _ann_recall_oracle_sql(
+        ANN_RECALL_QUERIES, k=ANN_RECALL_K
+    )
+
+    Q["dedup_eval"] = q_dedup_eval
+    SQL["dedup_eval"] = _dedup.dedup_eval_oracle_sql(
+        ctx["_SQL_NGRAM_PAIRS_05"], SQL["minhash_lsh_candidates"]
+    )
+
+    url_rules_values = "VALUES " + ", ".join(
+        f"('{p}', {'TRUE' if a else 'FALSE'})" for p, a in _url_policy_rules()
+    )
+    Q["url_policy"] = q_url_policy
+    SQL["url_policy"] = f"""
+WITH up_dec AS (
+  {_urlnorm.url_policy_oracle_sql(ctx["_URL_FIXTURE_EXPR"], url_rules_values, table="events")}
+)
+SELECT host, allowed, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_pages
+FROM up_dec GROUP BY 1, 2
+"""
+
+    Q["graph_snapshot_diff"] = q_graph_snapshot_diff
+    SQL["graph_snapshot_diff"] = snapshot_edge_diff_sql(SNAP_EDGES_SQL)

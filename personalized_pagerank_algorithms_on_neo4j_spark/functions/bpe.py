@@ -231,3 +231,316 @@ SELECT a.doc_id,
 FROM bpa_t0 a JOIN bpa_t{rounds} z ON a.doc_id = z.doc_id
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched BPE training + longest-match apply (the realistic-vocab path)
+# ---------------------------------------------------------------------------
+# `bpe_merges`/`bpe_compression` above replay ONE merge per round — exact
+# greedy BPE, but a 50k-merge production vocab would mean 50k driver
+# round-trips and 50k corpus scans.  The scalable pair below fixes both
+# ends of the pipeline:
+#
+# * TRAIN — `bpe_merges_batched`: each round takes the TOP-B pairs of the
+#   round-opening counts at once and applies them sequentially in rank
+#   order (a deterministic batched-greedy variant: counts are NOT
+#   refreshed inside a batch, so a batch member may fuse fewer occurrences
+#   than its opening count promised — the standard accuracy/speed trade
+#   of batched BPE).  A [128,64,32,16,16] schedule learns 256 merges in
+#   FIVE corpus passes instead of 256.  Merged symbols are joined with
+#   "_" (tokens are lowercase alnum, so the joint is unambiguous and a
+#   piece's word sequence is recoverable by splitting on "_").
+# * APPLY — `bpe_longest_match_counts`: greedy maximal-munch tokenization
+#   against the learned piece vocabulary (the WordPiece-style apply; it
+#   is NOT merge-order replay, and the two can differ on adversarial
+#   vocabularies — documented, standard).  Greedy munch looks sequential,
+#   but next(pos) = pos + maxlen(pos) is a FUNCTIONAL GRAPH on word
+#   positions, so the walk from position 0 is computed by pointer
+#   doubling in ceil(log2(max_doc_words)) supersteps — no Python in the
+#   loop, no per-document recursion, 100 TB-shaped.
+#
+# Cross-engine exactness: batch selection is a strict (n DESC, lhs, rhs)
+# total order (binary string compare in both engines over the
+# lowercase-alnum + "_" alphabet); batch application is a LEFT FOLD of
+# literal replaces in rank order (Spark F.aggregate == DuckDB
+# list_reduce(list_prepend(...))); the doubling recurrence is unrolled to
+# a FIXED round count in the oracle (extra rounds are no-ops past
+# convergence, the engine computes its round count from one max-words
+# aggregate).
+
+BATCH_SCHEDULE = [128, 64, 32, 16, 16]  # 256 merges in five rounds
+ENCODE_DOUBLING_ROUNDS = 8  # oracle unroll: handles docs up to 2^8 tokens
+
+
+def bpe_merges_batched(
+    docs: DataFrame,
+    schedule: list[int] | None = None,
+    text_col: str = "text",
+) -> list[tuple[int, int, str, str, int]]:
+    """(round, rank, lhs, rhs, n) tuples: the batched-greedy merge table
+    (see block comment).  Returned driver-side — the merge table is the
+    bounded trained artifact (sum(schedule) rows), exactly the class of
+    driver traffic the 1-row-per-round trainer already produces."""
+    schedule = BATCH_SCHEDULE if schedule is None else schedule
+    texts = docs.select(_stream(F.col(text_col)).alias("s")).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[int, int, str, str, int]] = []
+    for rnd, batch_size in enumerate(schedule):
+        toks = F.split(F.trim(F.col("s")), "  ")
+        pairs = (
+            texts.select(toks.alias("t"))
+            .select(
+                F.posexplode_outer(
+                    F.zip_with(
+                        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                    )
+                ).alias("_p", "pr")
+            )
+            .where(F.col("pr").isNotNull())
+            .select("pr.lhs", "pr.rhs")
+        )
+        batch = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
+            .limit(batch_size)
+            .collect()
+        )
+        if not batch:
+            break
+        merges.extend(
+            (rnd, rank, r["lhs"], r["rhs"], r["n"]) for rank, r in enumerate(batch)
+        )
+        fold = F.array(
+            *[
+                F.struct(
+                    F.lit(f" {r['lhs']}  {r['rhs']} ").alias("f"),
+                    F.lit(f" {r['lhs']}_{r['rhs']} ").alias("r"),
+                )
+                for r in batch
+            ]
+        )
+        texts = texts.select(
+            F.aggregate(
+                fold, F.col("s"), lambda acc, m: F.replace(acc, m["f"], m["r"])
+            ).alias("s")
+        ).localCheckpoint(eager=True)  # next round re-reads it
+    return merges
+
+
+def bpe_longest_match_counts(
+    docs: DataFrame,
+    pieces: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens): greedy longest-match tokenization of
+    each document against ``pieces`` (multi-word vocabulary entries joined
+    by "_"; single words are always implicit fallback tokens), by pointer
+    doubling over the next(pos) = pos + maxlen(pos) functional graph —
+    see the block comment for the scale argument."""
+    from ..plans.iterative import (
+        loop_shuffle_partitions,
+        static_superstep_plan,
+        stats_reset_checkpoint,
+    )
+
+    spark = docs.sparkSession
+    lens = sorted({p.count("_") + 1 for p in pieces})
+    max_len = lens[-1] if lens else 1
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        tokens(F.lower(F.col(text_col))).alias("toks"),
+    ).localCheckpoint(eager=True)  # feeds positions AND the final join
+
+    words = base.select("doc", F.posexplode("toks").alias("pos", "word"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy("pos")
+    lead_cols = [F.col("word")] + [
+        F.lead("word", i).over(w) for i in range(1, max_len)
+    ]
+    grams = words.select(
+        "doc",
+        "pos",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(l).alias("l"),
+                    # any null lead means the window runs off the doc end;
+                    # guard on the LAST lead (nulls only occur at the end)
+                    F.when(
+                        lead_cols[l - 1].isNotNull(),
+                        F.concat_ws("_", *lead_cols[:l]),
+                    ).alias("gram"),
+                )
+                for l in lens
+            ]
+        ).alias("cands"),
+    ) if lens else words.select("doc", "pos", F.array().alias("cands"))
+
+    piece_df = spark.createDataFrame(
+        [(p,) for p in pieces] or [("",)], "gram string"
+    ).where(F.col("gram") != "")
+    matched = (
+        grams.select("doc", "pos", F.explode("cands").alias("c"))
+        .where(F.col("c.gram").isNotNull())
+        .select("doc", "pos", F.col("c.l").alias("l"), F.col("c.gram").alias("gram"))
+        .join(F.broadcast(piece_df), "gram")
+        .groupBy("doc", "pos")
+        .agg(F.max("l").alias("ml"))
+    )
+    state = (
+        words.select("doc", "pos")
+        .join(matched, ["doc", "pos"], "left")
+        .select(
+            "doc",
+            "pos",
+            (F.col("pos") + F.coalesce(F.col("ml"), F.lit(1))).alias("nxt"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+    )
+    maxw_row = base.agg(F.max(F.size("toks"))).collect()[0][0]
+    maxw = int(maxw_row or 1)
+    rounds = max(1, (max(maxw, 2) - 1).bit_length())  # 2^rounds >= maxw
+    n_state = base.count()
+    with static_superstep_plan(spark, loop_shuffle_partitions(spark, n_state * 4)):
+        state = stats_reset_checkpoint(state)
+        for _ in range(rounds):
+            b = state.select(
+                F.col("doc").alias("bdoc"),
+                F.col("pos").alias("bpos"),
+                F.col("nxt").alias("bnxt"),
+                F.col("cnt").alias("bcnt"),
+            )
+            state = stats_reset_checkpoint(
+                state.join(
+                    b,
+                    (F.col("doc") == F.col("bdoc"))
+                    & (F.col("nxt") == F.col("bpos")),
+                    "left",
+                ).select(
+                    "doc",
+                    "pos",
+                    F.coalesce("bnxt", "nxt").alias("nxt"),
+                    (F.col("cnt") + F.coalesce("bcnt", F.lit(0))).alias("cnt"),
+                )
+            )
+    return (
+        base.join(
+            state.where(F.col("pos") == 0).select("doc", "cnt"), "doc", "left"
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.size("toks").cast("long").alias("n_words"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    schedule: list[int] | None = None,
+    doubling_rounds: int = ENCODE_DOUBLING_ROUNDS,
+) -> str:
+    """DuckDB twin of train(batched) -> encode(longest-match): per round
+    one top-B CTE (strict (n DESC, lhs, rhs) order) and one
+    list_reduce(list_prepend(...)) left-fold apply — the identical fold
+    F.aggregate performs — then the pointer-doubling recurrence unrolled
+    ``doubling_rounds`` times (docs up to 2^rounds tokens; extra rounds
+    are no-ops)."""
+    schedule = BATCH_SCHEDULE if schedule is None else schedule
+    parts = [
+        f"""be_t0 AS MATERIALIZED (
+  SELECT '  ' || array_to_string(string_split_regex(trim(lower(text)), ' +'), '  ')
+         || '  ' AS s
+  FROM ({docs_sql}) d
+)"""
+    ]
+    for i, b in enumerate(schedule):
+        parts.append(
+            f"""be_b{i} AS MATERIALIZED (
+  SELECT lhs, rhs, n, ROW_NUMBER() OVER (ORDER BY n DESC, lhs ASC, rhs ASC) AS rnk
+  FROM (
+    SELECT t.toks[i] AS lhs, t.toks[i+1] AS rhs, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT toks, unnest(range(1, len(toks))) AS i
+      FROM (SELECT string_split(trim(s), '  ') AS toks FROM be_t{i}) x
+    ) t
+    GROUP BY 1, 2
+    ORDER BY n DESC, lhs ASC, rhs ASC
+    LIMIT {b}
+  ) q
+)"""
+        )
+        parts.append(
+            f"""be_l{i} AS (
+  SELECT COALESCE(list(lhs || '|' || rhs ORDER BY rnk), CAST([] AS VARCHAR[])) AS ms
+  FROM be_b{i}
+)"""
+        )
+        parts.append(
+            f"""be_t{i + 1} AS MATERIALIZED (
+  SELECT list_reduce(
+           list_prepend(t.s, l.ms),
+           (acc, x) -> replace(acc,
+             ' ' || split_part(x, '|', 1) || '  ' || split_part(x, '|', 2) || ' ',
+             ' ' || split_part(x, '|', 1) || '_' || split_part(x, '|', 2) || ' ')
+         ) AS s
+  FROM be_t{i} t CROSS JOIN be_l{i} l
+)"""
+        )
+    pieces_union = "\nUNION\n".join(
+        f"SELECT lhs || '_' || rhs AS piece FROM be_b{i}"
+        for i in range(len(schedule))
+    )
+    parts.append(f"be_pieces AS ({pieces_union})")
+    parts.append(
+        f"""be_docs AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+  FROM ({docs_sql}) d
+)"""
+    )
+    parts.append(
+        """be_pos AS MATERIALIZED (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM be_docs
+)"""
+    )
+    parts.append(
+        """be_ml AS MATERIALIZED (
+  SELECT p.doc_id, p.pos, COALESCE(MAX(pc.len), 1) AS ml
+  FROM be_pos p LEFT JOIN (
+    SELECT piece, len(string_split(piece, '_')) AS len FROM be_pieces
+  ) pc
+    ON p.pos + pc.len - 1 <= len(p.toks)
+   AND array_to_string(p.toks[p.pos : p.pos + pc.len - 1], '_') = pc.piece
+  GROUP BY 1, 2
+)"""
+    )
+    parts.append(
+        """be_d0 AS MATERIALIZED (
+  SELECT doc_id, pos, pos + ml AS nxt, CAST(1 AS BIGINT) AS cnt FROM be_ml
+)"""
+    )
+    for k in range(doubling_rounds):
+        parts.append(
+            f"""be_d{k + 1} AS MATERIALIZED (
+  SELECT a.doc_id, a.pos, COALESCE(b.nxt, a.nxt) AS nxt,
+         a.cnt + COALESCE(b.cnt, 0) AS cnt
+  FROM be_d{k} a LEFT JOIN be_d{k} b
+    ON a.doc_id = b.doc_id AND a.nxt = b.pos
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_words,
+       CAST(COALESCE(z.cnt, 0) AS BIGINT) AS n_tokens
+FROM be_docs d LEFT JOIN be_d{doubling_rounds} z
+  ON d.doc_id = z.doc_id AND z.pos = 1
+"""
+    )

@@ -287,37 +287,43 @@ def test_minhash_bucket_cap_never_binds_at_gate_scale(spark):
 
 def test_window_queue_matches_coverage_ledger():
     """The 50-row driver window must match COVERAGE.md's rotation ledger
-    (it drifted twice in r5 before this guard).  r8 composition: zero
-    never-observed keys (the r7 debt flush closed the set), any new r8
-    registrations first, the 14 protected family reps, and oldest-evidence
-    rotation debt (the 8 keys the _R7_NEW wave displaced, then the
-    committed registration-order remainder) filling to 50.  Everything
-    past 50 is the r9 queue (displaced debt tail first, then r7-observed
-    keys in registration order).  The VERDICT contract needs >=20 debt
-    keys in-window, so _R8_NEW holds at most 15 keys."""
+    (it drifted twice in r5 before this guard).  r9 composition: zero
+    never-observed keys, any new r9 registrations (held in
+    __spark_entry_ext__.R9_NEW — the entry-file budget overflow) first,
+    the 14 protected family reps, and oldest-evidence rotation debt (the
+    12 keys the _R8_NEW wave displaced, then the pinned r5-observed band)
+    filling to 50.  Everything past 50 is the r10 queue (displaced debt
+    tail, then the pinned r6-observed band, then r7/r8-observed keys in
+    registration order).  The VERDICT contract needs >=20 debt keys
+    in-window, so R9_NEW holds at most 15 keys."""
     order = list(E.queries())
     expected_window = (
-        E._R8_NEVER_OBSERVED
-        + E._R8_NEW
-        + E._R8_ANCHORS
+        E._R9_NEVER_OBSERVED
+        + E._R9_NEW
+        + E._R9_ANCHORS
         + E._FAMILY_REPS
         + E._ROTATION_DEBT
     )[:50]
     assert order[:50] == expected_window
-    assert E._R8_NEVER_OBSERVED == []
-    assert len(E._R8_NEW) <= 15
+    assert E._R9_NEVER_OBSERVED == []
+    assert len(E._R9_NEW) <= 15
     assert len(E._FAMILY_REPS) == 14 and E._FAMILY_REPS[-1] == "report_layout"
-    assert len(E._ROTATION_DEBT) == 36
-    # the 8 keys the _R7_NEW wave displaced must head the debt queue
-    assert E._ROTATION_DEBT[:8] == [
-        "running_revenue",
-        "asof_clicks",
-        "distinct_suppliers",
-        "cube_revenue",
-        "customer_set_ops",
-        "dedup_clusters",
-        "doc_split",
-        "stratified_sample",
+    # 12 displaced r8-queue keys + the 42-key pinned r5-observed band
+    assert len(E._ROTATION_DEBT) == 54
+    # the 12 keys the _R8_NEW wave displaced must head the debt queue
+    assert E._ROTATION_DEBT[:12] == [
+        "event_transitions",
+        "ngram_span_dups",
+        "supplier_cooccurrence",
+        "pq_trained_codes",
+        "doc_chunks",
+        "seq_packing",
+        "mixture_rebalance",
+        "bm25_topk",
+        "events_anomaly",
+        "corpus_report",
+        "doc_logprob",
+        "two_hop_counts",
     ]
     # >=20 rotation-debt keys must remain inside the 50-row window
     assert len(set(order[:50]) & set(E._ROTATION_DEBT)) >= 20
@@ -326,14 +332,16 @@ def test_window_queue_matches_coverage_ledger():
     assert len(set(order)) == len(order)
     assert set(E._WINDOW_PRIORITY) <= set(order)
     # the ledger in COVERAGE.md must name every never-observed key and the
-    # new-registration keys in its r8 row
+    # new-registration keys in its r9 row
     ledger = (
         Path(__file__).resolve().parent.parent / "COVERAGE.md"
     ).read_text()
-    r8_row = next(line for line in ledger.splitlines() if line.startswith("| r8 |"))
-    for key in E._R8_NEVER_OBSERVED + E._R8_NEW + E._R8_ANCHORS:
-        assert f"`{key}`" in r8_row, f"{key} missing from the COVERAGE r8 row"
-    # the r9 row must name the head of the overflow queue
     r9_row = next(line for line in ledger.splitlines() if line.startswith("| r9 |"))
-    for key in order[50:52]:
+    for key in E._R9_NEVER_OBSERVED + E._R9_NEW + E._R9_ANCHORS:
         assert f"`{key}`" in r9_row, f"{key} missing from the COVERAGE r9 row"
+    # the r10 row must name the head of the overflow queue
+    r10_row = next(
+        line for line in ledger.splitlines() if line.startswith("| r10 |")
+    )
+    for key in order[50:52]:
+        assert f"`{key}`" in r10_row, f"{key} missing from the COVERAGE r10 row"
