@@ -50,7 +50,9 @@ _SHARED_FROM_ENTRY = (
 # as _R8_NEW: each key displaces the rotation-debt tail past position 50;
 # COVERAGE.md r9 row + tests/test_entry.py ledger test updated in the same
 # commit as any append).
-R9_NEW: list[str] = []
+R9_NEW: list[str] = [
+    "bpe_encode",      # r9: batched-BPE vocab (256 merges) + longest-match apply
+]
 
 
 # ---------------------------------------------------------------------------
@@ -333,6 +335,30 @@ def q_graph_snapshot_diff(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Block 59: BPE apply at realistic vocab scale — batched-greedy training
+# (256 merges in five corpus passes) + greedy longest-match tokenization
+# by pointer doubling (functions/bpe.py block comment has the full scale
+# argument).  Closes the r7/r8 scope note on bpe_compression's
+# chained-replace apply being a small-vocab device.
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_encode(spark, sf_dir):
+    """(doc_id, n_words, n_tokens): train a 256-merge batched-BPE vocab
+    on the documents corpus ([128,64,32,16,16] schedule — five corpus
+    passes, five bounded top-B collects), then tokenize every document
+    by greedy longest-match against the learned pieces in
+    ceil(log2(max_doc_words)) pointer-doubling supersteps
+    (functions/bpe.bpe_merges_batched + bpe_longest_match_counts)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import bpe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe.bpe_merges_batched(d)
+    pieces = [f"{l}_{r}" for _, _, l, r, _ in merges]
+    return bpe.bpe_longest_match_counts(d, pieces)
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -386,3 +412,10 @@ FROM up_dec GROUP BY 1, 2
 
     Q["graph_snapshot_diff"] = q_graph_snapshot_diff
     SQL["graph_snapshot_diff"] = snapshot_edge_diff_sql(SNAP_EDGES_SQL)
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.bpe import (
+        bpe_encode_oracle_sql,
+    )
+
+    Q["bpe_encode"] = q_bpe_encode
+    SQL["bpe_encode"] = bpe_encode_oracle_sql()

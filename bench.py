@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as E  # noqa: E402
+import __spark_entry_ext__ as X  # noqa: E402
 from personalized_pagerank_algorithms_on_neo4j_spark import (  # noqa: E402
     PPREngine,
     build_spark,
@@ -346,6 +347,9 @@ def main() -> None:
     timed("q_bpe", lambda: E.q_bpe_merges(spark, SF_DIR).count())
     # BPE apply side: train + chained-replace tokenize + per-doc counts
     timed("q_bpe_apply", lambda: E.q_bpe_compression(spark, SF_DIR).count())
+    # realistic-vocab apply: batched 256-merge train + longest-match
+    # tokenize via pointer doubling (the scale path for tokenizer apply)
+    timed("q_bpe_encode", lambda: X.q_bpe_encode(spark, SF_DIR).count())
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
     # end-to-end corpus clustering: kNN edges -> weighted Louvain
@@ -438,13 +442,13 @@ LINE_BUDGET = 1990  # the capture window is the last 2000 chars INCLUDING
 #      full per-round map regardless.
 # Keys are DROPPED (keys_shown/keys_total record how many) before any
 # precision tier degrades, so the headline trend lines never lose digits.
-ROTATION_ROUND = 8  # bump alongside NEW_KEYS each round
+ROTATION_ROUND = 9  # bump alongside NEW_KEYS each round
 PINNED_KEYS = [
     "graph_load", "q_power", "q_fwdpush", "q_fora", "q_montecarlo",
     "q_fora_topk", "q_base_prep512", "q_base_lookup", "q_base_prep_heavy",
     "q_power_dist10", "q_mc_dist10", "q_ppr_multi_dist10", "q_fwdpush_dist10",
 ]
-NEW_KEYS: list[str] = ["q_graph_mst", "q_image_near_dups", "q_zorder", "q_wl_colors"]
+NEW_KEYS: list[str] = ["q_bpe_encode"]
 
 
 def render_line(timings: dict[str, float], sf: float) -> str:

@@ -363,46 +363,54 @@ def bpe_longest_match_counts(
     lead_cols = [F.col("word")] + [
         F.lead("word", i).over(w) for i in range(1, max_len)
     ]
-    grams = words.select(
-        "doc",
-        "pos",
-        F.array(
-            *[
-                F.struct(
-                    F.lit(l).alias("l"),
-                    # any null lead means the window runs off the doc end;
-                    # guard on the LAST lead (nulls only occur at the end)
-                    F.when(
-                        lead_cols[l - 1].isNotNull(),
-                        F.concat_ws("_", *lead_cols[:l]),
-                    ).alias("gram"),
-                )
-                for l in lens
-            ]
-        ).alias("cands"),
-    ) if lens else words.select("doc", "pos", F.array().alias("cands"))
-
-    piece_df = spark.createDataFrame(
-        [(p,) for p in pieces] or [("",)], "gram string"
-    ).where(F.col("gram") != "")
-    matched = (
-        grams.select("doc", "pos", F.explode("cands").alias("c"))
-        .where(F.col("c.gram").isNotNull())
-        .select("doc", "pos", F.col("c.l").alias("l"), F.col("c.gram").alias("gram"))
-        .join(F.broadcast(piece_df), "gram")
-        .groupBy("doc", "pos")
-        .agg(F.max("l").alias("ml"))
-    )
-    state = (
-        words.select("doc", "pos")
-        .join(matched, ["doc", "pos"], "left")
-        .select(
+    if lens:
+        grams = words.select(
             "doc",
             "pos",
-            (F.col("pos") + F.coalesce(F.col("ml"), F.lit(1))).alias("nxt"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(l).alias("l"),
+                        # a null lead means the window runs off the doc end;
+                        # guard on the LAST lead (nulls only occur at the end)
+                        F.when(
+                            lead_cols[l - 1].isNotNull(),
+                            F.concat_ws("_", *lead_cols[:l]),
+                        ).alias("gram"),
+                    )
+                    for l in lens
+                ]
+            ).alias("cands"),
+        )
+        piece_df = spark.createDataFrame([(p,) for p in pieces], "gram string")
+        matched = (
+            grams.select("doc", "pos", F.explode("cands").alias("c"))
+            .where(F.col("c.gram").isNotNull())
+            .select(
+                "doc", "pos", F.col("c.l").alias("l"), F.col("c.gram").alias("gram")
+            )
+            .join(F.broadcast(piece_df), "gram")
+            .groupBy("doc", "pos")
+            .agg(F.max("l").alias("ml"))
+        )
+        state = (
+            words.select("doc", "pos")
+            .join(matched, ["doc", "pos"], "left")
+            .select(
+                "doc",
+                "pos",
+                (F.col("pos") + F.coalesce(F.col("ml"), F.lit(1))).alias("nxt"),
+                F.lit(1).cast("long").alias("cnt"),
+            )
+        )
+    else:
+        # empty vocab: every word is its own token, no match phase
+        state = words.select(
+            "doc",
+            "pos",
+            (F.col("pos") + 1).alias("nxt"),
             F.lit(1).cast("long").alias("cnt"),
         )
-    )
     maxw_row = base.agg(F.max(F.size("toks"))).collect()[0][0]
     maxw = int(maxw_row or 1)
     rounds = max(1, (max(maxw, 2) - 1).bit_length())  # 2^rounds >= maxw

@@ -396,3 +396,16 @@ def test_r8_operator_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
         n = plan.count("Exchange")
         assert n <= max_exchanges, f"{name}: {n} exchanges > {max_exchanges}"
+
+
+def test_r9_operator_plan_shapes(spark):
+    """Round-9 additions: bpe_encode's tail is a join of two
+    checkpoint-backed frames (base docs + doubled walk state) — no
+    cartesian product, no Python in the plan, bounded exchanges."""
+    import __spark_entry_ext__ as X
+
+    plan = _plan(X.q_bpe_encode(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    n = plan.count("Exchange")
+    assert n <= 4, f"bpe_encode: {n} exchanges > 4"
