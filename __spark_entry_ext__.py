@@ -52,6 +52,7 @@ _SHARED_FROM_ENTRY = (
 # commit as any append).
 R9_NEW: list[str] = [
     "bpe_encode",      # r9: batched-BPE vocab (256 merges) + longest-match apply
+    "graph_kpaths",    # r9: Yen's K shortest paths (gds.shortestPath.yens)
 ]
 
 
@@ -359,6 +360,72 @@ def q_bpe_encode(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Block 60: Yen's K shortest loopless paths over the kNN doc graph
+# (gds.shortestPath.yens shape) — "the K most-similar relation chains
+# between two documents": costs are 1,000,001 - micro-cosine (positive
+# BIGINT, cheapest path = strongest similarity chain).  Spark runs Yen
+# with every spur of an iteration batched into ONE multi-state SSSP
+# superstep loop (operators/kpaths.py has the scale argument); the
+# oracle brute-enumerates simple paths — a true cross-algorithm gate.
+# ---------------------------------------------------------------------------
+
+KPATHS_K = 3
+KPATHS_HOPS = 5
+KNN_GRAPH_K_EXT = 5  # must equal the entry's KNN_GRAPH_K (shared substrate)
+
+
+def _kpaths_cost_edges(spark, sf_dir):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (
+        knn_weighted_edges,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.sssp import (
+        undirected_min_cost,
+    )
+
+    e = knn_weighted_edges(_t(spark, sf_dir, "embeddings"), k=KNN_GRAPH_K_EXT)
+    return undirected_min_cost(
+        e.select("src", "dst", (F.lit(1_000_001) - F.col("weight")).alias("w"))
+    )
+
+
+def q_graph_kpaths(spark, sf_dir):
+    """(rank, cost, path): the 3 cheapest simple paths (<= 5 hops) from
+    the smallest to the largest vec_id over the similarity-cost kNN doc
+    graph — Yen's algorithm, spur batches as one superstep loop each
+    (operators/kpaths.yen_k_shortest)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.kpaths import (
+        yen_k_shortest,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    s, t = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    return yen_k_shortest(
+        spark,
+        _kpaths_cost_edges(spark, sf_dir),
+        int(s),
+        int(t),
+        k=KPATHS_K,
+        max_hops=KPATHS_HOPS,
+        n_hint=emb.count(),
+    )
+
+
+def _kpaths_edges_sql() -> str:
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.simsearch import (
+        knn_weighted_edges_sql,
+    )
+
+    knn = knn_weighted_edges_sql(k=KNN_GRAPH_K_EXT)
+    return f"""
+SELECT src, dst, MIN(w) AS w FROM (
+  SELECT src, dst, 1000001 - weight AS w FROM ({knn}) k1 WHERE src <> dst
+  UNION ALL
+  SELECT dst AS src, src AS dst, 1000001 - weight AS w FROM ({knn}) k2 WHERE src <> dst
+) u GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -419,3 +486,16 @@ FROM up_dec GROUP BY 1, 2
 
     Q["bpe_encode"] = q_bpe_encode
     SQL["bpe_encode"] = bpe_encode_oracle_sql()
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.kpaths import (
+        kpaths_oracle_sql,
+    )
+
+    Q["graph_kpaths"] = q_graph_kpaths
+    SQL["graph_kpaths"] = kpaths_oracle_sql(
+        _kpaths_edges_sql(),
+        "SELECT MIN(vec_id) FROM embeddings",
+        "SELECT MAX(vec_id) FROM embeddings",
+        k=KPATHS_K,
+        max_hops=KPATHS_HOPS,
+    )

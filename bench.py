@@ -350,6 +350,9 @@ def main() -> None:
     # realistic-vocab apply: batched 256-merge train + longest-match
     # tokenize via pointer doubling (the scale path for tokenizer apply)
     timed("q_bpe_encode", lambda: X.q_bpe_encode(spark, SF_DIR).count())
+    # Yen's 3 shortest similarity-chains over the kNN doc graph: driver-
+    # orchestrated by nature, each iteration ONE batched spur-SSSP loop
+    timed("q_graph_kpaths", lambda: X.q_graph_kpaths(spark, SF_DIR).count(), repeat=1)
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
     # end-to-end corpus clustering: kNN edges -> weighted Louvain
@@ -448,7 +451,7 @@ PINNED_KEYS = [
     "q_fora_topk", "q_base_prep512", "q_base_lookup", "q_base_prep_heavy",
     "q_power_dist10", "q_mc_dist10", "q_ppr_multi_dist10", "q_fwdpush_dist10",
 ]
-NEW_KEYS: list[str] = ["q_bpe_encode"]
+NEW_KEYS: list[str] = ["q_bpe_encode", "q_graph_kpaths"]
 
 
 def render_line(timings: dict[str, float], sf: float) -> str:

@@ -409,3 +409,7 @@ def test_r9_operator_plan_shapes(spark):
     assert "BatchEvalPython" not in plan
     n = plan.count("Exchange")
     assert n <= 4, f"bpe_encode: {n} exchanges > 4"
+    # graph_kpaths has no tail-plan check: yen_k_shortest returns a
+    # driver-assembled literal frame (paths are bounded artifacts); its
+    # loop interior is checkpoint-bounded like graph_mst and covered by
+    # the brute-force parity suite (tests/test_kpaths.py)
