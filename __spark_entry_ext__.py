@@ -53,6 +53,7 @@ _SHARED_FROM_ENTRY = (
 R9_NEW: list[str] = [
     "bpe_encode",      # r9: batched-BPE vocab (256 merges) + longest-match apply
     "graph_kpaths",    # r9: Yen's K shortest paths (gds.shortestPath.yens)
+    "temporal_motifs", # r9: delta-bounded temporal 2-path/triangle counts
 ]
 
 
@@ -426,6 +427,30 @@ SELECT src, dst, MIN(w) AS w FROM (
 
 
 # ---------------------------------------------------------------------------
+# Block 61: temporal motif counting over the event graph — delta-bounded
+# time-respecting 2-paths and closing triangles per mid node
+# (functions/tmotif.py; Paranjape et al. WSDM'17 shapes), on the
+# page-handoff temporal edge stream derived from the events table.
+# ---------------------------------------------------------------------------
+
+TMOTIF_DELTA_S = 21600  # 6 h: ~6k 2-paths and a non-zero triangle count
+TMOTIF_PAGES = 97       # the event_id % 97 page fixture (URL queries)
+
+
+def q_temporal_motifs(spark, sf_dir):
+    """(mid, n_paths, n_triangles): per-mid-user counts of 6-hour-bounded
+    temporal 2-paths and closing triangles over the page-handoff edge
+    stream (functions/tmotif.temporal_edges_from_events +
+    temporal_motif_counts)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import tmotif
+
+    e = tmotif.temporal_edges_from_events(
+        _t(spark, sf_dir, "events"), n_pages=TMOTIF_PAGES
+    )
+    return tmotif.temporal_motif_counts(e, delta_s=TMOTIF_DELTA_S)
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -489,6 +514,15 @@ FROM up_dec GROUP BY 1, 2
 
     from personalized_pagerank_algorithms_on_neo4j_spark.operators.kpaths import (
         kpaths_oracle_sql,
+    )
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.tmotif import (
+        temporal_motifs_oracle_sql,
+    )
+
+    Q["temporal_motifs"] = q_temporal_motifs
+    SQL["temporal_motifs"] = temporal_motifs_oracle_sql(
+        TMOTIF_DELTA_S, n_pages=TMOTIF_PAGES
     )
 
     Q["graph_kpaths"] = q_graph_kpaths

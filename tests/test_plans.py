@@ -413,3 +413,8 @@ def test_r9_operator_plan_shapes(spark):
     # driver-assembled literal frame (paths are bounded artifacts); its
     # loop interior is checkpoint-bounded like graph_mst and covered by
     # the brute-force parity suite (tests/test_kpaths.py)
+    plan = _plan(X.q_temporal_motifs(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    n = plan.count("Exchange")
+    assert n <= 14, f"temporal_motifs: {n} exchanges > 14"
