@@ -54,6 +54,7 @@ R9_NEW: list[str] = [
     "bpe_encode",      # r9: batched-BPE vocab (256 merges) + longest-match apply
     "graph_kpaths",    # r9: Yen's K shortest paths (gds.shortestPath.yens)
     "temporal_motifs", # r9: delta-bounded temporal 2-path/triangle counts
+    "betweenness_sampled",  # r9: Brandes-Pich pivot-sampled betweenness
 ]
 
 
@@ -451,6 +452,34 @@ def q_temporal_motifs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Block 62: pivot-sampled betweenness (Brandes-Pich) — the scale-story
+# twin of the deterministic top-degree landmark variant (Block 26am in
+# the entry): seeded hash-rank pivot draw, integer n_eligible/k scaling,
+# same micro-unit Brandes algebra (operators/betweenness.py).
+# ---------------------------------------------------------------------------
+
+BETWEENNESS_PIVOTS = 16
+BETWEENNESS_SEED = 9
+BETWEENNESS_SAMPLED_HOPS = 6
+
+
+def q_betweenness_sampled(spark, sf_dir):
+    """(node, bc_micros_est): Brandes-Pich sampled betweenness from 16
+    hash-drawn pivots, scaled by n_eligible/k
+    (operators/betweenness.betweenness_sampled)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.betweenness import (
+        betweenness_sampled,
+    )
+
+    return betweenness_sampled(
+        _graph(spark, sf_dir),
+        n_pivots=BETWEENNESS_PIVOTS,
+        seed=BETWEENNESS_SEED,
+        max_hops=BETWEENNESS_SAMPLED_HOPS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -518,6 +547,21 @@ FROM up_dec GROUP BY 1, 2
 
     from personalized_pagerank_algorithms_on_neo4j_spark.functions.tmotif import (
         temporal_motifs_oracle_sql,
+    )
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.betweenness import (
+        betweenness_sampled_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+        GRAPH_EDGES_SQL,
+    )
+
+    Q["betweenness_sampled"] = q_betweenness_sampled
+    SQL["betweenness_sampled"] = betweenness_sampled_oracle_sql(
+        GRAPH_EDGES_SQL,
+        n_pivots=BETWEENNESS_PIVOTS,
+        seed=BETWEENNESS_SEED,
+        max_hops=BETWEENNESS_SAMPLED_HOPS,
     )
 
     Q["temporal_motifs"] = q_temporal_motifs

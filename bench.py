@@ -355,6 +355,11 @@ def main() -> None:
     timed("q_graph_kpaths", lambda: X.q_graph_kpaths(spark, SF_DIR).count(), repeat=1)
     # delta-bounded temporal 2-path/triangle counts on the handoff stream
     timed("q_temporal_motifs", lambda: X.q_temporal_motifs(spark, SF_DIR).count())
+    # Brandes-Pich pivot-sampled betweenness (16 hash-drawn pivots)
+    timed(
+        "q_betweenness_sampled",
+        lambda: X.q_betweenness_sampled(spark, SF_DIR).count(),
+    )
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
     # end-to-end corpus clustering: kNN edges -> weighted Louvain
@@ -453,7 +458,10 @@ PINNED_KEYS = [
     "q_fora_topk", "q_base_prep512", "q_base_lookup", "q_base_prep_heavy",
     "q_power_dist10", "q_mc_dist10", "q_ppr_multi_dist10", "q_fwdpush_dist10",
 ]
-NEW_KEYS: list[str] = ["q_bpe_encode", "q_graph_kpaths", "q_temporal_motifs"]
+NEW_KEYS: list[str] = [
+    "q_bpe_encode", "q_graph_kpaths", "q_temporal_motifs",
+    "q_betweenness_sampled",
+]
 
 
 def render_line(timings: dict[str, float], sf: float) -> str:

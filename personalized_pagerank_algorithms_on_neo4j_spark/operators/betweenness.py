@@ -67,15 +67,71 @@ def betweenness_landmarks(
     leaf has bc 0 but IS part of the report); landmarks contribute no
     dependency to themselves, per Brandes.
     """
-    spark = graph.spark
-    edges = graph.edges.select("src", "dst")
     sources = (
         graph.degrees.where(F.col("out_degree") > 0)
         .orderBy(F.desc("out_degree"), F.asc("node"))
         .limit(n_landmarks)
         .select(F.col("node").alias("source"))
     )
-    state_bound = graph.n * max(1, n_landmarks)
+    return _brandes_dependency(graph, sources, n_landmarks, max_hops)
+
+
+def betweenness_sampled(
+    graph: PropertyGraph,
+    n_pivots: int = 16,
+    seed: int = 9,
+    max_hops: int = 6,
+) -> DataFrame:
+    """(node, bc_micros_est): the Brandes-Pich (2007) pivot-sampled
+    betweenness ESTIMATOR — ``n_pivots`` pivots drawn uniformly from the
+    out-degree>0 nodes by hash rank (the `exact_k_sample` draw: k
+    smallest `portable_hash(node, seed)` values, ties by id — seeded,
+    rerun-stable, identical in both engines), dependency sums scaled by
+    n_eligible / k.
+
+    Estimator contract: sources with no out-edges contribute zero
+    dependency, so E[(n_eligible/k) * sum_{s in S} delta_s(v)] equals the
+    full Brandes sum over ALL sources; Hoeffding gives additive error
+    O(n * sqrt(log n / k)) on every node's score with high probability
+    (Brandes & Pich 2007).  Scaling is integer: est = sum * n_eligible
+    DIV k — exact cross-engine arithmetic, and with k == n_eligible the
+    estimator degenerates to the exact full Brandes sum (pinned by
+    tests/test_betweenness_sampled.py).
+    """
+    from ..functions.text import portable_hash
+
+    eligible = graph.degrees.where(F.col("out_degree") > 0)
+    n_eligible = eligible.count()
+    k = min(n_pivots, n_eligible) or 1
+    sources = (
+        eligible.select(
+            F.col("node").alias("source"),
+            portable_hash(F.col("node"), seed).alias("_h"),
+        )
+        .orderBy(F.asc("_h"), F.asc("source"))
+        .limit(n_pivots)
+        .select("source")
+    )
+    dep = _brandes_dependency(graph, sources, k, max_hops)
+    # integer DIV (never a double divide: the product can exceed the
+    # 2^53 double-exact range long before it threatens the 2^63 long)
+    return dep.select(
+        "node",
+        F.expr(f"(bc_micros * {int(n_eligible)}) DIV {int(k)}").alias(
+            "bc_micros_est"
+        ),
+    )
+
+
+def _brandes_dependency(
+    graph: PropertyGraph, sources: DataFrame, n_sources: int, max_hops: int
+) -> DataFrame:
+    """Core Brandes sweep (module doc): batched forward sigma levels +
+    backward micro-unit delta levels from the given `source`-column frame;
+    returns the UNSCALED per-node dependency sums."""
+    spark = graph.spark
+    edges = graph.edges.select("src", "dst")
+    state_bound = graph.n * max(1, n_sources)
     small = state_bound <= BROADCAST_NODE_BOUND
     loop_parts = loop_shuffle_partitions(spark, state_bound) if small else None
 
@@ -173,19 +229,12 @@ def betweenness_landmarks(
     return out.groupBy("node").agg(F.sum("delta").alias("bc_micros"))
 
 
-def betweenness_oracle_sql(
-    edges_sql: str, n_landmarks: int = 8, max_hops: int = 6
-) -> str:
-    """DuckDB twin: recursive min-dist CTE (identical to the harmonic
-    walk), then forward sigma levels and backward delta levels unrolled to
-    ``max_hops`` — levels past the true eccentricity are empty, so the
-    extra unrolled rounds are no-ops (the SSSP fixed-round argument)."""
+def _brandes_oracle_ctes(edges_sql: str, lm_cte: str, max_hops: int) -> tuple[str, str]:
+    """Shared CTE body for both oracle builders: (ctes, delta-union)."""
     R = max_hops
     ctes = [
         f"e AS MATERIALIZED ({edges_sql})",
-        f"""lm AS MATERIALIZED (
-  SELECT src AS source FROM (SELECT src, COUNT(*) AS od FROM e GROUP BY src)
-  ORDER BY od DESC, src ASC LIMIT {n_landmarks})""",
+        lm_cte,
         f"""walk(source, node, dist) AS (
   SELECT source, source AS node, 0 AS dist FROM lm
   UNION
@@ -228,9 +277,50 @@ def betweenness_oracle_sql(
     GROUP BY 1, 2
   ) c ON c.source = p.source AND c.node = p.node)""")
     all_d = " UNION ALL ".join(f"SELECT * FROM d{l}" for l in range(R, 0, -1))
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes), all_d
+
+
+def betweenness_oracle_sql(
+    edges_sql: str, n_landmarks: int = 8, max_hops: int = 6
+) -> str:
+    """DuckDB twin: recursive min-dist CTE (identical to the harmonic
+    walk), then forward sigma levels and backward delta levels unrolled to
+    ``max_hops`` — levels past the true eccentricity are empty, so the
+    extra unrolled rounds are no-ops (the SSSP fixed-round argument)."""
+    lm = f"""lm AS MATERIALIZED (
+  SELECT src AS source FROM (SELECT src, COUNT(*) AS od FROM e GROUP BY src)
+  ORDER BY od DESC, src ASC LIMIT {n_landmarks})"""
+    body, all_d = _brandes_oracle_ctes(edges_sql, lm, max_hops)
     return f"""
 WITH RECURSIVE {body}
 SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_micros
 FROM ({all_d}) GROUP BY node
+"""
+
+
+def betweenness_sampled_oracle_sql(
+    edges_sql: str, n_pivots: int = 16, seed: int = 9, max_hops: int = 6
+) -> str:
+    """DuckDB twin of `betweenness_sampled`: identical algebra with the
+    hash-ranked pivot draw and the integer n_eligible/k scaling — the
+    same-algebra gate the exact-restricted-to-pivots contract calls
+    for."""
+    lm = f"""lm AS MATERIALIZED (
+  SELECT src AS source FROM (
+    SELECT src,
+           CAST(('0x' || substring(md5(CAST(src AS VARCHAR) || '#' || '{seed}'),
+                 1, 12)) AS BIGINT) AS h
+    FROM (SELECT DISTINCT src FROM e) d)
+  ORDER BY h ASC, src ASC LIMIT {n_pivots})"""
+    body, all_d = _brandes_oracle_ctes(edges_sql, lm, max_hops)
+    return f"""
+WITH RECURSIVE {body},
+bs_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eligible,
+         CAST(LEAST({n_pivots}, COUNT(*)) AS BIGINT) AS k
+  FROM (SELECT DISTINCT src FROM e) d
+)
+SELECT node, (CAST(SUM(delta) AS BIGINT) * s.n_eligible) // s.k AS bc_micros_est
+FROM ({all_d}) CROSS JOIN bs_stats s
+GROUP BY node, s.n_eligible, s.k
 """
