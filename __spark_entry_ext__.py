@@ -55,6 +55,7 @@ R9_NEW: list[str] = [
     "graph_kpaths",    # r9: Yen's K shortest paths (gds.shortestPath.yens)
     "temporal_motifs", # r9: delta-bounded temporal 2-path/triangle counts
     "betweenness_sampled",  # r9: Brandes-Pich pivot-sampled betweenness
+    "graph_hyperball", # r9: HyperBall neighborhood-function estimates
 ]
 
 
@@ -480,6 +481,29 @@ def q_betweenness_sampled(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Block 63: HyperBall — per-node r-neighborhood sizes via HLL counters
+# (operators/hyperball.py; Boldi & Vigna 2013).  Registers are rows and
+# the round merge is one equi-join + MAX groupBy; Spark and the oracle
+# compute bit-identical registers, so the gate compares exact values.
+# ---------------------------------------------------------------------------
+
+HYPERBALL_RADIUS = 4
+HYPERBALL_P = 6  # m = 64 registers per node
+
+
+def q_graph_hyperball(spark, sf_dir):
+    """(radius, node, approx_ball): HLL ball-size estimates for every
+    graph node at radii 1..4 (operators/hyperball.hyperball)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.hyperball import (
+        hyperball,
+    )
+
+    return hyperball(
+        _graph(spark, sf_dir), radius=HYPERBALL_RADIUS, p=HYPERBALL_P
+    )
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -554,6 +578,20 @@ FROM up_dec GROUP BY 1, 2
     )
     from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
         GRAPH_EDGES_SQL,
+    )
+
+    GRAPH_EDGES_SQL_EXT = GRAPH_EDGES_SQL
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.hyperball import (
+        hyperball_oracle_sql,
+    )
+
+    Q["graph_hyperball"] = q_graph_hyperball
+    SQL["graph_hyperball"] = hyperball_oracle_sql(
+        GRAPH_NODES_SQL,
+        GRAPH_EDGES_SQL_EXT,
+        radius=HYPERBALL_RADIUS,
+        p=HYPERBALL_P,
     )
 
     Q["betweenness_sampled"] = q_betweenness_sampled

@@ -360,6 +360,8 @@ def main() -> None:
         "q_betweenness_sampled",
         lambda: X.q_betweenness_sampled(spark, SF_DIR).count(),
     )
+    # HyperBall: per-node r-neighborhood sizes via row-wise HLL registers
+    timed("q_hyperball", lambda: X.q_graph_hyperball(spark, SF_DIR).count())
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
     # end-to-end corpus clustering: kNN edges -> weighted Louvain
@@ -460,7 +462,7 @@ PINNED_KEYS = [
 ]
 NEW_KEYS: list[str] = [
     "q_bpe_encode", "q_graph_kpaths", "q_temporal_motifs",
-    "q_betweenness_sampled",
+    "q_betweenness_sampled", "q_hyperball",
 ]
 
 

@@ -1,0 +1,161 @@
+"""HyperBall — the neighborhood function via HLL counters (Boldi &
+Vigna, 2013): every node keeps a HyperLogLog sketch of its forward ball
+B(v, r) = nodes reachable from v in <= r hops; each round merges every
+successor's sketch into the node's own.  HyperBall is THE at-scale
+answer to "how big is each node's r-neighborhood" (exact per-node
+reachability is quadratic state; sketches are O(n * m) rows total) and
+the standard route to effective-diameter / average-distance estimates
+over web-scale graphs.
+
+Relational formulation — registers are ROWS, not blobs:
+
+    state (node, bucket, reg), <= m = 2^p rows per node;
+    round r+1:  state UNION (edges JOIN state ON state.node = edges.dst,
+                re-keyed to edges.src)  ->  groupBy (node, bucket) MAX.
+
+MAX-merge is the HLL union, so the superstep is one equi-join + one
+map-side-combinable aggregate; no per-node blob UDF, no Python.  The
+sketch machinery is the engine's existing portable-HLL substrate
+(functions/sketches.py: md5 48-bit hash, integer CASE-ladder rho, the
+Flajolet estimator with linear-counting correction), so Spark and the
+DuckDB oracle compute BIT-IDENTICAL registers every round and the gate
+hash-compares exact estimates, not approximations.
+
+Output: (radius, node, approx_ball) for radius 1..R — the per-node
+neighborhood-function table (sum over nodes at radius r estimates the
+number of reachable pairs within r)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.sketches import _alpha, _rho_column, _rho_sql, _HASH_BITS
+from ..functions.text import portable_hash
+from ..graph import PropertyGraph
+from ..plans.iterative import (
+    loop_shuffle_partitions,
+    static_superstep_plan,
+    stats_reset_checkpoint,
+)
+
+
+def hyperball(
+    graph: PropertyGraph, radius: int = 4, p: int = 6
+) -> DataFrame:
+    """(radius, node, approx_ball): HLL ball-size estimates for every
+    node at each radius 1..``radius`` (module doc).  ``p`` is the
+    register-count exponent (m = 2^p rows of state per node, worst
+    case)."""
+    spark = graph.spark
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    edges = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    h = portable_hash(F.col("id"))
+    regs = graph.nodes.select(
+        F.col("id").alias("node"),
+        (h % F.lit(m)).alias("_bucket"),
+        _rho_column(F.floor(h / F.lit(m)).cast("long"), w_bits)
+        .cast("int")
+        .alias("_reg"),
+    )
+    out_frames = []
+    with static_superstep_plan(
+        spark, loop_shuffle_partitions(spark, graph.n * min(m, 16))
+    ):
+        edges = edges.localCheckpoint(eager=True)
+        regs = stats_reset_checkpoint(regs)
+        for r in range(1, radius + 1):
+            pulled = edges.join(
+                regs, edges["dst"] == regs["node"]
+            ).select(F.col("src").alias("node"), "_bucket", "_reg")
+            regs = stats_reset_checkpoint(
+                regs.unionByName(pulled)
+                .groupBy("node", "_bucket")
+                .agg(F.max("_reg").alias("_reg"))
+            )
+            out_frames.append(
+                _estimate(regs, m).select(
+                    F.lit(r).cast("int").alias("radius"), "node", "approx_ball"
+                )
+            )
+    out = out_frames[0]
+    for f in out_frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _estimate(regs: DataFrame, m: int) -> DataFrame:
+    """Per-node Flajolet estimate with the linear-counting small-range
+    branch — the same arithmetic as functions/sketches.hll_estimate,
+    restated here with the ball column name."""
+    per = regs.groupBy("node").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_reg"))).alias("_s"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    e_raw = F.lit(_alpha(m) * m * m) / (
+        F.col("_s") + (F.lit(m) - F.col("_present"))
+    )
+    v_zero = F.lit(m) - F.col("_present")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(e_raw)
+    return per.select("node", F.round(est, 4).alias("approx_ball"))
+
+
+def hyperball_oracle_sql(
+    nodes_sql: str, edges_sql: str, radius: int = 4, p: int = 6
+) -> str:
+    """DuckDB twin: identical register initialization, ``radius`` unrolled
+    MAX-merge rounds, and the identical estimator per round."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    alpha = _alpha(m)
+    h = (
+        "CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || '#' || '0'),"
+        " 1, 12)) AS BIGINT)"
+    )
+    rho = _rho_sql(f"(h // {m})", w_bits)
+    ctes = [
+        f"hb_e AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}) e WHERE src <> dst)",
+        f"""hb_r0 AS MATERIALIZED (
+  SELECT id AS node, h % {m} AS bucket, {rho} AS reg
+  FROM (SELECT id, {h} AS h FROM ({nodes_sql}) n) q)""",
+    ]
+    est_parts = []
+    for r in range(1, radius + 1):
+        ctes.append(
+            f"""hb_r{r} AS MATERIALIZED (
+  SELECT node, bucket, MAX(reg) AS reg FROM (
+    SELECT node, bucket, reg FROM hb_r{r - 1}
+    UNION ALL
+    SELECT e.src AS node, s.bucket, s.reg
+    FROM hb_e e JOIN hb_r{r - 1} s ON s.node = e.dst
+  ) u GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""hb_est{r} AS (
+  SELECT node,
+         ROUND(CASE
+           WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m}) / (s + ({m} - present))
+                  <= CAST({2.5 * m!r} AS DOUBLE)
+                AND ({m} - present) > 0
+           THEN CAST({float(m)!r} AS DOUBLE)
+                * LN(CAST({float(m)!r} AS DOUBLE) / CAST({m} - present AS DOUBLE))
+           ELSE (CAST({alpha!r} AS DOUBLE) * {m} * {m}) / (s + ({m} - present))
+         END, 4) AS approx_ball
+  FROM (
+    SELECT node, SUM(POW(2.0, -reg)) AS s, COUNT(*) AS present
+    FROM hb_r{r} GROUP BY node
+  ) g)"""
+        )
+        est_parts.append(
+            f"SELECT {r} AS radius, node, approx_ball FROM hb_est{r}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(est_parts)
+    )

@@ -418,3 +418,8 @@ def test_r9_operator_plan_shapes(spark):
     assert "BatchEvalPython" not in plan
     n = plan.count("Exchange")
     assert n <= 14, f"temporal_motifs: {n} exchanges > 14"
+    # hyperball's tail is per-round estimates unioned over checkpointed
+    # register frames: one aggregate exchange per radius
+    plan = _plan(X.q_graph_hyperball(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
