@@ -56,6 +56,7 @@ R9_NEW: list[str] = [
     "temporal_motifs", # r9: delta-bounded temporal 2-path/triangle counts
     "betweenness_sampled",  # r9: Brandes-Pich pivot-sampled betweenness
     "graph_hyperball", # r9: HyperBall neighborhood-function estimates
+    "graph_mis",       # r9: Luby's maximal independent set
 ]
 
 
@@ -504,6 +505,31 @@ def q_graph_hyperball(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Block 64: Luby's maximal independent set — deterministic distributed
+# symmetry breaking via per-round seeded hash priorities
+# (operators/mis.py; the scheduling/coloring primitive).
+# ---------------------------------------------------------------------------
+
+MIS_SEED = 29
+MIS_ROUNDS = 12
+
+
+def q_graph_mis(spark, sf_dir):
+    """(node, in_mis): Luby's MIS over the undirected view of the derived
+    graph — per-round portable-hash priorities make the set exact and
+    seeded (operators/mis.luby_mis)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.mis import luby_mis
+
+    g = _graph(spark, sf_dir)
+    return luby_mis(
+        g.nodes.select(F.col("id").alias("node")),
+        g.edges,
+        seed=MIS_SEED,
+        max_rounds=MIS_ROUNDS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -584,6 +610,18 @@ FROM up_dec GROUP BY 1, 2
 
     from personalized_pagerank_algorithms_on_neo4j_spark.operators.hyperball import (
         hyperball_oracle_sql,
+    )
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.mis import (
+        luby_mis_oracle_sql,
+    )
+
+    Q["graph_mis"] = q_graph_mis
+    SQL["graph_mis"] = luby_mis_oracle_sql(
+        f"SELECT id AS node FROM ({GRAPH_NODES_SQL}) gn",
+        GRAPH_EDGES_SQL_EXT,
+        seed=MIS_SEED,
+        max_rounds=MIS_ROUNDS,
     )
 
     Q["graph_hyperball"] = q_graph_hyperball

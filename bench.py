@@ -362,6 +362,8 @@ def main() -> None:
     )
     # HyperBall: per-node r-neighborhood sizes via row-wise HLL registers
     timed("q_hyperball", lambda: X.q_graph_hyperball(spark, SF_DIR).count())
+    # Luby's MIS: deterministic hash-priority symmetry breaking
+    timed("q_graph_mis", lambda: X.q_graph_mis(spark, SF_DIR).count())
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
     # end-to-end corpus clustering: kNN edges -> weighted Louvain
@@ -462,7 +464,7 @@ PINNED_KEYS = [
 ]
 NEW_KEYS: list[str] = [
     "q_bpe_encode", "q_graph_kpaths", "q_temporal_motifs",
-    "q_betweenness_sampled", "q_hyperball",
+    "q_betweenness_sampled", "q_hyperball", "q_graph_mis",
 ]
 
 

@@ -1,0 +1,187 @@
+"""Luby's maximal independent set — the classic O(log n)-round
+distributed symmetry-breaking primitive (Luby 1986), deterministic here
+via per-round seeded hash priorities (the engine's portable md5 hash, so
+Spark and the DuckDB oracle draw IDENTICAL priorities and the result is
+exact, not statistical).
+
+Round r over the UNDIRECTED active graph:
+  priority(v) = (portable_hash(v, seed*1000 + r), v)   — a strict total
+  order (the node id breaks hash collisions);
+  v joins the MIS iff its priority is smaller than every ACTIVE
+  neighbour's priority (isolated active nodes join unconditionally);
+  winners and their neighbours deactivate.
+
+Independence: two adjacent winners would each need the smaller priority
+— impossible under a strict order.  Maximality: a node only deactivates
+as a winner or a winner's neighbour, so every non-member has a member
+neighbour.  Expected rounds are O(log n) (Luby); the loop raises
+RuntimeError past ``max_rounds`` instead of returning a non-maximal set
+(the strict-mode discipline of the k-core/DAG loops), and the oracle
+unrolls exactly ``max_rounds`` rounds — no-ops once the active set is
+empty, so any Spark early exit below the budget stays hash-equal.
+
+Scale shape per round: one broadcast-gated join of the active-edge view
+with the priority frame, one (node)-keyed MIN aggregate, two anti-joins
+to deactivate.  State is node-bounded and strictly shrinks every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash
+from ..plans.iterative import (
+    loop_shuffle_partitions,
+    static_superstep_plan,
+    stats_reset_checkpoint,
+)
+
+
+def luby_mis(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seed: int = 29,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """(node, in_mis): Luby's maximal independent set over the undirected
+    view of ``edges`` (src, dst), covering every node in ``nodes``
+    (column `node`; isolated nodes always join).  Deterministic for a
+    given ``seed`` (module doc)."""
+    spark = nodes.sparkSession
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active = nodes.select("node")
+    n0 = active.count()
+    mis_frames: list[DataFrame] = []
+    with static_superstep_plan(spark, loop_shuffle_partitions(spark, n0)):
+        active = stats_reset_checkpoint(active)
+        for r in range(max_rounds):
+            if active.isEmpty():
+                break
+            pri = active.select(
+                "node",
+                portable_hash(F.col("node"), seed * 1000 + r).alias("h"),
+            )
+            # smallest active-neighbour priority per active node: keep only
+            # edges whose BOTH endpoints are active, carry the dst priority
+            act_edges = (
+                und.join(
+                    pri.select(F.col("node").alias("src")), "src", "left_semi"
+                )
+                .join(
+                    pri.select(
+                        F.col("node").alias("dst"),
+                        F.col("h").alias("nh"),
+                    ),
+                    "dst",
+                )
+            )
+            nbr_min = act_edges.groupBy(F.col("src").alias("node")).agg(
+                F.min(F.struct(F.col("nh").alias("h"), F.col("dst").alias("node"))).alias(
+                    "nmin"
+                )
+            )
+            winners = (
+                pri.join(nbr_min, "node", "left")
+                .where(
+                    F.col("nmin").isNull()
+                    | (
+                        F.struct(F.col("h"), F.col("node"))
+                        < F.col("nmin")
+                    )
+                )
+                .select("node")
+            )
+            winners = stats_reset_checkpoint(winners)
+            mis_frames.append(winners)
+            removed = winners.unionAll(
+                und.join(
+                    winners.select(F.col("node").alias("src")), "src", "left_semi"
+                ).select(F.col("dst").alias("node"))
+            ).distinct()
+            active = stats_reset_checkpoint(
+                active.join(removed, "node", "left_anti")
+            )
+        else:
+            if not active.isEmpty():
+                raise RuntimeError(
+                    f"luby_mis did not converge in {max_rounds} rounds"
+                )
+    mis = mis_frames[0] if mis_frames else spark.createDataFrame([], "node long")
+    for f in mis_frames[1:]:
+        mis = mis.unionAll(f)
+    return nodes.select("node").join(
+        mis.select("node", F.lit(True).alias("in_mis")), "node", "left"
+    ).select("node", F.coalesce("in_mis", F.lit(False)).alias("in_mis"))
+
+
+def luby_mis_oracle_sql(
+    nodes_sql: str,
+    edges_sql: str,
+    seed: int = 29,
+    max_rounds: int = 12,
+) -> str:
+    """DuckDB twin: ``max_rounds`` unrolled Luby rounds with the identical
+    md5 priorities; rounds past convergence see an empty active set and
+    are no-ops."""
+
+    def h(expr: str, r: int) -> str:
+        return (
+            f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR) || '#' || "
+            f"'{seed * 1000 + r}'), 1, 12)) AS BIGINT)"
+        )
+
+    ctes = [
+        f"""mis_e AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM ({edges_sql}) e1 WHERE src <> dst
+    UNION
+    SELECT dst, src FROM ({edges_sql}) e2 WHERE src <> dst
+  ) u)""",
+        f"mis_a0 AS (SELECT node FROM ({nodes_sql}) n)",
+    ]
+    win_parts = []
+    for r in range(max_rounds):
+        ctes.append(
+            f"""mis_p{r} AS MATERIALIZED (
+  SELECT node, {h('node', r)} AS h FROM mis_a{r})"""
+        )
+        ctes.append(
+            f"""mis_w{r} AS MATERIALIZED (
+  SELECT p.node FROM mis_p{r} p
+  LEFT JOIN (
+    SELECT e.src AS node, MIN(ROW(q.h, q.node)) AS nmin
+    FROM mis_e e
+    JOIN mis_p{r} s ON s.node = e.src
+    JOIN mis_p{r} q ON q.node = e.dst
+    GROUP BY 1
+  ) nm ON nm.node = p.node
+  WHERE nm.nmin IS NULL OR ROW(p.h, p.node) < nm.nmin)"""
+        )
+        ctes.append(
+            f"""mis_a{r + 1} AS (
+  SELECT node FROM mis_a{r}
+  WHERE node NOT IN (SELECT node FROM mis_w{r})
+    AND node NOT IN (
+      SELECT e.dst FROM mis_e e JOIN mis_w{r} w ON w.node = e.src
+    ))"""
+        )
+        win_parts.append(f"SELECT node FROM mis_w{r}")
+    wins = "\nUNION ALL\n".join(win_parts)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+mis_all AS ({wins})
+SELECT n.node, (m.node IS NOT NULL) AS in_mis
+FROM ({nodes_sql}) n LEFT JOIN mis_all m ON m.node = n.node
+"""
+    )
