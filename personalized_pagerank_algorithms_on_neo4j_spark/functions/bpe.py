@@ -336,6 +336,7 @@ def bpe_longest_match_counts(
     pieces: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    oracle_round_bound: int | None = None,
 ) -> DataFrame:
     """(doc_id, n_words, n_tokens): greedy longest-match tokenization of
     each document against ``pieces`` (multi-word vocabulary entries joined
@@ -411,11 +412,23 @@ def bpe_longest_match_counts(
             (F.col("pos") + 1).alias("nxt"),
             F.lit(1).cast("long").alias("cnt"),
         )
-    maxw_row = base.agg(F.max(F.size("toks"))).collect()[0][0]
-    maxw = int(maxw_row or 1)
+    stats = base.agg(
+        F.max(F.size("toks")).alias("maxw"),
+        F.sum(F.size("toks")).alias("positions"),
+    ).collect()[0]
+    maxw = int(stats["maxw"] or 1)
     rounds = max(1, (max(maxw, 2) - 1).bit_length())  # 2^rounds >= maxw
-    n_state = base.count()
-    with static_superstep_plan(spark, loop_shuffle_partitions(spark, n_state * 4)):
+    if oracle_round_bound is not None and rounds > oracle_round_bound:
+        # a paired fixed-unroll oracle would silently UNDER-count tokens
+        # for docs longer than 2^bound words — fail loudly instead of
+        # letting the gate read as an engine divergence
+        raise ValueError(
+            f"max doc length {maxw} needs {rounds} doubling rounds; the "
+            f"paired oracle unrolls only {oracle_round_bound}"
+        )
+    # the loop state is POSITION-keyed (one row per word), not doc-keyed
+    n_state = int(stats["positions"] or 1)
+    with static_superstep_plan(spark, loop_shuffle_partitions(spark, n_state)):
         state = stats_reset_checkpoint(state)
         for _ in range(rounds):
             b = state.select(

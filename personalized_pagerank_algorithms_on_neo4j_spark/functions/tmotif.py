@@ -18,11 +18,12 @@ time band is a post-filter on the hash join, never a nested loop —
 Spark keeps the equi keys); the closing join keys on the FULL (src, dst)
 node pair plus the band, so it is selective by construction.  Like
 `link_prediction_scores`, the wedge join's skew exposure is the mid's
-degree: ``hub_cap`` drops mids whose in- or out-instance count exceeds
-the cap (default None = exact; the registered query leaves it off and
-the guard test pins that the gate-scale degrees stay far below any
-sensible cap).  Everything is integer seconds (Spark ts.cast('long') ==
-DuckDB FLOOR(epoch(ts)), the engine-wide floor-second idiom).
+degree: ``hub_cap`` drops the WEDGE ROWS of mids whose in- OR
+out-instance count exceeds the cap — the hot mid loses its own output
+rows, every other mid's counts are untouched, including wedges riding
+edges incident to a hub (default None = exact; the registered query
+leaves it off).  Everything is integer seconds (Spark ts.cast('long')
+== DuckDB FLOOR(epoch(ts)), the engine-wide floor-second idiom).
 """
 
 from __future__ import annotations
@@ -64,20 +65,6 @@ def temporal_motif_counts(
     """(mid, n_paths, n_triangles): per-mid-node counts of delta-bounded
     temporal 2-paths and their closing triangles (module doc)."""
     e = edges.select("src", "dst", "t").where(F.col("src") != F.col("dst"))
-    if hub_cap is not None:
-        deg = (
-            e.select(F.col("dst").alias("mid"))
-            .unionAll(e.select(F.col("src").alias("mid")))
-            .groupBy("mid")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") <= 2 * hub_cap)
-            .select("mid")
-        )
-        e = e.join(
-            F.broadcast(deg.select(F.col("mid").alias("src"))), "src", "left_semi"
-        ).join(
-            F.broadcast(deg.select(F.col("mid").alias("dst"))), "dst", "left_semi"
-        )
     e = e.localCheckpoint(eager=True)  # feeds both join sides + the close
     a = e.select(
         F.col("src").alias("u"), F.col("dst").alias("mid"), F.col("t").alias("t1")
@@ -85,6 +72,27 @@ def temporal_motif_counts(
     b = e.select(
         F.col("src").alias("mid"), F.col("dst").alias("w"), F.col("t").alias("t2")
     )
+    if hub_cap is not None:
+        # drop only WEDGES through hot mids (in- OR out-instance count
+        # above the cap): the hot mid's own rows vanish, every other
+        # mid's counts are untouched — edges incident to a hub still
+        # close triangles for surviving mids (r9 review finding #3: the
+        # previous edge-level filter silently changed neighbours' counts)
+        hot = (
+            e.groupBy(F.col("dst").alias("mid"))
+            .agg(F.count(F.lit(1)).alias("d_in"))
+            .where(F.col("d_in") > hub_cap)
+            .select("mid")
+            .unionAll(
+                e.groupBy(F.col("src").alias("mid"))
+                .agg(F.count(F.lit(1)).alias("d_out"))
+                .where(F.col("d_out") > hub_cap)
+                .select("mid")
+            )
+            .distinct()
+        )
+        a = a.join(F.broadcast(hot), "mid", "left_anti")
+        b = b.join(F.broadcast(hot), "mid", "left_anti")
     paths = a.join(b, "mid").where(
         (F.col("t2") > F.col("t1"))
         & (F.col("t2") <= F.col("t1") + F.lit(delta_s))

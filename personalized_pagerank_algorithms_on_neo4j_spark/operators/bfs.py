@@ -325,7 +325,7 @@ WITH RECURSIVE dd_e AS MATERIALIZED (
     UNION SELECT dst, src FROM ({edges_sql}) r2
   ) u WHERE src <> dst
 ),
-dd_s0 AS (SELECT MIN(src) AS s FROM dd_e),
+dd_s0 AS (SELECT src AS s FROM dd_e ORDER BY src ASC LIMIT 1),
 dd_w1(node, dist) AS (
   SELECT s AS node, 0 AS dist FROM dd_s0
   UNION

@@ -16,10 +16,12 @@ Relational formulation — registers are ROWS, not blobs:
 MAX-merge is the HLL union, so the superstep is one equi-join + one
 map-side-combinable aggregate; no per-node blob UDF, no Python.  The
 sketch machinery is the engine's existing portable-HLL substrate
-(functions/sketches.py: md5 48-bit hash, integer CASE-ladder rho, the
-Flajolet estimator with linear-counting correction), so Spark and the
-DuckDB oracle compute BIT-IDENTICAL registers every round and the gate
-hash-compares exact estimates, not approximations.
+(functions/sketches.py: md5 48-bit hash, integer CASE-ladder rho, and
+the SHARED `hll_estimate` fold — one estimator implementation serves
+hll_distinct, the streaming store, and this operator, so they can never
+drift), and Spark and the DuckDB oracle compute BIT-IDENTICAL registers
+every round: the gate hash-compares exact estimates, not
+approximations.
 
 Output: (radius, node, approx_ball) for radius 1..R — the per-node
 neighborhood-function table (sum over nodes at radius r estimates the
@@ -30,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.sketches import _alpha, _rho_column, _rho_sql, _HASH_BITS
+from ..functions.sketches import (
+    _alpha,
+    _rho_column,
+    _rho_sql,
+    _HASH_BITS,
+    hll_estimate,
+)
 from ..functions.text import portable_hash
 from ..graph import PropertyGraph
 from ..plans.iterative import (
@@ -75,33 +83,17 @@ def hyperball(
                 .agg(F.max("_reg").alias("_reg"))
             )
             out_frames.append(
-                _estimate(regs, m).select(
-                    F.lit(r).cast("int").alias("radius"), "node", "approx_ball"
+                hll_estimate(regs, ["node"], p)
+                .select(
+                    F.lit(r).cast("int").alias("radius"),
+                    "node",
+                    F.col("approx_distinct").alias("approx_ball"),
                 )
             )
     out = out_frames[0]
     for f in out_frames[1:]:
         out = out.unionByName(f)
     return out
-
-
-def _estimate(regs: DataFrame, m: int) -> DataFrame:
-    """Per-node Flajolet estimate with the linear-counting small-range
-    branch — the same arithmetic as functions/sketches.hll_estimate,
-    restated here with the ball column name."""
-    per = regs.groupBy("node").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("_reg"))).alias("_s"),
-        F.count(F.lit(1)).alias("_present"),
-    )
-    e_raw = F.lit(_alpha(m) * m * m) / (
-        F.col("_s") + (F.lit(m) - F.col("_present"))
-    )
-    v_zero = F.lit(m) - F.col("_present")
-    est = F.when(
-        (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
-    ).otherwise(e_raw)
-    return per.select("node", F.round(est, 4).alias("approx_ball"))
 
 
 def hyperball_oracle_sql(

@@ -79,3 +79,10 @@ def test_diameter_empty_and_selfloop_edges(spark):
     assert [f.name for f in out.schema.fields] == [
         "far_a", "far_b", "diameter_lb"
     ]
+    # the oracle agrees: zero rows, not one row of NULLs (r9 review #4)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE le(src BIGINT, dst BIGINT)")
+    con.execute("INSERT INTO le VALUES (1, 1), (2, 2)")
+    assert con.execute(
+        diameter_oracle_sql("SELECT src, dst FROM le")
+    ).fetchall() == []

@@ -71,11 +71,15 @@ def test_tmotif_random_matches_oracle_algebra(spark):
 
 
 def test_tmotif_hub_cap_binds_only_above_cap(spark):
-    """With a hub cap below a mid's instance degree, that mid's rows
-    drop; an exact run keeps them (the documented trade)."""
-    edges = [(u, 5, 10 + u) for u in range(4)] + [(5, 9, 30)]
+    """With a hub cap below a mid's in-instance degree, that mid's rows
+    drop — and OTHER mids' counts stay untouched even when their wedges
+    ride edges incident to the hub."""
+    edges = [(u, 5, 10 + u) for u in range(4)] + [(5, 9, 30), (9, 7, 31), (3, 9, 29)]
     df = spark.createDataFrame(edges, "src long, dst long, t long")
     exact = _rows(temporal_motif_counts(df, delta_s=30))
     assert exact[5][0] == 4
     capped = _rows(temporal_motif_counts(df, delta_s=30, hub_cap=2))
     assert 5 not in capped
+    # mid 9 (degree 2+1, under the cap) keeps its exact counts: its
+    # wedge 5->9->7 uses an edge incident to the capped hub 5
+    assert capped[9] == exact[9]
