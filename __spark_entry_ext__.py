@@ -57,6 +57,7 @@ R9_NEW: list[str] = [
     "betweenness_sampled",  # r9: Brandes-Pich pivot-sampled betweenness
     "graph_hyperball", # r9: HyperBall neighborhood-function estimates
     "graph_mis",       # r9: Luby's maximal independent set
+    "graph_anf",       # r9: ANF / neighborhood-function summary (HyperBall)
 ]
 
 
@@ -532,6 +533,42 @@ def q_graph_mis(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Block 65: ANF — the approximate-neighborhood-function summary (Palmer
+# et al. KDD'02 semantics, computed the HyperBall way): per radius, how
+# many reachable pairs the graph has and the average ball size.  This is
+# how HyperBall is actually consumed (effective-diameter reports); sums
+# go through exact 1e-4-unit integers so the cross-engine gate never
+# meets a float summation order.
+# ---------------------------------------------------------------------------
+
+
+def q_graph_anf(spark, sf_dir):
+    """(radius, n_nodes, reach_x1e4, avg_ball): the neighborhood
+    function at radii 1..4 — reach_x1e4 is the exact integer sum of the
+    per-node ball estimates in 1e-4 units; avg_ball = its mean, rounded
+    6dp."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.hyperball import (
+        hyperball,
+    )
+
+    hb = hyperball(_graph(spark, sf_dir), radius=HYPERBALL_RADIUS, p=HYPERBALL_P)
+    um = F.round(F.col("approx_ball") * 10000).cast("long")
+    return hb.groupBy("radius").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(um).alias("reach_x1e4"),
+    ).select(
+        "radius",
+        "n_nodes",
+        "reach_x1e4",
+        F.round(
+            F.col("reach_x1e4").cast("double")
+            / F.col("n_nodes").cast("double") / 10000.0,
+            6,
+        ).alias("avg_ball"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -628,6 +665,20 @@ FROM up_dec GROUP BY 1, 2
     from personalized_pagerank_algorithms_on_neo4j_spark.operators.mis import (
         luby_mis_oracle_sql,
     )
+
+    Q["graph_anf"] = q_graph_anf
+    SQL["graph_anf"] = f"""
+WITH anf_hb AS (
+{hyperball_oracle_sql(GRAPH_NODES_SQL, GRAPH_EDGES_SQL,
+                      radius=HYPERBALL_RADIUS, p=HYPERBALL_P)}
+)
+SELECT radius, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CAST(ROUND(approx_ball * 10000) AS BIGINT)) AS BIGINT)
+         AS reach_x1e4,
+       ROUND(CAST(SUM(CAST(ROUND(approx_ball * 10000) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 10000.0, 6) AS avg_ball
+FROM anf_hb GROUP BY radius
+"""
 
     Q["graph_mis"] = q_graph_mis
     SQL["graph_mis"] = luby_mis_oracle_sql(

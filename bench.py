@@ -360,7 +360,10 @@ def main() -> None:
         "q_betweenness_sampled",
         lambda: X.q_betweenness_sampled(spark, SF_DIR).count(),
     )
-    # HyperBall: per-node r-neighborhood sizes via row-wise HLL registers
+    # HyperBall: per-node r-neighborhood sizes via row-wise HLL registers.
+    # graph_anf is NOT benched: it is this operator plus one tiny
+    # aggregate (the MST/hierarchy precedent — benching both would
+    # re-time the same superstep loop for no added signal).
     timed("q_hyperball", lambda: X.q_graph_hyperball(spark, SF_DIR).count())
     # Luby's MIS: deterministic hash-priority symmetry breaking
     timed("q_graph_mis", lambda: X.q_graph_mis(spark, SF_DIR).count())
