@@ -915,3 +915,87 @@ def test_streaming_zorder_manifest_matches_batch_and_replays(spark, tmp_path):
     run(wild, 3)
     m = {r["shard"]: r for r in Z.read_manifest(spark, store).collect()}
     assert sum(r["n_rows"] for r in m.values()) == orders.count() + 1
+
+
+def test_streaming_sample_matches_batch_twin(spark, events_dir, tmp_path):
+    """Per-epoch k-minimum-values partials; the read-side k-smallest fold
+    must equal the batch exact_k_sample over the complete event set
+    EXACTLY (k-minimum-values compose: global top-k of per-epoch top-ks).
+    The KMV distinct board must agree with the estimator computed
+    directly from the folded hashes."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sampling import (
+        exact_k_sample,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        kmv_stream as K,
+    )
+
+    store = str(tmp_path / "kmv_store")
+    stream = S.read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = K.start_streaming_sample(spark, stream, store, k=8)
+    _drain(q)
+
+    got = {
+        (r["event_type"], r["id"])
+        for r in K.read_sample(spark, store, k=8).collect()
+    }
+    events = load_table(spark, SF_SMALL, "events")
+    want = {
+        (r["event_type"], r["event_id"])
+        for r in exact_k_sample(
+            events.select("event_type", "event_id"),
+            k=8,
+            id_col="event_id",
+            strata_col="event_type",
+        ).collect()
+    }
+    assert got == want and got
+    assert glob.glob(os.path.join(store, "epoch=*")), os.listdir(store)
+
+    # the KMV cardinality board: strata under k report exact counts;
+    # saturated strata report (k-1) * 2^48 / h_k
+    board = {
+        r["event_type"]: (r["n_seen"], r["approx_distinct_kmv"])
+        for r in K.read_kmv_distinct(spark, store, k=8).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    for et, (n_seen, est) in board.items():
+        if n_seen < 8:
+            assert est == exact[et]
+        else:
+            # KMV with k=8 is coarse; just pin the right order of magnitude
+            assert 0.2 * exact[et] <= est <= 5 * exact[et], (et, est, exact[et])
+
+
+def test_streaming_sample_replay_and_compaction(spark, tmp_path):
+    """Replaying the last epoch and folding history via compact_store must
+    both leave the sample unchanged (per-epoch partials are pure
+    functions of their rows; the k-smallest fold is idempotent)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        kmv_stream as K,
+    )
+
+    store = str(tmp_path / "kmv_store")
+    events = load_table(spark, SF_SMALL, "events")
+    parts = [events.where(F.col("event_id") % 3 == i) for i in range(3)]
+
+    run_epoch = K.make_merge_batch(spark, store, k=8)
+    for i, part in enumerate(parts):
+        run_epoch(part, i)
+    board = lambda: sorted(  # noqa: E731
+        (r["event_type"], r["id"])
+        for r in K.read_sample(spark, store, k=8).collect()
+    )
+    before = board()
+    run_epoch(parts[-1], 2)  # replay the last epoch, as a restart would
+    assert board() == before
+    folded = K.compact_store(spark, store, k=8)
+    assert folded == 2
+    assert board() == before and before
+    epochs = {os.path.basename(p) for p in glob.glob(os.path.join(store, "epoch=*"))}
+    assert epochs == {"epoch=-1", "epoch=2"}
