@@ -1,25 +1,27 @@
 """Streaming uniform-sample store #12 (foreachBatch + per-epoch k-minimum
 -values partials).
 
-The streaming twin of `functions.sampling.exact_k_sample`: the k rows
-with the SMALLEST portable hashes form a uniform k-subset, and k-minimum
--values COMPOSE — the global k smallest over per-epoch k-smallest
-partials equals the k smallest over the union — so each microbatch folds
-to at most k rows per stratum and lands as its own `epoch=<id>`
-partition (the repo's replay-idempotent store shape: a replayed epoch
-recomputes the identical partial from the same offsets and overwrites
-ITS OWN partition).  Unlike the classic reservoir (Vitter's Algorithm R,
-whose RNG state is sequential and replay-hostile), the hash-rank
-reservoir is a pure function of the rows — replay cannot skew the
-sample.
+The streaming twin of `functions.sampling.exact_k_sample` applied to
+the DISTINCT (stratum, id) pairs of the stream: the k ids with the
+SMALLEST portable hashes form a uniform k-subset, and k-minimum-values
+COMPOSE — the global k smallest over per-epoch k-smallest partials
+equals the k smallest over the union — so each microbatch dedupes its
+ids, folds to at most k rows per stratum, and lands as its own
+`epoch=<id>` partition (the repo's replay-idempotent store shape: a
+replayed epoch recomputes the identical partial from the same offsets
+and overwrites ITS OWN partition).  Unlike the classic reservoir
+(Vitter's Algorithm R, whose RNG state is sequential, replay-hostile,
+AND duplicate-sensitive), the hash-rank reservoir is a pure function of
+the DISTINCT id set — replay and re-delivery cannot skew the sample.
+Ids are carried as strings (the hash's own casting), so any id type
+works.  Every partial row records the write-time k; reads and
+compactions REFUSE a larger k (ids ranked past k were discarded at
+write time — serving them would be a silent non-uniform over-sample).
 
 The same store doubles as a DISTINCT-COUNT sketch: the k-th smallest
 hash of a stratum estimates its cardinality ((k-1) * 2^48 / h_k, the KMV
 estimator of Bar-Yossef et al. 2002) — `read_kmv_distinct` serves that
 board from the identical partials.
-
-Duplicate contract: the id column determines the row (duplicate ids
-across epochs collapse in the read fold — same id, same hash).
 
 Scale shape: per batch one narrow projection + one per-stratum window
 top-k (parallel across strata); the store grows by <= k rows per stratum
@@ -63,13 +65,15 @@ def make_merge_batch(
         part = _k_smallest(
             batch_df.select(
                 group_col,
-                F.col(id_col).cast("long").alias("id"),
+                F.col(id_col).cast("string").alias("id"),
                 portable_hash(F.col(id_col), seed).alias("_h"),
-            ),
+            ).distinct(),  # duplicate ids must not occupy partial slots
             k,
             group_col,
             "id",
-        ).withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+        ).withColumn("k", F.lit(int(k)).cast("int")).withColumn(
+            "epoch", F.lit(int(epoch_id)).cast("long")
+        )
         if part.isEmpty():
             return
         (
@@ -111,8 +115,14 @@ def _read_folded(
 
     recover_store(store_path)
     rows = spark.read.schema(
-        f"{group_col} string, id bigint, _h bigint, epoch bigint"
+        f"{group_col} string, id string, _h bigint, k int, epoch bigint"
     ).parquet(store_path)
+    k_min_row = rows.agg(F.min("k")).collect()[0][0]
+    if k_min_row is not None and k > int(k_min_row):
+        raise ValueError(
+            f"read k={k} exceeds the store's write-time k={int(k_min_row)}: "
+            "ids past that rank were discarded at write time"
+        )
     # same id in several epochs -> identical (group, id, _h) row; collapse
     # before the fold so a long-running stream cannot seat a duplicate
     return _k_smallest(
@@ -127,8 +137,9 @@ def read_sample(
     group_col: str = "event_type",
 ) -> DataFrame:
     """(group_col, id): the per-stratum uniform k-sample over EVERYTHING
-    streamed so far — equals the batch `exact_k_sample` over the union of
-    all streamed rows, exactly (same hashes, same (h, id) order)."""
+    streamed so far — equals the batch `exact_k_sample` over the DISTINCT
+    (group, id) pairs of the union, exactly (same hashes, same (h, id)
+    order; ids compare as strings in both)."""
     return _read_folded(spark, store_path, k, group_col).select(group_col, "id")
 
 
@@ -167,13 +178,26 @@ def compact_store(
     `epoch=-1` partition (k smallest per stratum) via the shared
     crash-safe `_store.compact_epochs` protocol; run while the stream is
     stopped.  Returns how many partitions were folded."""
-    from ._store import compact_epochs
+    from ._store import compact_epochs, recover_store
 
+    recover_store(store_path)
+    k_min_row = (
+        spark.read.schema(
+            f"{group_col} string, id string, _h bigint, k int, epoch bigint"
+        )
+        .parquet(store_path)
+        .agg(F.min("k"))
+        .collect()[0][0]
+    )
+    if k_min_row is not None and k > int(k_min_row):
+        raise ValueError(
+            f"compact k={k} exceeds the store's write-time k={int(k_min_row)}"
+        )
     return compact_epochs(
         spark,
         store_path,
-        f"{group_col} string, id bigint, _h bigint, epoch bigint",
+        f"{group_col} string, id string, _h bigint, k int, epoch bigint",
         lambda df: _k_smallest(
-            df.select(group_col, "id", "_h").distinct(), k, group_col, "id"
+            df.select(group_col, "id", "_h", "k").distinct(), k, group_col, "id"
         ),
     )

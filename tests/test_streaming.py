@@ -943,7 +943,9 @@ def test_streaming_sample_matches_batch_twin(spark, events_dir, tmp_path):
     want = {
         (r["event_type"], r["event_id"])
         for r in exact_k_sample(
-            events.select("event_type", "event_id"),
+            events.select(
+                "event_type", F.col("event_id").cast("string").alias("event_id")
+            ).distinct(),
             k=8,
             id_col="event_id",
             strata_col="event_type",
@@ -999,3 +1001,55 @@ def test_streaming_sample_replay_and_compaction(spark, tmp_path):
     assert board() == before and before
     epochs = {os.path.basename(p) for p in glob.glob(os.path.join(store, "epoch=*"))}
     assert epochs == {"epoch=-1", "epoch=2"}
+
+
+def test_streaming_sample_duplicates_and_k_contract(spark, tmp_path):
+    """Review-pinned contracts: (a) duplicate ids inside a batch must not
+    occupy partial slots; (b) the same id across epochs collapses in the
+    fold (the sample is over DISTINCT ids); (c) reading or compacting
+    with a larger k than written refuses loudly."""
+    import pytest as _pytest
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        kmv_stream as K,
+    )
+
+    store = str(tmp_path / "kmv_dup_store")
+    run_epoch = K.make_merge_batch(
+        spark, store, k=2, group_col="g", id_col="id"
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "g string, id long")  # noqa: E731
+    # (a) batch with id 1 repeated: both distinct ids must survive k=2
+    run_epoch(mk([("a", 1), ("a", 1), ("a", 2)]), 0)
+    got = sorted(
+        (r["g"], r["id"]) for r in K.read_sample(spark, store, k=2, group_col="g").collect()
+    )
+    assert got == [("a", "1"), ("a", "2")]
+    # (b) id 1 arrives again in epoch 1 along with id 3: the fold is the
+    # 2 smallest hashes over DISTINCT ids {1, 2, 3}
+    run_epoch(mk([("a", 1), ("a", 3)]), 1)
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sampling import (
+        exact_k_sample,
+    )
+
+    want = sorted(
+        (r["g"], r["id"])
+        for r in exact_k_sample(
+            spark.createDataFrame(
+                [("a", "1"), ("a", "2"), ("a", "3")], "g string, id string"
+            ),
+            k=2,
+            id_col="id",
+            strata_col="g",
+        ).collect()
+    )
+    got = sorted(
+        (r["g"], r["id"]) for r in K.read_sample(spark, store, k=2, group_col="g").collect()
+    )
+    assert got == want
+    # (c) larger read/compact k than written -> loud refusal
+    with _pytest.raises(ValueError, match="exceeds the store's write-time k"):
+        K.read_sample(spark, store, k=4, group_col="g").collect()
+    run_epoch(mk([("a", 9)]), 2)  # third epoch so compaction has work
+    with _pytest.raises(ValueError, match="exceeds the store's write-time k"):
+        K.compact_store(spark, store, k=4, group_col="g")
