@@ -58,6 +58,7 @@ R9_NEW: list[str] = [
     "graph_hyperball", # r9: HyperBall neighborhood-function estimates
     "graph_mis",       # r9: Luby's maximal independent set
     "graph_anf",       # r9: ANF / neighborhood-function summary (HyperBall)
+    "graph_coloring",  # r9: Jones-Plassmann greedy coloring (iterated MIS)
 ]
 
 
@@ -569,6 +570,36 @@ def q_graph_anf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Block 66: Jones-Plassmann greedy coloring — iterated Luby MIS layers
+# (operators/mis.jones_plassmann_coloring; gds.k1coloring's problem via
+# the classic distributed scheme).  Budgets are gate-scale (the sf0.01
+# graph needs 4 layers / <= 3 rounds; headroom 6/8), strict raise past
+# them — the KCORE_ORACLE_ROUNDS per-scale-knob precedent.
+# ---------------------------------------------------------------------------
+
+COLORING_SEED = 31
+COLORING_MAX_COLORS = 6
+COLORING_MAX_ROUNDS = 8
+
+
+def q_graph_coloring(spark, sf_dir):
+    """(node, color): greedy coloring of the derived graph by iterated
+    seeded-MIS layers (operators/mis.jones_plassmann_coloring)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.mis import (
+        jones_plassmann_coloring,
+    )
+
+    g = _graph(spark, sf_dir)
+    return jones_plassmann_coloring(
+        g.nodes.select(F.col("id").alias("node")),
+        g.edges,
+        seed=COLORING_SEED,
+        max_colors=COLORING_MAX_COLORS,
+        max_rounds=COLORING_MAX_ROUNDS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -679,6 +710,19 @@ SELECT radius, CAST(COUNT(*) AS BIGINT) AS n_nodes,
              / CAST(COUNT(*) AS DOUBLE) / 10000.0, 6) AS avg_ball
 FROM anf_hb GROUP BY radius
 """
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.mis import (
+        coloring_oracle_sql,
+    )
+
+    Q["graph_coloring"] = q_graph_coloring
+    SQL["graph_coloring"] = coloring_oracle_sql(
+        f"SELECT id AS node FROM ({GRAPH_NODES_SQL}) gn",
+        GRAPH_EDGES_SQL,
+        seed=COLORING_SEED,
+        max_colors=COLORING_MAX_COLORS,
+        max_rounds=COLORING_MAX_ROUNDS,
+    )
 
     Q["graph_mis"] = q_graph_mis
     SQL["graph_mis"] = luby_mis_oracle_sql(

@@ -365,7 +365,10 @@ def main() -> None:
     # aggregate (the MST/hierarchy precedent — benching both would
     # re-time the same superstep loop for no added signal).
     timed("q_hyperball", lambda: X.q_graph_hyperball(spark, SF_DIR).count())
-    # Luby's MIS: deterministic hash-priority symmetry breaking
+    # Luby's MIS: deterministic hash-priority symmetry breaking.
+    # graph_coloring is NOT benched: it is iterated layers of exactly
+    # this operator (the composition-of-benched-substrate precedent) —
+    # and its gate-scale color budget is below what sf0.1 needs.
     timed("q_graph_mis", lambda: X.q_graph_mis(spark, SF_DIR).count())
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())

@@ -27,7 +27,7 @@ to deactivate.  State is node-bounded and strictly shrinks every round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash
@@ -36,6 +36,18 @@ from ..plans.iterative import (
     static_superstep_plan,
     stats_reset_checkpoint,
 )
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
 
 def luby_mis(
@@ -49,19 +61,27 @@ def luby_mis(
     (column `node`; isolated nodes always join).  Deterministic for a
     given ``seed`` (module doc)."""
     spark = nodes.sparkSession
-    und = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .unionAll(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = _undirected(edges)
     active = nodes.select("node")
     n0 = active.count()
+    mis = _luby_mis_core(spark, und, active, n0, seed, max_rounds)
+    return nodes.select("node").join(
+        mis.select("node", F.lit(True).alias("in_mis")), "node", "left"
+    ).select("node", F.coalesce("in_mis", F.lit(False)).alias("in_mis"))
+
+
+def _luby_mis_core(
+    spark: SparkSession,
+    und: DataFrame,
+    active: DataFrame,
+    n_hint: int,
+    seed: int,
+    max_rounds: int,
+) -> DataFrame:
+    """The Luby round loop over a pre-materialized undirected edge view;
+    returns the MIS members as a (node) frame."""
     mis_frames: list[DataFrame] = []
-    with static_superstep_plan(spark, loop_shuffle_partitions(spark, n0)):
+    with static_superstep_plan(spark, loop_shuffle_partitions(spark, n_hint)):
         active = stats_reset_checkpoint(active)
         for r in range(max_rounds):
             if active.isEmpty():
@@ -118,9 +138,107 @@ def luby_mis(
     mis = mis_frames[0] if mis_frames else spark.createDataFrame([], "node long")
     for f in mis_frames[1:]:
         mis = mis.unionAll(f)
-    return nodes.select("node").join(
-        mis.select("node", F.lit(True).alias("in_mis")), "node", "left"
-    ).select("node", F.coalesce("in_mis", F.lit(False)).alias("in_mis"))
+    return mis
+
+
+def jones_plassmann_coloring(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seed: int = 31,
+    max_colors: int = 6,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """(node, color): greedy graph coloring by ITERATED MIS — the
+    Jones-Plassmann (1993) distributed-coloring scheme: color c goes to a
+    maximal independent set of the still-uncolored subgraph, so no two
+    adjacent nodes ever share a color and every node is colored after at
+    most max-degree+1 layers (usually far fewer).  Each layer reuses the
+    Luby core with a layer-salted seed (seed*100 + c), so the whole
+    coloring is deterministic and the oracle replays it exactly.
+
+    Strict-mode discipline: raises past ``max_colors`` layers (or past
+    ``max_rounds`` inside any layer) rather than returning a partial
+    coloring; the paired oracle unrolls exactly these budgets, and layers
+    past convergence see an empty active set — no-ops, so a Spark early
+    exit stays hash-equal.  Budgets are a per-scale knob: the gate graph
+    needs 4 layers, the sf0.1 graph 11 (measured)."""
+    spark = nodes.sparkSession
+    und = _undirected(edges)
+    active = nodes.select("node")
+    n0 = active.count()
+    colored: list[DataFrame] = []
+    for c in range(max_colors):
+        if active.isEmpty():
+            break
+        mis = _luby_mis_core(
+            spark, und, active, n0, seed * 100 + c, max_rounds
+        )
+        colored.append(
+            mis.select("node", F.lit(c).cast("int").alias("color"))
+        )
+        active = stats_reset_checkpoint(active.join(mis, "node", "left_anti"))
+    else:
+        if not active.isEmpty():
+            raise RuntimeError(
+                f"jones_plassmann_coloring needs more than {max_colors} colors"
+            )
+    out = colored[0] if colored else spark.createDataFrame([], "node long, color int")
+    for f in colored[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _und_edges_cte(edges_sql: str) -> str:
+    return f"""mis_e AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM ({edges_sql}) e1 WHERE src <> dst
+    UNION
+    SELECT dst, src FROM ({edges_sql}) e2 WHERE src <> dst
+  ) u)"""
+
+
+def _mis_round_ctes(
+    pfx: str, seed: int, max_rounds: int
+) -> tuple[list[str], str]:
+    """The unrolled Luby rounds reading active set ``{pfx}a0`` against
+    ``mis_e``; returns (ctes, winners-union CTE name ``{pfx}all``)."""
+
+    def h(expr: str, r: int) -> str:
+        return (
+            f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR) || '#' || "
+            f"'{seed * 1000 + r}'), 1, 12)) AS BIGINT)"
+        )
+
+    ctes: list[str] = []
+    win_parts = []
+    for r in range(max_rounds):
+        ctes.append(
+            f"""{pfx}p{r} AS MATERIALIZED (
+  SELECT node, {h('node', r)} AS h FROM {pfx}a{r})"""
+        )
+        ctes.append(
+            f"""{pfx}w{r} AS MATERIALIZED (
+  SELECT p.node FROM {pfx}p{r} p
+  LEFT JOIN (
+    SELECT e.src AS node, MIN(ROW(q.h, q.node)) AS nmin
+    FROM mis_e e
+    JOIN {pfx}p{r} s ON s.node = e.src
+    JOIN {pfx}p{r} q ON q.node = e.dst
+    GROUP BY 1
+  ) nm ON nm.node = p.node
+  WHERE nm.nmin IS NULL OR ROW(p.h, p.node) < nm.nmin)"""
+        )
+        ctes.append(
+            f"""{pfx}a{r + 1} AS (
+  SELECT node FROM {pfx}a{r}
+  WHERE node NOT IN (SELECT node FROM {pfx}w{r})
+    AND node NOT IN (
+      SELECT e.dst FROM mis_e e JOIN {pfx}w{r} w ON w.node = e.src
+    ))"""
+        )
+        win_parts.append(f"SELECT node FROM {pfx}w{r}")
+    ctes.append(f"{pfx}all AS (" + "\nUNION ALL\n".join(win_parts) + ")")
+    return ctes, f"{pfx}all"
 
 
 def luby_mis_oracle_sql(
@@ -132,56 +250,52 @@ def luby_mis_oracle_sql(
     """DuckDB twin: ``max_rounds`` unrolled Luby rounds with the identical
     md5 priorities; rounds past convergence see an empty active set and
     are no-ops."""
-
-    def h(expr: str, r: int) -> str:
-        return (
-            f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR) || '#' || "
-            f"'{seed * 1000 + r}'), 1, 12)) AS BIGINT)"
-        )
-
     ctes = [
-        f"""mis_e AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT src, dst FROM ({edges_sql}) e1 WHERE src <> dst
-    UNION
-    SELECT dst, src FROM ({edges_sql}) e2 WHERE src <> dst
-  ) u)""",
+        _und_edges_cte(edges_sql),
         f"mis_a0 AS (SELECT node FROM ({nodes_sql}) n)",
     ]
-    win_parts = []
-    for r in range(max_rounds):
-        ctes.append(
-            f"""mis_p{r} AS MATERIALIZED (
-  SELECT node, {h('node', r)} AS h FROM mis_a{r})"""
-        )
-        ctes.append(
-            f"""mis_w{r} AS MATERIALIZED (
-  SELECT p.node FROM mis_p{r} p
-  LEFT JOIN (
-    SELECT e.src AS node, MIN(ROW(q.h, q.node)) AS nmin
-    FROM mis_e e
-    JOIN mis_p{r} s ON s.node = e.src
-    JOIN mis_p{r} q ON q.node = e.dst
-    GROUP BY 1
-  ) nm ON nm.node = p.node
-  WHERE nm.nmin IS NULL OR ROW(p.h, p.node) < nm.nmin)"""
-        )
-        ctes.append(
-            f"""mis_a{r + 1} AS (
-  SELECT node FROM mis_a{r}
-  WHERE node NOT IN (SELECT node FROM mis_w{r})
-    AND node NOT IN (
-      SELECT e.dst FROM mis_e e JOIN mis_w{r} w ON w.node = e.src
-    ))"""
-        )
-        win_parts.append(f"SELECT node FROM mis_w{r}")
-    wins = "\nUNION ALL\n".join(win_parts)
+    round_ctes, wins = _mis_round_ctes("mis_", seed, max_rounds)
+    ctes.extend(round_ctes)
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f""",
-mis_all AS ({wins})
+        + f"""
 SELECT n.node, (m.node IS NOT NULL) AS in_mis
-FROM ({nodes_sql}) n LEFT JOIN mis_all m ON m.node = n.node
+FROM ({nodes_sql}) n LEFT JOIN {wins} m ON m.node = n.node
 """
+    )
+
+
+def coloring_oracle_sql(
+    nodes_sql: str,
+    edges_sql: str,
+    seed: int = 31,
+    max_colors: int = 6,
+    max_rounds: int = 12,
+) -> str:
+    """DuckDB twin of `jones_plassmann_coloring`: ``max_colors`` unrolled
+    MIS layers (each layer the unrolled Luby rounds with the layer-salted
+    seed), colors assigned by layer index; layers past convergence see an
+    empty active set and are no-ops."""
+    ctes = [
+        _und_edges_cte(edges_sql),
+        f"col_c0_a0 AS (SELECT node FROM ({nodes_sql}) n)",
+    ]
+    parts = []
+    for c in range(max_colors):
+        pfx = f"col_c{c}_"
+        round_ctes, wins = _mis_round_ctes(pfx, seed * 100 + c, max_rounds)
+        ctes.extend(round_ctes)
+        parts.append(f"SELECT node, {c} AS color FROM {wins}")
+        if c < max_colors - 1:
+            ctes.append(
+                f"""col_c{c + 1}_a0 AS (
+  SELECT node FROM {pfx}a0
+  WHERE node NOT IN (SELECT node FROM {wins}))"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(parts)
     )
