@@ -176,7 +176,9 @@ def jones_plassmann_coloring(
         colored.append(
             mis.select("node", F.lit(c).cast("int").alias("color"))
         )
-        active = stats_reset_checkpoint(active.join(mis, "node", "left_anti"))
+        # no checkpoint here: the core checkpoints its active frame on
+        # entry, so one materialization per layer suffices
+        active = active.join(mis, "node", "left_anti")
     else:
         if not active.isEmpty():
             raise RuntimeError(

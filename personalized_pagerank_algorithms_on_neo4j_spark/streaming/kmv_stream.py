@@ -14,9 +14,13 @@ and overwrites ITS OWN partition).  Unlike the classic reservoir
 AND duplicate-sensitive), the hash-rank reservoir is a pure function of
 the DISTINCT id set — replay and re-delivery cannot skew the sample.
 Ids are carried as strings (the hash's own casting), so any id type
-works.  Every partial row records the write-time k; reads and
-compactions REFUSE a larger k (ids ranked past k were discarded at
-write time — serving them would be a silent non-uniform over-sample).
+works.  Every partial row records the EFFECTIVE k it survived (write-
+time k, lowered by any smaller-k compaction); reads and compactions
+REFUSE a larger k (ids ranked past the effective k were discarded —
+serving them would be a silent non-uniform over-sample).  This is the
+store's first on-disk schema (introduced round 9); no earlier format
+ever shipped, so unlike topk_stream there is no legacy migration path
+to carry.
 
 The same store doubles as a DISTINCT-COUNT sketch: the k-th smallest
 hash of a stratum estimates its cardinality ((k-1) * 2^48 / h_k, the KMV
@@ -108,9 +112,13 @@ def start_streaming_sample(
     )
 
 
-def _read_folded(
-    spark: SparkSession, store_path: str, k: int, group_col: str
+def _load_checked(
+    spark: SparkSession, store_path: str, k: int, group_col: str, verb: str
 ) -> DataFrame:
+    """Read the store and enforce the k contract in ONE place: refuse any
+    requested k above the smallest effective k recorded in the store.
+    The guard is one aggregate over the single `k` column (a columnar
+    footer-cheap scan) before the fold scan."""
     from ._store import recover_store
 
     recover_store(store_path)
@@ -120,9 +128,16 @@ def _read_folded(
     k_min_row = rows.agg(F.min("k")).collect()[0][0]
     if k_min_row is not None and k > int(k_min_row):
         raise ValueError(
-            f"read k={k} exceeds the store's write-time k={int(k_min_row)}: "
-            "ids past that rank were discarded at write time"
+            f"{verb} k={k} exceeds the store's effective k={int(k_min_row)}: "
+            "ids past that rank were discarded"
         )
+    return rows
+
+
+def _read_folded(
+    spark: SparkSession, store_path: str, k: int, group_col: str
+) -> DataFrame:
+    rows = _load_checked(spark, store_path, k, group_col, "read")
     # same id in several epochs -> identical (group, id, _h) row; collapse
     # before the fold so a long-running stream cannot seat a duplicate
     return _k_smallest(
@@ -178,26 +193,31 @@ def compact_store(
     `epoch=-1` partition (k smallest per stratum) via the shared
     crash-safe `_store.compact_epochs` protocol; run while the stream is
     stopped.  Returns how many partitions were folded."""
-    from ._store import compact_epochs, recover_store
+    from ._store import compact_epochs
 
-    recover_store(store_path)
-    k_min_row = (
-        spark.read.schema(
-            f"{group_col} string, id string, _h bigint, k int, epoch bigint"
+    _load_checked(spark, store_path, k, group_col, "compact")
+
+    def fold(df: DataFrame) -> DataFrame:
+        # dedupe WITHOUT the k column (the same id written under two
+        # different write-time ks must not occupy two top-k slots), then
+        # stamp the folded rows with the EFFECTIVE k — the smaller of the
+        # fold k and what the rows already survived — so a smaller-k
+        # compaction tightens the read-time refusal instead of being
+        # silently forgotten (r9 review findings #1/#2)
+        k_eff = F.least(F.min("k"), F.lit(int(k))).cast("int")
+        folded = _k_smallest(
+            df.groupBy(group_col, "id", "_h").agg(k_eff.alias("k")),
+            k,
+            group_col,
+            "id",
         )
-        .parquet(store_path)
-        .agg(F.min("k"))
-        .collect()[0][0]
-    )
-    if k_min_row is not None and k > int(k_min_row):
-        raise ValueError(
-            f"compact k={k} exceeds the store's write-time k={int(k_min_row)}"
+        return folded.withColumn(
+            "k", F.least(F.col("k"), F.lit(int(k))).cast("int")
         )
+
     return compact_epochs(
         spark,
         store_path,
         f"{group_col} string, id string, _h bigint, k int, epoch bigint",
-        lambda df: _k_smallest(
-            df.select(group_col, "id", "_h", "k").distinct(), k, group_col, "id"
-        ),
+        fold,
     )

@@ -1048,8 +1048,32 @@ def test_streaming_sample_duplicates_and_k_contract(spark, tmp_path):
     )
     assert got == want
     # (c) larger read/compact k than written -> loud refusal
-    with _pytest.raises(ValueError, match="exceeds the store's write-time k"):
+    with _pytest.raises(ValueError, match="exceeds the store.s effective k"):
         K.read_sample(spark, store, k=4, group_col="g").collect()
     run_epoch(mk([("a", 9)]), 2)  # third epoch so compaction has work
-    with _pytest.raises(ValueError, match="exceeds the store's write-time k"):
+    with _pytest.raises(ValueError, match="exceeds the store.s effective k"):
         K.compact_store(spark, store, k=4, group_col="g")
+
+
+def test_streaming_sample_compaction_tightens_effective_k(spark, tmp_path):
+    """Compacting with a smaller k must TIGHTEN the read-time refusal:
+    ids past the compaction rank are gone, so a read between the old and
+    new k would be a silent over-sample (r9 review finding)."""
+    import pytest as _pytest
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        kmv_stream as K,
+    )
+
+    store = str(tmp_path / "kmv_tight_store")
+    run_epoch = K.make_merge_batch(spark, store, k=5, group_col="g", id_col="id")
+    mk = lambda rows: spark.createDataFrame(rows, "g string, id long")  # noqa: E731
+    run_epoch(mk([("a", i) for i in range(10)]), 0)
+    run_epoch(mk([("a", i) for i in range(10, 20)]), 1)
+    run_epoch(mk([("a", 99)]), 2)
+    assert K.compact_store(spark, store, k=2, group_col="g") == 2
+    # k=2 still serves (and the sample stays the 2 smallest hashes)
+    assert len(K.read_sample(spark, store, k=2, group_col="g").collect()) == 2
+    # k=3..5 must now refuse even though the WRITE-time k was 5
+    with _pytest.raises(ValueError, match="exceeds the store's effective k=2"):
+        K.read_sample(spark, store, k=3, group_col="g").collect()
