@@ -59,6 +59,7 @@ R9_NEW: list[str] = [
     "graph_mis",       # r9: Luby's maximal independent set
     "graph_anf",       # r9: ANF / neighborhood-function summary (HyperBall)
     "graph_coloring",  # r9: Jones-Plassmann greedy coloring (iterated MIS)
+    "graph_matching",  # r9: greedy maximal matching (Israeli-Itai style)
 ]
 
 
@@ -600,6 +601,29 @@ def q_graph_coloring(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Block 67: distributed maximal matching — greedy hash-priority edge
+# selection (operators/matching.py); the one-to-one pairing verb (each
+# node merged with at most one partner).
+# ---------------------------------------------------------------------------
+
+MATCHING_SEED = 37
+MATCHING_ROUNDS = 8  # gate and sf0.1 graphs both converge in 2 (measured)
+
+
+def q_graph_matching(spark, sf_dir):
+    """(u, v): a deterministic maximal matching of the derived graph
+    (operators/matching.maximal_matching)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.matching import (
+        maximal_matching,
+    )
+
+    g = _graph(spark, sf_dir)
+    return maximal_matching(
+        g.edges, seed=MATCHING_SEED, max_rounds=MATCHING_ROUNDS
+    )
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -713,6 +737,15 @@ FROM anf_hb GROUP BY radius
 
     from personalized_pagerank_algorithms_on_neo4j_spark.operators.mis import (
         coloring_oracle_sql,
+    )
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.matching import (
+        matching_oracle_sql,
+    )
+
+    Q["graph_matching"] = q_graph_matching
+    SQL["graph_matching"] = matching_oracle_sql(
+        GRAPH_EDGES_SQL, seed=MATCHING_SEED, max_rounds=MATCHING_ROUNDS
     )
 
     Q["graph_coloring"] = q_graph_coloring

@@ -370,6 +370,8 @@ def main() -> None:
     # this operator (the composition-of-benched-substrate precedent) —
     # and its gate-scale color budget is below what sf0.1 needs.
     timed("q_graph_mis", lambda: X.q_graph_mis(spark, SF_DIR).count())
+    # greedy maximal matching: the one-to-one pairing verb
+    timed("q_graph_matching", lambda: X.q_graph_matching(spark, SF_DIR).count())
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
     # end-to-end corpus clustering: kNN edges -> weighted Louvain
@@ -471,6 +473,7 @@ PINNED_KEYS = [
 NEW_KEYS: list[str] = [
     "q_bpe_encode", "q_graph_kpaths", "q_temporal_motifs",
     "q_betweenness_sampled", "q_hyperball", "q_graph_mis",
+    "q_graph_matching",
 ]
 
 

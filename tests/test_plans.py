@@ -429,3 +429,6 @@ def test_r9_operator_plan_shapes(spark):
     plan = _plan(X.q_graph_coloring(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    plan = _plan(X.q_graph_matching(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
