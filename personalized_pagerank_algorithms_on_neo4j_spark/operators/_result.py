@@ -27,3 +27,16 @@ def ppr_result_from_state(state: DataFrame) -> DataFrame:
     return state.where(F.col("reserve") > 0).select(
         "node", F.col("reserve").alias("ppr")
     )
+
+
+def union_frames(frames, spark, empty_schema: str):
+    """Fold a list of same-schema frames with unionByName; an empty list
+    yields an empty frame of ``empty_schema``.  One home for the
+    accumulate-winners tail the MIS / coloring / matching loops share,
+    so the fallback schema and the union flavor cannot drift apart."""
+    if not frames:
+        return spark.createDataFrame([], empty_schema)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -106,14 +106,9 @@ def maximal_matching(
                 raise RuntimeError(
                     f"maximal_matching did not converge in {max_rounds} rounds"
                 )
-    out = (
-        won_frames[0]
-        if won_frames
-        else spark.createDataFrame([], "u long, v long")
-    )
-    for f in won_frames[1:]:
-        out = out.unionByName(f)
-    return out
+    from ._result import union_frames
+
+    return union_frames(won_frames, spark, "u long, v long")
 
 
 def matching_oracle_sql(

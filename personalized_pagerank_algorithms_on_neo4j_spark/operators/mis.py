@@ -135,10 +135,9 @@ def _luby_mis_core(
                 raise RuntimeError(
                     f"luby_mis did not converge in {max_rounds} rounds"
                 )
-    mis = mis_frames[0] if mis_frames else spark.createDataFrame([], "node long")
-    for f in mis_frames[1:]:
-        mis = mis.unionAll(f)
-    return mis
+    from ._result import union_frames
+
+    return union_frames(mis_frames, spark, "node long")
 
 
 def jones_plassmann_coloring(
@@ -184,10 +183,9 @@ def jones_plassmann_coloring(
             raise RuntimeError(
                 f"jones_plassmann_coloring needs more than {max_colors} colors"
             )
-    out = colored[0] if colored else spark.createDataFrame([], "node long, color int")
-    for f in colored[1:]:
-        out = out.unionByName(f)
-    return out
+    from ._result import union_frames
+
+    return union_frames(colored, spark, "node long, color int")
 
 
 def _und_edges_cte(edges_sql: str) -> str:

@@ -78,8 +78,9 @@ def test_matching_matches_python_oracle_and_invariants(spark):
 
 
 def test_matching_strict_raises_past_budget(spark):
-    """One round matches exactly one edge of a path (the global minimum
-    cascades), so a long path under a 1-round budget must raise."""
+    """One round matches only the LOCAL-minimum edges; under seed 37 the
+    round-1 local minima of this 12-edge path do not tile it (verified
+    by the priority replay), so a 1-round budget must raise."""
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "src long, dst long"
     )
@@ -90,3 +91,7 @@ def test_matching_strict_raises_past_budget(spark):
 def test_matching_empty_and_selfloop_edges(spark):
     df = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
     assert maximal_matching(df, seed=37).count() == 0
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = maximal_matching(empty, seed=37)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["u", "v"]
