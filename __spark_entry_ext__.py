@@ -60,6 +60,7 @@ R9_NEW: list[str] = [
     "graph_anf",       # r9: ANF / neighborhood-function summary (HyperBall)
     "graph_coloring",  # r9: Jones-Plassmann greedy coloring (iterated MIS)
     "graph_matching",  # r9: greedy maximal matching (Israeli-Itai style)
+    "dedup_matching",  # r9: one-to-one near-dup doc pairing (LSH -> matching)
 ]
 
 
@@ -624,6 +625,35 @@ def q_graph_matching(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Block 68: one-to-one near-duplicate pairing — MinHash-LSH candidates
+# fed through the maximal matching (each document merged with at most
+# ONE partner: the matching-not-clustering flavor of dedup, the merge
+# plan a pairwise dedup job actually executes).  Fourth flagship
+# composition: two audited substrates, zero new algorithmic surface.
+# ---------------------------------------------------------------------------
+
+DEDUP_MATCHING_SEED = 41
+DEDUP_MATCHING_ROUNDS = 8  # pairs graphs converge in 1 (sf0.01) / 3 (sf0.1)
+
+
+def q_dedup_matching(spark, sf_dir):
+    """(u, v): a maximal one-to-one pairing of MinHash-LSH near-dup
+    candidates (8 hashes x 4 bands, 3-shingles) — operators/matching over
+    functions/dedup.minhash_lsh_candidates."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.matching import (
+        maximal_matching,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4, n=3).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return maximal_matching(
+        pairs, seed=DEDUP_MATCHING_SEED, max_rounds=DEDUP_MATCHING_ROUNDS
+    )
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -741,6 +771,15 @@ FROM anf_hb GROUP BY radius
 
     from personalized_pagerank_algorithms_on_neo4j_spark.operators.matching import (
         matching_oracle_sql,
+    )
+
+    Q["dedup_matching"] = q_dedup_matching
+    SQL["dedup_matching"] = matching_oracle_sql(
+        "SELECT doc_a AS src, doc_b AS dst FROM ("
+        + SQL["minhash_lsh_candidates"]
+        + ") mlc",
+        seed=DEDUP_MATCHING_SEED,
+        max_rounds=DEDUP_MATCHING_ROUNDS,
     )
 
     Q["graph_matching"] = q_graph_matching

@@ -370,7 +370,9 @@ def main() -> None:
     # this operator (the composition-of-benched-substrate precedent) —
     # and its gate-scale color budget is below what sf0.1 needs.
     timed("q_graph_mis", lambda: X.q_graph_mis(spark, SF_DIR).count())
-    # greedy maximal matching: the one-to-one pairing verb
+    # greedy maximal matching: the one-to-one pairing verb.
+    # dedup_matching is NOT benched: it is minhash_lsh (benched) piped
+    # into exactly this operator (composition precedent).
     timed("q_graph_matching", lambda: X.q_graph_matching(spark, SF_DIR).count())
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
