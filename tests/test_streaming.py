@@ -1077,3 +1077,108 @@ def test_streaming_sample_compaction_tightens_effective_k(spark, tmp_path):
     # k=3..5 must now refuse even though the WRITE-time k was 5
     with _pytest.raises(ValueError, match="exceeds the store's effective k=2"):
         K.read_sample(spark, store, k=3, group_col="g").collect()
+
+
+# --- streaming store #13: level-sampling quantile partials ------------------
+
+
+def _ev_values(spark):
+    """(stratum, key, v): event `value` as exact cents per event_type."""
+    return load_table(spark, SF_SMALL, "events").select(
+        F.col("event_type").alias("stratum"),
+        F.col("event_id").alias("key"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+
+
+def test_streaming_quantiles_match_batch_twin(spark, events_dir, tmp_path):
+    """Per-epoch level-sampling partials; the read-side fold must equal
+    the batch `quantile_sketch` over the complete event set EXACTLY
+    (nested level filters + additive counts compose — the mergeability
+    proof on functions/quantile_sketch)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.quantile_sketch import (
+        quantile_sketch,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        quantile_stream as Q,
+    )
+
+    probs = [0.1, 0.5, 0.9]
+    store = str(tmp_path / "q_store")
+    stream = S.read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    vals = stream.select(
+        F.col("event_type").alias("stratum"),
+        F.col("event_id").alias("key"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    q = Q.start_streaming_quantiles(
+        spark, vals, store, "v", "key", "stratum", k=16
+    )
+    _drain(q)
+
+    got = sorted(
+        map(tuple, Q.read_quantiles(spark, store, probs, k=16).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            quantile_sketch(
+                _ev_values(spark), "v", "key", "stratum", probs, k=16
+            ).collect(),
+        )
+    )
+    assert got == want and got
+    assert glob.glob(os.path.join(store, "epoch=*")), os.listdir(store)
+
+
+def test_streaming_quantiles_replay_and_compaction(spark, tmp_path):
+    """Replaying the last epoch and folding history via compact_store must
+    both leave the estimates unchanged (partials are pure functions of
+    their rows; refold_partials is idempotent)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        quantile_stream as Q,
+    )
+
+    probs = [0.25, 0.75]
+    store = str(tmp_path / "q_store")
+    vals = _ev_values(spark)
+    parts = [vals.where(F.col("key") % 3 == i) for i in range(3)]
+    run_epoch = Q.make_merge_batch(spark, store, "v", "key", "stratum", k=16)
+    for i, part in enumerate(parts):
+        run_epoch(part, i)
+    board = lambda: sorted(  # noqa: E731
+        map(tuple, Q.read_quantiles(spark, store, probs, k=16).collect())
+    )
+    before = board()
+    run_epoch(parts[-1], 2)  # replay the last epoch, as a restart would
+    assert board() == before
+    folded = Q.compact_store(spark, store, k=16)
+    assert folded == 2
+    assert board() == before and before
+    epochs = {
+        os.path.basename(p) for p in glob.glob(os.path.join(store, "epoch=*"))
+    }
+    assert epochs == {"epoch=-1", "epoch=2"}
+
+
+def test_streaming_quantiles_k_contract(spark, tmp_path):
+    """Reading or compacting with a larger k than written refuses loudly,
+    and a smaller-k compaction TIGHTENS the refusal (rows past the new
+    sampling budget are gone — serving k between new and old would
+    silently diverge from the batch-k sketch it claims to equal)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        quantile_stream as Q,
+    )
+
+    store = str(tmp_path / "q_tight_store")
+    vals = _ev_values(spark)
+    run_epoch = Q.make_merge_batch(spark, store, "v", "key", "stratum", k=8)
+    run_epoch(vals.where(F.col("key") % 3 == 0), 0)
+    with pytest.raises(ValueError, match="exceeds the store's effective k"):
+        Q.read_quantiles(spark, store, [0.5], k=16).collect()
+    run_epoch(vals.where(F.col("key") % 3 == 1), 1)
+    run_epoch(vals.where(F.col("key") % 3 == 2), 2)
+    assert Q.compact_store(spark, store, k=4) == 2
+    assert Q.read_quantiles(spark, store, [0.5], k=4).count() > 0
+    with pytest.raises(ValueError, match="exceeds the store's effective k=4"):
+        Q.read_quantiles(spark, store, [0.5], k=8).collect()
