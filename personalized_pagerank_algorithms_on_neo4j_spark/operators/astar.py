@@ -1,0 +1,203 @@
+"""A* single-pair shortest path with the ALT landmark heuristic —
+`gds.shortestPath.astar` (the last everyday GDS path verb beside
+Dijkstra `sssp.py` and Yen `kpaths.py`).
+
+GDS's A* uses a haversine heuristic over geo coordinates; a general
+graph has no coordinates, so this module uses the ALT lower bound
+(Goldberg & Harrelson, SODA'05 — "Computing the Shortest Path: A*
+Search Meets Graph Theory" [public]): with exact landmark distances
+``d(l, .)`` on an undirected graph, ``h(v) = max_l |d(l,t) - d(l,v)|``
+is admissible AND consistent by the triangle inequality.  The landmark
+distances come from the engine's own `sssp_weighted_multi` (the
+`sssp_landmarks` feature query) — a true composition, no new distance
+machinery.
+
+A priority queue does not distribute, so the search is the frontier
+Bellman-Ford of `sssp.py` with BRANCH-AND-BOUND pruning instead of
+best-first ordering: each superstep expands only frontier nodes with
+``g(v) + h(v) < UB`` where UB is the best complete-path cost found so
+far (the target's current distance).  Optimality survives the pruning:
+UB only decreases and never below d(s,t), so a node on the true
+shortest path always satisfies ``g*(v) + h(v) <= d(s,t) < UB`` and is
+never pruned before propagating its optimal prefix; when the pruned
+frontier empties, dist(target) is exact (or the target is unreachable
+and the result is empty).  Pruned nodes KEEP their improved distances
+— only their expansion is suppressed — so a later improvement re-
+enters them through the normal frontier rule.
+
+Scale shape: identical to `sssp_weighted` (frontier-bounded candidate
+side, node-partitioned full-outer merge, per-round checkpoint) plus
+one node-keyed heuristic join per round (broadcast under the node
+bound) and a 1-row UB probe riding the checkpoint.  The pruning makes
+the frontier a SUBSET of plain SSSP's on well-separated pairs —
+measured on the fixture by `expansion_stats` and pinned by test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.iterative import (
+    BROADCAST_NODE_BOUND,
+    loop_shuffle_partitions,
+    static_superstep_plan,
+)
+from .sssp import sssp_weighted_multi
+
+
+def alt_heuristic(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: DataFrame,
+    target: int,
+    max_rounds: int = 20,
+    n_hint: int | None = None,
+) -> DataFrame:
+    """(node, h): the ALT admissible lower bound on d(node, target) over
+    an UNDIRECTED weighted edge list, from exact landmark distances.
+    Landmarks that do not reach the target contribute nothing (their
+    |d(l,t) - d(l,v)| is undefined; on an undirected graph such a
+    landmark lies in another component).  Nodes absent from every
+    contributing landmark's distance table get no row — callers
+    coalesce to 0, the always-admissible fallback."""
+    ld = sssp_weighted_multi(
+        spark, edges, landmarks, max_rounds=max_rounds, n_hint=n_hint
+    )
+    dt = ld.where(F.col("node") == target).select(
+        "landmark", F.col("dist").alias("dist_t")
+    )
+    return (
+        ld.join(F.broadcast(dt), "landmark")
+        .groupBy("node")
+        .agg(F.max(F.abs(F.col("dist") - F.col("dist_t"))).alias("h"))
+    )
+
+
+def astar_single_pair(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    target: int,
+    heuristic: DataFrame | None,
+    max_rounds: int = 20,
+    n_hint: int | None = None,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """One-row (src, dst, dist) exact min-cost path cost from ``source``
+    to ``target`` over a weighted edge list (src, dst, w — positive long
+    costs; pass `undirected_min_cost(...)` for the undirected metric,
+    which the ALT heuristic requires).  Empty result = unreachable.
+    Raises RuntimeError if the frontier has not drained by
+    ``max_rounds`` (an unconverged distance would be silently wrong).
+
+    ``heuristic=None`` disables BOTH the h-join and the UB pruning —
+    the loop then degenerates to `sssp_weighted`'s exactly (the
+    instrumented plain-SSSP baseline the expansion test compares
+    against).
+
+    ``_stats``: test instrumentation — pass a dict to receive
+    ``expanded`` (total frontier rows actually expanded, post-pruning)
+    and ``rounds``; adds one count action per round, so production
+    callers leave it None."""
+    small = n_hint is not None and n_hint <= BROADCAST_NODE_BOUND
+    loop_parts = loop_shuffle_partitions(spark, n_hint) if small else None
+    dist = spark.createDataFrame([(int(source), 0)], "node long, dist long")
+    ub = None  # best complete-path cost so far (None = target unseen)
+    converged = False
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
+        edges = edges.localCheckpoint(eager=True)
+        h = (
+            heuristic.localCheckpoint(eager=True)
+            if heuristic is not None
+            else None
+        )
+        dist = dist.localCheckpoint(eager=True)
+        frontier = dist
+        for rounds in range(1, max_rounds + 1):
+            if h is not None:
+                hj = F.broadcast(h) if small else h
+                fh = frontier.join(hj, "node", "left").select(
+                    "node",
+                    "dist",
+                    (
+                        F.col("dist") + F.coalesce(F.col("h"), F.lit(0))
+                    ).alias("f"),
+                )
+                if ub is not None:
+                    fh = fh.where(F.col("f") < ub)
+                expand = fh.select("node", "dist")
+            else:
+                expand = frontier
+            fj = F.broadcast(expand) if small else expand
+            cand = (
+                edges.join(fj, edges.src == fj["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+            )
+            # full outer joins cannot broadcast (see sssp_weighted); the
+            # dist side stays node-partitioned from the previous round's
+            # checkpoint, only the frontier-bounded candidate side moves
+            merged = dist.join(cand, "node", "full_outer").select(
+                "node",
+                F.least(F.col("dist"), F.col("cand")).alias("new_dist"),
+                (
+                    F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
+                ).alias("improved"),
+            )
+            merged = merged.localCheckpoint(eager=True)
+            if _stats is not None:
+                _stats["expanded"] = _stats.get("expanded", 0) + expand.count()
+                _stats["rounds"] = rounds
+            if h is not None:
+                # UB probe: 1 bounded row off the checkpoint per round
+                trow = merged.where(F.col("node") == target).select(
+                    "new_dist"
+                )
+                got = trow.limit(1).collect()
+                if got:
+                    ub = int(got[0][0])
+            frontier = merged.where("improved").select(
+                "node", F.col("new_dist").alias("dist")
+            )
+            dist = merged.select("node", F.col("new_dist").alias("dist"))
+            if frontier.limit(1).count() == 0:
+                converged = True
+                break
+    if not converged:
+        raise RuntimeError(
+            f"astar_single_pair: frontier not drained after {max_rounds} "
+            "rounds — raise max_rounds (an unconverged distance would be "
+            "silently wrong)"
+        )
+    return dist.where(F.col("node") == target).select(
+        F.lit(int(source)).cast("long").alias("src"),
+        F.lit(int(target)).cast("long").alias("dst"),
+        F.col("dist"),
+    )
+
+
+def astar_oracle_sql(
+    weighted_edges_sql: str,
+    source_sql: str,
+    target_sql: str,
+    rounds: int = 20,
+) -> str:
+    """DuckDB twin: the exact single-pair distance is heuristic-
+    independent, so the oracle is the `sssp_oracle_sql` relaxation fixed
+    point filtered to the target (the A*-specific pruning is pinned by
+    the pytest suite instead: dist parity with plain SSSP plus the
+    expanded-states bound).  ``source_sql`` / ``target_sql`` are 1-row
+    SELECTs yielding column ``s`` / ``t``."""
+    from .sssp import sssp_oracle_sql
+
+    inner = sssp_oracle_sql(weighted_edges_sql, source_sql, rounds=rounds)
+    return f"""
+WITH astar_d AS ({inner}),
+astar_t AS ({target_sql}),
+astar_s AS ({source_sql})
+SELECT CAST(astar_s.s AS BIGINT) AS src, CAST(astar_t.t AS BIGINT) AS dst,
+       d.dist
+FROM astar_d d, astar_s, astar_t
+WHERE d.node = astar_t.t
+"""
