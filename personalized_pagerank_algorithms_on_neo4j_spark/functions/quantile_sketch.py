@@ -316,7 +316,8 @@ qs_caps AS (
 qs_tgt AS (
   SELECT l.stratum, l.n_total, l.level, pr.p,
          CAST(ceil(pr.p * l.n_total) AS BIGINT) AS t
-  FROM qs_lvl l CROSS JOIN (SELECT * FROM (VALUES {probs_values}) pv(p)) pr),
+  FROM qs_lvl l CROSS JOIN (
+    SELECT CAST(p AS DOUBLE) AS p FROM (VALUES {probs_values}) pv(p)) pr),
 qs_cand AS (
   SELECT g.stratum, g.p, MIN(r.v) AS est0
   FROM qs_tgt g JOIN qs_rank r USING (stratum)

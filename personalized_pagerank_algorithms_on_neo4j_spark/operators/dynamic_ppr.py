@@ -1,0 +1,361 @@
+"""Incremental PPR maintenance — reverse-push residual repair on edge
+arrival (the reference's preprocess-then-lookup BASE path, made dynamic).
+
+The reference (Base_Whole_Graph.java:57-186) recomputes the all-pair
+store from scratch; published dynamic-PPR work (Ohsaka/Maehara/Kawarabayashi
+KDD'15 "Efficient PageRank Tracking in Evolving Networks"; Zhang/Lofgren/
+Goel KDD'16 "Approximate Personalized PageRank on Dynamic Graphs")
+repairs the push state locally instead.  This module derives the exact
+repair from the push VALIDITY IDENTITY.  A reverse-push state (p, r)
+for target t is valid on a graph with row-stochastic-or-zero transition
+matrix P iff
+
+    alpha * r + (I - (1 - alpha) * P) * p = alpha * e_t        (++)
+
+(each push is precisely a Gaussian-elimination step of this system;
+initial state r = e_t, p = 0 satisfies it trivially, and the estimate
+guarantee |pi(v,t) - p(v)| <= sum_x |r(x)| pi(v,x) follows from it).
+Inserting edges changes ONLY the touched rows u of P, so keeping p and
+solving (++) for r on the new graph gives a repair that touches ONLY
+r(u) for touched sources u:
+
+    r(u) += (1-alpha)/alpha * [ sum_{w in W_u} p(w) / d'_u
+                                + (1/d'_u - 1/d_u) * sum_{x in N_old(u)} p(x) ]
+
+where W_u are u's newly inserted out-edges, d_u / d'_u the old / new
+out-degree (the second term vanishes for a previously dangling u — its
+P row was zero).  The repaired state satisfies (++) EXACTLY (pinned to
+float precision by `invariant_residual`), so resuming pushes until
+|r| <= rmax restores the reference's estimate guarantee on the new
+graph — residues may now be NEGATIVE (an inserted edge dilutes the
+old neighbors' share), and pushing negative residue is the same linear
+step, so the resume loop qualifies on |r|.
+
+Cost shape: repair is |touched u| x |targets| x avg-degree rows (two
+joins against the stored reserves) + a few resume supersteps over the
+repair frontier — independent of graph size, vs a from-scratch
+recompute's full multi-superstep push over every target.  The bench
+key measures the ratio at sf0.1.
+
+All loops are the engine's standard superstep shape: state keyed
+(target, node), one join + one groupBy per round, per-round eager
+checkpoints, early exit off a 1-row emptiness probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_ALPHA
+from ..plans.iterative import static_superstep_plan
+
+
+def _edges_with_outdeg(edges: DataFrame) -> DataFrame:
+    """(src, dst, od): directed edge list with the src out-degree bound
+    on (the push weight denominator)."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    return edges.join(deg, "src")
+
+
+def reverse_push_state(
+    spark: SparkSession,
+    edges: DataFrame,
+    targets: DataFrame,
+    rmax: float,
+    alpha: float = DEFAULT_ALPHA,
+    max_supersteps: int = 200,
+    state: DataFrame | None = None,
+    first_unconditional: bool = True,
+) -> DataFrame:
+    """Reverse push to |residue| <= rmax, KEEPING residues: returns
+    (target, node, residue, reserve) — the maintainable state, unlike
+    `backward_search_all` which folds to the ppr view.  Pure push
+    semantics (no in-degree-0 target short-circuit; a zero-out-degree
+    node is an absorbing zero row of P, matching the push algebra).
+
+    ``state=None`` starts fresh from r = e_t per target (the first
+    superstep pushes targets unconditionally, mirroring
+    Backward_Search.java:44's immediate pop); pass a repaired state to
+    RESUME maintenance pushes (``first_unconditional=False`` — only
+    |r| > rmax rows move, positive or negative)."""
+    edges = _edges_with_outdeg(edges)
+    if state is None:
+        state = targets.select(
+            F.col("target").cast("long").alias("target"),
+            F.col("target").cast("long").alias("node"),
+            F.lit(1.0).alias("residue"),
+            F.lit(0.0).alias("reserve"),
+        )
+    with static_superstep_plan(spark):
+        edges = edges.localCheckpoint(eager=True)
+        first = first_unconditional
+        for _ in range(max_supersteps):
+            qual = F.abs(F.col("residue")) > (0.0 if first else rmax)
+            s = state.withColumn("qual", qual).localCheckpoint(eager=True)
+            first = False
+            frontier = s.where("qual")
+            if frontier.isEmpty():
+                state = s.select("target", "node", "residue", "reserve")
+                break
+            rest = s.where(~F.col("qual")).select(
+                "target", "node", "residue", "reserve"
+            )
+            kept = frontier.select(
+                "target",
+                "node",
+                F.lit(0.0).alias("residue"),
+                (F.col("reserve") + F.lit(alpha) * F.col("residue")).alias(
+                    "reserve"
+                ),
+            )
+            pushed = frontier.join(edges, frontier.node == edges.dst).select(
+                "target",
+                F.col("src").alias("node"),
+                (
+                    F.lit(1.0 - alpha) * F.col("residue") / F.col("od")
+                ).alias("residue"),
+                F.lit(0.0).alias("reserve"),
+            )
+            state = (
+                rest.unionAll(kept)
+                .unionAll(pushed)
+                .groupBy("target", "node")
+                .agg(
+                    F.sum("residue").alias("residue"),
+                    F.sum("reserve").alias("reserve"),
+                )
+            )
+        else:
+            raise RuntimeError(
+                f"reverse_push_state: |residue| > {rmax} after "
+                f"{max_supersteps} supersteps — raise max_supersteps"
+            )
+    return state
+
+
+def repair_on_insert(
+    state: DataFrame,
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """Apply the (++) residual repair for a batch of INSERTED edges:
+    returns the state (target, node, residue, reserve) valid on
+    old_edges UNION new_edges, with |residue| possibly above rmax at the
+    touched sources — follow with `reverse_push_state(..., state=...,
+    first_unconditional=False)` to restore the estimate guarantee.
+    ``new_edges`` must be disjoint from ``old_edges`` (true insertions);
+    both are (src, dst) frames."""
+    ne = new_edges.select("src", "dst").distinct()
+    d_new = ne.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+    d_old = old_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    touched = d_new.join(d_old, "src", "left").select(
+        "src",
+        F.coalesce("d", F.lit(0)).alias("d"),
+        (F.coalesce("d", F.lit(0)) + F.col("c")).alias("dp"),
+    )
+    reserves = state.select("target", "node", "reserve")
+    # term 1: sum of reserves at the NEW out-neighbors, / d'
+    t1 = (
+        ne.join(touched, "src")
+        .join(reserves, ne.dst == reserves.node)
+        .groupBy("target", "src", "dp")
+        .agg(F.sum("reserve").alias("pw"))
+        .select(
+            "target",
+            F.col("src").alias("node"),
+            (F.col("pw") / F.col("dp")).alias("delta"),
+        )
+    )
+    # term 2: (1/d' - 1/d) * sum of reserves at the OLD out-neighbors
+    # (vanishes for previously dangling sources — zero P row)
+    old_touched = old_edges.join(
+        F.broadcast(touched.where(F.col("d") > 0)), "src"
+    )
+    t2 = (
+        old_touched.join(reserves, old_touched.dst == reserves.node)
+        .groupBy("target", "src", "d", "dp")
+        .agg(F.sum("reserve").alias("px"))
+        .select(
+            "target",
+            F.col("src").alias("node"),
+            (
+                (F.lit(1.0) / F.col("dp") - F.lit(1.0) / F.col("d"))
+                * F.col("px")
+            ).alias("delta"),
+        )
+    )
+    delta = (
+        t1.unionAll(t2)
+        .groupBy("target", "node")
+        .agg(
+            (F.lit((1.0 - alpha) / alpha) * F.sum("delta")).alias("residue")
+        )
+        .select("target", "node", "residue", F.lit(0.0).alias("reserve"))
+    )
+    return (
+        state.unionAll(delta)
+        .groupBy("target", "node")
+        .agg(
+            F.sum("residue").alias("residue"),
+            F.sum("reserve").alias("reserve"),
+        )
+    )
+
+
+def invariant_residual(
+    state: DataFrame, edges: DataFrame, alpha: float = DEFAULT_ALPHA
+) -> DataFrame:
+    """(target, node, res): the defect of the validity identity (++) at
+    every node with state — alpha*r(v) + p(v)
+    - (1-alpha)/d(v) * sum_{v->x} p(x) - alpha*[v = target].  All-zero
+    (to float precision) iff the state is a valid push state on
+    ``edges`` — THE correctness oracle for the repair algebra."""
+    e = _edges_with_outdeg(edges)
+    p = state.select("target", "node", "reserve")
+    inflow = (
+        e.join(p, e.dst == p.node)
+        .groupBy("target", F.col("src").alias("node"), "od")
+        .agg(F.sum("reserve").alias("pout"))
+        .select(
+            "target",
+            "node",
+            (F.lit(1.0 - alpha) * F.col("pout") / F.col("od")).alias("flow"),
+        )
+    )
+    return (
+        state.join(inflow, ["target", "node"], "left")
+        .select(
+            "target",
+            "node",
+            (
+                F.lit(alpha) * F.col("residue")
+                + F.col("reserve")
+                - F.coalesce("flow", F.lit(0.0))
+                - F.when(F.col("node") == F.col("target"), alpha).otherwise(
+                    0.0
+                )
+            ).alias("res"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the full pipeline replayed as unrolled CTEs
+# ---------------------------------------------------------------------------
+
+
+def _push_chain_sql(
+    prefix: str,
+    state_cte: str,
+    edges_cte: str,
+    steps: int,
+    rmax: float,
+    alpha: float,
+    first_unconditional: bool,
+) -> str:
+    """Unrolled |residue|-qualified reverse-push rounds from ``state_cte``
+    (target, node, residue, reserve) over ``edges_cte`` (src, dst, od).
+    Any step count >= the Spark side's stopping round is a no-op tail
+    (fixed point: once every |r| <= rmax nothing qualifies)."""
+    ctes = [f"{prefix}0 AS MATERIALIZED (SELECT * FROM {state_cte})"]
+    for i in range(steps):
+        p = f"{prefix}{i}"
+        thr = "0.0" if (i == 0 and first_unconditional) else str(rmax)
+        ctes.append(
+            f"""{prefix}{i + 1} AS MATERIALIZED (
+  SELECT target, node, SUM(residue) AS residue, SUM(reserve) AS reserve FROM (
+    SELECT target, node, residue, reserve FROM {p}
+    WHERE NOT (ABS(residue) > {thr})
+    UNION ALL
+    SELECT target, node, CAST(0.0 AS DOUBLE),
+           reserve + {alpha} * residue
+    FROM {p} WHERE ABS(residue) > {thr}
+    UNION ALL
+    SELECT t.target, e.src AS node,
+           (1.0 - {alpha}) * t.residue / e.od, CAST(0.0 AS DOUBLE)
+    FROM {p} t JOIN {edges_cte} e ON t.node = e.dst
+    WHERE ABS(t.residue) > {thr}
+  ) u GROUP BY target, node)"""
+        )
+    return ",\n".join(ctes)
+
+
+def incremental_ppr_oracle_sql(
+    old_edges_sql: str,
+    new_edges_sql: str,
+    targets_sql: str,
+    rmax: float,
+    alpha: float,
+    init_steps: int,
+    resume_steps: int,
+) -> str:
+    """DuckDB twin of the full incremental pipeline: fresh reverse push
+    on the OLD graph, the (++) repair for the inserted batch, resume
+    pushes on the NEW graph.  ``old_edges_sql`` / ``new_edges_sql``
+    yield (src, dst) (disjoint), ``targets_sql`` yields ``target``.
+    Output: (target, node, ppr, residue) rounded to 9 — matching the
+    driver query's rounding gate."""
+    init = _push_chain_sql(
+        "dyn_i", "dyn_s0", "dyn_eo", init_steps, rmax, alpha, True
+    )
+    resume = _push_chain_sql(
+        f"dyn_r",
+        "dyn_repaired",
+        "dyn_en",
+        resume_steps,
+        rmax,
+        alpha,
+        False,
+    )
+    return f"""
+WITH dyn_old AS MATERIALIZED ({old_edges_sql}),
+dyn_new AS MATERIALIZED ({new_edges_sql}),
+dyn_eo AS MATERIALIZED (
+  SELECT src, dst, od FROM dyn_old
+  JOIN (SELECT src, COUNT(*) AS od FROM dyn_old GROUP BY src) USING (src)),
+dyn_all AS (SELECT src, dst FROM dyn_old UNION ALL SELECT src, dst FROM dyn_new),
+dyn_en AS MATERIALIZED (
+  SELECT src, dst, od FROM dyn_all
+  JOIN (SELECT src, COUNT(*) AS od FROM dyn_all GROUP BY src) USING (src)),
+dyn_t AS ({targets_sql}),
+dyn_s0 AS (
+  SELECT CAST(target AS BIGINT) AS target, CAST(target AS BIGINT) AS node,
+         CAST(1.0 AS DOUBLE) AS residue, CAST(0.0 AS DOUBLE) AS reserve
+  FROM dyn_t),
+{init},
+dyn_state AS (SELECT * FROM dyn_i{init_steps}),
+dyn_touch AS (
+  SELECT n.src, COALESCE(o.d, 0) AS d, COALESCE(o.d, 0) + n.c AS dp
+  FROM (SELECT src, COUNT(*) AS c FROM dyn_new GROUP BY src) n
+  LEFT JOIN (SELECT src, COUNT(*) AS d FROM dyn_old GROUP BY src) o
+    USING (src)),
+dyn_d1 AS (
+  SELECT s.target, e.src AS node, SUM(s.reserve) / ANY_VALUE(t.dp) AS delta
+  FROM dyn_new e JOIN dyn_touch t USING (src)
+  JOIN dyn_state s ON e.dst = s.node
+  GROUP BY s.target, e.src),
+dyn_d2 AS (
+  SELECT s.target, e.src AS node,
+         (1.0 / ANY_VALUE(t.dp) - 1.0 / ANY_VALUE(t.d)) * SUM(s.reserve)
+           AS delta
+  FROM dyn_old e JOIN dyn_touch t USING (src)
+  JOIN dyn_state s ON e.dst = s.node
+  WHERE t.d > 0
+  GROUP BY s.target, e.src),
+dyn_delta AS (
+  SELECT target, node,
+         (1.0 - {alpha}) / {alpha} * SUM(delta) AS residue,
+         CAST(0.0 AS DOUBLE) AS reserve
+  FROM (SELECT * FROM dyn_d1 UNION ALL SELECT * FROM dyn_d2) u
+  GROUP BY target, node),
+dyn_repaired AS (
+  SELECT target, node, SUM(residue) AS residue, SUM(reserve) AS reserve
+  FROM (SELECT * FROM dyn_state UNION ALL SELECT * FROM dyn_delta) u
+  GROUP BY target, node),
+{resume}
+SELECT target, node, ROUND(reserve, 9) AS ppr, ROUND(residue, 9) AS residue
+FROM dyn_r{resume_steps}
+WHERE ROUND(reserve, 9) > 0 OR ROUND(residue, 9) <> 0
+"""
