@@ -5543,20 +5543,21 @@ _ext.register(globals())
 # Everything past 50 is the next round's queue, oldest evidence first.
 
 # (a) never driver-observed: NONE — as of CORRECTNESS_r07 every registered
-#     key has an observed green driver row at some round, and the r8 wave
-#     landed green on first contact. ---------------------------------------
-_R9_NEVER_OBSERVED: list[str] = []
+#     key has an observed green driver row at some round, and the r8/r9
+#     waves landed green on first contact. ---------------------------------
+_R10_NEVER_OBSERVED: list[str] = []
 
-# (a2) round-9 registrations live in __spark_entry_ext__.R9_NEW (the entry
-#      line budget forced the registration overflow).  Same contract as
-#      every round: each key displaces the _ROTATION_DEBT tail past
-#      position 50 (r10 queue); >=20 debt keys must stay in-window
-#      (max 15 new keys).  Update COVERAGE r9/r10 rows + ledger test in
-#      the SAME commit as any append. --------------------------------------
-_R9_NEW: list[str] = _ext.R9_NEW
+# (a2) round-10 registrations live in __spark_entry_ext__.R10_NEW (the
+#      entry line budget keeps registration overflow there).  Same
+#      contract as every round: each key displaces the _ROTATION_DEBT
+#      tail past position 50 (r11 queue); >=20 debt keys must stay
+#      in-window (max 15 new keys; held at 4 this round so the whole
+#      28-key r5-band remainder drains).  Update COVERAGE r10/r11 rows +
+#      ledger test in the SAME commit as any append. -----------------------
+_R10_NEW: list[str] = _ext.R10_NEW
 
 # (a3) stale anchors: none this round ---------------------------------------
-_R9_ANCHORS: list[str] = []
+_R10_ANCHORS: list[str] = []
 
 # (b) section-2 operator-family representatives (one per family, kept
 #     in-window every round) ----------------------------------------------
@@ -5577,35 +5578,17 @@ _FAMILY_REPS = [
     "report_layout",        # S6
 ]
 
-# (c) rotation debt, oldest driver evidence first (COVERAGE.md r9 row):
-#     the 12 keys the _R8_NEW wave displaced (last observed r4/r5), then
-#     the pinned r5-observed band (the r8 block's _R9_QUEUE, kept in its
-#     committed order).  54 keys; with N _R9_NEW registrations only the
-#     first 36-N fit the window — the displaced tail is the r10 queue
-#     head.  Keys with r6/r7/r8 driver rows are NOT in this list: the
-#     r6-observed band is pinned in _R10_QUEUE below and _reorder appends
-#     the r7/r8-observed remainder in registration order. -------------------
+# (c) rotation debt, oldest driver evidence first (COVERAGE.md r10 row):
+#     the 28-key r5-observed band remainder the _R9_NEW wave displaced
+#     (committed band order), then the pinned r6-observed band (the 13
+#     r5-tail keys observed r6, then the 22 _R6_NEW keys in registration
+#     order).  63 keys; with N _R10_NEW registrations only the first
+#     36-N fit the window — the displaced tail is the r11 queue head.
+#     Keys with r7/r8/r9 driver rows are NOT in this list: they are
+#     pinned oldest-evidence-first in _R11_QUEUE below. ---------------------
 _ROTATION_DEBT = [
-    # -- the 12 keys the _R8_NEW wave displaced (r8 queue tail) --
-    "event_transitions",
-    "ngram_span_dups",
-    "supplier_cooccurrence",
-    "pq_trained_codes",
-    "doc_chunks",
-    "seq_packing",
-    "mixture_rebalance",
-    "bm25_topk",
-    "events_anomaly",
-    "corpus_report",
-    "doc_logprob",
-    "two_hop_counts",
-    # -- the pinned r5-observed band (committed r8 ordering) --
-    "decayed_scores", "data_expectations", "semantic_dedup",
-    "triangle_counts", "node_similarity", "graph_bfs",
-    "graph_wcc", "graph_hits", "graph_kcore",
-    "click_attribution", "approx_distinct_users", "heavy_hitter_users",
-    "harmonic_centrality", "dedup_survivors", "order_price_bands",
-    "bm25_multi", "ppr_pagerank", "graph_pagerank",
+    # -- the r5-observed band remainder (committed r8 ordering) --
+    "order_price_bands", "bm25_multi", "ppr_pagerank", "graph_pagerank",
     "hot_shingles", "shard_manifest", "curriculum_order",
     "clustering_coeff", "doc_bigram_logprob", "adamic_adar",
     "degree_histogram", "simsearch_ivfpq", "lsh_incremental",
@@ -5614,13 +5597,8 @@ _ROTATION_DEBT = [
     "ppr_pagerank_weighted", "next_tokens", "events_json_stats",
     "sssp_landmarks", "part_unpivot", "events_range_window",
     "graph_lpa", "sssp_weighted", "doc_winnow",
-]
-
-# (d) r10 queue prefix — the r6-observed band (the 13 r5-tail keys observed
-#     r6, then the 22 _R6_NEW keys in registration order), pinned so the
-#     post-window queue stays oldest-evidence-first instead of falling back
-#     to registration order.  Window-invisible: priority positions 51+. ----
-_R10_QUEUE = [
+    # -- the pinned r6-observed band (13 r5-tail keys observed r6, then
+    #    the 22 _R6_NEW keys in registration order) --
     "part_name_variants", "token_budget_mix", "source_overlap",
     "corpus_diff", "split_leakage", "winnow_dups",
     "graph_betweenness", "pmi_collocations", "source_divergence",
@@ -5635,9 +5613,54 @@ _R10_QUEUE = [
     "pagerank_snapshots", "ann_recall", "dedup_eval", "url_policy",
 ]
 
+# (d) r11 queue prefix — oldest evidence first past the debt list: the
+#     r7/r8-observed keys in their committed registration order, then the
+#     round-9-observed keys (the 12 r8-displaced debt keys, the 14-key
+#     r5-band head, and the _R9_NEW wave — all green in CORRECTNESS_r09).
+#     Window-invisible: priority positions 51+. -----------------------------
+_R11_QUEUE = [
+    # -- r7/r8-observed, registration order --
+    "ppr_power", "revenue_by_customer", "revenue_by_nation",
+    "customer_order_counts", "customer_spend_share", "part_math",
+    "orders_by_month", "global_aggs", "top_orders_ties",
+    "customers_without_orders", "delta_merge", "dedup_exact",
+    "token_counts", "simsearch_cosine", "text_profile", "quality_filter",
+    "minhash_signatures", "minhash_lsh_candidates", "ngram_jaccard",
+    "simhash", "embedding_near_dup", "simsearch_lsh", "simsearch_ivf",
+    "multimodal_features", "events_hourly", "user_sessions",
+    "pivot_status", "rollup_revenue", "running_revenue", "asof_clicks",
+    "distinct_suppliers", "cube_revenue", "customer_set_ops",
+    "dedup_clusters", "doc_split", "stratified_sample", "kmeans_clusters",
+    "pii_scrub", "doc_repetition", "decontamination",
+    "quality_weighted_sample", "pq_codes", "simsearch_pq",
+    "events_topk_hourly", "tfidf_top_terms", "exact_k_by_lang",
+    "events_value_quantiles", "event_funnel", "retention_cohorts",
+    "revenue_moving_avg", "bloom_decontamination",
+    "graph_louvain_weighted", "graph_scc", "graph_knn",
+    "winnow_paragraphs", "bpe_merges", "bpe_compression", "ppr_docs",
+    "knn_communities", "graph_mst", "knn_hierarchy", "image_dhash",
+    "image_near_dups", "image_dup_clusters", "zorder_layout",
+    "zorder_manifest", "graph_wl_colors", "graph_topo_layers",
+    "image_survivors", "link_prediction", "graph_diameter",
+    "graph_snapshot_diff",
+    # -- r9-observed: the 12 r8-displaced debt keys --
+    "event_transitions", "ngram_span_dups", "supplier_cooccurrence",
+    "pq_trained_codes", "doc_chunks", "seq_packing", "mixture_rebalance",
+    "bm25_topk", "events_anomaly", "corpus_report", "doc_logprob",
+    "two_hop_counts",
+    # -- r9-observed: the r5-band head --
+    "decayed_scores", "data_expectations", "semantic_dedup",
+    "triangle_counts", "node_similarity", "graph_bfs",
+    "graph_wcc", "graph_hits", "graph_kcore",
+    "click_attribution", "approx_distinct_users", "heavy_hitter_users",
+    "harmonic_centrality", "dedup_survivors",
+    # -- r9-observed: the _R9_NEW wave --
+    *_ext.R9_NEW,
+]
+
 _WINDOW_PRIORITY = (
-    _R9_NEVER_OBSERVED + _R9_NEW + _R9_ANCHORS + _FAMILY_REPS + _ROTATION_DEBT
-    + _R10_QUEUE
+    _R10_NEVER_OBSERVED + _R10_NEW + _R10_ANCHORS + _FAMILY_REPS
+    + _ROTATION_DEBT + _R11_QUEUE
 )
 
 def _reorder(d: dict) -> dict:

@@ -31,6 +31,7 @@ from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
     urlnorm as _urlnorm,
 )
 from personalized_pagerank_algorithms_on_neo4j_spark.sources.tpch_graph import (
+    GRAPH_EDGES_SQL,
     GRAPH_NODES_SQL,
     NATION_BASE,
     SUPP_BASE,
@@ -44,6 +45,10 @@ _SHARED_FROM_ENTRY = (
     "ALPHA",
     "_SQL_NGRAM_PAIRS_05",
     "_URL_FIXTURE_EXPR",
+    "_source",
+    "_cents",
+    "_und_weighted_edges",
+    "_und_weighted_int_sql",
 )
 
 # Round-9 registrations, window-priority head for Block 27 (same contract
@@ -61,6 +66,15 @@ R9_NEW: list[str] = [
     "graph_coloring",  # r9: Jones-Plassmann greedy coloring (iterated MIS)
     "graph_matching",  # r9: greedy maximal matching (Israeli-Itai style)
     "dedup_matching",  # r9: one-to-one near-dup doc pairing (LSH -> matching)
+]
+
+# Round-10 registrations (same window contract; kept at 4 so >= 28 debt
+# keys drain this round — VERDICT r9 ask #1).
+R10_NEW: list[str] = [
+    "substring_dedup_spans",  # r10: ExactSubstr removal spans (Lee et al. 2022)
+    "quantile_sketch",   # r10: mergeable level-sampling quantile sketch
+    "graph_astar",       # r10: A* single-pair shortest path (ALT heuristic)
+    "ppr_incremental",   # r10: dynamic BASE maintenance (residual repair)
 ]
 
 
@@ -654,6 +668,188 @@ def q_dedup_matching(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Block 69 (r10): exact substring dedup with removal spans
+# ---------------------------------------------------------------------------
+# functions/substr_dedup: Lee et al. 2022 ExactSubstr semantics as postings
+# algebra — rolling-hash gram postings, cross-doc duplicate filter,
+# islands-and-gaps interval merge.  n=8 tokens matches the fixture's
+# injected duplicate runs (the paper's 50-BPE-token granularity is the
+# same knob at corpus scale).
+
+SUBSTR_N = 8
+SUBSTR_MIN_DOCS = 2
+SUBSTR_MIN_SPAN = 16
+
+
+def q_substring_dedup_spans(spark, sf_dir):
+    """(doc_id, span_start, span_end, span_tokens, n_grams): maximal
+    removal spans covered by 8-token runs shared across >= 2 documents
+    (functions/substr_dedup.substring_dedup_spans)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.substr_dedup import (
+        substring_dedup_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_dedup_spans(
+        d, n=SUBSTR_N, min_docs=SUBSTR_MIN_DOCS, min_span=SUBSTR_MIN_SPAN
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block 70 (r10): mergeable level-sampling quantile sketch
+# ---------------------------------------------------------------------------
+# functions/quantile_sketch: the sketches family's quantile member (HLL /
+# CMS / KMV existed; histogram_quantiles needs a bounded value domain).
+# Deterministic seeded-hash levels; fold == batch exactly (streaming
+# store #13 reuses the same partials).
+
+QS_PROBS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+QS_K = 512
+QS_SEED = 7
+
+
+def _qs_values(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_returnflag").alias("stratum"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("key"),
+        _cents(F.col("l_extendedprice")).alias("v"),
+    )
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """(stratum, p, est, level, n_sample, n_total): per-returnflag
+    extended-price quantile estimates from the deterministic
+    level-sampling sketch (functions/quantile_sketch)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.quantile_sketch import (
+        quantile_sketch,
+    )
+
+    return quantile_sketch(
+        _qs_values(spark, sf_dir), "v", "key", "stratum",
+        QS_PROBS, k=QS_K, seed=QS_SEED,
+    )
+
+
+_QS_VALUES_SQL = (
+    "SELECT l_returnflag AS stratum, "
+    "l_orderkey * 10 + l_linenumber AS key, "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem"
+)
+
+
+# ---------------------------------------------------------------------------
+# Block 71 (r10): A* single-pair shortest path (ALT landmark heuristic)
+# ---------------------------------------------------------------------------
+# operators/astar: branch-and-bound frontier Bellman-Ford over the
+# undirected order-volume weights; landmarks = the 3 smallest customers
+# (the sssp_landmarks fixture), pair = smallest customer -> largest
+# nation node.  The oracle checks the heuristic-independent exact
+# distance; the pruning itself is pinned by tests/test_astar.py.
+
+ASTAR_LANDMARKS = 3
+ASTAR_ROUNDS = 20
+
+
+def q_graph_astar(spark, sf_dir):
+    """(src, dst, dist): exact single-pair min-cost distance via A* with
+    the ALT landmark lower bound (operators/astar.astar_single_pair)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.astar import (
+        alt_heuristic,
+        astar_single_pair,
+    )
+
+    g = _graph(spark, sf_dir)
+    e = _und_weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
+    dst = int(g.nodes.agg(F.max("id")).collect()[0][0])
+    lms = (
+        g.nodes.where(F.col("id") < 1_000_000)
+        .orderBy("id")
+        .limit(ASTAR_LANDMARKS)
+        .select(F.col("id").alias("source"))
+    )
+    hx = alt_heuristic(
+        spark, e, lms, target=dst,
+        max_rounds=ASTAR_ROUNDS, n_hint=g.n * ASTAR_LANDMARKS,
+    )
+    return astar_single_pair(
+        spark, e, _source(g), dst, hx,
+        max_rounds=ASTAR_ROUNDS, n_hint=g.n,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block 72 (r10): incremental PPR maintenance (dynamic BASE store)
+# ---------------------------------------------------------------------------
+# operators/dynamic_ppr: hold back a deterministic ~2% edge batch (md5
+# split — identical predicate in both engines), reverse-push the
+# remainder, then repair + resume on batch arrival.  The output exposes
+# BOTH reserves and residues, so the oracle hash-checks the maintenance
+# algebra itself, not just the final estimates.
+
+DYN_RMAX = 1e-4
+DYN_TARGETS = [2_000_000, 2_000_001]  # two nation nodes (in-degree ~900)
+DYN_MOD = 50
+DYN_INIT_STEPS = 12
+DYN_RESUME_STEPS = 10
+
+
+def q_ppr_incremental(spark, sf_dir):
+    """(target, node, ppr, residue): the incrementally maintained reverse
+    -push state after the held-back edge batch arrives — init push on the
+    old graph, validity-identity repair, |r|-qualified resume on the new
+    graph (operators/dynamic_ppr; alpha = 1/7 per the BWD gate note)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        portable_hash,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.dynamic_ppr import (
+        repair_on_insert,
+        reverse_push_state,
+    )
+
+    alpha = 1.0 / 7.0
+    g = _graph(spark, sf_dir)
+    edges = g.edges.select("src", "dst")
+    is_new = (
+        portable_hash(F.concat_ws("|", F.col("src"), F.col("dst")))
+        % DYN_MOD
+        == 0
+    )
+    oe = edges.where(~is_new).localCheckpoint(eager=True)
+    ne = edges.where(is_new).localCheckpoint(eager=True)
+    tg = spark.createDataFrame(
+        [(t,) for t in DYN_TARGETS], "target long"
+    )
+    st0 = reverse_push_state(
+        spark, oe, tg, DYN_RMAX, alpha, max_supersteps=DYN_INIT_STEPS
+    )
+    rep = repair_on_insert(st0, oe, ne, alpha)
+    st1 = reverse_push_state(
+        spark, edges, tg, DYN_RMAX, alpha,
+        state=rep, first_unconditional=False,
+        max_supersteps=DYN_RESUME_STEPS,
+    )
+    return st1.select(
+        "target",
+        "node",
+        F.round("reserve", 9).alias("ppr"),
+        F.round("residue", 9).alias("residue"),
+    ).where((F.col("ppr") > 0) | (F.col("residue") != 0))
+
+
+def _dyn_edges_sql(new: bool) -> str:
+    pred = (
+        "CAST(('0x' || substring(md5(CAST(src AS VARCHAR) || '|' || "
+        "CAST(dst AS VARCHAR) || '#' || '0'), 1, 12)) AS BIGINT) "
+        f"% {DYN_MOD} = 0"
+    )
+    return (
+        f"SELECT src, dst FROM ({GRAPH_EDGES_SQL}) dyn_ge "
+        f"WHERE {'' if new else 'NOT '}({pred})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -832,4 +1028,58 @@ FROM anf_hb GROUP BY radius
         "SELECT MAX(vec_id) FROM embeddings",
         k=KPATHS_K,
         max_hops=KPATHS_HOPS,
+    )
+
+    # ---- round-10 registrations ----
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.quantile_sketch import (
+        quantile_sketch_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.substr_dedup import (
+        substring_dedup_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.astar import (
+        astar_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.dynamic_ppr import (
+        incremental_ppr_oracle_sql,
+    )
+
+    for qname, fn in (
+        ("q_substring_dedup_spans", q_substring_dedup_spans),
+        ("q_quantile_sketch", q_quantile_sketch),
+        ("q_graph_astar", q_graph_astar),
+        ("q_ppr_incremental", q_ppr_incremental),
+    ):
+        ctx[qname] = fn
+
+    Q["substring_dedup_spans"] = q_substring_dedup_spans
+    SQL["substring_dedup_spans"] = substring_dedup_oracle_sql(
+        n=SUBSTR_N, min_docs=SUBSTR_MIN_DOCS, min_span=SUBSTR_MIN_SPAN
+    )
+
+    Q["quantile_sketch"] = q_quantile_sketch
+    SQL["quantile_sketch"] = quantile_sketch_oracle_sql(
+        _QS_VALUES_SQL, QS_PROBS, k=QS_K, seed=QS_SEED
+    )
+
+    Q["graph_astar"] = q_graph_astar
+    SQL["graph_astar"] = astar_oracle_sql(
+        ctx["_und_weighted_int_sql"](),
+        "SELECT CAST(MIN(c_custkey) AS BIGINT) AS s FROM customer",
+        f"SELECT CAST(MAX(n_nationkey) + {NATION_BASE} AS BIGINT) AS t "
+        "FROM nation",
+        rounds=ASTAR_ROUNDS,
+    )
+
+    Q["ppr_incremental"] = q_ppr_incremental
+    SQL["ppr_incremental"] = incremental_ppr_oracle_sql(
+        _dyn_edges_sql(new=False),
+        _dyn_edges_sql(new=True),
+        "SELECT unnest(["
+        + ", ".join(str(t) for t in DYN_TARGETS)
+        + "]) AS target",
+        DYN_RMAX,
+        1.0 / 7.0,
+        init_steps=DYN_INIT_STEPS,
+        resume_steps=DYN_RESUME_STEPS,
     )

@@ -374,6 +374,25 @@ def main() -> None:
     # dedup_matching is NOT benched: it is minhash_lsh (benched) piped
     # into exactly this operator (composition precedent).
     timed("q_graph_matching", lambda: X.q_graph_matching(spark, SF_DIR).count())
+    # ExactSubstr removal spans: gram postings + cross-doc filter + span merge
+    timed(
+        "q_substring_dedup",
+        lambda: X.q_substring_dedup_spans(spark, SF_DIR).count(),
+    )
+    # mergeable level-sampling quantile sketch (per-returnflag, k=512)
+    timed("q_quantile_sketch", lambda: X.q_quantile_sketch(spark, SF_DIR).count())
+    # A* single pair with the ALT landmark heuristic (includes the
+    # 3-landmark multi-SSSP that builds the lower bound)
+    timed("q_graph_astar", lambda: X.q_graph_astar(spark, SF_DIR).count(), repeat=1)
+    # incremental PPR maintenance: init push on the md5-split old graph +
+    # repair + resume.  The recompute-vs-incremental ratio is measured in
+    # PERF_NOTES (the bench key times the full pipeline; the repair+resume
+    # alone is the production path once the store exists)
+    timed(
+        "q_ppr_incremental",
+        lambda: X.q_ppr_incremental(spark, SF_DIR).count(),
+        repeat=1,
+    )
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
     # end-to-end corpus clustering: kNN edges -> weighted Louvain
@@ -466,16 +485,15 @@ LINE_BUDGET = 1990  # the capture window is the last 2000 chars INCLUDING
 #      full per-round map regardless.
 # Keys are DROPPED (keys_shown/keys_total record how many) before any
 # precision tier degrades, so the headline trend lines never lose digits.
-ROTATION_ROUND = 9  # bump alongside NEW_KEYS each round
+ROTATION_ROUND = 10  # bump alongside NEW_KEYS each round
 PINNED_KEYS = [
     "graph_load", "q_power", "q_fwdpush", "q_fora", "q_montecarlo",
     "q_fora_topk", "q_base_prep512", "q_base_lookup", "q_base_prep_heavy",
     "q_power_dist10", "q_mc_dist10", "q_ppr_multi_dist10", "q_fwdpush_dist10",
 ]
 NEW_KEYS: list[str] = [
-    "q_bpe_encode", "q_graph_kpaths", "q_temporal_motifs",
-    "q_betweenness_sampled", "q_hyperball", "q_graph_mis",
-    "q_graph_matching",
+    "q_substring_dedup", "q_quantile_sketch", "q_graph_astar",
+    "q_ppr_incremental",
 ]
 
 

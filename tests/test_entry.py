@@ -287,61 +287,54 @@ def test_minhash_bucket_cap_never_binds_at_gate_scale(spark):
 
 def test_window_queue_matches_coverage_ledger():
     """The 50-row driver window must match COVERAGE.md's rotation ledger
-    (it drifted twice in r5 before this guard).  r9 composition: zero
-    never-observed keys, any new r9 registrations (held in
-    __spark_entry_ext__.R9_NEW — the entry-file budget overflow) first,
+    (it drifted twice in r5 before this guard).  r10 composition: zero
+    never-observed keys, the r10 registrations (held in
+    __spark_entry_ext__.R10_NEW — the entry-file budget overflow) first,
     the 14 protected family reps, and oldest-evidence rotation debt (the
-    12 keys the _R8_NEW wave displaced, then the pinned r5-observed band)
-    filling to 50.  Everything past 50 is the r10 queue (displaced debt
-    tail, then the pinned r6-observed band, then r7/r8-observed keys in
-    registration order).  The VERDICT contract needs >=20 debt keys
-    in-window, so R9_NEW holds at most 15 keys."""
+    28-key r5-observed band remainder the _R9_NEW wave displaced, then
+    the pinned r6-observed band) filling to 50.  Everything past 50 is
+    the r11 queue (displaced debt tail, then r7/r8-observed keys in
+    registration order, then the round-9-observed keys).  The VERDICT
+    contract needs >=20 debt keys in-window, so R10_NEW holds at most 15
+    keys (held at 4 this round so the whole r5 remainder drains)."""
     order = list(E.queries())
     expected_window = (
-        E._R9_NEVER_OBSERVED
-        + E._R9_NEW
-        + E._R9_ANCHORS
+        E._R10_NEVER_OBSERVED
+        + E._R10_NEW
+        + E._R10_ANCHORS
         + E._FAMILY_REPS
         + E._ROTATION_DEBT
     )[:50]
     assert order[:50] == expected_window
-    assert E._R9_NEVER_OBSERVED == []
-    assert len(E._R9_NEW) <= 15
+    assert E._R10_NEVER_OBSERVED == []
+    assert len(E._R10_NEW) <= 15
     assert len(E._FAMILY_REPS) == 14 and E._FAMILY_REPS[-1] == "report_layout"
-    # 12 displaced r8-queue keys + the 42-key pinned r5-observed band
-    assert len(E._ROTATION_DEBT) == 54
-    # the 12 keys the _R8_NEW wave displaced must head the debt queue
-    assert E._ROTATION_DEBT[:12] == [
-        "event_transitions",
-        "ngram_span_dups",
-        "supplier_cooccurrence",
-        "pq_trained_codes",
-        "doc_chunks",
-        "seq_packing",
-        "mixture_rebalance",
-        "bm25_topk",
-        "events_anomaly",
-        "corpus_report",
-        "doc_logprob",
-        "two_hop_counts",
-    ]
+    # 28-key r5-band remainder + the 35-key pinned r6-observed band
+    assert len(E._ROTATION_DEBT) == 63
+    # the r5-band remainder must head the debt queue (oldest evidence)
+    assert E._ROTATION_DEBT[0] == "order_price_bands"
+    assert E._ROTATION_DEBT[27] == "doc_winnow"
+    assert E._ROTATION_DEBT[28] == "part_name_variants"
     # >=20 rotation-debt keys must remain inside the 50-row window
     assert len(set(order[:50]) & set(E._ROTATION_DEBT)) >= 20
     # every registered query appears exactly once (priority list has no
-    # typos/dups and nothing silently dropped from the registry)
+    # typos/dups and nothing silently dropped from the registry); the
+    # priority list is EXHAUSTIVE this round (no fall-through strays)
     assert len(set(order)) == len(order)
-    assert set(E._WINDOW_PRIORITY) <= set(order)
-    # the ledger in COVERAGE.md must name every never-observed key and the
-    # new-registration keys in its r9 row
+    assert set(E._WINDOW_PRIORITY) == set(order)
+    # the ledger in COVERAGE.md must name the new-registration keys in
+    # its r10 row
     ledger = (
         Path(__file__).resolve().parent.parent / "COVERAGE.md"
     ).read_text()
-    r9_row = next(line for line in ledger.splitlines() if line.startswith("| r9 |"))
-    for key in E._R9_NEVER_OBSERVED + E._R9_NEW + E._R9_ANCHORS:
-        assert f"`{key}`" in r9_row, f"{key} missing from the COVERAGE r9 row"
-    # the r10 row must name the head of the overflow queue
     r10_row = next(
         line for line in ledger.splitlines() if line.startswith("| r10 |")
     )
-    for key in order[50:52]:
+    for key in E._R10_NEVER_OBSERVED + E._R10_NEW + E._R10_ANCHORS:
         assert f"`{key}`" in r10_row, f"{key} missing from the COVERAGE r10 row"
+    # the r11 row must name the head of the overflow queue
+    r11_row = next(
+        line for line in ledger.splitlines() if line.startswith("| r11 |")
+    )
+    for key in order[50:52]:
+        assert f"`{key}`" in r11_row, f"{key} missing from the COVERAGE r11 row"
