@@ -34,8 +34,14 @@ step, so the resume loop qualifies on |r|.
 Cost shape: repair is |touched u| x |targets| x avg-degree rows (two
 joins against the stored reserves) + a few resume supersteps over the
 repair frontier — independent of graph size, vs a from-scratch
-recompute's full multi-superstep push over every target.  The bench
-key measures the ratio at sf0.1.
+recompute's full multi-superstep push over every target.  Measured at
+sf0.1 (512 targets, 108-edge batch): the resume shuffles 2,389
+frontier+pushed rows in 1 round vs the recompute's 600,290 in 2 — a
+251x shuffle-volume reduction, the metric that prices a 1000-executor
+run.  Local[32] WALL-CLOCK is superstep-latency-bound (~1.5 s/job
+regardless of rows), so the recompute's 2 cheap supersteps tie or beat
+the incremental path there (0.7-0.8x) — documented honestly in
+PERF_NOTES; the win is cluster-scale data volume, not local latency.
 
 All loops are the engine's standard superstep shape: state keyed
 (target, node), one join + one groupBy per round, per-round eager
@@ -87,44 +93,56 @@ def reverse_push_state(
             F.lit(1.0).alias("residue"),
             F.lit(0.0).alias("reserve"),
         )
+    # Loop shape (the sssp_weighted merge discipline, NOT a whole-state
+    # re-aggregation): the state frame stays (target, node)-partitioned
+    # from its previous checkpoint; each round only the FRONTIER-BOUNDED
+    # pushed-residue aggregate moves through the shuffle, merged with one
+    # full-outer join.  This is what makes the incremental resume cheap —
+    # a small repair cascade shuffles a few rows per round while the
+    # state is only streamed, never re-shuffled.
     with static_superstep_plan(spark):
         edges = edges.localCheckpoint(eager=True)
+        state = state.localCheckpoint(eager=True)
         first = first_unconditional
         for _ in range(max_supersteps):
-            qual = F.abs(F.col("residue")) > (0.0 if first else rmax)
-            s = state.withColumn("qual", qual).localCheckpoint(eager=True)
+            thr = 0.0 if first else rmax
             first = False
-            frontier = s.where("qual")
+            frontier = state.where(F.abs(F.col("residue")) > thr).select(
+                "target", "node", "residue"
+            )
             if frontier.isEmpty():
-                state = s.select("target", "node", "residue", "reserve")
                 break
-            rest = s.where(~F.col("qual")).select(
-                "target", "node", "residue", "reserve"
-            )
-            kept = frontier.select(
-                "target",
-                "node",
-                F.lit(0.0).alias("residue"),
-                (F.col("reserve") + F.lit(alpha) * F.col("residue")).alias(
-                    "reserve"
-                ),
-            )
-            pushed = frontier.join(edges, frontier.node == edges.dst).select(
-                "target",
-                F.col("src").alias("node"),
-                (
-                    F.lit(1.0 - alpha) * F.col("residue") / F.col("od")
-                ).alias("residue"),
-                F.lit(0.0).alias("reserve"),
-            )
-            state = (
-                rest.unionAll(kept)
-                .unionAll(pushed)
-                .groupBy("target", "node")
+            pushed = (
+                frontier.join(edges, frontier.node == edges.dst)
+                .groupBy("target", F.col("src").alias("node"))
                 .agg(
-                    F.sum("residue").alias("residue"),
-                    F.sum("reserve").alias("reserve"),
+                    F.sum(
+                        F.lit(1.0 - alpha) * F.col("residue") / F.col("od")
+                    ).alias("dr")
                 )
+            )
+            qual = F.abs(F.col("residue")) > thr
+            # full outer joins cannot broadcast; the state side is already
+            # (target, node)-partitioned from the previous checkpoint, so
+            # only the frontier-bounded pushed aggregate moves
+            state = (
+                state.join(pushed, ["target", "node"], "full_outer")
+                .select(
+                    "target",
+                    "node",
+                    (
+                        F.when(qual, 0.0)
+                        .otherwise(F.coalesce("residue", F.lit(0.0)))
+                        + F.coalesce("dr", F.lit(0.0))
+                    ).alias("residue"),
+                    (
+                        F.coalesce("reserve", F.lit(0.0))
+                        + F.when(
+                            qual, F.lit(alpha) * F.col("residue")
+                        ).otherwise(0.0)
+                    ).alias("reserve"),
+                )
+                .localCheckpoint(eager=True)
             )
         else:
             raise RuntimeError(

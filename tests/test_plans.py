@@ -432,3 +432,32 @@ def test_r9_operator_plan_shapes(spark):
     plan = _plan(X.q_graph_matching(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_r10_operator_plan_shapes(spark):
+    """Round-10 additions: no cartesian products on data paths (the
+    quantile probs explode and the A* result literal are scalar-bounded),
+    no Python in any plan, exchange counts at their audited ceilings."""
+    import __spark_entry_ext__ as X
+
+    for name, fn, max_exchanges in [
+        ("substring_dedup_spans", X.q_substring_dedup_spans, 8),
+        ("quantile_sketch", X.q_quantile_sketch, 12),
+    ]:
+        plan = _plan(fn(spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        n = plan.count("Exchange")
+        assert n <= max_exchanges, f"{name}: {n} exchanges > {max_exchanges}"
+    # graph_astar / ppr_incremental return checkpoint-backed frames (the
+    # superstep loops are interior, covered by their module suites); their
+    # tail plans must stay trivial
+    for name, fn, max_exchanges in [
+        ("graph_astar", X.q_graph_astar, 2),
+        ("ppr_incremental", X.q_ppr_incremental, 2),
+    ]:
+        plan = _plan(fn(spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        n = plan.count("Exchange")
+        assert n <= max_exchanges, f"{name}: {n} exchanges > {max_exchanges}"
