@@ -222,6 +222,77 @@ def repair_on_insert(
     )
 
 
+def repair_on_delete(
+    state: DataFrame,
+    old_edges: DataFrame,
+    del_edges: DataFrame,
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """The (++) repair for a batch of DELETED edges — the same identity
+    with the row-u perturbation reversed:
+
+        r(u) += (1-alpha)/alpha * [ (1/d'_u - 1/d_u) * sum_{x in N_new(u)} p(x)
+                                    - sum_{w in W_u} p(w) / d_u ]
+
+    where W_u are u's removed out-edges, d_u / d'_u = d_u - |W_u| the
+    old / new out-degree (the first term vanishes when u loses its LAST
+    edge — its new P row is zero).  ``del_edges`` must be a subset of
+    ``old_edges``.  Follow with the |r|-qualified resume, exactly as for
+    inserts."""
+    de = del_edges.select("src", "dst").distinct()
+    d_del = de.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+    d_old = old_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    touched = d_del.join(d_old, "src").select(
+        "src", "d", (F.col("d") - F.col("c")).alias("dp")
+    )
+    reserves = state.select("target", "node", "reserve")
+    remaining = (
+        old_edges.join(F.broadcast(touched.where(F.col("dp") > 0)), "src")
+        .join(de.withColumn("_del", F.lit(True)), ["src", "dst"], "left")
+        .where(F.col("_del").isNull())
+    )
+    t_keep = (
+        remaining.join(reserves, remaining.dst == reserves.node)
+        .groupBy("target", "src", "d", "dp")
+        .agg(F.sum("reserve").alias("px"))
+        .select(
+            "target",
+            F.col("src").alias("node"),
+            (
+                (F.lit(1.0) / F.col("dp") - F.lit(1.0) / F.col("d"))
+                * F.col("px")
+            ).alias("delta"),
+        )
+    )
+    t_del = (
+        de.join(touched, "src")
+        .join(reserves, de.dst == reserves.node)
+        .groupBy("target", "src", "d")
+        .agg(F.sum("reserve").alias("pw"))
+        .select(
+            "target",
+            F.col("src").alias("node"),
+            (-F.col("pw") / F.col("d")).alias("delta"),
+        )
+    )
+    delta = (
+        t_keep.unionAll(t_del)
+        .groupBy("target", "node")
+        .agg(
+            (F.lit((1.0 - alpha) / alpha) * F.sum("delta")).alias("residue")
+        )
+        .select("target", "node", "residue", F.lit(0.0).alias("reserve"))
+    )
+    return (
+        state.unionAll(delta)
+        .groupBy("target", "node")
+        .agg(
+            F.sum("residue").alias("residue"),
+            F.sum("reserve").alias("reserve"),
+        )
+    )
+
+
 def invariant_residual(
     state: DataFrame, edges: DataFrame, alpha: float = DEFAULT_ALPHA
 ) -> DataFrame:

@@ -233,3 +233,39 @@ def test_oracle_matches_python_replay(old, extra):
         assert abs(got[k][0] - want[k][0]) <= 2e-9, (k, got[k], want[k])
         assert abs(got[k][1] - want[k][1]) <= 2e-9, (k, got[k], want[k])
     con.close()
+
+
+def test_delete_repair_invariant_and_parity(spark):
+    """Edge DELETION repair: the (++) identity holds exactly on the
+    shrunk graph (including a source losing its last edge), the resume
+    restores |r| <= rmax, and the maintained state matches a
+    from-scratch recompute at tight rmax."""
+    oe, _, tg = _frames(spark)
+    # delete (2,3) and BOTH of node 4's edges... node 4 has only (4,2):
+    # deleting it zeroes node 4's P row (the d'=0 branch)
+    de = spark.createDataFrame([(2, 3), (4, 2)], "src long, dst long")
+    kept = oe.join(de.withColumn("_d", F.lit(True)), ["src", "dst"], "left")
+    new_e = kept.where(F.col("_d").isNull()).select("src", "dst")
+    st0 = reverse_push_state(spark, oe, tg, 1e-3, ALPHA)
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.dynamic_ppr import (
+        repair_on_delete,
+    )
+
+    rep = repair_on_delete(st0, oe, de, ALPHA).localCheckpoint(eager=True)
+    assert _max_defect(rep, new_e) < 1e-12
+    st1 = reverse_push_state(
+        spark, new_e, tg, 1e-3, ALPHA, state=rep, first_unconditional=False
+    )
+    assert _max_defect(st1, new_e) < 1e-12
+    assert st1.agg(F.max(F.abs("residue"))).collect()[0][0] <= 1e-3
+    inc = reverse_push_state(
+        spark, new_e, tg, 1e-9, ALPHA, state=rep,
+        first_unconditional=False, max_supersteps=500,
+    )
+    scr = reverse_push_state(
+        spark, new_e, tg, 1e-9, ALPHA, max_supersteps=500
+    )
+    a = {(r.target, r.node): r.reserve for r in scr.collect()}
+    b = {(r.target, r.node): r.reserve for r in inc.collect()}
+    diff = max(abs(a.get(k, 0.0) - b.get(k, 0.0)) for k in set(a) | set(b))
+    assert diff < 1e-8, diff
