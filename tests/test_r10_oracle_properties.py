@@ -403,3 +403,85 @@ def test_boruvka_oracle_matches_python(edges):
     )
     assert got == _py_boruvka(edges, rounds=8)
     con.close()
+
+
+# --- deterministic two-level Louvain: integer gains + parity schedule -------
+
+LV_R1, LV_R2 = 4, 2
+
+
+def _py_louvain(nodes, edges, rounds1=LV_R1, rounds2=LV_R2):
+    und = sorted(
+        {(u, v) for u, v in edges if u != v}
+        | {(v, u) for u, v in edges if u != v}
+    )
+    m2 = len(und)
+    deg = {}
+    for u, _ in und:
+        deg[u] = deg.get(u, 0) + 1
+
+    def rounds(labels, E, W, strength, n_rounds):
+        # E: list of (src, dst, w); labels: dict node->label (all nodes)
+        for i in range(n_rounds):
+            par = i % 2
+            ca = {}
+            for s, d, w in E:
+                if s % 2 == par:
+                    key = (s, labels[d])
+                    ca[key] = ca.get(key, 0) + w
+            for v in labels:
+                if v % 2 == par:
+                    ca.setdefault((v, labels[v]), 0)
+            dc = {}
+            for v, l in labels.items():
+                dc[l] = dc.get(l, 0) + strength.get(v, 0)
+            best = {}
+            for (v, cand), w in ca.items():
+                dv = strength.get(v, 0)
+                own = dv if cand == labels[v] else 0
+                score = m2 * w - dv * (dc[cand] - own)
+                key = (-score, cand)
+                if v not in best or key < best[v][0]:
+                    best[v] = (key, cand)
+            for v, (_, cand) in best.items():
+                labels[v] = cand
+        return labels
+
+    l1 = rounds(dict((v, v) for v in nodes), [(s, d, 1) for s, d in und],
+                1, deg, rounds1)
+    # contraction
+    e2 = {}
+    for s, d in und:
+        key = (l1[s], l1[d])
+        e2[key] = e2.get(key, 0) + 1
+    comms = sorted({l for l in l1.values()})
+    s2 = {}
+    for (s, d), w in e2.items():
+        s2[s] = s2.get(s, 0) + w
+    e2x = [(s, d, w) for (s, d), w in sorted(e2.items()) if s != d]
+    l2 = rounds(dict((c, c) for c in comms), e2x, 1, s2, rounds2)
+    return {v: l2[l1[v]] for v in nodes}
+
+
+@settings(max_examples=30, deadline=None)
+@given(edges=edge_lists)
+def test_louvain_oracle_matches_python(edges):
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (
+        louvain_oracle_sql,
+    )
+
+    nodes = sorted({x for e in edges for x in e} | {0})
+    con = _con_graph(edges, nodes=nodes)
+    got = {
+        int(n): int(l)
+        for n, l in con.execute(
+            louvain_oracle_sql(
+                "SELECT src, dst FROM te",
+                "SELECT id FROM n",
+                rounds1=LV_R1,
+                rounds2=LV_R2,
+            )
+        ).fetchall()
+    }
+    assert got == _py_louvain(nodes, edges)
+    con.close()
