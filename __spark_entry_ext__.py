@@ -75,6 +75,7 @@ R10_NEW: list[str] = [
     "quantile_sketch",   # r10: mergeable level-sampling quantile sketch
     "graph_astar",       # r10: A* single-pair shortest path (ALT heuristic)
     "ppr_incremental",   # r10: dynamic BASE maintenance (residual repair)
+    "contamination_spans",  # r10: substring-granularity decontamination
 ]
 
 
@@ -695,6 +696,32 @@ def q_substring_dedup_spans(spark, sf_dir):
     )
 
 
+CONTAM_BENCH_SOURCE = "src0"  # the entry's BENCH_SOURCE eval partition
+CONTAM_MIN_SPAN = 8
+
+
+def q_contamination_spans(spark, sf_dir):
+    """(doc_id, span_start, span_end, span_tokens, n_grams): maximal
+    TRAINING-doc intervals covered by 8-token runs that appear in the
+    benchmark partition — substring-granularity decontamination, the
+    removal-span counterpart of the `decontamination` overlap fraction
+    (functions/substr_dedup.substring_contamination_spans)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.substr_dedup import (
+        substring_contamination_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    train = d.where(F.col("source") != CONTAM_BENCH_SOURCE).select(
+        "doc_id", "text"
+    )
+    bench = d.where(F.col("source") == CONTAM_BENCH_SOURCE).select(
+        "doc_id", "text"
+    )
+    return substring_contamination_spans(
+        train, bench, n=SUBSTR_N, min_span=CONTAM_MIN_SPAN
+    )
+
+
 # ---------------------------------------------------------------------------
 # Block 70 (r10): mergeable level-sampling quantile sketch
 # ---------------------------------------------------------------------------
@@ -1055,6 +1082,21 @@ FROM anf_hb GROUP BY radius
     Q["substring_dedup_spans"] = q_substring_dedup_spans
     SQL["substring_dedup_spans"] = substring_dedup_oracle_sql(
         n=SUBSTR_N, min_docs=SUBSTR_MIN_DOCS, min_span=SUBSTR_MIN_SPAN
+    )
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.substr_dedup import (
+        substring_contamination_oracle_sql,
+    )
+
+    ctx["q_contamination_spans"] = q_contamination_spans
+    Q["contamination_spans"] = q_contamination_spans
+    SQL["contamination_spans"] = substring_contamination_oracle_sql(
+        "SELECT doc_id, text FROM documents"
+        f" WHERE source <> '{CONTAM_BENCH_SOURCE}'",
+        "SELECT doc_id, text FROM documents"
+        f" WHERE source = '{CONTAM_BENCH_SOURCE}'",
+        n=SUBSTR_N,
+        min_span=CONTAM_MIN_SPAN,
     )
 
     Q["quantile_sketch"] = q_quantile_sketch

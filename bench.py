@@ -379,6 +379,12 @@ def main() -> None:
         "q_substring_dedup",
         lambda: X.q_substring_dedup_spans(spark, SF_DIR).count(),
     )
+    # substring-granularity decontamination (train spans covered by
+    # benchmark grams — the cross-corpus flavor of the same postings)
+    timed(
+        "q_contamination_spans",
+        lambda: X.q_contamination_spans(spark, SF_DIR).count(),
+    )
     # mergeable level-sampling quantile sketch (per-returnflag, k=512)
     timed("q_quantile_sketch", lambda: X.q_quantile_sketch(spark, SF_DIR).count())
     # A* single pair with the ALT landmark heuristic (includes the
@@ -493,7 +499,7 @@ PINNED_KEYS = [
 ]
 NEW_KEYS: list[str] = [
     "q_substring_dedup", "q_quantile_sketch", "q_graph_astar",
-    "q_ppr_incremental",
+    "q_ppr_incremental", "q_contamination_spans",
 ]
 
 

@@ -133,6 +133,39 @@ def substring_dedup_spans(
         .select("gh")
     )
     cov = posts.join(dup, "gh", "left_semi")
+    return _covered_spans(cov, n, min_span)
+
+
+def substring_contamination_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    min_span: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens, n_grams): maximal
+    intervals of TRAINING documents covered by n-token grams that appear
+    anywhere in the BENCHMARK corpus — substring-granularity
+    decontamination (the removal-span counterpart of
+    `dedup.cross_corpus_contamination`'s whole-doc overlap fraction:
+    Lee et al. 2022 recommend stripping the leaked run, not the doc).
+    The bench gram set is DISTINCT hashes only (one narrow column) —
+    candidate-generation + verify shape, never a doc-pair expansion."""
+    tp = gram_postings(train, n=n, text_col=text_col, id_col=id_col)
+    bp = (
+        gram_postings(bench, n=n, text_col=text_col, id_col=id_col)
+        .select("gh")
+        .distinct()
+    )
+    cov = tp.join(bp, "gh", "left_semi")
+    return _covered_spans(cov, n, min_span)
+
+
+def _covered_spans(cov: DataFrame, n: int, min_span: int) -> DataFrame:
+    """Islands-and-gaps merge of covered gram positions (doc_id, pos)
+    into maximal >= min_span-token intervals — shared by the self-dedup
+    and contamination flavors."""
     prev_end = F.max(F.col("pos") + n).over(
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -174,6 +207,49 @@ def substring_dedup_spans(
     )
 
 
+def _gram_ctes(prefix: str, docs_sql: str, n: int) -> str:
+    """Shared oracle CTEs: ``{prefix}_g`` = (doc_id, pos, gh) gram
+    postings of ``docs_sql`` — identical per-token md5 and Horner
+    rolling combine mod PRIME53, identical no-pad-short-docs rule."""
+
+    def horner(i: str) -> str:
+        acc = f"th[{i}+1]"
+        for j in range(1, n):
+            acc = f"(({acc}) * {_A} + th[{i}+1+{j}]) % {PRIME53}"
+        return acc
+
+    return f"""{prefix}_src AS ({docs_sql}),
+{prefix}_tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+          FROM {prefix}_src),
+{prefix}_th AS (
+  SELECT doc_id,
+         list_transform(t, x ->
+           CAST(('0x' || substring(md5(x || '#' || '0'), 1, 7)) AS BIGINT)
+         ) AS th
+  FROM {prefix}_tk WHERE len(t) >= {n}),
+{prefix}_g AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, {horner('i')} AS gh
+  FROM (SELECT doc_id, th, unnest(range(0, len(th) - {n} + 1)) AS i
+        FROM {prefix}_th))"""
+
+
+def substring_contamination_oracle_sql(
+    train_sql: str,
+    bench_sql: str,
+    n: int = 8,
+    min_span: int = 8,
+) -> str:
+    """DuckDB twin of `substring_contamination_spans`."""
+    return f"""
+WITH {_gram_ctes("sc_t", train_sql, n)},
+{_gram_ctes("sc_b", bench_sql, n)},
+sd_cov AS (
+  SELECT g.doc_id, g.pos FROM sc_t_g g
+  WHERE g.gh IN (SELECT DISTINCT gh FROM sc_b_g)),
+{_span_tail_sql(n, min_span)}
+"""
+
+
 def substring_dedup_oracle_sql(
     docs_sql: str = "SELECT doc_id, text FROM documents",
     n: int = 8,
@@ -183,32 +259,19 @@ def substring_dedup_oracle_sql(
     """DuckDB twin of `substring_dedup_spans` — identical per-token md5,
     identical Horner rolling combine mod PRIME53, identical
     no-pad-short-docs rule, identical islands-and-gaps span merge."""
-
-    def horner(i: str) -> str:
-        acc = f"th[{i}+1]"
-        for j in range(1, n):
-            acc = f"(({acc}) * {_A} + th[{i}+1+{j}]) % {PRIME53}"
-        return acc
-
     return f"""
-WITH sd_src AS ({docs_sql}),
-sd_tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
-          FROM sd_src),
-sd_th AS (
-  SELECT doc_id,
-         list_transform(t, x ->
-           CAST(('0x' || substring(md5(x || '#' || '0'), 1, 7)) AS BIGINT)
-         ) AS th
-  FROM sd_tk WHERE len(t) >= {n}),
-sd_g AS (
-  SELECT doc_id, CAST(i AS INT) AS pos, {horner('i')} AS gh
-  FROM (SELECT doc_id, th, unnest(range(0, len(th) - {n} + 1)) AS i
-        FROM sd_th)),
+WITH {_gram_ctes("sd", docs_sql, n)},
 sd_dup AS (
   SELECT gh FROM sd_g GROUP BY gh
   HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
 sd_cov AS (SELECT g.doc_id, g.pos FROM sd_g g JOIN sd_dup USING (gh)),
-sd_isl AS (
+{_span_tail_sql(n, min_span)}
+"""
+
+
+def _span_tail_sql(n: int, min_span: int) -> str:
+    """Shared islands-and-gaps span merge over ``sd_cov`` (doc_id, pos)."""
+    return f"""sd_isl AS (
   SELECT doc_id, pos,
     CASE WHEN MAX(pos + {n}) OVER (PARTITION BY doc_id ORDER BY pos
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL

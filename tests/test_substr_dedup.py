@@ -178,3 +178,37 @@ def test_oracle_matches_python_replay(docs):
     )
     assert got == _py_spans(docs, n=3, min_docs=2, min_span=4)
     con.close()
+
+
+def test_contamination_spans_cross_corpus_only(spark):
+    """Contamination spans flag TRAIN intervals covered by BENCH grams —
+    duplication purely inside the training corpus must NOT flag, and the
+    flagged span is exactly the leaked run."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.substr_dedup import (
+        substring_contamination_spans,
+    )
+
+    leak = "alpha beta gamma delta epsilon".split()  # 5 tokens
+    intra = "q1 q2 q3 q4 q5".split()  # duplicated only within train
+    train = spark.createDataFrame(
+        [
+            (0, " ".join(["t0"] + leak + ["t1"])),
+            (1, " ".join(intra + ["x0"])),
+            (2, " ".join(["y0"] + intra)),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(["b0", "b1"] + leak + ["b2"]))],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(
+            tuple,
+            substring_contamination_spans(
+                train, bench, n=4, min_span=4
+            ).collect(),
+        )
+    )
+    # leak = 5 tokens -> 2 grams of 4, one island [1, 6) in doc 0 only
+    assert got == [(0, 1, 6, 5, 2)]
