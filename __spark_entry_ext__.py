@@ -68,8 +68,8 @@ R9_NEW: list[str] = [
     "dedup_matching",  # r9: one-to-one near-dup doc pairing (LSH -> matching)
 ]
 
-# Round-10 registrations (same window contract; kept at 4 so >= 28 debt
-# keys drain this round — VERDICT r9 ask #1).
+# Round-10 registrations (same window contract; held at 5 so 31 debt
+# keys drain this round — VERDICT r9 ask #1 wanted >= 25).
 R10_NEW: list[str] = [
     "substring_dedup_spans",  # r10: ExactSubstr removal spans (Lee et al. 2022)
     "quantile_sketch",   # r10: mergeable level-sampling quantile sketch

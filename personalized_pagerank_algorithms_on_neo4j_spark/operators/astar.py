@@ -63,7 +63,35 @@ def alt_heuristic(
     coalesce to 0, the always-admissible fallback."""
     ld = sssp_weighted_multi(
         spark, edges, landmarks, max_rounds=max_rounds, n_hint=n_hint
+    ).localCheckpoint(eager=True)
+    # Admissibility guard: sssp_weighted_multi returns silently
+    # UNCONVERGED (overestimated) distances when max_rounds is too small
+    # for the weighted diameter, and an overestimated d(l,v) makes h
+    # inadmissible — A* would then prune the true shortest path and
+    # return a silently wrong distance.  Verify the fixed point: one
+    # extra relaxation round must improve nothing (review finding r10).
+    improving = (
+        edges.join(ld, edges.src == ld["node"])
+        .select(
+            "landmark",
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("cand"),
+        )
+        .groupBy("landmark", "node")
+        .agg(F.min("cand").alias("cand"))
+        .join(
+            ld.select("landmark", "node", "dist"),
+            ["landmark", "node"],
+            "left",
+        )
+        .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
     )
+    if improving.limit(1).count() > 0:
+        raise RuntimeError(
+            "alt_heuristic: landmark distances not converged after "
+            f"{max_rounds} rounds — the ALT bound would be inadmissible; "
+            "raise max_rounds"
+        )
     dt = ld.where(F.col("node") == target).select(
         "landmark", F.col("dist").alias("dist_t")
     )

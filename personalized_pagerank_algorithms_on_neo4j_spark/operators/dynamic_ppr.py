@@ -145,10 +145,19 @@ def reverse_push_state(
                 .localCheckpoint(eager=True)
             )
         else:
-            raise RuntimeError(
-                f"reverse_push_state: |residue| > {rmax} after "
-                f"{max_supersteps} supersteps — raise max_supersteps"
-            )
+            # the loop detects convergence at the TOP of the next
+            # iteration; a push that drained the frontier on the final
+            # allowed superstep is converged, not over budget — re-probe
+            # before raising (review finding r10; the matching.py
+            # pattern)
+            if (
+                state.where(F.abs(F.col("residue")) > rmax).limit(1).count()
+                > 0
+            ):
+                raise RuntimeError(
+                    f"reverse_push_state: |residue| > {rmax} after "
+                    f"{max_supersteps} supersteps — raise max_supersteps"
+                )
     return state
 
 

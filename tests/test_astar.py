@@ -173,3 +173,13 @@ def test_oracle_matches_python_dijkstra(edges):
     else:
         assert got == [(0, N - 1, want)]
     con.close()
+
+
+def test_unconverged_heuristic_raises(spark):
+    """Landmark distances that did not reach their fixed point would make
+    the ALT bound inadmissible — alt_heuristic must refuse them loudly
+    (review finding r10), never hand A* a silently wrong h."""
+    e = _grid_edges(spark).localCheckpoint(eager=True)
+    lm = spark.createDataFrame([(0,)], "source long")
+    with pytest.raises(RuntimeError, match="not converged"):
+        alt_heuristic(spark, e, lm, target=35, max_rounds=2, n_hint=36)

@@ -269,3 +269,33 @@ def test_delete_repair_invariant_and_parity(spark):
     b = {(r.target, r.node): r.reserve for r in inc.collect()}
     diff = max(abs(a.get(k, 0.0) - b.get(k, 0.0)) for k in set(a) | set(b))
     assert diff < 1e-8, diff
+
+
+def test_budget_exact_convergence_not_spurious(spark):
+    """A push sequence that drains the frontier on the FINAL allowed
+    superstep is converged, not over budget (review finding r10: the
+    loop detects emptiness at the next round's top, so the else branch
+    must re-probe before raising)."""
+    oe, _, tg = _frames(spark)
+    rmax = 0.2  # coarse threshold -> convergence in a handful of rounds
+    st = reverse_push_state(spark, oe, tg, rmax, ALPHA, max_supersteps=50)
+    # probe upward for the smallest budget that succeeds: it must yield
+    # the identical state (one greater would previously be needed)
+    lo, st2 = 1, None
+    while st2 is None:
+        try:
+            st2 = reverse_push_state(
+                spark, oe, tg, rmax, ALPHA, max_supersteps=lo
+            )
+        except RuntimeError:
+            lo += 1
+            assert lo < 20
+    a = sorted(map(tuple, st.collect()))
+    b = sorted(map(tuple, st2.collect()))
+    assert a == b
+    # and one BELOW the exact budget still raises
+    if lo > 1:
+        with pytest.raises(RuntimeError, match="supersteps"):
+            reverse_push_state(
+                spark, oe, tg, rmax, ALPHA, max_supersteps=lo - 1
+            )
