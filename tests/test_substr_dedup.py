@@ -212,3 +212,84 @@ def test_contamination_spans_cross_corpus_only(spark):
     )
     # leak = 5 tokens -> 2 grams of 4, one island [1, 6) in doc 0 only
     assert got == [(0, 1, 6, 5, 2)]
+
+
+bench_corpus = st.lists(
+    st.lists(token, min_size=0, max_size=10), min_size=0, max_size=3
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(train=corpus, bench=bench_corpus)
+def test_contamination_oracle_matches_python_replay(train, bench):
+    """The cross-corpus oracle = the self-dedup replay with the dup-gram
+    set swapped for the bench gram set."""
+    import hashlib as _h
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.substr_dedup import (
+        substring_contamination_oracle_sql,
+    )
+
+    n, min_span = 3, 4
+
+    def tok_hash(t):
+        return int(_h.md5(f"{t}#0".encode()).hexdigest()[:7], 16)
+
+    def grams(toks):
+        toks = [t.lower() for t in toks]
+        if len(toks) < n:
+            return []
+        th = [tok_hash(t) for t in toks]
+        out = []
+        for i in range(len(th) - n + 1):
+            acc = th[i]
+            for j in range(1, n):
+                acc = (acc * _A + th[i + j]) % PRIME53
+            out.append((i, acc))
+        return out
+
+    bench_ghs = {gh for toks in bench for _, gh in grams(toks)}
+    want = []
+    for doc_id, toks in enumerate(train):
+        pos = sorted(p for p, gh in grams(toks) if gh in bench_ghs)
+        if not pos:
+            continue
+        start, end, cnt = pos[0], pos[0] + n, 1
+        for p in pos[1:]:
+            if p > end:
+                if end - start >= min_span:
+                    want.append((doc_id, start, end, end - start, cnt))
+                start, end, cnt = p, p + n, 1
+            else:
+                end, cnt = p + n, cnt + 1
+        if end - start >= min_span:
+            want.append((doc_id, start, end, end - start, cnt))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tr(doc_id BIGINT, text VARCHAR)")
+    con.execute("CREATE TABLE be(doc_id BIGINT, text VARCHAR)")
+    if train:
+        con.executemany(
+            "INSERT INTO tr VALUES (?,?)",
+            [(i, " ".join(t)) for i, t in enumerate(train)],
+        )
+    if bench:
+        con.executemany(
+            "INSERT INTO be VALUES (?,?)",
+            [(100 + i, " ".join(t)) for i, t in enumerate(bench)],
+        )
+    got = sorted(
+        map(
+            tuple,
+            con.execute(
+                substring_contamination_oracle_sql(
+                    "SELECT doc_id, text FROM tr",
+                    "SELECT doc_id, text FROM be",
+                    n=n,
+                    min_span=min_span,
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == sorted(want)
+    con.close()
