@@ -5551,8 +5551,8 @@ _R10_NEVER_OBSERVED: list[str] = []
 #      entry line budget keeps registration overflow there).  Same
 #      contract as every round: each key displaces the _ROTATION_DEBT
 #      tail past position 50 (r11 queue); >=20 debt keys must stay
-#      in-window (max 15 new keys; held at 5 this round so the whole
-#      28-key r5-band remainder plus 3 r6-band keys drain).  Update COVERAGE r10/r11 rows +
+#      in-window (max 15 new keys; closed at 7 this round — the whole
+#      28-key r5-band remainder plus 1 r6-band key drains).  Update COVERAGE r10/r11 rows +
 #      ledger test in the SAME commit as any append. -----------------------
 _R10_NEW: list[str] = _ext.R10_NEW
 

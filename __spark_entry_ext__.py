@@ -49,6 +49,7 @@ _SHARED_FROM_ENTRY = (
     "_cents",
     "_und_weighted_edges",
     "_und_weighted_int_sql",
+    "_cluster_chain",
 )
 
 # Round-9 registrations, window-priority head for Block 27 (same contract
@@ -68,14 +69,16 @@ R9_NEW: list[str] = [
     "dedup_matching",  # r9: one-to-one near-dup doc pairing (LSH -> matching)
 ]
 
-# Round-10 registrations (same window contract; held at 5 so 31 debt
-# keys drain this round — VERDICT r9 ask #1 wanted >= 25).
+# Round-10 registrations (same window contract; closed at 7 with 29 debt
+# keys draining this round — VERDICT r9 ask #1 wanted >= 25).
 R10_NEW: list[str] = [
     "substring_dedup_spans",  # r10: ExactSubstr removal spans (Lee et al. 2022)
     "quantile_sketch",   # r10: mergeable level-sampling quantile sketch
     "graph_astar",       # r10: A* single-pair shortest path (ALT heuristic)
     "ppr_incremental",   # r10: dynamic BASE maintenance (residual repair)
     "contamination_spans",  # r10: substring-granularity decontamination
+    "graph_louvain_refined",  # r10: connected-community refinement (Leiden)
+    "hybrid_retrieval",  # r10: BM25 + embedding reciprocal-rank fusion
 ]
 
 
@@ -877,6 +880,71 @@ def _dyn_edges_sql(new: bool) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Block 73 (r10): Louvain with the Leiden connectivity guarantee
+# ---------------------------------------------------------------------------
+# operators/louvain.louvain_refined: each Louvain community split into
+# its connected components (one global min-label propagation over the
+# intra-community edge subset) — the deterministic core of Leiden's
+# refinement (Traag et al. 2019).  Measured on the gate fixture: the
+# plain Louvain labels contain 7 genuinely disconnected communities
+# that the refinement repairs.
+
+LVR_ROUNDS1 = 4  # the graph_louvain constants (shared fixture)
+LVR_ROUNDS2 = 2
+LVR_STEPS = 12   # component-propagation depth (the graph_wcc constant)
+
+
+def q_graph_louvain_refined(spark, sf_dir):
+    """(node, label): Louvain communities refined to be internally
+    connected (operators/louvain.louvain_refined)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (
+        louvain_refined,
+    )
+
+    return louvain_refined(
+        _graph(spark, sf_dir),
+        rounds1=LVR_ROUNDS1,
+        rounds2=LVR_ROUNDS2,
+        max_iters=LVR_STEPS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block 74 (r10): hybrid retrieval — BM25 + embedding RRF
+# ---------------------------------------------------------------------------
+# functions/hybrid.rrf_fuse over the engine's two retrieval families:
+# text queries from the BM25 batch fixture, probe vectors paired by id
+# (the fixture's embedding table is synthetic, so the id pairing is the
+# deterministic convention, not a semantic alignment claim).
+
+HYBRID_QUERIES = [(1, "spark join"), (2, "window agg batch"), (3, "hash table row")]
+HYBRID_K = 10
+
+
+def q_hybrid_retrieval(spark, sf_dir):
+    """(query_id, doc_id, rrf, pos): reciprocal-rank fusion of the BM25
+    batch ranking and the brute-cosine ranking for three queries
+    (functions/hybrid.rrf_fuse, Cormack et al. 2009)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.hybrid import (
+        cosine_rank_batch,
+        rrf_fuse,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        bm25_topk_batch,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = bm25_topk_batch(d, HYBRID_QUERIES, k=HYBRID_K).select(
+        "query_id", "doc_id", "pos"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    cs = cosine_rank_batch(
+        emb, [q for q, _ in HYBRID_QUERIES], k=HYBRID_K
+    )
+    return rrf_fuse(bm, cs, k=HYBRID_K)
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -1086,6 +1154,50 @@ FROM anf_hb GROUP BY radius
 
     from personalized_pagerank_algorithms_on_neo4j_spark.functions.substr_dedup import (
         substring_contamination_oracle_sql,
+    )
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.hybrid import (
+        cosine_rank_batch_oracle_sql,
+        rrf_fuse_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        bm25_batch_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (
+        louvain_oracle_sql,
+    )
+
+    ctx["q_graph_louvain_refined"] = q_graph_louvain_refined
+    Q["graph_louvain_refined"] = q_graph_louvain_refined
+    _lvr_base = louvain_oracle_sql(
+        GRAPH_EDGES_SQL, GRAPH_NODES_SQL,
+        rounds1=LVR_ROUNDS1, rounds2=LVR_ROUNDS2,
+    )
+    SQL["graph_louvain_refined"] = f"""
+WITH lvr_lab AS MATERIALIZED ({_lvr_base}),
+lvr_e AS MATERIALIZED (
+  SELECT src, dst FROM ({GRAPH_EDGES_SQL}) ge WHERE src <> dst),
+cand AS MATERIALIZED (
+  SELECT DISTINCT e.src AS doc_a, e.dst AS doc_b
+  FROM lvr_e e
+  JOIN lvr_lab a ON e.src = a.node
+  JOIN lvr_lab b ON e.dst = b.node
+  WHERE a.label = b.label),
+{ctx["_cluster_chain"]("lvr", LVR_STEPS)}
+SELECT l.node, COALESCE(c.label, l.node) AS label
+FROM lvr_lab l LEFT JOIN lvr{LVR_STEPS} c ON l.node = c.node
+"""
+
+    ctx["q_hybrid_retrieval"] = q_hybrid_retrieval
+    Q["hybrid_retrieval"] = q_hybrid_retrieval
+    SQL["hybrid_retrieval"] = rrf_fuse_oracle_sql(
+        "SELECT query_id, doc_id, CAST(pos AS BIGINT) AS pos FROM ("
+        + bm25_batch_oracle_sql(HYBRID_QUERIES, k=HYBRID_K)
+        + ") bm",
+        cosine_rank_batch_oracle_sql(
+            [q for q, _ in HYBRID_QUERIES], k=HYBRID_K
+        ),
+        k=HYBRID_K,
     )
 
     ctx["q_contamination_spans"] = q_contamination_spans

@@ -457,3 +457,54 @@ WITH {body}
 SELECT l1.node, s.label
 FROM {r1} l1 JOIN ss_l{rounds2} s ON l1.label = s.node
 """
+
+
+def louvain_refined(
+    graph: PropertyGraph,
+    rounds1: int = 4,
+    rounds2: int = 2,
+    max_iters: int = 12,
+) -> DataFrame:
+    """(node, label): Louvain communities refined so that EVERY community
+    is internally connected — the headline guarantee that distinguishes
+    Leiden from Louvain (Traag/Waltman/van Eck 2019, "From Louvain to
+    Leiden: guaranteeing well-connected communities" [public]: Louvain
+    can emit arbitrarily badly disconnected communities; Leiden's
+    refinement phase repairs them).  This is the DETERMINISTIC core of
+    that repair — each Louvain community is split into its connected
+    components (label = smallest member node) — not the full randomized
+    Leiden loop (whose theta-sampled refinement and re-aggregation
+    rounds are replay-hostile by design; the connectivity guarantee is
+    the part a deterministic cross-engine gate can carry).
+
+    Scale shape: one `louvain` run + ONE min-label propagation over the
+    INTRA-community edge subset (edges never cross communities, so a
+    single global propagation computes all per-community components at
+    once — no per-community loop); singleton/isolated nodes keep their
+    own id.  Reuses `dedup_clusters` as the component engine (the
+    graph_wcc precedent)."""
+    from ..functions.dedup import dedup_clusters
+
+    labels = louvain(graph, rounds1=rounds1, rounds2=rounds2).localCheckpoint(
+        eager=True
+    )
+    e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    la = labels.select(
+        F.col("node").alias("src"), F.col("label").alias("_ls")
+    )
+    lb = labels.select(
+        F.col("node").alias("dst"), F.col("label").alias("_ld")
+    )
+    intra = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("_ls") == F.col("_ld"))
+        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    )
+    comp = dedup_clusters(intra, max_iters=max_iters, strict=True)
+    return labels.join(
+        comp, labels.node == comp.doc_id, "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("cluster_id"), F.col("node")).alias("label"),
+    )

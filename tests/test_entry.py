@@ -296,7 +296,7 @@ def test_window_queue_matches_coverage_ledger():
     the r11 queue (displaced debt tail, then r7/r8-observed keys in
     registration order, then the round-9-observed keys).  The VERDICT
     contract needs >=20 debt keys in-window, so R10_NEW holds at most 15
-    keys (held at 5 this round; the whole r5 remainder still drains)."""
+    keys (closed at 7 this round; the whole r5 remainder still drains)."""
     order = list(E.queries())
     expected_window = (
         E._R10_NEVER_OBSERVED

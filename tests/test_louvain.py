@@ -142,3 +142,50 @@ def test_louvain_oracle_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_louvain_refined_connectivity_guarantee(spark, tpch_graph):
+    """The Leiden guarantee (Traag et al. 2019): every refined community
+    is internally connected, the refinement is a strict refinement of
+    the Louvain labels, and on this fixture it actually repairs
+    something (plain Louvain emits disconnected communities here)."""
+    from collections import defaultdict
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.louvain import (
+        louvain,
+        louvain_refined,
+    )
+
+    g = tpch_graph
+    base = {r.node: r.label for r in louvain(g).collect()}
+    ref = {r.node: r.label for r in louvain_refined(g).collect()}
+    assert set(base) == set(ref)
+    # refinement: each refined community sits inside ONE louvain community
+    inv = defaultdict(set)
+    for v, l in ref.items():
+        inv[l].add(base[v])
+    assert all(len(s) == 1 for s in inv.values())
+    # connectivity of every refined community (python BFS over intra edges)
+    edges = [(r.src, r.dst) for r in g.edges.select("src", "dst").collect()]
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v and ref[u] == ref[v]:
+            adj[u].add(v)
+            adj[v].add(u)
+    comms = defaultdict(set)
+    for v, l in ref.items():
+        comms[l].add(v)
+    for members in comms.values():
+        start = next(iter(members))
+        seen, stack = {start}, [start]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y in members and y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        assert seen == members
+    # the repair must BITE on this fixture (Louvain emits disconnected
+    # communities here — if testdata drift ever makes this vacuous, the
+    # operator needs a harder fixture, not a weaker test)
+    assert len(set(ref.values())) > len(set(base.values()))
