@@ -399,6 +399,10 @@ def main() -> None:
         lambda: X.q_ppr_incremental(spark, SF_DIR).count(),
         repeat=1,
     )
+    # graph_louvain_refined and hybrid_retrieval are NOT benched: the
+    # former is louvain (benched) + the graph_wcc min-label propagation
+    # (benched), the latter is bm25_multi + simsearch_cosine (both
+    # benched) + a k-bounded fusion join (composition precedent).
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
     # end-to-end corpus clustering: kNN edges -> weighted Louvain
