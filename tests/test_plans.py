@@ -461,3 +461,20 @@ def test_r10_operator_plan_shapes(spark):
         assert "BatchEvalPython" not in plan, name
         n = plan.count("Exchange")
         assert n <= max_exchanges, f"{name}: {n} exchanges > {max_exchanges}"
+
+
+def test_r10_late_operator_plan_shapes(spark):
+    """The two late r10 keys: hybrid fusion is k-bounded after the
+    rankers (no cartesian beyond the broadcast probe join, no Python);
+    louvain_refined returns a checkpoint-backed join tail."""
+    import __spark_entry_ext__ as X
+
+    plan = _plan(X.q_hybrid_retrieval(spark, SF_ORACLE))
+    assert "BatchEvalPython" not in plan
+    n = plan.count("Exchange")
+    assert n <= 16, f"hybrid_retrieval: {n} exchanges > 16"
+    plan = _plan(X.q_graph_louvain_refined(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    n = plan.count("Exchange")
+    assert n <= 8, f"graph_louvain_refined: {n} exchanges > 8"
