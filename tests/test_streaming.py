@@ -1182,3 +1182,120 @@ def test_streaming_quantiles_k_contract(spark, tmp_path):
     assert Q.read_quantiles(spark, store, [0.5], k=4).count() > 0
     with pytest.raises(ValueError, match="exceeds the store's effective k=4"):
         Q.read_quantiles(spark, store, [0.5], k=8).collect()
+
+
+# --- streaming store #14: dynamic PPR maintenance on edge arrival -----------
+
+
+def _dyn_toy(spark):
+    base = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 3), (4, 2)],
+        "src long, dst long",
+    )
+    held = [(0, 3), (4, 0), (5, 2)]
+    tg = spark.createDataFrame([(0,), (3,)], "target long")
+    return base, held, tg
+
+
+def test_streaming_dynamic_ppr_matches_guarantee_and_recompute(
+    spark, tmp_path
+):
+    """Edge batches arrive as microbatches; after draining, the
+    maintained state must satisfy the push validity identity EXACTLY on
+    the accumulated graph with |r| <= rmax (the from-scratch guarantee),
+    and at tight rmax match a from-scratch recompute."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.dynamic_ppr import (
+        invariant_residual,
+        reverse_push_state,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        dynamic_ppr_stream as D,
+    )
+
+    alpha, rmax = 1.0 / 7.0, 1e-6
+    store = str(tmp_path / "dyn_store")
+    base, held, tg = _dyn_toy(spark)
+    D.init_store(spark, store, base, tg, rmax=rmax, alpha=alpha,
+                 max_supersteps=400)
+
+    stream_dir = str(tmp_path / "edge_stream")
+    spark.createDataFrame(held[:2], "src long, dst long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(stream_dir)
+    spark.createDataFrame(held[2:], "src long, dst long").coalesce(
+        1
+    ).write.mode("append").parquet(stream_dir)
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    merge = D.make_merge_batch(spark, store, rmax=rmax, alpha=alpha,
+                               max_supersteps=400)
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", store + "_ckpt")
+        .start()
+    )
+    _drain(q)
+
+    all_edges = base.unionAll(
+        spark.createDataFrame(held, "src long, dst long")
+    )
+    got_edges = sorted(map(tuple, D.read_edges(spark, store).collect()))
+    assert got_edges == sorted(map(tuple, all_edges.distinct().collect()))
+    st = D.read_state(spark, store)
+    defect = (
+        invariant_residual(st, all_edges, alpha)
+        .agg(F.max(F.abs("res")))
+        .collect()[0][0]
+    )
+    assert defect < 1e-12
+    assert st.agg(F.max(F.abs("residue"))).collect()[0][0] <= rmax
+    scratch = reverse_push_state(
+        spark, all_edges, _dyn_toy(spark)[2], rmax, alpha, max_supersteps=400
+    )
+    a = {(r.target, r.node): r.reserve for r in scratch.collect()}
+    b = {(r.target, r.node): r.reserve for r in st.collect()}
+    diff = max(abs(a.get(k, 0.0) - b.get(k, 0.0)) for k in set(a) | set(b))
+    assert diff < 1e-5, diff
+    # the BASE-view read serves (source, target, ppr)
+    assert D.read_ppr(spark, store, threshold=1e-6).count() > 0
+
+
+def test_streaming_dynamic_ppr_replay_redelivery_compaction(spark, tmp_path):
+    """Replaying an epoch recomputes the identical state; an edge
+    re-delivered in a later epoch applies exactly once; compaction folds
+    history without changing the read."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        dynamic_ppr_stream as D,
+    )
+
+    alpha, rmax = 1.0 / 7.0, 1e-3
+    store = str(tmp_path / "dyn_store2")
+    base, held, tg = _dyn_toy(spark)
+    D.init_store(spark, store, base, tg, rmax=rmax, alpha=alpha)
+    merge = D.make_merge_batch(spark, store, rmax=rmax, alpha=alpha)
+    mk = lambda rows: spark.createDataFrame(rows, "src long, dst long")  # noqa: E731
+
+    merge(mk(held[:2]), 0)
+    state1 = sorted(map(tuple, D.read_state(spark, store).collect()))
+    merge(mk(held[:2]), 0)  # replay, as a restart would
+    assert sorted(map(tuple, D.read_state(spark, store).collect())) == state1
+    # epoch 1 re-delivers an already-applied edge + one new edge: the
+    # duplicate must apply exactly once
+    merge(mk([held[0], held[2]]), 1)
+    state2 = sorted(map(tuple, D.read_state(spark, store).collect()))
+    edges2 = sorted(map(tuple, D.read_edges(spark, store).collect()))
+    assert len(edges2) == len(set(edges2)) == 10  # 7 base + 3 held, no dupes
+    # an all-duplicate batch is a no-op epoch
+    merge(mk([held[1]]), 2)
+    assert sorted(map(tuple, D.read_state(spark, store).collect())) == state2
+    # compaction folds both halves; the read is unchanged
+    folded = D.compact_store(spark, store)
+    assert folded >= 2
+    assert sorted(map(tuple, D.read_state(spark, store).collect())) == state2
+    assert sorted(map(tuple, D.read_edges(spark, store).collect())) == edges2
+    # and the store still accepts new epochs after compaction
+    merge(mk([(5, 0)]), 3)
+    assert sorted(map(tuple, D.read_edges(spark, store).collect())) != edges2
