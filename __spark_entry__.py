@@ -5543,21 +5543,25 @@ _ext.register(globals())
 # Everything past 50 is the next round's queue, oldest evidence first.
 
 # (a) never driver-observed: NONE — as of CORRECTNESS_r07 every registered
-#     key has an observed green driver row at some round, and the r8/r9
-#     waves landed green on first contact. ---------------------------------
-_R10_NEVER_OBSERVED: list[str] = []
+#     key has an observed green driver row at some round, and the
+#     r8/r9/r10 waves landed green on first contact. -----------------------
+_R11_NEVER_OBSERVED: list[str] = []
 
-# (a2) round-10 registrations live in __spark_entry_ext__.R10_NEW (the
+# (a2) round-11 registrations live in __spark_entry_ext__.R11_NEW (the
 #      entry line budget keeps registration overflow there).  Same
 #      contract as every round: each key displaces the _ROTATION_DEBT
-#      tail past position 50 (r11 queue); >=20 debt keys must stay
-#      in-window (max 15 new keys; closed at 7 this round — the whole
-#      28-key r5-band remainder plus 1 r6-band key drains).  Update COVERAGE r10/r11 rows +
+#      tail past position 50 (r12 queue); >=20 debt keys must stay
+#      in-window (max 15 new keys; closed at 3 this round so 32 of the
+#      34-key r6-band remainder drains).  Update COVERAGE r11/r12 rows +
 #      ledger test in the SAME commit as any append. -----------------------
-_R10_NEW: list[str] = _ext.R10_NEW
+_R11_NEW: list[str] = _ext.R11_NEW
 
-# (a3) stale anchors: none this round ---------------------------------------
-_R10_ANCHORS: list[str] = []
+# (a3) stale anchors: `semantic_dedup` rides the anchor slot this round —
+#      VERDICT r10 ask #4 wants the SemDeDup key re-observed IN-WINDOW
+#      alongside its new cluster-cap plan guard (it is r9-observed, so
+#      the r6-band debt below is strictly older; this is a deliberate
+#      anchor, not oldest-evidence order). ---------------------------------
+_R11_ANCHORS: list[str] = ["semantic_dedup"]
 
 # (b) section-2 operator-family representatives (one per family, kept
 #     in-window every round) ----------------------------------------------
@@ -5578,28 +5582,14 @@ _FAMILY_REPS = [
     "report_layout",        # S6
 ]
 
-# (c) rotation debt, oldest driver evidence first (COVERAGE.md r10 row):
-#     the 28-key r5-observed band remainder the _R9_NEW wave displaced
-#     (committed band order), then the pinned r6-observed band (the 13
-#     r5-tail keys observed r6, then the 22 _R6_NEW keys in registration
-#     order).  63 keys; with N _R10_NEW registrations only the first
-#     36-N fit the window — the displaced tail is the r11 queue head.
-#     Keys with r7/r8/r9 driver rows are NOT in this list: they are
-#     pinned oldest-evidence-first in _R11_QUEUE below. ---------------------
+# (c) rotation debt, oldest driver evidence first (COVERAGE.md r11 row):
+#     the 34-key r6-observed band remainder the r10 window displaced
+#     (committed band order — the oldest driver evidence left in the
+#     registry, observed 5 rounds ago).  With 3 _R11_NEW + 1 anchor + 14
+#     reps, the first 32 fit the 50-row window; the displaced tail
+#     (`dedup_eval`, `url_policy`) heads the r12 queue. ---------------------
 _ROTATION_DEBT = [
-    # -- the r5-observed band remainder (committed r8 ordering) --
-    "order_price_bands", "bm25_multi", "ppr_pagerank", "graph_pagerank",
-    "hot_shingles", "shard_manifest", "curriculum_order",
-    "clustering_coeff", "doc_bigram_logprob", "adamic_adar",
-    "degree_histogram", "simsearch_ivfpq", "lsh_incremental",
-    "histogram_quantiles", "doc_token_quantiles", "graph_pagerank_weighted",
-    "ppr_multi_source", "similar_docs", "event_gap_quantiles",
-    "ppr_pagerank_weighted", "next_tokens", "events_json_stats",
-    "sssp_landmarks", "part_unpivot", "events_range_window",
-    "graph_lpa", "sssp_weighted", "doc_winnow",
-    # -- the pinned r6-observed band (13 r5-tail keys observed r6, then
-    #    the 22 _R6_NEW keys in registration order) --
-    "part_name_variants", "token_budget_mix", "source_overlap",
+    "token_budget_mix", "source_overlap",
     "corpus_diff", "split_leakage", "winnow_dups",
     "graph_betweenness", "pmi_collocations", "source_divergence",
     "orders_salted_join", "graph_negatives", "winnow_incremental",
@@ -5613,12 +5603,14 @@ _ROTATION_DEBT = [
     "pagerank_snapshots", "ann_recall", "dedup_eval", "url_policy",
 ]
 
-# (d) r11 queue prefix — oldest evidence first past the debt list: the
+# (d) r12 queue prefix — oldest evidence first past the debt list: the
 #     r7/r8-observed keys in their committed registration order, then the
-#     round-9-observed keys (the 12 r8-displaced debt keys, the 14-key
-#     r5-band head, and the _R9_NEW wave — all green in CORRECTNESS_r09).
+#     round-9-observed keys (the 12 r8-displaced debt keys, the 13-key
+#     r5-band head less the anchored `semantic_dedup`, the _R9_NEW wave),
+#     then the round-10-observed keys (the 28-key r5-band remainder +
+#     `part_name_variants` in committed band order, then _R10_NEW).
 #     Window-invisible: priority positions 51+. -----------------------------
-_R11_QUEUE = [
+_R12_QUEUE = [
     # -- r7/r8-observed, registration order --
     "ppr_power", "revenue_by_customer", "revenue_by_nation",
     "customer_order_counts", "customer_spend_share", "part_math",
@@ -5648,19 +5640,32 @@ _R11_QUEUE = [
     "pq_trained_codes", "doc_chunks", "seq_packing", "mixture_rebalance",
     "bm25_topk", "events_anomaly", "corpus_report", "doc_logprob",
     "two_hop_counts",
-    # -- r9-observed: the r5-band head --
-    "decayed_scores", "data_expectations", "semantic_dedup",
+    # -- r9-observed: the r5-band head (semantic_dedup anchored above) --
+    "decayed_scores", "data_expectations",
     "triangle_counts", "node_similarity", "graph_bfs",
     "graph_wcc", "graph_hits", "graph_kcore",
     "click_attribution", "approx_distinct_users", "heavy_hitter_users",
     "harmonic_centrality", "dedup_survivors",
     # -- r9-observed: the _R9_NEW wave --
     *_ext.R9_NEW,
+    # -- r10-observed: the r5-band remainder + the first r6-band key
+    #    (committed band order, re-observed green in CORRECTNESS_r10) --
+    "order_price_bands", "bm25_multi", "ppr_pagerank", "graph_pagerank",
+    "hot_shingles", "shard_manifest", "curriculum_order",
+    "clustering_coeff", "doc_bigram_logprob", "adamic_adar",
+    "degree_histogram", "simsearch_ivfpq", "lsh_incremental",
+    "histogram_quantiles", "doc_token_quantiles", "graph_pagerank_weighted",
+    "ppr_multi_source", "similar_docs", "event_gap_quantiles",
+    "ppr_pagerank_weighted", "next_tokens", "events_json_stats",
+    "sssp_landmarks", "part_unpivot", "events_range_window",
+    "graph_lpa", "sssp_weighted", "doc_winnow", "part_name_variants",
+    # -- r10-observed: the _R10_NEW wave --
+    *_ext.R10_NEW,
 ]
 
 _WINDOW_PRIORITY = (
-    _R10_NEVER_OBSERVED + _R10_NEW + _R10_ANCHORS + _FAMILY_REPS
-    + _ROTATION_DEBT + _R11_QUEUE
+    _R11_NEVER_OBSERVED + _R11_NEW + _R11_ANCHORS + _FAMILY_REPS
+    + _ROTATION_DEBT + _R12_QUEUE
 )
 
 def _reorder(d: dict) -> dict:

@@ -81,6 +81,15 @@ R10_NEW: list[str] = [
     "hybrid_retrieval",  # r10: BM25 + embedding reciprocal-rank fusion
 ]
 
+# Round-11 registrations (same window contract; closed at 3 so 32 of the
+# 34-key r6-band debt remainder drains — VERDICT r10 ask #1 wanted >= 29;
+# `semantic_dedup` additionally rides the r11 anchor slot per ask #4).
+R11_NEW: list[str] = [
+    "ppr_incremental_delete",  # r11: dynamic BASE maintenance, DELETE flavor
+    "bpe_exact_apply",   # r11: exact merge-order BPE apply, vocab-independent
+    "graph_astar_multi",  # r11: K-pair A* off ONE amortized landmark build
+]
+
 
 # ---------------------------------------------------------------------------
 # Block 42 (relocated): snapshot (time-sliced) PageRank
@@ -945,6 +954,189 @@ def q_hybrid_retrieval(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Block 75 (r11): dynamic-PPR DELETE maintenance
+# ---------------------------------------------------------------------------
+# The r10 key exercises only `repair_on_insert`; this key driver-gates
+# `repair_on_delete` (dynamic_ppr.py:234 — pytest-pinned only until now,
+# the open half of VERDICT r10 ask #2): init push on the FULL graph, a
+# deterministic ~2% md5-split batch REMOVED (seed 1 — disjoint from the
+# insert key's seed-0 batch), the (++) delete repair, |r|-qualified
+# resume on the remaining graph.  Same exposed (reserve, residue) state
+# so the oracle checks the maintenance algebra itself.
+
+DYN_DEL_SEED = 1  # portable_hash seed: a different batch than the insert key
+
+
+def q_ppr_incremental_delete(spark, sf_dir):
+    """(target, node, ppr, residue): the incrementally maintained reverse
+    -push state after a held-back edge batch is DELETED — init push on
+    the full graph, validity-identity delete repair, |r|-qualified
+    resume on the remaining graph (operators/dynamic_ppr.repair_on_delete;
+    alpha = 1/7 per the BWD gate note)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        portable_hash,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.dynamic_ppr import (
+        repair_on_delete,
+        reverse_push_state,
+    )
+
+    alpha = 1.0 / 7.0
+    g = _graph(spark, sf_dir)
+    edges = g.edges.select("src", "dst")
+    is_del = (
+        portable_hash(
+            F.concat_ws("|", F.col("src"), F.col("dst")), seed=DYN_DEL_SEED
+        )
+        % DYN_MOD
+        == 0
+    )
+    de = edges.where(is_del).localCheckpoint(eager=True)
+    ke = edges.where(~is_del).localCheckpoint(eager=True)
+    tg = spark.createDataFrame([(t,) for t in DYN_TARGETS], "target long")
+    st0 = reverse_push_state(
+        spark, edges, tg, DYN_RMAX, alpha, max_supersteps=DYN_INIT_STEPS
+    )
+    rep = repair_on_delete(st0, edges, de, alpha)
+    st1 = reverse_push_state(
+        spark, ke, tg, DYN_RMAX, alpha,
+        state=rep, first_unconditional=False,
+        max_supersteps=DYN_RESUME_STEPS,
+    )
+    return st1.select(
+        "target",
+        "node",
+        F.round("reserve", 9).alias("ppr"),
+        F.round("residue", 9).alias("residue"),
+    ).where((F.col("ppr") > 0) | (F.col("residue") != 0))
+
+
+def _dyn_del_edges_sql(deleted: bool) -> str:
+    pred = (
+        "CAST(('0x' || substring(md5(CAST(src AS VARCHAR) || '|' || "
+        f"CAST(dst AS VARCHAR) || '#' || '{DYN_DEL_SEED}'), 1, 12)) AS BIGINT) "
+        f"% {DYN_MOD} = 0"
+    )
+    return (
+        f"SELECT src, dst FROM ({GRAPH_EDGES_SQL}) dynd_ge "
+        f"WHERE {'' if deleted else 'NOT '}({pred})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block 76 (r11): exact merge-order BPE apply at scale
+# ---------------------------------------------------------------------------
+# functions/bpe.bpe_exact_apply_counts: the fold's EXACT semantics at a
+# cost independent of vocab size — per document, iterate "lowest-rank
+# rule whose pair is currently present" (provably the fold's effective-
+# application sequence) inside ONE narrow F.aggregate projection, with
+# the iteration count bounded by document length.  Closes VERDICT r10
+# ask #3 (the 11%-token maximal-munch divergence motivated an exact
+# apply that does not cost V corpus scans).  Vocab: the same batched
+# 256-merge table as `bpe_encode`.
+
+
+def q_bpe_exact_apply(spark, sf_dir):
+    """(doc_id, n_words, n_tokens): exact merge-order BPE token counts
+    against the batched 256-merge vocabulary
+    (functions/bpe.bpe_exact_apply_counts — iterated strict-argmin, one
+    narrow pass, zero shuffles)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.bpe import (
+        bpe_exact_apply_counts,
+        bpe_merges_batched,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [(l, r) for (_, _, l, r, _) in bpe_merges_batched(d)]
+    return bpe_exact_apply_counts(d, merges)
+
+
+# ---------------------------------------------------------------------------
+# Block 77 (r11): multi-pair A* off one amortized landmark build
+# ---------------------------------------------------------------------------
+# operators/astar.astar_multi_pair: the r10 verdict's watch item #2 —
+# the single-pair key is dominated by the per-query ALT heuristic build;
+# this key builds the landmark distance table ONCE and answers THREE
+# (s, t) queries through one (pid, node)-keyed branch-and-bound loop
+# with per-pid upper bounds.  Pair 0 is the single-pair key's exact
+# fixture, so the two keys cross-check each other's distance.
+
+ASTAR_MULTI_ROUNDS = 20
+
+
+def _astar_multi_pairs(spark, sf_dir) -> list[tuple[int, int]]:
+    c = _t(spark, sf_dir, "customer").agg(
+        F.min("c_custkey").cast("long")
+    ).collect()[0][0]
+    s_min, s_max = (
+        _t(spark, sf_dir, "supplier")
+        .agg(
+            F.min("s_suppkey").cast("long"), F.max("s_suppkey").cast("long")
+        )
+        .collect()[0]
+    )
+    n_min, n_max = (
+        _t(spark, sf_dir, "nation")
+        .agg(
+            F.min("n_nationkey").cast("long"),
+            F.max("n_nationkey").cast("long"),
+        )
+        .collect()[0]
+    )
+    return [
+        (int(c), int(n_max) + NATION_BASE),
+        (int(s_min) + SUPP_BASE, int(n_min) + NATION_BASE),
+        (int(s_max) + SUPP_BASE, 12 + NATION_BASE),
+    ]
+
+
+def q_graph_astar_multi(spark, sf_dir):
+    """(src, dst, dist): exact min-cost distances for three (s, t) pairs
+    via batched A* sharing ONE ALT landmark table
+    (operators/astar.astar_multi_pair)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.astar import (
+        alt_heuristic_multi,
+        astar_multi_pair,
+    )
+
+    g = _graph(spark, sf_dir)
+    e = _und_weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = _astar_multi_pairs(spark, sf_dir)
+    lms = (
+        g.nodes.where(F.col("id") < 1_000_000)
+        .orderBy("id")
+        .limit(ASTAR_LANDMARKS)
+        .select(F.col("id").alias("source"))
+    )
+    tdf = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(pairs)], "pid int, t long"
+    )
+    hx = alt_heuristic_multi(
+        spark, e, lms, tdf,
+        max_rounds=ASTAR_MULTI_ROUNDS, n_hint=g.n * ASTAR_LANDMARKS,
+    )
+    return astar_multi_pair(
+        spark, e, pairs, hx,
+        max_rounds=ASTAR_MULTI_ROUNDS, n_hint=g.n * len(pairs),
+    )
+
+
+_ASTAR_MULTI_PAIRS_SQL = f"""
+SELECT 0 AS pid,
+       (SELECT CAST(MIN(c_custkey) AS BIGINT) FROM customer) AS s,
+       (SELECT CAST(MAX(n_nationkey) + {NATION_BASE} AS BIGINT) FROM nation) AS t
+UNION ALL
+SELECT 1,
+       (SELECT CAST(MIN(s_suppkey) + {SUPP_BASE} AS BIGINT) FROM supplier),
+       (SELECT CAST(MIN(n_nationkey) + {NATION_BASE} AS BIGINT) FROM nation)
+UNION ALL
+SELECT 2,
+       (SELECT CAST(MAX(s_suppkey) + {SUPP_BASE} AS BIGINT) FROM supplier),
+       CAST(12 + {NATION_BASE} AS BIGINT)
+"""
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -1236,4 +1428,46 @@ FROM lvr_lab l LEFT JOIN lvr{LVR_STEPS} c ON l.node = c.node
         1.0 / 7.0,
         init_steps=DYN_INIT_STEPS,
         resume_steps=DYN_RESUME_STEPS,
+    )
+
+    # ---- round-11 registrations ----
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.bpe import (
+        bpe_exact_apply_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.astar import (
+        astar_multi_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.dynamic_ppr import (
+        incremental_ppr_delete_oracle_sql,
+    )
+
+    for qname, fn in (
+        ("q_ppr_incremental_delete", q_ppr_incremental_delete),
+        ("q_bpe_exact_apply", q_bpe_exact_apply),
+        ("q_graph_astar_multi", q_graph_astar_multi),
+    ):
+        ctx[qname] = fn
+
+    Q["ppr_incremental_delete"] = q_ppr_incremental_delete
+    SQL["ppr_incremental_delete"] = incremental_ppr_delete_oracle_sql(
+        f"SELECT src, dst FROM ({GRAPH_EDGES_SQL}) dynd_ga",
+        _dyn_del_edges_sql(deleted=True),
+        _dyn_del_edges_sql(deleted=False),
+        "SELECT unnest(["
+        + ", ".join(str(t) for t in DYN_TARGETS)
+        + "]) AS target",
+        DYN_RMAX,
+        1.0 / 7.0,
+        init_steps=DYN_INIT_STEPS,
+        resume_steps=DYN_RESUME_STEPS,
+    )
+
+    Q["bpe_exact_apply"] = q_bpe_exact_apply
+    SQL["bpe_exact_apply"] = bpe_exact_apply_oracle_sql()
+
+    Q["graph_astar_multi"] = q_graph_astar_multi
+    SQL["graph_astar_multi"] = astar_multi_oracle_sql(
+        ctx["_und_weighted_int_sql"](),
+        _ASTAR_MULTI_PAIRS_SQL,
+        rounds=ASTAR_MULTI_ROUNDS,
     )

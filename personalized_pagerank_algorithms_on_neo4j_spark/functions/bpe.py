@@ -565,3 +565,289 @@ FROM be_docs d LEFT JOIN be_d{doubling_rounds} z
   ON d.doc_id = z.doc_id AND z.pos = 1
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact merge-order apply at scale (the fold's semantics, not its cost)
+# ---------------------------------------------------------------------------
+# `bpe_compression` replays the merge table as a LEFT FOLD of literal
+# replaces — exact BPE apply, but LINEAR IN VOCAB: a V-rule vocabulary
+# costs V corpus scans (or one V-literal expression), which is why the
+# scale path so far was `bpe_longest_match_counts` (maximal munch — a
+# DIFFERENT tokenizer that diverges from merge-order BPE by ~11% tokens
+# at 1k merges).  `bpe_exact_apply_counts` below keeps the fold's EXACT
+# semantics at a cost independent of V:
+#
+#   per document, iterate  rk := min{ rank(p) : p adjacent pair present,
+#                                     rank(p) > last }
+#   and apply rule rk's literal replace (all occurrences, greedy-left —
+#   the identical `replace` the fold performs), until no rule qualifies.
+#
+# EXACTNESS: the fold applies rules 1..V in order, each a no-op unless
+# its pair is present at its turn — so the fold's sequence of EFFECTIVE
+# applications is precisely "next rule in rank order whose pair is
+# currently present", i.e. the strict-argmin iteration above.  (The
+# `last` qualifier makes the equivalence unconditional for ANY rule
+# table; for tables from BPE training it is provably redundant — a
+# merge only CREATES pairs containing its just-fused symbol, and with
+# "_"-joined pieces over alnum base tokens any rule matching such a
+# pair must have been learned later, so the present-minimum is
+# intrinsically nondecreasing.)
+#
+# COST: each fired rule shrinks the document by >= 1 symbol, so a doc
+# of W words fires at most W-1 times — the iteration count is bounded
+# by DOCUMENT LENGTH, never by vocab size.  The whole apply is ONE
+# narrow projection (F.aggregate over sequence(1, W-1); finished docs
+# short-circuit through the lazily-evaluated When), zero shuffles,
+# zero supersteps, zero driver round trips — vs the fold's V scans.
+# The rank lookup is a constant-folded literal map, O(1) per pair.
+
+
+def bpe_exact_apply_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_stream: bool = False,
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens): EXACT merge-order BPE tokenization of
+    each document against the ordered rule list ``merges`` (lhs/rhs
+    symbol strings, "_"-joined pieces — `bpe_merges_batched`'s table
+    shape), by the iterated strict-argmin pass above.  Bit-identical to
+    the left fold of literal replaces in rank order (pinned by test and
+    by the DuckDB oracle, which replays the fold).  ``with_stream``
+    additionally returns the final symbol stream ``s`` (test surface)."""
+    from itertools import chain
+
+    stream0 = _stream(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        stream0.alias("s0"),
+        F.size(F.split(F.trim(stream0), "  ")).cast("long").alias("n_words"),
+    )
+    if not merges:
+        out = base.select(
+            id_col, "n_words", F.col("n_words").alias("n_tokens"),
+            F.col("s0").alias("s"),
+        )
+        return out if with_stream else out.drop("s")
+
+    # duplicate (lhs, rhs) rules are legal in an arbitrary table (a pair
+    # can re-enter training after its occurrences were consumed), so the
+    # pair lookup maps to ALL its ranks; find/repl are keyed by rank
+    by_pair: dict[str, list[int]] = {}
+    for i, (l, r) in enumerate(merges):
+        by_pair.setdefault(f"{l}|{r}", []).append(i + 1)
+    pair_ranks = F.create_map(
+        *chain.from_iterable(
+            (F.lit(k), F.array(*[F.lit(v) for v in vs]))
+            for k, vs in by_pair.items()
+        )
+    )
+    find_m = F.create_map(
+        *chain.from_iterable(
+            (F.lit(i + 1), F.lit(f" {l}  {r} "))
+            for i, (l, r) in enumerate(merges)
+        )
+    )
+    repl_m = F.create_map(
+        *chain.from_iterable(
+            (F.lit(i + 1), F.lit(f" {l}_{r} "))
+            for i, (l, r) in enumerate(merges)
+        )
+    )
+
+    def _next_rank(acc):
+        toks = F.split(F.trim(acc["s"]), "  ")
+        m = F.greatest(F.size(toks) - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat(a, F.lit("|"), b),
+        )
+        ranks = F.flatten(
+            F.filter(
+                F.transform(pairs, lambda p: F.element_at(pair_ranks, p)),
+                lambda a: a.isNotNull(),
+            )
+        )
+        return F.array_min(F.filter(ranks, lambda rk: rk > acc["last"]))
+
+    def _step(acc, _):
+        # let-binding via a 1-element transform: higher-order lambdas are
+        # interpreted without common-subexpression elimination, so naming
+        # the argmin through a bound variable evaluates the pair scan
+        # ONCE per iteration instead of once per use (measured 3x on the
+        # apply pass); the outer When short-circuits finished docs past
+        # the scan entirely (CaseWhen evaluates branches lazily)
+        def _apply(nxt):
+            return F.when(
+                nxt.isNull(),
+                F.struct(
+                    acc["s"].alias("s"),
+                    acc["last"].alias("last"),
+                    F.lit(True).alias("done"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.replace(
+                        acc["s"],
+                        F.element_at(find_m, nxt),
+                        F.element_at(repl_m, nxt),
+                    ).alias("s"),
+                    nxt.alias("last"),
+                    F.lit(False).alias("done"),
+                )
+            )
+
+        return F.when(
+            acc["done"],
+            F.struct(
+                acc["s"].alias("s"),
+                acc["last"].alias("last"),
+                F.lit(True).alias("done"),
+            ),
+        ).otherwise(
+            F.element_at(
+                F.transform(F.array(_next_rank(acc)), _apply), 1
+            )
+        )
+
+    fired = F.aggregate(
+        # each fire shrinks the doc by >= 1 symbol: W-1 iterations is a
+        # PROVEN bound, so the loop needs no convergence probe at all
+        F.sequence(F.lit(1), F.greatest(F.col("n_words") - 1, F.lit(1))),
+        F.struct(
+            F.col("s0").alias("s"),
+            F.lit(0).alias("last"),
+            F.lit(False).alias("done"),
+        ),
+        _step,
+    )
+    out = base.select(
+        id_col,
+        "n_words",
+        fired.getField("s").alias("s"),
+    ).select(
+        id_col,
+        "n_words",
+        F.size(F.split(F.trim("s"), "  ")).cast("long").alias("n_tokens"),
+        "s",
+    )
+    return out if with_stream else out.drop("s")
+
+
+def bpe_fold_apply_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_stream: bool = False,
+) -> DataFrame:
+    """The LINEAR-IN-VOCAB exact baseline: the merge table replayed as
+    one F.aggregate left fold of V literal replaces (the trainer's own
+    batch-apply expression, whole table).  Semantics-identical to
+    `bpe_exact_apply_counts` by construction — kept as the equivalence
+    test surface and the cost baseline for the vocab-scaling table in
+    PERF_NOTES (this path's per-row work grows with V; the argmin path's
+    is bounded by document length)."""
+    stream0 = _stream(F.col(text_col))
+    fold = F.array(
+        *[
+            F.struct(
+                F.lit(f" {l}  {r} ").alias("f"),
+                F.lit(f" {l}_{r} ").alias("r"),
+            )
+            for l, r in merges
+        ]
+    )
+    base = docs.select(
+        F.col(id_col),
+        stream0.alias("s0"),
+        F.size(F.split(F.trim(stream0), "  ")).cast("long").alias("n_words"),
+    )
+    s = (
+        F.aggregate(
+            fold, F.col("s0"), lambda acc, m: F.replace(acc, m["f"], m["r"])
+        )
+        if merges
+        else F.col("s0")
+    )
+    out = base.select(
+        id_col,
+        "n_words",
+        s.alias("s"),
+    ).select(
+        id_col,
+        "n_words",
+        F.size(F.split(F.trim("s"), "  ")).cast("long").alias("n_tokens"),
+        "s",
+    )
+    return out if with_stream else out.drop("s")
+
+
+def bpe_exact_apply_oracle_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    schedule: list[int] | None = None,
+) -> str:
+    """DuckDB twin of train(batched) -> EXACT merge-order apply: the
+    `bpe_encode_oracle_sql` training chain with doc_id carried through
+    every fold CTE.  Because the documents being encoded ARE the training
+    corpus, the full-table fold equals the training replay, so the final
+    training stream per doc IS the exact encoding — the oracle reads its
+    token counts directly off the last chain CTE (no separate apply
+    pass), while the Spark side re-derives them with the argmin operator;
+    agreement pins the operator to the fold semantics."""
+    schedule = BATCH_SCHEDULE if schedule is None else schedule
+    parts = [
+        f"""bx_t0 AS MATERIALIZED (
+  SELECT doc_id,
+         '  ' || array_to_string(string_split_regex(trim(lower(text)), ' +'), '  ')
+         || '  ' AS s
+  FROM ({docs_sql}) d
+)"""
+    ]
+    for i, b in enumerate(schedule):
+        parts.append(
+            f"""bx_b{i} AS MATERIALIZED (
+  SELECT lhs, rhs, n, ROW_NUMBER() OVER (ORDER BY n DESC, lhs ASC, rhs ASC) AS rnk
+  FROM (
+    SELECT t.toks[i] AS lhs, t.toks[i+1] AS rhs, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT toks, unnest(range(1, len(toks))) AS i
+      FROM (SELECT string_split(trim(s), '  ') AS toks FROM bx_t{i}) x
+    ) t
+    GROUP BY 1, 2
+    ORDER BY n DESC, lhs ASC, rhs ASC
+    LIMIT {b}
+  ) q
+)"""
+        )
+        parts.append(
+            f"""bx_l{i} AS (
+  SELECT COALESCE(list(lhs || '|' || rhs ORDER BY rnk), CAST([] AS VARCHAR[])) AS ms
+  FROM bx_b{i}
+)"""
+        )
+        parts.append(
+            f"""bx_t{i + 1} AS MATERIALIZED (
+  SELECT t.doc_id,
+         list_reduce(
+           list_prepend(t.s, l.ms),
+           (acc, x) -> replace(acc,
+             ' ' || split_part(x, '|', 1) || '  ' || split_part(x, '|', 2) || ' ',
+             ' ' || split_part(x, '|', 1) || '_' || split_part(x, '|', 2) || ' ')
+         ) AS s
+  FROM bx_t{i} t CROSS JOIN bx_l{i} l
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a.doc_id,
+       CAST(len(string_split(trim(a.s), '  ')) AS BIGINT) AS n_words,
+       CAST(len(string_split(trim(z.s), '  ')) AS BIGINT) AS n_tokens
+FROM bx_t0 a JOIN bx_t{len(schedule)} z ON a.doc_id = z.doc_id
+"""
+    )

@@ -229,3 +229,204 @@ SELECT CAST(astar_s.s AS BIGINT) AS src, CAST(astar_t.t AS BIGINT) AS dst,
 FROM astar_d d, astar_s, astar_t
 WHERE d.node = astar_t.t
 """
+
+
+# ---------------------------------------------------------------------------
+# Multi-pair A*: one landmark build amortized across K queries
+# ---------------------------------------------------------------------------
+# The single-pair key's cost is DOMINATED by the ALT heuristic build
+# (the 3-landmark multi-SSSP + the admissibility guard's extra
+# relaxation join — ~7 s of its 7.2 s at sf0.1), which is per-TARGET
+# only through the tiny d(l, t) lookup.  Amortizing it is exactly the
+# r10 verdict's watch item: build the landmark distance table ONCE,
+# derive each pair's h(v) = max_l |d(l,v) - d(l,t)| from it by a
+# broadcast join, and run ALL searches through one (pid, node)-keyed
+# branch-and-bound loop (the `sssp_weighted_multi` batching shape with
+# per-pid upper bounds).  K searches cost one landmark build + one
+# shared superstep loop instead of K of each.
+
+
+def alt_heuristic_multi(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: DataFrame,
+    targets: DataFrame,
+    max_rounds: int = 20,
+    n_hint: int | None = None,
+) -> DataFrame:
+    """(pid, node, h): the ALT lower bound on d(node, t_pid) for EVERY
+    query pair from ONE landmark distance table.  ``targets`` is a
+    (pid, t) frame.  Same admissibility guard as `alt_heuristic` (one
+    extra relaxation round must improve nothing); same missing-row
+    semantics — callers coalesce h to 0."""
+    ld = sssp_weighted_multi(
+        spark, edges, landmarks, max_rounds=max_rounds, n_hint=n_hint
+    ).localCheckpoint(eager=True)
+    improving = (
+        edges.join(ld, edges.src == ld["node"])
+        .select(
+            "landmark",
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("cand"),
+        )
+        .groupBy("landmark", "node")
+        .agg(F.min("cand").alias("cand"))
+        .join(
+            ld.select("landmark", "node", "dist"),
+            ["landmark", "node"],
+            "left",
+        )
+        .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+    )
+    if improving.limit(1).count() > 0:
+        raise RuntimeError(
+            "alt_heuristic_multi: landmark distances not converged after "
+            f"{max_rounds} rounds — the ALT bound would be inadmissible; "
+            "raise max_rounds"
+        )
+    dt = ld.join(
+        F.broadcast(targets.select("pid", F.col("t").alias("node"))),
+        "node",
+    ).select("pid", "landmark", F.col("dist").alias("dist_t"))
+    return (
+        ld.join(F.broadcast(dt), "landmark")
+        .groupBy("pid", "node")
+        .agg(F.max(F.abs(F.col("dist") - F.col("dist_t"))).alias("h"))
+    )
+
+
+def astar_multi_pair(
+    spark: SparkSession,
+    edges: DataFrame,
+    pairs: list[tuple[int, int]],
+    heuristic: DataFrame,
+    max_rounds: int = 20,
+    n_hint: int | None = None,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """(src, dst, dist) exact min-cost distances for every (source,
+    target) pair in ``pairs``, batched through ONE branch-and-bound
+    frontier loop keyed (pid, node).  ``heuristic`` is
+    `alt_heuristic_multi`'s (pid, node, h) — per-pid admissible bounds;
+    pruning uses a per-pid upper bound maintained from each target's
+    current distance (K rows collected per round — bounded driver
+    traffic, like the single-pair UB probe).  Unreachable pairs emit no
+    row.  Optimality: per pid this is exactly `astar_single_pair`'s
+    argument — UB_pid never drops below d(s,t) and prefix nodes of a
+    shortest path satisfy g*+h <= d(s,t) < UB_pid."""
+    small = n_hint is not None and n_hint <= BROADCAST_NODE_BOUND
+    loop_parts = loop_shuffle_partitions(spark, n_hint) if small else None
+    pair_rows = [(i, int(s), int(t)) for i, (s, t) in enumerate(pairs)]
+    ptab = spark.createDataFrame(
+        pair_rows, "pid int, s long, t long"
+    ).localCheckpoint(eager=True)
+    dist = ptab.select(
+        "pid", F.col("s").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    ub: dict[int, int] = {}
+    converged = False
+    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
+        edges = edges.localCheckpoint(eager=True)
+        h = heuristic.localCheckpoint(eager=True)
+        dist = dist.localCheckpoint(eager=True)
+        frontier = dist
+        for rounds in range(1, max_rounds + 1):
+            hj = F.broadcast(h) if small else h
+            fh = frontier.join(hj, ["pid", "node"], "left").select(
+                "pid",
+                "node",
+                "dist",
+                (F.col("dist") + F.coalesce(F.col("h"), F.lit(0))).alias("f"),
+            )
+            if ub:
+                ub_expr = F.create_map(
+                    *[
+                        x
+                        for k, v in ub.items()
+                        for x in (F.lit(k), F.lit(v))
+                    ]
+                )
+                fh = fh.where(
+                    F.element_at(ub_expr, F.col("pid")).isNull()
+                    | (F.col("f") < F.element_at(ub_expr, F.col("pid")))
+                )
+            expand = fh.select("pid", "node", "dist")
+            fj = F.broadcast(expand) if small else expand
+            cand = (
+                edges.join(fj, edges.src == fj["node"])
+                .groupBy("pid", F.col("dst").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+            )
+            # the dist side stays (pid, node)-partitioned from its
+            # checkpoint; only the pruned candidate aggregate moves
+            merged = dist.join(cand, ["pid", "node"], "full_outer").select(
+                "pid",
+                "node",
+                F.least(F.col("dist"), F.col("cand")).alias("new_dist"),
+                (
+                    F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
+                ).alias("improved"),
+            )
+            merged = merged.localCheckpoint(eager=True)
+            if _stats is not None:
+                _stats["expanded"] = _stats.get("expanded", 0) + expand.count()
+                _stats["rounds"] = rounds
+            # per-pid UB probe: <= K bounded rows off the checkpoint
+            got = (
+                merged.join(
+                    F.broadcast(ptab.select("pid", F.col("t").alias("node"))),
+                    ["pid", "node"],
+                )
+                .select("pid", "new_dist")
+                .collect()
+            )
+            for r in got:
+                ub[int(r["pid"])] = int(r["new_dist"])
+            frontier = merged.where("improved").select(
+                "pid", "node", F.col("new_dist").alias("dist")
+            )
+            dist = merged.select("pid", "node", F.col("new_dist").alias("dist"))
+            if frontier.limit(1).count() == 0:
+                converged = True
+                break
+    if not converged:
+        raise RuntimeError(
+            f"astar_multi_pair: frontier not drained after {max_rounds} "
+            "rounds — raise max_rounds (an unconverged distance would be "
+            "silently wrong)"
+        )
+    return (
+        dist.join(
+            F.broadcast(ptab.select("pid", "s", F.col("t").alias("node"))),
+            ["pid", "node"],
+        )
+        .select(
+            F.col("s").alias("src"),
+            F.col("node").alias("dst"),
+            F.col("dist"),
+        )
+    )
+
+
+def astar_multi_oracle_sql(
+    weighted_edges_sql: str,
+    pairs_sql: str,
+    rounds: int = 20,
+) -> str:
+    """DuckDB twin: distances are heuristic-independent, so the oracle is
+    the batched `sssp_multi_oracle_sql` relaxation fixed point over the
+    pair sources, filtered to each pair's target.  ``pairs_sql`` yields
+    (s, t) one row per pair."""
+    from .sssp import sssp_multi_oracle_sql
+
+    inner = sssp_multi_oracle_sql(
+        weighted_edges_sql,
+        f"SELECT s FROM ({pairs_sql}) ap",
+        rounds=rounds,
+    )
+    return f"""
+WITH am_d AS ({inner}),
+am_p AS ({pairs_sql})
+SELECT CAST(p.s AS BIGINT) AS src, CAST(p.t AS BIGINT) AS dst, d.dist
+FROM am_p p JOIN am_d d ON d.landmark = p.s AND d.node = p.t
+"""

