@@ -399,10 +399,39 @@ def main() -> None:
         lambda: X.q_ppr_incremental(spark, SF_DIR).count(),
         repeat=1,
     )
-    # graph_louvain_refined and hybrid_retrieval are NOT benched: the
-    # former is louvain (benched) + the graph_wcc min-label propagation
-    # (benched), the latter is bm25_multi + simsearch_cosine (both
-    # benched) + a k-bounded fusion join (composition precedent).
+    # the two r10 composition keys get their own trend lines from r11 on
+    # (VERDICT r10 ask #6: both carried one-off standalone numbers only;
+    # louvain_refined in particular runs ~2x louvain alone)
+    timed(
+        "q_louvain_refined",
+        lambda: X.q_graph_louvain_refined(spark, SF_DIR).count(),
+        repeat=1,
+    )
+    timed(
+        "q_hybrid_retrieval",
+        lambda: X.q_hybrid_retrieval(spark, SF_DIR).count(),
+    )
+    # r11: DELETE-flavor incremental PPR (init push on the FULL graph +
+    # delete repair + resume — the insert key's mirror image)
+    timed(
+        "q_ppr_incr_delete",
+        lambda: X.q_ppr_incremental_delete(spark, SF_DIR).count(),
+        repeat=1,
+    )
+    # r11: exact merge-order BPE apply (batched 256-merge train + ONE
+    # narrow argmin apply pass; the vocab-scaling study is in PERF_NOTES)
+    timed(
+        "q_bpe_exact_apply",
+        lambda: X.q_bpe_exact_apply(spark, SF_DIR).count(),
+        repeat=1,
+    )
+    # r11: three A* queries off ONE amortized landmark build — the trend
+    # line prices the amortization against q_graph_astar's per-query build
+    timed(
+        "q_astar_multi",
+        lambda: X.q_graph_astar_multi(spark, SF_DIR).count(),
+        repeat=1,
+    )
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
     # end-to-end corpus clustering: kNN edges -> weighted Louvain
@@ -495,15 +524,18 @@ LINE_BUDGET = 1990  # the capture window is the last 2000 chars INCLUDING
 #      full per-round map regardless.
 # Keys are DROPPED (keys_shown/keys_total record how many) before any
 # precision tier degrades, so the headline trend lines never lose digits.
-ROTATION_ROUND = 10  # bump alongside NEW_KEYS each round
+ROTATION_ROUND = 11  # bump alongside NEW_KEYS each round
 PINNED_KEYS = [
     "graph_load", "q_power", "q_fwdpush", "q_fora", "q_montecarlo",
     "q_fora_topk", "q_base_prep512", "q_base_lookup", "q_base_prep_heavy",
     "q_power_dist10", "q_mc_dist10", "q_ppr_multi_dist10", "q_fwdpush_dist10",
 ]
 NEW_KEYS: list[str] = [
-    "q_substring_dedup", "q_quantile_sketch", "q_graph_astar",
-    "q_ppr_incremental", "q_contamination_spans",
+    "q_louvain_refined", "q_hybrid_retrieval", "q_ppr_incr_delete",
+    "q_bpe_exact_apply", "q_astar_multi",
+    # ask #5: settle the 20.66 s standalone vs 15.47 s r9 in-bench
+    # question by forcing the key into this round's shown set
+    "q_graph_kpaths",
 ]
 
 
