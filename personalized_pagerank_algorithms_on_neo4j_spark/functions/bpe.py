@@ -616,9 +616,22 @@ def bpe_exact_apply_counts(
     shape), by the iterated strict-argmin pass above.  Bit-identical to
     the left fold of literal replaces in rank order (pinned by test and
     by the DuckDB oracle, which replays the fold).  ``with_stream``
-    additionally returns the final symbol stream ``s`` (test surface)."""
-    from itertools import chain
+    additionally returns the final symbol stream ``s`` (test surface).
 
+    Rule lookup is a HASH-BUCKETED array carried as a BROADCAST 1-ROW
+    COLUMN, not an in-expression literal.  Two measured traps drove this
+    design (vocab-scaling study, PERF_NOTES r11): (a) Spark map literals
+    are array-backed and `element_at` on them is a LINEAR SCAN — O(V)
+    per pair lookup; (b) even a bucketed ARRAY literal is re-evaluated
+    per aggregate iteration when it sits inside a higher-order lambda
+    (constant folding does not reach it there) — O(V) per iteration.
+    Carrying the bucket table through the engine's audited broadcast-
+    1-row crossJoin pattern makes the per-row access a pointer read and
+    the lookup O(1) (one murmur hash + ~1 string compare), restoring
+    the designed cost: per document O(fires x words), INDEPENDENT of
+    vocab size.  Bucket placement is computed by one tiny Spark job over
+    the V rule strings (the same F.hash the runtime expression uses), so
+    build and lookup can never disagree."""
     stream0 = _stream(F.col(text_col))
     base = docs.select(
         F.col(id_col),
@@ -633,45 +646,52 @@ def bpe_exact_apply_counts(
         return out if with_stream else out.drop("s")
 
     # duplicate (lhs, rhs) rules are legal in an arbitrary table (a pair
-    # can re-enter training after its occurrences were consumed), so the
-    # pair lookup maps to ALL its ranks; find/repl are keyed by rank
-    by_pair: dict[str, list[int]] = {}
+    # can re-enter training after its occurrences were consumed): every
+    # rank gets its own bucket entry, and the per-doc argmin runs over
+    # ALL matching entries with rank > last
+    finds = sorted({f" {l}  {r} " for l, r in merges})
+    n_slots = 2 * len(finds) + 1
+    spark = docs.sparkSession
+    slot_of = {
+        r["f"]: r["b"]
+        for r in spark.createDataFrame([(f,) for f in finds], "f string")
+        .select("f", F.pmod(F.hash("f"), F.lit(n_slots)).alias("b"))
+        .collect()
+    }
+    buckets: list[list[tuple[int, str, str]]] = [[] for _ in range(n_slots)]
     for i, (l, r) in enumerate(merges):
-        by_pair.setdefault(f"{l}|{r}", []).append(i + 1)
-    pair_ranks = F.create_map(
-        *chain.from_iterable(
-            (F.lit(k), F.array(*[F.lit(v) for v in vs]))
-            for k, vs in by_pair.items()
-        )
-    )
-    find_m = F.create_map(
-        *chain.from_iterable(
-            (F.lit(i + 1), F.lit(f" {l}  {r} "))
-            for i, (l, r) in enumerate(merges)
-        )
-    )
-    repl_m = F.create_map(
-        *chain.from_iterable(
-            (F.lit(i + 1), F.lit(f" {l}_{r} "))
-            for i, (l, r) in enumerate(merges)
-        )
-    )
+        fstr = f" {l}  {r} "
+        buckets[slot_of[fstr]].append((i + 1, fstr, f" {l}_{r} "))
 
-    def _next_rank(acc):
+    # rank-0 sentinel fills empty slots (uniform element type); it can
+    # never match — "" is no pair string and rank 0 is never > last
+    lut = spark.createDataFrame(
+        [([bs or [(0, "", "")] for bs in buckets],)],
+        "_bpe_lut array<array<struct<rank:int,find:string,repl:string>>>",
+    )
+    base = base.crossJoin(F.broadcast(lut))
+
+    def _best_entry(acc):
+        """array_min over the matching (rank, find, repl) entries of every
+        adjacent pair — struct ordering is field-by-field, rank first, so
+        the minimum IS the lowest-rank qualifying rule (ranks unique)."""
         toks = F.split(F.trim(acc["s"]), "  ")
         m = F.greatest(F.size(toks) - 1, F.lit(0))
-        pairs = F.zip_with(
-            F.slice(toks, 1, m),
-            F.slice(toks, 2, m),
-            lambda a, b: F.concat(a, F.lit("|"), b),
-        )
-        ranks = F.flatten(
-            F.filter(
-                F.transform(pairs, lambda p: F.element_at(pair_ranks, p)),
-                lambda a: a.isNotNull(),
+
+        def _lookup(a, b):
+            p = F.concat(F.lit(" "), a, F.lit("  "), b, F.lit(" "))
+            bucket = F.element_at(
+                F.col("_bpe_lut"), F.pmod(F.hash(p), F.lit(n_slots)) + 1
             )
+            return F.filter(
+                bucket,
+                lambda e: (e["find"] == p) & (e["rank"] > acc["last"]),
+            )
+
+        cands = F.flatten(
+            F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m), _lookup)
         )
-        return F.array_min(F.filter(ranks, lambda rk: rk > acc["last"]))
+        return F.array_min(cands)
 
     def _step(acc, _):
         # let-binding via a 1-element transform: higher-order lambdas are
@@ -680,9 +700,9 @@ def bpe_exact_apply_counts(
         # ONCE per iteration instead of once per use (measured 3x on the
         # apply pass); the outer When short-circuits finished docs past
         # the scan entirely (CaseWhen evaluates branches lazily)
-        def _apply(nxt):
+        def _apply(best):
             return F.when(
-                nxt.isNull(),
+                best.isNull(),
                 F.struct(
                     acc["s"].alias("s"),
                     acc["last"].alias("last"),
@@ -691,11 +711,9 @@ def bpe_exact_apply_counts(
             ).otherwise(
                 F.struct(
                     F.replace(
-                        acc["s"],
-                        F.element_at(find_m, nxt),
-                        F.element_at(repl_m, nxt),
+                        acc["s"], best["find"], best["repl"]
                     ).alias("s"),
-                    nxt.alias("last"),
+                    best["rank"].alias("last"),
                     F.lit(False).alias("done"),
                 )
             )
@@ -709,7 +727,7 @@ def bpe_exact_apply_counts(
             ),
         ).otherwise(
             F.element_at(
-                F.transform(F.array(_next_rank(acc)), _apply), 1
+                F.transform(F.array(_best_entry(acc)), _apply), 1
             )
         )
 

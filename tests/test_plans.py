@@ -498,8 +498,13 @@ def test_r11_operator_plan_shapes(spark):
     plan = _plan(X.q_bpe_exact_apply(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    n = plan.count("Exchange")
-    assert n == 0, f"bpe_exact_apply: {n} exchanges > 0 (apply must be narrow)"
+    # the rule LUT rides the audited broadcast-1-row pattern: exactly one
+    # BroadcastExchange, and the apply pass itself stays shuffle-free
+    assert "Exchange hashpartitioning" not in plan, (
+        "bpe_exact_apply: apply must be narrow (no shuffle)"
+    )
+    n = plan.count("BroadcastExchange")
+    assert n <= 1, f"bpe_exact_apply: {n} broadcast exchanges > 1"
 
     plan = _plan(X.q_graph_astar_multi(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
