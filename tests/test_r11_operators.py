@@ -407,3 +407,97 @@ def test_multi_oracle_matches_python_dijkstra(edges):
     )
     assert got == want
     con.close()
+
+
+# --- streaming store #15: tokenizer counts on document arrival ---------------
+
+
+def _bpe_store_fixture(spark):
+    docs = [
+        (1, "a b c d a b"),
+        (2, "a a a b c"),
+        (3, "x a b c d"),
+        (4, "c d c d c d"),
+        (5, "single"),
+        (6, "b c b c a b"),
+    ]
+    merges = [("b", "c"), ("a", "b"), ("c", "d"), ("a", "a")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return docs, merges, df
+
+
+def test_streaming_bpe_counts_match_batch_twin_and_replay(spark, tmp_path):
+    """Per-epoch exact-apply counts; the read-side first-seen fold must
+    equal the batch operator over the distinct documents EXACTLY, and a
+    replayed epoch (same rows, same id) must change nothing."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        bpe_stream as B,
+    )
+
+    docs, merges, df = _bpe_store_fixture(spark)
+    store = str(tmp_path / "bpe_store")
+    mb = B.make_merge_batch(spark, store, merges)
+    rows = df.collect()
+    mb(spark.createDataFrame(rows[:2], df.schema), 0)
+    mb(spark.createDataFrame(rows[2:4], df.schema), 1)
+    mb(spark.createDataFrame(rows[4:], df.schema), 2)
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.bpe import (
+        bpe_exact_apply_counts,
+    )
+
+    want = sorted(
+        map(tuple, bpe_exact_apply_counts(df, merges).collect())
+    )
+    got = sorted(map(tuple, B.read_token_counts(spark, store).collect()))
+    assert got == want and got
+
+    # replay the last epoch: identical partial overwrites its own
+    # partition — byte-identical reads
+    mb(spark.createDataFrame(rows[4:], df.schema), 2)
+    assert sorted(
+        map(tuple, B.read_token_counts(spark, store).collect())
+    ) == want
+
+    stats = B.read_corpus_stats(spark, store).collect()[0]
+    assert stats["n_docs"] == len(docs)
+    assert stats["n_words"] == sum(len(t.split()) for _, t in docs)
+
+
+def test_streaming_bpe_counts_redelivery_and_compaction(spark, tmp_path):
+    """A document RE-DELIVERED in a later epoch must not double-count
+    (first-seen rule), compaction folds history losslessly, and folded
+    history (epoch=-1) keeps winning over post-compaction re-delivery."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.bpe import (
+        bpe_exact_apply_counts,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        bpe_stream as B,
+    )
+
+    docs, merges, df = _bpe_store_fixture(spark)
+    store = str(tmp_path / "bpe_store2")
+    mb = B.make_merge_batch(spark, store, merges)
+    rows = df.collect()
+    mb(spark.createDataFrame(rows[:3], df.schema), 0)
+    # doc 1 re-delivered alongside new docs
+    mb(spark.createDataFrame([rows[0]] + rows[3:5], df.schema), 1)
+    mb(spark.createDataFrame(rows[5:], df.schema), 2)
+
+    want = sorted(
+        map(tuple, bpe_exact_apply_counts(df, merges).collect())
+    )
+    assert sorted(
+        map(tuple, B.read_token_counts(spark, store).collect())
+    ) == want
+
+    folded = B.compact_store(spark, store)
+    assert folded == 2  # epochs 0 and 1 -> epoch=-1; newest stays
+    assert sorted(
+        map(tuple, B.read_token_counts(spark, store).collect())
+    ) == want
+    # re-deliver doc 2 after compaction: folded history still wins
+    mb(spark.createDataFrame([rows[1]], df.schema), 3)
+    assert sorted(
+        map(tuple, B.read_token_counts(spark, store).collect())
+    ) == want
