@@ -253,7 +253,10 @@ FROM bpa_t0 a JOIN bpa_t{rounds} z ON a.doc_id = z.doc_id
 # * APPLY — `bpe_longest_match_counts`: greedy maximal-munch tokenization
 #   against the learned piece vocabulary (the WordPiece-style apply; it
 #   is NOT merge-order replay, and the two can differ on adversarial
-#   vocabularies — documented, standard).  Greedy munch looks sequential,
+#   vocabularies — documented, standard; for EXACT merge-order semantics
+#   at a cost independent of vocab size see `bpe_exact_apply_counts`
+#   below, which closed the divergence watch item).  Greedy munch looks
+#   sequential,
 #   but next(pos) = pos + maxlen(pos) is a FUNCTIONAL GRAPH on word
 #   positions, so the walk from position 0 is computed by pointer
 #   doubling in ceil(log2(max_doc_words)) supersteps — no Python in the
