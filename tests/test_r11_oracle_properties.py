@@ -364,3 +364,90 @@ def test_substring_dedup_oracle_adversarial_lengths(texts):
     )
     assert got == _py_substr_spans(rows, SN, SMIN_DOCS, SMIN_SPAN)
     con.close()
+
+
+# --- eigenvector + ArticleRank (beyond ask #7 — remaining cheap builders) -----
+
+
+def _py_eigenvector(edges, iterations):
+    und = sorted(
+        {(u, v) for u, v in edges if u != v}
+        | {(v, u) for u, v in edges if u != v}
+    )
+    nodes = sorted({u for u, _ in und} | {v for _, v in und})
+    score = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        nxt = dict(score)  # the +identity term (shifted power iteration)
+        for u, v in und:
+            nxt[v] = nxt.get(v, 0.0) + score[u]
+        score = nxt
+    nv = math.sqrt(sum(s * s for s in score.values()))
+    return sorted((n, round(s / nv, 9)) for n, s in score.items())
+
+
+@settings(max_examples=40, deadline=None)
+@given(edges=edge_lists, iters=st.integers(1, 6))
+def test_eigenvector_oracle_matches_python(edges, iters):
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.eigenvector import (
+        eigenvector_oracle_sql,
+    )
+
+    if not edges:
+        return  # empty graph: the normalization divides by zero upstream
+    con = _con_edges(edges)
+    got = sorted(
+        con.execute(
+            eigenvector_oracle_sql("SELECT src, dst FROM te", iterations=iters)
+        ).fetchall()
+    )
+    want = _py_eigenvector(edges, iters)
+    assert [n for n, _ in got] == [n for n, _ in want]
+    for (gn, gv), (_, wv) in zip(got, want):
+        assert abs(gv - wv) <= 2e-9, (gn, gv, wv)
+    con.close()
+
+
+def _py_articlerank(edges, nodes, iterations, alpha):
+    d = 1.0 - alpha
+    od = {}
+    for u, _ in edges:
+        od[u] = od.get(u, 0) + 1
+    n = float(len(nodes))
+    avg = len(edges) / n
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        nxt = {v: alpha / n for v in nodes}
+        for u, v in edges:
+            # only nodes holding rank contribute; sources outside the
+            # node table cannot occur (edges reference registered ids)
+            nxt[v] = nxt.get(v, 0.0) + d * rank.get(u, 0.0) / (od[u] + avg)
+        rank = nxt
+    return sorted((v, round(r, 9)) for v, r in rank.items())
+
+
+@settings(max_examples=40, deadline=None)
+@given(edges=edge_lists, iters=st.integers(1, 5))
+def test_articlerank_oracle_matches_python(edges, iters):
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.pagerank import (
+        article_rank_oracle_sql,
+    )
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges} | {0})
+    con = _con_edges(edges)
+    con.execute("CREATE TABLE n(id BIGINT)")
+    con.executemany("INSERT INTO n VALUES (?)", [(x,) for x in nodes])
+    got = sorted(
+        con.execute(
+            article_rank_oracle_sql(
+                "SELECT src, dst FROM te",
+                "SELECT id FROM n",
+                iterations=iters,
+                alpha=1.0 / 7.0,
+            )
+        ).fetchall()
+    )
+    want = _py_articlerank(edges, nodes, iters, 1.0 / 7.0)
+    assert [n for n, _ in got] == [n for n, _ in want]
+    for (gn, gv), (_, wv) in zip(got, want):
+        assert abs(gv - wv) <= 2e-9, (gn, gv, wv)
+    con.close()
