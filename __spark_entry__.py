@@ -5661,6 +5661,10 @@ _R12_QUEUE = [
     "graph_lpa", "sssp_weighted", "doc_winnow", "part_name_variants",
     # -- r10-observed: the _R10_NEW wave --
     *_ext.R10_NEW,
+    # -- r11 post-window registration: never driver-observed, becomes
+    #    the r12 never-observed head (the r6 -> r7 precedent); covered
+    #    by the full-registry pytest gate meanwhile --
+    "containment_dedup",
 ]
 
 _WINDOW_PRIORITY = (

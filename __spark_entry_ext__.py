@@ -1137,6 +1137,30 @@ SELECT 2,
 
 
 # ---------------------------------------------------------------------------
+# Block 78 (r11, post-window): containment dedup (doc-in-doc detection)
+# ---------------------------------------------------------------------------
+# functions/dedup.containment_pairs: Broder 1997's CONTAINMENT measure
+# |S(a) & S(b)| / min(|S(a)|, |S(b)|) — the one-sided near-dup flavor
+# resemblance misses (a quote fully embedded in a long article scores
+# containment 1.0, Jaccard ~0.1).  Registered after the r11 window
+# committed, so it is the r12 never-observed head (the r6 -> r7
+# `graph_louvain_weighted` precedent); the full-registry pytest gate
+# covers it every round meanwhile.
+
+CONTAIN_THRESHOLD = 0.6
+
+
+def q_containment_dedup(spark, sf_dir):
+    """(doc_small, doc_big, containment): small-into-big shingle-set
+    containment >= 0.6 (functions/dedup.containment_pairs; n=3 shingles,
+    DF cap 1000 — the ngram_jaccard machinery, one-sided score)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _dedup.containment_pairs(
+        d, threshold=CONTAIN_THRESHOLD, n=3, max_shingle_df=1000
+    )
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -1471,3 +1495,31 @@ FROM lvr_lab l LEFT JOIN lvr{LVR_STEPS} c ON l.node = c.node
         _ASTAR_MULTI_PAIRS_SQL,
         rounds=ASTAR_MULTI_ROUNDS,
     )
+
+    # ---- r11 post-window registration (r12 never-observed head) ----
+    ctx["q_containment_dedup"] = q_containment_dedup
+    Q["containment_dedup"] = q_containment_dedup
+    SQL["containment_dedup"] = f"""
+WITH cds AS MATERIALIZED ({ctx["_SQL_DOC_SHINGLES"]}),
+csizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM cds GROUP BY doc_id),
+ckept AS MATERIALIZED (
+  SELECT d.* FROM cds d
+  JOIN (SELECT sh FROM cds GROUP BY sh HAVING COUNT(*) <= 1000) ok USING (sh)),
+ccommon AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ckept a JOIN ckept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+cscore AS (
+  SELECT doc_a, doc_b, na.n_sh AS na, nb.n_sh AS nb,
+         ROUND(CAST(common AS DOUBLE)
+               / CAST(LEAST(na.n_sh, nb.n_sh) AS DOUBLE), 6) AS containment
+  FROM ccommon
+  JOIN csizes na ON na.doc_id = doc_a
+  JOIN csizes nb ON nb.doc_id = doc_b)
+SELECT CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+            THEN doc_a ELSE doc_b END AS doc_small,
+       CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+            THEN doc_b ELSE doc_a END AS doc_big,
+       containment
+FROM cscore WHERE containment >= {CONTAIN_THRESHOLD}
+"""

@@ -188,6 +188,91 @@ def ngram_jaccard_pairs(
     return _jaccard_select(common, sizes, threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """(doc_small, doc_big, containment): unordered pairs oriented
+    small-shingle-set first, where CONTAINMENT |S(a) & S(b)| / min(|S(a)|,
+    |S(b)|) >= threshold — the ONE-SIDED near-dup measure (Broder 1997's
+    containment, vs his resemblance/Jaccard).  Catches doc-in-doc
+    duplication that Jaccard structurally cannot: a 30-shingle quote
+    fully embedded in a 300-shingle article scores containment 1.0 but
+    Jaccard 0.1, below any sane resemblance threshold.  The quote/
+    boilerplate-embedding flavor of dedup an LLM pipeline needs BESIDE
+    resemblance (whole-doc) and ExactSubstr (span removal).
+
+    Same scale discipline as `ngram_jaccard_pairs` (shared machinery):
+    shared-shingle equi join for candidates, hot-shingle DF cap on the
+    JOIN side only (denominators stay exact, capped scores are slight
+    underestimates), one groupBy per pair.  Orientation: smaller shingle
+    set first, ties by lower id — deterministic, so the output is
+    hashable cross-engine."""
+    ds = _doc_shingles(
+        df.dropDuplicates([id_col]), text_col, id_col, n
+    ).localCheckpoint(eager=True)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    join_side = ds
+    if max_shingle_df is not None:
+        hot = (
+            ds.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        join_side = ds.join(F.broadcast(hot), "sh", "left_anti")
+    a = join_side.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = join_side.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    scored = (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "na"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "nb"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.round(
+                F.col("common").cast("double")
+                / F.least("na", "nb").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    small_first = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return scored.select(
+        F.when(small_first, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_small"),
+        F.when(small_first, F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("doc_big"),
+        "containment",
+    )
+
+
 def ngram_span_duplicates(
     df: DataFrame,
     n: int = 8,

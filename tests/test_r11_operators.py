@@ -501,3 +501,67 @@ def test_streaming_bpe_counts_redelivery_and_compaction(spark, tmp_path):
     assert sorted(
         map(tuple, B.read_token_counts(spark, store).collect())
     ) == want
+
+
+# --- containment dedup (doc-in-doc, r11 post-window registration) -------------
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """A short quote fully embedded in a long article: containment 1.0,
+    Jaccard far below any resemblance threshold — the measure's reason to
+    exist.  Orientation small-first, ties by id."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+        dedup as D,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.replace("w", "z")),
+            (3, "totally unrelated text about spark joins and shuffles"),
+            (4, quote),  # exact twin of 1: containment 1.0, tie by id
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_small, r.doc_big): r.containment
+        for r in D.containment_pairs(docs, threshold=0.9, n=3).collect()
+    }
+    assert got[(1, 2)] == 1.0  # quote-in-article, small first
+    assert got[(4, 2)] == 1.0
+    assert got[(1, 4)] == 1.0  # equal sizes -> lower id first
+    assert all(k[0] != 3 and k[1] != 3 for k in got)
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0, n=3).collect()
+    }
+    # resemblance on the quote-in-article pair is far below 0.5 — the
+    # pair is INVISIBLE to the Jaccard key at its production threshold
+    assert jac[(1, 2)] < 0.2
+
+
+def test_containment_hot_shingle_cap_underestimates_only(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+        dedup as D,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "common stop shingle " + f"unique{i} tail{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r.doc_small, r.doc_big): r.containment
+        for r in D.containment_pairs(
+            docs, threshold=0.0, n=3, max_shingle_df=None
+        ).collect()
+    }
+    capped = {
+        (r.doc_small, r.doc_big): r.containment
+        for r in D.containment_pairs(
+            docs, threshold=0.0, n=3, max_shingle_df=3
+        ).collect()
+    }
+    for k, v in capped.items():
+        assert v <= uncapped[k] + 1e-9  # cap only ever underestimates
