@@ -5661,10 +5661,10 @@ _R12_QUEUE = [
     "graph_lpa", "sssp_weighted", "doc_winnow", "part_name_variants",
     # -- r10-observed: the _R10_NEW wave --
     *_ext.R10_NEW,
-    # -- r11 post-window registration: never driver-observed, becomes
+    # -- r11 post-window registrations: never driver-observed, become
     #    the r12 never-observed head (the r6 -> r7 precedent); covered
     #    by the full-registry pytest gate meanwhile --
-    "containment_dedup",
+    "containment_dedup", "graph_salsa",
 ]
 
 _WINDOW_PRIORITY = (

@@ -1148,6 +1148,19 @@ SELECT 2,
 # covers it every round meanwhile.
 
 CONTAIN_THRESHOLD = 0.6
+SALSA_ITERS = 8
+
+
+def q_graph_salsa(spark, sf_dir):
+    """(node, hub, authority): SALSA degree-normalized hub/authority
+    scores after 8 alternating stochastic half-steps
+    (operators/salsa.salsa — Lempel & Moran 2000; the TKC-robust sibling
+    of `graph_hits`, registered post-window alongside containment)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.salsa import (
+        salsa,
+    )
+
+    return salsa(_graph(spark, sf_dir), iterations=SALSA_ITERS)
 
 
 def q_containment_dedup(spark, sf_dir):
@@ -1496,7 +1509,17 @@ FROM lvr_lab l LEFT JOIN lvr{LVR_STEPS} c ON l.node = c.node
         rounds=ASTAR_MULTI_ROUNDS,
     )
 
-    # ---- r11 post-window registration (r12 never-observed head) ----
+    # ---- r11 post-window registrations (r12 never-observed head) ----
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.salsa import (
+        salsa_oracle_sql,
+    )
+
+    ctx["q_graph_salsa"] = q_graph_salsa
+    Q["graph_salsa"] = q_graph_salsa
+    SQL["graph_salsa"] = salsa_oracle_sql(
+        GRAPH_EDGES_SQL, iterations=SALSA_ITERS
+    )
+
     ctx["q_containment_dedup"] = q_containment_dedup
     Q["containment_dedup"] = q_containment_dedup
     SQL["containment_dedup"] = f"""

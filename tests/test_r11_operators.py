@@ -565,3 +565,82 @@ def test_containment_hot_shingle_cap_underestimates_only(spark):
     }
     for k, v in capped.items():
         assert v <= uncapped[k] + 1e-9  # cap only ever underestimates
+
+
+# --- SALSA (r11 post-window registration) -------------------------------------
+
+
+def _py_salsa(edges, iterations):
+    od, idg = {}, {}
+    for u, v in edges:
+        od[u] = od.get(u, 0) + 1
+        idg[v] = idg.get(v, 0) + 1
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    h = {u: 1.0 / len(od) for u in od}
+    a = {}
+    for _ in range(iterations):
+        a = {}
+        for u, v in edges:
+            a[v] = a.get(v, 0.0) + h.get(u, 0.0) / od[u]
+        h = {}
+        for u, v in edges:
+            h[u] = h.get(u, 0.0) + a.get(v, 0.0) / idg[v]
+    return sorted(
+        (n, round(h.get(n, 0.0), 9), round(a.get(n, 0.0), 9))
+        for n in nodes
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=20,
+    ).map(lambda es: sorted({(u, v) for u, v in es if u != v})),
+    iters=st.integers(1, 5),
+)
+def test_salsa_oracle_matches_python(edges, iters):
+    import duckdb as _duck
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.salsa import (
+        salsa_oracle_sql,
+    )
+
+    if not edges:
+        return
+    con = _duck.connect()
+    con.execute("CREATE TABLE tse(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO tse VALUES (?,?)", edges)
+    got = sorted(
+        con.execute(
+            salsa_oracle_sql("SELECT src, dst FROM tse", iterations=iters)
+        ).fetchall()
+    )
+    want = _py_salsa(edges, iters)
+    assert [n for n, _, _ in got] == [n for n, _, _ in want]
+    for (gn, gh, ga), (_, wh, wa) in zip(got, want):
+        assert abs(gh - wh) <= 2e-9 and abs(ga - wa) <= 2e-9, (gn,)
+    con.close()
+
+
+def test_salsa_mass_conservation_and_degree_fixed_point(spark, got):
+    """Stochastic half-steps conserve mass exactly (sum hub == sum
+    authority == 1), and on the GOT graph the Spark result matches the
+    pure-Python recurrence row-for-row at ROUND(_, 9)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.salsa import (
+        salsa,
+    )
+
+    out = salsa(got, iterations=6).collect()
+    hub_sum = sum(r.hub for r in out)
+    auth_sum = sum(r.authority for r in out)
+    assert abs(hub_sum - 1.0) < 1e-6 and abs(auth_sum - 1.0) < 1e-6
+    edges = [
+        (int(r.src), int(r.dst))
+        for r in got.edges.select("src", "dst").collect()
+    ]
+    want = {n: (h, a) for n, h, a in _py_salsa(edges, 6)}
+    for r in out:
+        wh, wa = want[int(r.node)]
+        assert abs(r.hub - wh) <= 2e-9 and abs(r.authority - wa) <= 2e-9
