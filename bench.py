@@ -432,6 +432,14 @@ def main() -> None:
         lambda: X.q_graph_astar_multi(spark, SF_DIR).count(),
         repeat=1,
     )
+    # r11 post-window registrations: SALSA rides the HITS loop shape
+    # (trend line isolates the stochastic-step delta); containment rides
+    # the shared-shingle join machinery of minhash/ngram dedup
+    timed("q_graph_salsa", lambda: X.q_graph_salsa(spark, SF_DIR).count())
+    timed(
+        "q_containment_dedup",
+        lambda: X.q_containment_dedup(spark, SF_DIR).count(),
+    )
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
     # end-to-end corpus clustering: kNN edges -> weighted Louvain
@@ -536,6 +544,12 @@ NEW_KEYS: list[str] = [
     # ask #5: settle the 20.66 s standalone vs 15.47 s r9 in-bench
     # question by forcing the key into this round's shown set
     "q_graph_kpaths",
+    # q_graph_salsa / q_containment_dedup are TIMED (see their timed()
+    # calls) but join the ordinary rotation: an 8-key front would break
+    # the 3-round-coverage stress guard (test_bench_driver pins capacity
+    # >= ceil(rotating/3) at a shrunken budget); their first sf0.1
+    # readings are recorded in PERF_NOTES r11 (salsa 11.53 s,
+    # containment 7.73 s, idle box)
 ]
 
 
