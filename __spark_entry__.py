@@ -5542,26 +5542,26 @@ _ext.register(globals())
 #            protected family reps + oldest-evidence rotation debt to 50.
 # Everything past 50 is the next round's queue, oldest evidence first.
 
-# (a) never driver-observed: NONE — as of CORRECTNESS_r07 every registered
-#     key has an observed green driver row at some round, and the
-#     r8/r9/r10 waves landed green on first contact. -----------------------
-_R11_NEVER_OBSERVED: list[str] = []
+# (a) never driver-observed: the two r11 POST-window registrations — they
+#     entered the registry after the r11 window committed, so CORRECTNESS
+#     has never seen them (the r6 -> r7 `graph_louvain_weighted`
+#     precedent; VERDICT r11 ask #1 pins them as the r12 head). ------------
+_R12_NEVER_OBSERVED: list[str] = ["containment_dedup", "graph_salsa"]
 
-# (a2) round-11 registrations live in __spark_entry_ext__.R11_NEW (the
+# (a2) round-12 registrations live in __spark_entry_ext__.R12_NEW (the
 #      entry line budget keeps registration overflow there).  Same
 #      contract as every round: each key displaces the _ROTATION_DEBT
-#      tail past position 50 (r12 queue); >=20 debt keys must stay
-#      in-window (max 15 new keys; closed at 3 this round so 32 of the
-#      34-key r6-band remainder drains).  Update COVERAGE r11/r12 rows +
-#      ledger test in the SAME commit as any append. -----------------------
-_R11_NEW: list[str] = _ext.R11_NEW
+#      tail past position 50 (r13 queue); VERDICT r11 ask #1 wants >= 28
+#      debt keys re-observing, so with 2 never-observed + 14 reps this
+#      list holds at most 6 (closed at 2 — 32 debt keys drain).  Update
+#      COVERAGE r12/r13 rows + ledger test in the SAME commit as any
+#      append. -------------------------------------------------------------
+_R12_NEW: list[str] = _ext.R12_NEW
 
-# (a3) stale anchors: `semantic_dedup` rides the anchor slot this round —
-#      VERDICT r10 ask #4 wants the SemDeDup key re-observed IN-WINDOW
-#      alongside its new cluster-cap plan guard (it is r9-observed, so
-#      the r6-band debt below is strictly older; this is a deliberate
-#      anchor, not oldest-evidence order). ---------------------------------
-_R11_ANCHORS: list[str] = ["semantic_dedup"]
+# (a3) stale anchors: none this round — the r11 anchor (`semantic_dedup`)
+#      re-observed green in r11 and returns to ordinary rotation (it now
+#      sits in the r13 queue with the other r11-observed keys). ------------
+_R12_ANCHORS: list[str] = []
 
 # (b) section-2 operator-family representatives (one per family, kept
 #     in-window every round) ----------------------------------------------
@@ -5582,35 +5582,14 @@ _FAMILY_REPS = [
     "report_layout",        # S6
 ]
 
-# (c) rotation debt, oldest driver evidence first (COVERAGE.md r11 row):
-#     the 34-key r6-observed band remainder the r10 window displaced
-#     (committed band order — the oldest driver evidence left in the
-#     registry, observed 5 rounds ago).  With 3 _R11_NEW + 1 anchor + 14
-#     reps, the first 32 fit the 50-row window; the displaced tail
-#     (`dedup_eval`, `url_policy`) heads the r12 queue. ---------------------
+# (c) rotation debt, oldest driver evidence first (COVERAGE.md r12 row):
+#     the 2-key r6-band tail the r11 window displaced (`dedup_eval`,
+#     `url_policy` — the oldest driver evidence left), then the
+#     r7/r8-observed keys in their committed registration order.  With 2
+#     never-observed + 2 _R12_NEW + 14 reps, the first 32 fit the 50-row
+#     window; the remainder heads the r13 queue. ---------------------------
 _ROTATION_DEBT = [
-    "token_budget_mix", "source_overlap",
-    "corpus_diff", "split_leakage", "winnow_dups",
-    "graph_betweenness", "pmi_collocations", "source_divergence",
-    "orders_salted_join", "graph_negatives", "winnow_incremental",
-    "event_paths",
-    "ppr_temporal", "url_canonical", "graph_sample_neighbors",
-    "graph_walks", "graph_eigenvector", "graph_modularity",
-    "graph_assortativity", "graph_node2vec", "walk_skipgrams",
-    "graph_closeness", "graph_fastrp", "graph_articlerank",
-    "graph_conductance", "dsir_weights", "graph_louvain",
-    "doc_entropy", "graph_ktruss", "span_corruption",
-    "pagerank_snapshots", "ann_recall", "dedup_eval", "url_policy",
-]
-
-# (d) r12 queue prefix — oldest evidence first past the debt list: the
-#     r7/r8-observed keys in their committed registration order, then the
-#     round-9-observed keys (the 12 r8-displaced debt keys, the 13-key
-#     r5-band head less the anchored `semantic_dedup`, the _R9_NEW wave),
-#     then the round-10-observed keys (the 28-key r5-band remainder +
-#     `part_name_variants` in committed band order, then _R10_NEW).
-#     Window-invisible: priority positions 51+. -----------------------------
-_R12_QUEUE = [
+    "dedup_eval", "url_policy",
     # -- r7/r8-observed, registration order --
     "ppr_power", "revenue_by_customer", "revenue_by_nation",
     "customer_order_counts", "customer_spend_share", "part_math",
@@ -5635,12 +5614,23 @@ _R12_QUEUE = [
     "zorder_manifest", "graph_wl_colors", "graph_topo_layers",
     "image_survivors", "link_prediction", "graph_diameter",
     "graph_snapshot_diff",
+]
+
+# (d) r13 queue — oldest evidence first past the debt list: the
+#     round-9-observed keys (the 12 r8-displaced debt keys, the 13-key
+#     r5-band head, the _R9_NEW wave), then the round-10-observed keys
+#     (the r5-band remainder + `part_name_variants` in committed band
+#     order, then _R10_NEW), then the round-11-observed keys (the 32-key
+#     r6-band remainder in committed band order, the `semantic_dedup`
+#     anchor, the _R11_NEW wave).  Window-invisible: priority positions
+#     51+. ------------------------------------------------------------------
+_R13_QUEUE = [
     # -- r9-observed: the 12 r8-displaced debt keys --
     "event_transitions", "ngram_span_dups", "supplier_cooccurrence",
     "pq_trained_codes", "doc_chunks", "seq_packing", "mixture_rebalance",
     "bm25_topk", "events_anomaly", "corpus_report", "doc_logprob",
     "two_hop_counts",
-    # -- r9-observed: the r5-band head (semantic_dedup anchored above) --
+    # -- r9-observed: the r5-band head --
     "decayed_scores", "data_expectations",
     "triangle_counts", "node_similarity", "graph_bfs",
     "graph_wcc", "graph_hits", "graph_kcore",
@@ -5661,15 +5651,28 @@ _R12_QUEUE = [
     "graph_lpa", "sssp_weighted", "doc_winnow", "part_name_variants",
     # -- r10-observed: the _R10_NEW wave --
     *_ext.R10_NEW,
-    # -- r11 post-window registrations: never driver-observed, become
-    #    the r12 never-observed head (the r6 -> r7 precedent); covered
-    #    by the full-registry pytest gate meanwhile --
-    "containment_dedup", "graph_salsa",
+    # -- r11-observed: the 32-key r6-band remainder (committed band
+    #    order, re-observed green in CORRECTNESS_r11) --
+    "token_budget_mix", "source_overlap",
+    "corpus_diff", "split_leakage", "winnow_dups",
+    "graph_betweenness", "pmi_collocations", "source_divergence",
+    "orders_salted_join", "graph_negatives", "winnow_incremental",
+    "event_paths",
+    "ppr_temporal", "url_canonical", "graph_sample_neighbors",
+    "graph_walks", "graph_eigenvector", "graph_modularity",
+    "graph_assortativity", "graph_node2vec", "walk_skipgrams",
+    "graph_closeness", "graph_fastrp", "graph_articlerank",
+    "graph_conductance", "dsir_weights", "graph_louvain",
+    "doc_entropy", "graph_ktruss", "span_corruption",
+    "pagerank_snapshots", "ann_recall",
+    # -- r11-observed: the anchor, then the _R11_NEW wave --
+    "semantic_dedup",
+    *_ext.R11_NEW,
 ]
 
 _WINDOW_PRIORITY = (
-    _R11_NEVER_OBSERVED + _R11_NEW + _R11_ANCHORS + _FAMILY_REPS
-    + _ROTATION_DEBT + _R12_QUEUE
+    _R12_NEVER_OBSERVED + _R12_NEW + _R12_ANCHORS + _FAMILY_REPS
+    + _ROTATION_DEBT + _R13_QUEUE
 )
 
 def _reorder(d: dict) -> dict:

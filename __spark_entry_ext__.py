@@ -90,6 +90,15 @@ R11_NEW: list[str] = [
     "graph_astar_multi",  # r11: K-pair A* off ONE amortized landmark build
 ]
 
+# Round-12 registrations (same window contract; VERDICT r11 ask #1 wants
+# >= 28 debt keys re-observing, so with the 2 never-observed r11
+# post-window keys + 14 family reps in-window this list holds at most 6;
+# closed at 2 with 32 debt keys draining).
+R12_NEW: list[str] = [
+    "corpus_pipeline",  # r12: end-to-end corpus-build stage composition
+    "ppr_incremental_mixed",  # r12: dynamic BASE repair, MIXED ins+del batch
+]
+
 
 # ---------------------------------------------------------------------------
 # Block 42 (relocated): snapshot (time-sliced) PageRank
@@ -1174,6 +1183,140 @@ def q_containment_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Block 79 (r12): end-to-end corpus-build flagship composition
+# ---------------------------------------------------------------------------
+# functions/corpus.corpus_pipeline: quality gate -> exact dedup -> MinHash
+# near-dup survivorship -> eval-set decontamination -> token-budget
+# mixture -> sequence packing, composed over ONE corpus with three
+# checkpoint boundaries (VERDICT r11 ask #2 — "the 'it all works
+# together' proof a real user hits first").  Every stage binds at the
+# compare scale: the deterministic clone injection below (the pii_scrub
+# synthetic-fixture precedent) gives the exact-dedup stage real
+# duplicates (the parquet corpus has none), the LSH stage drops 13
+# natural near-dups, decon drops the one src-bench contaminated doc, and
+# the 700-token budget keeps ~58% of each source.
+
+CP_BENCH_SOURCE = "src0"   # the decontamination key's benchmark partition
+CP_CLONE_MOD = 37          # every 37th doc cloned -> 13 exact dups at sf0.01
+CP_CLONE_OFFSET = 100_000  # clone ids above every real doc id
+CP_DECON_MAX = 0.2         # drop docs with > 20% benchmark-shingle overlap
+CP_MIX_BUDGET = 700        # per-source token budget (keeps ~58% at sf0.01)
+CP_PACK_BUDGET = 512       # tokens per packed sequence
+CP_PACK_BUCKETS = 4        # pack-parallelism hash buckets
+CP_PACK_SEED = 7
+
+
+def q_corpus_pipeline(spark, sf_dir):
+    """(bucket, pack, n_docs, pack_tokens, first_doc, last_doc): one row
+    per packed training sequence surviving the full six-stage curation
+    chain (functions/corpus.corpus_pipeline).  The corpus is the
+    non-benchmark document partitions plus a deterministic exact-clone
+    batch (doc_id + 100000 for every 37th doc) so stage 2 demonstrably
+    binds; the benchmark partition is the decontamination target."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.corpus import (
+        corpus_pipeline,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = d.where(F.col("source") != CP_BENCH_SOURCE)
+    clones = corpus.where(F.col("doc_id") % CP_CLONE_MOD == 0).select(
+        (F.col("doc_id") + CP_CLONE_OFFSET).alias("doc_id"), "source", "text"
+    )
+    bench = d.where(F.col("source") == CP_BENCH_SOURCE)
+    return corpus_pipeline(
+        corpus.unionByName(clones),
+        bench,
+        decon_max=CP_DECON_MAX,
+        mix_budget=CP_MIX_BUDGET,
+        pack_budget=CP_PACK_BUDGET,
+        pack_buckets=CP_PACK_BUCKETS,
+        pack_seed=CP_PACK_SEED,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block 80 (r12): dynamic-PPR MIXED insert+delete maintenance
+# ---------------------------------------------------------------------------
+# VERDICT r11 ask #4: the insert (r10) and delete (r11) repairs are each
+# driver-gated alone; this key gates their COMPOSITION — one update batch
+# carrying both flavors, repaired sequentially (insert repair against the
+# old graph, delete repair against the post-insert graph; each repair
+# maps a valid state on G to a valid state on the perturbed G, so the
+# composition maintains the invariant), then ONE |r|-qualified resume on
+# the final graph.  Batches: the insert key's seed-0 batch arrives while
+# the delete key's seed-1 batch (minus any seed-0 overlap) departs.
+
+DYN_MIXED_RESUME_STEPS = 12
+
+
+def q_ppr_incremental_mixed(spark, sf_dir):
+    """(target, node, ppr, residue): the maintained reverse-push state
+    after a MIXED batch — seed-0 edges inserted, seed-1 edges deleted —
+    insert repair then delete repair then one resume
+    (operators/dynamic_ppr.repair_on_insert + repair_on_delete composed;
+    alpha = 1/7 per the BWD gate note)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        portable_hash,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.dynamic_ppr import (
+        repair_on_delete,
+        repair_on_insert,
+        reverse_push_state,
+    )
+
+    alpha = 1.0 / 7.0
+    g = _graph(spark, sf_dir)
+    edges = g.edges.select("src", "dst")
+    key = F.concat_ws("|", F.col("src"), F.col("dst"))
+    is_ins = portable_hash(key) % DYN_MOD == 0
+    is_del = (portable_hash(key, seed=DYN_DEL_SEED) % DYN_MOD == 0) & ~is_ins
+    oe = edges.where(~is_ins).localCheckpoint(eager=True)   # old graph G0
+    ie = edges.where(is_ins).localCheckpoint(eager=True)    # arriving batch
+    de = edges.where(is_del).localCheckpoint(eager=True)    # departing batch
+    fe = edges.where(~is_del).localCheckpoint(eager=True)   # final graph
+    tg = spark.createDataFrame([(t,) for t in DYN_TARGETS], "target long")
+    st0 = reverse_push_state(
+        spark, oe, tg, DYN_RMAX, alpha, max_supersteps=DYN_INIT_STEPS
+    )
+    rep1 = repair_on_insert(st0, oe, ie, alpha)
+    rep2 = repair_on_delete(rep1, edges, de, alpha)
+    st1 = reverse_push_state(
+        spark, fe, tg, DYN_RMAX, alpha,
+        state=rep2, first_unconditional=False,
+        max_supersteps=DYN_MIXED_RESUME_STEPS,
+    )
+    return st1.select(
+        "target",
+        "node",
+        F.round("reserve", 9).alias("ppr"),
+        F.round("residue", 9).alias("residue"),
+    ).where((F.col("ppr") > 0) | (F.col("residue") != 0))
+
+
+def _dyn_mixed_edges_sql(which: str) -> str:
+    """(src, dst) for one side of the mixed split: 'old' (no seed-0 hit),
+    'ins' (seed-0 hit), 'del' (seed-1 hit and not seed-0), 'final' (no
+    seed-1 hit or seed-0 hit)."""
+    h0 = (
+        "CAST(('0x' || substring(md5(CAST(src AS VARCHAR) || '|' || "
+        "CAST(dst AS VARCHAR) || '#' || '0'), 1, 12)) AS BIGINT) "
+        f"% {DYN_MOD} = 0"
+    )
+    h1 = (
+        "CAST(('0x' || substring(md5(CAST(src AS VARCHAR) || '|' || "
+        f"CAST(dst AS VARCHAR) || '#' || '{DYN_DEL_SEED}'), 1, 12)) AS BIGINT) "
+        f"% {DYN_MOD} = 0"
+    )
+    pred = {
+        "old": f"NOT ({h0})",
+        "ins": f"({h0})",
+        "del": f"({h1}) AND NOT ({h0})",
+        "final": f"NOT (({h1}) AND NOT ({h0}))",
+    }[which]
+    return f"SELECT src, dst FROM ({GRAPH_EDGES_SQL}) dynm_ge WHERE {pred}"
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -1546,3 +1689,71 @@ SELECT CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
        containment
 FROM cscore WHERE containment >= {CONTAIN_THRESHOLD}
 """
+
+    # ---- round-12 registrations ----
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.corpus import (
+        corpus_pipeline_oracle_sql,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.sampling import (
+        sampling_oracle_fragments,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        LANG_STOPWORDS,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.dynamic_ppr import (
+        incremental_ppr_mixed_oracle_sql,
+    )
+
+    for qname, fn in (
+        ("q_corpus_pipeline", q_corpus_pipeline),
+        ("q_ppr_incremental_mixed", q_ppr_incremental_mixed),
+    ):
+        ctx[qname] = fn
+
+    cp_corpus_sql = f"""
+SELECT doc_id, source, text FROM documents WHERE source <> '{CP_BENCH_SOURCE}'
+UNION ALL
+SELECT doc_id + {CP_CLONE_OFFSET} AS doc_id, source, text FROM documents
+WHERE source <> '{CP_BENCH_SOURCE}' AND doc_id % {CP_CLONE_MOD} = 0"""
+    cp_bench_sql = (
+        "SELECT doc_id, source, text FROM documents "
+        f"WHERE source = '{CP_BENCH_SOURCE}'"
+    )
+    cp_lang_scores = {
+        lg: ctx["_sql_sw_raw"](lg) for lg in sorted(LANG_STOPWORDS)
+    }
+    Q["corpus_pipeline"] = q_corpus_pipeline
+    SQL["corpus_pipeline"] = corpus_pipeline_oracle_sql(
+        cp_corpus_sql,
+        cp_bench_sql,
+        shingles_expr=ctx["_SQL_SHINGLES"],
+        sql_hash=ctx["_sql_hash"],
+        quality_raw_expr=ctx["_sql_quality_raw"](
+            ctx["_SQL_LEN_SCORE"], cp_lang_scores["en"], ctx["_SQL_PUNCT_RAW"]
+        ),
+        lang_scores=cp_lang_scores,
+        lang="en",
+        cluster_chain=ctx["_cluster_chain"],
+        bucket_expr=(
+            f"({sampling_oracle_fragments(CP_PACK_SEED, 'doc_id')})"
+            f" % {CP_PACK_BUCKETS}"
+        ),
+        decon_max=CP_DECON_MAX,
+        mix_budget=CP_MIX_BUDGET,
+        pack_budget=CP_PACK_BUDGET,
+    )
+
+    Q["ppr_incremental_mixed"] = q_ppr_incremental_mixed
+    SQL["ppr_incremental_mixed"] = incremental_ppr_mixed_oracle_sql(
+        _dyn_mixed_edges_sql("old"),
+        _dyn_mixed_edges_sql("ins"),
+        _dyn_mixed_edges_sql("del"),
+        _dyn_mixed_edges_sql("final"),
+        "SELECT unnest(["
+        + ", ".join(str(t) for t in DYN_TARGETS)
+        + "]) AS target",
+        DYN_RMAX,
+        1.0 / 7.0,
+        init_steps=DYN_INIT_STEPS,
+        resume_steps=DYN_MIXED_RESUME_STEPS,
+    )

@@ -134,6 +134,7 @@ def pack_sequences(
     seed: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, bucket, pack, pack_offset, n_tokens): interval packing.
 
@@ -143,8 +144,14 @@ def pack_sequences(
     budget) at offset c % budget. The (bucket, pack) pair is the pack key.
     One window aggregation per bucket — the whole operator is a single
     shuffle by bucket. Token counts use `text.tokens` (trim + ' +'), the
-    same tokenizer as `text.token_count`."""
-    toks = F.size(tokens(F.col(text_col))).cast("long")
+    same tokenizer as `text.token_count`; pass ``n_tokens_col`` when an
+    upstream stage already counted tokens (e.g. `token_budget_mix`'s
+    `n_tok`) so the text is not re-tokenized."""
+    toks = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else F.size(tokens(F.col(text_col))).cast("long")
+    )
     w = (
         Window.partitionBy("bucket")
         .orderBy(id_col)

@@ -546,3 +546,116 @@ SELECT target, node, ROUND(reserve, 9) AS ppr, ROUND(residue, 9) AS residue
 FROM dynd_r{resume_steps}
 WHERE ROUND(reserve, 9) > 0 OR ROUND(residue, 9) <> 0
 """
+
+
+def incremental_ppr_mixed_oracle_sql(
+    old_edges_sql: str,
+    ins_edges_sql: str,
+    del_edges_sql: str,
+    final_edges_sql: str,
+    targets_sql: str,
+    rmax: float,
+    alpha: float,
+    init_steps: int,
+    resume_steps: int,
+) -> str:
+    """DuckDB twin of the MIXED maintenance pipeline: fresh reverse push on
+    the old graph, the insert repair for the arriving batch, then the
+    delete repair for the removed batch AGAINST THE POST-INSERT graph
+    (repairs compose sequentially: each takes a state valid on graph G and
+    yields one valid on the perturbed G), resume pushes on the final graph.
+
+    Contracts mirror the single-flavor builders: ``ins_edges_sql`` is
+    disjoint from ``old_edges_sql``; ``del_edges_sql`` is a subset of
+    ``old_edges_sql`` (and disjoint from the inserts); ``final_edges_sql``
+    must be the exact complement of the deletes within old UNION ins (pass
+    the predicate's other side — multi-edges make EXCEPT unsafe).  Output:
+    (target, node, ppr, residue) rounded to 9, matching the driver gate."""
+    init = _push_chain_sql(
+        "dynm_i", "dynm_s0", "dynm_eo", init_steps, rmax, alpha, True
+    )
+    resume = _push_chain_sql(
+        "dynm_r", "dynm_repaired", "dynm_ek", resume_steps, rmax, alpha, False
+    )
+    return f"""
+WITH dynm_old AS MATERIALIZED ({old_edges_sql}),
+dynm_ins AS MATERIALIZED ({ins_edges_sql}),
+dynm_del AS MATERIALIZED ({del_edges_sql}),
+dynm_final AS MATERIALIZED ({final_edges_sql}),
+dynm_mid AS MATERIALIZED (
+  SELECT src, dst FROM dynm_old UNION ALL SELECT src, dst FROM dynm_ins),
+dynm_eo AS MATERIALIZED (
+  SELECT src, dst, od FROM dynm_old
+  JOIN (SELECT src, COUNT(*) AS od FROM dynm_old GROUP BY src) USING (src)),
+dynm_ek AS MATERIALIZED (
+  SELECT src, dst, od FROM dynm_final
+  JOIN (SELECT src, COUNT(*) AS od FROM dynm_final GROUP BY src) USING (src)),
+dynm_t AS ({targets_sql}),
+dynm_s0 AS (
+  SELECT CAST(target AS BIGINT) AS target, CAST(target AS BIGINT) AS node,
+         CAST(1.0 AS DOUBLE) AS residue, CAST(0.0 AS DOUBLE) AS reserve
+  FROM dynm_t),
+{init},
+dynm_state AS (SELECT * FROM dynm_i{init_steps}),
+dynm_touch_i AS (
+  SELECT n.src, COALESCE(o.d, 0) AS d, COALESCE(o.d, 0) + n.c AS dp
+  FROM (SELECT src, COUNT(*) AS c FROM dynm_ins GROUP BY src) n
+  LEFT JOIN (SELECT src, COUNT(*) AS d FROM dynm_old GROUP BY src) o
+    USING (src)),
+dynm_d1 AS (
+  SELECT s.target, e.src AS node, SUM(s.reserve) / ANY_VALUE(t.dp) AS delta
+  FROM dynm_ins e JOIN dynm_touch_i t USING (src)
+  JOIN dynm_state s ON e.dst = s.node
+  GROUP BY s.target, e.src),
+dynm_d2 AS (
+  SELECT s.target, e.src AS node,
+         (1.0 / ANY_VALUE(t.dp) - 1.0 / ANY_VALUE(t.d)) * SUM(s.reserve)
+           AS delta
+  FROM dynm_old e JOIN dynm_touch_i t USING (src)
+  JOIN dynm_state s ON e.dst = s.node
+  WHERE t.d > 0
+  GROUP BY s.target, e.src),
+dynm_delta_i AS (
+  SELECT target, node,
+         (1.0 - {alpha}) / {alpha} * SUM(delta) AS residue,
+         CAST(0.0 AS DOUBLE) AS reserve
+  FROM (SELECT * FROM dynm_d1 UNION ALL SELECT * FROM dynm_d2) u
+  GROUP BY target, node),
+dynm_rep_i AS MATERIALIZED (
+  SELECT target, node, SUM(residue) AS residue, SUM(reserve) AS reserve
+  FROM (SELECT * FROM dynm_state UNION ALL SELECT * FROM dynm_delta_i) u
+  GROUP BY target, node),
+dynm_touch_d AS (
+  SELECT d.src, o.d, o.d - d.c AS dp
+  FROM (SELECT src, COUNT(*) AS c FROM dynm_del GROUP BY src) d
+  JOIN (SELECT src, COUNT(*) AS d FROM dynm_mid GROUP BY src) o
+    USING (src)),
+dynm_k1 AS (
+  SELECT s.target, e.src AS node,
+         (1.0 / ANY_VALUE(t.dp) - 1.0 / ANY_VALUE(t.d)) * SUM(s.reserve)
+           AS delta
+  FROM dynm_final e JOIN dynm_touch_d t USING (src)
+  JOIN dynm_rep_i s ON e.dst = s.node
+  WHERE t.dp > 0
+  GROUP BY s.target, e.src),
+dynm_k2 AS (
+  SELECT s.target, e.src AS node,
+         -SUM(s.reserve) / ANY_VALUE(t.d) AS delta
+  FROM dynm_del e JOIN dynm_touch_d t USING (src)
+  JOIN dynm_rep_i s ON e.dst = s.node
+  GROUP BY s.target, e.src),
+dynm_delta_d AS (
+  SELECT target, node,
+         (1.0 - {alpha}) / {alpha} * SUM(delta) AS residue,
+         CAST(0.0 AS DOUBLE) AS reserve
+  FROM (SELECT * FROM dynm_k1 UNION ALL SELECT * FROM dynm_k2) u
+  GROUP BY target, node),
+dynm_repaired AS (
+  SELECT target, node, SUM(residue) AS residue, SUM(reserve) AS reserve
+  FROM (SELECT * FROM dynm_rep_i UNION ALL SELECT * FROM dynm_delta_d) u
+  GROUP BY target, node),
+{resume}
+SELECT target, node, ROUND(reserve, 9) AS ppr, ROUND(residue, 9) AS residue
+FROM dynm_r{resume_steps}
+WHERE ROUND(reserve, 9) > 0 OR ROUND(residue, 9) <> 0
+"""

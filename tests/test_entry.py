@@ -287,55 +287,57 @@ def test_minhash_bucket_cap_never_binds_at_gate_scale(spark):
 
 def test_window_queue_matches_coverage_ledger():
     """The 50-row driver window must match COVERAGE.md's rotation ledger
-    (it drifted twice in r5 before this guard).  r11 composition: zero
-    never-observed keys, the r11 registrations (held in
-    __spark_entry_ext__.R11_NEW — the entry-file budget overflow) first,
-    the `semantic_dedup` anchor (VERDICT r10 ask #4: re-observed
-    in-window with its new cluster-cap plan guard), the 14 protected
-    family reps, and oldest-evidence rotation debt (the 34-key
-    r6-observed band remainder the r10 window displaced) filling to 50.
-    Everything past 50 is the r12 queue (displaced debt tail, then
-    r7/r8-observed keys in registration order, then the r9-observed
-    keys, then the r10-observed keys).  The VERDICT contract needs >=20
-    debt keys in-window, so R11_NEW holds at most 15 keys (closed at 3
-    this round; 32 of the 34 r6-band keys drain)."""
+    (it drifted twice in r5 before this guard).  r12 composition: the
+    two never-observed r11 post-window registrations first
+    (`containment_dedup`, `graph_salsa` — VERDICT r11 ask #1, the
+    r6 -> r7 precedent), the r12 registrations (held in
+    __spark_entry_ext__.R12_NEW — the entry-file budget overflow), no
+    anchor this round, the 14 protected family reps, and oldest-evidence
+    rotation debt (the r6-band tail `dedup_eval`/`url_policy` then the
+    r7/r8-observed keys in registration order) filling to 50.
+    Everything past 50 is the r13 queue (displaced debt tail, then the
+    r9-observed keys, the r10-observed keys, the r11-observed keys).
+    The VERDICT r11 ask #1 contract needs >=28 debt keys in-window, so
+    R12_NEW holds at most 6 keys (closed at 2 this round; the 2-key
+    r6-band tail plus 30 r7/r8 keys drain — 32 total)."""
     order = list(E.queries())
     expected_window = (
-        E._R11_NEVER_OBSERVED
-        + E._R11_NEW
-        + E._R11_ANCHORS
+        E._R12_NEVER_OBSERVED
+        + E._R12_NEW
+        + E._R12_ANCHORS
         + E._FAMILY_REPS
         + E._ROTATION_DEBT
     )[:50]
     assert order[:50] == expected_window
-    assert E._R11_NEVER_OBSERVED == []
-    assert len(E._R11_NEW) <= 15
-    assert E._R11_ANCHORS == ["semantic_dedup"]
+    assert E._R12_NEVER_OBSERVED == ["containment_dedup", "graph_salsa"]
+    assert len(E._R12_NEW) <= 6
+    assert E._R12_ANCHORS == []
     assert len(E._FAMILY_REPS) == 14 and E._FAMILY_REPS[-1] == "report_layout"
-    # the 34-key r6-observed band remainder (committed band order)
-    assert len(E._ROTATION_DEBT) == 34
-    assert E._ROTATION_DEBT[0] == "token_budget_mix"
-    assert E._ROTATION_DEBT[-1] == "url_policy"
-    # >=20 rotation-debt keys must remain inside the 50-row window
-    assert len(set(order[:50]) & set(E._ROTATION_DEBT)) >= 20
+    # the r6-band tail heads the debt list, then the 72 r7/r8 keys
+    assert len(E._ROTATION_DEBT) == 74
+    assert E._ROTATION_DEBT[:2] == ["dedup_eval", "url_policy"]
+    assert E._ROTATION_DEBT[2] == "ppr_power"
+    assert E._ROTATION_DEBT[-1] == "graph_snapshot_diff"
+    # >=28 rotation-debt keys must re-observe inside the 50-row window
+    assert len(set(order[:50]) & set(E._ROTATION_DEBT)) >= 28
     # every registered query appears exactly once (priority list has no
     # typos/dups and nothing silently dropped from the registry); the
     # priority list is EXHAUSTIVE this round (no fall-through strays)
     assert len(set(order)) == len(order)
     assert set(E._WINDOW_PRIORITY) == set(order)
     # the ledger in COVERAGE.md must name the new-registration keys in
-    # its r11 row
+    # its r12 row
     ledger = (
         Path(__file__).resolve().parent.parent / "COVERAGE.md"
     ).read_text()
-    r11_row = next(
-        line for line in ledger.splitlines() if line.startswith("| r11 |")
-    )
-    for key in E._R11_NEVER_OBSERVED + E._R11_NEW + E._R11_ANCHORS:
-        assert f"`{key}`" in r11_row, f"{key} missing from the COVERAGE r11 row"
-    # the r12 row must name the head of the overflow queue
     r12_row = next(
         line for line in ledger.splitlines() if line.startswith("| r12 |")
     )
-    for key in order[50:52]:
+    for key in E._R12_NEVER_OBSERVED + E._R12_NEW + E._R12_ANCHORS:
         assert f"`{key}`" in r12_row, f"{key} missing from the COVERAGE r12 row"
+    # the r13 row must name the head of the overflow queue
+    r13_row = next(
+        line for line in ledger.splitlines() if line.startswith("| r13 |")
+    )
+    for key in order[50:52]:
+        assert f"`{key}`" in r13_row, f"{key} missing from the COVERAGE r13 row"
