@@ -440,6 +440,21 @@ def main() -> None:
         "q_containment_dedup",
         lambda: X.q_containment_dedup(spark, SF_DIR).count(),
     )
+    # r12: the end-to-end corpus-build flagship composition (six curation
+    # stages over ONE corpus — quality/exact/near-dup/decon/mix/pack)
+    timed(
+        "q_corpus_pipeline",
+        lambda: X.q_corpus_pipeline(spark, SF_DIR).count(),
+        repeat=1,
+    )
+    # r12: MIXED insert+delete incremental-PPR maintenance (the insert and
+    # delete repairs composed + ONE resume — prices the composition
+    # against the single-flavor q_ppr_incr_delete trend line)
+    timed(
+        "q_ppr_incr_mixed",
+        lambda: X.q_ppr_incremental_mixed(spark, SF_DIR).count(),
+        repeat=1,
+    )
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
     # end-to-end corpus clustering: kNN edges -> weighted Louvain
@@ -532,24 +547,18 @@ LINE_BUDGET = 1990  # the capture window is the last 2000 chars INCLUDING
 #      full per-round map regardless.
 # Keys are DROPPED (keys_shown/keys_total record how many) before any
 # precision tier degrades, so the headline trend lines never lose digits.
-ROTATION_ROUND = 11  # bump alongside NEW_KEYS each round
+ROTATION_ROUND = 12  # bump alongside NEW_KEYS each round
 PINNED_KEYS = [
     "graph_load", "q_power", "q_fwdpush", "q_fora", "q_montecarlo",
     "q_fora_topk", "q_base_prep512", "q_base_lookup", "q_base_prep_heavy",
     "q_power_dist10", "q_mc_dist10", "q_ppr_multi_dist10", "q_fwdpush_dist10",
 ]
 NEW_KEYS: list[str] = [
-    "q_louvain_refined", "q_hybrid_retrieval", "q_ppr_incr_delete",
-    "q_bpe_exact_apply", "q_astar_multi",
-    # ask #5: settle the 20.66 s standalone vs 15.47 s r9 in-bench
-    # question by forcing the key into this round's shown set
-    "q_graph_kpaths",
-    # q_graph_salsa / q_containment_dedup are TIMED (see their timed()
-    # calls) but join the ordinary rotation: an 8-key front would break
-    # the 3-round-coverage stress guard (test_bench_driver pins capacity
-    # >= ceil(rotating/3) at a shrunken budget); their first sf0.1
-    # readings are recorded in PERF_NOTES r11 (salsa 11.53 s,
-    # containment 7.73 s, idle box)
+    # r12 registrations, plus the r11 watch-item keys forced into this
+    # round's shown set: q_astar_multi (VERDICT r11 ask #5 — settle the
+    # 8.58 vs 10.07 s band) rides one more round; the r11 NEW_KEYS
+    # otherwise fold into the ordinary rotation as always
+    "q_corpus_pipeline", "q_ppr_incr_mixed", "q_astar_multi",
 ]
 
 

@@ -1,49 +1,68 @@
 """Streaming dynamic-PPR store #14 (foreachBatch + residual repair on
-edge arrival).
+edge arrival OR departure).
 
 `ppr_refresh.start_incremental_prep_refresh` maintains the
 target-partitioned PPR view along the ACTIVITY axis (recompute the
 dirty targets' columns).  This store maintains it along the GRAPH axis:
-each microbatch of NEW EDGES updates the persisted reverse-push state
-via `operators.dynamic_ppr.repair_on_insert` + an |r|-qualified resume
-— never a from-scratch recompute (the repair touches only the batch's
-source rows; see the 251x shuffle-volume study in PERF_NOTES).
+each microbatch of edge EVENTS updates the persisted reverse-push state
+via `operators.dynamic_ppr.repair_on_insert` / `repair_on_delete` + an
+|r|-qualified resume — never a from-scratch recompute (the repairs touch
+only the batch's source rows; see the 251x shuffle-volume study in
+PERF_NOTES).
+
+DELETES ENTER VIA THE STREAM (the r12 decision, VERDICT r11 ask #4): a
+batch row is an edge EVENT — (src, dst) or (src, dst, op) with op in
+{'ins', 'del'}; a missing op column means all-inserts (the pre-r12
+contract, unchanged).  Idempotence is LIVENESS-based, the standard CDC
+upsert rule: an insert applies iff the edge is not currently live, a
+delete applies iff it is — so re-delivered events are no-ops and a
+replayed epoch recomputes identical applied sets from the prior
+partitions.  A batch naming the same edge as both ins and del is
+rejected (a CDC feed collapses same-key churn before emitting); mixed
+batches repair sequentially — insert repair against the prior live
+graph, delete repair against the post-insert graph — exactly the
+composition the `ppr_incremental_mixed` driver key gates.  The BATCH
+path (`init_store`) remains the bulk (re-)initialization route.
 
 Store layout (both halves epoch-partitioned, the repo's
 replay-idempotent discipline):
 
-    <store>/edges/epoch=N   the batch's genuinely-new edges (deduped)
+    <store>/edges/epoch=N   the batch's APPLIED events (src, dst, op)
     <store>/state/epoch=N   the FULL maintained state AFTER batch N
                             (target, node, residue, reserve)
 
-Epoch N's handler reads the newest state with epoch < N and the union
-of all edge partitions with epoch < N, so a REPLAYED epoch recomputes
-the identical state from the same inputs and overwrites only its own
-partitions; an edge RE-DELIVERED in a later epoch anti-joins against
-the accumulated edge store and is applied exactly once (the repair
-formula requires true insertions).  Persisting residues next to
+Epoch N's handler reads the newest state with epoch < N and derives the
+prior LIVE edge set (latest op per edge across epochs < N; pre-r12
+partitions carry no op column and read as op=NULL -> 'ins'), so a
+REPLAYED epoch recomputes the identical state from the same inputs and
+overwrites only its own partitions.  Persisting residues next to
 reserves is what makes the store maintainable at all — the batch BASE
 store drops them at write time and can only recompute.
 
 Guarantee carried (pinned by tests): after every batch the state
-satisfies the push validity identity EXACTLY on the accumulated graph
-and |residue| <= rmax everywhere — the same estimate guarantee a
+satisfies the push validity identity EXACTLY on the live graph and
+|residue| <= rmax everywhere — the same estimate guarantee a
 from-scratch preprocess provides, and at tight rmax the same values.
 
-Scale shape: per batch two bounded repair joins + a few frontier-bounded
-resume supersteps + one full-state partition write; `compact_store`
-folds history (old states collapse to the newest folded one, old edge
-partitions union) through the shared crash-safe `_store.compact_epochs`
-protocol."""
+Scale shape: per batch at most four bounded repair joins + a few
+frontier-bounded resume supersteps + one full-state partition write;
+`compact_store` folds history (old states collapse to the newest folded
+one, old edge partitions collapse to their net-live rows — dead edges
+vanish at compaction) through the shared crash-safe
+`_store.compact_epochs` protocol."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.dynamic_ppr import repair_on_insert, reverse_push_state
+from ..operators.dynamic_ppr import (
+    repair_on_delete,
+    repair_on_insert,
+    reverse_push_state,
+)
 
-_EDGE_SCHEMA = "src bigint, dst bigint, epoch bigint"
+_EDGE_SCHEMA = "src bigint, dst bigint, op string, epoch bigint"
 _STATE_SCHEMA = (
     "target bigint, node bigint, residue double, reserve double, "
     "epoch bigint"
@@ -75,6 +94,7 @@ def init_store(
     (
         edges.select("src", "dst")
         .distinct()
+        .withColumn("op", F.lit("ins"))
         .withColumn("epoch", F.lit(0).cast("long"))
         .write.mode("overwrite")
         .partitionBy("epoch")
@@ -98,6 +118,24 @@ def _load(spark: SparkSession, store_path: str):
     return edges, state
 
 
+def _live_edges(events: DataFrame) -> DataFrame:
+    """(src, dst): the live edge set — latest op per edge wins (an edge
+    appears at most once per epoch, so the (epoch) ordering is total).
+    Pre-r12 partitions carry no op column and read as NULL -> 'ins'."""
+    w = Window.partitionBy("src", "dst").orderBy(F.desc("epoch"))
+    return (
+        events.select(
+            "src",
+            "dst",
+            F.coalesce(F.col("op"), F.lit("ins")).alias("op"),
+            "epoch",
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("op") == "ins"))
+        .select("src", "dst")
+    )
+
+
 def make_merge_batch(
     spark: SparkSession,
     store_path: str,
@@ -111,11 +149,9 @@ def make_merge_batch(
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_id = int(epoch_id) + 1  # epoch 0 is the init partition
         edges_all, state_all = _load(spark, store_path)
-        prior_edges = (
+        prior_live = _live_edges(
             edges_all.where(F.col("epoch") < epoch_id)
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
+        ).localCheckpoint(eager=True)
         prev_epoch = (
             state_all.where(F.col("epoch") < epoch_id)
             .agg(F.max("epoch"))
@@ -131,37 +167,81 @@ def make_merge_batch(
             .drop("epoch")
             .localCheckpoint(eager=True)
         )
-        # genuinely-new edges only: the repair assumes true insertions,
-        # so re-delivered edges must apply exactly once
-        new = (
+        op = (
+            F.coalesce(F.col("op"), F.lit("ins"))
+            if "op" in batch_df.columns
+            else F.lit("ins")
+        )
+        events = (
             batch_df.select(
                 F.col("src").cast("long").alias("src"),
                 F.col("dst").cast("long").alias("dst"),
+                op.alias("op"),
             )
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .join(prior_edges, ["src", "dst"], "left_anti")
             .localCheckpoint(eager=True)
         )
-        if new.isEmpty():
-            st = prev_state
-        else:
-            rep = repair_on_insert(prev_state, prior_edges, new, alpha)
+        churn = (
+            events.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+        )
+        if not churn.isEmpty():
+            raise ValueError(
+                "dynamic-PPR store: a batch names the same edge as both "
+                "'ins' and 'del' — collapse same-key churn upstream (the "
+                "CDC contract); offending keys: "
+                + str(churn.select("src", "dst").limit(5).collect())
+            )
+        # liveness-based idempotence (the CDC upsert rule): an insert
+        # applies iff the edge is not live, a delete iff it is — the
+        # repairs require true insertions / true removals
+        applied_ins = (
+            events.where(F.col("op") == "ins")
+            .select("src", "dst")
+            .join(prior_live, ["src", "dst"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        applied_del = (
+            events.where(F.col("op") == "del")
+            .select("src", "dst")
+            .join(prior_live, ["src", "dst"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        have_ins = not applied_ins.isEmpty()
+        have_del = not applied_del.isEmpty()
+        st = prev_state
+        mid = prior_live
+        if have_ins:
+            st = repair_on_insert(st, prior_live, applied_ins, alpha)
+            mid = prior_live.unionAll(applied_ins)
+        if have_del:
+            st = repair_on_delete(st, mid, applied_del, alpha)
+        if have_ins or have_del:
+            final = (
+                mid.join(applied_del, ["src", "dst"], "left_anti")
+                if have_del
+                else mid
+            )
             st = reverse_push_state(
                 spark,
-                prior_edges.unionAll(new),
+                final,
                 None,
                 rmax,
                 alpha,
                 max_supersteps=max_supersteps,
-                state=rep,
+                state=st,
                 first_unconditional=False,
             )
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
+        applied = applied_ins.withColumn("op", F.lit("ins")).unionAll(
+            applied_del.withColumn("op", F.lit("del"))
+        )
         (
-            new.withColumn("epoch", F.lit(epoch_id).cast("long"))
+            applied.withColumn("epoch", F.lit(epoch_id).cast("long"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")
@@ -218,22 +298,25 @@ def read_ppr(
 
 
 def read_edges(spark: SparkSession, store_path: str) -> DataFrame:
-    """(src, dst): the accumulated graph across every applied epoch."""
+    """(src, dst): the LIVE graph — every applied insert not subsequently
+    deleted (latest op per edge wins)."""
     edges_all, _ = _load(spark, store_path)
-    return edges_all.select("src", "dst")
+    return _live_edges(edges_all)
 
 
 def compact_store(spark: SparkSession, store_path: str) -> int:
     """Fold every epoch EXCEPT the newest in both halves via the shared
-    crash-safe protocol: old edge partitions union into one, old states
-    collapse to the NEWEST folded state (older states exist only for
-    replay of epochs that can no longer replay once folded).  Run while
-    the stream is stopped.  Returns partitions folded across both
-    halves."""
+    crash-safe protocol: old edge partitions collapse to their NET-LIVE
+    rows (an edge inserted then deleted inside the folded range simply
+    vanishes — the newest partition's ops still override the folded
+    epoch=-1 rows), old states collapse to the NEWEST folded state
+    (older states exist only for replay of epochs that can no longer
+    replay once folded).  Run while the stream is stopped.  Returns
+    partitions folded across both halves."""
     from ._store import compact_epochs
 
     def fold_edges(df: DataFrame) -> DataFrame:
-        return df.select("src", "dst").distinct()
+        return _live_edges(df).withColumn("op", F.lit("ins"))
 
     def fold_states(df: DataFrame) -> DataFrame:
         latest = df.agg(F.max("epoch")).collect()[0][0]

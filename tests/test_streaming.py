@@ -1299,3 +1299,193 @@ def test_streaming_dynamic_ppr_replay_redelivery_compaction(spark, tmp_path):
     # and the store still accepts new epochs after compaction
     merge(mk([(5, 0)]), 3)
     assert sorted(map(tuple, D.read_edges(spark, store).collect())) != edges2
+
+
+def test_streaming_semdedup_matches_batch_and_replays(spark, tmp_path):
+    """Streaming SemDeDup store (#16): with the batch operator's own
+    centroids held fixed, the union of per-epoch flags equals the batch
+    `semantic_dedup_pairs` result exactly (the `_dot` double-widening
+    makes the array<double> store bit-exact vs the parquet floats);
+    replays of latest AND middle epochs are idempotent."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import dedup
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.clustering import (
+        kmeans_fit,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        semdedup_stream as S,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    k, iters, thr = 8, 2, 0.35
+    cents = kmeans_fit(e, k, iters)
+    store = str(tmp_path / "sd_store")
+    flags = str(tmp_path / "sd_flags")
+    run = S.make_merge_batch(spark, store, flags, cents, threshold=thr)
+    parts = [e.where(F.col("vec_id") % 3 == i) for i in range(3)]
+    for i, p in enumerate(parts):
+        run(p, i)
+    got = {
+        (min(r["new_id"], r["old_id"]), max(r["new_id"], r["old_id"]),
+         r["cosine"])
+        for r in S.read_flags(spark, flags).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in dedup.semantic_dedup_pairs(
+            e, k=k, iterations=iters, threshold=thr
+        ).collect()
+    }
+    assert want, "fixture produced no pairs — threshold drifted"
+    assert got == want
+    # store holds every vector exactly once
+    members = spark.read.schema(S.STORE_SCHEMA).parquet(store)
+    assert members.count() == e.count()
+    assert members.select("vec_id").distinct().count() == e.count()
+    # replay the LATEST epoch, then a MIDDLE epoch after later ones exist
+    before = sorted(map(tuple, members.collect()))
+    run(parts[2], 2)
+    run(parts[1], 1)
+    assert sorted(
+        map(tuple, spark.read.schema(S.STORE_SCHEMA).parquet(store).collect())
+    ) == before
+    assert {
+        (min(r["new_id"], r["old_id"]), max(r["new_id"], r["old_id"]),
+         r["cosine"])
+        for r in S.read_flags(spark, flags).collect()
+    } == want
+    # survivor election: dropped == distinct flagged new_ids, stable
+    surv = {r["vec_id"]: r["keep"] for r in
+            S.read_survivors(spark, flags, store).collect()}
+    flagged_new = {
+        r["new_id"] for r in S.read_flags(spark, flags).collect()
+    }
+    assert {v for v, keep in surv.items() if not keep} == flagged_new
+    assert len(surv) == e.count()
+
+
+def test_streaming_semdedup_redelivery_and_compaction(spark, tmp_path):
+    """A re-delivered vector is dropped by the first-seen anti-join (no
+    duplicate member rows, no duplicate flags); compaction folds the
+    epoch partitions without changing members, flags, or survivors; and
+    first-seen dedup keeps winning AFTER compaction (epoch=-1 is
+    strictly earlier than every replayable epoch)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.clustering import (
+        kmeans_fit,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        semdedup_stream as S,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(e, 8, 2)
+    store = str(tmp_path / "sd2_store")
+    flags = str(tmp_path / "sd2_flags")
+    run = S.make_merge_batch(spark, store, flags, cents, threshold=0.35)
+    run(e.where(F.col("vec_id") < 300), 0)
+    run(e.where((F.col("vec_id") >= 250) & (F.col("vec_id") < 400)), 1)
+    run(e.where(F.col("vec_id") >= 350), 2)  # both epochs 1,2 re-deliver 50
+    members = spark.read.schema(S.STORE_SCHEMA).parquet(store)
+    assert members.count() == e.count()  # overlaps stored once
+    flags_before = sorted(map(tuple, S.read_flags(spark, flags).collect()))
+    surv_before = sorted(
+        map(tuple, S.read_survivors(spark, flags, store).collect())
+    )
+    # an all-duplicate epoch is a no-op (store unchanged, no flag rows)
+    run(e.where(F.col("vec_id") < 100), 3)
+    assert spark.read.schema(S.STORE_SCHEMA).parquet(store).count() == e.count()
+    assert sorted(
+        map(tuple, S.read_flags(spark, flags).collect())
+    ) == flags_before
+    # compaction folds epochs 0 and 1; every read is unchanged
+    folded = S.compact_store(spark, store)
+    assert folded >= 1
+    assert sorted(
+        map(tuple, S.read_survivors(spark, flags, store).collect())
+    ) == surv_before
+    # post-compaction re-delivery still loses to the folded epoch=-1 rows
+    run(e.where(F.col("vec_id") < 100), 4)
+    assert spark.read.schema(S.STORE_SCHEMA).parquet(store).count() == e.count()
+
+
+def test_streaming_dynamic_ppr_delete_and_mixed_batches(spark, tmp_path):
+    """Deletes enter VIA THE STREAM as op='del' event rows (the r12
+    decision): a delete-only batch removes live edges through
+    `repair_on_delete`; a MIXED batch composes insert repair then delete
+    repair (the `ppr_incremental_mixed` composition); liveness-based
+    idempotence makes re-delivered events no-ops; a batch naming one
+    edge as both ops is rejected; after every epoch the invariant holds
+    EXACTLY on the live graph with |r| <= rmax; and at tight rmax the
+    final state matches a from-scratch push on the live graph."""
+    import pytest as _pytest
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.dynamic_ppr import (
+        invariant_residual,
+        reverse_push_state,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        dynamic_ppr_stream as D,
+    )
+
+    alpha, rmax = 1.0 / 7.0, 1e-6
+    store = str(tmp_path / "dyn_store3")
+    base, held, tg = _dyn_toy(spark)
+    D.init_store(spark, store, base, tg, rmax=rmax, alpha=alpha,
+                 max_supersteps=400)
+    merge = D.make_merge_batch(spark, store, rmax=rmax, alpha=alpha,
+                               max_supersteps=400)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "src long, dst long, op string"
+    )
+
+    def check_live_and_invariant(expect_live):
+        live = sorted(map(tuple, D.read_edges(spark, store).collect()))
+        assert live == sorted(expect_live), live
+        st = D.read_state(spark, store)
+        edf = spark.createDataFrame(expect_live, "src long, dst long")
+        defect = (
+            invariant_residual(st, edf, alpha)
+            .agg(F.max(F.abs("res")))
+            .collect()[0][0]
+        )
+        assert defect < 1e-12
+        assert st.agg(F.max(F.abs("residue"))).collect()[0][0] <= rmax
+        return st
+
+    base_rows = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 3), (4, 2)]
+    # epoch 0: delete-only batch — (2,3) and node 4's last edge (4,2);
+    # a delete of a NON-live edge ((9,9)) is a no-op
+    merge(mk([(2, 3, "del"), (4, 2, "del"), (9, 9, "del")]), 0)
+    live1 = [e for e in base_rows if e not in [(2, 3), (4, 2)]]
+    check_live_and_invariant(live1)
+    # replay is idempotent
+    st1 = sorted(map(tuple, D.read_state(spark, store).collect()))
+    merge(mk([(2, 3, "del"), (4, 2, "del"), (9, 9, "del")]), 0)
+    assert sorted(map(tuple, D.read_state(spark, store).collect())) == st1
+    # epoch 1: MIXED batch — two inserts (one the re-insert of a deleted
+    # edge: liveness says it applies) + one delete + one re-delivered
+    # delete (no-op: (4,2) is no longer live)
+    merge(mk([(0, 3, "ins"), (2, 3, "ins"), (1, 3, "del"), (4, 2, "del")]), 1)
+    live2 = [e for e in live1 if e != (1, 3)] + [(0, 3), (2, 3)]
+    check_live_and_invariant(live2)
+    # epoch 2: an op-less batch still means all-inserts (pre-r12 contract)
+    merge(spark.createDataFrame([(5, 2)], "src long, dst long"), 2)
+    live3 = live2 + [(5, 2)]
+    st3 = check_live_and_invariant(live3)
+    # tight-rmax parity with a from-scratch push on the live graph
+    scratch = reverse_push_state(
+        spark,
+        spark.createDataFrame(live3, "src long, dst long"),
+        tg, rmax, alpha, max_supersteps=400,
+    )
+    a = {(r.target, r.node): r.reserve for r in scratch.collect()}
+    b = {(r.target, r.node): r.reserve for r in st3.collect()}
+    diff = max(abs(a.get(k, 0.0) - b.get(k, 0.0)) for k in set(a) | set(b))
+    assert diff < 1e-5, diff
+    # same-key churn in one batch is rejected (the CDC contract)
+    with _pytest.raises(ValueError, match="churn"):
+        merge(mk([(7, 8, "ins"), (7, 8, "del")]), 3)
+    # compaction folds history to net-live rows; reads unchanged; the
+    # dead edges ((1,3) et al.) vanish from the folded partition
+    folded = D.compact_store(spark, store)
+    assert folded >= 2
+    check_live_and_invariant(live3)
