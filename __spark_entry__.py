@@ -5668,6 +5668,10 @@ _R13_QUEUE = [
     # -- r11-observed: the anchor, then the _R11_NEW wave --
     "semantic_dedup",
     *_ext.R11_NEW,
+    # -- r12 post-window registrations: never driver-observed, become
+    #    the r13 never-observed head (the r11 -> r12 precedent); covered
+    #    by the full-registry pytest gate meanwhile --
+    "ppr_nibble", "contrastive_pairs",
 ]
 
 _WINDOW_PRIORITY = (

@@ -1317,6 +1317,61 @@ def _dyn_mixed_edges_sql(which: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Block 81 (r12, post-window): PPR-Nibble local clustering (sweep cut)
+# ---------------------------------------------------------------------------
+# operators/nibble.ppr_nibble: Andersen-Chung-Lang 2006 — push an
+# approximate PPR vector from a seed on the symmetrized graph, order the
+# support by pi(v)/deg(v), return the minimum-conductance sweep prefix.
+# Registered after the r12 window committed -> r13 never-observed head
+# (the same precedent as containment_dedup/graph_salsa last round); the
+# full-registry pytest gate covers it every round meanwhile.
+
+NIBBLE_RMAX = 1e-5
+NIBBLE_STEPS = 40  # oracle unroll depth; converges by 30 at sf0.01 (guard
+# in test_r12_operators pins the kernel's actual superstep count under it)
+
+
+def q_ppr_nibble(spark, sf_dir):
+    """(rank, node, score, cut, vol, phi, in_best): the full PPR-Nibble
+    sweep profile from the benchmark source node over the symmetrized
+    graph, `in_best` marking the minimum-conductance prefix
+    (operators/nibble.ppr_nibble)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.nibble import (
+        ppr_nibble,
+    )
+
+    g = _graph(spark, sf_dir)
+    return ppr_nibble(g, _source(g), rmax=NIBBLE_RMAX, alpha=ALPHA)
+
+
+# ---------------------------------------------------------------------------
+# Block 82 (r12, post-window): contrastive training-pair mining
+# ---------------------------------------------------------------------------
+# functions/dedup.contrastive_pairs: SimCSE-style pair mining off the
+# SemDeDup substrate — same-cluster cosine >= pos_threshold -> 'pos',
+# same-cluster cosine < neg_threshold -> 'neg' (topically close but not
+# paraphrases: the hard negatives contrastive embedding training wants).
+
+CONTRAST_POS = 0.35  # the synthetic embeddings are near-orthogonal (the
+CONTRAST_NEG = 0.15  # semantic_dedup threshold note); both labels non-empty
+
+
+def q_contrastive_pairs(spark, sf_dir):
+    """(id_a, id_b, cosine, label): contrastive pairs mined within the
+    trained k-means cells (functions/dedup.contrastive_pairs; the
+    semantic_dedup clustering fixture)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return _dedup.contrastive_pairs(
+        e,
+        k=8,
+        iterations=3,
+        pos_threshold=CONTRAST_POS,
+        neg_threshold=CONTRAST_NEG,
+        max_cluster_size=200,
+    )
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -1757,3 +1812,53 @@ WHERE source <> '{CP_BENCH_SOURCE}' AND doc_id % {CP_CLONE_MOD} = 0"""
         init_steps=DYN_INIT_STEPS,
         resume_steps=DYN_MIXED_RESUME_STEPS,
     )
+
+    # ---- r12 post-window registrations (r13 never-observed head) ----
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.nibble import (
+        ppr_nibble_oracle_sql,
+    )
+
+    ctx["q_ppr_nibble"] = q_ppr_nibble
+    Q["ppr_nibble"] = q_ppr_nibble
+    SQL["ppr_nibble"] = ppr_nibble_oracle_sql(
+        GRAPH_EDGES_SQL,
+        "SELECT CAST(MIN(c_custkey) AS BIGINT) AS s FROM customer",
+        rmax=NIBBLE_RMAX,
+        alpha=ctx["ALPHA"],
+        steps=NIBBLE_STEPS,
+    )
+
+    ctx["q_contrastive_pairs"] = q_contrastive_pairs
+    Q["contrastive_pairs"] = q_contrastive_pairs
+    # the semantic_dedup oracle's clustering algebra verbatim (same
+    # k/iterations/cap fixture), with the two-threshold label CASE
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+        clustering as _clustering,
+    )
+
+    _cp_cos = (
+        "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE)"
+        " * CAST(b.embedding[i] AS DOUBLE)))"
+        " / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE)"
+        " * CAST(a.embedding[i] AS DOUBLE))))"
+        " * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE)"
+        " * CAST(b.embedding[i] AS DOUBLE)))))"
+    )
+    _cp_kmeans = _clustering.kmeans_oracle_sql(k=8, iterations=3, dim=64)
+    SQL["contrastive_pairs"] = f"""
+WITH cpassign AS MATERIALIZED (SELECT * FROM ({_cp_kmeans}) t),
+cpok AS (SELECT cluster FROM cpassign GROUP BY cluster HAVING COUNT(*) <= 200),
+cplab AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, e.embedding
+  FROM cpassign a JOIN cpok USING (cluster) JOIN embeddings e USING (vec_id)),
+cpscored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({_cp_cos}, 6) AS cosine
+  FROM cplab a JOIN cplab b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine,
+       CASE WHEN cosine >= {CONTRAST_POS} THEN 'pos'
+            WHEN cosine < {CONTRAST_NEG} THEN 'neg' END AS label
+FROM cpscored
+WHERE (CASE WHEN cosine >= {CONTRAST_POS} THEN 'pos'
+            WHEN cosine < {CONTRAST_NEG} THEN 'neg' END) IS NOT NULL
+"""

@@ -828,6 +828,78 @@ def semantic_dedup_pairs(
     )
 
 
+def contrastive_pairs(
+    df: DataFrame,
+    k: int = 16,
+    iterations: int = 2,
+    pos_threshold: float = 0.8,
+    neg_threshold: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """(id_a, id_b, cosine, label): contrastive training pairs mined from
+    the SemDeDup substrate — within-cluster pairs at cosine >=
+    ``pos_threshold`` labelled 'pos', within-cluster pairs BELOW
+    ``neg_threshold`` labelled 'neg' (the classic hard-negative recipe:
+    same trained k-means cell = topically close, low cosine = not a
+    paraphrase — exactly the negatives contrastive embedding training
+    wants, vs easy random negatives from other cells).  Pairs between the
+    thresholds are ambiguous and emitted under neither label.
+
+    One clustering + ONE within-cluster pair join serves both labels
+    (`semantic_dedup_pairs`' scale shape verbatim: broadcast-centroid
+    assignment, quadratic only inside a cluster, oversized clusters
+    excluded with k as the knob)."""
+    from .clustering import _assign, kmeans_fit
+
+    if not pos_threshold > neg_threshold:
+        raise ValueError("pos_threshold must exceed neg_threshold")
+    centroids = kmeans_fit(df, k, iterations, vec_col, id_col)
+    if not centroids:
+        return df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+            F.lit("pos").alias("label"),
+        ).limit(0)
+    labels = _assign(df, centroids, vec_col, id_col)
+    small_enough = (
+        labels.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .where(F.col("_sz") <= max_cluster_size)
+        .select("cluster")
+    )
+    lab = (
+        labels.join(F.broadcast(small_enough), "cluster")
+        .join(df.select(id_col, vec_col), id_col)
+        .localCheckpoint(eager=True)
+    )
+    a = lab.select(
+        "cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = lab.select(
+        "cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    scored = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "cosine",
+        F.when(F.col("cosine") >= pos_threshold, F.lit("pos"))
+        .when(F.col("cosine") < neg_threshold, F.lit("neg"))
+        .alias("label"),
+    ).where(F.col("label").isNotNull())
+
+
 def dedup_survivorship(
     df: DataFrame,
     text_col: str = "text",

@@ -46,7 +46,13 @@ fixed 4-6 jobs cannot amortize — a property of the fixture, not the
 operator.  On a cyclic graph at the same edge scale the wall-clock
 crossover is real and sits at rmax <= 1e-4: 1.13x at 1e-4, 2.02x at
 1e-5 (PERF_NOTES r11 crossover study — the full batch x targets x
-depth sweep).
+depth sweep).  The r12 flavor columns (PERF_NOTES r12): delete crosses
+over deeper (1.93x at 1e-5 — its keep-term scans every remaining
+out-edge of the touched sources, ~2x insert's repair cost) and mixed
+deeper still (1.36x at 1e-5, the two repairs' fixed costs summing).
+Production guidance: batch deletes WITH inserts into one mixed repair
+(one resume amortizes both); prefer recompute only on provably shallow
+graphs or at loose rmax.
 
 All loops are the engine's standard superstep shape: state keyed
 (target, node), one join + one groupBy per round, per-round eager

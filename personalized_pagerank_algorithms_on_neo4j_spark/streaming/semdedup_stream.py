@@ -217,6 +217,12 @@ def start_streaming_semdedup(
 
 
 def read_flags(spark: SparkSession, flags_path: str) -> DataFrame:
+    import os
+
+    if not os.path.exists(flags_path):
+        # a store whose every epoch found zero pairs never creates the
+        # flags directory — that is an empty board, not an error
+        return spark.createDataFrame([], FLAGS_SCHEMA)
     return spark.read.schema(FLAGS_SCHEMA).parquet(flags_path)
 
 

@@ -206,3 +206,113 @@ def test_mixed_matches_recompute(spark):
     assert a and b
     diff = max(abs(a.get(k, 0.0) - b.get(k, 0.0)) for k in set(a) | set(b))
     assert diff < 1e-8, diff
+
+
+# ---------------------------------------------------------------------------
+# PPR-Nibble: planted-community fixture + oracle depth guard
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_nibble_finds_planted_cut(spark):
+    """Two 4-cliques joined by ONE bridge edge: seeded in clique A, the
+    minimum-conductance sweep prefix is exactly clique A (cut 1,
+    vol 13 = 4*3 + bridge, phi = 1/13)."""
+    import personalized_pagerank_algorithms_on_neo4j_spark as P
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.nibble import (
+        ppr_nibble,
+    )
+
+    a = [(i, j) for i in range(4) for j in range(4) if i < j]
+    b = [(i + 4, j + 4) for i, j in a]
+    edges = spark.createDataFrame(
+        a + b + [(0, 4)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(8)], "id long, name string"
+    )
+    g = P.PropertyGraph(spark, nodes, edges)
+    rows = ppr_nibble(g, seed=1, rmax=1e-6, alpha=0.15).collect()
+    best = sorted(r.node for r in rows if r.in_best)
+    assert best == [0, 1, 2, 3], rows
+    by_rank = {r.rank: r for r in rows}
+    cut_row = by_rank[max(r.rank for r in rows if r.in_best)]
+    assert cut_row.cut == 1 and cut_row.vol == 13
+    assert abs(cut_row.phi - 1.0 / 13.0) < 1e-9
+
+
+def test_ppr_nibble_oracle_depth_covers_convergence(spark):
+    """NIBBLE_STEPS must dominate the kernel's actual superstep count on
+    the symmetrized compare-scale graph (the FWD_STEPS guard discipline)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark import PropertyGraph
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import _kernels
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.nibble import (
+        symmetrize,
+    )
+    from .conftest import SF_ORACLE
+
+    g = E._graph(spark, SF_ORACLE)
+    ug = PropertyGraph(spark, g.nodes, symmetrize(g.edges))
+    lg = ug.local
+    seed = E._source(g)
+    assert lg.out_deg[lg.dense(seed)] > 0  # the oracle's non-isolated
+    # precondition (an isolated seed short-circuits before the chain)
+    _, _, steps = _kernels.forward_push_batch(
+        lg, lg.dense(seed), 0.15, X.NIBBLE_RMAX
+    )
+    assert steps <= X.NIBBLE_STEPS, f"nibble needs {steps} > {X.NIBBLE_STEPS}"
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining
+# ---------------------------------------------------------------------------
+
+
+def test_contrastive_pairs_labels(spark):
+    """Within one cell: near-parallel pair -> 'pos', low-cosine pair ->
+    'neg', the ambiguous band emitted under neither; cross-cluster pairs
+    never appear."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.dedup import (
+        contrastive_pairs,
+    )
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (8 - len(xs))
+
+    rows = [
+        # kmeans_fit seeds centroids from the k LOWEST ids — ids 0 and 1
+        # anchor the two groups so the cells separate cleanly
+        (0, v(1.0, 0.02)),       # group A anchor
+        (1, v(0, 0, 0, 1.0)),    # group B anchor
+        (2, v(1.0, 0.03)),       # cos(0,2) ~ 0.999 -> pos
+        (3, v(1.0, 0.9)),        # cos(0,3) ~ 0.76 -> ambiguous at 0.9/0.4
+        (4, v(1.0, 2.5)),        # cos(0,4) ~ 0.39 -> neg
+        (10, v(0, 0, 0, 1.0, 0.05)),  # cos(1,10) ~ 0.999 -> pos
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.label
+        for r in contrastive_pairs(
+            df, k=2, iterations=2, pos_threshold=0.9, neg_threshold=0.4
+        ).collect()
+    }
+    assert got.get((0, 2)) == "pos"
+    assert got.get((1, 10)) == "pos"
+    assert got.get((0, 4)) == "neg"
+    assert (0, 3) not in got  # ambiguous band: neither label
+    assert all(
+        not ({a, b} & {0, 2, 3, 4} and {a, b} & {1, 10}) for a, b in got
+    )
+
+
+def test_contrastive_pairs_threshold_contract(spark):
+    import pytest as _pytest
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.dedup import (
+        contrastive_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="exceed"):
+        contrastive_pairs(df, pos_threshold=0.3, neg_threshold=0.5)
