@@ -1489,3 +1489,145 @@ def test_streaming_dynamic_ppr_delete_and_mixed_batches(spark, tmp_path):
     folded = D.compact_store(spark, store)
     assert folded >= 2
     check_live_and_invariant(live3)
+
+
+def _corpus_batch_twin(spark, docs, bench, *, min_quality=0.5, decon_max=0.2):
+    """The batch rule the arrival-order stream implements: quality/lang
+    gate -> exact dedup (min id) -> drop the LARGER id of every LSH
+    candidate pair (NOT transitive clusters — the streaming-safe rule)
+    -> decon vs the bench shingles.  Returns the kept (doc_id) set."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import dedup
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.text import (
+        langid, quality_score,
+    )
+
+    c = F.col("text")
+    gated = docs.select("doc_id", "source", "text").where(
+        (langid(c) == "en") & (quality_score(c) >= min_quality)
+    )
+    exact = dedup.exact_dedup(gated)
+    pairs = dedup.minhash_lsh_candidates(exact, 8, 4, 3)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    near = exact.join(drop, "doc_id", "left_anti")
+    cont = dedup.cross_corpus_contamination(near, bench, n=3)
+    contaminated = cont.where(F.col("contamination") > decon_max).select(
+        "doc_id"
+    )
+    kept = near.join(contaminated, "doc_id", "left_anti")
+    return {r["doc_id"] for r in kept.select("doc_id").collect()}
+
+
+def test_streaming_corpus_store_matches_batch_twin(spark, tmp_path):
+    """Corpus store #17: with id-ordered delivery, the accumulated kept
+    set equals the batch twin (quality -> exact min-id -> drop-larger-id
+    near-dup -> decon), and materialize() equals the batch mixture+pack
+    over that same kept set."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.packing import (
+        pack_sequences, token_budget_mix,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        corpus_stream as C,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    bs = C.bench_shingle_set(bench, n=3)
+    store = str(tmp_path / "corpus_store")
+    run = C.make_merge_batch(spark, store, bs, min_quality=0.5, decon_max=0.2)
+    # id-ordered epochs (first delivery == min id, the parity contract)
+    bounds = [0, 160, 320, 10_000]
+    for i in range(3):
+        run(
+            corpus.where(
+                (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+            ),
+            i,
+        )
+    got_kept = {
+        r["doc_id"] for r in C.read_kept(spark, store).collect()
+    }
+    want_kept = _corpus_batch_twin(spark, corpus, bench)
+    assert got_kept == want_kept and got_kept
+    # materialize == batch mixture + packing over the same kept frame
+    mat = {
+        (r["bucket"], r["pack"]): (
+            r["n_docs"], r["pack_tokens"], r["first_doc"], r["last_doc"]
+        )
+        for r in C.materialize(
+            spark, store, mix_budget=700, pack_budget=512,
+            pack_buckets=4, pack_seed=7,
+        ).collect()
+    }
+    kept_df = corpus.join(
+        spark.createDataFrame(
+            [(i,) for i in want_kept], "doc_id long"
+        ),
+        "doc_id",
+    )
+    mix = token_budget_mix(kept_df, budget=700)
+    packed = pack_sequences(
+        mix, budget_tokens=512, n_buckets=4, seed=7, n_tokens_col="n_tok"
+    )
+    want_mat = {
+        (r["bucket"], r["pack"]): (
+            r["n_docs"], r["pack_tokens"], r["first_doc"], r["last_doc"]
+        )
+        for r in packed.groupBy("bucket", "pack")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .collect()
+    }
+    assert mat == want_mat and mat
+
+
+def test_streaming_corpus_store_replay_redelivery_compaction(spark, tmp_path):
+    """Replays of latest AND middle epochs leave all three halves
+    unchanged; an overlapping re-delivery epoch is a no-op (first-seen
+    digests win); compaction folds without changing read_kept or
+    materialize; the store keeps gating correctly after compaction."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        corpus_stream as C,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    bs = C.bench_shingle_set(bench, n=3)
+    store = str(tmp_path / "corpus_store2")
+    run = C.make_merge_batch(spark, store, bs)
+    run(corpus.where(F.col("doc_id") < 150), 0)
+    run(corpus.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)), 1)
+    run(corpus.where(F.col("doc_id") >= 300), 2)
+    kept0 = sorted(r["doc_id"] for r in C.read_kept(spark, store).collect())
+    # replay latest, then middle
+    run(corpus.where(F.col("doc_id") >= 300), 2)
+    run(corpus.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)), 1)
+    assert sorted(
+        r["doc_id"] for r in C.read_kept(spark, store).collect()
+    ) == kept0
+    # an all-redelivery epoch is a no-op
+    run(corpus.where(F.col("doc_id") < 200), 3)
+    assert sorted(
+        r["doc_id"] for r in C.read_kept(spark, store).collect()
+    ) == kept0
+    mat0 = sorted(map(tuple, C.materialize(spark, store).collect()))
+    folded = C.compact_store(spark, store)
+    assert folded >= 3
+    assert sorted(
+        r["doc_id"] for r in C.read_kept(spark, store).collect()
+    ) == kept0
+    assert sorted(map(tuple, C.materialize(spark, store).collect())) == mat0
+    # post-compaction re-delivery still loses to the folded digests
+    run(corpus.where(F.col("doc_id") < 200), 4)
+    assert sorted(
+        r["doc_id"] for r in C.read_kept(spark, store).collect()
+    ) == kept0
