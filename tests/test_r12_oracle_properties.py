@@ -423,3 +423,75 @@ def test_corpus_pipeline_oracle_matches_python(texts, bench_pick):
     want = _py_corpus_pipeline(docs, bench_texts)
     assert got == want
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# ppr_nibble: the sweep algebra (incremental cut identity) vs brute force
+# ---------------------------------------------------------------------------
+
+from personalized_pagerank_algorithms_on_neo4j_spark.operators.nibble import (  # noqa: E402
+    ppr_nibble_oracle_sql,
+)
+
+NB_STEPS = 60  # far past convergence on 8-node graphs at rmax 1e-3
+
+
+@settings(max_examples=30, deadline=None)
+@given(edges=edge_lists, seed=st.integers(0, N - 1))
+def test_nibble_sweep_matches_bruteforce(edges, seed):
+    """For every sweep prefix the oracle's (cut, vol, phi) must equal a
+    BRUTE-FORCE recount over the symmetrized graph given the oracle's own
+    ranking — validating the incremental cut identity
+    cut(S+v) = cut(S) + deg(v) - 2*e(v,S) independently, plus the
+    min-conductance election (ties to the smallest prefix)."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE te(src BIGINT, dst BIGINT)")
+    if edges:
+        con.executemany("INSERT INTO te VALUES (?,?)", edges)
+    sql = ppr_nibble_oracle_sql(
+        "SELECT src, dst FROM te",
+        f"SELECT CAST({seed} AS BIGINT) AS s",
+        rmax=1e-3,
+        alpha=0.15,
+        steps=NB_STEPS,
+    )
+    rows = sorted(con.execute(sql).fetchall())  # by rank
+    con.close()
+    und = set()
+    for u, v in edges:
+        if u != v:
+            und.add((u, v))
+            und.add((v, u))
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+    vol_g = len(und)
+    has_out = any(u == seed for u, _ in und)
+    if not has_out:
+        # isolated seed: the chain's precondition fails by design — the
+        # oracle returns no rows (the Spark side short-circuits earlier)
+        assert rows == []
+        return
+    prefix: set[int] = set()
+    best = None  # (phi, rank)
+    for rank, node, score, cut, vol, phi, in_best in rows:
+        prefix.add(node)
+        brute_cut = sum(
+            1 for (u, v) in und if (u in prefix) != (v in prefix)
+        ) // 1  # und holds both directions; crossing pairs counted twice
+        # both directions of a crossing undirected edge satisfy the xor,
+        # so the directed-row count equals 2 * undirected cut... except
+        # each (u,v)/(v,u) pair contributes 2 rows -> halve:
+        brute_cut = brute_cut // 2
+        brute_vol = sum(len(adj.get(x, ())) for x in prefix)
+        assert cut == brute_cut, (rank, cut, brute_cut)
+        assert vol == brute_vol, (rank, vol, brute_vol)
+        if 0 < vol < vol_g:
+            want_phi = round(cut / min(vol, vol_g - vol), 9)
+            assert phi is not None and abs(phi - want_phi) <= 1e-9
+            if best is None or (phi, rank) < best:
+                best = (phi, rank)
+        else:
+            assert phi is None
+    for rank, node, score, cut, vol, phi, in_best in rows:
+        assert in_best == (best is not None and rank <= best[1])
