@@ -455,6 +455,14 @@ def main() -> None:
         lambda: X.q_ppr_incremental_mixed(spark, SF_DIR).count(),
         repeat=1,
     )
+    # r12 post-window registrations (ordinary rotation, the salsa/
+    # containment precedent): nibble rides the I1 push + a support-
+    # bounded sweep; contrastive rides the kmeans_clusters band
+    timed("q_ppr_nibble", lambda: X.q_ppr_nibble(spark, SF_DIR).count())
+    timed(
+        "q_contrastive_pairs",
+        lambda: X.q_contrastive_pairs(spark, SF_DIR).count(),
+    )
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())
     # end-to-end corpus clustering: kNN edges -> weighted Louvain
