@@ -5671,7 +5671,8 @@ _R13_QUEUE = [
     # -- r12 post-window registrations: never driver-observed, become
     #    the r13 never-observed head (the r11 -> r12 precedent); covered
     #    by the full-registry pytest gate meanwhile --
-    "ppr_nibble", "contrastive_pairs",
+    "ppr_nibble", "contrastive_pairs", "corpus_funnel",
+    "triangles_doulion",
 ]
 
 _WINDOW_PRIORITY = (

@@ -1372,6 +1372,63 @@ def q_contrastive_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Block 83 (r12, post-window): the curation funnel (pipeline data card)
+# ---------------------------------------------------------------------------
+# functions/corpus.corpus_funnel: per-stage (n_docs, n_tokens) over the
+# corpus_pipeline chain — the funnel row a pipeline owner reads first.
+# Shares `corpus_stages` with the flagship key, so the funnel can never
+# disagree with the pipeline it describes.
+
+
+def q_corpus_funnel(spark, sf_dir):
+    """(stage_no, stage, n_docs, n_tokens): the curation funnel over the
+    corpus_pipeline fixture (same clone injection + benchmark split as
+    the flagship key)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.corpus import (
+        corpus_funnel,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = d.where(F.col("source") != CP_BENCH_SOURCE)
+    clones = corpus.where(F.col("doc_id") % CP_CLONE_MOD == 0).select(
+        (F.col("doc_id") + CP_CLONE_OFFSET).alias("doc_id"), "source", "text"
+    )
+    bench = d.where(F.col("source") == CP_BENCH_SOURCE)
+    return corpus_funnel(
+        corpus.unionByName(clones),
+        bench,
+        decon_max=CP_DECON_MAX,
+        mix_budget=CP_MIX_BUDGET,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block 84 (r12, post-window): DOULION sampled triangle estimation
+# ---------------------------------------------------------------------------
+# functions/graphstats.triangle_count_sampled: Tsourakakis et al. 2009 —
+# hash-sample undirected edges at p = 1/2, count exactly on the sparse
+# graph, scale by p^-3 = 8.  The standard scale answer when exact
+# triangle counting's O(m^1.5) is the bottleneck; integer-exact output.
+
+DOULION_SEED = 3
+DOULION_DENOM = 2
+
+
+def q_triangles_doulion(spark, sf_dir):
+    """(n_edges_und, n_edges_sampled, triangles_sampled, triangles_est):
+    DOULION global triangle estimate on the derived graph
+    (functions/graphstats.triangle_count_sampled)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        triangle_count_sampled,
+    )
+
+    g = _graph(spark, sf_dir)
+    return triangle_count_sampled(
+        g.edges, seed=DOULION_SEED, denom=DOULION_DENOM
+    )
+
+
+# ---------------------------------------------------------------------------
 # register(): the entry hand-off
 # ---------------------------------------------------------------------------
 
@@ -1777,10 +1834,7 @@ WHERE source <> '{CP_BENCH_SOURCE}' AND doc_id % {CP_CLONE_MOD} = 0"""
     cp_lang_scores = {
         lg: ctx["_sql_sw_raw"](lg) for lg in sorted(LANG_STOPWORDS)
     }
-    Q["corpus_pipeline"] = q_corpus_pipeline
-    SQL["corpus_pipeline"] = corpus_pipeline_oracle_sql(
-        cp_corpus_sql,
-        cp_bench_sql,
+    cp_stage_kwargs = dict(
         shingles_expr=ctx["_SQL_SHINGLES"],
         sql_hash=ctx["_sql_hash"],
         quality_raw_expr=ctx["_sql_quality_raw"](
@@ -1789,13 +1843,19 @@ WHERE source <> '{CP_BENCH_SOURCE}' AND doc_id % {CP_CLONE_MOD} = 0"""
         lang_scores=cp_lang_scores,
         lang="en",
         cluster_chain=ctx["_cluster_chain"],
+        decon_max=CP_DECON_MAX,
+        mix_budget=CP_MIX_BUDGET,
+    )
+    Q["corpus_pipeline"] = q_corpus_pipeline
+    SQL["corpus_pipeline"] = corpus_pipeline_oracle_sql(
+        cp_corpus_sql,
+        cp_bench_sql,
         bucket_expr=(
             f"({sampling_oracle_fragments(CP_PACK_SEED, 'doc_id')})"
             f" % {CP_PACK_BUCKETS}"
         ),
-        decon_max=CP_DECON_MAX,
-        mix_budget=CP_MIX_BUDGET,
         pack_budget=CP_PACK_BUDGET,
+        **cp_stage_kwargs,
     )
 
     Q["ppr_incremental_mixed"] = q_ppr_incremental_mixed
@@ -1826,6 +1886,26 @@ WHERE source <> '{CP_BENCH_SOURCE}' AND doc_id % {CP_CLONE_MOD} = 0"""
         rmax=NIBBLE_RMAX,
         alpha=ctx["ALPHA"],
         steps=NIBBLE_STEPS,
+    )
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.corpus import (
+        corpus_funnel_oracle_sql,
+    )
+
+    ctx["q_corpus_funnel"] = q_corpus_funnel
+    Q["corpus_funnel"] = q_corpus_funnel
+    SQL["corpus_funnel"] = corpus_funnel_oracle_sql(
+        cp_corpus_sql, cp_bench_sql, **cp_stage_kwargs
+    )
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        triangles_doulion_oracle_sql,
+    )
+
+    ctx["q_triangles_doulion"] = q_triangles_doulion
+    Q["triangles_doulion"] = q_triangles_doulion
+    SQL["triangles_doulion"] = triangles_doulion_oracle_sql(
+        GRAPH_EDGES_SQL, seed=DOULION_SEED, denom=DOULION_DENOM
     )
 
     ctx["q_contrastive_pairs"] = q_contrastive_pairs

@@ -457,11 +457,22 @@ def main() -> None:
     )
     # r12 post-window registrations (ordinary rotation, the salsa/
     # containment precedent): nibble rides the I1 push + a support-
-    # bounded sweep; contrastive rides the kmeans_clusters band
+    # bounded sweep; contrastive rides the kmeans_clusters band; the
+    # funnel re-runs the corpus gate chain with count tails; doulion is
+    # the triangles machinery on a half-sampled edge set
     timed("q_ppr_nibble", lambda: X.q_ppr_nibble(spark, SF_DIR).count())
     timed(
         "q_contrastive_pairs",
         lambda: X.q_contrastive_pairs(spark, SF_DIR).count(),
+    )
+    timed(
+        "q_corpus_funnel",
+        lambda: X.q_corpus_funnel(spark, SF_DIR).count(),
+        repeat=1,
+    )
+    timed(
+        "q_triangles_doulion",
+        lambda: X.q_triangles_doulion(spark, SF_DIR).count(),
     )
     # flagship verb on the similarity substrate: doc-PPR over the kNN graph
     timed("q_ppr_docs", lambda: E.q_ppr_docs(spark, SF_DIR).count())

@@ -48,6 +48,47 @@ from .packing import pack_sequences, token_budget_mix
 from .text import langid, quality_score
 
 
+def corpus_stages(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    cluster_steps: int = 6,
+    decon_max: float = 0.2,
+) -> dict[str, DataFrame]:
+    """The gate-stage frames, shared by `corpus_pipeline` (which appends
+    the mixture+packing tail) and `corpus_funnel` (which counts them):
+    {'quality', 'exact', 'near', 'kept'} — each (doc_id, source, text),
+    checkpointed per the module-doc materialization discipline."""
+    c = F.col("text")
+    gated = (
+        docs.select("doc_id", "source", "text")
+        .where((langid(c) == lang) & (quality_score(c) >= min_quality))
+        .localCheckpoint(eager=True)
+    )
+    exact = _dedup.exact_dedup(gated).localCheckpoint(eager=True)
+
+    pairs = _dedup.minhash_lsh_candidates(exact, num_hashes, bands, n)
+    clusters = _dedup.dedup_clusters(
+        pairs, max_iters=cluster_steps, strict=False
+    )
+    surv = _dedup.survivors_from_clusters(clusters, exact)
+    near_drop = surv.where(~F.col("keep")).select("doc_id")
+    near = exact.join(F.broadcast(near_drop), "doc_id", "left_anti")
+
+    cont = _dedup.cross_corpus_contamination(near, bench, n=n)
+    contaminated = cont.where(F.col("contamination") > decon_max).select(
+        "doc_id"
+    )
+    kept = near.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    kept = kept.localCheckpoint(eager=True)
+    return {"quality": gated, "exact": exact, "near": near, "kept": kept}
+
+
 def corpus_pipeline(
     docs: DataFrame,
     bench: DataFrame,
@@ -73,30 +114,18 @@ def corpus_pipeline(
     ``cluster_steps`` bounds the near-dup label propagation exactly like
     `dedup_clusters(strict=False)` — the DuckDB twin unrolls the same
     depth."""
-    c = F.col("text")
-    gated = (
-        docs.select("doc_id", "source", "text")
-        .where((langid(c) == lang) & (quality_score(c) >= min_quality))
-        .localCheckpoint(eager=True)
+    stages = corpus_stages(
+        docs,
+        bench,
+        lang=lang,
+        min_quality=min_quality,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        cluster_steps=cluster_steps,
+        decon_max=decon_max,
     )
-    exact = _dedup.exact_dedup(gated).localCheckpoint(eager=True)
-
-    pairs = _dedup.minhash_lsh_candidates(exact, num_hashes, bands, n)
-    clusters = _dedup.dedup_clusters(
-        pairs, max_iters=cluster_steps, strict=False
-    )
-    surv = _dedup.survivors_from_clusters(clusters, exact)
-    near_drop = surv.where(~F.col("keep")).select("doc_id")
-    near = exact.join(F.broadcast(near_drop), "doc_id", "left_anti")
-
-    cont = _dedup.cross_corpus_contamination(near, bench, n=n)
-    contaminated = cont.where(F.col("contamination") > decon_max).select(
-        "doc_id"
-    )
-    kept = near.join(F.broadcast(contaminated), "doc_id", "left_anti")
-    kept = kept.localCheckpoint(eager=True)
-
-    mix = token_budget_mix(kept, budget=mix_budget)
+    mix = token_budget_mix(stages["kept"], budget=mix_budget)
     packed = pack_sequences(
         mix,
         budget_tokens=pack_budget,
@@ -112,7 +141,54 @@ def corpus_pipeline(
     )
 
 
-def corpus_pipeline_oracle_sql(
+def corpus_funnel(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    mix_budget: int = 700,
+    **stage_kwargs,
+) -> DataFrame:
+    """(stage_no, stage, n_docs, n_tokens): the curation funnel — the
+    data-card row a pipeline owner reads first.  Stages: base (the raw
+    corpus), quality, exact, near_dup, decontaminated, mixture.  Token
+    counts use the engine tokenizer (trim + ' +') at every stage so the
+    funnel prices the gates in the same unit the budget is set in.
+
+    Cost shape: one count+sum aggregate per stage frame; the gate frames
+    are the checkpointed `corpus_stages` outputs, so nothing re-derives
+    the chain, and the base row is the only extra corpus scan."""
+    from .text import tokens
+
+    stages = corpus_stages(docs, bench, **stage_kwargs)
+    mix = token_budget_mix(stages["kept"], budget=mix_budget)
+    named = [
+        ("base", docs.select("doc_id", "text")),
+        ("quality", stages["quality"]),
+        ("exact", stages["exact"]),
+        ("near_dup", stages["near"]),
+        ("decontaminated", stages["kept"]),
+    ]
+    out = None
+    for i, (name, frame) in enumerate(named):
+        row = frame.agg(
+            F.lit(i).cast("long").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(F.size(tokens(F.col("text"))).cast("long")), F.lit(0)
+            ).alias("n_tokens"),
+        )
+        out = row if out is None else out.unionByName(row)
+    mix_row = mix.agg(
+        F.lit(len(named)).cast("long").alias("stage_no"),
+        F.lit("mixture").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).alias("n_tokens"),
+    )
+    return out.unionByName(mix_row)
+
+
+def _corpus_stage_ctes(
     corpus_sql: str,
     bench_sql: str,
     *,
@@ -122,16 +198,16 @@ def corpus_pipeline_oracle_sql(
     lang_scores: dict[str, str],
     lang: str,
     cluster_chain,
-    bucket_expr: str,
     min_quality: float = 0.5,
     num_hashes: int = 8,
     bands: int = 4,
     cluster_steps: int = 6,
     decon_max: float = 0.2,
     mix_budget: int = 700,
-    pack_budget: int = 512,
 ) -> str:
-    """DuckDB twin of `corpus_pipeline`: the six stage oracles CTE-composed.
+    """The shared CTE body (cp_base .. cp_mix) behind BOTH tails — the
+    pack summary (`corpus_pipeline_oracle_sql`) and the funnel counts
+    (`corpus_funnel_oracle_sql`).
 
     Every CTE body is the corresponding single-stage oracle's algebra with
     its `documents` scan swapped for the previous stage's CTE —
@@ -140,8 +216,7 @@ def corpus_pipeline_oracle_sql(
     from the individually gated keys: `shingles_expr`/`sql_hash` are the
     minhash-family fragments, `quality_raw_expr`/`lang_scores` the
     quality_filter fragments, `cluster_chain` the dedup_clusters unroll
-    (expects a CTE literally named `cand`), `bucket_expr` the seq_packing
-    portable-hash bucket."""
+    (expects a CTE literally named `cand`)."""
     mx = "greatest(" + ", ".join(f"s_{lg}" for lg in sorted(lang_scores)) + ")"
     lang_case = (
         "CASE "
@@ -157,7 +232,7 @@ def corpus_pipeline_oracle_sql(
     rows = num_hashes // bands
     toks = "string_split_regex(trim(text), ' +')"
     return f"""
-WITH cp_base AS MATERIALIZED ({corpus_sql}),
+cp_base AS MATERIALIZED ({corpus_sql}),
 cp_q AS MATERIALIZED (
   SELECT doc_id, source, text FROM (
     SELECT doc_id, source, text,
@@ -226,7 +301,23 @@ cp_mix AS MATERIALIZED (
              AS cum_tokens
     FROM (SELECT doc_id, source, {quality_raw_expr} AS q_raw,
                  CAST(len({toks}) AS BIGINT) AS n_tok FROM cp_kept))
-  WHERE cum_tokens <= {mix_budget}),
+  WHERE cum_tokens <= {mix_budget})"""
+
+
+def corpus_pipeline_oracle_sql(
+    corpus_sql: str,
+    bench_sql: str,
+    *,
+    bucket_expr: str,
+    pack_budget: int = 512,
+    **stage_kwargs,
+) -> str:
+    """DuckDB twin of `corpus_pipeline`: the shared stage CTEs + the
+    interval-packing tail.  ``bucket_expr`` is the seq_packing
+    portable-hash bucket; remaining kwargs go to `_corpus_stage_ctes`."""
+    body = _corpus_stage_ctes(corpus_sql, bench_sql, **stage_kwargs)
+    return f"""
+WITH {body},
 cp_pack AS (
   SELECT doc_id, bucket,
          CAST(FLOOR(cum_before / {pack_budget}) AS BIGINT) AS pack, n_tok
@@ -240,4 +331,38 @@ SELECT bucket, pack, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM cp_pack GROUP BY bucket, pack
+"""
+
+
+def corpus_funnel_oracle_sql(
+    corpus_sql: str,
+    bench_sql: str,
+    **stage_kwargs,
+) -> str:
+    """DuckDB twin of `corpus_funnel`: the shared stage CTEs + one
+    count/token-sum row per stage (base, quality, exact, near_dup,
+    decontaminated, mixture)."""
+    body = _corpus_stage_ctes(corpus_sql, bench_sql, **stage_kwargs)
+    toks = "string_split_regex(trim(text), ' +')"
+
+    def row(no: int, name: str, cte: str, tok_sum: str) -> str:
+        return (
+            f"SELECT CAST({no} AS BIGINT) AS stage_no, '{name}' AS stage, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            f"CAST(COALESCE({tok_sum}, 0) AS BIGINT) AS n_tokens FROM {cte}"
+        )
+
+    doc_sum = f"SUM(len({toks}))"
+    parts = [
+        row(0, "base", "cp_base", doc_sum),
+        row(1, "quality", "cp_q", doc_sum),
+        row(2, "exact", "cp_exact", doc_sum),
+        row(3, "near_dup", "cp_near", doc_sum),
+        row(4, "decontaminated", "cp_kept", doc_sum),
+        row(5, "mixture", "cp_mix", "SUM(n_tok)"),
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {body}
+{union}
 """

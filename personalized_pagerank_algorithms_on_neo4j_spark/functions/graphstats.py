@@ -148,6 +148,97 @@ SELECT node, COUNT(*) AS n_triangles FROM (
 """
 
 
+def triangle_count_sampled(
+    edges: DataFrame, seed: int = 0, denom: int = 2
+) -> DataFrame:
+    """(n_edges_und, n_edges_sampled, triangles_sampled, triangles_est):
+    DOULION global triangle estimation (Tsourakakis et al., KDD 2009) —
+    keep each undirected edge with probability p = 1/denom via a
+    portable seeded hash, count triangles EXACTLY on the sparsified
+    graph, scale by 1/p^3.  Unbiased (each surviving triangle needed all
+    three edges kept: E[count] = p^3 * T) with variance vanishing as
+    triangles grow; the hash draw makes the estimate deterministic and
+    rerun/repartition-stable, like every sampler in this repo.
+
+    Scale shape: the exact counting cost drops by ~p^1.5 on the
+    orientation-bounded wedge join (sum out_deg^2 over a p-sampled
+    graph), which is the point at 100 TB — DOULION is the standard
+    answer when exact triangle counting's O(m^1.5) is the bottleneck.
+    Integer-only output: p = 1/denom makes the scale factor the exact
+    integer denom^3, so est = triangles_sampled * denom^3 cross-engine
+    exactly."""
+    from .text import portable_hash
+
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the size probe AND the sample
+    )
+    samp = und.where(
+        portable_hash(F.concat_ws("|", F.col("u"), F.col("v")), seed=seed)
+        % denom
+        == 0
+    )
+    tri = _oriented_triangles(samp)
+    counts = tri.agg(F.count(F.lit(1)).alias("triangles_sampled"))
+    sizes = und.agg(F.count(F.lit(1)).alias("n_edges_und")).crossJoin(
+        samp.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
+    )
+    return sizes.crossJoin(F.broadcast(counts)).select(
+        "n_edges_und",
+        "n_edges_sampled",
+        "triangles_sampled",
+        (F.col("triangles_sampled") * F.lit(denom**3)).alias("triangles_est"),
+    )
+
+
+def triangles_doulion_oracle_sql(
+    edges_sql: str, seed: int = 0, denom: int = 2
+) -> str:
+    """DuckDB twin of `triangle_count_sampled` (the triangle_oracle_sql
+    orientation algebra over the hash-sampled undirected edge set)."""
+    h = (
+        "CAST(('0x' || substring(md5(CAST(u AS VARCHAR) || '|' || "
+        f"CAST(v AS VARCHAR) || '#' || '{seed}'), 1, 12)) AS BIGINT)"
+    )
+    return f"""
+WITH dle AS ({edges_sql}),
+dlund AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM dle WHERE src <> dst),
+dlsamp AS MATERIALIZED (SELECT u, v FROM dlund WHERE {h} % {denom} = 0),
+dldeg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM dlsamp UNION ALL SELECT v AS node FROM dlsamp
+  ) GROUP BY node),
+dlo AS (
+  SELECT CASE WHEN fwd THEN u ELSE v END AS a,
+         CASE WHEN fwd THEN v ELSE u END AS b,
+         CASE WHEN fwd THEN dv ELSE du END AS bdeg
+  FROM (
+    SELECT s.u, s.v, du.deg AS du, dv.deg AS dv,
+           (du.deg < dv.deg OR (du.deg = dv.deg AND s.u < s.v)) AS fwd
+    FROM dlsamp s
+    JOIN dldeg du ON du.node = s.u
+    JOIN dldeg dv ON dv.node = s.v)),
+dltri AS (
+  SELECT e1.a, e1.b AS b1, e2.b AS b2
+  FROM dlo e1
+  JOIN dlo e2 ON e1.a = e2.a
+   AND (e1.bdeg < e2.bdeg OR (e1.bdeg = e2.bdeg AND e1.b < e2.b))
+  JOIN dlo e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dlund) AS n_edges_und,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dlsamp) AS n_edges_sampled,
+       CAST(COUNT(*) AS BIGINT) AS triangles_sampled,
+       CAST(COUNT(*) * {denom ** 3} AS BIGINT) AS triangles_est
+FROM dltri
+"""
+
+
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """(node, deg, n_triangles, cc) over the same undirected simple graph
     as `triangle_counts`: local clustering coefficient

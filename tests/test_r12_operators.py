@@ -316,3 +316,68 @@ def test_contrastive_pairs_threshold_contract(spark):
     )
     with _pytest.raises(ValueError, match="exceed"):
         contrastive_pairs(df, pos_threshold=0.3, neg_threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# corpus_funnel: the data-card row set
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_funnel_matches_pipeline_stages(spark):
+    """The funnel's stage counts at compare scale equal the measured
+    chain (488 base -> 300 quality -> 293 exact -> 280 near -> 279 decon
+    -> 162 mixture), counts decrease monotonically, and the mixture row
+    agrees with the flagship key's pack summary doc-for-doc and
+    token-for-token."""
+    rows = {r.stage: r for r in E.queries()["corpus_funnel"](
+        spark, SF_ORACLE
+    ).collect()}
+    assert [rows[s].n_docs for s in (
+        "base", "quality", "exact", "near_dup", "decontaminated", "mixture"
+    )] == [488, 300, 293, 280, 279, 162]
+    order = ["base", "quality", "exact", "near_dup", "decontaminated",
+             "mixture"]
+    assert [rows[s].stage_no for s in order] == list(range(6))
+    toks = [rows[s].n_tokens for s in order]
+    assert all(a >= b for a, b in zip(toks, toks[1:]))
+    packs = E.queries()["corpus_pipeline"](spark, SF_ORACLE).collect()
+    assert sum(p.n_docs for p in packs) == rows["mixture"].n_docs
+    assert sum(p.pack_tokens for p in packs) == rows["mixture"].n_tokens
+
+
+# ---------------------------------------------------------------------------
+# DOULION sampled triangles
+# ---------------------------------------------------------------------------
+
+
+def test_doulion_denom1_equals_exact(spark):
+    """At p = 1 (denom=1) the estimate IS the exact global triangle
+    count — cross-checked against triangle_counts' per-node sum / 3."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        triangle_count_sampled, triangle_counts,
+    )
+
+    g = E._graph(spark, SF_ORACLE)
+    row = triangle_count_sampled(g.edges, seed=3, denom=1).collect()[0]
+    assert row.n_edges_sampled == row.n_edges_und
+    exact = (
+        triangle_counts(g.edges)
+        .agg(F.sum("n_triangles").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert row.triangles_est == row.triangles_sampled == exact // 3
+    assert exact % 3 == 0
+
+
+def test_doulion_sampled_subgraph_properties(spark):
+    """At denom=2 the sample is a strict subset, the sampled triangle
+    count is bounded by the exact count, and the estimate is the exact
+    integer 8x scale of the sampled count."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (
+        triangle_count_sampled,
+    )
+
+    g = E._graph(spark, SF_ORACLE)
+    row = triangle_count_sampled(g.edges, seed=3, denom=2).collect()[0]
+    assert 0 < row.n_edges_sampled < row.n_edges_und
+    assert row.triangles_est == row.triangles_sampled * 8

@@ -495,3 +495,44 @@ def test_nibble_sweep_matches_bruteforce(edges, seed):
             assert phi is None
     for rank, node, score, cut, vol, phi, in_best in rows:
         assert in_best == (best is not None and rank <= best[1])
+
+
+# ---------------------------------------------------------------------------
+# triangles_doulion: sampling + exact-count-on-sample vs pure Python
+# ---------------------------------------------------------------------------
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions.graphstats import (  # noqa: E402
+    triangles_doulion_oracle_sql,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(edges=edge_lists, seed=st.integers(0, 5), denom=st.integers(1, 3))
+def test_doulion_oracle_matches_python(edges, seed, denom):
+    """The DOULION oracle equals a python replay: identical hash draw,
+    exact triangle count on the sampled undirected graph, denom^3 scale."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE te(src BIGINT, dst BIGINT)")
+    if edges:
+        con.executemany("INSERT INTO te VALUES (?,?)", edges)
+    got = con.execute(
+        triangles_doulion_oracle_sql(
+            "SELECT src, dst FROM te", seed=seed, denom=denom
+        )
+    ).fetchone()
+    con.close()
+    und = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    samp = [
+        (u, v) for u, v in und if _ph(f"{u}|{v}", seed) % denom == 0
+    ]
+    adj: dict[int, set[int]] = {}
+    for u, v in samp:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = 0
+    for u, v in samp:
+        tri += sum(1 for w in adj[u] & adj[v] if w > v)  # u < v < w once?
+    # count each triangle once: for edge (u,v) with u<v, count common
+    # neighbors w with w > v — every triangle u<v<w found exactly once
+    # via its (u,v) edge
+    assert got == (len(und), len(samp), tri, tri * denom**3), (got, tri)
