@@ -1199,7 +1199,13 @@ def q_containment_dedup(spark, sf_dir):
 CP_BENCH_SOURCE = "src0"   # the decontamination key's benchmark partition
 CP_CLONE_MOD = 37          # every 37th doc cloned -> 13 exact dups at sf0.01
 CP_CLONE_OFFSET = 100_000  # clone ids above every real doc id
-CP_DECON_MAX = 0.2         # drop docs with > 20% benchmark-shingle overlap
+CP_DECON_MAX = 0.6         # drop verbatim-ish contamination only.  0.2 was
+# the r12 first cut; the funnel exposed it as scale-degenerate — the
+# synthetic corpus's shingle space saturates against the 10x-bigger src0
+# partition at sf0.1 (contamination mass sits at 0.25-0.55 there), so 0.2
+# kept 17 of 2,765 docs.  At 0.6 the sf0.01 chain is IDENTICAL
+# (488/300/293/280/279/162 — the one dropped doc is the 1.0-contamination
+# clone either way) while sf0.1 drops ~130 of ~4,660 (the >=0.55 tail).
 CP_MIX_BUDGET = 700        # per-source token budget (keeps ~58% at sf0.01)
 CP_PACK_BUDGET = 512       # tokens per packed sequence
 CP_PACK_BUCKETS = 4        # pack-parallelism hash buckets
