@@ -58,7 +58,7 @@ def corpus_stages(
     bands: int = 4,
     n: int = 3,
     cluster_steps: int = 6,
-    decon_max: float = 0.2,
+    decon_max: float = 0.6,
 ) -> dict[str, DataFrame]:
     """The gate-stage frames, shared by `corpus_pipeline` (which appends
     the mixture+packing tail) and `corpus_funnel` (which counts them):
@@ -99,7 +99,7 @@ def corpus_pipeline(
     bands: int = 4,
     n: int = 3,
     cluster_steps: int = 6,
-    decon_max: float = 0.2,
+    decon_max: float = 0.6,
     mix_budget: int = 700,
     pack_budget: int = 512,
     pack_buckets: int = 4,
@@ -202,7 +202,7 @@ def _corpus_stage_ctes(
     num_hashes: int = 8,
     bands: int = 4,
     cluster_steps: int = 6,
-    decon_max: float = 0.2,
+    decon_max: float = 0.6,
     mix_budget: int = 700,
 ) -> str:
     """The shared CTE body (cp_base .. cp_mix) behind BOTH tails — the

@@ -81,7 +81,7 @@ def make_merge_batch(
     num_hashes: int = 8,
     bands: int = 4,
     n: int = 3,
-    decon_max: float = 0.2,
+    decon_max: float = 0.6,
     max_bucket_size: int | None = MINHASH_BUCKET_CAP,
 ):
     """The foreachBatch handler, exposed so tests can drive (and replay)

@@ -1631,3 +1631,27 @@ def test_streaming_corpus_store_replay_redelivery_compaction(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in C.read_kept(spark, store).collect()
     ) == kept0
+
+
+def test_streaming_semdedup_no_pairs_store(spark, tmp_path):
+    """A store whose every epoch finds ZERO pairs never creates the flags
+    directory — read_flags returns an empty board (not an error) and
+    every member survives."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.streaming import (
+        semdedup_stream as S,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0 if j == i else 0.0 for j in range(8)] for i in range(2)]
+    store = str(tmp_path / "sd3_store")
+    flags = str(tmp_path / "sd3_flags")
+    run = S.make_merge_batch(spark, store, flags, cents, threshold=0.99)
+    run(vecs.where(F.col("vec_id") < 2), 0)
+    run(vecs.where(F.col("vec_id") >= 2), 1)
+    assert S.read_flags(spark, flags).count() == 0
+    surv = {r["vec_id"]: r["keep"] for r in
+            S.read_survivors(spark, flags, store).collect()}
+    assert surv == {0: True, 1: True, 2: True, 3: True}
