@@ -802,14 +802,25 @@ ASTAR_ROUNDS = 20
 def q_graph_astar(spark, sf_dir):
     """(src, dst, dist): exact single-pair min-cost distance via A* with
     the ALT landmark lower bound (operators/astar.astar_single_pair)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.config import (
+        LOCAL_EDGE_THRESHOLD,
+    )
     from personalized_pagerank_algorithms_on_neo4j_spark.operators.astar import (
         alt_heuristic,
+        astar_local_pairs,
         astar_single_pair,
     )
 
     g = _graph(spark, sf_dir)
     e = _und_weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
     dst = int(g.nodes.agg(F.max("id")).collect()[0][0])
+    # LocalGraph cutoff (the engine-wide physical-plan gate): the declared
+    # result is the heuristic-independent exact distance, so under the
+    # cutoff driver-local Dijkstra replaces BOTH the ALT landmark build
+    # (the dominant cost — it exists only to prune a distributed frontier)
+    # and the superstep search; above it the ALT path runs unchanged.
+    if e.count() <= LOCAL_EDGE_THRESHOLD:
+        return astar_local_pairs(spark, e, [(_source(g), dst)])
     lms = (
         g.nodes.where(F.col("id") < 1_000_000)
         .orderBy("id")
@@ -868,14 +879,17 @@ def q_ppr_incremental(spark, sf_dir):
     tg = spark.createDataFrame(
         [(t,) for t in DYN_TARGETS], "target long"
     )
+    hint = len(DYN_TARGETS) * g.n  # state bound: |targets| x nodes
     st0 = reverse_push_state(
-        spark, oe, tg, DYN_RMAX, alpha, max_supersteps=DYN_INIT_STEPS
+        spark, oe, tg, DYN_RMAX, alpha, max_supersteps=DYN_INIT_STEPS,
+        state_rows_hint=hint,
     )
     rep = repair_on_insert(st0, oe, ne, alpha)
     st1 = reverse_push_state(
         spark, edges, tg, DYN_RMAX, alpha,
         state=rep, first_unconditional=False,
         max_supersteps=DYN_RESUME_STEPS,
+        state_rows_hint=hint,
     )
     return st1.select(
         "target",
@@ -1003,14 +1017,17 @@ def q_ppr_incremental_delete(spark, sf_dir):
     de = edges.where(is_del).localCheckpoint(eager=True)
     ke = edges.where(~is_del).localCheckpoint(eager=True)
     tg = spark.createDataFrame([(t,) for t in DYN_TARGETS], "target long")
+    hint = len(DYN_TARGETS) * g.n  # state bound: |targets| x nodes
     st0 = reverse_push_state(
-        spark, edges, tg, DYN_RMAX, alpha, max_supersteps=DYN_INIT_STEPS
+        spark, edges, tg, DYN_RMAX, alpha, max_supersteps=DYN_INIT_STEPS,
+        state_rows_hint=hint,
     )
     rep = repair_on_delete(st0, edges, de, alpha)
     st1 = reverse_push_state(
         spark, ke, tg, DYN_RMAX, alpha,
         state=rep, first_unconditional=False,
         max_supersteps=DYN_RESUME_STEPS,
+        state_rows_hint=hint,
     )
     return st1.select(
         "target",
@@ -1103,14 +1120,21 @@ def q_graph_astar_multi(spark, sf_dir):
     """(src, dst, dist): exact min-cost distances for three (s, t) pairs
     via batched A* sharing ONE ALT landmark table
     (operators/astar.astar_multi_pair)."""
+    from personalized_pagerank_algorithms_on_neo4j_spark.config import (
+        LOCAL_EDGE_THRESHOLD,
+    )
     from personalized_pagerank_algorithms_on_neo4j_spark.operators.astar import (
         alt_heuristic_multi,
+        astar_local_pairs,
         astar_multi_pair,
     )
 
     g = _graph(spark, sf_dir)
     e = _und_weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
     pairs = _astar_multi_pairs(spark, sf_dir)
+    # LocalGraph cutoff — same gate and argument as q_graph_astar's
+    if e.count() <= LOCAL_EDGE_THRESHOLD:
+        return astar_local_pairs(spark, e, pairs)
     lms = (
         g.nodes.where(F.col("id") < 1_000_000)
         .orderBy("id")
@@ -1281,8 +1305,10 @@ def q_ppr_incremental_mixed(spark, sf_dir):
     de = edges.where(is_del).localCheckpoint(eager=True)    # departing batch
     fe = edges.where(~is_del).localCheckpoint(eager=True)   # final graph
     tg = spark.createDataFrame([(t,) for t in DYN_TARGETS], "target long")
+    hint = len(DYN_TARGETS) * g.n  # state bound: |targets| x nodes
     st0 = reverse_push_state(
-        spark, oe, tg, DYN_RMAX, alpha, max_supersteps=DYN_INIT_STEPS
+        spark, oe, tg, DYN_RMAX, alpha, max_supersteps=DYN_INIT_STEPS,
+        state_rows_hint=hint,
     )
     rep1 = repair_on_insert(st0, oe, ie, alpha)
     rep2 = repair_on_delete(rep1, edges, de, alpha)
@@ -1290,6 +1316,7 @@ def q_ppr_incremental_mixed(spark, sf_dir):
         spark, fe, tg, DYN_RMAX, alpha,
         state=rep2, first_unconditional=False,
         max_supersteps=DYN_MIXED_RESUME_STEPS,
+        state_rows_hint=hint,
     )
     return st1.select(
         "target",

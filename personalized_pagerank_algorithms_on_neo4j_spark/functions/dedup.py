@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.iterative import stats_reset_checkpoint
+from ..plans.iterative import BROADCAST_EDGE_BOUND, stats_reset_checkpoint
 from .text import portable_hash, tokens
 
 
@@ -1017,6 +1017,60 @@ def cross_corpus_contamination(
 # ---------------------------------------------------------------------------
 
 
+def _dedup_clusters_local(
+    und: DataFrame, max_iters: int, strict: bool, jump: bool
+) -> DataFrame:
+    """Driver-local twin of the distributed min-label loop over the
+    symmetrized pair frame ``und(a, b)`` — the same recurrence per
+    iteration (new(x) = min(own, labels of in-neighbors), then two
+    pointer-jump shortcuts when ``jump``, stop when the label vector is
+    unchanged), so results — including deliberately truncated ones — are
+    identical at every ``max_iters``."""
+    import numpy as np
+
+    spark = und.sparkSession
+    pdf = und.toPandas()
+    out_schema = "doc_id long, cluster_id long"
+    if len(pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    a = pdf["a"].to_numpy(dtype=np.int64)
+    b = pdf["b"].to_numpy(dtype=np.int64)
+    # und is symmetric, so the a-side alone covers every node (matches the
+    # distributed path's und.select("a").distinct() node set)
+    nodes = np.unique(a)
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    lab = nodes.copy()
+    converged = False
+    for _ in range(max_iters):
+        new = lab.copy()
+        # row (a, b) propagates label(a) to node b — both directions are
+        # present in und, exactly like the labels⋈und neighbor join
+        np.minimum.at(new, ib, lab[ia])
+        if jump:
+            # twice, like the distributed loop: label(x) <- label(label(x));
+            # every label value is a node id of this component set
+            for _ in range(2):
+                new = new[np.searchsorted(nodes, new)]
+        if np.array_equal(new, lab):
+            converged = True
+            break
+        lab = new
+    if strict and not converged:
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not reach a confirmed "
+            f"fixed point within {max_iters} iterations (chain-shaped "
+            f"component deeper than max_iters?); raise max_iters or pass "
+            f"strict=False to accept bounded-depth labels"
+        )
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": nodes, "cluster_id": lab}),
+        out_schema,
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     max_iters: int = 20,
@@ -1057,6 +1111,19 @@ def dedup_clusters(
     und = stats_reset_checkpoint(
         edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
+    # Driver-local kernel under the broadcast-size cutoff (the LocalGraph
+    # precedent, graph.py): if the symmetric pair table would broadcast,
+    # its components fit the driver — replay the IDENTICAL per-iteration
+    # recurrence (1-hop min + optional double pointer-jump + sum-equality
+    # stop) vectorized in numpy, so truncated labels, strict raises and
+    # the fixed point are bit-equal to the distributed loop's at any
+    # max_iters.  Replaces the loop's 2-3 Spark jobs per iteration
+    # (nested loops like Borůvka's per-round merges pay this many times
+    # per query); the count probe is a cheap scan of the checkpoint just
+    # materialized.  Above the bound the superstep loop below is
+    # unchanged — the 100x plan.
+    if und.count() <= BROADCAST_EDGE_BOUND:
+        return _dedup_clusters_local(und, max_iters, strict, jump)
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()

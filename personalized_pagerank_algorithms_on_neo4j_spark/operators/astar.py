@@ -38,12 +38,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..config import LOCAL_EDGE_THRESHOLD
 from ..plans.iterative import (
     BROADCAST_NODE_BOUND,
     loop_shuffle_partitions,
     static_superstep_plan,
 )
 from .sssp import sssp_weighted_multi
+
+
+def astar_local_pairs(
+    spark: SparkSession, edges: DataFrame, pairs: list[tuple[int, int]]
+) -> DataFrame:
+    """(src, dst, dist) exact min-cost distances for the given (source,
+    target) pairs by driver-local Dijkstra — the LocalGraph-cutoff twin of
+    the branch-and-bound superstep search (graph.py precedent).  The
+    result is heuristic-independent (the exact distance the oracle's
+    relaxation fixed point defines), so under the edge cutoff the ALT
+    landmark build — which exists only to prune the DISTRIBUTED frontier —
+    is pure overhead and is skipped entirely.  Unreachable pairs emit no
+    row, like the superstep search."""
+    import heapq
+
+    pdf = edges.select("src", "dst", "w").toPandas()
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for r in pdf.itertuples(index=False):
+        adj.setdefault(int(r.src), []).append((int(r.dst), int(r.w)))
+    rows = []
+    for s, t in pairs:
+        s, t = int(s), int(t)
+        best: dict[int, int] = {s: 0}
+        pq: list[tuple[int, int]] = [(0, s)]
+        found = None
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > best.get(u, d):
+                continue
+            if u == t:
+                found = d
+                break
+            for v, w in adj.get(u, ()):
+                nd = d + w
+                if nd < best.get(v, nd + 1):
+                    best[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        if found is not None:
+            rows.append((s, t, int(found)))
+    schema = "src long, dst long, dist long"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
 
 
 def alt_heuristic(

@@ -65,7 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_ALPHA
-from ..plans.iterative import static_superstep_plan
+from ..plans.iterative import loop_shuffle_partitions, static_superstep_plan
 
 
 def _edges_with_outdeg(edges: DataFrame) -> DataFrame:
@@ -84,6 +84,7 @@ def reverse_push_state(
     max_supersteps: int = 200,
     state: DataFrame | None = None,
     first_unconditional: bool = True,
+    state_rows_hint: int | None = None,
 ) -> DataFrame:
     """Reverse push to |residue| <= rmax, KEEPING residues: returns
     (target, node, residue, reserve) — the maintainable state, unlike
@@ -95,7 +96,13 @@ def reverse_push_state(
     superstep pushes targets unconditionally, mirroring
     Backward_Search.java:44's immediate pop); pass a repaired state to
     RESUME maintenance pushes (``first_unconditional=False`` — only
-    |r| > rmax rows move, positive or negative)."""
+    |r| > rmax rows move, positive or negative).
+
+    ``state_rows_hint``: optional bound on the state row count
+    (|targets| x nodes from the caller) — scales the loop's shuffle
+    partitions like every other superstep verb (plans/iterative); without
+    it the loop pays session-default task counts per round even when the
+    state is a few thousand rows."""
     edges = _edges_with_outdeg(edges)
     if state is None:
         state = targets.select(
@@ -111,7 +118,12 @@ def reverse_push_state(
     # full-outer join.  This is what makes the incremental resume cheap —
     # a small repair cascade shuffles a few rows per round while the
     # state is only streamed, never re-shuffled.
-    with static_superstep_plan(spark):
+    loop_parts = (
+        loop_shuffle_partitions(spark, state_rows_hint)
+        if state_rows_hint is not None
+        else None
+    )
+    with static_superstep_plan(spark, loop_parts):
         edges = edges.localCheckpoint(eager=True)
         state = state.localCheckpoint(eager=True)
         first = first_unconditional

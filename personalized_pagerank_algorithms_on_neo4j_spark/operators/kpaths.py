@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..config import LOCAL_EDGE_THRESHOLD
 from ..plans.iterative import (
     loop_shuffle_partitions,
     static_superstep_plan,
@@ -47,6 +48,50 @@ from ..plans.iterative import (
 )
 
 _STATE_SCHEMA = "qid int, node long, dist long, path array<long>"
+
+
+def _batched_path_sssp_local(
+    adj: dict,
+    seeds: list[tuple[int, int, int, list[int]]],
+    banned_nodes: list[tuple[int, int]],
+    banned_edges: list[tuple[int, int, int]],
+    target: int,
+    max_hops: int,
+) -> list[tuple[int, int, list[int]]]:
+    """Driver-local literal replay of ``_batched_path_sssp``'s superstep
+    recurrence (the LocalGraph precedent, graph.py): same loopless/hop
+    filters, same per-(qid, node) min over the (dist, path) total order —
+    Python tuple/list comparison IS the Spark struct/array order for
+    integer fields — same full-round count, so the returned candidate set
+    is identical row for row.  Used when the (already materialized) edge
+    list fits the driver; above the gate the Spark loop runs unchanged."""
+    bn = set(banned_nodes)
+    be = set(banned_edges)
+    state: dict[tuple[int, int], tuple[int, list[int]]] = {
+        (q, n): (d, list(p)) for q, n, d, p in seeds
+    }
+    frontier = dict(state)
+    for _ in range(max_hops):
+        ext: dict[tuple[int, int], tuple[int, list[int]]] = {}
+        for (q, u), (d, p) in frontier.items():
+            if len(p) > max_hops:
+                continue
+            for v, w in adj.get(u, ()):
+                if v in p or (q, v) in bn or (q, u, v) in be:
+                    continue
+                cand = (d + w, p + [v])
+                k = (q, v)
+                if k not in ext or cand < ext[k]:
+                    ext[k] = cand
+        frontier = {}
+        for k, cand in ext.items():
+            old = state.get(k)
+            if old is None or cand < old:
+                state[k] = cand
+                frontier[k] = cand
+    return [
+        (q, d, p) for (q, n), (d, p) in state.items() if n == target
+    ]
 
 
 def _batched_path_sssp(
@@ -174,13 +219,33 @@ def yen_k_shortest(
     # root-cost lookup) reuses it — without this the derivation (e.g. a
     # kNN build) would re-run per batched SSSP call
     edges = edges.select("src", "dst", "w").localCheckpoint(eager=True)
-    n_hint = n_hint or max(1, edges.select("src").distinct().count())
     out_schema = "rank int, cost long, path string"
 
-    first = _batched_path_sssp(
-        spark, edges, [(0, int(source), 0, [int(source)])], [], [],
-        int(target), max_hops, n_hint,
-    )
+    # Driver-local replay under the LocalGraph edge cutoff: every Yen
+    # iteration then costs zero Spark jobs instead of max_hops checkpointed
+    # supersteps + a candidate collect.  Above the gate the superstep loop
+    # below runs unchanged — the 100x plan.
+    adj: dict | None = None
+    wmap: dict = {}
+    if edges.count() <= LOCAL_EDGE_THRESHOLD:
+        adj = {}
+        for r in edges.toPandas().itertuples(index=False):
+            s_, d_, w_ = int(r.src), int(r.dst), int(r.w)
+            adj.setdefault(s_, []).append((d_, w_))
+            wmap[(s_, d_)] = min(w_, wmap.get((s_, d_), w_))
+    else:
+        n_hint = n_hint or max(1, edges.select("src").distinct().count())
+
+    def _sssp(seeds, bnodes, bedges):
+        if adj is not None:
+            return _batched_path_sssp_local(
+                adj, seeds, bnodes, bedges, int(target), max_hops
+            )
+        return _batched_path_sssp(
+            spark, edges, seeds, bnodes, bedges, int(target), max_hops, n_hint
+        )
+
+    first = _sssp([(0, int(source), 0, [int(source)])], [], [])
     if not first:
         return spark.createDataFrame([], out_schema)
     accepted: list[tuple[int, list[int]]] = [
@@ -190,8 +255,11 @@ def yen_k_shortest(
 
     # per-edge costs of accepted paths, for exact root-prefix costs; the
     # lookup is a bounded collect over <= k * max_hops ordered pairs
+    # (free when the edge list is already on the driver)
     def _edge_costs(path: list[int]) -> list[int]:
         pairs = list(zip(path, path[1:]))
+        if adj is not None:
+            return [wmap[p] for p in pairs]
         cond = None
         for u, v in pairs:
             c = (F.col("src") == u) & (F.col("dst") == v)
@@ -211,9 +279,7 @@ def yen_k_shortest(
             for _, p in accepted:
                 if p[: i + 1] == root and len(p) > i + 1:
                     bedges.append((i, p[i], p[i + 1]))
-        cands = _batched_path_sssp(
-            spark, edges, seeds, bnodes, bedges, int(target), max_hops, n_hint
-        )
+        cands = _sssp(seeds, bnodes, bedges)
         done = {tuple(p) for _, p in accepted}
         for _, dist, path in cands:
             key = tuple(path)

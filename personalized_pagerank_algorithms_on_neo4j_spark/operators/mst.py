@@ -54,6 +54,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..config import LOCAL_EDGE_THRESHOLD
 from ..functions.dedup import dedup_clusters
 from ..plans.iterative import (
     loop_shuffle_partitions,
@@ -88,6 +89,71 @@ def _canonical_edges(
     return und.select("u", "v", "w", (F.lit(sgn) * F.col("w")).alias("sw"))
 
 
+def _boruvka_local(
+    und_pdf, max_rounds: int, strict: bool
+) -> list[tuple[int, int, int]]:
+    """Driver-local replay of the Borůvka rounds below, vectorized in
+    numpy (the LocalGraph precedent): per round every component claims its
+    incident cross edge minimizing the SAME strict (sw, u, v) order (edges
+    are rank-encoded by one upfront lexsort so the per-component argmin is
+    one ``np.minimum.at``), claimed label pairs merge by min-label closure,
+    relabel, repeat.  Claims, rounds, convergence-vs-truncation and the
+    strict raise are identical to the distributed loop's; the forest —
+    unique under the strict total order — is therefore equal edge for
+    edge."""
+    import numpy as np
+
+    u = und_pdf["u"].to_numpy(dtype=np.int64)
+    v = und_pdf["v"].to_numpy(dtype=np.int64)
+    w = und_pdf["w"].to_numpy(dtype=np.int64)
+    sw = und_pdf["sw"].to_numpy(dtype=np.int64)
+    m = len(u)
+    nodes = np.unique(np.concatenate([u, v]))
+    n = len(nodes)
+    iu = np.searchsorted(nodes, u)
+    iv = np.searchsorted(nodes, v)
+    order = np.lexsort((v, u, sw))  # strict (sw, u, v) total order
+    rank = np.empty(m, dtype=np.int64)
+    rank[order] = np.arange(m)
+    lab = np.arange(n, dtype=np.int64)  # component = node INDEX (id order)
+    forest: list[tuple[int, int, int]] = []
+    converged = False
+    for _ in range(max_rounds):
+        lu = lab[iu]
+        lv = lab[iv]
+        cross = lu != lv
+        if not cross.any():
+            converged = True
+            break
+        best = np.full(n, m, dtype=np.int64)
+        np.minimum.at(best, lu[cross], rank[cross])
+        np.minimum.at(best, lv[cross], rank[cross])
+        sel = np.unique(best[best < m])
+        eidx = order[sel]
+        forest.extend(
+            zip(u[eidx].tolist(), v[eidx].tolist(), w[eidx].tolist())
+        )
+        # min-label closure over the claimed (lu, lv) pairs, then relabel
+        ea = np.concatenate([lab[iu[eidx]], lab[iv[eidx]]])
+        eb = np.concatenate([lab[iv[eidx]], lab[iu[eidx]]])
+        par = np.arange(n, dtype=np.int64)
+        while True:
+            new = par.copy()
+            np.minimum.at(new, ea, par[eb])
+            new = new[new]
+            new = new[new]
+            if np.array_equal(new, par):
+                break
+            par = new
+        lab = par[lab]
+    if not converged and strict:
+        raise RuntimeError(
+            f"boruvka_msf: not converged within max_rounds={max_rounds}; "
+            "a truncated forest under-connects — raise max_rounds"
+        )
+    return forest
+
+
 def boruvka_msf(
     edges: DataFrame,
     weight_col: str = "weight",
@@ -105,6 +171,18 @@ def boruvka_msf(
     und = _canonical_edges(edges, weight_col, maximize).localCheckpoint(
         eager=True
     )
+    empty_schema = und.select("u", "v", F.col("w").alias("weight")).limit(0)
+    # Driver-local kernel under the LocalGraph edge cutoff: the claimed
+    # forest is unique under the strict order, and _boruvka_local replays
+    # the identical rounds — zero Spark jobs per round instead of ~10
+    # (cross probe, argmin, per-round dedup_clusters merge loop,
+    # relabel + 3 checkpoints).  Above the gate the superstep rounds
+    # below run unchanged — the 100x plan.
+    if und.count() <= LOCAL_EDGE_THRESHOLD:
+        rows = _boruvka_local(und.toPandas(), max_rounds, strict)
+        if not rows:
+            return empty_schema
+        return spark.createDataFrame(rows, "u long, v long, weight long")
     labels = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))

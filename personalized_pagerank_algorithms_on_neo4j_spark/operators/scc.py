@@ -55,6 +55,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..config import LOCAL_EDGE_THRESHOLD
 from ..plans.iterative import (
     SuperstepLoop,
     loop_shuffle_partitions,
@@ -67,6 +68,71 @@ SCC_MAX_STEPS = 40  # inner propagation supersteps per phase
 
 def _count(df: DataFrame) -> int:
     return df.agg(F.count(F.lit(1)).alias("n")).collect()[0][0]
+
+
+def _scc_local(src, dst) -> dict[int, int]:
+    """Driver-local SCC (iterative Tarjan) over int64 edge arrays:
+    node -> min member id of its strongly-connected component.  The
+    output is algorithm-independent (components and their min members
+    are properties of the graph), so this is exactly what the FW-BW
+    coloring loop — and the oracle's recursive closure — computes."""
+    import numpy as np
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    isrc = np.searchsorted(nodes, src)
+    idst = np.searchsorted(nodes, dst)
+    order = np.argsort(isrc, kind="stable")
+    heads = isrc[order]
+    adj_flat = idst[order]
+    indptr = np.searchsorted(heads, np.arange(n + 1))
+    index = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    stack: list[int] = []
+    comp_min: dict[int, int] = {}
+    counter = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        # explicit DFS stack of (node, next-edge-offset)
+        work = [(root, indptr[root])]
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on_stack[root] = True
+        while work:
+            v, ei = work[-1]
+            if ei < indptr[v + 1]:
+                work[-1] = (v, ei + 1)
+                u = int(adj_flat[ei])
+                if index[u] == -1:
+                    index[u] = low[u] = counter
+                    counter += 1
+                    stack.append(u)
+                    on_stack[u] = True
+                    work.append((u, int(indptr[u])))
+                elif on_stack[u]:
+                    if index[u] < low[v]:
+                        low[v] = index[u]
+            else:
+                work.pop()
+                if work:
+                    p = work[-1][0]
+                    if low[v] < low[p]:
+                        low[p] = low[v]
+                if low[v] == index[v]:
+                    members = []
+                    while True:
+                        x = stack.pop()
+                        on_stack[x] = False
+                        members.append(x)
+                        if x == v:
+                            break
+                    mid = int(nodes[min(members)])
+                    for x in members:
+                        comp_min[int(nodes[x])] = mid
+    return comp_min
 
 
 def scc(
@@ -96,6 +162,26 @@ def scc(
     n0 = _count(nodes)
     if n0 == 0:
         return nodes.select("node", F.col("node").alias("scc_id"))
+    # Driver-local kernel under the LocalGraph edge cutoff (graph.py
+    # precedent): components and their min members are graph properties,
+    # so iterative Tarjan returns exactly what the FW-BW loop converges
+    # to — without the loop's dozens of per-phase jobs.  Above the gate
+    # the FW-BW rounds below run unchanged — the 100x plan.
+    if _count(edges) <= LOCAL_EDGE_THRESHOLD:
+        import numpy as np
+        import pandas as pd
+
+        pdf = edges.toPandas()
+        comp = _scc_local(
+            pdf["src"].to_numpy(dtype=np.int64),
+            pdf["dst"].to_numpy(dtype=np.int64),
+        )
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"node": list(comp.keys()), "scc_id": list(comp.values())}
+            ),
+            "node long, scc_id long",
+        )
     done: list[DataFrame] = []  # (node, scc_id) batches
     with static_superstep_plan(spark, loop_shuffle_partitions(spark, n0)):
         remaining, live = nodes, edges

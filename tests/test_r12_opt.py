@@ -1,0 +1,188 @@
+"""Round-12 optimization regressions: the driver-local fast paths must be
+observably IDENTICAL to the distributed loops they shortcut — including
+deliberately truncated results and strict-raise behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from personalized_pagerank_algorithms_on_neo4j_spark.functions import dedup
+
+
+def _run_both(spark, pairs, **kw):
+    """Run dedup_clusters through the local kernel and the distributed
+    loop (forced by a zero local bound) and return both sorted outputs."""
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    local = sorted(map(tuple, dedup.dedup_clusters(df, **kw).collect()))
+    orig = dedup.BROADCAST_EDGE_BOUND
+    dedup.BROADCAST_EDGE_BOUND = -1  # force the superstep path
+    try:
+        dist = sorted(map(tuple, dedup.dedup_clusters(df, **kw).collect()))
+    finally:
+        dedup.BROADCAST_EDGE_BOUND = orig
+    return local, dist
+
+
+def test_dedup_clusters_local_matches_distributed(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 20), (30, 31), (31, 32), (32, 30)]
+    local, dist = _run_both(spark, pairs, max_iters=20)
+    assert local == dist
+    # jump mode too (the chain-shaped Borůvka merge path)
+    chain = [(i, i + 1) for i in range(40)]
+    local, dist = _run_both(spark, chain, max_iters=20, jump=True)
+    assert local == dist
+
+
+def test_dedup_clusters_local_truncation_identical(spark):
+    """A deliberately truncated run (strict=False, small max_iters) must
+    produce the same bounded-depth labels on both paths — oracle keys
+    replay the truncated recurrence, so the local path may not 'improve'
+    on it."""
+    chain = [(i, i + 1) for i in range(30)]
+    local, dist = _run_both(spark, chain, max_iters=3, strict=False)
+    assert local == dist
+    # and the truncation must actually bind (labels not fully converged)
+    assert any(c != 0 for _, c in local)
+
+
+def test_dedup_clusters_local_strict_raises(spark):
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="fixed point"):
+        dedup.dedup_clusters(df, max_iters=2)
+
+
+def test_dedup_clusters_local_empty(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.dedup_clusters(df, max_iters=5).count() == 0
+
+
+def test_kpaths_local_matches_distributed(spark):
+    """yen_k_shortest through the driver-local replay vs the superstep
+    loop (forced via a zero edge cutoff) — identical ranked paths,
+    including a (cost, path) tie."""
+    import random
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import kpaths
+
+    rng = random.Random(7)
+    es = set()
+    while len(es) < 40:
+        u, v = rng.randrange(14), rng.randrange(14)
+        if u != v:
+            es.add((u, v))
+    edges = [(u, v, rng.randint(1, 9)) for u, v in sorted(es)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                kpaths.yen_k_shortest(
+                    spark, df, 0, 13, k=4, max_hops=5
+                ).collect(),
+            )
+        )
+
+    local = run()
+    orig = kpaths.LOCAL_EDGE_THRESHOLD
+    kpaths.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        dist = run()
+    finally:
+        kpaths.LOCAL_EDGE_THRESHOLD = orig
+    assert local == dist and local
+
+
+def test_boruvka_local_matches_distributed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import mst
+
+    import random
+
+    rng = random.Random(11)
+    edges = [
+        (rng.randrange(30), rng.randrange(30), rng.randint(1, 6))
+        for _ in range(70)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+
+    def run(maximize):
+        return sorted(
+            map(
+                tuple,
+                mst.boruvka_msf(df, maximize=maximize).collect(),
+            )
+        )
+
+    for maximize in (False, True):
+        local = run(maximize)
+        orig = mst.LOCAL_EDGE_THRESHOLD
+        mst.LOCAL_EDGE_THRESHOLD = -1
+        try:
+            dist = run(maximize)
+        finally:
+            mst.LOCAL_EDGE_THRESHOLD = orig
+        assert local == dist and local
+
+
+def test_astar_local_pairs_matches_superstep_search(spark):
+    """astar_local_pairs (driver Dijkstra) vs astar_single_pair with
+    heuristic=None (the plain exact SSSP loop) — identical distances,
+    identical unreachable handling."""
+    import random
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.astar import (
+        astar_local_pairs,
+        astar_single_pair,
+    )
+
+    rng = random.Random(17)
+    edges = list(
+        {
+            (rng.randrange(18), rng.randrange(18))
+            for _ in range(45)
+        }
+    )
+    edges = [(u, v, rng.randint(1, 9)) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    pairs = [(0, 17), (3, 9), (17, 0)]
+    local = sorted(map(tuple, astar_local_pairs(spark, df, pairs).collect()))
+    dist = []
+    for s, t in pairs:
+        dist.extend(
+            map(
+                tuple,
+                astar_single_pair(
+                    spark, df, s, t, None, max_rounds=30, n_hint=18
+                ).collect(),
+            )
+        )
+    assert local == sorted(dist)
+
+
+def test_scc_local_matches_distributed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import scc as sccmod
+
+    import random
+
+    rng = random.Random(13)
+    edges = list(
+        {
+            (rng.randrange(20), rng.randrange(20))
+            for _ in range(50)
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def run():
+        return sorted(map(tuple, sccmod.scc(df).collect()))
+
+    local = run()
+    orig = sccmod.LOCAL_EDGE_THRESHOLD
+    sccmod.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        dist = run()
+    finally:
+        sccmod.LOCAL_EDGE_THRESHOLD = orig
+    assert local == dist and local
