@@ -61,6 +61,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..config import LOCAL_EDGE_THRESHOLD
 from ..graph import PropertyGraph
 from ..plans.iterative import (
     BROADCAST_NODE_BOUND,
@@ -68,6 +69,79 @@ from ..plans.iterative import (
     loop_shuffle_partitions,
     static_superstep_plan,
 )
+
+
+def _local_moving_numpy(
+    edges_pdf, strength_pdf, labels_pdf, m2: int, rounds: int
+):
+    """Driver-local replay of the synchronous gain recurrence below,
+    vectorized in numpy (the LocalGraph precedent).  Every quantity is
+    integral — the BIGINT score, the (score desc, cand asc) argmax, the
+    parity schedule — so the replay is BIT-EXACT per round, not merely
+    equivalent at the fixed point.  Returns the labels as (node, label)
+    int64 arrays."""
+    import numpy as np
+
+    nodes = np.sort(labels_pdf["node"].to_numpy(dtype=np.int64))
+    n = len(nodes)
+    lab_in = labels_pdf["node"].to_numpy(dtype=np.int64)
+    lab_val = labels_pdf["label"].to_numpy(dtype=np.int64)
+    # labels as INDICES into nodes (initial labels are node ids by
+    # construction at both levels: labels0/comm select node AS label)
+    lab = np.empty(n, dtype=np.int64)
+    lab[np.searchsorted(nodes, lab_in)] = np.searchsorted(nodes, lab_val)
+    deg = np.zeros(n, dtype=np.int64)
+    if len(strength_pdf) and n:
+        sn = strength_pdf["node"].to_numpy(dtype=np.int64)
+        si = np.searchsorted(nodes, sn)
+        ok = (si < n) & (nodes[np.minimum(si, n - 1)] == sn)
+        deg[si[ok]] = strength_pdf["deg"].to_numpy(dtype=np.int64)[ok]
+    if len(edges_pdf) and n:
+        es = edges_pdf["src"].to_numpy(dtype=np.int64)
+        ed = edges_pdf["dst"].to_numpy(dtype=np.int64)
+        pu = np.searchsorted(nodes, es)
+        pv = np.searchsorted(nodes, ed)
+        # endpoints outside the label table contribute nothing — the
+        # distributed round's inner label joins drop them the same way
+        keep = (
+            (pu < n)
+            & (pv < n)
+            & (nodes[np.minimum(pu, n - 1)] == es)
+            & (nodes[np.minimum(pv, n - 1)] == ed)
+        )
+        eu, ev = pu[keep], pv[keep]
+        ew = edges_pdf["w"].to_numpy(dtype=np.int64)[keep]
+    else:
+        eu = ev = ew = np.empty(0, dtype=np.int64)
+    node_par = nodes % 2
+    for t in range(rounds):
+        par = t % 2
+        # candidate w sums for the scheduled class: neighbor labels
+        # (edge-bounded) + every scheduled node's own label at w 0
+        sched_e = node_par[eu] == par
+        su, sc, sw = eu[sched_e], lab[ev[sched_e]], ew[sched_e]
+        own_v = np.nonzero(node_par == par)[0]
+        key = np.concatenate([su * n + sc, own_v * n + lab[own_v]])
+        wts = np.concatenate([sw, np.zeros(len(own_v), dtype=np.int64)])
+        uniq, inv = np.unique(key, return_inverse=True)
+        wsum = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(wsum, inv, wts)
+        v = uniq // n
+        c = uniq % n
+        # community degree sums from the PREVIOUS assignment (exact int64)
+        dc = np.zeros(n, dtype=np.int64)
+        np.add.at(dc, lab, deg)
+        own_bonus = np.where(c == lab[v], deg[v], 0)
+        score = m2 * wsum - deg[v] * (dc[c] - own_bonus)
+        # argmax per v under (score desc, cand asc); cand is an index but
+        # index order == id order (nodes sorted ascending)
+        order = np.lexsort((c, -score, v))
+        vv = v[order]
+        first = np.ones(len(vv), dtype=bool)
+        first[1:] = vv[1:] != vv[:-1]
+        lab = lab.copy()
+        lab[vv[first]] = c[order][first]
+    return nodes, nodes[lab]
 
 
 def _local_moving(
@@ -91,6 +165,28 @@ def _local_moving(
     the previous round's plan per consumer (the unshared-subtree
     recompute), which costs far more than one eager checkpoint of the
     node-bounded label vector per round."""
+    # Driver-local kernel under the LocalGraph edge cutoff: the gain
+    # recurrence is all-integer, so the numpy replay is bit-exact per
+    # round — and replaces ~10 Spark jobs per round (5 broadcast builds,
+    # the three aggregates, the checkpoint).  Above the gate the
+    # superstep rounds below run unchanged — the 100x plan.
+    if small:
+        e_ck = edges.localCheckpoint(eager=True)
+        if e_ck.count() <= LOCAL_EDGE_THRESHOLD:
+            nodes, labs = _local_moving_numpy(
+                e_ck.toPandas(),
+                strength.toPandas(),
+                labels.toPandas(),
+                m2,
+                rounds,
+            )
+            import pandas as pd
+
+            return spark.createDataFrame(
+                pd.DataFrame({"node": nodes, "label": labs}),
+                "node long, label long",
+            )
+        edges = e_ck
     loop = SuperstepLoop(checkpoint_every=1)
     with static_superstep_plan(spark, shuffle_partitions=loop_parts):
         edges = edges.localCheckpoint(eager=True)

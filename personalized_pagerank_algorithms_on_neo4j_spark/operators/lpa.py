@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..config import LOCAL_EDGE_THRESHOLD
 from ..graph import PropertyGraph
 from ..plans.iterative import (
     BROADCAST_NODE_BOUND,
@@ -38,6 +39,51 @@ from ..plans.iterative import (
     loop_shuffle_partitions,
     static_superstep_plan,
 )
+
+
+def _lpa_numpy(und_pdf, nodes_arr, rounds: int):
+    """Driver-local replay of the plurality rounds below, vectorized in
+    numpy (the LocalGraph precedent).  All quantities are integral — the
+    neighbor-label counts, the (count desc, label asc) pick, the
+    keep-on-isolated rule — so the replay is bit-exact per round."""
+    import numpy as np
+
+    nodes = np.sort(nodes_arr.astype(np.int64))
+    n = len(nodes)
+    lab = np.arange(n, dtype=np.int64)  # label == own id initially
+    if n == 0:
+        return nodes, nodes
+
+    def _idx(vals):
+        pos = np.searchsorted(nodes, vals)
+        ok = (pos < n) & (nodes[np.minimum(pos, n - 1)] == vals)
+        return pos, ok
+
+    src = und_pdf["src"].to_numpy(dtype=np.int64)
+    dst = und_pdf["dst"].to_numpy(dtype=np.int64)
+    pu, oku = _idx(src)
+    pv, okv = _idx(dst)
+    # endpoints outside the node table behave like the distributed loop:
+    # a missing src contributes no vote (inner label join), a missing dst
+    # has no labels row to update (left join keyed on labels)
+    keep = oku & okv
+    eu, ev = pu[keep], pv[keep]
+    for _ in range(rounds):
+        if len(eu) == 0:
+            break
+        key = ev * n + lab[eu]
+        uniq, inv = np.unique(key, return_inverse=True)
+        c = np.bincount(inv)
+        v = uniq // n
+        lb = uniq % n
+        order = np.lexsort((lb, -c, v))
+        vv = v[order]
+        first = np.ones(len(vv), dtype=bool)
+        first[1:] = vv[1:] != vv[:-1]
+        new = lab.copy()
+        new[vv[first]] = lb[order][first]
+        lab = new
+    return nodes, nodes[lab]
 
 
 def label_propagation(graph: PropertyGraph, rounds: int = 5) -> DataFrame:
@@ -55,6 +101,21 @@ def label_propagation(graph: PropertyGraph, rounds: int = 5) -> DataFrame:
     labels = graph.nodes.select(
         F.col("id").alias("node"), F.col("id").alias("label")
     )
+    # Driver-local kernel under the LocalGraph edge cutoff (bit-exact
+    # integer replay — see _lpa_numpy); above it the superstep loop
+    # below runs unchanged — the 100x plan.
+    if small:
+        und = und.localCheckpoint(eager=True)
+        if und.count() <= LOCAL_EDGE_THRESHOLD:
+            import numpy as np
+            import pandas as pd
+
+            nodes_arr = labels.toPandas()["node"].to_numpy(dtype=np.int64)
+            nd, lb = _lpa_numpy(und.toPandas(), nodes_arr, rounds)
+            return spark.createDataFrame(
+                pd.DataFrame({"node": nd, "label": lb}),
+                "node long, label long",
+            )
     loop = SuperstepLoop(checkpoint_every=2)
     with static_superstep_plan(spark, shuffle_partitions=loop_parts):
         und = und.localCheckpoint(eager=True)

@@ -161,6 +161,93 @@ def test_astar_local_pairs_matches_superstep_search(spark):
     assert local == sorted(dist)
 
 
+def test_louvain_local_moving_matches_distributed(spark):
+    """The numpy local-moving kernel vs the superstep loop (forced via a
+    zero edge cutoff) — the recurrence is all-integer, so the full
+    two-level louvain output must be identical, unit and weighted."""
+    import random
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import louvain
+    from personalized_pagerank_algorithms_on_neo4j_spark.graph import PropertyGraph
+
+    rng = random.Random(23)
+    edges = list(
+        {
+            (rng.randrange(40), rng.randrange(40))
+            for _ in range(120)
+        }
+    )
+    nodes = sorted({x for e in edges for x in e})
+    gdf = spark.createDataFrame([(n, f"n{n}") for n in nodes], "id long, name string")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    g = PropertyGraph(spark, gdf, edf, nodes_cover_edges=True)
+
+    def run():
+        return sorted(map(tuple, louvain.louvain(g, rounds1=4, rounds2=2).collect()))
+
+    local = run()
+    orig = louvain.LOCAL_EDGE_THRESHOLD
+    louvain.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        dist = run()
+    finally:
+        louvain.LOCAL_EDGE_THRESHOLD = orig
+    assert local == dist and local
+
+    wdf = spark.createDataFrame(
+        [(u, v, rng.randint(1, 99)) for u, v in edges],
+        "src long, dst long, weight long",
+    )
+
+    def runw():
+        return sorted(
+            map(tuple, louvain.louvain_weighted(wdf, rounds1=4, rounds2=2).collect())
+        )
+
+    localw = runw()
+    louvain.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        distw = runw()
+    finally:
+        louvain.LOCAL_EDGE_THRESHOLD = orig
+    assert localw == distw and localw
+
+
+def test_lpa_local_matches_distributed(spark):
+    import random
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import lpa
+    from personalized_pagerank_algorithms_on_neo4j_spark.graph import PropertyGraph
+
+    rng = random.Random(29)
+    edges = list(
+        {
+            (rng.randrange(35), rng.randrange(35))
+            for _ in range(90)
+        }
+    )
+    nodes = sorted({x for e in edges for x in e} | {90, 91})  # isolated too
+    gdf = spark.createDataFrame(
+        [(nd, f"n{nd}") for nd in nodes], "id long, name string"
+    )
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    g = PropertyGraph(spark, gdf, edf, nodes_cover_edges=True)
+
+    def run():
+        return sorted(
+            map(tuple, lpa.label_propagation(g, rounds=5).collect())
+        )
+
+    local = run()
+    orig = lpa.LOCAL_EDGE_THRESHOLD
+    lpa.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        dist = run()
+    finally:
+        lpa.LOCAL_EDGE_THRESHOLD = orig
+    assert local == dist and local
+
+
 def test_scc_local_matches_distributed(spark):
     from personalized_pagerank_algorithms_on_neo4j_spark.operators import scc as sccmod
 

@@ -99,10 +99,22 @@ def key_fns(spark, g, eng, src):
     }
 
 
+def _event_lines(path):
+    """Yield JSON lines from a Spark event log file OR an eventlog_v2
+    rolling directory."""
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            fp = os.path.join(path, f)
+            if os.path.isfile(fp) and "events" in f:
+                yield from open(fp)
+    else:
+        yield from open(path)
+
+
 def parse_events(path):
     jobs = {}  # id -> dict
     stages = {}  # id -> dict
-    for line in open(path):
+    for line in _event_lines(path):
         try:
             ev = json.loads(line)
         except json.JSONDecodeError:
@@ -180,6 +192,8 @@ def main():
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count().collect()
@@ -194,6 +208,7 @@ def main():
         t0 = time.perf_counter()
         fns[key]()
         walls[key] = time.perf_counter() - t0
+        print(f"wall {key} {walls[key]:.2f}s", flush=True)
         spark.sparkContext.setJobDescription(None)
     spark.stop()
     # event log file: one file in evdir
