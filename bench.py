@@ -63,6 +63,10 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
+        if os.environ.get("SPARK_GRAFT_BENCH_PROGRESS"):
+            # opt-in per-key progress on stderr (guide §1: observability of
+            # the measurement itself); the stdout JSON contract is untouched
+            print(f"[bench] {name} {best:.2f}s", file=sys.stderr, flush=True)
         return out
 
     # graph load + derived tables (the reference reports load time too).

@@ -15,6 +15,7 @@ Monte-Carlo walk count (Monte_Carlo.java:145):
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 
 DEFAULT_ALPHA = 0.15  # PPR.java:177
@@ -24,8 +25,13 @@ POWER_ITERATIONS = 100  # Power_Method.java:57
 
 # Driver-local kernel cutoff: graphs with at most this many edges are computed
 # on the driver with vectorized numpy (analogous to a broadcast-join cutoff);
-# larger graphs run the distributed DataFrame loops.
-LOCAL_EDGE_THRESHOLD = 8_000_000
+# larger graphs run the distributed DataFrame loops.  Parameterised like a
+# broadcast threshold so a cluster deployment can raise/lower it (or set 0 to
+# force the distributed path everywhere); the default keeps the driver-local
+# working set in the low hundreds of MB.
+LOCAL_EDGE_THRESHOLD = int(
+    os.environ.get("SPARK_GRAFT_LOCAL_EDGE_THRESHOLD", 8_000_000)
+)
 
 
 @dataclass

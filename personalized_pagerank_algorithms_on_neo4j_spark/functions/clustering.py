@@ -91,7 +91,10 @@ def _partial_sums(df: DataFrame, centroids: list[list[float]], vec_col: str, id_
             d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).round(9)
             a = d2.argmin(axis=1)
             cl, dm, s, n = [], [], [], []
-            for c in np.unique(a):
+            # values are cluster indices in [0, k): a bincount presence
+            # mask gives ascending uniques in O(n) with no sort (numpy's
+            # default quicksort is pathological on this CPU — _nputil)
+            for c in np.nonzero(np.bincount(a, minlength=len(C)))[0]:
                 mask = a == c
                 sums = X[mask].sum(axis=0)
                 cnt = int(mask.sum())

@@ -1037,7 +1037,9 @@ def _dedup_clusters_local(
     b = pdf["b"].to_numpy(dtype=np.int64)
     # und is symmetric, so the a-side alone covers every node (matches the
     # distributed path's und.select("a").distinct() node set)
-    nodes = np.unique(a)
+    from .._nputil import unique_stable
+
+    nodes = unique_stable(a)
     ia = np.searchsorted(nodes, a)
     ib = np.searchsorted(nodes, b)
     lab = nodes.copy()

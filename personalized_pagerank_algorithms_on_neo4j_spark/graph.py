@@ -364,7 +364,8 @@ class PropertyGraph:
     @cached_property
     def local(self) -> LocalGraph:
         node_ids = np.sort(
-            self.nodes.select("id").toPandas()["id"].to_numpy(dtype=np.int64)
+            self.nodes.select("id").toPandas()["id"].to_numpy(dtype=np.int64),
+            kind="stable",
         )
         epd = self.edges.toPandas()
         src_orig = epd["src"].to_numpy(dtype=np.int64)

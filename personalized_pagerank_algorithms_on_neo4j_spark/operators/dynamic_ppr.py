@@ -64,8 +64,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_ALPHA
+from ..config import DEFAULT_ALPHA, LOCAL_EDGE_THRESHOLD
 from ..plans.iterative import loop_shuffle_partitions, static_superstep_plan
+
+# Driver-local kernel bounds (beyond the shared edge cutoff): the dense
+# (targets x nodes) state matrices and the per-superstep O(T x E) push
+# must both stay broadcast-sized.  Above either bound the distributed
+# superstep loop below runs unchanged — the 100x plan.
+_LOCAL_STATE_CELLS = 32_000_000  # T x n doubles, ~256 MB for the pair
+_LOCAL_PUSH_WORK = 64_000_000  # T x E multiply-adds per superstep
 
 
 def _edges_with_outdeg(edges: DataFrame) -> DataFrame:
@@ -103,7 +110,10 @@ def reverse_push_state(
     partitions like every other superstep verb (plans/iterative); without
     it the loop pays session-default task counts per round even when the
     state is a few thousand rows."""
-    edges = _edges_with_outdeg(edges)
+    # one materialization serves both paths: the distributed loop reads
+    # the od-joined checkpoint, the gate counts it, the local kernel
+    # collects it
+    edges = _edges_with_outdeg(edges).localCheckpoint(eager=True)
     if state is None:
         state = targets.select(
             F.col("target").cast("long").alias("target"),
@@ -111,6 +121,25 @@ def reverse_push_state(
             F.lit(1.0).alias("residue"),
             F.lit(0.0).alias("reserve"),
         )
+    # Driver-local kernel under the LocalGraph edge cutoff (graph.py
+    # precedent; louvain/scc r12 idiom): the frontier-synchronous
+    # |r|-qualified push recurrence is replayed on dense numpy state —
+    # same per-superstep algebra, same stopping round, same raise — so
+    # the fixed point agrees to float precision (the oracle compares
+    # after ROUND(..., 9)).  Replaces ~3 Spark jobs per superstep
+    # (frontier probe, push aggregate + full-outer merge, checkpoint).
+    if edges.count() <= LOCAL_EDGE_THRESHOLD:
+        local = _reverse_push_local(
+            spark,
+            edges,
+            state,
+            rmax,
+            alpha,
+            max_supersteps,
+            first_unconditional,
+        )
+        if local is not None:
+            return local
     # Loop shape (the sssp_weighted merge discipline, NOT a whole-state
     # re-aggregation): the state frame stays (target, node)-partitioned
     # from its previous checkpoint; each round only the FRONTIER-BOUNDED
@@ -124,7 +153,6 @@ def reverse_push_state(
         else None
     )
     with static_superstep_plan(spark, loop_parts):
-        edges = edges.localCheckpoint(eager=True)
         state = state.localCheckpoint(eager=True)
         first = first_unconditional
         for _ in range(max_supersteps):
@@ -182,6 +210,91 @@ def reverse_push_state(
                     f"{max_supersteps} supersteps — raise max_supersteps"
                 )
     return state
+
+
+def _reverse_push_local(
+    spark: SparkSession,
+    edges: DataFrame,
+    state: DataFrame,
+    rmax: float,
+    alpha: float,
+    max_supersteps: int,
+    first_unconditional: bool,
+) -> DataFrame | None:
+    """numpy replay of `reverse_push_state`'s superstep recurrence on a
+    dense (targets x nodes) state.  Returns None when the dense state or
+    the per-superstep push work would exceed the driver-local bounds —
+    the caller then runs the distributed loop unchanged.
+
+    Faithful per round: frontier = |r| > thr (thr = 0 on an unconditional
+    first round, rmax after), reserve += alpha*r over the frontier, every
+    frontier residue zeroed, each edge (u, v) returns
+    (1-alpha) * r(v) / d(u) to u — the same linear step the DataFrame
+    loop and the unrolled SQL oracle execute, so the fixed point agrees
+    to float precision.  Rows with residue == reserve == 0 are not
+    emitted: downstream consumers (the repair sums, the final
+    positive/nonzero filter) treat absent and all-zero rows identically."""
+    import numpy as np
+    import pandas as pd
+
+    epd = edges.select("src", "dst").toPandas()
+    spd = state.toPandas()
+    es_o = epd["src"].to_numpy(dtype=np.int64)
+    ed_o = epd["dst"].to_numpy(dtype=np.int64)
+    from .._nputil import unique_stable
+
+    tgt = unique_stable(spd["target"].to_numpy(dtype=np.int64))
+    ids = unique_stable(
+        np.concatenate(
+            [es_o, ed_o, spd["node"].to_numpy(dtype=np.int64), tgt]
+        )
+    )
+    n, t_cnt, m = len(ids), len(tgt), len(es_o)
+    if t_cnt * n > _LOCAL_STATE_CELLS or t_cnt * m > _LOCAL_PUSH_WORK:
+        return None
+    es = np.searchsorted(ids, es_o)
+    ed = np.searchsorted(ids, ed_o)
+    ti = np.searchsorted(tgt, spd["target"].to_numpy(dtype=np.int64))
+    ni = np.searchsorted(ids, spd["node"].to_numpy(dtype=np.int64))
+    resid = np.zeros((t_cnt, n))
+    resv = np.zeros((t_cnt, n))
+    # state is (target, node)-unique by construction; add.at keeps the
+    # groupBy-sum semantics if a caller ever passes duplicates
+    np.add.at(resid, (ti, ni), spd["residue"].to_numpy(dtype=np.float64))
+    np.add.at(resv, (ti, ni), spd["reserve"].to_numpy(dtype=np.float64))
+    od = np.bincount(es, minlength=n).astype(np.int64)
+    w = (1.0 - alpha) / od[es]
+    first = first_unconditional
+    for _ in range(max_supersteps):
+        thr = 0.0 if first else rmax
+        first = False
+        qual = np.abs(resid) > thr
+        if not qual.any():
+            break
+        rq = np.where(qual, resid, 0.0)
+        resv = resv + alpha * rq
+        resid = np.where(qual, 0.0, resid)
+        for t in range(t_cnt):
+            resid[t] += np.bincount(es, weights=rq[t, ed] * w, minlength=n)
+    else:
+        if (np.abs(resid) > rmax).any():
+            raise RuntimeError(
+                f"reverse_push_state: |residue| > {rmax} after "
+                f"{max_supersteps} supersteps — raise max_supersteps"
+            )
+    keep = (resid != 0.0) | (resv != 0.0)
+    t_idx, n_idx = np.nonzero(keep)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "target": tgt[t_idx],
+                "node": ids[n_idx],
+                "residue": resid[keep],
+                "reserve": resv[keep],
+            }
+        ),
+        "target long, node long, residue double, reserve double",
+    )
 
 
 def repair_on_insert(

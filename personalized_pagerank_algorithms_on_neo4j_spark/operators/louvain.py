@@ -61,6 +61,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._nputil import group_sum_int, pick_max_per_group
 from ..config import LOCAL_EDGE_THRESHOLD
 from ..graph import PropertyGraph
 from ..plans.iterative import (
@@ -82,7 +83,9 @@ def _local_moving_numpy(
     int64 arrays."""
     import numpy as np
 
-    nodes = np.sort(labels_pdf["node"].to_numpy(dtype=np.int64))
+    nodes = np.sort(
+        labels_pdf["node"].to_numpy(dtype=np.int64), kind="stable"
+    )
     n = len(nodes)
     lab_in = labels_pdf["node"].to_numpy(dtype=np.int64)
     lab_val = labels_pdf["label"].to_numpy(dtype=np.int64)
@@ -123,9 +126,10 @@ def _local_moving_numpy(
         own_v = np.nonzero(node_par == par)[0]
         key = np.concatenate([su * n + sc, own_v * n + lab[own_v]])
         wts = np.concatenate([sw, np.zeros(len(own_v), dtype=np.int64)])
-        uniq, inv = np.unique(key, return_inverse=True)
-        wsum = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(wsum, inv, wts)
+        # one stable-sort groupby (int64-exact reduceat sums) — replaces
+        # np.unique + add.at, whose default quicksort is pathological on
+        # SIMD-poor CPUs (_nputil)
+        uniq, wsum = group_sum_int(key, wts)
         v = uniq // n
         c = uniq % n
         # community degree sums from the PREVIOUS assignment (exact int64)
@@ -134,13 +138,11 @@ def _local_moving_numpy(
         own_bonus = np.where(c == lab[v], deg[v], 0)
         score = m2 * wsum - deg[v] * (dc[c] - own_bonus)
         # argmax per v under (score desc, cand asc); cand is an index but
-        # index order == id order (nodes sorted ascending)
-        order = np.lexsort((c, -score, v))
-        vv = v[order]
-        first = np.ones(len(vv), dtype=bool)
-        first[1:] = vv[1:] != vv[:-1]
+        # index order == id order (nodes sorted ascending); rows are
+        # already (v asc, cand asc) from the groupby
+        pick = pick_max_per_group(v, c, score)
         lab = lab.copy()
-        lab[vv[first]] = c[order][first]
+        lab[v[pick]] = c[pick]
     return nodes, nodes[lab]
 
 

@@ -48,7 +48,7 @@ def _lpa_numpy(und_pdf, nodes_arr, rounds: int):
     keep-on-isolated rule — so the replay is bit-exact per round."""
     import numpy as np
 
-    nodes = np.sort(nodes_arr.astype(np.int64))
+    nodes = np.sort(nodes_arr.astype(np.int64), kind="stable")
     n = len(nodes)
     lab = np.arange(n, dtype=np.int64)  # label == own id initially
     if n == 0:
@@ -68,20 +68,21 @@ def _lpa_numpy(und_pdf, nodes_arr, rounds: int):
     # has no labels row to update (left join keyed on labels)
     keep = oku & okv
     eu, ev = pu[keep], pv[keep]
+    from .._nputil import group_count, pick_max_per_group
+
     for _ in range(rounds):
         if len(eu) == 0:
             break
         key = ev * n + lab[eu]
-        uniq, inv = np.unique(key, return_inverse=True)
-        c = np.bincount(inv)
+        # one stable-sort groupby + segment argmax — same (count desc,
+        # label asc) pick the lexsort idiom encoded, without numpy's
+        # default quicksort (pathological on SIMD-poor CPUs, _nputil)
+        uniq, c = group_count(key)
         v = uniq // n
         lb = uniq % n
-        order = np.lexsort((lb, -c, v))
-        vv = v[order]
-        first = np.ones(len(vv), dtype=bool)
-        first[1:] = vv[1:] != vv[:-1]
+        pick = pick_max_per_group(v, lb, c)
         new = lab.copy()
-        new[vv[first]] = lb[order][first]
+        new[v[pick]] = lb[pick]
         lab = new
     return nodes, nodes[lab]
 

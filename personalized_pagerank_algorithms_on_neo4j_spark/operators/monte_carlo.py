@@ -154,7 +154,9 @@ def _drain_walks_batch(pdf, base_seed, stop_prob, lg, np, pd):
     # exact in-batch aggregation on (start, endpoint) via lexsort group
     # boundaries (a composite-key unique could collide across residues)
     we = lg.ids[wc]
-    order = np.lexsort((we, ws))
+    from .._nputil import lexsort_stable
+
+    order = lexsort_stable((we, ws))
     ws_s, we_s = ws[order], we[order]
     new_grp = np.empty(total, bool)
     new_grp[0] = True
@@ -277,7 +279,9 @@ def _counted_step_batch(pdf, base_seed, step_i, stop_prob, np, pd):
             )
             ends_d = np.cumsum(deg[small_m])
             slot = (ends_d - deg[small_m])[pos_in] + pick
-            uniq, counts = np.unique(slot, return_counts=True)
+            from .._nputil import group_count
+
+            uniq, counts = group_count(slot)
             upos = np.searchsorted(ends_d, uniq, side="right")
             parts_s.append(start[small_m[upos]])
             parts_c.append(flat_nbrs[uniq])

@@ -103,16 +103,18 @@ def _boruvka_local(
     edge."""
     import numpy as np
 
+    from .._nputil import lexsort_stable, unique_stable
+
     u = und_pdf["u"].to_numpy(dtype=np.int64)
     v = und_pdf["v"].to_numpy(dtype=np.int64)
     w = und_pdf["w"].to_numpy(dtype=np.int64)
     sw = und_pdf["sw"].to_numpy(dtype=np.int64)
     m = len(u)
-    nodes = np.unique(np.concatenate([u, v]))
+    nodes = unique_stable(np.concatenate([u, v]))
     n = len(nodes)
     iu = np.searchsorted(nodes, u)
     iv = np.searchsorted(nodes, v)
-    order = np.lexsort((v, u, sw))  # strict (sw, u, v) total order
+    order = lexsort_stable((v, u, sw))  # strict (sw, u, v) total order
     rank = np.empty(m, dtype=np.int64)
     rank[order] = np.arange(m)
     lab = np.arange(n, dtype=np.int64)  # component = node INDEX (id order)
@@ -128,7 +130,7 @@ def _boruvka_local(
         best = np.full(n, m, dtype=np.int64)
         np.minimum.at(best, lu[cross], rank[cross])
         np.minimum.at(best, lv[cross], rank[cross])
-        sel = np.unique(best[best < m])
+        sel = unique_stable(best[best < m])
         eidx = order[sel]
         forest.extend(
             zip(u[eidx].tolist(), v[eidx].tolist(), w[eidx].tolist())

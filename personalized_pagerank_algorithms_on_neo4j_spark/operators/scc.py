@@ -78,7 +78,9 @@ def _scc_local(src, dst) -> dict[int, int]:
     coloring loop — and the oracle's recursive closure — computes."""
     import numpy as np
 
-    nodes = np.unique(np.concatenate([src, dst]))
+    from .._nputil import unique_stable
+
+    nodes = unique_stable(np.concatenate([src, dst]))
     n = len(nodes)
     isrc = np.searchsorted(nodes, src)
     idst = np.searchsorted(nodes, dst)

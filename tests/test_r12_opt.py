@@ -248,6 +248,83 @@ def test_lpa_local_matches_distributed(spark):
     assert local == dist and local
 
 
+def test_reverse_push_local_matches_distributed(spark):
+    """The dense numpy replay of reverse_push_state vs the superstep loop
+    (forced via a zero edge cutoff), through the FULL maintenance
+    lifecycle (init push, insert repair, resume): same rows at the
+    oracle's ROUND(..., 9) compare granularity (float sums associate
+    differently across the two paths, exactly as distributed-vs-DuckDB
+    already does; the driver hash rounds to 1e-9)."""
+    import random
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import (
+        dynamic_ppr,
+    )
+
+    rng = random.Random(31)
+    edges = sorted(
+        {(rng.randrange(25), rng.randrange(25)) for _ in range(80)}
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    cut = len(edges) // 10
+    old, new = edges[cut:], edges[:cut]
+    odf = spark.createDataFrame(old, "src long, dst long")
+    ndf = spark.createDataFrame(new, "src long, dst long")
+    adf = spark.createDataFrame(edges, "src long, dst long")
+    tg = spark.createDataFrame([(3,), (7,)], "target long")
+
+    def lifecycle():
+        st0 = dynamic_ppr.reverse_push_state(
+            spark, odf, tg, 1e-4, 1.0 / 7.0, max_supersteps=60
+        )
+        rep = dynamic_ppr.repair_on_insert(st0, odf, ndf, 1.0 / 7.0)
+        st1 = dynamic_ppr.reverse_push_state(
+            spark,
+            adf,
+            tg,
+            1e-4,
+            1.0 / 7.0,
+            state=rep,
+            first_unconditional=False,
+            max_supersteps=60,
+        )
+        rows = st1.select(
+            "target",
+            "node",
+            F.round("residue", 9).alias("residue"),
+            F.round("reserve", 9).alias("reserve"),
+        ).where((F.col("residue") != 0) | (F.col("reserve") != 0))
+        return sorted(map(tuple, rows.collect()))
+
+    local = lifecycle()
+    orig = dynamic_ppr.LOCAL_EDGE_THRESHOLD
+    dynamic_ppr.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        dist = lifecycle()
+    finally:
+        dynamic_ppr.LOCAL_EDGE_THRESHOLD = orig
+    assert local == dist and local
+
+
+def test_reverse_push_local_strict_raises(spark):
+    """The local kernel must reproduce the over-budget raise."""
+    import pytest as _pytest
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import (
+        dynamic_ppr,
+    )
+
+    # a directed cycle keeps residue circulating: 1 superstep cannot reach
+    # |r| <= rmax
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tg = spark.createDataFrame([(0,)], "target long")
+    with _pytest.raises(RuntimeError, match="supersteps"):
+        dynamic_ppr.reverse_push_state(
+            spark, df, tg, 1e-9, 0.15, max_supersteps=1
+        )
+
+
 def test_scc_local_matches_distributed(spark):
     from personalized_pagerank_algorithms_on_neo4j_spark.operators import scc as sccmod
 
