@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..config import LOCAL_EDGE_THRESHOLD
 from ..functions.graphstats import symmetrize_edges
 from ..plans.iterative import (
     BROADCAST_NODE_BOUND,
@@ -82,28 +83,61 @@ def eigenvector_centrality(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    score = nodes.select("node", F.lit(1.0).alias("score"))
-    loop = SuperstepLoop(checkpoint_every=4)
-    small = n <= BROADCAST_NODE_BOUND
-    loop_parts = loop_shuffle_partitions(spark, n) if small else None
-    with static_superstep_plan(spark, shuffle_partitions=loop_parts):
-        for _ in range(iterations):
-            sj = F.broadcast(score) if small else score
-            step = sj.join(e, sj.node == e.src).select(
-                F.col("dst").alias("node"), F.col("score")
-            )
-            # the +I self term keeps every node in the frame each round,
-            # so no end-of-loop left join against the node table is needed
-            score = (
-                step.unionAll(score.select("node", "score"))
-                .groupBy("node")
-                .agg(F.sum("score").alias("score"))
-            )
-            score = loop.materialize(score)
+    # Driver-local kernel under the edge cutoff: the shifted recurrence
+    # x <- x + A^T x on a dense vector.  All quantities stay INTEGRAL
+    # until they exceed 2^53 (adjacency weights are 1, x starts at 1), so
+    # the replay is typically bit-exact, and in any case within the
+    # summation-order drift the unrolled oracle already tolerates.  The
+    # final normalization/round below runs through the identical Spark
+    # expressions either way.
+    if e.count() <= LOCAL_EDGE_THRESHOLD:
+        score = _eigenvector_scores_local(spark, e, nodes, iterations)
+    else:
+        score = nodes.select("node", F.lit(1.0).alias("score"))
+        loop = SuperstepLoop(checkpoint_every=4)
+        small = n <= BROADCAST_NODE_BOUND
+        loop_parts = loop_shuffle_partitions(spark, n) if small else None
+        with static_superstep_plan(spark, shuffle_partitions=loop_parts):
+            for _ in range(iterations):
+                sj = F.broadcast(score) if small else score
+                step = sj.join(e, sj.node == e.src).select(
+                    F.col("dst").alias("node"), F.col("score")
+                )
+                # the +I self term keeps every node in the frame each
+                # round, so no end-of-loop left join against the node
+                # table is needed
+                score = (
+                    step.unionAll(score.select("node", "score"))
+                    .groupBy("node")
+                    .agg(F.sum("score").alias("score"))
+                )
+                score = loop.materialize(score)
     score = score.localCheckpoint(eager=True)  # read by norm + result branch
     norm = score.agg(F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("_n"))
     return score.crossJoin(F.broadcast(norm)).select(
         "node", F.round(F.col("score") / F.col("_n"), 9).alias("score")
+    )
+
+
+def _eigenvector_scores_local(
+    spark: SparkSession, e: DataFrame, nodes: DataFrame, iterations: int
+) -> DataFrame:
+    """Raw (node, score) from the dense replay of the shifted power
+    recurrence; normalization stays in the caller's Spark tail."""
+    import numpy as np
+    import pandas as pd
+
+    epd = e.select("src", "dst").toPandas()
+    ids = np.sort(
+        nodes.toPandas()["node"].to_numpy(dtype=np.int64), kind="stable"
+    )
+    es = np.searchsorted(ids, epd["src"].to_numpy(dtype=np.int64))
+    ed = np.searchsorted(ids, epd["dst"].to_numpy(dtype=np.int64))
+    x = np.ones(len(ids))
+    for _ in range(iterations):
+        x = x + np.bincount(ed, weights=x[es], minlength=len(ids))
+    return spark.createDataFrame(
+        pd.DataFrame({"node": ids, "score": x}), "node long, score double"
     )
 
 

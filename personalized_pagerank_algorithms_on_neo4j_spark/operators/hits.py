@@ -34,6 +34,39 @@ def hits(graph: PropertyGraph, iterations: int = 10) -> DataFrame:
     ``iterations`` synchronous update rounds from the all-ones hub vector,
     max-normalized per round, rounded to 9 decimals at the end."""
     spark = graph.spark
+    # Driver-local kernel under the LocalGraph cutoff: the identical
+    # alternating recurrence on dense vectors — per-round sums differ
+    # only in ORDER from the hash aggregate (the drift class the unrolled
+    # oracle tolerates under the final ROUND(_, 9)); the normalizing max
+    # and the per-row division are the same exact IEEE ops.  Replaces
+    # ~6 Spark jobs per iteration (two join+agg branches, two
+    # checkpoints, two scalar maxima).
+    if graph.fits_local():
+        import numpy as np
+        import pandas as pd
+
+        lg = graph.local
+        es, ed = lg.edge_src, lg.edge_dst
+        h = np.ones(lg.n)
+        a = np.zeros(lg.n)
+        # zero edges -> no incident nodes -> empty result either way;
+        # skip the loop rather than divide by an all-zero max
+        for _ in range(iterations if len(es) else 0):
+            a = np.bincount(ed, weights=h[es], minlength=lg.n)
+            a = a / a.max()
+            h = np.bincount(es, weights=a[ed], minlength=lg.n)
+            h = h / h.max()
+        inc = (lg.out_deg + lg.in_deg) > 0  # incident nodes only
+        pdf = pd.DataFrame(
+            {"node": lg.ids[inc], "hub": h[inc], "authority": a[inc]}
+        )
+        return spark.createDataFrame(
+            pdf, "node long, hub double, authority double"
+        ).select(
+            "node",
+            F.round("hub", 9).alias("hub"),
+            F.round("authority", 9).alias("authority"),
+        )
     edges = graph.edges.select("src", "dst")
     small = graph.n <= BROADCAST_NODE_BOUND
     loop_parts = loop_shuffle_partitions(spark, graph.n) if small else None

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_ALPHA
+from ..config import DEFAULT_ALPHA, LOCAL_EDGE_THRESHOLD
 from ..graph import PropertyGraph
 from ..plans.iterative import (
     BROADCAST_NODE_BOUND,
@@ -162,6 +162,32 @@ def article_rank(
     table (`_uniform_restart_loop`'s discipline)."""
     d = 1.0 - alpha
     avg_out = graph.m / graph.n  # exact ints -> one IEEE division, portable
+    # Driver-local kernel under the LocalGraph cutoff (the pagerank_global
+    # idiom one function up): the same recurrence on a dense vector, the
+    # identical per-edge float expression (d*rank)/(od+avg); only the
+    # bincount summation ORDER differs from the hash aggregate, the drift
+    # class the unrolled oracle already tolerates under ROUND(_, 9).
+    if graph.fits_local():
+        import numpy as np
+        import pandas as pd
+
+        lg = graph.local
+        r_val = (1.0 - d) / graph.n
+        denom = lg.out_deg[lg.edge_src] + avg_out
+        rank = np.full(lg.n, 1.0 / graph.n)
+        for _ in range(iterations):
+            rank = (
+                np.bincount(
+                    lg.edge_dst,
+                    weights=(d * rank[lg.edge_src]) / denom,
+                    minlength=lg.n,
+                )
+                + r_val
+            )
+        return graph.spark.createDataFrame(
+            pd.DataFrame({"node": lg.ids, "score": rank}),
+            "node long, score double",
+        )
     return _uniform_restart_loop(
         graph.spark,
         edges=graph.edges_deg,
@@ -247,6 +273,17 @@ def pagerank_snapshots(
     n = nodes.count()
     t_count = snaps.count()
     d = 1.0 - alpha
+    # Driver-local kernel under the edge cutoff: the (snap, node)-keyed
+    # recurrence as a dense (T x n) matrix — one bincount per iteration
+    # replaces the T-batched join + union + aggregate + checkpoint jobs.
+    # Falls through to the distributed loop when the dense state would
+    # outgrow the driver bound.
+    if edges_t.count() <= LOCAL_EDGE_THRESHOLD:
+        local = _pagerank_snapshots_local(
+            spark, edges_t, nodes, t_count, n, d, alpha, iterations
+        )
+        if local is not None:
+            return local
     restart = (
         snaps.crossJoin(nodes.select(F.col("id").alias("node")))
         .select("snap", "node", F.lit((1.0 - d) / n).alias("rank"))
@@ -275,6 +312,72 @@ def pagerank_snapshots(
             )
             rank = loop.materialize(rank)
     return rank.select("snap", "node", F.col("rank").alias("score"))
+
+
+_SNAP_STATE_CELLS = 32_000_000  # T x n doubles, ~256 MB dense bound
+
+
+def _pagerank_snapshots_local(
+    spark,
+    edges_t: DataFrame,
+    nodes: DataFrame,
+    t_count: int,
+    n: int,
+    d: float,
+    alpha: float,
+    iterations: int,
+) -> DataFrame | None:
+    """Dense (T x ids) replay of `pagerank_snapshots`.  Row semantics are
+    faithful to the union-groupBy loop: restart keeps every (snap, node)
+    row for nodes of the SHARED node table; an edge dst outside the node
+    table holds a row exactly while it receives (strictly positive)
+    contributions — dense mass > 0 reproduces that set."""
+    import numpy as np
+    import pandas as pd
+
+    from .._nputil import unique_stable
+
+    epd = edges_t.select("snap", "src", "dst").toPandas()
+    sn_o = epd["snap"].to_numpy(dtype=np.int64)
+    es_o = epd["src"].to_numpy(dtype=np.int64)
+    ed_o = epd["dst"].to_numpy(dtype=np.int64)
+    nd_o = (
+        nodes.select(F.col("id").cast("long").alias("id"))
+        .toPandas()["id"]
+        .to_numpy(dtype=np.int64)
+    )
+    snaps = unique_stable(sn_o)
+    ids = unique_stable(np.concatenate([nd_o, es_o, ed_o]))
+    n_ids = len(ids)
+    if t_count * n_ids > _SNAP_STATE_CELLS:
+        return None
+    k = np.searchsorted(snaps, sn_o)
+    es = np.searchsorted(ids, es_o)
+    ed = np.searchsorted(ids, ed_o)
+    ni = np.searchsorted(ids, nd_o)
+    # per-(snap, src) out-degree — same integer the groupBy count derives
+    od_flat = np.bincount(k * n_ids + es, minlength=t_count * n_ids)
+    od_e = od_flat[k * n_ids + es].astype(np.float64)
+    is_node = np.zeros(n_ids, dtype=bool)
+    is_node[ni] = True
+    rank = np.zeros((t_count, n_ids))
+    rank[:, is_node] = 1.0 / n
+    r_val = (1.0 - d) / n
+    flat_dst = k * n_ids + ed
+    for _ in range(iterations):
+        contrib = (d * rank[k, es]) / od_e
+        rank = np.bincount(
+            flat_dst, weights=contrib, minlength=t_count * n_ids
+        ).reshape(t_count, n_ids)
+        rank[:, is_node] += r_val
+    keep = is_node[None, :] | (rank > 0.0)
+    ki, vi = np.nonzero(keep)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"snap": snaps[ki], "node": ids[vi], "score": rank[keep]}
+        ),
+        "snap long, node long, score double",
+    )
 
 
 def pagerank_snapshots_oracle_sql(
@@ -353,6 +456,16 @@ def pagerank_weighted(
     )
     if bad:
         raise ValueError("pagerank_weighted: weights must be positive (and non-null)")
+    # Driver-local kernel under the edge cutoff (the article_rank idiom):
+    # dense replay of the identical recurrence — per-edge (d*rank)*p with
+    # p = weight/W(u) the same two IEEE ops, only aggregation ORDER
+    # differing (the drift class the unrolled oracle tolerates under
+    # ROUND(_, 9)).  The checkpoint above already materialized the edge
+    # list, so the gate count and the collect are both cheap.
+    if edges_w.count() <= LOCAL_EDGE_THRESHOLD:
+        return _pagerank_weighted_local(
+            edges_w.sparkSession, edges_w, iterations, alpha, source
+        )
     w_tot = edges_w.groupBy("src").agg(F.sum("weight").alias("w_out"))
     ew = (
         edges_w.join(w_tot, "src")
@@ -389,6 +502,70 @@ def pagerank_weighted(
         n=n,
         iterations=iterations,
         rank0=rank0,
+    )
+
+
+def _pagerank_weighted_local(
+    spark,
+    edges_w: DataFrame,
+    iterations: int,
+    alpha: float,
+    source: int | None,
+) -> DataFrame:
+    """Dense numpy replay of `pagerank_weighted`'s recurrence.  Faithful
+    row semantics: the uniform flavor's restart covers every incident
+    node so every node keeps a row; the personalized flavor emits only
+    nodes holding mass (contributions are strictly positive products, so
+    mass > 0 is exactly the distributed loop's reachable ∪ {source} row
+    set)."""
+    import numpy as np
+    import pandas as pd
+
+    from .._nputil import group_by_key, unique_stable
+
+    epd = edges_w.select("src", "dst", "weight").toPandas()
+    es_o = epd["src"].to_numpy(dtype=np.int64)
+    ed_o = epd["dst"].to_numpy(dtype=np.int64)
+    w = epd["weight"].to_numpy(dtype=np.float64)
+    parts = [es_o, ed_o]
+    if source is not None:
+        parts.append(np.asarray([int(source)], dtype=np.int64))
+    ids = unique_stable(np.concatenate(parts))
+    n_ids = len(ids)
+    es = np.searchsorted(ids, es_o)
+    ed = np.searchsorted(ids, ed_o)
+    # W(u): per-src weight sums (one stable-sort groupby; summation order
+    # differs from the hash aggregate — tolerated drift, see docstring)
+    w_out = np.zeros(n_ids)
+    order, starts, uniq = group_by_key(es)
+    if len(uniq):
+        w_out[uniq] = np.add.reduceat(w[order], starts)
+    p = w / w_out[es]
+    # n counts INCIDENT nodes only (the distributed node-union count),
+    # never the appended personalization source
+    n = len(unique_stable(np.concatenate([es_o, ed_o])))
+    d = 1.0 - alpha
+    rank = np.zeros(n_ids)
+    restart = np.zeros(n_ids)
+    if source is None:
+        rank[:] = 1.0 / n
+        restart[:] = (1.0 - d) / n
+    else:
+        s_idx = int(np.searchsorted(ids, int(source)))
+        rank[s_idx] = 1.0
+        restart[s_idx] = 1.0 - d
+    for _ in range(iterations):
+        rank = (
+            np.bincount(ed, weights=(d * rank[es]) * p, minlength=n_ids)
+            + restart
+        )
+    if source is None:
+        keep = np.ones(n_ids, dtype=bool)
+    else:
+        keep = rank > 0.0
+    return spark.createDataFrame(
+        pd.DataFrame({"node": ids[keep], "score": rank[keep]}),
+        "node long, score double",
     )
 
 

@@ -41,6 +41,37 @@ def salsa(graph: PropertyGraph, iterations: int = 8) -> DataFrame:
     9 decimals.  Nodes that are pure authorities keep hub 0 (and vice
     versa) — the bipartite double cover's two sides."""
     spark = graph.spark
+    # Driver-local kernel under the LocalGraph cutoff (the hits.py idiom):
+    # the identical stochastic half-steps on dense vectors — hub/od and
+    # authority/id are the same per-edge IEEE divisions, only the grouped
+    # summation ORDER differs (tolerated under the final ROUND(_, 9), as
+    # between the distributed loop and the unrolled oracle).
+    if graph.fits_local():
+        import numpy as np
+        import pandas as pd
+
+        lg = graph.local
+        es, ed = lg.edge_src, lg.edge_dst
+        od, idg = lg.out_deg, lg.in_deg
+        n_hubs = int((od > 0).sum())
+        # faithful to the distributed h0 (raises on a zero-edge graph
+        # exactly like the 1/n_hubs literal below would)
+        h = np.where(od > 0, 1.0 / float(n_hubs), 0.0)
+        a = np.zeros(lg.n)
+        for _ in range(iterations):
+            a = np.bincount(ed, weights=h[es] / od[es], minlength=lg.n)
+            h = np.bincount(es, weights=a[ed] / idg[ed], minlength=lg.n)
+        inc = (od + idg) > 0
+        pdf = pd.DataFrame(
+            {"node": lg.ids[inc], "hub": h[inc], "authority": a[inc]}
+        )
+        return spark.createDataFrame(
+            pdf, "node long, hub double, authority double"
+        ).select(
+            "node",
+            F.round("hub", 9).alias("hub"),
+            F.round("authority", 9).alias("authority"),
+        )
     edges = graph.edges.select("src", "dst")
     small = graph.n <= BROADCAST_NODE_BOUND
     loop_parts = loop_shuffle_partitions(spark, graph.n) if small else None

@@ -350,3 +350,136 @@ def test_scc_local_matches_distributed(spark):
     finally:
         sccmod.LOCAL_EDGE_THRESHOLD = orig
     assert local == dist and local
+
+
+# ---------------------------------------------------------------------------
+# Spectral / restart-loop family (r12 batch 2)
+# ---------------------------------------------------------------------------
+
+
+def _spectral_fixture(spark):
+    """A cyclic directed graph with one isolated node (77) plus weights."""
+    import random
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(160)})
+    edges = [(u, v) for u, v in edges if u != v]
+    nodes = sorted({x for e in edges for x in e} | {77})
+    ndf = spark.createDataFrame(
+        [(i, f"n{i}") for i in nodes], "id long, name string"
+    )
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    return nodes, ndf, edf, edges
+
+
+def _round_rows(df):
+    cols = list(zip(df.columns, [t for _, t in df.dtypes]))
+    sel = [
+        F.round(c, 9).alias(c) if t == "double" else F.col(c)
+        for c, t in cols
+    ]
+    return sorted(map(tuple, df.select(*sel).collect()))
+
+
+def test_articlerank_hits_salsa_local_match_distributed(spark):
+    """The dense kernels vs the superstep loops (forced via a zero graph
+    cutoff), compared at the oracle's ROUND(..., 9) granularity."""
+    from personalized_pagerank_algorithms_on_neo4j_spark import (
+        PropertyGraph,
+        graph as gmod,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import (
+        hits as hmod,
+        pagerank as prmod,
+        salsa as smod,
+    )
+
+    nodes, ndf, edf, edges = _spectral_fixture(spark)
+    g_local = PropertyGraph(spark, ndf, edf)
+    runs = [
+        lambda g: prmod.article_rank(g, iterations=6),
+        lambda g: hmod.hits(g, iterations=7),
+        lambda g: smod.salsa(g, iterations=5),
+    ]
+    locals_ = [_round_rows(r(g_local)) for r in runs]
+    saved = gmod.LOCAL_EDGE_THRESHOLD
+    gmod.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        g_dist = PropertyGraph(spark, ndf, edf)
+        dists = [_round_rows(r(g_dist)) for r in runs]
+    finally:
+        gmod.LOCAL_EDGE_THRESHOLD = saved
+    for lo, di in zip(locals_, dists):
+        assert lo == di and lo
+
+
+def test_eigenvector_local_matches_distributed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import (
+        eigenvector as evmod,
+    )
+
+    _, _, edf, _ = _spectral_fixture(spark)
+    local = _round_rows(evmod.eigenvector_centrality(spark, edf, iterations=8))
+    saved = evmod.LOCAL_EDGE_THRESHOLD
+    evmod.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        dist = _round_rows(
+            evmod.eigenvector_centrality(spark, edf, iterations=8)
+        )
+    finally:
+        evmod.LOCAL_EDGE_THRESHOLD = saved
+    assert local == dist and local
+
+
+def test_pagerank_weighted_local_matches_distributed(spark):
+    """Uniform AND personalized flavors; the personalized row set must
+    stay exactly reachable ∪ {source} (no zero-score rows)."""
+    import random
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import (
+        pagerank as prmod,
+    )
+
+    nodes, _, _, edges = _spectral_fixture(spark)
+    rng = random.Random(11)
+    wedges = [(u, v, float(rng.randrange(1, 9))) for u, v in edges]
+    wdf = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    for src in (None, nodes[1]):
+        local = _round_rows(
+            prmod.pagerank_weighted(wdf, iterations=7, source=src)
+        )
+        saved = prmod.LOCAL_EDGE_THRESHOLD
+        prmod.LOCAL_EDGE_THRESHOLD = -1
+        try:
+            dist = _round_rows(
+                prmod.pagerank_weighted(wdf, iterations=7, source=src)
+            )
+        finally:
+            prmod.LOCAL_EDGE_THRESHOLD = saved
+        assert local == dist and local
+    # the personalized flavor must emit only mass-holding rows (strictly
+    # fewer than the incident-node count on this fixture)
+    assert len(local) < len(nodes)
+
+
+def test_pagerank_snapshots_local_matches_distributed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import (
+        pagerank as prmod,
+    )
+
+    _, ndf, _, edges = _spectral_fixture(spark)
+    tedges = [
+        (s, u, v)
+        for s in (1, 2, 3)
+        for (u, v) in edges
+        if (u * 7 + v + s) % 3
+    ]
+    tdf = spark.createDataFrame(tedges, "snap long, src long, dst long")
+    local = _round_rows(prmod.pagerank_snapshots(tdf, ndf, iterations=5))
+    saved = prmod.LOCAL_EDGE_THRESHOLD
+    prmod.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        dist = _round_rows(prmod.pagerank_snapshots(tdf, ndf, iterations=5))
+    finally:
+        prmod.LOCAL_EDGE_THRESHOLD = saved
+    assert local == dist and local
