@@ -82,6 +82,20 @@ def _edge_hash(src, dst, step: int, seed: int):
     return portable_hash(payload, seed)
 
 
+def _edge_hash_col(src, dst, step_col, seed: int):
+    """`_edge_hash` with the step as a COLUMN: casting an int column to
+    string renders the same decimal text as the per-step literal, so the
+    md5 payload — and therefore every pick — is identical."""
+    payload = F.concat(
+        src.cast("string"),
+        F.lit("|"),
+        dst.cast("string"),
+        F.lit("|"),
+        step_col.cast("string"),
+    )
+    return portable_hash(payload, seed)
+
+
 def _edge_hash_sql(src: str, dst: str, step: str, seed: int) -> str:
     """DuckDB twin of ``_edge_hash`` (same md5 payload, same 48-bit slice)."""
     payload = (
@@ -171,6 +185,42 @@ def walk_corpus(
     n_walks = state.count()
     loop = SuperstepLoop(checkpoint_every=4)
     small = n_walks <= BROADCAST_NODE_BOUND
+    # Single-pass plan when the FULL (node, step) successor map is
+    # broadcast-sized: the per-step successor is a pure function of the
+    # adjacency (hash keys on (v, dst, t), never on walk state), so ONE
+    # aggregate computes succ(v, t) for every node and step — the same
+    # min(struct(hash, dst)) expression, the same "v|dst|t" hash payload —
+    # and the walk becomes `length` chained broadcast joins in a single
+    # job: 2 shuffles total (successor aggregate + nothing per step)
+    # instead of 2 shuffles and ~4 jobs per step.  Unoccupied (v, t)
+    # entries are computed but unused — identical walk output.
+    if n_walks * length <= BROADCAST_NODE_BOUND:
+        steps = spark.range(1, length + 1).select(
+            F.col("id").cast("int").alias("t")
+        )
+        h_all = _edge_hash_col(F.col("src"), F.col("dst"), F.col("t"), seed)
+        pick_all = F.struct(h_all.alias("h"), F.col("dst").alias("dst"))
+        succ_all = (
+            und.crossJoin(F.broadcast(steps))
+            .groupBy("src", "t")
+            .agg(F.min(pick_all).alias("p"))
+            .select(
+                F.col("src").alias("v"), "t", F.col("p.dst").alias("nxt")
+            )
+            .localCheckpoint(eager=True)
+        )
+        for t in range(1, length + 1):
+            s_t = succ_all.where(F.col("t") == t).select("v", "nxt")
+            state = state.join(
+                F.broadcast(s_t), state.cur == s_t.v
+            ).select(
+                "walk_id",
+                F.col("nxt").alias("cur"),
+                F.concat(
+                    F.col("path"), F.lit("->"), F.col("nxt").cast("string")
+                ).alias("path"),
+            )
+        return state.select("walk_id", F.col("cur").alias("end_node"), "path")
     loop_parts = loop_shuffle_partitions(spark, n_walks) if small else None
     with static_superstep_plan(spark, shuffle_partitions=loop_parts):
         for t in range(1, length + 1):

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..config import LOCAL_EDGE_THRESHOLD
 from ..functions.text import portable_hash
 from ..plans.iterative import (
     loop_shuffle_partitions,
@@ -80,6 +81,16 @@ def _luby_mis_core(
 ) -> DataFrame:
     """The Luby round loop over a pre-materialized undirected edge view;
     returns the MIS members as a (node) frame."""
+    # Driver-local kernel under the edge cutoff (the louvain/lpa idiom):
+    # Luby's rounds are pure integer logic over md5 priorities — the
+    # EXACT same 48-bit hashes the Spark expressions draw — so the replay
+    # is bit-identical, round for round, including the strict raise.
+    # Replaces ~6 Spark jobs per round (priority build, semi+inner join,
+    # min aggregate, two checkpoints, the anti-join); the coloring
+    # operator pays that per LAYER.  Above the gate the loop below runs
+    # unchanged.
+    if und.count() <= LOCAL_EDGE_THRESHOLD:
+        return _luby_mis_local(spark, und, active, seed, max_rounds)
     mis_frames: list[DataFrame] = []
     with static_superstep_plan(spark, loop_shuffle_partitions(spark, n_hint)):
         active = stats_reset_checkpoint(active)
@@ -138,6 +149,94 @@ def _luby_mis_core(
     from ._result import union_frames
 
     return union_frames(mis_frames, spark, "node long")
+
+
+def _luby_mis_local(
+    spark: SparkSession,
+    und: DataFrame,
+    active: DataFrame,
+    seed: int,
+    max_rounds: int,
+) -> DataFrame:
+    """Bit-exact numpy replay of the Luby round loop: same md5
+    priorities, same (h, node) strict order, same winner/removal rule,
+    same strict raise."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from .._nputil import lexsort_stable
+
+    apd = active.select("node").toPandas()["node"].to_numpy(dtype=np.int64)
+    ids = np.sort(apd, kind="stable")
+    n = len(ids)
+    epd = und.select("src", "dst").toPandas()
+    es_o = epd["src"].to_numpy(dtype=np.int64)
+    ed_o = epd["dst"].to_numpy(dtype=np.int64)
+    es = np.searchsorted(ids, es_o)
+    ed = np.searchsorted(ids, ed_o)
+    # endpoints outside the ACTIVE node frame can never matter (the
+    # active set only shrinks): drop those edges once
+    ok = (
+        (es < n)
+        & (ed < n)
+        & (ids[np.minimum(es, n - 1)] == es_o)
+        & (ids[np.minimum(ed, n - 1)] == ed_o)
+    )
+    es, ed = es[ok], ed[ok]
+    act = np.ones(n, dtype=bool)
+    mis_parts: list[np.ndarray] = []
+
+    def _hash48(vals: np.ndarray, s: int) -> np.ndarray:
+        out = np.empty(len(vals), dtype=np.int64)
+        suffix = f"#{s}".encode()
+        md5 = hashlib.md5
+        for i, v in enumerate(vals.tolist()):
+            out[i] = int(
+                md5(b"%d%s" % (v, suffix)).hexdigest()[:12], 16
+            )
+        return out
+
+    for r in range(max_rounds):
+        if not act.any():
+            break
+        h = np.full(n, -1, dtype=np.int64)
+        av = np.nonzero(act)[0]
+        h[av] = _hash48(ids[av], seed * 1000 + r)
+        em = act[es] & act[ed]
+        se, de = es[em], ed[em]
+        # per-src min of (h[dst], dst): first row under (src, h, dst) —
+        # the strict total order the struct-min aggregate encodes
+        order = lexsort_stable((ids[de], h[de], se))
+        ss, ds2 = se[order], de[order]
+        first = np.ones(len(ss), dtype=bool)
+        if len(ss):
+            first[1:] = ss[1:] != ss[:-1]
+        min_src = ss[first]
+        min_h = h[ds2[first]]
+        min_node = ids[ds2[first]]
+        # winners: isolated actives, or (h, node) strictly below the min
+        nh = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        nn = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        nh[min_src] = min_h
+        nn[min_src] = min_node
+        win = act & ((h < nh) | ((h == nh) & (ids < nn)))
+        mis_parts.append(ids[win])
+        # deactivate winners and every neighbour of a winner
+        act = act & ~win
+        act[ed[win[es]]] = False
+    else:
+        if act.any():
+            raise RuntimeError(
+                f"luby_mis did not converge in {max_rounds} rounds"
+            )
+    members = (
+        np.concatenate(mis_parts) if mis_parts else np.empty(0, np.int64)
+    )
+    return spark.createDataFrame(
+        pd.DataFrame({"node": members}), "node long"
+    )
 
 
 def jones_plassmann_coloring(

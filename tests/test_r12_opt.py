@@ -483,3 +483,63 @@ def test_pagerank_snapshots_local_matches_distributed(spark):
     finally:
         prmod.LOCAL_EDGE_THRESHOLD = saved
     assert local == dist and local
+
+
+def test_luby_mis_local_matches_distributed(spark):
+    """The numpy Luby kernel vs the superstep loop (forced via a zero
+    edge cutoff) — bit-exact (all-integer md5 priorities), for the plain
+    MIS and the iterated coloring."""
+    import random
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import (
+        mis as mmod,
+    )
+
+    rng = random.Random(23)
+    edges = sorted({(rng.randrange(50), rng.randrange(50)) for _ in range(170)})
+    edges = [(u, v) for u, v in edges if u != v]
+    ndf = spark.createDataFrame(
+        [(i,) for i in sorted({x for e in edges for x in e} | {99})],
+        "node long",
+    )
+    edf = spark.createDataFrame(edges, "src long, dst long")
+
+    def run():
+        m = sorted(
+            map(tuple, mmod.luby_mis(ndf, edf, seed=29, max_rounds=12).collect())
+        )
+        c = sorted(
+            map(
+                tuple,
+                mmod.jones_plassmann_coloring(
+                    ndf, edf, seed=31, max_colors=8, max_rounds=12
+                ).collect(),
+            )
+        )
+        return m, c
+
+    local = run()
+    saved = mmod.LOCAL_EDGE_THRESHOLD
+    mmod.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        dist = run()
+    finally:
+        mmod.LOCAL_EDGE_THRESHOLD = saved
+    assert local == dist
+    assert local[0] and local[1]
+    # the isolated node 99 must be in the MIS and colored 0
+    assert (99, True) in local[0] and (99, 0) in local[1]
+
+
+def test_luby_mis_local_strict_raises(spark):
+    import pytest as _pytest
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import (
+        mis as mmod,
+    )
+
+    # a triangle cannot finish in 0 rounds
+    ndf = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    edf = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        mmod.luby_mis(ndf, edf, seed=29, max_rounds=0)
