@@ -148,6 +148,11 @@ FROM ranked WHERE sample_rank <= {k}
 # the graph both walk generators walk on: the shared undirected view
 _symmetrize = symmetrize_edges
 
+# gate for walk_corpus's single-pass successor-map plan (separate name so
+# tests/plan captures can force the superstep loop without disturbing the
+# loop's own broadcast gating)
+_SINGLE_PASS_BOUND = BROADCAST_NODE_BOUND
+
 
 def walk_corpus(
     spark: SparkSession,
@@ -194,7 +199,7 @@ def walk_corpus(
     # job: 2 shuffles total (successor aggregate + nothing per step)
     # instead of 2 shuffles and ~4 jobs per step.  Unoccupied (v, t)
     # entries are computed but unused — identical walk output.
-    if n_walks * length <= BROADCAST_NODE_BOUND:
+    if n_walks * length <= _SINGLE_PASS_BOUND:
         steps = spark.range(1, length + 1).select(
             F.col("id").cast("int").alias("t")
         )

@@ -116,6 +116,19 @@ def _local_moving_numpy(
         ew = edges_pdf["w"].to_numpy(dtype=np.int64)[keep]
     else:
         eu = ev = ew = np.empty(0, dtype=np.int64)
+    lab = _local_moving_rounds(nodes, lab, deg, eu, ev, ew, m2, rounds)
+    return nodes, nodes[lab]
+
+
+def _local_moving_rounds(nodes, lab, deg, eu, ev, ew, m2: int, rounds: int):
+    """Index-space core of the local-moving replay: ``nodes`` are the
+    SORTED original ids (they key the parity schedule and the candidate
+    tie order), ``lab``/``deg`` are per-position int64 arrays, and
+    ``eu``/``ev``/``ew`` the kept symmetric edges as position indices.
+    Returns the final per-position labels (positions, not ids)."""
+    import numpy as np
+
+    n = len(nodes)
     node_par = nodes % 2
     for t in range(rounds):
         par = t % 2
@@ -143,7 +156,7 @@ def _local_moving_numpy(
         pick = pick_max_per_group(v, c, score)
         lab = lab.copy()
         lab[v[pick]] = c[pick]
-    return nodes, nodes[lab]
+    return lab
 
 
 def _local_moving(
@@ -267,6 +280,59 @@ def _local_moving(
     return labels
 
 
+def _louvain_two_level_local(
+    spark, ids, eu, ev, ew, m2: int, rounds1: int, rounds2: int
+) -> DataFrame:
+    """Fully driver-local two-level Louvain: level-1 local moving, the
+    community contraction, level-2 local moving and the projection — the
+    whole pipeline the Spark orchestration below runs, replayed on index
+    arrays.  Every step is integer groupby-sum algebra, so the result is
+    BIT-EXACT vs the distributed path (the contraction's e2/strength
+    sums are the same int64 group sums; the level cores are the shared
+    `_local_moving_rounds`).  ``ids`` are the sorted node ids, ``eu/ev``
+    the symmetric self-loop-free edge view as positions, ``ew`` int64
+    weights, ``m2`` the total symmetrized weight."""
+    import numpy as np
+    import pandas as pd
+
+    from .._nputil import unique_stable
+
+    n = len(ids)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, eu, ew)
+    lab1 = _local_moving_rounds(
+        ids, np.arange(n, dtype=np.int64), deg, eu, ev, ew, m2, rounds1
+    )
+    # contraction: e2 keyed on (label(src), label(dst)) — self-pairs KEPT
+    # (they feed strength2), exactly the distributed groupBy
+    key2 = lab1[eu] * n + lab1[ev]
+    uk, w2 = group_sum_int(key2, ew)
+    a2, b2 = uk // n, uk % n
+    comm = unique_stable(lab1)  # ascending positions == ascending ids
+    ids2 = ids[comm]
+    n2 = len(comm)
+    ra = np.searchsorted(comm, a2)
+    rb = np.searchsorted(comm, b2)
+    deg2 = np.zeros(n2, dtype=np.int64)
+    np.add.at(deg2, ra, w2)  # strength INCLUDES self-loop weight
+    sm = a2 != b2  # level-2 edges exclude self-loops
+    lab2 = _local_moving_rounds(
+        ids2,
+        np.arange(n2, dtype=np.int64),
+        deg2,
+        ra[sm],
+        rb[sm],
+        w2[sm],
+        m2,
+        rounds2,
+    )
+    final = ids2[lab2[np.searchsorted(comm, lab1)]]
+    return spark.createDataFrame(
+        pd.DataFrame({"node": ids, "label": final}),
+        "node long, label long",
+    )
+
+
 def louvain(
     graph: PropertyGraph, rounds1: int = 4, rounds2: int = 2
 ) -> DataFrame:
@@ -275,6 +341,27 @@ def louvain(
     projection back — one full Louvain level plus a refinement level.
     Round counts should be even so both parity classes get equal turns."""
     spark = graph.spark
+    # Fully driver-local path under the LocalGraph cutoff: the symmetric
+    # deduped unit-weight edge view derives from the CACHED CSR snapshot
+    # (no symmetrize job, no per-level collect), and the two levels plus
+    # contraction/projection run as one numpy pass — replaces the ~10
+    # inter-level Spark jobs AND the per-level kernel collects.  Above
+    # the cutoff the distributed orchestration below runs unchanged.
+    if graph.fits_local():
+        import numpy as np
+
+        from .._nputil import unique_stable
+
+        lg = graph.local
+        sm0 = lg.edge_src != lg.edge_dst
+        a = np.concatenate([lg.edge_src[sm0], lg.edge_dst[sm0]])
+        b = np.concatenate([lg.edge_dst[sm0], lg.edge_src[sm0]])
+        uk = unique_stable(a * np.int64(lg.n) + b)
+        eu, ev = uk // lg.n, uk % lg.n
+        ew = np.ones(len(eu), dtype=np.int64)
+        return _louvain_two_level_local(
+            spark, lg.ids, eu, ev, ew, len(eu), rounds1, rounds2
+        )
     e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     und = (
         e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -351,12 +438,39 @@ def louvain_weighted(
     parity-scheduled recurrence as `louvain` — with unit weights the two
     agree exactly on edge-incident nodes."""
     spark = edges_w.sparkSession
-    e = edges_w.select("src", "dst", F.col("weight").cast("long").alias("w")).where(
-        F.col("src") != F.col("dst")
-    )
+    # materialize the (possibly expensive, lazily derived) edge input
+    # ONCE: the validation scan, both union branches of the symmetrize,
+    # and the local-path collect would otherwise each re-derive it
+    e = edges_w.select(
+        "src", "dst", F.col("weight").cast("long").alias("w")
+    ).where(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
     bad = e.where(F.col("w").isNull() | (F.col("w") <= 0)).limit(1).count()
     if bad:
         raise ValueError("louvain_weighted: weights must be positive integers")
+    # Fully driver-local path under the edge cutoff (see `louvain`): one
+    # collect of the checkpointed edge list, then the whole two-level
+    # pipeline in numpy — bit-exact integer algebra throughout.
+    if e.count() <= LOCAL_EDGE_THRESHOLD:
+        import numpy as np
+
+        from .._nputil import unique_stable
+
+        epd = e.toPandas()
+        es_o = epd["src"].to_numpy(dtype=np.int64)
+        ed_o = epd["dst"].to_numpy(dtype=np.int64)
+        wv = epd["w"].to_numpy(dtype=np.int64)
+        ids = unique_stable(np.concatenate([es_o, ed_o]))
+        n = len(ids)
+        pu = np.searchsorted(ids, es_o)
+        pv = np.searchsorted(ids, ed_o)
+        # symmetric weight-summed view (parallel edges and both
+        # directions sum — the distributed groupBy over the union)
+        key = np.concatenate([pu * n + pv, pv * n + pu])
+        uk, uw = group_sum_int(key, np.concatenate([wv, wv]))
+        eu, ev = uk // n, uk % n
+        return _louvain_two_level_local(
+            spark, ids, eu, ev, uw, int(uw.sum()), rounds1, rounds2
+        )
     und = (
         e.unionAll(
             e.select(

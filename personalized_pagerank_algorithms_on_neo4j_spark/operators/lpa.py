@@ -31,7 +31,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import LOCAL_EDGE_THRESHOLD
 from ..graph import PropertyGraph
 from ..plans.iterative import (
     BROADCAST_NODE_BOUND,
@@ -41,10 +40,11 @@ from ..plans.iterative import (
 )
 
 
-def _lpa_numpy(und_pdf, nodes_arr, rounds: int):
-    """Driver-local replay of the plurality rounds below, vectorized in
-    numpy (the LocalGraph precedent).  All quantities are integral — the
-    neighbor-label counts, the (count desc, label asc) pick, the
+def _lpa_numpy(src_arr, dst_arr, nodes_arr, rounds: int):
+    """Driver-local replay of the plurality rounds below over the
+    (src_arr, dst_arr) undirected deduplicated edge arrays, vectorized
+    in numpy (the LocalGraph precedent).  All quantities are integral —
+    the neighbor-label counts, the (count desc, label asc) pick, the
     keep-on-isolated rule — so the replay is bit-exact per round."""
     import numpy as np
 
@@ -59,8 +59,8 @@ def _lpa_numpy(und_pdf, nodes_arr, rounds: int):
         ok = (pos < n) & (nodes[np.minimum(pos, n - 1)] == vals)
         return pos, ok
 
-    src = und_pdf["src"].to_numpy(dtype=np.int64)
-    dst = und_pdf["dst"].to_numpy(dtype=np.int64)
+    src = np.asarray(src_arr, dtype=np.int64)
+    dst = np.asarray(dst_arr, dtype=np.int64)
     pu, oku = _idx(src)
     pv, okv = _idx(dst)
     # endpoints outside the node table behave like the distributed loop:
@@ -102,21 +102,30 @@ def label_propagation(graph: PropertyGraph, rounds: int = 5) -> DataFrame:
     labels = graph.nodes.select(
         F.col("id").alias("node"), F.col("id").alias("label")
     )
-    # Driver-local kernel under the LocalGraph edge cutoff (bit-exact
-    # integer replay — see _lpa_numpy); above it the superstep loop
-    # below runs unchanged — the 100x plan.
-    if small:
-        und = und.localCheckpoint(eager=True)
-        if und.count() <= LOCAL_EDGE_THRESHOLD:
-            import numpy as np
-            import pandas as pd
+    # Driver-local kernel under the LocalGraph cutoff (bit-exact integer
+    # replay — see _lpa_numpy); above it the superstep loop below runs
+    # unchanged — the 100x plan.  The undirected deduplicated edge view
+    # derives from the CACHED CSR snapshot (one stable sort) instead of
+    # a per-query Spark symmetrize job + 2m-row collect — on this class
+    # of graph that was the dominant cost of the local path.
+    if graph.fits_local():
+        import numpy as np
+        import pandas as pd
 
-            nodes_arr = labels.toPandas()["node"].to_numpy(dtype=np.int64)
-            nd, lb = _lpa_numpy(und.toPandas(), nodes_arr, rounds)
-            return spark.createDataFrame(
-                pd.DataFrame({"node": nd, "label": lb}),
-                "node long, label long",
-            )
+        from .._nputil import unique_stable
+
+        lg = graph.local
+        sm = lg.edge_src != lg.edge_dst
+        a = np.concatenate([lg.edge_src[sm], lg.edge_dst[sm]])
+        b = np.concatenate([lg.edge_dst[sm], lg.edge_src[sm]])
+        uk = unique_stable(a * np.int64(lg.n) + b)
+        nd, lb = _lpa_numpy(
+            lg.ids[uk // lg.n], lg.ids[uk % lg.n], lg.ids, rounds
+        )
+        return spark.createDataFrame(
+            pd.DataFrame({"node": nd, "label": lb}),
+            "node long, label long",
+        )
     loop = SuperstepLoop(checkpoint_every=2)
     with static_superstep_plan(spark, shuffle_partitions=loop_parts):
         und = und.localCheckpoint(eager=True)

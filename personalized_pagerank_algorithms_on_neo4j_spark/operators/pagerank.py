@@ -265,25 +265,27 @@ def pagerank_snapshots(
     the shuffled path."""
     spark = edges_t.sparkSession
     edges_t = edges_t.localCheckpoint(eager=True)  # degrees + every superstep
-    deg_t = edges_t.groupBy("snap", "src").agg(
-        F.count(F.lit(1)).cast("long").alias("out_deg")
-    )
-    et = edges_t.join(deg_t, ["snap", "src"]).localCheckpoint(eager=True)
     snaps = edges_t.select("snap").distinct()
     n = nodes.count()
     t_count = snaps.count()
     d = 1.0 - alpha
     # Driver-local kernel under the edge cutoff: the (snap, node)-keyed
     # recurrence as a dense (T x n) matrix — one bincount per iteration
-    # replaces the T-batched join + union + aggregate + checkpoint jobs.
-    # Falls through to the distributed loop when the dense state would
-    # outgrow the driver bound.
+    # replaces the T-batched join + union + aggregate + checkpoint jobs
+    # (and, gated BEFORE the degree join below, skips that whole derived
+    # checkpoint — the kernel recomputes the same integer out-degrees
+    # from its collected edge list).  Falls through to the distributed
+    # loop when the dense state would outgrow the driver bound.
     if edges_t.count() <= LOCAL_EDGE_THRESHOLD:
         local = _pagerank_snapshots_local(
             spark, edges_t, nodes, t_count, n, d, alpha, iterations
         )
         if local is not None:
             return local
+    deg_t = edges_t.groupBy("snap", "src").agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    et = edges_t.join(deg_t, ["snap", "src"]).localCheckpoint(eager=True)
     restart = (
         snaps.crossJoin(nodes.select(F.col("id").alias("node")))
         .select("snap", "node", F.lit((1.0 - d) / n).alias("rank"))

