@@ -33,6 +33,19 @@ LOCAL_EDGE_THRESHOLD = int(
     os.environ.get("SPARK_GRAFT_LOCAL_EDGE_THRESHOLD", 8_000_000)
 )
 
+# Driver-local corpus cutoff for the tokenizer-training kernels
+# (functions/bpe.py): a corpus whose document count AND total text bytes
+# both fit collects once to the driver and replays the exact recurrence
+# in vectorized numpy; above either bound the distributed pipelines run
+# unchanged.  The count probe is metadata-cheap (parquet row counts); the
+# byte probe only runs under the count gate, so at warehouse scale the
+# gate costs one row-count job.  Set either to 0 to force the
+# distributed path everywhere.
+LOCAL_DOC_COUNT = int(os.environ.get("SPARK_GRAFT_LOCAL_DOC_COUNT", 2_000_000))
+LOCAL_TEXT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LOCAL_TEXT_BYTES", 256 * 1024 * 1024)
+)
+
 
 @dataclass
 class GraphScale:

@@ -35,9 +35,12 @@ trained tokenizer artifact (apply-side tokenizers replay it in order).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..config import LOCAL_DOC_COUNT, LOCAL_TEXT_BYTES
 from .text import tokens
 
 BPE_ROUNDS = 8
@@ -50,6 +53,237 @@ def _stream(col):
     )
 
 
+# ---------------------------------------------------------------------------
+# Driver-local corpus kernels (round-12 optimization)
+# ---------------------------------------------------------------------------
+# Every public operator below is a bounded recurrence over the corpus's
+# token streams: the trainers scan the corpus once per round (8 rounds /
+# 5 batch rounds), the apply sides replay the merge table as a rank-order
+# fold of literal replaces, and the longest-match encoder walks per-doc
+# positions.  When the corpus fits on the driver (count + byte gate,
+# config.LOCAL_DOC_COUNT / LOCAL_TEXT_BYTES — env-parameterised like the
+# edge cutoff), ONE collect replaces all of those Spark jobs and the
+# recurrence replays in vectorized numpy over an int-coded flat token
+# array.  Bit-exactness argument (pinned by parity tests):
+#
+# * tokenization replays tokens(lower(text)) = split(trim(s), ' +') —
+#   Python re.split(' +') over str.strip(' ') of the lowered text; the
+#   kernel REFUSES non-ASCII corpora (falls through to the distributed
+#   path) so locale lowercasing differences cannot arise, and refuses
+#   null texts for the same reason.
+# * a merge's literal replace " l  r " -> " l(sep)r " over the
+#   double-space stream is EXACTLY a single left-to-right non-overlapping
+#   fuse pass over the token list (the delimiter design guarantees
+#   occurrences share no characters; the scan resumes after each
+#   replacement, so a freshly merged token can never re-match within the
+#   same pass — l(sep)r is strictly longer than l and can equal neither
+#   side).  Adjacent candidate positions conflict only when lhs == rhs,
+#   where the left-to-right scan keeps alternate matches from each run
+#   head — the `(idx - run_start) % 2 == 0` rule in `_fuse_pair`.
+# * pair selection = (count desc, lhs asc, rhs asc): Spark's string
+#   ordering is binary UTF-8, Python's is code-point — identical
+#   orderings (UTF-8 is order-preserving), and the gate admits ASCII
+#   only anyway.
+# * merged token STRINGS are interned through one vocab dict, so two
+#   merge paths producing the same surface string collapse to one symbol
+#   exactly as they do in the character stream.
+
+_TOKEN_SPLIT = re.compile(" +")
+
+
+def _collect_corpus(docs: DataFrame, text_col: str, id_col: str | None = None):
+    """(ids_or_None, token_lists) collected to the driver, or None when
+    the corpus exceeds the gate / contains nulls or non-ASCII text (the
+    distributed pipelines keep those cases)."""
+    if LOCAL_DOC_COUNT <= 0 or LOCAL_TEXT_BYTES <= 0:
+        return None
+    if docs.count() > LOCAL_DOC_COUNT:
+        return None
+    probe = docs.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count(text_col).alias("nn"),
+        F.sum(F.octet_length(F.col(text_col))).alias("b"),
+    ).collect()[0]
+    if probe["nn"] != probe["c"] or (probe["b"] or 0) > LOCAL_TEXT_BYTES:
+        return None
+    cols = [F.col(text_col).alias("_t")]
+    if id_col is not None:
+        cols.insert(0, F.col(id_col).alias("_i"))
+    pdf = docs.select(*cols).toPandas()
+    split = _TOKEN_SPLIT.split
+    toks: list[list[str]] = []
+    for t in pdf["_t"]:
+        if not t.isascii():
+            return None
+        toks.append(split(t.lower().strip(" ")))
+    ids = pdf["_i"] if id_col is not None else None
+    return ids, toks
+
+
+def _corpus_arrays(token_lists: list[list[str]]):
+    """Int-coded flat token array + per-token doc index + vocab tables."""
+    import numpy as np
+
+    vocab: dict[str, int] = {}
+    total = sum(len(t) for t in token_lists)
+    flat = np.empty(total, dtype=np.int64)
+    doc_of = np.empty(total, dtype=np.int64)
+    k = 0
+    for d, ts in enumerate(token_lists):
+        for t in ts:
+            flat[k] = vocab.setdefault(t, len(vocab))
+            doc_of[k] = d
+            k += 1
+    return flat, doc_of, vocab, list(vocab)
+
+
+def _fuse_pair(flat, doc_of, lid: int, rid: int, nid: int):
+    """One literal-replace pass: fuse every left-to-right non-overlapping
+    adjacent (lid, rid) within a doc into nid.  Returns the (possibly new)
+    arrays and whether anything fired."""
+    import numpy as np
+
+    cand = (flat[:-1] == lid) & (flat[1:] == rid) & (doc_of[:-1] == doc_of[1:])
+    idx = np.nonzero(cand)[0]
+    if idx.size == 0:
+        return flat, doc_of, False
+    if lid == rid and idx.size > 1:
+        # runs of consecutive candidates share tokens; the left-to-right
+        # scan keeps every other match starting at each run head
+        new_run = np.empty(idx.size, dtype=bool)
+        new_run[0] = True
+        np.not_equal(np.diff(idx), 1, out=new_run[1:])
+        run_start = idx[new_run][np.cumsum(new_run) - 1]
+        idx = idx[((idx - run_start) & 1) == 0]
+    flat[idx] = nid
+    keep = np.ones(flat.size, dtype=bool)
+    keep[idx + 1] = False
+    return flat[keep], doc_of[keep], True
+
+
+def _top_pairs(flat, doc_of, vocab, rev, b: int):
+    """Top-``b`` adjacent pairs by (count desc, lhs asc, rhs asc) over the
+    current streams — the round-opening counting + selection of both
+    trainers.  Returns [(lhs, rhs, n)] in rank order (may be < b)."""
+    import heapq
+
+    import numpy as np
+
+    from .._nputil import group_count
+
+    same_doc = doc_of[:-1] == doc_of[1:]
+    v = len(rev)
+    key = flat[:-1][same_doc] * v + flat[1:][same_doc]
+    if key.size == 0:
+        return []
+    uniq, counts = group_count(key)
+    order = np.argsort(-counts, kind="stable")
+    out: list[tuple[str, str, int]] = []
+    i = 0
+    while i < order.size and len(out) < b:
+        c = counts[order[i]]
+        j = i
+        while j < order.size and counts[order[j]] == c:
+            j += 1
+        grp = uniq[order[i:j]]
+        pairs = [(rev[k // v], rev[k % v]) for k in grp.tolist()]
+        need = b - len(out)
+        if len(pairs) > need:
+            pairs = heapq.nsmallest(need, pairs)
+        else:
+            pairs.sort()
+        out.extend((l, r, int(c)) for l, r in pairs)
+        i = j
+    return out
+
+
+def _intern(vocab: dict[str, int], rev: list[str], s: str) -> int:
+    nid = vocab.setdefault(s, len(rev))
+    if nid == len(rev):
+        rev.append(s)
+    return nid
+
+
+def _local_train(token_lists, schedule: list[int], sep: str):
+    """The batched-greedy trainer's exact recurrence on the driver: per
+    round, count -> top-B by (n desc, lhs, rhs) -> apply sequentially in
+    rank order.  schedule=[1]*rounds IS the one-merge-per-round trainer.
+    Returns ([(round, rank, lhs, rhs, n)], final (flat, doc_of, vocab,
+    rev) state)."""
+    flat, doc_of, vocab, rev = _corpus_arrays(token_lists)
+    merges: list[tuple[int, int, str, str, int]] = []
+    for rnd, bsize in enumerate(schedule):
+        batch = _top_pairs(flat, doc_of, vocab, rev, bsize)
+        if not batch:
+            break
+        for rank, (l, r, n) in enumerate(batch):
+            merges.append((rnd, rank, l, r, n))
+            nid = _intern(vocab, rev, l + sep + r)
+            flat, doc_of, _ = _fuse_pair(flat, doc_of, vocab[l], vocab[r], nid)
+    return merges, (flat, doc_of, vocab, rev)
+
+
+def _local_longest_match(
+    docs: DataFrame,
+    local,
+    pieces: list[str],
+    id_col: str,
+    oracle_round_bound: int | None,
+) -> DataFrame:
+    """Per-doc greedy maximal munch on the driver — the pointer-doubling
+    walk's exact fixed point (the walk computes next(pos) = pos +
+    maxlen(pos) from 0; this just follows it sequentially).  Keeps the
+    doubling-round-bound raise so a paired fixed-unroll oracle fails
+    loudly on the same inputs as the distributed path."""
+    import pandas as pd
+
+    ids, toks = local
+    lens = sorted({p.count("_") + 1 for p in pieces}, reverse=True)
+    maxw = max((len(t) for t in toks), default=0) or 1
+    rounds = max(1, (max(maxw, 2) - 1).bit_length())
+    if oracle_round_bound is not None and rounds > oracle_round_bound:
+        raise ValueError(
+            f"max doc length {maxw} needs {rounds} doubling rounds; the "
+            f"paired oracle unrolls only {oracle_round_bound}"
+        )
+    pset = set(pieces)
+    n_words = []
+    n_tokens = []
+    for ts in toks:
+        n = len(ts)
+        pos = 0
+        cnt = 0
+        while pos < n:
+            step = 1
+            for length in lens:
+                if length <= n - pos and "_".join(ts[pos : pos + length]) in pset:
+                    step = length
+                    break
+            cnt += 1
+            pos += step
+        n_words.append(n)
+        n_tokens.append(cnt)
+    id_t = docs.schema[id_col].dataType.simpleString()
+    return docs.sparkSession.createDataFrame(
+        pd.DataFrame({id_col: ids, "n_words": n_words, "n_tokens": n_tokens}),
+        schema=f"{id_col} {id_t}, n_words bigint, n_tokens bigint",
+    )
+
+
+def _local_fold_apply(state, merges: list[tuple[str, str]], sep: str):
+    """Rank-order fold of literal replaces — `bpe_fold_apply_counts`'s
+    (and therefore `bpe_exact_apply_counts`'s) exact semantics."""
+    flat, doc_of, vocab, rev = state
+    for l, r in merges:
+        lid = vocab.get(l)
+        rid = vocab.get(r)
+        if lid is None or rid is None:
+            continue  # replacing an absent pair is a no-op
+        nid = _intern(vocab, rev, l + sep + r)
+        flat, doc_of, _ = _fuse_pair(flat, doc_of, lid, rid, nid)
+    return flat, doc_of, vocab, rev
+
+
 def bpe_merges(
     docs: DataFrame,
     rounds: int = BPE_ROUNDS,
@@ -60,6 +294,13 @@ def bpe_merges(
     engine's `tokens` convention) rather than bytes — symbol granularity
     is a knob, the recurrence is the operator."""
     spark = docs.sparkSession
+    local = _collect_corpus(docs, text_col)
+    if local is not None:
+        merges_l, _ = _local_train(local[1], [1] * rounds, "")
+        return spark.createDataFrame(
+            [(rnd, l, r, n) for (rnd, _rk, l, r, n) in merges_l],
+            "step int, lhs string, rhs string, n bigint",
+        )
     texts = docs.select(_stream(F.col(text_col)).alias("s")).localCheckpoint(
         eager=True
     )
@@ -162,6 +403,22 @@ def bpe_compression(
     chain of ``rounds`` literal `replace` projections — one corpus scan,
     no joins, no shuffle; counting symbols is one split+size expression
     on each side of the chain."""
+    local = _collect_corpus(docs, text_col, id_col="doc_id")
+    if local is not None:
+        import numpy as np
+        import pandas as pd
+
+        ids, toks = local
+        n_before = np.array([len(t) for t in toks], dtype=np.int64)
+        _, (_, doc_of, _, _) = _local_train(toks, [1] * rounds, "")
+        n_after = np.bincount(doc_of, minlength=len(toks)).astype(np.int64)
+        id_t = docs.schema["doc_id"].dataType.simpleString()
+        return docs.sparkSession.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": ids, "n_before": n_before, "n_after": n_after}
+            ),
+            schema=f"doc_id {id_t}, n_before bigint, n_after bigint",
+        )
     merges = [
         (r["lhs"], r["rhs"])
         for r in bpe_merges(docs, rounds, text_col).orderBy("step").collect()
@@ -285,6 +542,10 @@ def bpe_merges_batched(
     bounded trained artifact (sum(schedule) rows), exactly the class of
     driver traffic the 1-row-per-round trainer already produces."""
     schedule = BATCH_SCHEDULE if schedule is None else schedule
+    local = _collect_corpus(docs, text_col)
+    if local is not None:
+        merges_l, _ = _local_train(local[1], schedule, "_")
+        return merges_l
     texts = docs.select(_stream(F.col(text_col)).alias("s")).localCheckpoint(
         eager=True
     )
@@ -346,6 +607,11 @@ def bpe_longest_match_counts(
     by "_"; single words are always implicit fallback tokens), by pointer
     doubling over the next(pos) = pos + maxlen(pos) functional graph —
     see the block comment for the scale argument."""
+    local = _collect_corpus(docs, text_col, id_col=id_col)
+    if local is not None:
+        return _local_longest_match(
+            docs, local, pieces, id_col, oracle_round_bound
+        )
     from ..plans.iterative import (
         loop_shuffle_partitions,
         static_superstep_plan,
@@ -635,6 +901,33 @@ def bpe_exact_apply_counts(
     vocab size.  Bucket placement is computed by one tiny Spark job over
     the V rule strings (the same F.hash the runtime expression uses), so
     build and lookup can never disagree."""
+    local = _collect_corpus(docs, text_col, id_col=id_col)
+    if local is not None:
+        import numpy as np
+        import pandas as pd
+
+        ids, toks = local
+        n_words = np.array([len(t) for t in toks], dtype=np.int64)
+        flat, doc_of, _, rev = _local_fold_apply(
+            _corpus_arrays(toks), merges, "_"
+        )
+        n_tokens = np.bincount(doc_of, minlength=len(toks)).astype(np.int64)
+        data = {id_col: ids, "n_words": n_words, "n_tokens": n_tokens}
+        schema = (
+            f"{id_col} {docs.schema[id_col].dataType.simpleString()}, "
+            "n_words bigint, n_tokens bigint"
+        )
+        if with_stream:
+            bounds = np.cumsum(n_tokens)
+            symbols = [rev[c] for c in flat.tolist()]
+            data["s"] = [
+                "  " + "  ".join(symbols[a:z]) + "  "
+                for a, z in zip(np.concatenate(([0], bounds[:-1])), bounds)
+            ]
+            schema += ", s string"
+        return docs.sparkSession.createDataFrame(
+            pd.DataFrame(data), schema=schema
+        )
     stream0 = _stream(F.col(text_col))
     base = docs.select(
         F.col(id_col),

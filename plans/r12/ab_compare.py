@@ -24,6 +24,9 @@ from personalized_pagerank_algorithms_on_neo4j_spark import (  # noqa: E402
     graph as gmod,
 )
 from personalized_pagerank_algorithms_on_neo4j_spark.functions import (  # noqa: E402
+    bpe as bmod,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.functions import (  # noqa: E402
     walks as wmod,
 )
 from personalized_pagerank_algorithms_on_neo4j_spark.operators import (  # noqa: E402
@@ -50,6 +53,7 @@ KEYS = [
     "graph_articlerank", "graph_pagerank_weighted", "ppr_temporal",
     "ppr_docs", "pagerank_snapshots", "graph_eigenvector", "graph_hits",
     "graph_salsa", "graph_walks", "walk_skipgrams", "graph_mis",
+    "bpe_merges", "bpe_compression", "bpe_encode", "bpe_exact_apply",
 ]
 
 
@@ -57,6 +61,7 @@ def set_mode(on: bool) -> None:
     for m in MODS:
         m.LOCAL_EDGE_THRESHOLD = 8_000_000 if on else -1
     wmod._SINGLE_PASS_BOUND = 1_000_000 if on else -1
+    bmod.LOCAL_TEXT_BYTES = 256 * 1024 * 1024 if on else -1
 
 
 def main() -> None:

@@ -55,6 +55,11 @@ KEYS = [
     "walk_skipgrams",
     "graph_mis",
     "graph_coloring",
+    # BPE corpus kernels (batch 5)
+    "bpe_merges",
+    "bpe_compression",
+    "bpe_encode",
+    "bpe_exact_apply",
 ]
 
 
@@ -68,10 +73,12 @@ def main() -> None:
         # zero the walk fast-path bound too (it is not env-parameterised);
         # the superstep loop's own broadcast gating stays untouched
         from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+            bpe,
             walks,
         )
 
         walks._SINGLE_PASS_BOUND = -1
+        bpe.LOCAL_TEXT_BYTES = -1
     spark = build_spark(
         app_name=f"plan_capture_{tag}", master="local[8]",
         shuffle_partitions=8,
@@ -79,13 +86,17 @@ def main() -> None:
     qs = E.queries()
     out_dir = os.path.dirname(os.path.abspath(__file__))
     for key in KEYS:
-        df = qs[key](spark, sf_dir)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
         path = os.path.join(out_dir, f"{key}_{tag}.txt")
+        try:
+            df = qs[key](spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            body = buf.getvalue()
+        except Exception as exc:  # graph_coloring raises by design at sf0.1
+            body = f"(query raised during construction: {exc})\n"
         with open(path, "w") as f:
-            f.write(buf.getvalue())
+            f.write(body)
         print(f"wrote {path}", file=sys.stderr)
     spark.stop()
 

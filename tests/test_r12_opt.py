@@ -591,3 +591,149 @@ def test_walk_corpus_single_pass_matches_superstep(spark):
         wmod._SINGLE_PASS_BOUND = saved_sp
         wmod.BROADCAST_NODE_BOUND = saved_bb
     assert fast == loop_broadcast == loop_shuffled and fast
+
+
+# ---------------------------------------------------------------------------
+# BPE driver-local corpus kernels (round-12 optimization, batch 5)
+# ---------------------------------------------------------------------------
+
+_BPE_DOCS = [
+    # chain overlaps (greedy left fuse), repeated-token runs, double
+    # spaces, leading/trailing spaces, an empty doc, count ties
+    (1, "a a a a b b"),
+    (2, "  the cat  sat on the mat "),
+    (3, "a b a b a"),
+    (4, ""),
+    (5, "x y x y x y z"),
+    (6, "the the the cat cat"),
+    (7, "q"),
+]
+
+
+def _bpe_docs_df(spark):
+    return spark.createDataFrame(_BPE_DOCS, "doc_id long, text string")
+
+
+def _with_distributed_bpe(fn):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import bpe
+
+    saved = bpe.LOCAL_TEXT_BYTES
+    bpe.LOCAL_TEXT_BYTES = -1
+    try:
+        return fn()
+    finally:
+        bpe.LOCAL_TEXT_BYTES = saved
+
+
+def test_bpe_merges_local_matches_distributed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import bpe
+
+    df = _bpe_docs_df(spark)
+
+    def run():
+        return sorted(map(tuple, bpe.bpe_merges(df, rounds=6).collect()))
+
+    local = run()
+    dist = _with_distributed_bpe(run)
+    assert local == dist and local
+
+
+def test_bpe_compression_local_matches_distributed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import bpe
+
+    df = _bpe_docs_df(spark)
+
+    def run():
+        return sorted(map(tuple, bpe.bpe_compression(df, rounds=6).collect()))
+
+    local = run()
+    dist = _with_distributed_bpe(run)
+    assert local == dist
+    # the empty doc must survive as one empty symbol on both paths
+    assert (4, 1, 1) in local
+
+
+def test_bpe_batched_trainer_local_matches_distributed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import bpe
+
+    df = _bpe_docs_df(spark)
+
+    def run():
+        return bpe.bpe_merges_batched(df, schedule=[4, 2, 2])
+
+    local = run()
+    dist = _with_distributed_bpe(run)
+    assert local == dist and local
+
+
+def test_bpe_longest_match_local_matches_distributed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import bpe
+
+    df = _bpe_docs_df(spark)
+    merges = bpe.bpe_merges_batched(df, schedule=[4, 2])
+    pieces = [f"{l}_{r}" for _, _, l, r, _ in merges]
+
+    def run():
+        return sorted(
+            map(tuple, bpe.bpe_longest_match_counts(df, pieces).collect())
+        )
+
+    local = run()
+    dist = _with_distributed_bpe(run)
+    assert local == dist and local
+    # empty vocab: every word is its own token, both paths
+    def run_empty():
+        return sorted(
+            map(tuple, bpe.bpe_longest_match_counts(df, []).collect())
+        )
+
+    assert run_empty() == _with_distributed_bpe(run_empty)
+
+
+def test_bpe_longest_match_local_round_bound_raises(spark):
+    import pytest as _pytest
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import bpe
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 40))], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="doubling rounds"):
+        bpe.bpe_longest_match_counts(df, ["w_w"], oracle_round_bound=2)
+
+
+def test_bpe_exact_apply_local_matches_distributed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import bpe
+
+    df = _bpe_docs_df(spark)
+    merges = [(l, r) for _, _, l, r, _ in bpe.bpe_merges_batched(df, schedule=[4, 2, 2])]
+    # adversarial extras: a duplicate rule, a rule over a merged piece,
+    # and a rule whose pair never occurs
+    merges = merges + [("a", "b"), ("a_a", "a_a"), ("never", "matches")]
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                bpe.bpe_exact_apply_counts(df, merges, with_stream=True).collect(),
+            )
+        )
+
+    local = run()
+    dist = _with_distributed_bpe(run)
+    assert local == dist and local
+
+
+def test_bpe_corpus_gate_refuses_nonascii_and_nulls(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import bpe
+
+    non_ascii = spark.createDataFrame(
+        [(1, "café au lait"), (2, "plain text")], "doc_id long, text string"
+    )
+    assert bpe._collect_corpus(non_ascii, "text", id_col="doc_id") is None
+    with_null = spark.createDataFrame(
+        [(1, "plain"), (2, None)], "doc_id long, text string"
+    )
+    assert bpe._collect_corpus(with_null, "text", id_col="doc_id") is None
+    # ...and the public operator still answers through the distributed path
+    assert bpe.bpe_merges(non_ascii, rounds=2).count() == 2
