@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..config import LOCAL_EDGE_THRESHOLD
 from ..plans.iterative import BROADCAST_EDGE_BOUND, BROADCAST_NODE_BOUND
 
 __all__ = [
@@ -80,6 +81,94 @@ def two_hop_neighbors(
     )
 
 
+# ---------------------------------------------------------------------------
+# Driver-local triangle kernel (round-12 optimization)
+# ---------------------------------------------------------------------------
+# The degree-oriented triangle enumeration is pure integer logic, so a
+# numpy replay under the LOCAL_EDGE_THRESHOLD gate is bit-exact by
+# construction: same degree orientation (lower (deg, id) endpoint first),
+# same wedge order ((bdeg, original-id) ascending within each source),
+# same closing test (the wedge order IS the orientation order, so a
+# closing edge is always oriented b1 -> b2).  Wedges generate in
+# max-out-degree strided passes (compact-forward keeps out-degrees
+# O(sqrt(m)), ~100 at sf0.1) and close through one searchsorted per pass
+# — the vectorized equivalent of the wedge self-join + membership join.
+
+
+_TRI_WEDGE_BUDGET = 256_000_000  # ~2 GB of transient per-pass masks
+
+
+def _local_tri_corners(u, v):
+    """Triangle corner arrays (a, b1, b2) — compact ids — plus the compact
+    id table, for a CANONICAL (u < v, distinct) numpy edge set; None when
+    the wedge count exceeds the driver work budget."""
+    import numpy as np
+
+    from .._nputil import lexsort_stable, unique_stable
+
+    ids = unique_stable(np.concatenate([u, v]))
+    n = len(ids)
+    cu = np.searchsorted(ids, u)
+    cv = np.searchsorted(ids, v)
+    deg = np.bincount(np.concatenate([cu, cv]), minlength=n)
+    # canonical u < v, so the (deg, id) orientation tie-break reduces to <=
+    fwd = deg[cu] <= deg[cv]
+    a = np.where(fwd, cu, cv)
+    b = np.where(fwd, cv, cu)
+    # wedge budget: the strided passes cost O(wedges) total; above the
+    # budget the caller falls through to the distributed wedge join
+    od = np.bincount(a, minlength=n).astype(np.int64)
+    if int((od * (od - 1) // 2).sum()) > _TRI_WEDGE_BUDGET:
+        return None
+    # neighbors of each a in wedge order: (bdeg, original id) ascending —
+    # compact ids preserve the original order, so b is the tie key
+    order = lexsort_stable((b, deg[b], a))
+    sa, sb = a[order], b[order]
+    okey = np.sort(sa.astype(np.int64) * n + sb, kind="stable")
+    tri_a, tri_b1, tri_b2 = [], [], []
+    d = 1
+    while True:
+        if d >= len(sa):
+            break
+        same = sa[:-d] == sa[d:]
+        if not same.any():
+            break
+        w1 = sb[:-d][same]
+        w2 = sb[d:][same]
+        wk = w1.astype(np.int64) * n + w2
+        pos = np.searchsorted(okey, wk)
+        closed = (pos < len(okey)) & (okey[np.minimum(pos, len(okey) - 1)] == wk)
+        if closed.any():
+            tri_a.append(sa[:-d][same][closed])
+            tri_b1.append(w1[closed])
+            tri_b2.append(w2[closed])
+        d += 1
+    if tri_a:
+        return (
+            np.concatenate(tri_a),
+            np.concatenate(tri_b1),
+            np.concatenate(tri_b2),
+            ids,
+            cu,
+            cv,
+        )
+    z = np.zeros(0, dtype=np.int64)
+    return z, z, z, ids, cu, cv
+
+
+def _collect_canonical_edges(und: DataFrame):
+    """Canonical edge set to the driver under the edge gate, or None."""
+    if LOCAL_EDGE_THRESHOLD <= 0 or und.count() > LOCAL_EDGE_THRESHOLD:
+        return None
+    import numpy as np
+
+    pdf = und.select("u", "v").toPandas()
+    return (
+        pdf["u"].to_numpy(dtype=np.int64),
+        pdf["v"].to_numpy(dtype=np.int64),
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """(node, n_triangles) over the UNDIRECTED simple graph induced by the
     edge list (direction and multiplicity dropped, self-loops removed).
@@ -99,6 +188,25 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    local = _collect_canonical_edges(und)
+    if local is not None:
+        import numpy as np
+        import pandas as pd
+
+        tri = _local_tri_corners(*local)
+        if tri is not None:
+            ta, tb1, tb2, ids, _, _ = tri
+            cnt = np.bincount(
+                np.concatenate([ta, tb1, tb2]), minlength=len(ids)
+            )
+            nz = np.nonzero(cnt)[0]
+            node_t = und.schema["u"].dataType.simpleString()
+            return und.sparkSession.createDataFrame(
+                pd.DataFrame(
+                    {"node": ids[nz], "n_triangles": cnt[nz].astype(np.int64)}
+                ),
+                schema=f"node {node_t}, n_triangles bigint",
+            )
     tri = _oriented_triangles(und)
     corners = (
         tri.selectExpr("a AS node")
@@ -604,6 +712,52 @@ def _edge_triangle_support(und: DataFrame) -> DataFrame:
     return sides.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("s"))
 
 
+def _local_k_truss(und, u, v, k: int, max_rounds: int | None):
+    """Driver-local support-peeling replay: per round one triangle
+    enumeration + one integer filter over the shrinking canonical edge
+    set — identical fixed point (and identical non-convergence raise) to
+    the distributed loop.  None when a round's wedge count exceeds the
+    driver budget (the distributed loop takes over from scratch)."""
+    import numpy as np
+    import pandas as pd
+
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
+        tri = _local_tri_corners(u, v)
+        if tri is None:
+            return None
+        ta, tb1, tb2, ids, cu, cv = tri
+        n = len(ids)
+        ekey = cu.astype(np.int64) * n + cv  # canonical u < v
+        eorder = np.argsort(ekey, kind="stable")
+        sorted_ekey = ekey[eorder]
+        sides = np.concatenate(
+            [
+                np.minimum(ta, tb1) * n + np.maximum(ta, tb1),
+                np.minimum(ta, tb2) * n + np.maximum(ta, tb2),
+                np.minimum(tb1, tb2) * n + np.maximum(tb1, tb2),
+            ]
+        )
+        if sides.size:
+            hit = np.searchsorted(sorted_ekey, sides)
+            sup = np.bincount(eorder[hit], minlength=len(u)).astype(np.int64)
+        else:
+            sup = np.zeros(len(u), dtype=np.int64)
+        keep = sup >= k - 2
+        if keep.all():
+            return und.sparkSession.createDataFrame(
+                pd.DataFrame({"u": u, "v": v, "support": sup}),
+                schema=(
+                    f"u {und.schema['u'].dataType.simpleString()}, "
+                    f"v {und.schema['v'].dataType.simpleString()}, "
+                    "support bigint"
+                ),
+            )
+        u, v = u[keep], v[keep]
+    raise RuntimeError(f"k_truss did not converge within {max_rounds} rounds")
+
+
 def k_truss(
     edges: DataFrame, k: int = 3, max_rounds: int | None = None
 ) -> DataFrame:
@@ -630,6 +784,11 @@ def k_truss(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    local = _collect_canonical_edges(und)
+    if local is not None:
+        out = _local_k_truss(und, *local, k=k, max_rounds=max_rounds)
+        if out is not None:
+            return out
     rounds = 0
     while max_rounds is None or rounds < max_rounds:
         rounds += 1

@@ -27,6 +27,9 @@ from personalized_pagerank_algorithms_on_neo4j_spark.functions import (  # noqa:
     bpe as bmod,
 )
 from personalized_pagerank_algorithms_on_neo4j_spark.functions import (  # noqa: E402
+    graphstats as gsmod,
+)
+from personalized_pagerank_algorithms_on_neo4j_spark.functions import (  # noqa: E402
     walks as wmod,
 )
 from personalized_pagerank_algorithms_on_neo4j_spark.operators import (  # noqa: E402
@@ -43,7 +46,7 @@ from personalized_pagerank_algorithms_on_neo4j_spark.operators import (  # noqa:
 )
 
 MODS = [gmod, louvain, lpa, mst, scc, kpaths, astar, dynamic_ppr, mis,
-        pagerank, eigenvector]
+        pagerank, eigenvector, gsmod]
 
 KEYS = [
     "graph_lpa", "graph_louvain", "graph_louvain_weighted",
@@ -54,6 +57,7 @@ KEYS = [
     "ppr_docs", "pagerank_snapshots", "graph_eigenvector", "graph_hits",
     "graph_salsa", "graph_walks", "walk_skipgrams", "graph_mis",
     "bpe_merges", "bpe_compression", "bpe_encode", "bpe_exact_apply",
+    "triangle_counts", "graph_ktruss",
 ]
 
 

@@ -60,6 +60,9 @@ KEYS = [
     "bpe_compression",
     "bpe_encode",
     "bpe_exact_apply",
+    # triangle kernel (batch 6)
+    "triangle_counts",
+    "graph_ktruss",
 ]
 
 

@@ -737,3 +737,97 @@ def test_bpe_corpus_gate_refuses_nonascii_and_nulls(spark):
     assert bpe._collect_corpus(with_null, "text", id_col="doc_id") is None
     # ...and the public operator still answers through the distributed path
     assert bpe.bpe_merges(non_ascii, rounds=2).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Driver-local triangle kernel (round-12 optimization, batch 6)
+# ---------------------------------------------------------------------------
+
+def _tri_graph(spark):
+    # hub + overlapping triangles + chain + isolated edge + self-loop +
+    # both directions of one edge (dedup) — the orientation edge cases
+    es = (
+        [(0, 1), (1, 2), (2, 0), (0, 2)]      # triangle, one dup edge
+        + [(0, 3), (3, 1)]                     # second triangle on (0, 1)
+        + [(0, i) for i in range(4, 9)]        # hub fan (no closures)
+        + [(4, 5), (5, 6), (6, 4)]             # disjoint triangle
+        + [(7, 7), (10, 11)]                   # self-loop, isolated edge
+    )
+    return spark.createDataFrame(es, "src long, dst long")
+
+
+def _with_distributed_tri(fn):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+        graphstats as gs,
+    )
+
+    saved = gs.LOCAL_EDGE_THRESHOLD
+    gs.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        return fn()
+    finally:
+        gs.LOCAL_EDGE_THRESHOLD = saved
+
+
+def test_triangle_counts_local_matches_distributed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+        graphstats as gs,
+    )
+
+    df = _tri_graph(spark)
+
+    def run():
+        return sorted(map(tuple, gs.triangle_counts(df).collect()))
+
+    local = run()
+    dist = _with_distributed_tri(run)
+    assert local == dist and local
+
+
+def test_k_truss_local_matches_distributed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+        graphstats as gs,
+    )
+
+    df = _tri_graph(spark)
+    for k in (2, 3, 4):
+        def run():
+            return sorted(map(tuple, gs.k_truss(df, k=k).collect()))
+
+        local = run()
+        dist = _with_distributed_tri(run)
+        assert local == dist, k
+    # k=2 keeps support-0 edges; k=4 must actually peel something
+    assert len(_with_distributed_tri(lambda: gs.k_truss(df, k=2).collect())) > len(
+        gs.k_truss(df, k=4).collect()
+    )
+
+
+def test_k_truss_local_max_rounds_raises(spark):
+    import pytest as _pytest
+
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+        graphstats as gs,
+    )
+
+    # a 5-clique peels under k=5 over >1 round with max_rounds=1 -> raise
+    es = [(u, v) for u in range(5) for v in range(u + 1, 5)] + [(0, 9)]
+    df = spark.createDataFrame(es, "src long, dst long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        gs.k_truss(df, k=5, max_rounds=1)
+
+
+def test_tri_kernel_wedge_budget_falls_through(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import (
+        graphstats as gs,
+    )
+
+    df = _tri_graph(spark)
+    base = sorted(map(tuple, gs.triangle_counts(df).collect()))
+    saved = gs._TRI_WEDGE_BUDGET
+    gs._TRI_WEDGE_BUDGET = 0  # every wedge set over budget
+    try:
+        assert sorted(map(tuple, gs.triangle_counts(df).collect())) == base
+        assert sorted(map(tuple, gs.k_truss(df, k=3).collect()))
+    finally:
+        gs._TRI_WEDGE_BUDGET = saved
