@@ -55,6 +55,8 @@ def hyperball(
     node at each radius 1..``radius`` (module doc).  ``p`` is the
     register-count exponent (m = 2^p rows of state per node, worst
     case)."""
+    if graph.fits_local():
+        return _hyperball_local(graph, radius, p)
     spark = graph.spark
     m = 1 << p
     w_bits = _HASH_BITS - p
@@ -94,6 +96,83 @@ def hyperball(
     for f in out_frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def _hyperball_local(graph: PropertyGraph, radius: int, p: int) -> DataFrame:
+    """Driver-local register rounds (round-12 optimization): the HLL
+    union is an integer MAX over (node, bucket) cells, so a dense
+    (n x 2^p) uint8 matrix replays the join+union+max superstep with one
+    gather + segmented maximum per round — bit-identical registers by
+    construction.  The ESTIMATOR stays in the shared Spark
+    `hll_estimate` expressions (one job over the emitted register rows):
+    zero new float surface against the oracle's LN/ROUND tail.  Absent
+    cells are 0 (rho >= 1 for every present register), so presence is
+    carried by the max itself."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from .._nputil import argsort_stable
+
+    lg = graph.local
+    n = len(lg.ids)
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    md5 = hashlib.md5
+    h = np.fromiter(
+        (
+            int(md5(b"%d#0" % i).hexdigest()[:12], 16)
+            for i in lg.ids.tolist()
+        ),
+        dtype=np.int64,
+        count=n,
+    )
+    bucket = h % m
+    w = h // m
+    # the CASE-ladder rho: w_bits - floor(log2(w)) for w >= 1, else
+    # w_bits + 1 — same integer thresholds, vectorized
+    rho = np.full(n, w_bits + 1, dtype=np.uint8)
+    nzw = w > 0
+    # floor(log2(w)) = frexp exponent - 1, exact for w < 2^53 (log2's
+    # float rounding could misplace powers of two; frexp cannot)
+    rho[nzw] = (
+        w_bits - (np.frexp(w[nzw].astype(np.float64))[1].astype(np.int64) - 1)
+    ).astype(np.uint8)
+    regs = np.zeros((n, m), dtype=np.uint8)
+    regs[np.arange(n), bucket] = rho
+    loop_mask = lg.edge_src != lg.edge_dst
+    es, ed = lg.edge_src[loop_mask], lg.edge_dst[loop_mask]
+    order = argsort_stable(es)
+    es, ed = es[order], ed[order]
+    seg = np.ones(len(es), dtype=bool)
+    if len(es):
+        seg[1:] = es[1:] != es[:-1]
+    starts = np.nonzero(seg)[0]
+    srcs = es[starts]
+    frames = []
+    for r in range(1, radius + 1):
+        if len(es):
+            merged = np.maximum.reduceat(regs[ed], starts, axis=0)
+            regs[srcs] = np.maximum(regs[srcs], merged)
+        node_i, bucket_i = np.nonzero(regs)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "radius": np.full(len(node_i), r, dtype=np.int32),
+                    "node": lg.ids[node_i],
+                    "_bucket": bucket_i.astype(np.int64),
+                    "_reg": regs[node_i, bucket_i].astype(np.int32),
+                }
+            )
+        )
+    rows = graph.spark.createDataFrame(
+        pd.concat(frames, ignore_index=True),
+        schema="radius int, node long, _bucket long, _reg int",
+    )
+    return hll_estimate(rows, ["radius", "node"], p).select(
+        "radius", "node", F.col("approx_distinct").alias("approx_ball")
+    )
 
 
 def hyperball_oracle_sql(

@@ -57,7 +57,7 @@ KEYS = [
     "ppr_docs", "pagerank_snapshots", "graph_eigenvector", "graph_hits",
     "graph_salsa", "graph_walks", "walk_skipgrams", "graph_mis",
     "bpe_merges", "bpe_compression", "bpe_encode", "bpe_exact_apply",
-    "triangle_counts", "graph_ktruss",
+    "triangle_counts", "graph_ktruss", "graph_hyperball",
 ]
 
 

@@ -63,6 +63,8 @@ KEYS = [
     # triangle kernel (batch 6)
     "triangle_counts",
     "graph_ktruss",
+    # hyperball register kernel (batch 7)
+    "graph_hyperball",
 ]
 
 

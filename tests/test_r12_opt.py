@@ -831,3 +831,41 @@ def test_tri_kernel_wedge_budget_falls_through(spark):
         assert sorted(map(tuple, gs.k_truss(df, k=3).collect()))
     finally:
         gs._TRI_WEDGE_BUDGET = saved
+
+
+# ---------------------------------------------------------------------------
+# HyperBall register kernel (round-12 optimization, batch 7)
+# ---------------------------------------------------------------------------
+
+def test_hyperball_local_matches_distributed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark import graph as gmod
+    from personalized_pagerank_algorithms_on_neo4j_spark.graph import (
+        PropertyGraph,
+    )
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators.hyperball import (
+        hyperball,
+    )
+
+    nodes = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(14)], "id long, name string"
+    )
+    es = (
+        [(i, i + 1) for i in range(12)]
+        + [(0, 5), (5, 0), (3, 3), (7, 2), (9, 13), (13, 9)]
+    )
+    edges = spark.createDataFrame(es, "src long, dst long")
+    g = PropertyGraph(spark, nodes, edges, nodes_cover_edges=True)
+
+    def run():
+        return sorted(map(tuple, hyperball(g, radius=3, p=4).collect()))
+
+    local = run()
+    saved = gmod.LOCAL_EDGE_THRESHOLD
+    gmod.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        dist = run()
+    finally:
+        gmod.LOCAL_EDGE_THRESHOLD = saved
+    assert local == dist and local
+    # every node must carry a row at every radius on both paths
+    assert len(local) == 3 * 14
