@@ -486,9 +486,42 @@ def test_r11_operator_plan_shapes(spark):
     narrow projection — ZERO exchanges and no Python (the argmin loop is
     a higher-order expression, not a superstep loop); graph_astar_multi's
     tail is the checkpointed distance frame joined to the 3-row pair
-    table (broadcast, never a shuffle)."""
-    import __spark_entry_ext__ as X
+    table (broadcast, never a shuffle).
 
+    These are guards on the 100 TB (distributed) plans, so the round-12
+    driver-local kernels are forced OFF here — at the oracle scale the
+    kernels would otherwise collapse every plan to a driver-parallelized
+    scan and the assertions would check nothing."""
+    import __spark_entry_ext__ as X
+    from personalized_pagerank_algorithms_on_neo4j_spark import config
+    from personalized_pagerank_algorithms_on_neo4j_spark.functions import bpe
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import (
+        astar,
+        dynamic_ppr,
+    )
+
+    saved = (
+        astar.LOCAL_EDGE_THRESHOLD,
+        dynamic_ppr.LOCAL_EDGE_THRESHOLD,
+        bpe.LOCAL_TEXT_BYTES,
+        config.LOCAL_EDGE_THRESHOLD,  # entry-level gates re-import from config
+    )
+    astar.LOCAL_EDGE_THRESHOLD = -1
+    dynamic_ppr.LOCAL_EDGE_THRESHOLD = -1
+    bpe.LOCAL_TEXT_BYTES = -1
+    config.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        _check_r11_operator_plan_shapes(spark, X)
+    finally:
+        (
+            astar.LOCAL_EDGE_THRESHOLD,
+            dynamic_ppr.LOCAL_EDGE_THRESHOLD,
+            bpe.LOCAL_TEXT_BYTES,
+            config.LOCAL_EDGE_THRESHOLD,
+        ) = saved
+
+
+def _check_r11_operator_plan_shapes(spark, X):
     plan = _plan(X.q_ppr_incremental_delete(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
