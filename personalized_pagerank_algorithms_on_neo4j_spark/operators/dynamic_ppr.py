@@ -297,6 +297,74 @@ def _reverse_push_local(
     )
 
 
+def _repair_local_arrays(state: DataFrame, old_edges: DataFrame, batch: DataFrame):
+    """Collected + compacted inputs for the driver-local repair twins, or
+    None above the edge gate / dense-state bound.  ``batch`` is collected
+    DISTINCT (both repairs distinct their batch); ``old_edges`` raw (the
+    degree counts are over raw rows, like the groupBy counts)."""
+    if LOCAL_EDGE_THRESHOLD <= 0 or old_edges.count() > LOCAL_EDGE_THRESHOLD:
+        return None
+    import numpy as np
+
+    from .._nputil import unique_stable
+
+    spd = state.toPandas()
+    oepd = old_edges.select("src", "dst").toPandas()
+    bpd = batch.select("src", "dst").distinct().toPandas()
+    os_, od_ = (
+        oepd["src"].to_numpy(dtype=np.int64),
+        oepd["dst"].to_numpy(dtype=np.int64),
+    )
+    bs_, bd_ = (
+        bpd["src"].to_numpy(dtype=np.int64),
+        bpd["dst"].to_numpy(dtype=np.int64),
+    )
+    sn = spd["node"].to_numpy(dtype=np.int64)
+    tgt = unique_stable(spd["target"].to_numpy(dtype=np.int64))
+    ids = unique_stable(np.concatenate([os_, od_, bs_, bd_, sn, tgt]))
+    t_cnt, n = len(tgt), len(ids)
+    if t_cnt * n > _LOCAL_STATE_CELLS:
+        return None
+    resid = np.zeros((t_cnt, n))
+    resv = np.zeros((t_cnt, n))
+    ti = np.searchsorted(tgt, spd["target"].to_numpy(dtype=np.int64))
+    ni = np.searchsorted(ids, sn)
+    np.add.at(resid, (ti, ni), spd["residue"].to_numpy(dtype=np.float64))
+    np.add.at(resv, (ti, ni), spd["reserve"].to_numpy(dtype=np.float64))
+    return (
+        tgt,
+        ids,
+        resid,
+        resv,
+        np.searchsorted(ids, os_),
+        np.searchsorted(ids, od_),
+        np.searchsorted(ids, bs_),
+        np.searchsorted(ids, bd_),
+    )
+
+
+def _repair_state_df(spark, tgt, ids, resid, resv) -> DataFrame:
+    """Materialize the repaired dense state (zero-zero rows dropped — the
+    push-kernel equivalence: downstream consumers treat absent and
+    all-zero rows identically)."""
+    import numpy as np
+    import pandas as pd
+
+    keep = (resid != 0.0) | (resv != 0.0)
+    t_idx, n_idx = np.nonzero(keep)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "target": tgt[t_idx],
+                "node": ids[n_idx],
+                "residue": resid[keep],
+                "reserve": resv[keep],
+            }
+        ),
+        "target long, node long, residue double, reserve double",
+    )
+
+
 def repair_on_insert(
     state: DataFrame,
     old_edges: DataFrame,
@@ -310,6 +378,37 @@ def repair_on_insert(
     first_unconditional=False)` to restore the estimate guarantee.
     ``new_edges`` must be disjoint from ``old_edges`` (true insertions);
     both are (src, dst) frames."""
+    local = _repair_local_arrays(state, old_edges, new_edges)
+    if local is not None:
+        # Driver-local twin (round-12 optimization): the two repair terms
+        # are per-source reserve sums over the batch / old adjacency —
+        # one bincount each per target, the same scalar tail expressions
+        # ((pw/dp), (1/dp - 1/d)*px, k*(t1 + t2), state + delta — the
+        # last two are two-term adds, commutative-exact); only the
+        # grouped-sum ORDER differs, the drift class the ROUND(_, 9)
+        # oracles already tolerate for the push kernel.
+        import numpy as np
+
+        tgt, ids, resid, resv, osr, odst, bsr, bdst = local
+        n = len(ids)
+        c = np.bincount(bsr, minlength=n).astype(np.int64)
+        d = np.bincount(osr, minlength=n).astype(np.int64)
+        tsrc = np.nonzero(c > 0)[0]
+        d_t = d[tsrc]
+        dp_t = (d_t + c[tsrc]).astype(np.float64)
+        has_old = d_t > 0
+        m2 = (c[osr] > 0) & (d[osr] > 0)
+        osr2, odst2 = osr[m2], odst[m2]
+        k = (1.0 - alpha) / alpha
+        f_old = np.where(has_old, 1.0 / dp_t - 1.0 / np.maximum(d_t, 1), 0.0)
+        for t in range(len(tgt)):
+            t1 = (
+                np.bincount(bsr, weights=resv[t, bdst], minlength=n)[tsrc]
+                / dp_t
+            )
+            px = np.bincount(osr2, weights=resv[t, odst2], minlength=n)[tsrc]
+            resid[t, tsrc] += k * (t1 + f_old * px)
+        return _repair_state_df(state.sparkSession, tgt, ids, resid, resv)
     ne = new_edges.select("src", "dst").distinct()
     d_new = ne.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
     d_old = old_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -384,6 +483,40 @@ def repair_on_delete(
     edge — its new P row is zero).  ``del_edges`` must be a subset of
     ``old_edges``.  Follow with the |r|-qualified resume, exactly as for
     inserts."""
+    local = _repair_local_arrays(state, old_edges, del_edges)
+    if local is not None:
+        # Driver-local twin — the insert repair's mirror (see there for
+        # the float-order note): keep-term over the surviving adjacency
+        # of each touched source (dp > 0 only), removed-term over the
+        # deleted batch, same scalar tails, k * (t_keep + t_del) a
+        # two-term add.
+        import numpy as np
+
+        tgt, ids, resid, resv, osr, odst, dsr, ddst = local
+        n = len(ids)
+        c = np.bincount(dsr, minlength=n).astype(np.int64)
+        d = np.bincount(osr, minlength=n).astype(np.int64)
+        touched = (c > 0) & (d > 0)  # the inner degree join's row set
+        tsrc = np.nonzero(touched)[0]
+        d_t = d[tsrc].astype(np.float64)
+        dp_t = (d[tsrc] - c[tsrc]).astype(np.float64)
+        # remaining = old rows at touched sources with dp > 0, minus the
+        # deleted pairs (per raw old row, like the left-join null check)
+        dkey = np.sort(dsr.astype(np.int64) * n + ddst, kind="stable")
+        okey = osr.astype(np.int64) * n + odst
+        pos = np.searchsorted(dkey, okey)
+        in_del = (pos < len(dkey)) & (
+            dkey[np.minimum(pos, len(dkey) - 1)] == okey
+        )
+        mk = touched[osr] & ((d[osr] - c[osr]) > 0) & ~in_del
+        osr2, odst2 = osr[mk], odst[mk]
+        k = (1.0 - alpha) / alpha
+        f_keep = np.where(dp_t > 0, 1.0 / np.maximum(dp_t, 1.0) - 1.0 / d_t, 0.0)
+        for t in range(len(tgt)):
+            px = np.bincount(osr2, weights=resv[t, odst2], minlength=n)[tsrc]
+            pw = np.bincount(dsr, weights=resv[t, ddst], minlength=n)[tsrc]
+            resid[t, tsrc] += k * (f_keep * px + (-pw / d_t))
+        return _repair_state_df(state.sparkSession, tgt, ids, resid, resv)
     de = del_edges.select("src", "dst").distinct()
     d_del = de.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
     d_old = old_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))

@@ -53,6 +53,7 @@ KEYS = [
     "graph_louvain_refined", "graph_modularity", "graph_conductance",
     "knn_communities", "graph_scc", "graph_mst", "graph_kpaths",
     "graph_astar_multi", "ppr_incremental", "ppr_incremental_delete",
+    "ppr_incremental_mixed",
     "graph_articlerank", "graph_pagerank_weighted", "ppr_temporal",
     "ppr_docs", "pagerank_snapshots", "graph_eigenvector", "graph_hits",
     "graph_salsa", "graph_walks", "walk_skipgrams", "graph_mis",

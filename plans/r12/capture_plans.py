@@ -41,6 +41,7 @@ KEYS = [
     # incremental PPR (reverse-push dense kernel)
     "ppr_incremental",
     "ppr_incremental_delete",
+    "ppr_incremental_mixed",
     # restart-loop / spectral family (r12 batch 2)
     "graph_articlerank",
     "graph_pagerank_weighted",

@@ -869,3 +869,55 @@ def test_hyperball_local_matches_distributed(spark):
     assert local == dist and local
     # every node must carry a row at every radius on both paths
     assert len(local) == 3 * 14
+
+
+# ---------------------------------------------------------------------------
+# Driver-local repair twins (round-12 optimization, batch 8)
+# ---------------------------------------------------------------------------
+
+def _repair_fixture(spark):
+    from pyspark.sql import functions as F
+
+    # old graph with a dangling source (5), a hub (0), and a source (7)
+    # that loses its LAST edge in the delete batch
+    old = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 0), (3, 4), (4, 0), (7, 1)]
+    ins = [(5, 0), (1, 3), (0, 4)]     # 5 was dangling; 0/1 gain degree
+    dele = [(7, 1), (0, 2)]            # 7 loses its last edge
+    oe = spark.createDataFrame(old, "src long, dst long")
+    ie = spark.createDataFrame(ins, "src long, dst long")
+    de = spark.createDataFrame(dele, "src long, dst long")
+    tg = spark.createDataFrame([(2,), (4,)], "target long")
+    return oe, ie, de, tg
+
+
+def test_repair_twins_local_match_distributed(spark):
+    from personalized_pagerank_algorithms_on_neo4j_spark.operators import (
+        dynamic_ppr as dp,
+    )
+
+    oe, ie, de, tg = _repair_fixture(spark)
+    alpha = 1.0 / 7.0
+
+    def lifecycle():
+        st0 = dp.reverse_push_state(spark, oe, tg, 1e-4, alpha)
+        rep1 = dp.repair_on_insert(st0, oe, ie, alpha)
+        rep2 = dp.repair_on_delete(rep1, oe.unionAll(ie), de, alpha)
+        return sorted(
+            (t, n, round(r, 9), round(p, 9))
+            for t, n, r, p in rep2.collect()
+        )
+
+    local = lifecycle()
+    saved = dp.LOCAL_EDGE_THRESHOLD
+    dp.LOCAL_EDGE_THRESHOLD = -1
+    try:
+        dist = lifecycle()
+    finally:
+        dp.LOCAL_EDGE_THRESHOLD = saved
+    # zero-zero rows are legitimately absent on the local path; compare
+    # the nonzero state, which is what every downstream consumer reads
+    local_nz = [r for r in local if r[2] != 0 or r[3] != 0]
+    dist_nz = [r for r in dist if r[2] != 0 or r[3] != 0]
+    assert local_nz == dist_nz and local_nz
+    # the repair must actually perturb something at the touched sources
+    assert any(r[2] != 0 for r in local_nz)
