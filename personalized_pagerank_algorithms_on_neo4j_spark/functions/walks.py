@@ -349,14 +349,51 @@ def node2vec_walk_corpus(
     nbr = und.select(
         F.col("src").alias("prev"), F.col("dst").alias("x"), F.lit(1).alias("is_nbr")
     )
+    # Candidate pruning for the biased hops (t >= 2).  The scaled key is
+    # mult * h with mult in {1, p_mult, q_mult} and h >= 0, so a candidate
+    # with h > cmax * hmin(cur, t)  (cmax = max(p_mult, q_mult), hmin the
+    # raw-hash minimum over cur's FULL adjacency) scores STRICTLY above
+    # the hmin candidate's scaled key (<= cmax * hmin) no matter which
+    # class either lands in — it can neither win nor tie, so dropping it
+    # cannot change the argmin or its (h, x) tie-break.  With 48-bit
+    # hashes ~cmax candidates per (cur, t) survive in expectation, so the
+    # (prev, cur)-pair fan-out and the prev-neighbor membership join
+    # carry ~cmax rows per pair instead of deg(cur) — the second-order
+    # walk's dominant join shrinks by ~avg-degree at every scale.  The
+    # survivor table is computed for ALL steps in ONE combinable
+    # aggregate over the edge table (the walk_corpus single-pass trick:
+    # h keys on (cur, x, t), never on walk state).
+    cmax = max(p_mult, q_mult)
+    pruned_all = None
+    if length > 1:
+        steps2 = spark.range(2, length + 1).select(
+            F.col("id").cast("int").alias("t")
+        )
+        adj = und.crossJoin(F.broadcast(steps2)).select(
+            "src",
+            F.col("dst").alias("x"),
+            "t",
+            _edge_hash_col(F.col("src"), F.col("dst"), F.col("t"), seed).alias(
+                "h"
+            ),
+        )
+        hmin = adj.groupBy("src", "t").agg(F.min("h").alias("hmin"))
+        hb = n_walks * (length - 1) <= BROADCAST_NODE_BOUND
+        pruned_all = (
+            adj.join(F.broadcast(hmin) if hb else hmin, ["src", "t"])
+            .where(F.col("h") <= F.lit(cmax) * F.col("hmin"))
+            .select(F.col("src").alias("cur"), "x", "t", "h")
+            .localCheckpoint(eager=True)
+        )
     with static_superstep_plan(spark, shuffle_partitions=loop_parts):
         for t in range(1, length + 1):
             occ = state.select("prev", "cur").distinct()
             oj = F.broadcast(occ) if small else occ
-            cand = oj.join(und, oj.cur == und.src).select(
-                "prev", "cur", F.col("dst").alias("x")
-            )
             if t > 1:
+                pr_t = pruned_all.where(F.col("t") == t).select(
+                    "cur", "x", "h"
+                )
+                cand = oj.join(pr_t, "cur").select("prev", "cur", "x", "h")
                 nj = F.broadcast(nbr) if edge_small else nbr
                 cand = cand.join(nj, ["prev", "x"], "left")
                 mult = (
@@ -364,12 +401,19 @@ def node2vec_walk_corpus(
                     .when(F.col("is_nbr") == 1, F.lit(1))
                     .otherwise(F.lit(q_mult))
                 )
+                pick = F.struct(
+                    (F.col("h") * mult).alias("h"), F.col("x").alias("x")
+                )
             else:
-                mult = F.lit(1)  # no predecessor yet: plain first-order hop
-            pick = F.struct(
-                (_edge_hash(F.col("cur"), F.col("x"), t, seed) * mult).alias("h"),
-                F.col("x").alias("x"),
-            )
+                # no predecessor yet: the plain first-order argmin over the
+                # full adjacency (mult == 1 for every candidate)
+                cand = oj.join(und, oj.cur == und.src).select(
+                    "prev", "cur", F.col("dst").alias("x")
+                )
+                pick = F.struct(
+                    _edge_hash(F.col("cur"), F.col("x"), t, seed).alias("h"),
+                    F.col("x").alias("x"),
+                )
             succ = (
                 cand.groupBy("prev", "cur")
                 .agg(F.min(pick).alias("p"))

@@ -293,3 +293,42 @@ def test_skipgram_window_longer_than_walk(spark):
         walks.skipgram_oracle_sql("SELECT '0->1' AS path", window=3)
     ).fetchall()}
     assert out == want
+
+
+def test_node2vec_pruned_candidates_oracle_parity_random_hub_graph(spark):
+    """r12 optimization regression: the biased hops prune candidates to
+    h <= cmax * hmin(cur, t) before the class-multiplier argmin.  On a
+    random graph with a forced hub (the regime where pruning discards
+    almost the whole adjacency) every walk must still equal the oracle's
+    UNPRUNED full-adjacency replay, across distinct (p, q) shapes."""
+    import random
+
+    rng = random.Random(41)
+    edges = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(80)})
+    edges += [(29, i) for i in range(25)]  # hub: degree ~25 after symmetrize
+    edges = [(u, v) for u, v in sorted(set(edges)) if u != v]
+    for p_mult, q_mult in ((4, 2), (1, 16), (16, 1)):
+        got = {
+            (r["walk_id"], r["end_node"], r["path"])
+            for r in walks.node2vec_walk_corpus(
+                spark,
+                _edges_df(spark, edges),
+                length=4,
+                seed=7,
+                p_mult=p_mult,
+                q_mult=q_mult,
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in duckdb.sql(
+                walks.node2vec_oracle_sql(
+                    _edges_sql(edges),
+                    length=4,
+                    seed=7,
+                    p_mult=p_mult,
+                    q_mult=q_mult,
+                )
+            ).fetchall()
+        }
+        assert got == want and len(got) == 30
