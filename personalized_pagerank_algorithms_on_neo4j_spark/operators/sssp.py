@@ -34,84 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import LOCAL_EDGE_THRESHOLD
 from ..plans.iterative import (
     BROADCAST_NODE_BOUND,
     loop_shuffle_partitions,
     static_superstep_plan,
 )
-
-_SSSP_INF = 1 << 62  # relaxation sentinel; + any long cost stays < 2^63
-
-
-def _sssp_local(
-    spark: SparkSession,
-    edges: DataFrame,
-    sources: list[int],
-    max_rounds: int,
-    with_landmark: bool,
-) -> DataFrame | None:
-    """Driver-local replay of the frontier Bellman-Ford rounds (round-12
-    optimization).  Relaxing EVERY edge per round equals the frontier
-    relaxation round-for-round (a non-improved node's candidates were
-    already offered the round it last improved — monotone min-plus), so
-    the per-round integer state, the early-exit round, and any TRUNCATED
-    (max_rounds-bounded) values are identical.  Rows = reached nodes,
-    like the full-outer merge's key set.  None above the edge gate."""
-    if LOCAL_EDGE_THRESHOLD <= 0 or edges.count() > LOCAL_EDGE_THRESHOLD:
-        return None
-    import numpy as np
-    import pandas as pd
-
-    from .._nputil import argsort_stable, unique_stable
-
-    epd = edges.select("src", "dst", "w").toPandas()
-    es_o = epd["src"].to_numpy(dtype=np.int64)
-    ed_o = epd["dst"].to_numpy(dtype=np.int64)
-    w = epd["w"].to_numpy(dtype=np.int64)
-    srcs = np.array(sorted(set(int(s) for s in sources)), dtype=np.int64)
-    ids = unique_stable(np.concatenate([es_o, ed_o, srcs]))
-    n, k = len(ids), len(srcs)
-    es = np.searchsorted(ids, es_o)
-    ed = np.searchsorted(ids, ed_o)
-    order = argsort_stable(ed)
-    es_s, w_s = es[order], w[order]
-    ed_s = ed[order]
-    seg = np.ones(len(ed_s), dtype=bool)
-    if len(ed_s):
-        seg[1:] = ed_s[1:] != ed_s[:-1]
-    starts = np.nonzero(seg)[0]
-    dst_u = ed_s[starts]
-    dist = np.full((k, n), _SSSP_INF, dtype=np.int64)
-    dist[np.arange(k), np.searchsorted(ids, srcs)] = 0
-    for _ in range(max_rounds):
-        improved = False
-        for li in range(k):
-            if not len(ed_s):
-                break
-            cand = np.minimum.reduceat(dist[li, es_s] + w_s, starts)
-            new = np.minimum(dist[li, dst_u], cand)
-            if (new < dist[li, dst_u]).any():
-                improved = True
-                dist[li, dst_u] = new
-        if not improved:
-            break
-    li_idx, n_idx = np.nonzero(dist < _SSSP_INF)
-    if with_landmark:
-        return spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "landmark": srcs[li_idx],
-                    "node": ids[n_idx],
-                    "dist": dist[dist < _SSSP_INF],
-                }
-            ),
-            "landmark long, node long, dist long",
-        )
-    return spark.createDataFrame(
-        pd.DataFrame({"node": ids[n_idx], "dist": dist[dist < _SSSP_INF]}),
-        "node long, dist long",
-    )
 
 
 def undirected_min_cost(edges: DataFrame) -> DataFrame:
@@ -146,9 +73,6 @@ def sssp_weighted(
     scaling; when omitted, NO scaling happens (the loop keeps the
     session's shuffle partitioning and the frontier is never broadcast),
     so callers that know graph.n should always pass it."""
-    local = _sssp_local(spark, edges, [source], max_rounds, False)
-    if local is not None:
-        return local
     small = n_hint is not None and n_hint <= BROADCAST_NODE_BOUND
     loop_parts = (
         loop_shuffle_partitions(spark, n_hint) if small else None
@@ -239,11 +163,6 @@ def sssp_weighted_multi(
     weighted). Same fixed-point/early-exit algebra as `sssp_weighted`,
     applied per landmark; the state is bounded by k x n, so pass
     ``n_hint`` as graph.n x len(sources) for the broadcast gate."""
-    if LOCAL_EDGE_THRESHOLD > 0:
-        srcs = [int(r[0]) for r in sources.distinct().collect()]
-        local = _sssp_local(spark, edges, srcs, max_rounds, True)
-        if local is not None:
-            return local
     small = n_hint is not None and n_hint <= BROADCAST_NODE_BOUND
     loop_parts = loop_shuffle_partitions(spark, n_hint) if small else None
     src = F.col("source").cast("long")  # int32 inputs must not leak into

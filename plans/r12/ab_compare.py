@@ -43,11 +43,10 @@ from personalized_pagerank_algorithms_on_neo4j_spark.operators import (  # noqa:
     mst,
     pagerank,
     scc,
-    sssp,
 )
 
 MODS = [gmod, louvain, lpa, mst, scc, kpaths, astar, dynamic_ppr, mis,
-        pagerank, eigenvector, gsmod, sssp]
+        pagerank, eigenvector, gsmod]
 
 KEYS = [
     "graph_lpa", "graph_louvain", "graph_louvain_weighted",
@@ -60,7 +59,6 @@ KEYS = [
     "graph_salsa", "graph_walks", "walk_skipgrams", "graph_mis",
     "bpe_merges", "bpe_compression", "bpe_encode", "bpe_exact_apply",
     "triangle_counts", "graph_ktruss", "graph_hyperball",
-    "sssp_weighted", "sssp_landmarks", "graph_astar",
 ]
 
 

@@ -66,10 +66,6 @@ KEYS = [
     "graph_ktruss",
     # hyperball register kernel (batch 7)
     "graph_hyperball",
-    # weighted SSSP kernel (batch 9) + the A* rider off the same engine
-    "sssp_weighted",
-    "sssp_landmarks",
-    "graph_astar",
 ]
 
 

@@ -921,61 +921,3 @@ def test_repair_twins_local_match_distributed(spark):
     assert local_nz == dist_nz and local_nz
     # the repair must actually perturb something at the touched sources
     assert any(r[2] != 0 for r in local_nz)
-
-
-# ---------------------------------------------------------------------------
-# Weighted SSSP (r12 — the landmark engine under sssp/sssp_multi and the
-# ALT builds inside graph_astar / graph_astar_multi / graph_kpaths)
-# ---------------------------------------------------------------------------
-
-
-def test_sssp_local_matches_distributed(spark):
-    """Single-source, multi-landmark (incl. an isolated landmark) and a
-    deliberately truncated run must be identical on both paths: the
-    full-relaxation kernel equals the frontier loop round-for-round
-    (monotone min-plus), so even max_rounds-bounded states match."""
-    from personalized_pagerank_algorithms_on_neo4j_spark.operators import (
-        sssp as sm,
-    )
-
-    import random
-
-    rng = random.Random(29)
-    edges = sorted({(rng.randrange(25), rng.randrange(25)) for _ in range(90)})
-    edges = [(u, v, 1 + ((u * 7 + v * 3) % 9)) for u, v in edges if u != v]
-    df = spark.createDataFrame(edges, "src long, dst long, w long")
-    srcs = spark.createDataFrame([(0,), (5,), (23,), (99,)], "source long")
-
-    def run():
-        single = sorted(
-            map(tuple, sm.sssp_weighted(spark, df, 0, n_hint=25).collect())
-        )
-        multi = sorted(
-            map(
-                tuple,
-                sm.sssp_weighted_multi(spark, df, srcs, n_hint=100).collect(),
-            )
-        )
-        trunc = sorted(
-            map(
-                tuple,
-                sm.sssp_weighted(
-                    spark, df, 0, max_rounds=2, n_hint=25
-                ).collect(),
-            )
-        )
-        return single, multi, trunc
-
-    local = run()
-    orig = sm.LOCAL_EDGE_THRESHOLD
-    sm.LOCAL_EDGE_THRESHOLD = -1
-    try:
-        dist = run()
-    finally:
-        sm.LOCAL_EDGE_THRESHOLD = orig
-    assert local == dist
-    assert local[0] and local[1]
-    # the isolated landmark keeps its seed row on both paths
-    assert (99, 99, 0) in local[1]
-    # the max_rounds=2 truncation must actually bind on this fixture
-    assert local[2] != local[0]
