@@ -1,49 +1,105 @@
-"""numpy sort/groupby helpers pinned to ``kind='stable'``.
+"""numpy sort/groupby helpers with a probe-once kind dispatch.
 
-numpy's default introsort (``kind='quicksort'``) dispatches to a SIMD
-implementation that is catastrophically slow on CPUs without the vector
-features it assumes — measured on this round's bench box (AVX-only
-Xeon): ``np.sort`` 1.72 s vs 0.20 s stable, ``np.unique`` 5.5 s,
-``np.lexsort`` 3.0 s on 1.2M int64 — a 9-30x penalty paid once per
-superstep ROUND by the driver-local kernels.  The radix/merge-based
-``'stable'`` kind is uniformly fast on every box and additionally keeps
-tie order deterministic, which the kernels' (score desc, id asc) picks
-rely on.  Every driver-local kernel must route its bulk sorts through
-these helpers instead of the numpy defaults.
+Round 12 pinned every kernel sort to ``kind='stable'`` on the premise that
+numpy's default introsort is catastrophically slow on SIMD-poor CPUs.  The
+premise is host-dependent: on AVX2/AVX-512 boxes the default SIMD sort is
+~8x FASTER than stable (measured r13: ``np.sort`` 15.6 ms default vs
+132.8 ms stable on 1.2M int64; ``np.unique`` 22 ms vs 138 ms for the
+stable twin), while on the SIMD-poor box r12 measured the opposite
+(default 1.72 s vs 0.20 s stable).  Neither kind is safe to hard-code, so
+these helpers now measure ONCE per process — a ~10 ms two-rep probe on
+100k int64 at first use — and dispatch every *order-insensitive* bulk
+sort to the winner.
+
+Dispatch rules:
+
+* value-only sorts (``sort_values``/``unique_sorted``/``group_count``/
+  ``group_sum_int``) return identical results under any sort kind —
+  equal elements are indistinguishable — and always use the probed kind;
+* permutation-producing helpers where callers rely on first-occurrence
+  tie order (``argsort_stable``, ``group_by_key``) stay pinned to
+  ``'stable'``: ``group_by_key`` feeds float ``reduceat`` sums whose
+  rounding depends on within-group row order, and the CSR builders the
+  walk kernels draw neighbors from must keep their oracle-pinned edge
+  order;
+* ``lexsort_stable`` keeps the stable chain for every pass EXCEPT the
+  first (least-significant) key, which uses the probed kind: rows that
+  tie on every key end up adjacent either way, and every call site's
+  full-key ties are duplicate rows (verified r13: mis/mst/graphstats),
+  so the first-row-per-group picks are unchanged.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-
-def sort_stable(a: np.ndarray) -> np.ndarray:
-    return np.sort(a, kind="stable")
-
-
-def argsort_stable(a: np.ndarray) -> np.ndarray:
-    return np.argsort(a, kind="stable")
+_UNSET = "__unset__"
+_PROBED_KIND: str | None = _UNSET  # None = numpy default, or "stable"
 
 
+def probed_kind() -> str | None:
+    """The faster of numpy's default sort and ``kind='stable'`` on this
+    host, measured once per process (~10 ms).  Returns ``None`` (pass no
+    ``kind``) or ``"stable"``."""
+    global _PROBED_KIND
+    if _PROBED_KIND is _UNSET:
+        import time
+
+        rng = np.random.default_rng(0xA5A5)
+        a = rng.integers(0, 1 << 40, 100_000, dtype=np.int64)
+        np.sort(a[:4096])  # touch pages / warm dispatch
+        np.sort(a[:4096], kind="stable")
+        t_def = t_stable = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.sort(a)
+            t_def = min(t_def, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.sort(a, kind="stable")
+            t_stable = min(t_stable, time.perf_counter() - t0)
+        _PROBED_KIND = None if t_def <= t_stable else "stable"
+    return _PROBED_KIND
+
+
+def sort_values(a: np.ndarray) -> np.ndarray:
+    """Ascending values — order-insensitive, probed kind."""
+    k = probed_kind()
+    return np.sort(a) if k is None else np.sort(a, kind=k)
+
+
+# Kept under the r12 name so kernel call sites read unchanged; the result
+# (sorted unique values) is identical under any sort kind.
 def unique_stable(a: np.ndarray) -> np.ndarray:
-    """Sorted unique values via one stable sort (np.unique's contract,
-    without its slow internal quicksort)."""
+    """Sorted unique values, probed kind."""
     if len(a) == 0:
         return a.copy()
+    if probed_kind() is None:
+        return np.unique(a)
     s = np.sort(a, kind="stable")
     keep = np.ones(len(s), dtype=bool)
     keep[1:] = s[1:] != s[:-1]
     return s[keep]
 
 
+unique_sorted = unique_stable
+
+
+def argsort_stable(a: np.ndarray) -> np.ndarray:
+    """Stable argsort — callers rely on first-occurrence tie order."""
+    return np.argsort(a, kind="stable")
+
+
 def lexsort_stable(keys) -> np.ndarray:
-    """np.lexsort semantics (last key primary) as chained stable argsorts
-    — identical permutation (both are stable), several times faster on
-    boxes where np.lexsort's internal sort path is slow."""
+    """np.lexsort semantics (last key primary) as chained argsorts.  The
+    first (least-significant) pass uses the probed kind — only rows tying
+    on EVERY key can permute, and every call site's full-key ties are
+    duplicate rows — later passes must be stable to preserve the earlier
+    keys' order."""
     order = None
     for k in keys:
         if order is None:
-            order = np.argsort(k, kind="stable")
+            pk = probed_kind()
+            order = np.argsort(k) if pk is None else np.argsort(k, kind=pk)
         else:
             order = order[np.argsort(k[order], kind="stable")]
     return order if order is not None else np.zeros(0, dtype=np.int64)
@@ -55,7 +111,8 @@ def group_by_key(key: np.ndarray):
     Returns ``(order, starts, uniq)``: ``order`` sorts the rows by key,
     ``starts`` are the group start offsets into the sorted rows, and
     ``uniq`` the ascending unique keys (``uniq[i]`` owns sorted rows
-    ``starts[i]:starts[i+1]``)."""
+    ``starts[i]:starts[i+1]``).  Stays stable: callers feed the order
+    into float ``reduceat`` sums whose rounding is order-dependent."""
     order = np.argsort(key, kind="stable")
     sk = key[order]
     first = np.ones(len(sk), dtype=bool)
@@ -66,21 +123,30 @@ def group_by_key(key: np.ndarray):
 
 
 def group_sum_int(key: np.ndarray, weights: np.ndarray):
-    """(uniq_keys_sorted, int64 sums) — the ``np.unique + np.add.at``
-    idiom with the slow sort replaced; ``reduceat`` keeps int64 exactness
-    (bincount would coerce weights to float64)."""
+    """(uniq_keys_sorted, int64 sums).  Integer sums are exact under any
+    addition order, so the grouping argsort uses the probed kind;
+    ``reduceat`` keeps int64 exactness (bincount would coerce weights to
+    float64)."""
     if len(key) == 0:
         return key.copy(), np.zeros(0, dtype=np.int64)
-    order, starts, uniq = group_by_key(key)
+    pk = probed_kind()
+    order = np.argsort(key) if pk is None else np.argsort(key, kind=pk)
+    sk = key[order]
+    first = np.ones(len(sk), dtype=bool)
+    first[1:] = sk[1:] != sk[:-1]
+    starts = np.nonzero(first)[0]
     sums = np.add.reduceat(weights[order].astype(np.int64), starts)
-    return uniq, sums
+    return sk[starts], sums
 
 
 def group_count(key: np.ndarray):
-    """(uniq_keys_sorted, counts) — np.unique(..., return_counts=True)
-    without the slow sort."""
+    """(uniq_keys_sorted, int64 counts) — order-insensitive, probed kind
+    (``np.unique(return_counts=True)`` when the default sort wins)."""
     if len(key) == 0:
         return key.copy(), np.zeros(0, dtype=np.int64)
+    if probed_kind() is None:
+        uniq, counts = np.unique(key, return_counts=True)
+        return uniq, counts.astype(np.int64, copy=False)
     order, starts, uniq = group_by_key(key)
     counts = np.diff(np.append(starts, len(key)))
     return uniq, counts

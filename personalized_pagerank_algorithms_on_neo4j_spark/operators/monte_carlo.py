@@ -151,22 +151,22 @@ def _drain_walks_batch(pdf, base_seed, stop_prob, lg, np, pd):
                 pick = np.minimum((u2 * d).astype(np.int64), d - 1)
                 wc[mv] = lg.indices[lg.indptr[wc[mv]] + pick]
 
-    # exact in-batch aggregation on (start, endpoint) via lexsort group
-    # boundaries (a composite-key unique could collide across residues)
-    we = lg.ids[wc]
-    from .._nputil import lexsort_stable
+    # exact in-batch aggregation on (start, endpoint).  Raw ids can't be
+    # composite-packed (arbitrary int64 residues could collide), but both
+    # sides are available as POSITIONS into the sorted lg.ids (ws_d from
+    # line one of the walk setup, wc throughout), so pos_s * n + pos_c is
+    # collision-free up to n ~ 3e9 — one probed-kind unique instead of a
+    # two-key lexsort (r12's stable-pinned lexsort was the mc_dist10
+    # 0.34x regression; ascending position order == ascending id order,
+    # so the emitted rows are identical).
+    from .._nputil import group_count
 
-    order = lexsort_stable((we, ws))
-    ws_s, we_s = ws[order], we[order]
-    new_grp = np.empty(total, bool)
-    new_grp[0] = True
-    new_grp[1:] = (ws_s[1:] != ws_s[:-1]) | (we_s[1:] != we_s[:-1])
-    grp_starts = np.nonzero(new_grp)[0]
-    counts = np.diff(np.append(grp_starts, total))
+    n_ids = np.int64(len(lg.ids))
+    uniq, counts = group_count(ws_d * n_ids + wc)
     return pd.DataFrame(
         {
-            "start": ws_s[grp_starts],
-            "cur": we_s[grp_starts],
+            "start": lg.ids[uniq // n_ids],
+            "cur": lg.ids[uniq % n_ids],
             "cnt": counts.astype(np.int64),
         }
     )
